@@ -1,13 +1,173 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.{ActivityOps, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry composes the reusable transforms in `graft.ops.*` over the
+  * harness parquet tables; `oracleSql` holds the DuckDB-equivalent SQL the
+  * driver differential-tests against. Column names and (for inexact types)
+  * value arithmetic are kept engine-stable — see notes in graft.ops.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference pipeline's core question — filtered, 1-minute
+    * tumbling windowed counts per (user, event_type) — over `events`
+    * (reference: spark/spark_streaming.py:50-65). Driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("windowed_count")(spark, "/root/testdata/sf0.001")
+
+  private val keepList = Seq("click", "purchase")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity (SURVEY.md §2) over `events` -------------------
+    "windowed_count" -> ((s, dir) =>
+      ActivityOps.windowedCount(
+        ActivityOps.filterEvents(Tables.events(s, dir), keepList),
+        tsCol = "ts", keyCols = Seq("user_id", "event_type"),
+        windowDuration = "1 minute", watermark = Some("10 seconds"))),
+
+    "windowed_sum_1h" -> ((s, dir) =>
+      ActivityOps.windowedSum(
+        Tables.events(s, dir),
+        tsCol = "ts", keyCols = Seq("event_type"), valueCol = "value",
+        windowDuration = "1 hour", watermark = Some("10 seconds"))),
+
+    "raw_insert" -> ((s, dir) =>
+      ActivityOps.filterEvents(Tables.events(s, dir), Seq("click", "purchase", "signup"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("props"))),
+
+    "filter_not_in" -> ((s, dir) =>
+      ActivityOps.filterEventsNot(Tables.events(s, dir), keepList)
+        .select(col("event_id"), col("user_id"), col("event_type"))),
+
+    "null_guard" -> ((s, dir) =>
+      ActivityOps.nonNullEvents(Tables.events(s, dir), Seq("event_type", "props"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))),
+
+    "json_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))),
+
+    "epoch_millis_roundtrip" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), expr("timestamp_millis(unix_millis(ts))").as("ts_ms"))),
+
+    "ci_filter" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("event_type_uc", upper(col("event_type")))
+        .filter(lower(col("event_type_uc")) === lit("click"))
+        .select(col("event_id"), col("user_id"), lower(col("event_type_uc")).as("event_type"))),
+
+    "dedup_exact" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("first_event_id"))),
+
+    // ---- relational core (joins/agg/ranking at scale) --------------------
+    "q1_pricing" -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "q3_top_orders" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
+    "q5_region_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
+    "top_orders_per_segment" -> ((s, dir) => Relational.topOrdersPerSegment(s, dir)),
+    "customer_order_stats" -> ((s, dir) => Relational.customerOrderStats(s, dir)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "windowed_count" ->
+      """SELECT user_id, event_type,
+         time_bucket(INTERVAL '1 minute', ts) AS window_start,
+         time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
+         count(*) AS "count"
+         FROM events WHERE event_type IN ('click','purchase')
+         GROUP BY 1,2,3""".stripMargin,
+
+    "windowed_sum_1h" ->
+      """SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         count(*) AS "count"
+         FROM events GROUP BY 1,2,3""",
+
+    "raw_insert" ->
+      """SELECT event_id, ts, user_id, event_type, props FROM events
+         WHERE event_type IN ('click','purchase','signup')""",
+
+    "filter_not_in" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_type NOT IN ('click','purchase')""",
+
+    "null_guard" ->
+      """SELECT event_type, count(*) AS n FROM events
+         WHERE event_type IS NOT NULL AND props IS NOT NULL GROUP BY 1""",
+
+    "json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+         FROM events GROUP BY 1""",
+
+    "epoch_millis_roundtrip" ->
+      """SELECT event_id, make_timestamp(epoch_ms(ts) * 1000) AS ts_ms FROM events""",
+
+    "ci_filter" ->
+      """SELECT event_id, user_id, lower(upper(event_type)) AS event_type FROM events
+         WHERE lower(upper(event_type)) = 'click'""",
+
+    "dedup_exact" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event_id
+         FROM events GROUP BY 1,2""",
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1,2""",
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+         JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1,2
+         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+         JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1""",
+
+    "top_orders_per_segment" ->
+      """SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM (
+           SELECT c_mktsegment,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey ASC) AS rank,
+                  o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey
+         ) WHERE rank <= 3""",
+
+    "customer_order_stats" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, sum(n_orders) AS n_orders,
+         CAST(sum(total_dec) AS DOUBLE) AS total_price
+         FROM (
+           SELECT o_custkey, count(*) AS n_orders,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec
+           FROM orders GROUP BY 1
+         ) JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
+  )
 }

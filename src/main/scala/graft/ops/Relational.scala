@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Relational analytics over the harness star schema (TESTDATA.md) —
+  * aggregation, multi-way joins, ranking windows. These go beyond the
+  * reference's operator set (it has no joins/sorts, SURVEY.md §2.6) and
+  * exist to prove the engine's relational core at scale.
+  *
+  * Scale notes baked into every query:
+  *  - money arithmetic is done in DECIMAL so results are bit-stable across
+  *    partitionings/engines (double sums are order-dependent);
+  *  - dimension tables (customer/nation/region/supplier) are broadcast —
+  *    no shuffle of the fact table for those joins;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  *    reuse that partitioning for the following aggregation where possible;
+  *  - ratios (averages) divide two exact decimals cast to double — IEEE
+  *    division is deterministic given identical inputs.
+  */
+object Relational {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** TPC-H Q1-style pricing summary over lineitem: grouped algebraic
+    * aggregates; partial agg before the single exchange; ~O(|groups|) state.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style revenue of top unshipped orders: broadcast the selective
+    * customer dim, shuffle-join orders⋈lineitem on orderkey, aggregate, then
+    * TakeOrderedAndProject (no global sort materialization) for the top-k.
+    * Revenue is exact decimal → deterministic top-k given the id tie-break.
+    */
+  def topRevenueOrders(spark: SparkSession, dir: String, segment: String = "BUILDING", k: Int = 10): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === segment)
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("rev"))
+    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q5-flavored revenue by nation: the fact table shuffles once
+    * (orders⋈lineitem); every dimension hop (customer→nation→region) is a
+    * broadcast join, so adding dimensions costs no extra exchange.
+    */
+  def revenueByNation(spark: SparkSession, dir: String, regionName: String = "ASIA"): DataFrame = {
+    val reg = Tables.region(spark, dir).filter(col("r_name") === regionName).select("r_regionkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("rev"))
+    val dims = cust
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"))
+    ord.join(broadcast(dims), ord("o_custkey") === dims("c_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Ranking window: top-k orders per market segment via row_number —
+    * partition-local sort after one hash exchange on the partition key.
+    */
+  def topOrdersPerSegment(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(dec("o_totalprice").desc, col("o_orderkey").asc)
+    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("c_mktsegment"), col("rank"), col("o_orderkey"),
+        dec("o_totalprice").cast("double").as("o_totalprice"))
+  }
+
+  /** Grouped order stats per customer with exact-decimal average — the
+    * sum/count division happens on exact inputs so it is engine-stable.
+    */
+  def customerOrderStats(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val perCust = ord.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).as("total_dec"))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    perCust.join(broadcast(cust), perCust("o_custkey") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("total_dec")).cast("double").as("total_price"))
+  }
+}

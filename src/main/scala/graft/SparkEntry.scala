@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.{ActivityOps, Relational}
+import graft.ops.{ActivityOps, Dedup, Multimodal, Relational, TextOps, VectorOps}
+import graft.oracle.DuckDbOracles
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -76,6 +77,33 @@ object SparkEntry {
     "q5_region_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "top_orders_per_segment" -> ((s, dir) => Relational.topOrdersPerSegment(s, dir)),
     "customer_order_stats" -> ((s, dir) => Relational.customerOrderStats(s, dir)),
+
+    // ---- text analysis (north star) over `documents` ---------------------
+    "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
+    "text_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
+    "text_langid" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
+
+    // ---- deduplication (north star) --------------------------------------
+    "dedup_exact_docs" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
+    "minhash_signatures" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
+    "minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
+    "simhash_docs" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
+    "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    "ngram_jaccard_pairs" -> ((s, dir) => Dedup.fingerprintJaccardPairs(Tables.documents(s, dir))),
+
+    // ---- similarity search (north star) over `embeddings` ----------------
+    "embedding_neardup" -> ((s, dir) => VectorOps.cosineNearDupPairs(Tables.embeddings(s, dir))),
+    "ann_brute_topk" -> ((s, dir) => VectorOps.bruteForceTopK(Tables.embeddings(s, dir))),
+    "ann_ivf_topk" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir))),
+
+    // ---- multimodal columns (north star) ---------------------------------
+    "media_meta" -> ((s, dir) => Multimodal.mediaMeta(Tables.documents(s, dir))),
+    "media_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
+    // Stub decoder through real mapPartitions plumbing — rows-only check
+    // (not SQL-expressible); correctness covered by MultimodalSpec.
+    "media_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(Multimodal.mediaTable(Tables.documents(s, dir)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -169,5 +197,23 @@ object SparkEntry {
            FROM orders GROUP BY 1
          ) JOIN customer ON o_custkey = c_custkey
          GROUP BY 1""",
+
+    "text_token_stats" -> DuckDbOracles.textTokenStats,
+    "text_quality" -> DuckDbOracles.textQuality,
+    "text_langid" -> DuckDbOracles.textLangId,
+    "text_fingerprint" -> DuckDbOracles.textFingerprint,
+    "dedup_exact_docs" -> DuckDbOracles.dedupExactDocs,
+    "minhash_signatures" -> DuckDbOracles.minhashSignatures,
+    "minhash_lsh_pairs" -> DuckDbOracles.minhashLshPairs,
+    "simhash_docs" -> DuckDbOracles.simhashDocs,
+    "simhash_pairs" -> DuckDbOracles.simhashPairs(),
+    "ngram_jaccard_pairs" -> DuckDbOracles.ngramJaccardPairs(),
+    "embedding_neardup" -> DuckDbOracles.embeddingNearDup(),
+    "ann_brute_topk" -> DuckDbOracles.annBruteTopK(),
+    "ann_ivf_topk" -> DuckDbOracles.annIvfTopK(),
+    "media_meta" -> DuckDbOracles.mediaMeta,
+    "media_frame_sample" -> DuckDbOracles.mediaFrameSample,
+    // "media_features" intentionally omitted: stub decoder via mapPartitions
+    // is not SQL-expressible; driver records rows-only.
   )
 }

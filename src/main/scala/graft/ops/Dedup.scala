@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Deduplication operators for LLM training-data pipelines over `documents`.
+  *
+  * Four families, increasing fuzziness:
+  *  1. exact          — hash-groupBy on canonical text bytes
+  *  2. MinHash + LSH  — shingle → k min-hashes → banded bucket join
+  *  3. SimHash        — bit-vote fingerprint + byte-band candidate join
+  *  4. fingerprint Jaccard — winnowed shingle-hash sets, exact overlap
+  *
+  * Scale design (the 100 TB story):
+  *  - every candidate-generation step is a hash-bucket equi-join (band hash /
+  *    byte band / shared fingerprint), never an all-pairs product — candidate
+  *    cost is O(collisions), not O(n²);
+  *  - signatures are computed in ONE groupBy over the exploded shingle set
+  *    (k min-aggregates in a single shuffle; partial aggregation runs
+  *    map-side so the exchange carries one row per (doc, ·) not per shingle);
+  *  - the hash is pluggable: `PortableHash.h31` (md5-based) lets the DuckDB
+  *    oracle replay bit-identical results; swap `PortableHash.fast`
+  *    (xxhash64, codegen'd) for production throughput.
+  */
+object Dedup {
+
+  /** MinHash geometry: k = bands × rows signature values. */
+  val MinhashBands = 4
+  val MinhashRows = 3
+  val MinhashK: Int = MinhashBands * MinhashRows
+
+  /** SimHash width (bits) and candidate byte-bands. */
+  val SimhashBits = 32
+  val SimhashBytes = 4
+
+  /** Exact dedup: canonical-text hash groups. Output one row per distinct
+    * text with the surviving (minimum) doc_id and the duplicate count.
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct 3-token shingles per document — the set representation used by
+    * MinHash/SimHash/Jaccard. Narrow explode (no shuffle); `distinct` is
+    * deferred to the consumer's aggregation.
+    */
+  def shingles(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val n = size(t)
+    val sh = transform(
+      sequence(lit(1), n - lit(2)),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)), element_at(t, i + lit(2))))
+    docs.filter(n >= 3)
+      .select(col("doc_id"), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** MinHash signatures: one row per doc, columns mh0..mh{k-1}.
+    * Single shuffle: groupBy(doc_id) with k min-aggregates.
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val aggs = (0 until MinhashK).map(i => min(hash(s"mh$i", col("shingle"))).as(s"mh$i"))
+    shingles(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over the signatures: band j hashes signature values
+    * [j*r, (j+1)*r); docs colliding in ANY band become a candidate pair.
+    * Output: (doc_a, doc_b, est_jaccard) where est_jaccard = fraction of the
+    * k signature positions that agree (the unbiased MinHash estimator).
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val sig = minhashSignatures(docs, hash)
+    val bandStructs = (0 until MinhashBands).map { j =>
+      val cols = (j * MinhashRows until (j + 1) * MinhashRows)
+        .map(i => col(s"mh$i").cast("string"))
+      struct(lit(j).as("band"), hash(s"band$j", concat_ws(",", cols: _*)).as("bh"))
+    }
+    val banded = sig.withColumn("b", explode(array(bandStructs: _*)))
+      .select(col("doc_id") +: (0 until MinhashK).map(i => col(s"mh$i")) :+
+        col("b.band").as("band") :+ col("b.bh").as("bh"): _*)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val est = (0 until MinhashK)
+      .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(est.cast("double") / lit(MinhashK.toDouble), 6).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash fingerprint (Charikar, STOC'02): each shingle votes ±1 on each
+    * of 32 bit positions by its hash bits; the sign of the tally is the
+    * fingerprint bit. One groupBy, 32 conditional-sum aggregates.
+    */
+  def simhash(
+      docs: DataFrame,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val h = hash("sh", col("shingle"))
+    val votes = (0 until SimhashBits).map { p =>
+      sum(when(shiftright(h, p).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$p")
+    }
+    val tallied = shingles(docs).groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val fp = (0 until SimhashBits)
+      .map(p => when(col(s"v$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tallied.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of the 4 bytes of
+    * the fingerprint. By pigeonhole, any pair within Hamming distance 3 of
+    * 32 bits agrees on ≥1 whole byte, so the byte-band equi-join has perfect
+    * recall for maxHamming ≤ 3; the Hamming filter on candidates is exact.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val fp = simhash(docs, hash)
+    val bands = (0 until SimhashBytes).map { j =>
+      struct(lit(j).as("band"), shiftright(col("simhash"), 8 * j).bitwiseAND(lit(255L)).as("bv"))
+    }
+    val banded = fp.withColumn("b", explode(array(bands: _*)))
+      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact Jaccard over winnowed fingerprint sets (TextOps.fingerprints):
+    * candidates = docs sharing ≥1 fingerprint hash (equi-join, no n²);
+    * J = |A∩B| / |A∪B| computed from exact set sizes.
+    */
+  def fingerprintJaccardPairs(
+      docs: DataFrame,
+      minJaccard: Double = 0.3,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val fp = TextOps.fingerprints(docs, hash)
+    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = fp.as("a").join(fp.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Text-analysis operators for LLM training-data pipelines, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Everything is built from codegen'd higher-order array functions
+  * (`split`/`transform`/`filter`/`aggregate`) — no UDFs — so the whole
+  * per-document feature computation happens inside WholeStageCodegen with
+  * zero shuffles (narrow, embarrassingly parallel: scales linearly to any
+  * number of executors; at 100 TB each task processes its parquet split
+  * independently).
+  *
+  * Determinism contract: every floating-point output is produced by the same
+  * IEEE-754 double operations in the same order as the DuckDB oracle SQL and
+  * rounded to 6 decimals; no transcendental functions (libm results differ
+  * across engines in the last ulp).
+  */
+object TextOps {
+
+  private def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-document token statistics: count, distinct count, type-token ratio. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      round(size(array_distinct(t)).cast("double") / size(t).cast("double"), 6).as("ttr"))
+  }
+
+  /** Stopword list shared with the oracle SQL (English function words; the
+    * synthetic corpus contains `the`/`a`/`of` etc.).
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Heuristic document quality score: linear blend of type-token ratio,
+    * non-stopword density, and a length credit — the shape (not the exact
+    * weights) of production quality classifiers' hand-crafted features.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(t, x => array_contains(stopArr, x))).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val meanLen = (length(col("text")).cast("double") - nTok + lit(1.0)) / nTok
+    val stopRatio = nStop / nTok
+    val lenCredit = least(nTok / lit(100.0), lit(1.0))
+    docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      round(meanLen, 6).as("mean_token_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(lit(0.5) * ttr + lit(0.3) * (lit(1.0) - stopRatio) + lit(0.2) * lenCredit, 6)
+        .as("quality_score"))
+  }
+
+  /** Marker-token lists per language; priority order below breaks ties. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "los", "y", "que"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** N-gram/marker language identification: per-language marker hit counts +
+    * arg-max prediction with fixed priority tie-break.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val scoreCols = langMarkers.map { case (lang, ms) =>
+      val arr = array(ms.map(lit): _*)
+      size(filter(t, x => array_contains(arr, x))).as(s"s_$lang")
+    }
+    val scored = docs.select(col("doc_id") +: scoreCols: _*)
+    val langs = langMarkers.map(_._1)
+    val pred = langs.foldRight(lit(langs.last)) { (lang, elseCol) =>
+      val ge = langs.filter(_ != lang)
+        .map(o => col(s"s_$lang") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(ge, lit(lang)).otherwise(elseCol)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Winnowing-style document fingerprint (0-mod-p scheme, Schleimer et al.,
+    * SIGMOD'03): 3-token shingles → portable hash → keep hashes ≡ 0 (mod 8).
+    * Output is the exploded (doc_id, fp_hash) set — the input to any
+    * fingerprint-overlap dedup join.
+    */
+  def fingerprints(docs: DataFrame, hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    val shingles = transform(
+      sequence(lit(1), n - lit(2)),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)), element_at(t, i + lit(2))))
+    docs
+      .filter(n >= 3)
+      .select(col("doc_id"), explode(shingles).as("shingle"))
+      .select(col("doc_id"), hash("fp", col("shingle")).as("fp_hash"))
+      .filter(col("fp_hash") % 8 === 0)
+      .distinct()
+  }
+}

@@ -1,0 +1,212 @@
+package graft.oracle
+
+import graft.ops.{Dedup, TextOps}
+
+/** DuckDB oracle SQL for every hash-checkable north-star query, GENERATED
+  * from the same Scala constants the Spark operators use (seeds, band
+  * geometry, stopword/marker lists, thresholds) so the two sides cannot
+  * drift. The hash bridge is `md5_number_lower` — see
+  * graft.functions.PortableHash for the bit-level contract.
+  */
+object DuckDbOracles {
+
+  /** DuckDB twin of PortableHash.h31(seed, expr). */
+  private def h(seed: String, expr: String): String =
+    s"CAST(md5_number_lower('$seed:' || ($expr)) % 2147483647 AS BIGINT)"
+
+  private def inList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
+
+  /** Shared CTEs: tokenized docs and exploded distinct 3-token shingles. */
+  private val tokCte =
+    "tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)"
+  private val shCte =
+    """sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      |  FROM tok WHERE len(t) >= 3)""".stripMargin
+
+  val textTokenStats: String =
+    s"""WITH $tokCte
+       |SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+       |  round(CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) AS ttr
+       |FROM tok""".stripMargin
+
+  val textQuality: String = {
+    val stop = inList(TextOps.stopwords)
+    s"""WITH $tokCte
+       |SELECT doc_id, len(t) AS n_tokens,
+       |  round((CAST(length(text) AS DOUBLE) - CAST(len(t) AS DOUBLE) + 1.0) / CAST(len(t) AS DOUBLE), 6) AS mean_token_len,
+       |  round(CAST(len(list_filter(t, x -> x IN ($stop))) AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) AS stopword_ratio,
+       |  round(0.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+       |      + 0.3 * (1.0 - CAST(len(list_filter(t, x -> x IN ($stop))) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+       |      + 0.2 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0), 6) AS quality_score
+       |FROM tok""".stripMargin
+  }
+
+  val textLangId: String = {
+    val langs = TextOps.langMarkers.map(_._1)
+    val scoreSelects = TextOps.langMarkers.map { case (lang, ms) =>
+      s"len(list_filter(t, x -> x IN (${inList(ms)}))) AS s_$lang"
+    }.mkString(",\n  ")
+    val whens = langs.map { lang =>
+      val conds = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString("\n  ")
+    s"""WITH $tokCte,
+       |scored AS (SELECT doc_id, $scoreSelects FROM tok)
+       |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+       |  CASE $whens ELSE '${langs.last}' END AS lang_pred
+       |FROM scored""".stripMargin
+  }
+
+  val textFingerprint: String =
+    s"""WITH $tokCte, $shCte
+       |SELECT DISTINCT doc_id, fp_hash FROM
+       |  (SELECT doc_id, ${h("fp", "shingle")} AS fp_hash FROM sh)
+       |WHERE fp_hash % 8 = 0""".stripMargin
+
+  val dedupExactDocs: String =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  private val sigCte: String = {
+    val mins = (0 until Dedup.MinhashK)
+      .map(i => s"min(${h(s"mh$i", "shingle")}) AS mh$i").mkString(",\n  ")
+    s"sig AS (SELECT doc_id,\n  $mins\n  FROM sh GROUP BY doc_id)"
+  }
+
+  val minhashSignatures: String =
+    s"""WITH $tokCte, $shCte, $sigCte
+       |SELECT * FROM sig""".stripMargin
+
+  val minhashLshPairs: String = {
+    val bandSelects = (0 until Dedup.MinhashBands).map { j =>
+      val catExpr = (j * Dedup.MinhashRows until (j + 1) * Dedup.MinhashRows)
+        .map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, ${(0 until Dedup.MinhashK).map(i => s"mh$i").mkString(", ")}, " +
+        s"$j AS band, ${h(s"band$j", catExpr)} AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val est = (0 until Dedup.MinhashK)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $tokCte, $shCte, $sigCte,
+       |bands AS (
+       |  $bandSelects
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  round(CAST(($est) AS DOUBLE) / ${Dedup.MinhashK}.0, 6) AS est_jaccard
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  private val simhashCte: String = {
+    val votes = (0 until Dedup.SimhashBits)
+      .map(p => s"sum(CASE WHEN ((hv >> $p) & 1) = 1 THEN 1 ELSE -1 END) AS v$p")
+      .mkString(",\n  ")
+    val fp = (0 until Dedup.SimhashBits)
+      .map(p => s"CASE WHEN v$p > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString(" + ")
+    s"""hashed AS (SELECT doc_id, ${h("sh", "shingle")} AS hv FROM sh),
+       |votes AS (SELECT doc_id,
+       |  $votes
+       |  FROM hashed GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)""".stripMargin
+  }
+
+  val simhashDocs: String =
+    s"""WITH $tokCte, $shCte, $simhashCte
+       |SELECT doc_id, simhash FROM fp""".stripMargin
+
+  def simhashPairs(maxHamming: Int = 3): String =
+    s"""WITH $tokCte, $shCte, $simhashCte,
+       |banded AS (SELECT doc_id, simhash, j.band AS band,
+       |    ((simhash >> (8 * j.band)) & 255) AS bv
+       |  FROM fp, (SELECT unnest(range(0, ${Dedup.SimhashBytes})) AS band) j)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
+
+  def ngramJaccardPairs(minJaccard: Double = 0.3): String =
+    s"""WITH $tokCte, $shCte,
+       |fp AS (SELECT DISTINCT doc_id, fp_hash FROM
+       |    (SELECT doc_id, ${h("fp", "shingle")} AS fp_hash FROM sh)
+       |  WHERE fp_hash % 8 = 0),
+       |sz AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sz sa ON doc_a = sa.doc_id
+       |  JOIN sz sb ON doc_b = sb.doc_id)
+       |WHERE jaccard >= $minJaccard""".stripMargin
+
+  /** Cosine between two DOUBLE[] SQL expressions (matches VectorOps.cosine
+    * up to accumulation-order ulps, removed by round(·, 6) on both sides).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  private val embCte =
+    "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  def embeddingNearDup(threshold: Double = 0.35): String =
+    s"""WITH $embCte
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(${cosSql("a.v", "b.v")}, 6) AS cos
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |WHERE cos >= $threshold""".stripMargin
+
+  def annBruteTopK(k: Int = 10): String =
+    s"""WITH $embCte,
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |scored AS (SELECT q_id, vec_id AS neighbor_id,
+       |    round(${cosSql("qv", "v")}, 6) AS cos
+       |  FROM q JOIN e ON q_id <> vec_id),
+       |ranked AS (SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k""".stripMargin
+
+  def annIvfTopK(k: Int = 10): String =
+    s"""WITH $embCte,
+       |dims AS (SELECT unnest(range(1, 65)) AS pos),
+       |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
+       |cent AS (SELECT label AS cell, list(round(m, 6) ORDER BY pos) AS centroid
+       |  FROM comp GROUP BY label),
+       |cscore AS (SELECT e.vec_id, e.v, cent.cell,
+       |    round(${cosSql("e.v", "centroid")}, 6) AS ccos
+       |  FROM e CROSS JOIN cent),
+       |asg AS (SELECT vec_id, v, cell FROM (
+       |    SELECT vec_id, v, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
+       |    FROM cscore) WHERE r = 1),
+       |scored AS (SELECT qa.vec_id AS q_id, ca.vec_id AS neighbor_id,
+       |    round(${cosSql("qa.v", "ca.v")}, 6) AS cos
+       |  FROM asg qa JOIN asg ca
+       |    ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id
+       |  WHERE qa.vec_id % 100 = 0),
+       |ranked AS (SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k""".stripMargin
+
+  val mediaMeta: String =
+    s"""SELECT doc_id AS media_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |       WHEN doc_id % 3 = 1 THEN 'audio'
+       |       ELSE 'video' END AS media_type,
+       |  length(text) AS n_bytes,
+       |  ${h("w", "text")} % 1280 + 1 AS width,
+       |  ${h("h", "text")} % 720 + 1 AS height
+       |FROM documents""".stripMargin
+
+  val mediaFrameSample: String =
+    s"""SELECT doc_id AS media_id, CAST(j.frame_idx AS INTEGER) AS frame_idx,
+       |  ${h("fr", "substr(text, 1 + 64 * j.frame_idx, 64)")} AS frame_hash
+       |FROM documents, (SELECT unnest(range(0, 8)) AS frame_idx) j
+       |WHERE doc_id % 3 = 2 AND j.frame_idx <= (length(text) - 1) // 64""".stripMargin
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.model.{Event, UserActivity}
+import graft.streaming.ActivityStream
+
+/** Streaming-mode semantics the batch oracle cannot observe
+  * (reference parity: FlinkTest.java's MiniCluster test + A8/A9 —
+  * append-mode finalization and late-data drop).
+  */
+class ActivityStreamingSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
+
+  private def ua(id: String, ts: String, tpe: String): UserActivity =
+    UserActivity(id, java.sql.Timestamp.valueOf(ts).getTime, Event(tpe, "https://x.com/t"))
+
+  describe("append-mode windowed count over a memory stream") {
+    it("emits windows only once watermark-closed and drops too-late rows") {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+      val mem = MemoryStream[UserActivity]
+      val raw = mem.toDS().select(
+        to_json(struct(col("id"), col("date"), col("event"))).cast("binary").as("value"))
+      val agg = ActivityStream.aggPipeline(ActivityStream.parseAndClean(raw))
+
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-test").toString
+      val sinkName = s"agg_out_${System.nanoTime()}"
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .start()
+      def rows(): Set[(String, String, String, Long)] =
+        spark.table(sinkName)
+          .select(col("id"), col("event_type"), col("window_start").cast("string"), col("count"))
+          .as[(String, String, String, Long)].collect().toSet
+
+      try {
+        // batch 1: three keep-events in minute 00:12 → window still open
+        mem.addData(
+          ua("user1", "2023-08-25 00:12:14", "LIKED"),
+          ua("user1", "2023-08-25 00:12:45", "COMMENTED"),
+          ua("user1", "2023-08-25 00:12:45", "LIKED"))
+        q.processAllAvailable()
+        rows() shouldBe empty
+
+        // batch 2: event in minute 00:14 advances the watermark to
+        // 00:14:20; the engine immediately runs a follow-up empty batch
+        // that closes and emits the minute-12 window (processAllAvailable
+        // spans both micro-batches)
+        mem.addData(ua("user2", "2023-08-25 00:14:30", "LIKED"))
+        q.processAllAvailable()
+        rows() shouldBe Set(
+          ("user1", "liked", "2023-08-25 00:12:00", 2L),
+          ("user1", "commented", "2023-08-25 00:12:00", 1L))
+
+        // batch 3: a row far behind the watermark is dropped from state (A9)
+        mem.addData(ua("user1", "2023-08-25 00:12:50", "LIKED"))
+        q.processAllAvailable()
+
+        // batch 4: push watermark past minute 00:14 to flush the rest
+        mem.addData(ua("user9", "2023-08-25 00:20:00", "LIKED"))
+        q.processAllAvailable()
+
+        val finalRows = rows()
+        // minute-14 window emitted with exactly the one in-time user2 event,
+        // and the late user1@00:12:50 row influenced nothing
+        finalRows should contain(("user2", "liked", "2023-08-25 00:14:00", 1L))
+        finalRows.filter(_._3 == "2023-08-25 00:12:00") shouldBe Set(
+          ("user1", "liked", "2023-08-25 00:12:00", 2L),
+          ("user1", "commented", "2023-08-25 00:12:00", 1L))
+      } finally q.stop()
+    }
+  }
+}

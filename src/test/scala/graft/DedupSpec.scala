@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.Dedup
+
+/** Unit tests for the dedup family on crafted corpora: near-identical docs
+  * must pair, unrelated docs must not, and MinHash estimates must track
+  * exact Jaccard.
+  */
+class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+  private val nearDup = ((1 to 59).map(i => s"tok$i") :+ "changed").mkString(" ")
+  private val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+
+  describe("exactDedup") {
+    it("groups identical texts under the minimum doc_id") {
+      val out = Dedup.exactDedup(docsDf(Seq(1L -> "a b c", 5L -> "a b c", 9L -> "x y z")))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      out shouldBe Set((1L, 2L), (9L, 1L))
+    }
+  }
+
+  describe("minhashLshPairs") {
+    it("pairs near-duplicates, skips unrelated docs, estimates jaccard") {
+      val pairs = Dedup.minhashLshPairs(docsDf(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated)))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      pairs.keySet shouldBe Set((1L, 2L))
+      // exact shingle jaccard of base vs nearDup = 55/61 ≈ 0.90
+      pairs((1L, 2L)) should be >= 0.5
+    }
+  }
+
+  describe("simhash") {
+    it("near-identical docs land within the hamming threshold; unrelated far") {
+      val fp = Dedup.simhash(docsDf(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated)))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      java.lang.Long.bitCount(fp(1L) ^ fp(2L)) should be <= 3
+      java.lang.Long.bitCount(fp(1L) ^ fp(3L)) should be > 3
+      val pairs = Dedup.simhashPairs(docsDf(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs shouldBe Set((1L, 2L))
+    }
+  }
+
+  describe("fingerprintJaccardPairs") {
+    it("reports high jaccard for near-dups only") {
+      val pairs = Dedup.fingerprintJaccardPairs(
+          docsDf(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated)))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      pairs.keySet shouldBe Set((1L, 2L))
+      pairs((1L, 2L)) should be >= 0.5
+    }
+  }
+}

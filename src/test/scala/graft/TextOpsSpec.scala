@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.TextOps
+
+class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  describe("tokenStats") {
+    it("counts tokens, distincts, and type-token ratio") {
+      val r = TextOps.tokenStats(docsDf(Seq(1L -> "a b b c"))).collect()(0)
+      (r.getInt(1), r.getInt(2), r.getDouble(3)) shouldBe ((4, 3, 0.75))
+    }
+  }
+
+  describe("qualityScore") {
+    it("computes stopword ratio and mean token length") {
+      val r = TextOps.qualityScore(docsDf(Seq(1L -> "the cat sat"))).collect()(0)
+      r.getAs[Double]("stopword_ratio") shouldBe 0.333333 +- 1e-9
+      r.getAs[Double]("mean_token_len") shouldBe 3.0 +- 1e-9
+    }
+  }
+
+  describe("langId") {
+    it("predicts by marker counts with fixed tie-break") {
+      val out = TextOps.langId(docsDf(Seq(
+          1L -> "der hund und die katze",
+          2L -> "the dog and the cat",
+          3L -> "no markers here")))
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("lang_pred")).toMap
+      out(1L) shouldBe "de"
+      out(2L) shouldBe "en"
+      out(3L) shouldBe "en" // all-zero scores → first language in priority order
+    }
+  }
+
+  describe("fingerprints") {
+    it("is deterministic and winnows to ≈1/8 of shingle hashes") {
+      val doc = (1 to 200).map(i => s"w$i").mkString(" ")
+      val a = TextOps.fingerprints(docsDf(Seq(1L -> doc))).collect().map(_.getLong(1)).toSet
+      val b = TextOps.fingerprints(docsDf(Seq(1L -> doc))).collect().map(_.getLong(1)).toSet
+      a shouldBe b
+      a.foreach(h => h % 8 shouldBe 0)
+      // 198 shingles, expect ≈25 fingerprints — loose band
+      a.size should (be >= 10 and be <= 50)
+    }
+  }
+}

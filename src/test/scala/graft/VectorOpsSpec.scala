@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.ops.VectorOps
+
+class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
+
+  private def embDf(rows: Seq[(Long, Seq[Float], Int)]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  describe("cosine") {
+    it("computes exact values on known vectors") {
+      import spark.implicits._
+      val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), (Seq(1.0f, 2.0f), Seq(2.0f, 4.0f)))
+        .toDF("a", "b")
+        .select(VectorOps.cosine(col("a"), col("b")).as("c"))
+      val got = df.as[Double].collect()
+      got(0) shouldBe 0.0 +- 1e-12
+      got(1) shouldBe 1.0 +- 1e-12
+    }
+  }
+
+  describe("bruteForceTopK") {
+    it("ranks neighbors by cosine with id tie-break") {
+      // query = vec 0 (id 0 ≡ 0 mod 100); neighbors along known directions
+      val data = Seq(
+        0L -> Seq(1.0f, 0.0f), 1L -> Seq(1.0f, 0.1f),
+        2L -> Seq(1.0f, 1.0f), 3L -> Seq(-1.0f, 0.0f),
+        4L -> Seq(1.0f, 0.1f) // exact tie with 1 → id ascending
+      ).map { case (id, v) => (id, v, 0) }
+      val got = VectorOps.bruteForceTopK(embDf(data), k = 3)
+        .collect().map(r => (r.getInt(1), r.getLong(2))).toList
+      got shouldBe List((1, 1L), (2, 4L), (3, 2L))
+    }
+  }
+
+  describe("ivfTopK") {
+    it("searches only the query's cell and agrees with brute force there") {
+      // two well-separated clusters; label = cluster id
+      val cluster0 = (0 until 6).map(i => (i.toLong * 100, Seq(1.0f, 0.01f * i), 0))
+      val cluster1 = (0 until 6).map(i => (1L + i * 7, Seq(-1.0f, -0.01f * i), 1))
+      val df = embDf(cluster0 ++ cluster1)
+      val ivf = VectorOps.ivfTopK(df, k = 3).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      // every neighbor of a cluster-0 query must be a cluster-0 member
+      val c0ids = cluster0.map(_._1).toSet
+      ivf.filter(t => c0ids(t._1)).foreach { case (_, _, n) => c0ids should contain(n) }
+      ivf.nonEmpty shouldBe true
+    }
+  }
+
+  describe("cosineNearDupPairs") {
+    it("finds only pairs above threshold") {
+      val data = Seq(
+        (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+        (2L, Seq(0.999f, 0.04f, 0.0f), 0), // cos ≈ 0.999
+        (3L, Seq(0.0f, 1.0f, 0.0f), 0))
+      val pairs = VectorOps.cosineNearDupPairs(embDf(data), threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs shouldBe Set((1L, 2L))
+    }
+  }
+}

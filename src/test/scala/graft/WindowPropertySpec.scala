@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.ops.ActivityOps
+
+/** Property-style tests for the windowed aggregation math (SURVEY §5's
+  * richer test plan): totals conservation, window membership, and
+  * partitioning invariance — the property that matters at 1000 executors.
+  * (Seeded random trials; the scalatest/scalacheck bridge artifact is not
+  * in the offline cache, so trials are hand-rolled.)
+  */
+class WindowPropertySpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
+
+  private def randomRows(rng: scala.util.Random): List[(String, Long)] =
+    List.fill(1 + rng.nextInt(200)) {
+      (s"u${rng.nextInt(3)}", 1692921600000L + rng.nextLong(3600000L))
+    }
+
+  describe("windowedCount properties") {
+    it("conserves totals and brackets every event in exactly one window") {
+      val rng = new scala.util.Random(42)
+      for (_ <- 1 to 8) {
+        import spark.implicits._
+        val rows = randomRows(rng)
+        val df = rows.toDF("user_id", "ms")
+          .select(col("user_id"), timestamp_millis(col("ms")).as("ts"))
+        val agg = ActivityOps.windowedCount(df, "ts", Seq("user_id"), "1 minute")
+          .collect()
+        agg.map(_.getAs[Long]("count")).sum shouldBe rows.size
+        agg.foreach { r =>
+          val start = r.getAs[java.sql.Timestamp]("window_start").getTime
+          val end = r.getAs[java.sql.Timestamp]("window_end").getTime
+          end - start shouldBe 60000L
+          start % 60000L shouldBe 0L
+        }
+        val keys = agg.map(r => (r.getString(0), r.get(1)))
+        keys.distinct.length shouldBe keys.length
+      }
+    }
+
+    it("is invariant to input partitioning") {
+      val rng = new scala.util.Random(7)
+      for (_ <- 1 to 4) {
+        import spark.implicits._
+        val rows = randomRows(rng)
+        val df = rows.toDF("user_id", "ms")
+          .select(col("user_id"), timestamp_millis(col("ms")).as("ts"))
+        def result(parts: Int) =
+          ActivityOps.windowedCount(df.repartition(parts), "ts", Seq("user_id"), "1 minute")
+            .collect().map(r => (r.getString(0), r.get(1).toString, r.getLong(3))).toSet
+        result(1) shouldBe result(7)
+      }
+    }
+  }
+}

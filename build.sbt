@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Many distinct query plans generate enough classes to exhaust the
+  // default 240 MB code cache (constant sweeper churn, observed as
+  // sys-bound stalls); limit compiler-thread futex contention too.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:CICompilerCount=4",
 )

@@ -12,5 +12,6 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
   ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
 done
 exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
+  -XX:ReservedCodeCacheSize=1g -XX:CICompilerCount=4 \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"

@@ -10,7 +10,7 @@ object Diag {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val reps = if (args.length > 1) args(1).toInt else 3
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -30,17 +30,25 @@ object PortableHash {
     conv(le, 16, 10).cast("decimal(20,0)")
   }
 
-  /** Portable seeded hash reduced mod 2^31-1 → BIGINT (fits both engines'
-    * native integer math). DuckDB twin:
-    * `CAST(md5_number_lower(seed || ':' || expr) % 2147483647 AS BIGINT)`.
+  /** Low 32 bits of md5_number_lower as plain BIGINT — digest bytes 8..11
+    * little-endian = hex pairs at 23,21,19,17 concatenated big-endian.
+    * Avoids the decimal(20,0) carrier (decimal pmod dominated hash cost).
+    */
+  private def md5low32(c: Column): Column = {
+    val h = md5(c)
+    val le = concat(substring(h, 23, 2), substring(h, 21, 2), substring(h, 19, 2), substring(h, 17, 2))
+    conv(le, 16, 10).cast("bigint")
+  }
+
+  /** Portable seeded 31-bit hash → BIGINT in [0, 2^31). DuckDB twin:
+    * `CAST((md5_number_lower(seed || ':' || expr) & 2147483647) AS BIGINT)`.
     */
   def h31(seed: String, c: Column): Column =
-    pmod(md5u64(concat(lit(seed), lit(":"), c)), lit(2147483647L).cast("decimal(20,0)"))
-      .cast("bigint")
+    md5low32(concat(lit(seed), lit(":"), c)).bitwiseAND(lit(2147483647L))
 
   /** DuckDB SQL text computing exactly `h31(seed, <expr>)`. */
   def h31Sql(seed: String, expr: String): String =
-    s"CAST(md5_number_lower('$seed' || ':' || ($expr)) % 2147483647 AS BIGINT)"
+    s"CAST((md5_number_lower('$seed' || ':' || ($expr)) & 2147483647) AS BIGINT)"
 
   /** Production-scale variant (NOT oracle-replayable): native codegen hash. */
   def fast(seed: String, c: Column): Column =

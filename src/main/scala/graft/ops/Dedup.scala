@@ -30,6 +30,21 @@ object Dedup {
   val MinhashRows = 3
   val MinhashK: Int = MinhashBands * MinhashRows
 
+  /** Mersenne prime 2^31−1: the universe for all portable hash values. */
+  val P31 = 2147483647L
+
+  /** Affine permutation constants (aᵢ ∈ [1,p), bᵢ ∈ [0,p)) from a fixed
+    * 64-bit LCG — the classic universal-hash MinHash construction
+    * (Broder'97): mhᵢ = min over shingles of (aᵢ·h + bᵢ) mod p. One md5
+    * evaluation per shingle instead of k; the k permutations are two integer
+    * ops each. Deterministic pure values shared with the oracle SQL.
+    */
+  val minhashSeeds: Seq[(Long, Long)] = {
+    var x = 0x9E3779B9L
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x }
+    (0 until MinhashK).map(_ => ((next() % (P31 - 1)) + 1, next() % P31))
+  }
+
   /** SimHash width (bits) and candidate byte-bands. */
   val SimhashBits = 32
   val SimhashBytes = 4
@@ -41,28 +56,26 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct 3-token shingles per document — the set representation used by
-    * MinHash/SimHash/Jaccard. Narrow explode (no shuffle); `distinct` is
-    * deferred to the consumer's aggregation.
+  /** Distinct 3-token shingles per document (see TextOps.shingleSet for the
+    * codegen/partitioning rationale).
     */
-  def shingles(docs: DataFrame): DataFrame = {
-    val t = split(col("text"), " ")
-    val n = size(t)
-    val sh = transform(
-      sequence(lit(1), n - lit(2)),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)), element_at(t, i + lit(2))))
-    docs.filter(n >= 3)
-      .select(col("doc_id"), explode(array_distinct(sh)).as("shingle"))
-  }
+  def shingles(docs: DataFrame): DataFrame = TextOps.shingleSet(docs)
 
   /** MinHash signatures: one row per doc, columns mh0..mh{k-1}.
-    * Single shuffle: groupBy(doc_id) with k min-aggregates.
+    * Single shuffle: groupBy(doc_id) with k min-aggregates over the k affine
+    * permutations of ONE base hash. The base hash is materialized in a child
+    * projection — aggregate expressions referencing an inline hash would
+    * re-evaluate the md5 chain once per aggregate per row (no CSE across
+    * aggregate expressions).
     */
   def minhashSignatures(
       docs: DataFrame,
       hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
-    val aggs = (0 until MinhashK).map(i => min(hash(s"mh$i", col("shingle"))).as(s"mh$i"))
-    shingles(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val hashed = shingles(docs).select(col("doc_id"), hash("mh", col("shingle")).as("h"))
+    val aggs = minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P31).as(s"mh$i")
+    }
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding over the signatures: band j hashes signature values
@@ -73,7 +86,11 @@ object Dedup {
   def minhashLshPairs(
       docs: DataFrame,
       hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
-    val sig = minhashSignatures(docs, hash)
+    // The signature table is tiny (one row/doc) but expensive to derive;
+    // persist it so the band self-join reads it once instead of recomputing
+    // the whole shingle+hash pipeline on both sides. At 100 TB the
+    // signature table is the thing you'd write to storage anyway.
+    val sig = minhashSignatures(docs, hash).persist()
     val bandStructs = (0 until MinhashBands).map { j =>
       val cols = (j * MinhashRows until (j + 1) * MinhashRows)
         .map(i => col(s"mh$i").cast("string"))
@@ -101,11 +118,13 @@ object Dedup {
   def simhash(
       docs: DataFrame,
       hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
-    val h = hash("sh", col("shingle"))
+    // Materialize the hash in a child projection: 32 aggregate expressions
+    // over an inline hash would evaluate the md5 chain 32× per row.
+    val hashed = shingles(docs).select(col("doc_id"), hash("sh", col("shingle")).as("h"))
     val votes = (0 until SimhashBits).map { p =>
-      sum(when(shiftright(h, p).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$p")
+      sum(when(shiftright(col("h"), p).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$p")
     }
-    val tallied = shingles(docs).groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val tallied = hashed.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
     val fp = (0 until SimhashBits)
       .map(p => when(col(s"v$p") > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
@@ -121,7 +140,7 @@ object Dedup {
       docs: DataFrame,
       maxHamming: Int = 3,
       hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
-    val fp = simhash(docs, hash)
+    val fp = simhash(docs, hash).persist() // one row/doc; read twice by the self-join
     val bands = (0 until SimhashBytes).map { j =>
       struct(lit(j).as("band"), shiftright(col("simhash"), 8 * j).bitwiseAND(lit(255L)).as("bv"))
     }
@@ -145,7 +164,7 @@ object Dedup {
       docs: DataFrame,
       minJaccard: Double = 0.3,
       hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
-    val fp = TextOps.fingerprints(docs, hash)
+    val fp = TextOps.fingerprints(docs, hash).persist() // read 3× below
     val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = fp.as("a").join(fp.as("b"),
         col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") < col("b.doc_id"))

@@ -23,6 +23,31 @@ object TextOps {
 
   private def tokens(text: Column): Column = split(text, " ")
 
+  /** Distinct 3-token shingles per document — the set representation used
+    * by MinHash/SimHash/Jaccard fingerprinting.
+    *
+    * Built from fully codegen'd primitives: split → posexplode → window
+    * `lead` → concat_ws → distinct. The obvious alternative
+    * (`transform(sequence(...), i -> concat_ws(element_at...))`) is a
+    * higher-order lambda = CodegenFallback: interpreted per-element eval,
+    * measured ~10× slower, and it runs entirely in the file-scan task. The
+    * window's hash-exchange on doc_id ALSO re-partitions the exploded
+    * tokens, so every downstream shingle consumer is parallel even when the
+    * source is one parquet file — at 100 TB, partitioning must be sized to
+    * post-explode volume, not input file count.
+    */
+  def shingleSet(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), col("tok"),
+        lead(col("tok"), 1).over(w).as("tok1"),
+        lead(col("tok"), 2).over(w).as("tok2"))
+      .filter(col("tok2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("tok1"), col("tok2")).as("shingle"))
+      .distinct()
+  }
+
   /** Per-document token statistics: count, distinct count, type-token ratio. */
   def tokenStats(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
@@ -93,17 +118,9 @@ object TextOps {
     * Output is the exploded (doc_id, fp_hash) set — the input to any
     * fingerprint-overlap dedup join.
     */
-  def fingerprints(docs: DataFrame, hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
-    val t = tokens(col("text"))
-    val n = size(t)
-    val shingles = transform(
-      sequence(lit(1), n - lit(2)),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)), element_at(t, i + lit(2))))
-    docs
-      .filter(n >= 3)
-      .select(col("doc_id"), explode(shingles).as("shingle"))
+  def fingerprints(docs: DataFrame, hash: (String, Column) => Column = PortableHash.h31): DataFrame =
+    shingleSet(docs)
       .select(col("doc_id"), hash("fp", col("shingle")).as("fp_hash"))
       .filter(col("fp_hash") % 8 === 0)
       .distinct()
-  }
 }

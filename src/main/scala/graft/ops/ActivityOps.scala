@@ -115,4 +115,56 @@ object ActivityOps {
   def rawInsertProjection(df: DataFrame, keep: Seq[String]): DataFrame =
     filterEvents(df, keep)
       .select(col("id"), col("date"), col("event_type"), col("url"))
+
+  /** Sliding-window count — beyond the reference's tumbling-only windows
+    * (SURVEY §2.6 scope boundary): each event lands in duration/slide
+    * overlapping windows. Same partial-agg + single-exchange shape as the
+    * tumbling variant; state grows by the overlap factor.
+    */
+  def slidingWindowCount(
+      df: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      windowDuration: String,
+      slide: String,
+      watermark: Option[String] = None): DataFrame = {
+    val withWm = watermark.fold(df)(w => df.withWatermark(tsCol, w))
+    val groups: Seq[Column] = keyCols.map(col) :+ window(col(tsCol), windowDuration, slide)
+    withWm
+      .groupBy(groups: _*)
+      .agg(count(lit(1)).as("count"))
+      .select(keyCols.map(col) ++ Seq(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("count")): _*)
+  }
+
+  /** Session-window count (gap-based): a session closes after `gap` of
+    * inactivity; window end = last event + gap. Streaming state is bounded
+    * by the watermark; batch mode computes the same gaps-and-islands
+    * grouping the SQL oracle replays with lag + cumulative sum.
+    */
+  def sessionWindowCount(
+      df: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      gap: String,
+      watermark: Option[String] = None): DataFrame = {
+    val withWm = watermark.fold(df)(w => df.withWatermark(tsCol, w))
+    val groups: Seq[Column] = keyCols.map(col) :+ session_window(col(tsCol), gap)
+    withWm
+      .groupBy(groups: _*)
+      .agg(count(lit(1)).as("count"))
+      .select(keyCols.map(col) ++ Seq(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("count")): _*)
+  }
+
+  /** Exact row-level dedup (north-star family): batch = DISTINCT; in
+    * streaming the same call after `withWatermark` performs watermark-bounded
+    * streaming dedup (state expires with the watermark).
+    */
+  def distinctRows(df: DataFrame, watermark: Option[(String, String)] = None): DataFrame =
+    watermark.fold(df) { case (c, w) => df.withWatermark(c, w) }.dropDuplicates()
 }

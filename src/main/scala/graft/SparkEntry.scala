@@ -101,6 +101,17 @@ object SparkEntry {
         Tables.events(s, dir), tsCol = "ts", keyCols = Seq("event_type"),
         windowDuration = "10 minutes", slide = "5 minutes")),
 
+    // As-of join (operator Spark lacks): each event joined to the latest
+    // order of the same customer placed at-or-before the event time.
+    "asof_join_orders" -> ((s, dir) =>
+      graft.ops.Joins.asofJoin(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+        Tables.orders(s, dir),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightVals = Seq("o_orderkey", "o_orderdate"),
+        rightTieBreak = "o_orderkey")),
+
     // ---- relational core (joins/agg/ranking at scale) --------------------
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q3_top_orders" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
@@ -227,6 +238,15 @@ object SparkEntry {
            FROM orders GROUP BY 1
          ) JOIN customer ON o_custkey = c_custkey
          GROUP BY 1""",
+
+    "asof_join_orders" ->
+      """WITH j AS (
+           SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS r
+           FROM events e JOIN orders o
+             ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+         SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM j WHERE r = 1""",
 
     "json_pipeline" ->
       """SELECT CAST(user_id AS VARCHAR) AS id, event_type,

@@ -77,4 +77,38 @@ class ActivityStreamingSpec extends AnyFunSpec with Matchers with SparkSessionTe
       } finally q.stop()
     }
   }
+
+  describe("append-mode session windows over a memory stream") {
+    it("closes a session once the watermark passes last-event + gap") {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+      val mem = MemoryStream[(String, java.sql.Timestamp)]
+      val df = mem.toDS().toDF("user_id", "ts")
+      val agg = graft.ops.ActivityOps.sessionWindowCount(
+        df, tsCol = "ts", keyCols = Seq("user_id"), gap = "1 minute",
+        watermark = Some("5 seconds"))
+
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-session-test").toString
+      val sinkName = s"session_out_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName(sinkName).option("checkpointLocation", ckpt).start()
+      try {
+        mem.addData(
+          ("u1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+          ("u1", java.sql.Timestamp.valueOf("2024-01-01 10:00:30"))) // merges
+        q.processAllAvailable()
+        spark.table(sinkName).count() shouldBe 0 // session still open
+
+        // far-future event closes u1's session via watermark advance
+        mem.addData(("u2", java.sql.Timestamp.valueOf("2024-01-01 11:00:00")))
+        q.processAllAvailable()
+        val rows = spark.table(sinkName)
+          .select(col("user_id"), col("session_start").cast("string"),
+            col("session_end").cast("string"), col("count"))
+          .as[(String, String, String, Long)].collect().toSet
+        rows shouldBe Set(("u1", "2024-01-01 10:00:00", "2024-01-01 10:01:30", 2L))
+      } finally q.stop()
+    }
+  }
 }

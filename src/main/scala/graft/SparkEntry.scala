@@ -119,6 +119,13 @@ object SparkEntry {
     "top_orders_per_segment" -> ((s, dir) => Relational.topOrdersPerSegment(s, dir)),
     "customer_order_stats" -> ((s, dir) => Relational.customerOrderStats(s, dir)),
 
+    // Hierarchical totals via ROLLUP (grouping-sets family).
+    "rollup_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))),
+
     // ---- text analysis (north star) over `documents` ---------------------
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
@@ -238,6 +245,12 @@ object SparkEntry {
            FROM orders GROUP BY 1
          ) JOIN customer ON o_custkey = c_custkey
          GROUP BY 1""",
+
+    "rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 
     "asof_join_orders" ->
       """WITH j AS (

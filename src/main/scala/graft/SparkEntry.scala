@@ -117,6 +117,7 @@ object SparkEntry {
     "q3_top_orders" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
     "q5_region_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "top_orders_per_segment" -> ((s, dir) => Relational.topOrdersPerSegment(s, dir)),
+    "topk_agg_per_segment" -> ((s, dir) => Relational.topOrdersPerSegmentAgg(s, dir)),
     "customer_order_stats" -> ((s, dir) => Relational.customerOrderStats(s, dir)),
 
     // Hierarchical totals via ROLLUP (grouping-sets family).
@@ -227,6 +228,18 @@ object SparkEntry {
          GROUP BY 1""",
 
     "top_orders_per_segment" ->
+      """SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM (
+           SELECT c_mktsegment,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey ASC) AS rank,
+                  o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey
+         ) WHERE rank <= 3""",
+
+    // Same oracle as top_orders_per_segment — the aggregator path must
+    // produce identical rows to the ranking-window path.
+    "topk_agg_per_segment" ->
       """SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM (
            SELECT c_mktsegment,
                   row_number() OVER (PARTITION BY c_mktsegment

@@ -98,6 +98,27 @@ object Relational {
         dec("o_totalprice").cast("double").as("o_totalprice"))
   }
 
+  /** Top-k orders per segment via the bounded-heap TopKAggregator (typed
+    * UDAF) instead of a ranking window: algebraic partial aggregation means
+    * the shuffle carries ≤k rows per (segment, partition) and no per-group
+    * sort runs — same result as `topOrdersPerSegment`, different (scalable)
+    * physical shape. See graft.functions.TopKAggregator.
+    */
+  def topOrdersPerSegmentAgg(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), dec("o_totalprice").cast("double").as("p"))
+    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(topk(col("p"), col("o_orderkey")).as("topk"))
+      .select(col("c_mktsegment"), posexplode(col("topk")).as(Seq("i", "t")))
+      .select(col("c_mktsegment"), (col("i") + 1).cast("int").as("rank"),
+        col("t._2").as("o_orderkey"), col("t._1").as("o_totalprice"))
+  }
+
   /** Grouped order stats per customer with exact-decimal average — the
     * sum/count division happens on exact inputs so it is engine-stable.
     */

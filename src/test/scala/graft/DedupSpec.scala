@@ -50,6 +50,16 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("hash-agnostic behavior") {
+    it("the production fast hash (xxhash64) finds the same planted near-dups") {
+      val pairs = Dedup.minhashLshPairs(
+          docsDf(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated)),
+          hash = graft.functions.PortableHash.fast)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs shouldBe Set((1L, 2L))
+    }
+  }
+
   describe("fingerprintJaccardPairs") {
     it("reports high jaccard for near-dups only") {
       val pairs = Dedup.fingerprintJaccardPairs(

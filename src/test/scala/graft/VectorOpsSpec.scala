@@ -54,6 +54,25 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     }
   }
 
+  describe("IVF recall vs brute force") {
+    it("is perfect when clusters are well separated") {
+      val rng = new scala.util.Random(3)
+      // 2 tight clusters around orthogonal axes; queries at vec_id % 100 == 0
+      val data = (0 until 120).map { i =>
+        val c = i % 2
+        val base = if (c == 0) Array(1.0f, 0.0f, 0.0f, 0.0f) else Array(0.0f, 0.0f, 1.0f, 0.0f)
+        val v = base.map(x => x + (rng.nextFloat() - 0.5f) * 0.02f)
+        (i.toLong * 50, v.toSeq, c) // ids 0,50,100,... → 2 queries (0 and 100)
+      }
+      val df = embDf(data)
+      def resultSet(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val brute = resultSet(VectorOps.bruteForceTopK(df, k = 5))
+      val ivf = resultSet(VectorOps.ivfTopK(df, k = 5))
+      ivf shouldBe brute
+    }
+  }
+
   describe("cosineNearDupPairs") {
     it("finds only pairs above threshold") {
       val data = Seq(

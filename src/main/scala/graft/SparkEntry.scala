@@ -120,6 +120,22 @@ object SparkEntry {
     "topk_agg_per_segment" -> ((s, dir) => Relational.topOrdersPerSegmentAgg(s, dir)),
     "customer_order_stats" -> ((s, dir) => Relational.customerOrderStats(s, dir)),
 
+    // Pivot: per-user event-type count matrix (explicit value list so the
+    // output schema is static — required at scale and for the oracle).
+    "pivot_event_counts" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))),
+
+    // Set operations: (user, hour) cells with clicks but no errors.
+    "set_ops_clickers_no_errors" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      ev.filter(col("event_type") === "click").select(col("user_id"), col("h")).distinct()
+        .except(ev.filter(col("event_type") === "error").select(col("user_id"), col("h")).distinct())
+    }),
+
     // Hierarchical totals via ROLLUP (grouping-sets family).
     "rollup_revenue" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -258,6 +274,20 @@ object SparkEntry {
            FROM orders GROUP BY 1
          ) JOIN customer ON o_custkey = c_custkey
          GROUP BY 1""",
+
+    "pivot_event_counts" ->
+      """SELECT user_id,
+         count(*) FILTER (event_type = 'click') AS click,
+         count(*) FILTER (event_type = 'view') AS view,
+         count(*) FILTER (event_type = 'purchase') AS purchase,
+         count(*) FILTER (event_type = 'signup') AS signup,
+         count(*) FILTER (event_type = 'error') AS error
+         FROM events GROUP BY 1""",
+
+    "set_ops_clickers_no_errors" ->
+      """SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events WHERE event_type = 'click'
+         EXCEPT
+         SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events WHERE event_type = 'error'""",
 
     "rollup_revenue" ->
       """SELECT l_returnflag, l_linestatus,

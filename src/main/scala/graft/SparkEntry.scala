@@ -136,6 +136,23 @@ object SparkEntry {
         .except(ev.filter(col("event_type") === "error").select(col("user_id"), col("h")).distinct())
     }),
 
+    // Exact linear-interpolation percentiles per event type.
+    "value_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.75)"), 6).as("p75"))),
+
+    // HLL++ cardinality sketch (rows-only: sketch internals are
+    // engine-specific; accuracy vs exact is spec-tested in SketchSpec).
+    "approx_distinct_users" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))),
+
     // Hierarchical totals via ROLLUP (grouping-sets family).
     "rollup_revenue" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -288,6 +305,16 @@ object SparkEntry {
       """SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events WHERE event_type = 'click'
          EXCEPT
          SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events WHERE event_type = 'error'""",
+
+    "value_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.25), 6) AS p25,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.75), 6) AS p75
+         FROM events GROUP BY 1""",
+
+    // "approx_distinct_users" intentionally omitted: HLL sketch values are
+    // engine-specific; driver records rows-only, accuracy covered by spec.
 
     "rollup_revenue" ->
       """SELECT l_returnflag, l_linestatus,

@@ -136,6 +136,18 @@ object SparkEntry {
         .except(ev.filter(col("event_type") === "error").select(col("user_id"), col("h")).distinct())
     }),
 
+    // Statistical aggregates (Welford-merged moments, rounded for
+    // cross-engine ulp stability).
+    "value_stats" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(avg(col("value")), 6).as("avg_v"),
+          round(stddev_samp(col("value")), 6).as("sd_v"),
+          round(var_samp(col("value")), 6).as("var_v"),
+          round(min(col("value")), 6).as("min_v"),
+          round(max(col("value")), 6).as("max_v"))),
+
     // Exact linear-interpolation percentiles per event type.
     "value_percentiles" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -305,6 +317,15 @@ object SparkEntry {
       """SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events WHERE event_type = 'click'
          EXCEPT
          SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events WHERE event_type = 'error'""",
+
+    "value_stats" ->
+      """SELECT event_type,
+         round(avg(value), 6) AS avg_v,
+         round(stddev_samp(value), 6) AS sd_v,
+         round(var_samp(value), 6) AS var_v,
+         round(min(value), 6) AS min_v,
+         round(max(value), 6) AS max_v
+         FROM events GROUP BY 1""",
 
     "value_percentiles" ->
       """SELECT event_type,

@@ -78,6 +78,29 @@ class ActivityStreamingSpec extends AnyFunSpec with Matchers with SparkSessionTe
     }
   }
 
+  describe("watermark-bounded streaming dedup") {
+    it("drops duplicate rows arriving within the watermark horizon") {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      val dedup = graft.ops.ActivityOps.distinctRows(
+        mem.toDS().toDF("id", "ts"), watermark = Some(("ts", "10 seconds")))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+      val sink = s"dedup_out_${System.nanoTime()}"
+      val q = dedup.writeStream.outputMode("append").format("memory")
+        .queryName(sink).option("checkpointLocation", ckpt).start()
+      try {
+        val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+        mem.addData((1L, t1), (1L, t1), (2L, t1)) // duplicate within batch
+        q.processAllAvailable()
+        mem.addData((1L, t1)) // duplicate across batches, still in horizon
+        q.processAllAvailable()
+        spark.table(sink).groupBy("id").count()
+          .as[(Long, Long)].collect().toMap shouldBe Map(1L -> 1L, 2L -> 1L)
+      } finally q.stop()
+    }
+  }
+
   describe("append-mode session windows over a memory stream") {
     it("closes a session once the watermark passes last-event + gap") {
       import spark.implicits._

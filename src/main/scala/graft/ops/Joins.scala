@@ -8,6 +8,34 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Skew-salted inner equi-join: the left (skewed, large) side spreads each
+    * hot key over `factor` salt buckets by hashing stable row identity; the
+    * right side is replicated `factor`× so every (key, salt) bucket finds
+    * its match. Result rows are identical to a plain inner join — only the
+    * partitioning changes: a key holding p% of the left input occupies
+    * p/factor % per task instead of one straggler task.
+    *
+    * AQE's skew-join handles sort-merge skew automatically; this helper is
+    * for the cases AQE can't split (e.g. aggregation-after-join pipelines
+    * keyed on the hot key, or bucketed inputs where AQE is bypassed).
+    * `leftSaltSource` must be a deterministic column (a row id), keeping the
+    * join reproducible run-to-run.
+    */
+  def saltedEquiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftSaltSource: String,
+      factor: Int = 8): DataFrame = {
+    val salted = left.withColumn("__salt", pmod(xxhash64(col(leftSaltSource)), lit(factor)))
+    val replicated = right.withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated,
+        salted(leftKey) === replicated(rightKey) &&
+          salted("__salt") === replicated("__salt").cast("long"))
+      .drop("__salt")
+  }
+
   /** As-of join: for every left row, attach the LATEST right row with
     * `rightTs <= leftTs` for the same key (inner semantics — left rows with
     * no qualifying right row are dropped). Ties on rightTs break by the

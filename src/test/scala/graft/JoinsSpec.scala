@@ -9,6 +9,46 @@ class JoinsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  describe("saltedEquiJoin") {
+    it("produces exactly the rows of a plain inner join under heavy skew") {
+      import spark.implicits._
+      // 90% of left rows share one hot key
+      val left = (1 to 2000).map(i => (i.toLong, if (i % 10 == 0) i.toLong % 7 else 999L))
+        .toDF("row_id", "k")
+      val right = Seq((999L, "hot"), (0L, "a"), (1L, "b"), (2L, "c")).toDF("rk", "v")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("row_id", "k", "rk", "v").as[(Long, Long, Long, String)].collect().toSet
+      val plain = canon(left.join(right, left("k") === right("rk")))
+      val salted = canon(graft.ops.Joins.saltedEquiJoin(left, right, "k", "rk", "row_id", factor = 8))
+      salted shouldBe plain
+      plain.size should be > 1000 // the hot key actually dominated
+    }
+  }
+
+  describe("bucketed co-located join") {
+    it("joins two bucketed tables without a shuffle exchange") {
+      import spark.implicits._
+      val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+      val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "bv")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+      a.write.bucketBy(4, "k").sortBy("k").saveAsTable("graft_bucket_a")
+      b.write.bucketBy(4, "k").sortBy("k").saveAsTable("graft_bucket_b")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = spark.table("graft_bucket_a")
+          .join(spark.table("graft_bucket_b"), "k")
+        joined.count() shouldBe 1000
+        val plan = joined.queryExecution.executedPlan.toString
+        plan should include("SortMergeJoin")
+        // bucketing co-locates both sides: no shuffle exchange in the plan
+        plan should not include "ShuffleExchange"
+        plan should not include "Exchange hashpartitioning"
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   describe("asofJoin") {
     it("attaches the latest at-or-before right row per key with tie-break") {
       import spark.implicits._

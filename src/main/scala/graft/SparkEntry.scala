@@ -136,6 +136,12 @@ object SparkEntry {
         .except(ev.filter(col("event_type") === "error").select(col("user_id"), col("h")).distinct())
     }),
 
+    // Time-series resample: 1-hour buckets per user, gap-filled with NULLs.
+    "resample_hourly" -> ((s, dir) =>
+      graft.ops.TimeSeries.resampleAvg(
+        Tables.events(s, dir), tsCol = "ts", keyCol = "user_id",
+        valueCol = "value", stepMillis = 3600000L)),
+
     // Statistical aggregates (Welford-merged moments, rounded for
     // cross-engine ulp stability).
     "value_stats" -> ((s, dir) =>
@@ -317,6 +323,19 @@ object SparkEntry {
       """SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events WHERE event_type = 'click'
          EXCEPT
          SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events WHERE event_type = 'error'""",
+
+    "resample_hourly" ->
+      """WITH b AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+                round(avg(value), 6) AS avg_v
+              FROM events GROUP BY 1, 2),
+         bounds AS (SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS mn,
+                time_bucket(INTERVAL '1 hour', max(ts)) AS mx FROM events),
+         grid AS (SELECT u.user_id, gs.bucket_start
+              FROM (SELECT DISTINCT user_id FROM events) u,
+                   (SELECT unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket_start
+                    FROM bounds) gs)
+         SELECT g.user_id, g.bucket_start, b.avg_v
+         FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket_start = b.bucket_start""",
 
     "value_stats" ->
       """SELECT event_type,

@@ -136,6 +136,31 @@ object SparkEntry {
         .except(ev.filter(col("event_type") === "error").select(col("user_id"), col("h")).distinct())
     }),
 
+    // Rolling 3-row moving average per user (analytic window frame).
+    "rolling_avg_3" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          round(avg(col("value")).over(w), 6).as("mavg3"))
+    }),
+
+    // Corpus-level top-20 bigrams (text analysis).
+    "top_bigrams" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("tok"), lead(col("tok"), 1).over(w).as("tok1"))
+        .filter(col("tok1").isNotNull)
+        .select(concat_ws(" ", col("tok"), col("tok1")).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)
+    }),
+
     // Time-series resample: 1-hour buckets per user, gap-filled with NULLs.
     "resample_hourly" -> ((s, dir) =>
       graft.ops.TimeSeries.resampleAvg(
@@ -323,6 +348,20 @@ object SparkEntry {
       """SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events WHERE event_type = 'click'
          EXCEPT
          SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events WHERE event_type = 'error'""",
+
+    "rolling_avg_3" ->
+      """SELECT event_id, user_id,
+         round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+         FROM events""",
+
+    "top_bigrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         bg AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram
+                FROM t, (SELECT unnest(range(1, 2000)) AS i) r
+                WHERE i < len(toks))
+         SELECT bigram, count(*) AS n FROM bg GROUP BY 1
+         ORDER BY n DESC, bigram ASC LIMIT 20""",
 
     "resample_hourly" ->
       """WITH b AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,

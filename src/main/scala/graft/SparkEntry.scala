@@ -112,6 +112,14 @@ object SparkEntry {
         rightVals = Seq("o_orderkey", "o_orderdate"),
         rightTieBreak = "o_orderkey")),
 
+    // Correlation + conditional aggregation (FILTER-style) over lineitem.
+    "lineitem_condstats" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        count(when(col("l_discount") > 0.05, 1)).as("n_high_disc"),
+        sum(when(col("l_returnflag") === "R", col("l_quantity").cast("decimal(18,2)")))
+          .cast("double").as("qty_returned"))),
+
     // ---- relational core (joins/agg/ranking at scale) --------------------
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q3_top_orders" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
@@ -274,6 +282,12 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT user_id, event_type, min(event_id) AS first_event_id
          FROM events GROUP BY 1,2""",
+
+    "lineitem_condstats" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+         count(*) FILTER (l_discount > 0.05) AS n_high_disc,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag = 'R') AS DOUBLE) AS qty_returned
+         FROM lineitem""",
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -225,6 +225,23 @@ object SparkEntry {
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) => Dedup.fingerprintJaccardPairs(Tables.documents(s, dir))),
 
+    // Dedup applied end-to-end: survivors = docs never appearing as the
+    // higher id of a MinHash-LSH near-dup pair (greedy keep-lowest policy).
+    "dedup_apply_minhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dupes = Dedup.minhashLshPairs(docs).select(col("doc_b")).distinct()
+      docs.join(dupes, docs("doc_id") === dupes("doc_b"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // Per-vector scalar features: L2 norm and dimensionality.
+    "embedding_norms" -> ((s, dir) =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(sqrt(graft.functions.ArrayDotProduct.dot(col("embedding"), col("embedding"))), 6)
+          .as("l2_norm"))),
+
     // ---- similarity search (north star) over `embeddings` ----------------
     "embedding_neardup" -> ((s, dir) => VectorOps.cosineNearDupPairs(Tables.embeddings(s, dir))),
     "ann_brute_topk" -> ((s, dir) => VectorOps.bruteForceTopK(Tables.embeddings(s, dir))),
@@ -465,6 +482,8 @@ object SparkEntry {
     "dedup_exact_docs" -> DuckDbOracles.dedupExactDocs,
     "minhash_signatures" -> DuckDbOracles.minhashSignatures,
     "minhash_lsh_pairs" -> DuckDbOracles.minhashLshPairs,
+    "dedup_apply_minhash" -> DuckDbOracles.dedupApplyMinhash,
+    "embedding_norms" -> DuckDbOracles.embeddingNorms,
     "simhash_docs" -> DuckDbOracles.simhashDocs,
     "simhash_pairs" -> DuckDbOracles.simhashPairs(),
     "ngram_jaccard_pairs" -> DuckDbOracles.ngramJaccardPairs(),

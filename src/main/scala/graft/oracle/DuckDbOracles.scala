@@ -147,6 +147,18 @@ object DuckDbOracles {
        |  JOIN sz sb ON doc_b = sb.doc_id)
        |WHERE jaccard >= $minJaccard""".stripMargin
 
+  /** Dedup application: survivors after dropping the higher id of every
+    * MinHash-LSH pair (wraps the pairs query as a derived table).
+    */
+  val dedupApplyMinhash: String =
+    s"""SELECT d.doc_id, d.lang, d.source FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT DISTINCT doc_b FROM ($minhashLshPairs) p)""".stripMargin
+
+  val embeddingNorms: String =
+    """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+      |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+      |FROM embeddings""".stripMargin
+
   /** Cosine between two DOUBLE[] SQL expressions (matches VectorOps.cosine
     * up to accumulation-order ulps, removed by round(·, 6) on both sides).
     */

@@ -2,14 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query at SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric","value","unit","queries","sf"}.
+  * prints ONE JSON line {"metric","value","unit","queries","raw","errors","sf"}.
   *
-  * Methodology: two interleaved passes (all queries once, then again),
-  * reporting the per-query minimum. This container shows heavy, bursty
-  * futex-syscall overhead (measured ~24 µs per lock handoff, episodes of
-  * sys-time ≈ wall-time that land on random queries); min-of-two measures
-  * the engine rather than whichever query a host-noise episode hit. Pass 1
-  * also absorbs JIT/codegen warm-up exactly once.
+  * Methodology: two interleaved passes (all queries once, then again for any
+  * query over 1 s), plus a third rep for anything still over 5 s; report the
+  * per-query minimum. This container shows heavy, bursty futex-syscall
+  * overhead (measured ~24 µs per lock handoff, episodes of sys-time ≈
+  * wall-time that land on random queries); min-of-reps measures the engine
+  * rather than whichever query a host-noise episode hit, and `raw` exposes
+  * every rep so a reader can tell a noise episode from a plan regression.
+  * Pass 1 also absorbs JIT/codegen warm-up exactly once.
+  *
+  * Failures are LOUD: a throwing query is recorded under `errors` (not a
+  * silent ~0 s timing) and the process exits non-zero.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,19 +27,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time1(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def time1(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(s"${e.getClass.getName}: ${e.getMessage}") }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
-    val p1 = SparkEntry.queries.map { case (name, fn) => name -> time1(fn) }
-    // Second pass only where pass 1 may have been hit by a noise episode.
-    val best = p1.map { case (name, v1) =>
-      name -> (if (v1 > 1.0) math.min(v1, time1(SparkEntry.queries(name))) else v1)
+    val reps = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val r1 = time1(fn)
+      var rs = Vector(r1)
+      // extra reps only where an earlier pass may have hit a noise episode
+      if (r1._2.isEmpty && r1._1 > 1.0) rs :+= time1(fn)
+      if (rs.forall(_._2.isEmpty) && rs.map(_._1).min > 5.0) rs :+= time1(fn)
+      name -> rs
     }
-    val qs = best.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = best.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = reps.collect { case (n, rs) if rs.exists(_._2.isDefined) =>
+      n -> rs.flatMap(_._2).head }
+    val best = reps.map { case (n, rs) => n -> rs.map(_._1).min }
+    val qs = best.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val raw = reps.map { case (k, rs) =>
+      jstr(k) + ":" + rs.map(_._1).mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, e) => jstr(k) + ":" + jstr(e) }.mkString("{", ",", "}")
+    val total = best.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] failed queries: ${errors.map(_._1).mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -250,8 +250,8 @@ object SparkEntry {
     // ---- multimodal columns (north star) ---------------------------------
     "media_meta" -> ((s, dir) => Multimodal.mediaMeta(Tables.documents(s, dir))),
     "media_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
-    // Stub decoder through real mapPartitions plumbing — rows-only check
-    // (not SQL-expressible); correctness covered by MultimodalSpec.
+    // Stub decoder through real mapPartitions plumbing; byte-moment
+    // features come out as scalar f0..f7 and are fully oracle-checked.
     "media_features" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.mediaTable(Tables.documents(s, dir)))),
   )
@@ -357,7 +357,8 @@ object SparkEntry {
          ) WHERE rank <= 3""",
 
     "customer_order_stats" ->
-      """SELECT c_mktsegment, count(*) AS n_customers, sum(n_orders) AS n_orders,
+      """SELECT c_mktsegment, count(*) AS n_customers,
+         CAST(sum(n_orders) AS BIGINT) AS n_orders,
          CAST(sum(total_dec) AS DOUBLE) AS total_price
          FROM (
            SELECT o_custkey, count(*) AS n_orders,
@@ -492,7 +493,6 @@ object SparkEntry {
     "ann_ivf_topk" -> DuckDbOracles.annIvfTopK(),
     "media_meta" -> DuckDbOracles.mediaMeta,
     "media_frame_sample" -> DuckDbOracles.mediaFrameSample,
-    // "media_features" intentionally omitted: stub decoder via mapPartitions
-    // is not SQL-expressible; driver records rows-only.
+    "media_features" -> DuckDbOracles.mediaFeatures,
   )
 }

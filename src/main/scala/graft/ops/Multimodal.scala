@@ -22,12 +22,17 @@ import graft.functions.PortableHash
   */
 object Multimodal {
 
-  /** Media feature-row schema produced by `decodeFeatures`. */
-  val featureSchema: StructType = StructType(Seq(
+  /** Internal decode-row schema (array form); `decodeFeatures` flattens the
+    * array into scalar `f0..f7` columns so results stay hashable/sortable by
+    * any downstream engine (array columns break generic row comparators).
+    */
+  val decodeSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = true),
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  val FeatureCount = 8
 
   private val mediaTypes = Seq("image", "audio", "video")
 
@@ -104,7 +109,9 @@ object Multimodal {
 
   /** Batched partition-local decode: groups each partition's rows into
     * `batchSize` chunks (bounding per-task memory exactly like an Arrow
-    * batch would), decodes, and emits fixed-width feature rows.
+    * batch would), decodes, and emits fixed-width feature rows flattened to
+    * scalar columns `f0..f7` (rounded to 6 decimals — the engine-stable
+    * float convention used by every other query).
     */
   def decodeFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
@@ -119,6 +126,9 @@ object Multimodal {
           }
         }
       }
-    spark.createDataFrame(rdd, featureSchema)
+    val scalars = (0 until FeatureCount)
+      .map(i => round(element_at(col("features"), i + 1), 6).as(s"f$i"))
+    spark.createDataFrame(rdd, decodeSchema)
+      .select(Seq(col("media_id"), col("media_type"), col("n_bytes")) ++ scalars: _*)
   }
 }

@@ -220,6 +220,37 @@ object DuckDbOracles {
        |  ${h("h", "text")} % 720 + 1 AS height
        |FROM documents""".stripMargin
 
+  /** Byte-moments twin of Multimodal.stubDecode: documents text is ASCII
+    * (verified in testdata), so per-char `ord` == per-byte value and
+    * char length == byte length. Sum/sumsq accumulate exactly as integers
+    * on both sides; the divisions mirror the Scala operation order
+    * (sum/n, sumSq/n - mean*mean) so the doubles agree bit-for-bit before
+    * the final round(·, 6).
+    */
+  val mediaFeatures: String =
+    s"""WITH m AS (SELECT doc_id AS media_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio'
+       |         ELSE 'video' END AS media_type,
+       |    text, length(text) AS n FROM documents),
+       |u AS (SELECT media_id, text, n, unnest(range(1, n + 1)) AS i FROM m),
+       |agg AS (SELECT media_id,
+       |    sum(ord(substr(text, CAST(i AS INT), 1))) AS s,
+       |    sum(ord(substr(text, CAST(i AS INT), 1)) * ord(substr(text, CAST(i AS INT), 1))) AS s2,
+       |    min(ord(substr(text, CAST(i AS INT), 1))) AS mn,
+       |    max(ord(substr(text, CAST(i AS INT), 1))) AS mx
+       |  FROM u GROUP BY 1)
+       |SELECT m.media_id, m.media_type, CAST(m.n AS INT) AS n_bytes,
+       |  round(CAST(m.n AS DOUBLE), 6) AS f0,
+       |  round(CAST(s AS DOUBLE) / m.n, 6) AS f1,
+       |  round(CAST(s2 AS DOUBLE) / m.n - (CAST(s AS DOUBLE) / m.n) * (CAST(s AS DOUBLE) / m.n), 6) AS f2,
+       |  round(CAST(mn AS DOUBLE), 6) AS f3,
+       |  round(CAST(mx AS DOUBLE), 6) AS f4,
+       |  round(CAST(ord(substr(m.text, 1, 1)) AS DOUBLE), 6) AS f5,
+       |  round(CAST(ord(substr(m.text, m.n, 1)) AS DOUBLE), 6) AS f6,
+       |  round(CAST(ord(substr(m.text, CAST(m.n // 2 AS INT) + 1, 1)) AS DOUBLE), 6) AS f7
+       |FROM m JOIN agg ON m.media_id = agg.media_id""".stripMargin
+
   val mediaFrameSample: String =
     s"""SELECT doc_id AS media_id, CAST(j.frame_idx AS INTEGER) AS frame_idx,
        |  ${h("fr", "substr(text, 1 + 64 * j.frame_idx, 64)")} AS frame_hash

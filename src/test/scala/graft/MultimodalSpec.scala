@@ -45,15 +45,17 @@ class MultimodalSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapp
   describe("decodeFeatures") {
     it("emits one fixed-width feature row per payload through batched mapPartitions") {
       val out = Multimodal.decodeFeatures(Multimodal.mediaTable(docs), batchSize = 2)
+      out.columns.toSeq shouldBe
+        Seq("media_id", "media_type", "n_bytes") ++ (0 until 8).map(i => s"f$i")
       val rows = out.collect()
       rows.length shouldBe 5
-      rows.foreach { r =>
-        r.getSeq[Double](3).length shouldBe 8
-        r.getInt(2) should be > 0
-      }
-      // features equal the direct stub call (plumbing adds nothing)
-      val viaDf = rows.find(_.getLong(0) == 3L).get.getSeq[Double](3)
-      viaDf.toArray shouldBe Multimodal.stubDecode("kappa".getBytes("UTF-8"))
+      rows.foreach(_.getInt(2) should be > 0)
+      // scalar features equal the direct stub call rounded to 6dp
+      // (plumbing adds nothing)
+      val viaDf = rows.find(_.getLong(0) == 3L).get
+      val expected = Multimodal.stubDecode("kappa".getBytes("UTF-8"))
+        .map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (0 until 8).map(i => viaDf.getDouble(3 + i)).toArray shouldBe expected
     }
   }
 }

@@ -244,6 +244,7 @@ object SparkEntry {
 
     // ---- similarity search (north star) over `embeddings` ----------------
     "embedding_neardup" -> ((s, dir) => VectorOps.cosineNearDupPairs(Tables.embeddings(s, dir))),
+    "embedding_lsh_pairs" -> ((s, dir) => VectorOps.lshNearDupPairs(Tables.embeddings(s, dir))),
     "ann_brute_topk" -> ((s, dir) => VectorOps.bruteForceTopK(Tables.embeddings(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir))),
 
@@ -489,6 +490,7 @@ object SparkEntry {
     "simhash_pairs" -> DuckDbOracles.simhashPairs(),
     "ngram_jaccard_pairs" -> DuckDbOracles.ngramJaccardPairs(),
     "embedding_neardup" -> DuckDbOracles.embeddingNearDup(),
+    "embedding_lsh_pairs" -> DuckDbOracles.embeddingLshPairs(),
     "ann_brute_topk" -> DuckDbOracles.annBruteTopK(),
     "ann_ivf_topk" -> DuckDbOracles.annIvfTopK(),
     "media_meta" -> DuckDbOracles.mediaMeta,

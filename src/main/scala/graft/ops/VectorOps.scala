@@ -42,9 +42,84 @@ object VectorOps {
       col("embedding").cast("array<double>").as(vecAlias),
       sqrt(dot(col("embedding"), col("embedding"))).as(normAlias))
 
+  /** Random-hyperplane LSH geometry (SimHash-for-vectors, Charikar STOC'02):
+    * `LshPlanes` = bands × rows signature bits; bit j = sign of the dot
+    * product with hyperplane j. Collision probability per bit for vectors at
+    * angle θ is 1 − θ/π, so banding (any of `LshBands` whole r-bit bands
+    * matching) tunes the recall/candidate tradeoff exactly like MinHash-LSH.
+    * 12×3 holds recall ≈0.97 at the loose cos≥0.35 default (P(bit)=0.61 at
+    * the boundary); tighter thresholds need fewer bands.
+    */
+  val LshBands = 12
+  val LshRows = 3
+  val LshPlanes: Int = LshBands * LshRows
+  val LshDim = 64
+
+  /** Deterministic ±1 hyperplane components from a fixed 64-bit LCG (same
+    * construction as Dedup.minhashSeeds; bit 40 of the state — low LCG bits
+    * alternate). Pure values shared verbatim with the generated oracle SQL,
+    * so Spark and DuckDB band identically by construction. Rademacher (±1)
+    * entries are a standard substitute for Gaussian hyperplanes and keep the
+    * per-plane dot exactly replayable as a SQL literal list.
+    */
+  val lshSigns: Array[Array[Double]] = {
+    var x = 0x51ED2701L
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x }
+    Array.fill(LshPlanes, LshDim)(if (((next() >>> 40) & 1L) == 1L) 1.0 else -1.0)
+  }
+
+  /** 36-bit signature column: bit j set iff round(v·hⱼ, 6) ≥ 0. The rounding
+    * is the repo-wide cross-engine float convention — a raw sign test could
+    * flip on accumulation-order ulps between engines when a dot lands on
+    * ~±1e-16. Each plane is a constant-folded literal array through the
+    * codegen'd ArrayDotProduct: one fused 64-wide loop per plane, no shuffle.
+    */
+  def hyperplaneSignature(vec: Column): Column =
+    lshSigns.zipWithIndex.map { case (plane, j) =>
+      val h = array(plane.map(lit(_)): _*)
+      when(round(dot(vec, h), 6) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Near-duplicate pairs via random-hyperplane LSH — the bucketed scale
+    * path for `cosineNearDupPairs`. One narrow pass computes the signature
+    * (at 100 TB you persist this table, bucketed by band value), the banded
+    * self-equi-join generates O(collisions) candidates — never the n² cross
+    * product — and the exact rounded-cosine filter on candidates keeps
+    * precision at 1.0. Recall vs the brute-force pair set is measured in
+    * VectorOpsSpec (≥0.9 required at sf0.01; ≈0.97 observed).
+    */
+  def lshNearDupPairs(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
+    // signature table: one row/vec; read 3× (banding + both join sides)
+    val sig = emb.select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("sig", hyperplaneSignature(col("v")))
+      .persist()
+    val bands = (0 until LshBands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("sig"), LshRows * j).bitwiseAND(lit((1L << LshRows) - 1)).as("bv"))
+    }
+    val banded = sig.select(col("vec_id"), explode(array(bands: _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"), col("b.bv").as("bv"))
+    // distinct BEFORE the cosine: a pair colliding in several bands is
+    // scored once, not once per collision
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val va = sig.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      sqrt(dot(col("v"), col("v"))).as("na"))
+    val vb = sig.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      sqrt(dot(col("v"), col("v"))).as("nb"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold.
-    * All-pairs at test scale (the correctness baseline); LSH/IVF candidate
-    * generation is the scale path.
+    * All-pairs at test scale (the exactness baseline for `lshNearDupPairs`,
+    * which is the default scale path).
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
     val a = withNorm(emb, "vec_a", "va", "na")

@@ -176,6 +176,33 @@ object DuckDbOracles {
        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
        |WHERE cos >= $threshold""".stripMargin
 
+  /** Random-hyperplane LSH twin: the ±1 plane components come from the SAME
+    * VectorOps.lshSigns array rendered as literal DOUBLE[] lists, so the
+    * signature bits (and therefore the candidate set) cannot drift between
+    * engines. round(·, 6) before the sign test absorbs accumulation-order
+    * ulps in the two engines' dot products.
+    */
+  def embeddingLshPairs(threshold: Double = 0.35): String = {
+    import graft.ops.VectorOps
+    val sigExpr = VectorOps.lshSigns.zipWithIndex.map { case (plane, j) =>
+      val arr = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"CASE WHEN round(list_dot_product(v, CAST($arr AS DOUBLE[])), 6) >= 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("\n    + ")
+    val mask = (1L << VectorOps.LshRows) - 1
+    s"""WITH $embCte,
+       |sig AS (SELECT vec_id, v, CAST($sigExpr AS BIGINT) AS sig FROM e),
+       |banded AS (SELECT vec_id, j.band AS band,
+       |    (sig >> (${VectorOps.LshRows} * j.band)) & $mask AS bv
+       |  FROM sig, (SELECT unnest(range(0, ${VectorOps.LshBands})) AS band) j),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT vec_a, vec_b, round(${cosSql("sa.v", "sb.v")}, 6) AS cos
+       |  FROM cand JOIN sig sa ON vec_a = sa.vec_id JOIN sig sb ON vec_b = sb.vec_id)
+       |WHERE cos >= $threshold""".stripMargin
+  }
+
   def annBruteTopK(k: Int = 10): String =
     s"""WITH $embCte,
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),

@@ -73,6 +73,21 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     }
   }
 
+  describe("lshNearDupPairs") {
+    it("reaches recall >= 0.9 vs brute-force pairs at sf0.01 with precision 1.0") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      def pairSet(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = pairSet(VectorOps.cosineNearDupPairs(emb))
+      val lsh = pairSet(VectorOps.lshNearDupPairs(emb))
+      // exact cosine filter on candidates → no false positives by construction
+      (lsh -- brute) shouldBe empty
+      val recall = lsh.size.toDouble / brute.size
+      info(f"recall = ${lsh.size}/${brute.size} = $recall%.3f")
+      recall should be >= 0.9
+    }
+  }
+
   describe("cosineNearDupPairs") {
     it("finds only pairs above threshold") {
       val data = Seq(

@@ -86,6 +86,7 @@ object ActivityStream {
       user: String,
       password: String,
       batchSize: Int = 1000,
+      driver: String = "org.postgresql.Driver",
       log: String => Unit = _ => ()): (DataFrame, Long) => Unit = { (batch, batchId) =>
     batch.persist()
     try {
@@ -96,7 +97,7 @@ object ActivityStream {
         .option("dbtable", table)
         .option("user", user)
         .option("password", password)
-        .option("driver", "org.postgresql.Driver")
+        .option("driver", driver)
         .option("batchsize", batchSize)
         .mode("append")
         .save()

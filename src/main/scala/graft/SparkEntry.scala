@@ -247,6 +247,7 @@ object SparkEntry {
     "embedding_lsh_pairs" -> ((s, dir) => VectorOps.lshNearDupPairs(Tables.embeddings(s, dir))),
     "ann_brute_topk" -> ((s, dir) => VectorOps.bruteForceTopK(Tables.embeddings(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir))),
+    "ann_ivf_topk_np2" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir), nprobe = 2)),
 
     // ---- multimodal columns (north star) ---------------------------------
     "media_meta" -> ((s, dir) => Multimodal.mediaMeta(Tables.documents(s, dir))),
@@ -493,6 +494,7 @@ object SparkEntry {
     "embedding_lsh_pairs" -> DuckDbOracles.embeddingLshPairs(),
     "ann_brute_topk" -> DuckDbOracles.annBruteTopK(),
     "ann_ivf_topk" -> DuckDbOracles.annIvfTopK(),
+    "ann_ivf_topk_np2" -> DuckDbOracles.annIvfTopK(nprobe = 2),
     "media_meta" -> DuckDbOracles.mediaMeta,
     "media_frame_sample" -> DuckDbOracles.mediaFrameSample,
     "media_features" -> DuckDbOracles.mediaFeatures,

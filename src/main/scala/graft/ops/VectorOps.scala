@@ -166,32 +166,34 @@ object VectorOps {
         array_sort(collect_list(struct(col("pos"), col("m")))),
         s => round(s.getField("m"), 6)).as("centroid"))
 
-  /** IVF top-k (nprobe=1): assign every corpus vector and every query to its
-    * nearest coarse centroid (broadcast join against the tiny centroid
-    * table), then search only the query's cell. ~C× less distance work than
-    * brute force; recall depends on cell boundaries, measured against
-    * `bruteForceTopK` in tests.
+  /** IVF top-k: assign every corpus vector to its nearest coarse centroid
+    * (broadcast join against the tiny centroid table); each query probes its
+    * `nprobe` nearest cells. ~C/nprobe× less distance work than brute force;
+    * recall rises with nprobe (measured against `bruteForceTopK` in
+    * VectorOpsSpec — the accuracy/cost knob a production deployment tunes).
+    * A corpus vector lives in exactly one cell, so probing several cells
+    * never produces duplicate (query, neighbor) candidates.
     */
-  def ivfTopK(emb: DataFrame, k: Int = 10): DataFrame = {
+  def ivfTopK(emb: DataFrame, k: Int = 10, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = centroids(emb)
 
-    def assign(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    def assign(df: DataFrame, vecCol: String, idCol: String, probes: Int): DataFrame = {
       val scored = df.join(broadcast(cents))
         .select(col(idCol), col(vecCol),
           col("label").as("cell"),
           round(cosine(col(vecCol), col("centroid")), 6).as("ccos"))
       val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cell").asc)
-      scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= probes)
         .select(col(idCol), col(vecCol), col("cell"))
     }
 
     val corpus = assign(
-      emb.select(col("vec_id"), col("embedding")), "embedding", "vec_id")
+      emb.select(col("vec_id"), col("embedding")), "embedding", "vec_id", probes = 1)
       .select(col("vec_id"), col("cell"),
         col("embedding").cast("array<double>").as("cv"),
         sqrt(dot(col("embedding"), col("embedding"))).as("cn"))
-    val queries = assign(querySet(emb), "q_emb", "q_id")
+    val queries = assign(querySet(emb), "q_emb", "q_id", probes = nprobe)
       .select(col("q_id"), col("cell"),
         col("q_emb").cast("array<double>").as("qv"),
         sqrt(dot(col("q_emb"), col("q_emb"))).as("qn"))

@@ -214,7 +214,7 @@ object DuckDbOracles {
        |  FROM scored)
        |SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k""".stripMargin
 
-  def annIvfTopK(k: Int = 10): String =
+  def annIvfTopK(k: Int = 10, nprobe: Int = 1): String =
     s"""WITH $embCte,
        |dims AS (SELECT unnest(range(1, 65)) AS pos),
        |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
@@ -223,15 +223,16 @@ object DuckDbOracles {
        |cscore AS (SELECT e.vec_id, e.v, cent.cell,
        |    round(${cosSql("e.v", "centroid")}, 6) AS ccos
        |  FROM e CROSS JOIN cent),
-       |asg AS (SELECT vec_id, v, cell FROM (
-       |    SELECT vec_id, v, cell,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
-       |    FROM cscore) WHERE r = 1),
+       |ranked_cells AS (SELECT vec_id, v, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
+       |  FROM cscore),
+       |asg AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r = 1),
+       |qasg AS (SELECT vec_id, v, cell FROM ranked_cells
+       |  WHERE r <= $nprobe AND vec_id % 100 = 0),
        |scored AS (SELECT qa.vec_id AS q_id, ca.vec_id AS neighbor_id,
        |    round(${cosSql("qa.v", "ca.v")}, 6) AS cos
-       |  FROM asg qa JOIN asg ca
-       |    ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id
-       |  WHERE qa.vec_id % 100 = 0),
+       |  FROM qasg qa JOIN asg ca
+       |    ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id),
        |ranked AS (SELECT q_id, neighbor_id, cos,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
        |  FROM scored)

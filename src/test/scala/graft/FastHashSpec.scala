@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.PortableHash
+import graft.ops.Dedup
+
+/** Algorithm-equivalence of the two hash back-ends: `PortableHash.h31`
+  * (md5-based, DuckDB-replayable — the oracle path) vs `PortableHash.fast`
+  * (native codegen xxhash64 — the documented 100 TB production path,
+  * PortableHash.scala). The hashes differ bit-for-bit by design; what must
+  * agree is the DECISION OUTPUT of every dedup family: the (doc_a, doc_b)
+  * pair-sets. That holds wherever the similarity margin is wide — exact
+  * duplicates hash to identical signatures under ANY hash function, and
+  * high-margin near-dups sit far from the banding/threshold boundaries.
+  * Borderline pairs (est. similarity ≈ threshold) may legitimately differ
+  * between back-ends; that is inherent to hash-randomized estimators, not a
+  * back-end bug, so the fixture pins the margins.
+  */
+class FastHashSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
+
+  private val rng = new scala.util.Random(42)
+  private val vocab = (0 until 400).map(i => s"w$i")
+  private def text(n: Int): String = Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "s") }.toDF("doc_id", "text", "lang", "source")
+  }
+
+  // 8 exact-duplicate pairs (ids 2k/2k+1) + 10 singleton docs
+  private lazy val exactFixture = {
+    val dups = (0 until 8).flatMap { k =>
+      val t = text(40); Seq((2L * k, t), (2L * k + 1, t))
+    }
+    val singles = (0 until 10).map(i => (100L + i, text(40)))
+    docsDf(dups ++ singles)
+  }
+  private val exactPairs = (0 until 8).map(k => (2L * k, 2L * k + 1)).toSet
+
+  // 4 high-margin near-dup pairs: one token of 150 changed (shingle
+  // Jaccard ≈ 0.96 — far above every estimator boundary) + 10 singletons
+  private lazy val nearFixture = {
+    val pairs = (0 until 4).flatMap { k =>
+      val toks = Seq.fill(150)(vocab(rng.nextInt(vocab.size)))
+      val variant = toks.updated(75, "CHANGED")
+      Seq((2L * k, toks.mkString(" ")), (2L * k + 1, variant.mkString(" ")))
+    }
+    val singles = (0 until 10).map(i => (100L + i, text(150)))
+    docsDf(pairs ++ singles)
+  }
+  private val nearPairs = (0 until 4).map(k => (2L * k, 2L * k + 1)).toSet
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  describe("MinHash-LSH pair-set equivalence") {
+    it("md5 and xxhash back-ends find exactly the ground-truth pairs") {
+      val md5Pairs = pairSet(Dedup.minhashLshPairs(nearFixture, PortableHash.h31))
+      val fastPairs = pairSet(Dedup.minhashLshPairs(nearFixture, PortableHash.fast))
+      md5Pairs shouldBe nearPairs
+      fastPairs shouldBe nearPairs
+    }
+  }
+
+  describe("SimHash pair-set equivalence") {
+    it("md5 and xxhash back-ends find exactly the exact-duplicate pairs") {
+      val md5Pairs = pairSet(Dedup.simhashPairs(exactFixture, hash = PortableHash.h31))
+      val fastPairs = pairSet(Dedup.simhashPairs(exactFixture, hash = PortableHash.fast))
+      md5Pairs shouldBe exactPairs
+      fastPairs shouldBe exactPairs
+    }
+  }
+
+  describe("fingerprint-Jaccard pair-set equivalence") {
+    it("md5 and xxhash back-ends find exactly the ground-truth pairs") {
+      val md5Pairs = pairSet(Dedup.fingerprintJaccardPairs(nearFixture, hash = PortableHash.h31))
+      val fastPairs = pairSet(Dedup.fingerprintJaccardPairs(nearFixture, hash = PortableHash.fast))
+      md5Pairs shouldBe nearPairs
+      fastPairs shouldBe nearPairs
+    }
+  }
+
+  describe("xxhash64 throughput advantage") {
+    it("computes minhash signatures faster than the md5 bridge on real docs") {
+      val sfDir = sys.env.getOrElse("GRAFT_HASHBENCH_SF", "/root/testdata/sf0.01")
+      val docs = graft.model.Tables.documents(spark, sfDir)
+      def time(hash: (String, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Double = {
+        Dedup.minhashSignatures(docs, hash).count() // warm plan + IO
+        val t0 = System.nanoTime()
+        Dedup.minhashSignatures(docs, hash).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tMd5 = time(PortableHash.h31)
+      val tFast = time(PortableHash.fast)
+      info(f"minhash signatures ($sfDir): md5 $tMd5%.3fs vs xxhash64 $tFast%.3fs (${tMd5 / tFast}%.1fx)")
+      // measured: 0.83s vs 0.55s (1.5x) at sf0.1 — pipeline-level, i.e.
+      // including the shingling that dominates; the hash-only gap is larger
+      // deliberately loose: host noise episodes reach 10-100x (see Bench);
+      // the invariant is xxhash never being materially slower
+      tFast should be <= tMd5 * 2.0
+    }
+  }
+}

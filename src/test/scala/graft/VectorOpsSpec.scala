@@ -73,6 +73,26 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     }
   }
 
+  describe("IVF recall vs nprobe on real embeddings") {
+    it("measures recall@10 against brute force and improves with more probes") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      def neighbors(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val brute = neighbors(VectorOps.bruteForceTopK(emb))
+      val recalls = Seq(1, 2, 3, 5).map { np =>
+        val r = (neighbors(VectorOps.ivfTopK(emb, nprobe = np)) & brute).size.toDouble / brute.size
+        info(f"nprobe=$np: recall@10 = $r%.3f")
+        r
+      }
+      // measured on this corpus: 0.28 / 0.44 / 0.56 / 0.72 — the synthetic
+      // embeddings cluster only weakly by label, so the label-mean centroid
+      // stand-in caps absolute recall; the CURVE (monotone in nprobe, i.e.
+      // the accuracy/cost knob works) is the operator property under test
+      recalls.sliding(2).foreach { case Seq(a, b) => b should be >= a }
+      recalls.last should be >= 0.6
+    }
+  }
+
   describe("lshNearDupPairs") {
     it("reaches recall >= 0.9 vs brute-force pairs at sf0.01 with precision 1.0") {
       val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")

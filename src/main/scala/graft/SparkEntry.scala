@@ -112,6 +112,18 @@ object SparkEntry {
         rightVals = Seq("o_orderkey", "o_orderdate"),
         rightTieBreak = "o_orderkey")),
 
+    // Same as-of semantics on the native merge operator (custom
+    // LogicalPlan/Strategy/SparkPlan tier, graft.plans.AsofJoinExec) —
+    // differential-tested against the same DuckDB oracle.
+    "asof_join_merge" -> ((s, dir) =>
+      graft.ops.Joins.asofJoinMerge(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+        Tables.orders(s, dir),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightVals = Seq("o_orderkey", "o_orderdate"),
+        rightTieBreak = "o_orderkey")),
+
     // Correlation + conditional aggregation (FILTER-style) over lineitem.
     "lineitem_condstats" -> ((s, dir) =>
       Tables.lineitem(s, dir).agg(
@@ -434,6 +446,15 @@ object SparkEntry {
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "asof_join_merge" ->
+      """WITH j AS (
+           SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS r
+           FROM events e JOIN orders o
+             ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+         SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM j WHERE r = 1""",
 
     "asof_join_orders" ->
       """WITH j AS (

@@ -78,4 +78,45 @@ object Joins {
       .filter(col("__side") === 1 && col("__m").isNotNull)
       .select(col("__lrow.*"), col("__m.*"))
   }
+
+  /** As-of join on the native merge operator (graft.plans.AsofJoinExec) —
+    * same semantics and argument shape as [[asofJoin]], but executed as a
+    * single forward merge per co-partition instead of the union-sort
+    * composition: each side is shuffled/sorted independently (the smaller
+    * right side no longer rides along in the left's sort) and per-partition
+    * state is one candidate row. Registers graft's planner strategy and
+    * pushdown rule on the session idempotently.
+    */
+  def asofJoinMerge(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String],
+      rightTieBreak: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{analyzedPlan, exprColumn, ofRows}
+    val spark = left.sparkSession
+    graft.plans.GraftExtensions.install(spark)
+    // pre-project the right side so column pruning happens below the
+    // custom node (Catalyst cannot prune through a node it doesn't know)
+    val rightSlim = right.select(
+      (Seq(rightKey, rightTs, rightTieBreak) ++ rightVals).distinct.map(col): _*)
+    val lPlan = analyzedPlan(left)
+    val rPlan = analyzedPlan(rightSlim)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name' in ${p.output.map(_.name)}"))
+    val node = graft.plans.AsofJoinPlan(
+      leftKeys = Seq(attr(lPlan, leftKey)),
+      rightKeys = Seq(attr(rPlan, rightKey)),
+      leftTs = attr(lPlan, leftTs),
+      rightTs = attr(rPlan, rightTs),
+      rightTieBreak = attr(rPlan, rightTieBreak),
+      left = lPlan,
+      right = rPlan)
+    val keep = lPlan.output ++ rightVals.map(attr(rPlan, _))
+    ofRows(spark, node).select(keep.map(exprColumn): _*)
+  }
 }

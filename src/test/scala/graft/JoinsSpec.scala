@@ -75,4 +75,85 @@ class JoinsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       out shouldBe Map(1L -> 102L, 2L -> 101L, 4L -> 202L)
     }
   }
+
+  describe("asofJoinMerge (native merge operator)") {
+    import spark.implicits._
+
+    def semanticsFixture = {
+      val left = Seq(
+        (1L, 10L, ts("2024-01-01 10:00:00")),
+        (2L, 10L, ts("2024-01-01 08:00:00")),
+        (3L, 10L, ts("2024-01-01 07:00:00")),
+        (4L, 20L, ts("2024-01-01 10:00:00")),
+        (5L, 30L, ts("2024-01-01 10:00:00"))
+      ).toDF("event_id", "key", "ts")
+      val right = Seq(
+        (10L, 101L, ts("2024-01-01 08:00:00")),
+        (10L, 102L, ts("2024-01-01 09:00:00")),
+        (10L, 103L, ts("2024-01-01 11:00:00")),
+        (20L, 201L, ts("2024-01-01 09:30:00")),
+        (20L, 202L, ts("2024-01-01 09:30:00"))
+      ).toDF("rkey", "rid", "rts")
+      (left, right)
+    }
+
+    it("matches the composed implementation's semantics on the tie/drop fixture") {
+      val (left, right) = semanticsFixture
+      val out = Joins.asofJoinMerge(left, right,
+          leftKey = "key", rightKey = "rkey", leftTs = "ts", rightTs = "rts",
+          rightVals = Seq("rid"), rightTieBreak = "rid")
+        .select("event_id", "rid").as[(Long, Long)].collect().toMap
+      out shouldBe Map(1L -> 102L, 2L -> 101L, 4L -> 202L)
+    }
+
+    it("agrees with the composed implementation on random adversarial data") {
+      val rng = new scala.util.Random(7)
+      // many collisions: few keys, coarse timestamps (ties guaranteed),
+      // plus keys that exist on only one side
+      val left = (1 to 500).map { i =>
+        (i.toLong, rng.nextInt(12).toLong, ts(f"2024-01-01 ${rng.nextInt(24)}%02d:00:00"))
+      }.toDF("event_id", "key", "ts")
+      val right = (1 to 300).map { i =>
+        (rng.nextInt(15).toLong, 1000L + i, ts(f"2024-01-01 ${rng.nextInt(24)}%02d:00:00"))
+      }.toDF("rkey", "rid", "rts")
+      def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, String,
+          String, String, String, Seq[String], String) => org.apache.spark.sql.DataFrame) =
+        f(left, right, "key", "rkey", "ts", "rts", Seq("rid", "rts"), "rid")
+          .select("event_id", "rid").as[(Long, Long)].collect().toSet
+      run(Joins.asofJoinMerge) shouldBe run(Joins.asofJoin)
+    }
+
+    it("plans one AsofJoinExec with exchanges+sorts on both sides") {
+      val (left, right) = semanticsFixture
+      val out = Joins.asofJoinMerge(left, right,
+        "key", "rkey", "ts", "rts", Seq("rid"), "rid")
+      val plan = out.queryExecution.executedPlan.toString
+      plan should include("AsofJoin")
+      // EnsureRequirements satisfied the declared distribution/ordering
+      plan should include("Exchange hashpartitioning")
+      plan should include("Sort")
+    }
+
+    it("pushes left-only filters below the join via the optimizer rule") {
+      val (left, right) = semanticsFixture
+      val out = Joins.asofJoinMerge(left, right,
+          "key", "rkey", "ts", "rts", Seq("rid"), "rid")
+        .filter($"event_id" > 1L)
+      out.select("event_id", "rid").as[(Long, Long)].collect().toMap shouldBe
+        Map(2L -> 101L, 4L -> 202L)
+      val optimized = out.queryExecution.optimizedPlan
+      // the Filter must sit BELOW AsofJoinPlan after optimization
+      val asof = optimized.collectFirst { case a: graft.plans.AsofJoinPlan => a }
+      asof.isDefined shouldBe true
+      // no Filter remains ABOVE the join node...
+      optimized.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.exists(_.isInstanceOf[graft.plans.AsofJoinPlan]) => f
+      } shouldBe None
+      // ...it moved inside the join's left subtree
+      asof.get.left.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }.isDefined shouldBe true
+    }
+  }
 }

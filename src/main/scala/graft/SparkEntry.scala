@@ -96,6 +96,20 @@ object SparkEntry {
       ActivityOps.sessionWindowCount(
         Tables.events(s, dir), tsCol = "ts", keyCols = Seq("user_id"), gap = "10 minutes")),
 
+    // Custom-policy sessionization (gap + duration cap) via
+    // flatMapGroupsWithState running in batch mode — the cap depends on the
+    // running session start, which is a sequential per-key fold no plain
+    // window function expresses (rows-only: semantics golden-tested in
+    // StatefulSessionSpec, streaming timeout behavior included).
+    "custom_sessions" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.Sessionize.sessionize(
+        Tables.events(s, dir)
+          .select(col("user_id").cast("string").as("user_id"), col("ts"))
+          .as[graft.streaming.Sessionize.SEvent],
+        gapMs = 600000L, capMs = 1800000L).toDF()
+    }),
+
     "sliding_window_count" -> ((s, dir) =>
       ActivityOps.slidingWindowCount(
         Tables.events(s, dir), tsCol = "ts", keyCols = Seq("event_type"),

@@ -18,8 +18,12 @@ object Diag {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only(name)) {
+        if (explain) {
+          println(s"===== $name ====="); fn(spark, sfDir).explain("formatted")
+        }
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()

@@ -274,6 +274,12 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, dir) => VectorOps.bruteForceTopK(Tables.embeddings(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir))),
     "ann_ivf_topk_np2" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir), nprobe = 2)),
+    // Lloyd-iterated quantizer (rows-only: per-iteration float means are not
+    // practically SQL-replayable; recall vs label-centroids in VectorOpsSpec)
+    "ann_ivf_kmeans_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.ivfTopK(emb, coarse = Some(VectorOps.kmeansCentroids(emb, k = 10, iters = 3)))
+    }),
 
     // ---- multimodal columns (north star) ---------------------------------
     "media_meta" -> ((s, dir) => Multimodal.mediaMeta(Tables.documents(s, dir))),

@@ -169,6 +169,46 @@ object VectorOps {
         array_sort(collect_list(struct(col("pos"), col("m")))),
         s => round(s.getField("m"), 6)).as("centroid"))
 
+  /** Lloyd-iterated k-means coarse centroids (the production quantizer; the
+    * label-mean `centroids` is the oracle-replayable stand-in). Deterministic
+    * end to end: init picks the k vectors with the smallest Fibonacci-hashed
+    * ids (a seeded pseudo-random spread), assignment ties break on lowest
+    * cell, and every component is rounded to 6 decimals per iteration so
+    * partial-sum order cannot leak in. Each iteration aggregates k×dim
+    * doubles — that tiny result is collected and re-broadcast as literals
+    * (exactly MLlib KMeans' shape: the driver loop is over an aggregate,
+    * never the data).
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int = 16, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val wInit = Window.orderBy(pmod(col("vec_id") * 2654435761L, lit(2147483647L)), col("vec_id"))
+    var cents: Array[(Int, Seq[Double])] = v
+      .withColumn("r", row_number().over(wInit)).filter(col("r") <= k)
+      .select(col("r") - 1, col("v")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+
+    for (_ <- 0 until iters) {
+      val centDf = spark.createDataFrame(cents.toSeq.map { case (c, m) => (c, m) })
+        .toDF("cell", "centroid")
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell").asc)
+      val assigned = v.join(broadcast(centDf))
+        .select(col("vec_id"), col("v"), col("cell"),
+          round(cosine(col("v"), col("centroid")), 6).as("ccos"))
+        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => round(s.getField("m"), 6)).as("centroid"))
+      // k×dim doubles — empty cells drop out (standard Lloyd behavior)
+      cents = means.collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    }
+    spark.createDataFrame(cents.toSeq.map { case (c, m) => (c, m) }).toDF("cell", "centroid")
+  }
+
   /** IVF top-k: assign every corpus vector to its nearest coarse centroid
     * (broadcast join against the tiny centroid table); each query probes its
     * `nprobe` nearest cells. ~C/nprobe× less distance work than brute force;
@@ -177,14 +217,20 @@ object VectorOps {
     * A corpus vector lives in exactly one cell, so probing several cells
     * never produces duplicate (query, neighbor) candidates.
     */
-  def ivfTopK(emb: DataFrame, k: Int = 10, nprobe: Int = 1): DataFrame = {
+  def ivfTopK(
+      emb: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 1,
+      coarse: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = centroids(emb)
+    // (cell, centroid) table: label-means by default (oracle-replayable),
+    // or a caller-supplied quantizer (e.g. kmeansCentroids)
+    val cents = coarse.getOrElse(
+      centroids(emb).select(col("label").as("cell"), col("centroid")))
 
     def assign(df: DataFrame, vecCol: String, idCol: String, probes: Int): DataFrame = {
       val scored = df.join(broadcast(cents))
-        .select(col(idCol), col(vecCol),
-          col("label").as("cell"),
+        .select(col(idCol), col(vecCol), col("cell"),
           round(cosine(col(vecCol), col("centroid")), 6).as("ccos"))
       val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cell").asc)
       scored.withColumn("r", row_number().over(w)).filter(col("r") <= probes)

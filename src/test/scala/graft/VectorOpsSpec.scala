@@ -93,6 +93,22 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     }
   }
 
+  describe("k-means IVF vs label-centroid IVF") {
+    it("Lloyd-iterated centroids match or beat the label stand-in at nprobe=1") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      def neighbors(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val brute = neighbors(VectorOps.bruteForceTopK(emb))
+      def recall(d: org.apache.spark.sql.DataFrame) =
+        (neighbors(d) & brute).size.toDouble / brute.size
+      val rLabel = recall(VectorOps.ivfTopK(emb))
+      val km = VectorOps.kmeansCentroids(emb, k = 10, iters = 3)
+      val rKmeans = recall(VectorOps.ivfTopK(emb, coarse = Some(km)))
+      info(f"label-centroid recall=$rLabel%.3f  kmeans recall=$rKmeans%.3f")
+      rKmeans should be >= rLabel
+    }
+  }
+
   describe("lshNearDupPairs") {
     it("reaches recall >= 0.9 vs brute-force pairs at sf0.01 with precision 1.0") {
       val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")

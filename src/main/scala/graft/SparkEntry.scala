@@ -239,6 +239,7 @@ object SparkEntry {
 
     // ---- text analysis (north star) over `documents` ---------------------
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
+    "text_subword_stats" -> ((s, dir) => TextOps.subwordStats(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
@@ -520,6 +521,7 @@ object SparkEntry {
          GROUP BY 1, 2, 3""",
 
     "text_token_stats" -> DuckDbOracles.textTokenStats,
+    "text_subword_stats" -> DuckDbOracles.textSubwordStats,
     "text_quality" -> DuckDbOracles.textQuality,
     "text_langid" -> DuckDbOracles.textLangId,
     "text_fingerprint" -> DuckDbOracles.textFingerprint,

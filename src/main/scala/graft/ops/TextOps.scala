@@ -113,6 +113,24 @@ object TextOps {
     scored.withColumn("lang_pred", pred)
   }
 
+  /** GPT-2-style pre-tokenizer regex, simplified to the subset both Java
+    * (Spark) and RE2 (DuckDB) evaluate identically: contraction suffixes,
+    * space-prefixed letter runs, digit runs, punctuation runs. No lookahead
+    * (RE2 has none). Shared verbatim with the oracle SQL.
+    */
+  val bpePattern: String = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** Subword-level token counting (the "BPE-ish" estimate LLM pipelines use
+    * to budget sequence lengths): count of pre-tokenizer matches plus the
+    * chars-per-token compression ratio. Narrow, codegen'd, no shuffle.
+    */
+  def subwordStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(bpePattern)).as("n_subtokens"),
+      round(length(col("text")).cast("double") /
+        regexp_count(col("text"), lit(bpePattern)).cast("double"), 6).as("chars_per_token"))
+
   /** Winnowing-style document fingerprint (0-mod-p scheme, Schleimer et al.,
     * SIGMOD'03): 3-token shingles → portable hash → keep hashes ≡ 0 (mod 8).
     * Output is the exploded (doc_id, fp_hash) set — the input to any

@@ -58,6 +58,19 @@ object DuckDbOracles {
        |FROM scored""".stripMargin
   }
 
+  /** Twin of TextOps.subwordStats — the regex constant is the same Scala
+    * value; both engines' engines (Java regex / RE2) agree on this
+    * lookahead-free subset.
+    */
+  val textSubwordStats: String = {
+    // DuckDB single-quoted strings take backslashes literally; only the
+    // quote needs doubling
+    val p = TextOps.bpePattern.replace("'", "''")
+    s"""SELECT doc_id, len(regexp_extract_all(text, '$p')) AS n_subtokens,
+       |  round(CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '$p')), 6) AS chars_per_token
+       |FROM documents""".stripMargin
+  }
+
   val textFingerprint: String =
     s"""WITH $tokCte, $shCte
        |SELECT DISTINCT doc_id, fp_hash FROM

@@ -284,6 +284,7 @@ object SparkEntry {
 
     // ---- multimodal columns (north star) ---------------------------------
     "media_meta" -> ((s, dir) => Multimodal.mediaMeta(Tables.documents(s, dir))),
+    "media_typed_meta" -> ((s, dir) => Multimodal.typedMeta(Tables.documents(s, dir))),
     "media_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     // Stub decoder through real mapPartitions plumbing; byte-moment
     // features come out as scalar f0..f7 and are fully oracle-checked.
@@ -539,6 +540,7 @@ object SparkEntry {
     "ann_ivf_topk" -> DuckDbOracles.annIvfTopK(),
     "ann_ivf_topk_np2" -> DuckDbOracles.annIvfTopK(nprobe = 2),
     "media_meta" -> DuckDbOracles.mediaMeta,
+    "media_typed_meta" -> DuckDbOracles.mediaTypedMeta,
     "media_frame_sample" -> DuckDbOracles.mediaFrameSample,
     "media_features" -> DuckDbOracles.mediaFeatures,
   )

@@ -81,6 +81,33 @@ object Multimodal {
         PortableHash.h31("fr", col("text").substr(col("frame_idx") * 64 + 1, lit(64)))
           .as("frame_hash"))
 
+  /** Modality-specific typed header fields, the union-schema pattern for
+    * mixed media tables: every modality gets its own typed columns, null for
+    * other rows (engines with struct-per-type pay a shredding cost; nullable
+    * flat columns stay columnar and prune for free). Values are pseudo-header
+    * parses derived from the portable hash (a real decoder would read
+    * them from the container header — same schema contract).
+    */
+  def typedMeta(docs: DataFrame): DataFrame = {
+    val t = mediaTypeCol(col("doc_id"))
+    docs.select(
+      col("doc_id").as("media_id"),
+      t.as("media_type"),
+      length(col("text")).as("n_bytes"),
+      when(t === "audio", PortableHash.h31("sr", col("text")) % 4 * 16000 + 8000)
+        .as("sample_rate"),
+      when(t === "audio", PortableHash.h31("ch", col("text")) % 2 + 1)
+        .as("channels"),
+      when(t === "video", PortableHash.h31("fps", col("text")) % 3 * 6 + 18)
+        .as("fps"),
+      when(t === "video", PortableHash.h31("dur", col("text")) % 300 + 1)
+        .as("duration_s"),
+      when(t === "image", PortableHash.h31("w", col("text")) % 1280 + 1)
+        .as("width"),
+      when(t === "image", PortableHash.h31("h", col("text")) % 720 + 1)
+        .as("height"))
+  }
+
   /** ======= STUB DECODER =======
     * Deterministic fake "decode": 8 byte-statistics moments standing in for
     * a real image/audio decode. Replace this function body with the codec

@@ -261,6 +261,18 @@ object DuckDbOracles {
        |  ${h("h", "text")} % 720 + 1 AS height
        |FROM documents""".stripMargin
 
+  val mediaTypedMeta: String = {
+    val t = "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+    s"""SELECT doc_id AS media_id, $t AS media_type, length(text) AS n_bytes,
+       |  CASE WHEN ($t) = 'audio' THEN ${h("sr", "text")} % 4 * 16000 + 8000 END AS sample_rate,
+       |  CASE WHEN ($t) = 'audio' THEN ${h("ch", "text")} % 2 + 1 END AS channels,
+       |  CASE WHEN ($t) = 'video' THEN ${h("fps", "text")} % 3 * 6 + 18 END AS fps,
+       |  CASE WHEN ($t) = 'video' THEN ${h("dur", "text")} % 300 + 1 END AS duration_s,
+       |  CASE WHEN ($t) = 'image' THEN ${h("w", "text")} % 1280 + 1 END AS width,
+       |  CASE WHEN ($t) = 'image' THEN ${h("h", "text")} % 720 + 1 END AS height
+       |FROM documents""".stripMargin
+  }
+
   /** Byte-moments twin of Multimodal.stubDecode: documents text is ASCII
     * (verified in testdata), so per-char `ord` == per-byte value and
     * char length == byte length. Sum/sumsq accumulate exactly as integers

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+/** Partitioned-parquet layout + pruning — the storage-side half of the
+  * 100 TB story: a pipeline that writes hive-partitioned output lets every
+  * downstream query skip whole directories. Verifies the layout on disk,
+  * that a partition filter prunes at planning time (partition count, not a
+  * row filter), and that a non-partition filter still pushes down to the
+  * scan.
+  */
+class ParquetLayoutSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
+
+  describe("hive-partitioned write + partition pruning") {
+    it("writes one directory per key and prunes non-matching partitions at plan time") {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+      val df = (1 to 3000).map { i =>
+        (i.toLong, Seq("click", "view", "purchase", "signup", "error")(i % 5), i % 97)
+      }.toDF("event_id", "event_type", "score")
+
+      df.write.partitionBy("event_type").mode("overwrite").parquet(dir)
+
+      // layout: one hive directory per partition value
+      new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("event_type="))
+        .toSet shouldBe Set("click", "view", "purchase", "signup", "error")
+        .map("event_type=" + _)
+
+      val pruned = spark.read.parquet(dir).filter($"event_type" === "click")
+      pruned.count() shouldBe 600
+
+      val formatted = pruned.queryExecution.executedPlan.toString
+      // partition pruning happened in the scan's partition filters —
+      // the predicate is NOT evaluated per row
+      val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+      scan should include("PartitionFilters")
+      scan should include("event_type")
+      // and the scan reads only the one matching directory
+      val scannedParts = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+      scannedParts shouldBe Seq(1)
+
+      // a non-partition predicate pushes down to the parquet reader instead
+      val rowFiltered = spark.read.parquet(dir).filter($"score" > 90)
+      val scan2 = rowFiltered.queryExecution.executedPlan.collectLeaves().head.toString
+      scan2 should include("PushedFilters: [IsNotNull(score), GreaterThan(score,90)]")
+    }
+  }
+}

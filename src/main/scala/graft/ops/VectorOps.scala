@@ -88,18 +88,27 @@ object VectorOps {
     * precision at 1.0. Recall vs the brute-force pair set is measured in
     * VectorOpsSpec (≥0.9 required at sf0.01; ≈0.97 observed).
     */
+  /** Exploded (vec_id, band, bv) band-bucket table for a signature column —
+    * at 100 TB this is the table you persist, bucketed by (band, bv), so
+    * every later candidate join is exchange-free (proven in VectorOpsSpec's
+    * bucketed-layout test).
+    */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bands = (0 until LshBands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("sig"), LshRows * j).bitwiseAND(lit((1L << LshRows) - 1)).as("bv"))
+    }
+    sig.select(col("vec_id"), explode(array(bands: _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"), col("b.bv").as("bv"))
+  }
+
   def lshNearDupPairs(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
     // signature table: one row/vec; read 3× (banding + both join sides)
     val sig = emb.select(
         col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("sig", hyperplaneSignature(col("v")))
       .persist()
-    val bands = (0 until LshBands).map { j =>
-      struct(lit(j).as("band"),
-        shiftright(col("sig"), LshRows * j).bitwiseAND(lit((1L << LshRows) - 1)).as("bv"))
-    }
-    val banded = sig.select(col("vec_id"), explode(array(bands: _*)).as("b"))
-      .select(col("vec_id"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val banded = lshBands(sig)
     // distinct BEFORE the cosine: a pair colliding in several bands is
     // scored once, not once per collision
     val cand = banded.as("a").join(banded.as("b"),

@@ -124,6 +124,46 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     }
   }
 
+  describe("bucketed LSH signature table") {
+    it("generates candidates with zero shuffle when the band table is bucketed") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val banded = VectorOps.lshBands(
+        emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("sig", VectorOps.hyperplaneSignature(col("v")))).select("vec_id", "band", "bv")
+      spark.sql("DROP TABLE IF EXISTS graft_lsh_sig")
+      banded.write.bucketBy(8, "band", "bv").sortBy("band", "bv")
+        .saveAsTable("graft_lsh_sig")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val t = spark.table("graft_lsh_sig")
+        val cand = t.as("a").join(t.as("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .distinct()
+        val plan = cand.queryExecution.executedPlan.toString
+        plan should include("SortMergeJoin")
+        // the candidate join itself is co-located; the only exchange left
+        // is the distinct's aggregation — at scale that's the small output,
+        // not the banded corpus
+        plan should not include "Exchange hashpartitioning(band"
+        // bucketed path produces the same candidate set as the shuffled one
+        val inline = VectorOps.lshBands(
+          emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+            .withColumn("sig", VectorOps.hyperplaneSignature(col("v"))))
+        val expect = inline.as("a").join(inline.as("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .distinct()
+        def pairs(d: org.apache.spark.sql.DataFrame) =
+          d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        pairs(cand) shouldBe pairs(expect)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   describe("cosineNearDupPairs") {
     it("finds only pairs above threshold") {
       val data = Seq(

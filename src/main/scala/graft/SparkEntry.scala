@@ -246,6 +246,8 @@ object SparkEntry {
 
     // ---- deduplication (north star) --------------------------------------
     "dedup_exact_docs" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
+    "dedup_normalized" -> ((s, dir) => TextOps.normalizedDedup(Tables.documents(s, dir))),
+    "text_scrub_pii" -> ((s, dir) => TextOps.scrubPii(Tables.documents(s, dir))),
     "minhash_signatures" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
     "minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "simhash_docs" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
@@ -527,6 +529,8 @@ object SparkEntry {
     "text_langid" -> DuckDbOracles.textLangId,
     "text_fingerprint" -> DuckDbOracles.textFingerprint,
     "dedup_exact_docs" -> DuckDbOracles.dedupExactDocs,
+    "dedup_normalized" -> DuckDbOracles.dedupNormalized,
+    "text_scrub_pii" -> DuckDbOracles.textScrubPii,
     "minhash_signatures" -> DuckDbOracles.minhashSignatures,
     "minhash_lsh_pairs" -> DuckDbOracles.minhashLshPairs,
     "dedup_apply_minhash" -> DuckDbOracles.dedupApplyMinhash,

@@ -131,6 +131,43 @@ object TextOps {
       round(length(col("text")).cast("double") /
         regexp_count(col("text"), lit(bpePattern)).cast("double"), 6).as("chars_per_token"))
 
+  /** Canonical text form for near-exact dedup (the C4-style normalization
+    * pass): lowercase, strip punctuation, collapse whitespace runs. Exact
+    * dedup over this catches case/punctuation variants that byte-identity
+    * misses, at identical (narrow hash-groupBy) cost.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Near-exact dedup on the normalized form: one row per canonical text
+    * with the surviving doc and duplicate count.
+    */
+  def normalizedDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(normalized(col("text"))).as("norm_md5"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** PII scrub patterns (shared with the oracle SQL; RE2/Java-common subset,
+    * no lookbehind): email addresses, then 6+-digit runs (ids, phones).
+    * Order matters — emails first so their digits don't get half-masked.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{6,}" -> "<NUM>")
+
+  /** PII masking pass: every document with emails/long digit runs replaced
+    * by typed placeholder tokens + a flag column for audit sampling.
+    * Narrow, codegen'd regexp_replace chain — no shuffle.
+    */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val scrubbed = piiPatterns.foldLeft(col("text")) {
+      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    docs.select(
+      col("doc_id"),
+      scrubbed.as("text_scrubbed"),
+      (scrubbed =!= col("text")).as("had_pii"))
+  }
+
   /** Winnowing-style document fingerprint (0-mod-p scheme, Schleimer et al.,
     * SIGMOD'03): 3-token shingles → portable hash → keep hashes ≡ 0 (mod 8).
     * Output is the exploded (doc_id, fp_hash) set — the input to any

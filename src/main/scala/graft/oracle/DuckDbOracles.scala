@@ -77,6 +77,24 @@ object DuckDbOracles {
        |  (SELECT doc_id, ${h("fp", "shingle")} AS fp_hash FROM sh)
        |WHERE fp_hash % 8 = 0""".stripMargin
 
+  /** Twin of TextOps.normalizedDedup; 'g' flag = global replace (DuckDB
+    * regexp_replace replaces only the first match by default, Spark all).
+    */
+  val dedupNormalized: String =
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+      |  min(doc_id) AS canonical_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Twin of TextOps.scrubPii — patterns rendered from the same constants. */
+  val textScrubPii: String = {
+    val scrubbed = TextOps.piiPatterns.foldLeft("text") { case (c, (pat, repl)) =>
+      s"regexp_replace($c, '${pat.replace("'", "''")}', '$repl', 'g')"
+    }
+    s"""SELECT doc_id, $scrubbed AS text_scrubbed,
+       |  ($scrubbed <> text) AS had_pii
+       |FROM documents""".stripMargin
+  }
+
   val dedupExactDocs: String =
     """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin

@@ -40,6 +40,42 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("normalizedDedup") {
+    it("groups case/punctuation/whitespace variants that byte-identity misses") {
+      val docs = docsDf(Seq(
+        1L -> "Hello, World!",
+        2L -> "hello   world",
+        3L -> "HELLO WORLD.",
+        4L -> "goodbye world"))
+      val groups = TextOps.normalizedDedup(docs).collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet // (canonical_id, n_copies)
+      groups shouldBe Set((1L, 3L), (4L, 1L))
+    }
+  }
+
+  describe("scrubPii") {
+    it("masks emails before digit runs and flags touched docs") {
+      val docs = docsDf(Seq(
+        1L -> "contact bob123456@example.com or call 5551234567 now",
+        2L -> "short num 12345 stays",
+        3L -> "clean text"))
+      val out = TextOps.scrubPii(docs).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+      out(1L) shouldBe (("contact <EMAIL> or call <NUM> now", true))
+      out(2L) shouldBe (("short num 12345 stays", false)) // <6 digits untouched
+      out(3L) shouldBe (("clean text", false))
+    }
+  }
+
+  describe("subwordStats") {
+    it("counts BPE-ish pre-tokenizer matches") {
+      val r = TextOps.subwordStats(docsDf(Seq(1L -> "it's rain-proof, 42 tests!")))
+        .collect()(0)
+      // [it]['s][ rain][-][proof][,][ 42][ tests][!] → 9 matches
+      r.getInt(1) shouldBe 9
+    }
+  }
+
   describe("fingerprints") {
     it("is deterministic and winnows to ≈1/8 of shingle hashes") {
       val doc = (1 to 200).map(i => s"w$i").mkString(" ")

@@ -237,6 +237,39 @@ object SparkEntry {
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))),
 
+    // Full grouping-sets lattice via CUBE.
+    "cube_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))),
+
+    // Analytic-function breadth over one window: offsets, ranks, tiles,
+    // distribution — all computed in a single per-user sort.
+    "window_analytics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cdist"))
+    }),
+
+    // Semi/anti join pair: customers with ≥1 urgent order vs none.
+    "semi_anti_customers" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      val c = Tables.customer(s, dir)
+      val withU = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit(true).as("has_urgent"))
+      val without = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit(false).as("has_urgent"))
+      withU.unionByName(without)
+    }),
+
     // ---- text analysis (north star) over `documents` ---------------------
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "text_subword_stats" -> ((s, dir) => TextOps.subwordStats(Tables.documents(s, dir))),
@@ -479,6 +512,30 @@ object SparkEntry {
            FROM events e JOIN orders o
              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
          SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM j WHERE r = 1""",
+
+    "cube_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    "window_analytics" ->
+      """SELECT event_id, user_id,
+         lag(event_type, 1) OVER w AS prev_type,
+         lead(event_type, 1) OVER w AS next_type,
+         CAST(rank() OVER w AS INT) AS rnk,
+         CAST(dense_rank() OVER w AS INT) AS drnk,
+         CAST(ntile(4) OVER w AS INT) AS quartile,
+         round(cume_dist() OVER w, 6) AS cdist
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    "semi_anti_customers" ->
+      """SELECT c_custkey,
+         EXISTS (SELECT 1 FROM orders
+                 WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+           AS has_urgent
+         FROM customer""",
 
     "asof_join_orders" ->
       """WITH j AS (

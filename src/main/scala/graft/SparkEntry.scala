@@ -281,6 +281,7 @@ object SparkEntry {
     "dedup_exact_docs" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_normalized" -> ((s, dir) => TextOps.normalizedDedup(Tables.documents(s, dir))),
     "text_scrub_pii" -> ((s, dir) => TextOps.scrubPii(Tables.documents(s, dir))),
+    "pack_training_shards" -> ((s, dir) => TextOps.packShards(Tables.documents(s, dir))),
     "minhash_signatures" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
     "minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "simhash_docs" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
@@ -588,6 +589,7 @@ object SparkEntry {
     "dedup_exact_docs" -> DuckDbOracles.dedupExactDocs,
     "dedup_normalized" -> DuckDbOracles.dedupNormalized,
     "text_scrub_pii" -> DuckDbOracles.textScrubPii,
+    "pack_training_shards" -> DuckDbOracles.packShards,
     "minhash_signatures" -> DuckDbOracles.minhashSignatures,
     "minhash_lsh_pairs" -> DuckDbOracles.minhashLshPairs,
     "dedup_apply_minhash" -> DuckDbOracles.dedupApplyMinhash,

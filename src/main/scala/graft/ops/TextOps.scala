@@ -168,6 +168,33 @@ object TextOps {
       (scrubbed =!= col("text")).as("had_pii"))
   }
 
+  /** Training-shard assignment + greedy sequence packing: hash-spread docs
+    * over `nShards` (hashing avoids ordered-id skew), then within each shard
+    * fill fixed `tokenBudget` bins in doc_id order by cumulative token
+    * count — the sequence-packing step a pretraining data pipeline runs
+    * before tokenizer sharding. One window sort per shard, no other
+    * shuffle; bin ids are a pure function of the running sum, so the whole
+    * assignment is deterministic and SQL-replayable.
+    */
+  def packShards(
+      docs: DataFrame,
+      nShards: Int = 8,
+      tokenBudget: Int = 1000,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      (hash("shard", col("doc_id").cast("string")) % nShards).as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    base
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // bin = which budget-window the doc STARTS in (greedy sequential fill)
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")).cast("double") / tokenBudget)
+          .cast("bigint").as("bin"))
+  }
+
   /** Winnowing-style document fingerprint (0-mod-p scheme, Schleimer et al.,
     * SIGMOD'03): 3-token shingles → portable hash → keep hashes ≡ 0 (mod 8).
     * Output is the exploded (doc_id, fp_hash) set — the input to any

@@ -95,6 +95,18 @@ object DuckDbOracles {
        |FROM documents""".stripMargin
   }
 
+  /** Twin of TextOps.packShards(nShards=8, tokenBudget=1000). */
+  val packShards: String =
+    s"""WITH base AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |    ${h("shard", "CAST(doc_id AS VARCHAR)")} % 8 AS shard
+       |  FROM documents),
+       |c AS (SELECT doc_id, shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+       |  FROM base)
+       |SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
+       |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 1000) AS BIGINT) AS bin
+       |FROM c""".stripMargin
+
   val dedupExactDocs: String =
     """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin

@@ -111,6 +111,46 @@ object Dedup {
       .distinct()
   }
 
+  /** (doc_id, band, bh) banding of a signature table — the join key table an
+    * incremental pipeline persists (bucketed by (band, bh)) so each new
+    * batch probes history with one co-located equi-join.
+    */
+  def minhashBands(
+      sig: DataFrame,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val bandStructs = (0 until MinhashBands).map { j =>
+      val cols = (j * MinhashRows until (j + 1) * MinhashRows)
+        .map(i => col(s"mh$i").cast("string"))
+      struct(lit(j).as("band"), hash(s"band$j", concat_ws(",", cols: _*)).as("bh"))
+    }
+    sig.withColumn("b", explode(array(bandStructs: _*)))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  /** Incremental MinHash-LSH dedup — the 100 TB ingest shape: each arriving
+    * batch is deduplicated (a) against the persisted HISTORY band table via
+    * one equi-join probe (never recomputing history signatures) and
+    * (b) within itself (keep-lowest-id policy). Returns the surviving new
+    * docs; a production job then appends the survivors' bands to the
+    * history table, keeping the invariant that history is internally
+    * dedup'd. History cost per batch is O(collisions) — the corpus is
+    * touched only through the band index.
+    */
+  def incrementalDedup(
+      newDocs: DataFrame,
+      historyBands: DataFrame,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val newBands = minhashBands(minhashSignatures(newDocs, hash), hash).persist()
+    val vsHistory = newBands.join(historyBands,
+      Seq("band", "bh"), "left_semi").select(col("doc_id"))
+    val withinBatch = newBands.as("a").join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id")) // the higher id of any colliding pair drops
+    val dropIds = vsHistory.union(withinBatch).distinct()
+    newDocs.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
   /** SimHash fingerprint (Charikar, STOC'02): each shingle votes ±1 on each
     * of 32 bit positions by its hash bits; the sign of the tally is the
     * fingerprint bit. One groupBy, 32 conditional-sum aggregates.

@@ -60,6 +60,31 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("incrementalDedup") {
+    it("drops new docs colliding with history or with lower-id batchmates") {
+      // history: the base doc (id 1) + one unrelated doc, persisted as bands
+      val history = Dedup.minhashBands(
+        Dedup.minhashSignatures(docsDf(Seq(1L -> base, 2L -> unrelated))))
+      // new batch: near-dup of history (drop), fresh doc (keep),
+      // exact dup within batch (higher id drops, lower survives)
+      val fresh = (1 to 60).map(i => s"fresh$i").mkString(" ")
+      val batch = docsDf(Seq(10L -> nearDup, 11L -> fresh, 12L -> fresh))
+      val survivors = Dedup.incrementalDedup(batch, history)
+        .collect().map(_.getLong(0)).toSet
+      survivors shouldBe Set(11L)
+    }
+
+    it("keeps everything when the batch is all-new") {
+      val history = Dedup.minhashBands(
+        Dedup.minhashSignatures(docsDf(Seq(1L -> base))))
+      val batch = docsDf(Seq(
+        20L -> (1 to 60).map(i => s"aa$i").mkString(" "),
+        21L -> (1 to 60).map(i => s"bb$i").mkString(" ")))
+      Dedup.incrementalDedup(batch, history)
+        .collect().map(_.getLong(0)).toSet shouldBe Set(20L, 21L)
+    }
+  }
+
   describe("fingerprintJaccardPairs") {
     it("reports high jaccard for near-dups only") {
       val pairs = Dedup.fingerprintJaccardPairs(

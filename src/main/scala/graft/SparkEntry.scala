@@ -25,6 +25,10 @@ object SparkEntry {
 
   private val keepList = Seq("click", "purchase")
 
+  /** Shared with the recursive-CTE oracle (DuckDbOracles.customSessions). */
+  private val SessionGapMs = 600000L
+  private val SessionCapMs = 1800000L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference parity (SURVEY.md §2) over `events` -------------------
     "windowed_count" -> ((s, dir) =>
@@ -98,16 +102,17 @@ object SparkEntry {
 
     // Custom-policy sessionization (gap + duration cap) via
     // flatMapGroupsWithState running in batch mode — the cap depends on the
-    // running session start, which is a sequential per-key fold no plain
-    // window function expresses (rows-only: semantics golden-tested in
-    // StatefulSessionSpec, streaming timeout behavior included).
+    // running session start, a sequential per-key fold no plain window
+    // function expresses; the oracle replays it with a recursive CTE
+    // (semantics also golden-tested in StatefulSessionSpec, streaming
+    // timeout behavior included).
     "custom_sessions" -> ((s, dir) => {
       import s.implicits._
       graft.streaming.Sessionize.sessionize(
         Tables.events(s, dir)
           .select(col("user_id").cast("string").as("user_id"), col("ts"))
           .as[graft.streaming.Sessionize.SEvent],
-        gapMs = 600000L, capMs = 1800000L).toDF()
+        gapMs = SessionGapMs, capMs = SessionCapMs).toDF()
     }),
 
     "sliding_window_count" -> ((s, dir) =>
@@ -590,6 +595,7 @@ object SparkEntry {
     "dedup_normalized" -> DuckDbOracles.dedupNormalized,
     "text_scrub_pii" -> DuckDbOracles.textScrubPii,
     "pack_training_shards" -> DuckDbOracles.packShards,
+    "custom_sessions" -> DuckDbOracles.customSessions(SessionGapMs, SessionCapMs),
     "minhash_signatures" -> DuckDbOracles.minhashSignatures,
     "minhash_lsh_pairs" -> DuckDbOracles.minhashLshPairs,
     "dedup_apply_minhash" -> DuckDbOracles.dedupApplyMinhash,

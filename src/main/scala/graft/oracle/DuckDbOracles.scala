@@ -291,6 +291,54 @@ object DuckDbOracles {
        |  ${h("h", "text")} % 720 + 1 AS height
        |FROM documents""".stripMargin
 
+  /** Recursive-CTE twin of graft.streaming.Sessionize (batch mode): session
+    * starts unfold one per user per iteration — the next start is the first
+    * event breaking the gap (vs previous event) or the cap (vs session
+    * start), exactly the Scala fold's decision order (gap label wins when
+    * both break). Timestamps are truncated to epoch-millis throughout
+    * because the Scala op folds on `Timestamp.getTime`.
+    */
+  def customSessions(gapMs: Long, capMs: Long): String =
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS user_id, ts,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS i
+       |  FROM events
+       |),
+       |sess(user_id, start_i) AS (
+       |  SELECT user_id, CAST(1 AS BIGINT) FROM ev WHERE i = 1
+       |  UNION ALL
+       |  SELECT s.user_id, min(e.i)
+       |  FROM sess s
+       |  JOIN ev st ON st.user_id = s.user_id AND st.i = s.start_i
+       |  JOIN ev e  ON e.user_id = s.user_id AND e.i > s.start_i
+       |  JOIN ev p  ON p.user_id = s.user_id AND p.i = e.i - 1
+       |  WHERE (epoch_ms(e.ts) - epoch_ms(p.ts) > $gapMs)
+       |     OR (epoch_ms(e.ts) - epoch_ms(st.ts) > $capMs)
+       |  GROUP BY s.user_id
+       |),
+       |bounds AS (
+       |  SELECT user_id, start_i,
+       |         lead(start_i) OVER (PARTITION BY user_id ORDER BY start_i) AS next_i
+       |  FROM sess
+       |),
+       |agg AS (
+       |  SELECT b.user_id, b.start_i, b.next_i,
+       |         min(e.ts) AS session_start, max(e.ts) AS last_ts, count(*) AS n_events
+       |  FROM bounds b JOIN ev e ON e.user_id = b.user_id
+       |    AND e.i >= b.start_i AND (b.next_i IS NULL OR e.i < b.next_i)
+       |  GROUP BY 1,2,3
+       |)
+       |SELECT a.user_id,
+       |       make_timestamp(epoch_ms(a.session_start) * 1000) AS session_start,
+       |       make_timestamp((epoch_ms(a.last_ts) + $gapMs) * 1000) AS session_end,
+       |       a.n_events,
+       |       CASE WHEN a.next_i IS NULL THEN 'flush'
+       |            WHEN epoch_ms(nx.ts) - epoch_ms(pv.ts) > $gapMs THEN 'gap'
+       |            ELSE 'cap' END AS closed_by
+       |FROM agg a
+       |LEFT JOIN ev nx ON nx.user_id = a.user_id AND nx.i = a.next_i
+       |LEFT JOIN ev pv ON pv.user_id = a.user_id AND pv.i = a.next_i - 1""".stripMargin
+
   val mediaTypedMeta: String = {
     val t = "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
     s"""SELECT doc_id AS media_id, $t AS media_type, length(text) AS n_bytes,

@@ -316,8 +316,9 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, dir) => VectorOps.bruteForceTopK(Tables.embeddings(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir))),
     "ann_ivf_topk_np2" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir), nprobe = 2)),
-    // Lloyd-iterated quantizer (rows-only: per-iteration float means are not
-    // practically SQL-replayable; recall vs label-centroids in VectorOpsSpec)
+    // Lloyd-iterated quantizer; oracle unrolls the fixed iteration count
+    // into chained CTEs (per-iteration 6dp rounding stops ulp compounding).
+    // Recall vs label-centroids measured in VectorOpsSpec.
     "ann_ivf_kmeans_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       VectorOps.ivfTopK(emb, coarse = Some(VectorOps.kmeansCentroids(emb, k = 10, iters = 3)))
@@ -608,6 +609,7 @@ object SparkEntry {
     "ann_brute_topk" -> DuckDbOracles.annBruteTopK(),
     "ann_ivf_topk" -> DuckDbOracles.annIvfTopK(),
     "ann_ivf_topk_np2" -> DuckDbOracles.annIvfTopK(nprobe = 2),
+    "ann_ivf_kmeans_topk" -> DuckDbOracles.annIvfKmeansTopK(),
     "media_meta" -> DuckDbOracles.mediaMeta,
     "media_typed_meta" -> DuckDbOracles.mediaTypedMeta,
     "media_frame_sample" -> DuckDbOracles.mediaFrameSample,

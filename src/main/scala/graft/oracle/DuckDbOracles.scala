@@ -339,6 +339,50 @@ object DuckDbOracles {
        |LEFT JOIN ev nx ON nx.user_id = a.user_id AND nx.i = a.next_i
        |LEFT JOIN ev pv ON pv.user_id = a.user_id AND pv.i = a.next_i - 1""".stripMargin
 
+  /** Twin of VectorOps.kmeansCentroids + ivfTopK(coarse = kmeans): the
+    * fixed iteration count lets the Lloyd loop unroll into chained CTEs
+    * (it0 = seeded init, it1..itN = assign+mean). Works because every
+    * centroid component is rounded to 6 decimals per iteration on BOTH
+    * sides, so accumulation-order ulps cannot compound across iterations.
+    */
+  def annIvfKmeansTopK(k: Int = 10, kmK: Int = 10, iters: Int = 3): String = {
+    val init =
+      s"""it0 AS (SELECT CAST(rn - 1 AS INT) AS cell, v AS centroid FROM (
+         |  SELECT v, row_number() OVER (
+         |    ORDER BY (vec_id * 2654435761) % 2147483647, vec_id) AS rn FROM e)
+         |  WHERE rn <= $kmK)""".stripMargin
+    val iterCtes = (1 to iters).map { n =>
+      s"""it${n}_asg AS (SELECT vec_id, v, cell FROM (
+         |  SELECT e.vec_id, e.v, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosSql("e.v", "c.centroid")}, 6) DESC, c.cell ASC) AS r
+         |  FROM e CROSS JOIN it${n - 1} c) WHERE r = 1),
+         |it${n}_comp AS (SELECT cell, pos, avg(v[pos]) AS m
+         |  FROM it${n}_asg, dims GROUP BY 1, 2),
+         |it$n AS (SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid
+         |  FROM it${n}_comp GROUP BY cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embCte,
+       |dims AS (SELECT unnest(range(1, 65)) AS pos),
+       |$init,
+       |$iterCtes,
+       |ranked_cells AS (SELECT e.vec_id, e.v, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${cosSql("e.v", "c.centroid")}, 6) DESC, c.cell ASC) AS r
+       |  FROM e CROSS JOIN it$iters c),
+       |asg AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r = 1),
+       |qasg AS (SELECT vec_id, v, cell FROM ranked_cells
+       |  WHERE r = 1 AND vec_id % 100 = 0),
+       |scored AS (SELECT qa.vec_id AS q_id, ca.vec_id AS neighbor_id,
+       |    round(${cosSql("qa.v", "ca.v")}, 6) AS cos
+       |  FROM qasg qa JOIN asg ca
+       |    ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id),
+       |ranked AS (SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   val mediaTypedMeta: String = {
     val t = "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
     s"""SELECT doc_id AS media_id, $t AS media_type, length(text) AS n_bytes,

@@ -102,6 +102,29 @@ class StatefulSessionSpec extends AnyFunSpec with Matchers with SparkSessionTest
     }
   }
 
+  describe("complete output mode") {
+    it("replaces the full result table each micro-batch") {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[SEvent]
+      val counts = mem.toDS().toDF("user_id", "ts").groupBy($"user_id").count()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-complete").toString
+      val sink = s"cmp_${System.nanoTime()}"
+      val q = counts.writeStream.outputMode("complete").format("memory")
+        .queryName(sink).option("checkpointLocation", ckpt).start()
+      try {
+        mem.addData(at("u1", 0), at("u2", 5))
+        q.processAllAvailable()
+        mem.addData(at("u1", 30))
+        q.processAllAvailable()
+        // complete mode: the sink holds exactly the current full table —
+        // u1's old count=1 row was replaced, not appended
+        spark.table(sink).as[(String, Long)].collect().toSet shouldBe
+          Set(("u1", 2L), ("u2", 1L))
+      } finally q.stop()
+    }
+  }
+
   describe("update output mode") {
     it("emits refined counts per micro-batch for an open window") {
       import spark.implicits._

@@ -95,7 +95,8 @@ object Joins {
       leftTs: String,
       rightTs: String,
       rightVals: Seq[String],
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String,
+      outer: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.{analyzedPlan, exprColumn, ofRows}
     val spark = left.sparkSession
     graft.plans.GraftExtensions.install(spark)
@@ -114,6 +115,7 @@ object Joins {
       leftTs = attr(lPlan, leftTs),
       rightTs = attr(rPlan, rightTs),
       rightTieBreak = attr(rPlan, rightTieBreak),
+      outer = outer,
       left = lPlan,
       right = rPlan)
     val keep = lPlan.output ++ rightVals.map(attr(rPlan, _))

@@ -13,10 +13,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Rule + SparkStrategy + SparkPlan, registered through
   * SparkSessionExtensions (see [[graft.plans.GraftExtensions]]).
   *
-  * Semantics (same as the composed `graft.ops.Joins.asofJoin`, inner,
+  * Semantics (same as the composed `graft.ops.Joins.asofJoin`,
   * backward-looking): for every left row, the single right row with equal
   * key and the greatest `rightTs <= leftTs`, ties on rightTs broken by the
-  * greatest `rightTieBreak`; left rows with no qualifying right row drop.
+  * greatest `rightTieBreak`; left rows with no qualifying right row drop
+  * (inner, default) or survive with a null right side (`outer = true`,
+  * the kdb/QuestDB convention).
   *
   * Physical algorithm: both sides hash-partitioned on key and sorted within
   * partitions — Catalyst inserts the exchanges/sorts from
@@ -37,9 +39,11 @@ case class AsofJoinPlan(
     leftTs: Expression,
     rightTs: Expression,
     rightTieBreak: Expression,
+    outer: Boolean,
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -68,8 +72,8 @@ object AsofJoinPushdown extends Rule[LogicalPlan] with PredicateHelper {
 /** Planner strategy mapping the logical node to the merge exec. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(lk, rk, lts, rts, tb, l, r) =>
-      AsofJoinExec(lk, rk, lts, rts, tb, planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(lk, rk, lts, rts, tb, outer, l, r) =>
+      AsofJoinExec(lk, rk, lts, rts, tb, outer, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -80,10 +84,12 @@ case class AsofJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     rightTieBreak: Expression,
+    outer: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
 
   // co-partition both sides on the join key (EnsureRequirements adds the
   // exchanges, or reuses compatible existing partitioning/bucketing)
@@ -115,6 +121,7 @@ case class AsofJoinExec(
     val lOutput = left.output
     val rOutput = right.output
     val outAttrs = output
+    val isOuter = outer
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOutput)
@@ -127,6 +134,8 @@ case class AsofJoinExec(
         RowOrdering.createNaturalAscendingOrdering(Seq(lTsExpr.dataType))
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight: InternalRow =
+        new GenericInternalRow(rOutput.size) // all-null, for outer misses
 
       var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
       // the one piece of merge state: latest consumed qualifying right row
@@ -135,8 +144,9 @@ case class AsofJoinExec(
 
       lIter.flatMap { lRow =>
         val lKey = lKeyProj(lRow)
-        if (lKey.anyNull) None // null keys never equi-match
-        else {
+        if (lKey.anyNull) { // null keys never equi-match
+          if (isOuter) Some(resultProj(joined(lRow, nullRight))) else None
+        } else {
           val lTsRow = lTsProj(lRow)
           var scanning = true
           while (scanning && rRow != null) {
@@ -156,6 +166,7 @@ case class AsofJoinExec(
           }
           if (candRow != null && keyOrd.compare(candKey, lKey) == 0)
             Some(resultProj(joined(lRow, candRow)))
+          else if (isOuter) Some(resultProj(joined(lRow, nullRight)))
           else None
         }
       }

@@ -106,6 +106,17 @@ class JoinsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       out shouldBe Map(1L -> 102L, 2L -> 101L, 4L -> 202L)
     }
 
+    it("outer mode keeps unmatched left rows with a null right side") {
+      import org.apache.spark.sql.Row
+      val (left, right) = semanticsFixture
+      val rows = Joins.asofJoinMerge(left, right,
+          "key", "rkey", "ts", "rts", Seq("rid"), "rid", outer = true)
+        .select("event_id", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      rows shouldBe Map(
+        1L -> Some(102L), 2L -> Some(101L), 3L -> None, 4L -> Some(202L), 5L -> None)
+    }
+
     it("agrees with the composed implementation on random adversarial data") {
       val rng = new scala.util.Random(7)
       // many collisions: few keys, coarse timestamps (ties guaranteed),
@@ -120,7 +131,7 @@ class JoinsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
           String, String, String, Seq[String], String) => org.apache.spark.sql.DataFrame) =
         f(left, right, "key", "rkey", "ts", "rts", Seq("rid", "rts"), "rid")
           .select("event_id", "rid").as[(Long, Long)].collect().toSet
-      run(Joins.asofJoinMerge) shouldBe run(Joins.asofJoin)
+      run(Joins.asofJoinMerge(_, _, _, _, _, _, _, _)) shouldBe run(Joins.asofJoin)
     }
 
     it("plans one AsofJoinExec with exchanges+sorts on both sides") {

@@ -50,4 +50,24 @@ class ParquetLayoutSpec extends AnyFunSpec with Matchers with SparkSessionTestWr
       scan2 should include("PushedFilters: [IsNotNull(score), GreaterThan(score,90)]")
     }
   }
+
+  describe("schema evolution across parquet files") {
+    it("mergeSchema unions columns; old files read the new column as null") {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+      // v1 writer: two columns
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.parquet(s"$dir/p=1")
+      // v2 writer: adds a column (the additive evolution a long-lived
+      // pipeline actually performs)
+      Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("id", "v", "score")
+        .write.parquet(s"$dir/p=2")
+
+      val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+      merged.schema.fieldNames.toSet shouldBe Set("id", "v", "score", "p")
+      val rows = merged.select("id", "score").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      rows shouldBe Map(1L -> None, 2L -> None, 3L -> Some(0.5), 4L -> Some(0.7))
+    }
+  }
 }

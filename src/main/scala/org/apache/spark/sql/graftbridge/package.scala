@@ -27,11 +27,17 @@ package object graftbridge {
   def installPlanner(
       spark: SparkSession,
       strategy: execution.SparkStrategy,
-      rule: catalyst.rules.Rule[LogicalPlan]): Unit = {
-    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+      rule: catalyst.rules.Rule[LogicalPlan],
+      function: (catalyst.FunctionIdentifier,
+        catalyst.expressions.ExpressionInfo,
+        Seq[Expression] => Expression)): Unit = {
+    val session = spark.asInstanceOf[classic.SparkSession]
+    val exp = session.experimental
     if (!exp.extraStrategies.contains(strategy))
       exp.extraStrategies = exp.extraStrategies :+ strategy
     if (!exp.extraOptimizations.contains(rule))
       exp.extraOptimizations = exp.extraOptimizations :+ rule
+    session.sessionState.functionRegistry
+      .registerFunction(function._1, function._2, function._3)
   }
 }

@@ -145,6 +145,14 @@ class JoinsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       plan should include("Sort")
     }
 
+    it("registers array_dot as a SQL function through the same install") {
+      graft.plans.GraftExtensions.install(spark)
+      val got = spark.sql(
+        "SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect()(0).getDouble(0)
+      got shouldBe 11.0
+    }
+
     it("pushes left-only filters below the join via the optimizer rule") {
       val (left, right) = semanticsFixture
       val out = Joins.asofJoinMerge(left, right,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -66,6 +66,30 @@ object AsofJoinPushdown extends Rule[LogicalPlan] with PredicateHelper {
         val pushed = a.copy(left = Filter(pushable.reduce(And), a.left))
         rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
       }
+  }
+}
+
+/** Optimizer rule: prune unused columns THROUGH the as-of join. Catalyst's
+  * ColumnPruning only narrows nodes it knows, so without this a
+  * `select(few)` over the joined frame still scans and sorts every column
+  * of both inputs. Columns required = whatever the parent references plus
+  * the join's own keys/timestamps/tie-break; anything else is cut with a
+  * Project under the node, which then folds into the file scan's
+  * ReadSchema. Fires only when it strictly narrows a side (fixed point).
+  */
+object AsofJoinPruning extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, a: AsofJoinPlan) =>
+      val required = AttributeSet(p.references.toSeq) ++
+        AttributeSet((a.leftKeys ++ a.rightKeys ++
+          Seq(a.leftTs, a.rightTs, a.rightTieBreak)).flatMap(_.references))
+      def prune(side: LogicalPlan): LogicalPlan = {
+        val keep = side.output.filter(required.contains)
+        if (keep.length < side.output.length) Project(keep, side) else side
+      }
+      val (nl, nr) = (prune(a.left), prune(a.right))
+      if (nl.eq(a.left) && nr.eq(a.right)) p
+      else p.copy(child = a.copy(left = nl, right = nr))
   }
 }
 

@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     ext.injectOptimizerRule(_ => AsofJoinPushdown)
+    ext.injectOptimizerRule(_ => AsofJoinPruning)
     ext.injectFunction(GraftExtensions.arrayDotFunction)
   }
 }
@@ -40,5 +41,5 @@ object GraftExtensions {
 
   def install(spark: SparkSession): Unit =
     org.apache.spark.sql.graftbridge.installPlanner(
-      spark, AsofJoinStrategy, AsofJoinPushdown, arrayDotFunction)
+      spark, AsofJoinStrategy, Seq(AsofJoinPushdown, AsofJoinPruning), arrayDotFunction)
 }

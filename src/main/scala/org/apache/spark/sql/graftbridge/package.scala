@@ -27,7 +27,7 @@ package object graftbridge {
   def installPlanner(
       spark: SparkSession,
       strategy: execution.SparkStrategy,
-      rule: catalyst.rules.Rule[LogicalPlan],
+      rules: Seq[catalyst.rules.Rule[LogicalPlan]],
       function: (catalyst.FunctionIdentifier,
         catalyst.expressions.ExpressionInfo,
         Seq[Expression] => Expression)): Unit = {
@@ -35,8 +35,10 @@ package object graftbridge {
     val exp = session.experimental
     if (!exp.extraStrategies.contains(strategy))
       exp.extraStrategies = exp.extraStrategies :+ strategy
-    if (!exp.extraOptimizations.contains(rule))
-      exp.extraOptimizations = exp.extraOptimizations :+ rule
+    rules.foreach { rule =>
+      if (!exp.extraOptimizations.contains(rule))
+        exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
     session.sessionState.functionRegistry
       .registerFunction(function._1, function._2, function._3)
   }

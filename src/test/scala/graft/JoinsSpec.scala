@@ -145,6 +145,27 @@ class JoinsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       plan should include("Sort")
     }
 
+    it("prunes unused left columns through the join down to the file scan") {
+      // wide left table on disk: 5 columns, only 2 survive the final select
+      val dir = java.nio.file.Files.createTempDirectory("graft-asof-prune").toString
+      import spark.implicits._
+      (1 to 100).map(i => (i.toLong, i.toLong % 5, ts(f"2024-01-01 ${i % 24}%02d:00:00"),
+          s"junk$i", i * 3.14))
+        .toDF("event_id", "key", "ts", "wide1", "wide2")
+        .write.mode("overwrite").parquet(dir)
+      val left = spark.read.parquet(dir)
+      val right = Seq((0L, 100L, ts("2024-01-01 00:00:00")))
+        .toDF("rkey", "rid", "rts")
+      val out = Joins.asofJoinMerge(left, right,
+          "key", "rkey", "ts", "rts", Seq("rid"), "rid")
+        .select("event_id", "rid")
+      out.collect() // force execution
+      val scan = out.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).find(_.contains(dir.split("/").last)).get
+      // the wide junk columns never leave the parquet reader
+      scan should include("ReadSchema: struct<event_id:bigint,key:bigint,ts:timestamp>")
+    }
+
     it("registers array_dot as a SQL function through the same install") {
       graft.plans.GraftExtensions.install(spark)
       val got = spark.sql(

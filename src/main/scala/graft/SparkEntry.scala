@@ -242,6 +242,20 @@ object SparkEntry {
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))),
 
+    // Date/time extraction family: year/quarter/month plus a
+    // Monday=0 day-of-week (both engines' raw dow conventions differ —
+    // Spark dayofweek is 1=Sunday, DuckDB isodow is 1=Monday — so the
+    // query pins an explicit convention both can compute).
+    "orders_seasonality" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          ((dayofweek(col("o_orderdate")) + 5) % 7).as("dow_mon0"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
+
     // Full grouping-sets lattice via CUBE.
     "cube_revenue" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -519,6 +533,15 @@ object SparkEntry {
            FROM events e JOIN orders o
              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
          SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM j WHERE r = 1""",
+
+    "orders_seasonality" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+         CAST(quarter(o_orderdate) AS INT) AS q,
+         CAST(month(o_orderdate) AS INT) AS m,
+         CAST(isodow(o_orderdate) - 1 AS INT) AS dow_mon0,
+         count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1, 2, 3, 4""",
 
     "cube_revenue" ->
       """SELECT l_returnflag, l_linestatus,

@@ -51,6 +51,29 @@ class ParquetLayoutSpec extends AnyFunSpec with Matchers with SparkSessionTestWr
     }
   }
 
+  describe("output file-count control") {
+    it("maxRecordsPerFile bounds file sizes; coalesce(1) compacts to one file") {
+      import spark.implicits._
+      val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+
+      val split = java.nio.file.Files.createTempDirectory("graft-split").toString
+      df.repartition(1).write.option("maxRecordsPerFile", 100)
+        .mode("overwrite").parquet(split)
+      val parts = new java.io.File(split).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      parts.length shouldBe 10 // 1000 rows / 100-per-file cap
+      parts.foreach { f =>
+        spark.read.parquet(f.getPath).count() should be <= 100L
+      }
+
+      val compact = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      df.coalesce(1).write.mode("overwrite").parquet(compact)
+      new java.io.File(compact).listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) shouldBe 1
+      spark.read.parquet(compact).count() shouldBe 1000L
+    }
+  }
+
   describe("schema evolution across parquet files") {
     it("mergeSchema unions columns; old files read the new column as null") {
       import spark.implicits._

@@ -15,6 +15,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Failures are LOUD: a throwing query is recorded under `errors` (not a
   * silent ~0 s timing) and the process exits non-zero.
+  *
+  * Cache hygiene: several operators persist() intermediate tables (signature
+  * tables reused by self-joins). A long-lived bench session accumulating one
+  * leaked cache per query per rep degrades later queries (round-2's
+  * embedding_lsh_pairs ran 70-112 s in-bench vs 2.4 s in a fresh JVM), so
+  * every rep ends with spark.catalog.clearCache().
+  *
+  * JVM health per rep (heap_mb = used heap after the rep, gc_ms = collector
+  * time spent during the rep) is emitted alongside `raw`, so an in-bench
+  * degradation is attributable from the artifact alone: rising heap_mb with
+  * ballooning gc_ms = a leak; flat heap with high wall = host noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,30 +44,43 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    def time1(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    case class Rep(sec: Double, err: Option[String], heapMb: Long, gcMs: Long)
+    def time1(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Rep = {
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(s"${e.getClass.getName}: ${e.getMessage}") }
-      ((System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // never carry cached plans into the next rep/query (see scaladoc)
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      val rt = Runtime.getRuntime
+      Rep(sec, err, (rt.totalMemory - rt.freeMemory) >> 20, gcMillis() - gc0)
     }
     val reps = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val r1 = time1(fn)
       var rs = Vector(r1)
       // extra reps only where an earlier pass may have hit a noise episode
-      if (r1._2.isEmpty && r1._1 > 1.0) rs :+= time1(fn)
-      if (rs.forall(_._2.isEmpty) && rs.map(_._1).min > 5.0) rs :+= time1(fn)
+      if (r1.err.isEmpty && r1.sec > 1.0) rs :+= time1(fn)
+      if (rs.forall(_.err.isEmpty) && rs.map(_.sec).min > 5.0) rs :+= time1(fn)
       name -> rs
     }
-    val errors = reps.collect { case (n, rs) if rs.exists(_._2.isDefined) =>
-      n -> rs.flatMap(_._2).head }
-    val best = reps.map { case (n, rs) => n -> rs.map(_._1).min }
+    val errors = reps.collect { case (n, rs) if rs.exists(_.err.isDefined) =>
+      n -> rs.flatMap(_.err).head }
+    val best = reps.map { case (n, rs) => n -> rs.map(_.sec).min }
     val qs = best.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val raw = reps.map { case (k, rs) =>
-      jstr(k) + ":" + rs.map(_._1).mkString("[", ",", "]") }.mkString("{", ",", "}")
+      jstr(k) + ":" + rs.map(_.sec).mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val heap = reps.map { case (k, rs) =>
+      jstr(k) + ":" + rs.map(_.heapMb).mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val gc = reps.map { case (k, rs) =>
+      jstr(k) + ":" + rs.map(_.gcMs).mkString("[", ",", "]") }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, e) => jstr(k) + ":" + jstr(e) }.mkString("{", ",", "}")
     val total = best.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"heap_mb":$heap,"gc_ms":$gc,"errors":$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] failed queries: ${errors.map(_._1).mkString(", ")}")

@@ -27,7 +27,9 @@ object Diag {
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache() // same per-rep hygiene as Bench
+          t
         }
         println(f"$name%-28s ${times.map(t => f"$t%7.2f").mkString(" ")}")
       }

@@ -326,7 +326,13 @@ object SparkEntry {
 
     // ---- similarity search (north star) over `embeddings` ----------------
     "embedding_neardup" -> ((s, dir) => VectorOps.cosineNearDupPairs(Tables.embeddings(s, dir))),
-    "embedding_lsh_pairs" -> ((s, dir) => VectorOps.lshNearDupPairs(Tables.embeddings(s, dir))),
+    // LSH at a REAL near-dup threshold (cos >= 0.85, 8 bands x 12 bits,
+    // ~250x candidate pruning). The synthetic embeddings are near-isotropic
+    // (max pairwise cos ~0.6), so the corpus is augmented with deterministic
+    // planted copies (exact +-1/64 component nudges, oracle-replayable) —
+    // otherwise a realistic threshold would have nothing to find.
+    "embedding_lsh_pairs" -> ((s, dir) =>
+      VectorOps.lshNearDupPairsVec(VectorOps.plantedCorpus(Tables.embeddings(s, dir)))),
     "ann_brute_topk" -> ((s, dir) => VectorOps.bruteForceTopK(Tables.embeddings(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir))),
     "ann_ivf_topk_np2" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir), nprobe = 2)),

@@ -25,6 +25,9 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        // drop any plan the query persist()ed — a 60-query session must not
+        // accumulate leaked caches (same hygiene as Bench)
+        spark.catalog.clearCache()
         None
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")

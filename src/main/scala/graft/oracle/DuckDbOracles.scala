@@ -219,30 +219,46 @@ object DuckDbOracles {
        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
        |WHERE cos >= $threshold""".stripMargin
 
-  /** Random-hyperplane LSH twin: the ±1 plane components come from the SAME
-    * VectorOps.lshSigns array rendered as literal DOUBLE[] lists, so the
-    * signature bits (and therefore the candidate set) cannot drift between
-    * engines. round(·, 6) before the sign test absorbs accumulation-order
-    * ulps in the two engines' dot products.
+  /** Random-hyperplane LSH twin over the planted-near-dup corpus: the ±1
+    * plane components come from the SAME VectorOps.lshSigns array rendered
+    * as literal DOUBLE[] lists, so the band values (and therefore the
+    * candidate set) cannot drift between engines. round(·, 6) before the
+    * sign test absorbs accumulation-order ulps in the two engines' dot
+    * products. The planted copies (VectorOps.plantedCorpus) nudge every
+    * 20th vector by ±1/64 per component — a power of two, so `v[i] ± delta`
+    * is EXACT double arithmetic on both sides. Each 12-bit band value is
+    * computed directly (96 signature bits exceed one BIGINT).
     */
-  def embeddingLshPairs(threshold: Double = 0.35): String = {
+  def embeddingLshPairs(
+      threshold: Double = 0.85,
+      every: Int = 20,
+      delta: String = "0.015625",
+      idOffset: Long = 1000000L): String = {
     import graft.ops.VectorOps
-    val sigExpr = VectorOps.lshSigns.zipWithIndex.map { case (plane, j) =>
-      val arr = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-      s"CASE WHEN round(list_dot_product(v, CAST($arr AS DOUBLE[])), 6) >= 0 THEN ${1L << j} ELSE 0 END"
+    def bvExpr(j: Int): String = (0 until VectorOps.LshRows).map { r =>
+      val arr = VectorOps.lshSigns(j * VectorOps.LshRows + r)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"CASE WHEN round(list_dot_product(v, CAST($arr AS DOUBLE[])), 6) >= 0 THEN ${1L << r} ELSE 0 END"
     }.mkString("\n    + ")
-    val mask = (1L << VectorOps.LshRows) - 1
+    val bandSelects = (0 until VectorOps.LshBands).map { j =>
+      s"SELECT vec_id, $j AS band, CAST(${bvExpr(j)} AS BIGINT) AS bv FROM aug"
+    }.mkString("\n  UNION ALL ")
     s"""WITH $embCte,
-       |sig AS (SELECT vec_id, v, CAST($sigExpr AS BIGINT) AS sig FROM e),
-       |banded AS (SELECT vec_id, j.band AS band,
-       |    (sig >> (${VectorOps.LshRows} * j.band)) & $mask AS bv
-       |  FROM sig, (SELECT unnest(range(0, ${VectorOps.LshBands})) AS band) j),
+       |aug AS (SELECT vec_id, v FROM e
+       |  UNION ALL
+       |  SELECT vec_id + $idOffset AS vec_id,
+       |    list_transform(range(1, 65), i -> v[i] +
+       |      CASE WHEN (vec_id + i - 1) % 2 = 0 THEN $delta ELSE -$delta END) AS v
+       |  FROM e WHERE vec_id % $every = 0),
+       |banded AS (
+       |  $bandSelects
+       |),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cos FROM (
        |  SELECT vec_a, vec_b, round(${cosSql("sa.v", "sb.v")}, 6) AS cos
-       |  FROM cand JOIN sig sa ON vec_a = sa.vec_id JOIN sig sb ON vec_b = sb.vec_id)
+       |  FROM cand JOIN aug sa ON vec_a = sa.vec_id JOIN aug sb ON vec_b = sb.vec_id)
        |WHERE cos >= $threshold""".stripMargin
   }
 

@@ -109,27 +109,40 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     }
   }
 
-  describe("lshNearDupPairs") {
-    it("reaches recall >= 0.9 vs brute-force pairs at sf0.01 with precision 1.0") {
+  describe("lshNearDupPairs at a real near-dup threshold") {
+    it("recovers planted near-dups with recall >= 0.9, precision 1.0, and actually prunes") {
       val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val corpus = VectorOps.plantedCorpus(emb) // 500 vectors + 25 cos~0.99 copies
       def pairSet(d: org.apache.spark.sql.DataFrame) =
         d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val brute = pairSet(VectorOps.cosineNearDupPairs(emb))
-      val lsh = pairSet(VectorOps.lshNearDupPairs(emb))
+      val truth = pairSet(VectorOps.cosineNearDupPairsVec(corpus, 0.85))
+      truth.size should be >= 20 // the planting itself worked
+      val lsh = pairSet(VectorOps.lshNearDupPairsVec(corpus, 0.85))
       // exact cosine filter on candidates → no false positives by construction
-      (lsh -- brute) shouldBe empty
-      val recall = lsh.size.toDouble / brute.size
-      info(f"recall = ${lsh.size}/${brute.size} = $recall%.3f")
+      (lsh -- truth) shouldBe empty
+      val recall = lsh.size.toDouble / truth.size
+      info(f"recall = ${lsh.size}/${truth.size} = $recall%.3f")
       recall should be >= 0.9
+      // THE round-3 property: the banded candidate set must be a small
+      // fraction of the n²/2 all-pairs space (round 2's 12×3 geometry at
+      // threshold 0.35 generated ~1.5·n² candidates — worse than brute force)
+      val n = corpus.count()
+      val banded = VectorOps.lshBands(corpus)
+      val nCand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+      val allPairs = n * (n - 1) / 2
+      info(f"candidates = $nCand / $allPairs all-pairs = ${nCand.toDouble / allPairs}%.4f")
+      nCand.toDouble / allPairs should be <= 0.02
     }
   }
 
   describe("bucketed LSH signature table") {
     it("generates candidates with zero shuffle when the band table is bucketed") {
       val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
-      val banded = VectorOps.lshBands(
-        emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("sig", VectorOps.hyperplaneSignature(col("v")))).select("vec_id", "band", "bv")
+      val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val banded = VectorOps.lshBands(corpus)
       spark.sql("DROP TABLE IF EXISTS graft_lsh_sig")
       banded.write.bucketBy(8, "band", "bv").sortBy("band", "bv")
         .saveAsTable("graft_lsh_sig")
@@ -149,9 +162,7 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
         // not the banded corpus
         plan should not include "Exchange hashpartitioning(band"
         // bucketed path produces the same candidate set as the shuffled one
-        val inline = VectorOps.lshBands(
-          emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-            .withColumn("sig", VectorOps.hyperplaneSignature(col("v"))))
+        val inline = VectorOps.lshBands(corpus)
         val expect = inline.as("a").join(inline.as("b"),
             col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
             col("a.vec_id") < col("b.vec_id"))

@@ -137,7 +137,11 @@ object SparkEntry {
     "asof_join_merge" -> ((s, dir) =>
       graft.ops.Joins.asofJoinMerge(
         Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
-        Tables.orders(s, dir),
+        // o_orderdate is parquet TIMESTAMP_NTZ; the merge operator requires
+        // identical ts types (it compares raw internal values), so the cast
+        // is explicit here — the visible-cast contract the operator enforces
+        Tables.orders(s, dir)
+          .withColumn("o_orderdate", col("o_orderdate").cast("timestamp")),
         leftKey = "user_id", rightKey = "o_custkey",
         leftTs = "ts", rightTs = "o_orderdate",
         rightVals = Seq("o_orderkey", "o_orderdate"),
@@ -227,13 +231,21 @@ object SparkEntry {
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.75)"), 6).as("p75"))),
 
-    // HLL++ cardinality sketch (rows-only: sketch internals are
-    // engine-specific; accuracy vs exact is spec-tested in SketchSpec).
+    // HLL++ cardinality sketch with a driver-checkable contract: the raw
+    // sketch estimate is engine-specific (DuckDB cannot replay Spark's
+    // HLL++), so the emitted columns are the EXACT distinct count plus a
+    // boolean asserting the sketch landed within its 5% relative-error
+    // budget — the oracle computes the exact side and emits TRUE, so an
+    // out-of-bound sketch hash-mismatches instead of going unchecked.
+    // Absolute sketch accuracy curves live in SketchSpec.
     "approx_distinct_users" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          count(lit(1)).as("n"))),
+        .agg(approx_count_distinct(col("user_id")).as("approx"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("approx") - col("n_users")).cast("double") / col("n_users")
+            <= 0.05).as("approx_within_5pct"))),
 
     // Hierarchical totals via ROLLUP (grouping-sets family).
     "rollup_revenue" -> ((s, dir) =>
@@ -485,10 +497,12 @@ object SparkEntry {
            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
          FROM events""",
 
+    // the unnest bound derives from the longest document — a literal cap
+    // would silently drop bigrams if a larger sf ships longer docs
     "top_bigrams" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          bg AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram
-                FROM t, (SELECT unnest(range(1, 2000)) AS i) r
+                FROM t, (SELECT unnest(range(1, (SELECT max(len(toks)) FROM t))) AS i) r
                 WHERE i < len(toks))
          SELECT bigram, count(*) AS n FROM bg GROUP BY 1
          ORDER BY n DESC, bigram ASC LIMIT 20""",
@@ -522,8 +536,12 @@ object SparkEntry {
          round(quantile_cont(value, 0.75), 6) AS p75
          FROM events GROUP BY 1""",
 
-    // "approx_distinct_users" intentionally omitted: HLL sketch values are
-    // engine-specific; driver records rows-only, accuracy covered by spec.
+    // the exact side of the sketch contract; TRUE mirrors the Spark-side
+    // within-budget assertion, so a sketch outside its 5% rsd hash-fails
+    "approx_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+         TRUE AS approx_within_5pct
+         FROM events GROUP BY 1""",
 
     "rollup_revenue" ->
       """SELECT l_returnflag, l_linestatus,

@@ -109,11 +109,22 @@ object Joins {
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column '$name' in ${p.output.map(_.name)}"))
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (lt, rt) = (attr(lPlan, leftTs), attr(rPlan, rightTs))
+    // The merge exec compares RAW internal values with orderings built from
+    // the LEFT side's types (AsofJoinExec keyOrd/tsOrd); a plausible-looking
+    // mismatch — DateType days-int vs TimestampType micros-long, int vs
+    // bigint keys — would silently return wrong matches, so reject it here
+    // (callers cast explicitly, keeping the cast visible in THEIR plan).
+    require(lk.dataType == rk.dataType,
+      s"as-of join key types differ: $leftKey is ${lk.dataType}, $rightKey is ${rk.dataType}; cast one side explicitly")
+    require(lt.dataType == rt.dataType,
+      s"as-of join timestamp types differ: $leftTs is ${lt.dataType}, $rightTs is ${rt.dataType}; cast one side explicitly")
     val node = graft.plans.AsofJoinPlan(
-      leftKeys = Seq(attr(lPlan, leftKey)),
-      rightKeys = Seq(attr(rPlan, rightKey)),
-      leftTs = attr(lPlan, leftTs),
-      rightTs = attr(rPlan, rightTs),
+      leftKeys = Seq(lk),
+      rightKeys = Seq(rk),
+      leftTs = lt,
+      rightTs = rt,
       rightTieBreak = attr(rPlan, rightTieBreak),
       outer = outer,
       left = lPlan,

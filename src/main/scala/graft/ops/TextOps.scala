@@ -125,11 +125,16 @@ object TextOps {
     * chars-per-token compression ratio. Narrow, codegen'd, no shuffle.
     */
   def subwordStats(docs: DataFrame): DataFrame =
+    // child projection materializes the regex count once; nullif keeps the
+    // empty-text ratio NULL by the same rule in both engines (raw x/0 is a
+    // cross-engine divergence: Spark NULL vs DuckDB inf)
     docs.select(
-      col("doc_id"),
-      regexp_count(col("text"), lit(bpePattern)).as("n_subtokens"),
-      round(length(col("text")).cast("double") /
-        regexp_count(col("text"), lit(bpePattern)).cast("double"), 6).as("chars_per_token"))
+        col("doc_id"), length(col("text")).as("n_chars"),
+        regexp_count(col("text"), lit(bpePattern)).as("n_subtokens"))
+      .select(
+        col("doc_id"), col("n_subtokens"),
+        round(col("n_chars").cast("double") /
+          nullif(col("n_subtokens"), lit(0)).cast("double"), 6).as("chars_per_token"))
 
   /** Canonical text form for near-exact dedup (the C4-style normalization
     * pass): lowercase, strip punctuation, collapse whitespace runs. Exact

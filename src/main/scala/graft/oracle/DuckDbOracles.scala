@@ -67,7 +67,7 @@ object DuckDbOracles {
     // quote needs doubling
     val p = TextOps.bpePattern.replace("'", "''")
     s"""SELECT doc_id, len(regexp_extract_all(text, '$p')) AS n_subtokens,
-       |  round(CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '$p')), 6) AS chars_per_token
+       |  round(CAST(length(text) AS DOUBLE) / nullif(len(regexp_extract_all(text, '$p')), 0), 6) AS chars_per_token
        |FROM documents""".stripMargin
   }
 
@@ -433,14 +433,14 @@ object DuckDbOracles {
        |  FROM u GROUP BY 1)
        |SELECT m.media_id, m.media_type, CAST(m.n AS INT) AS n_bytes,
        |  round(CAST(m.n AS DOUBLE), 6) AS f0,
-       |  round(CAST(s AS DOUBLE) / m.n, 6) AS f1,
-       |  round(CAST(s2 AS DOUBLE) / m.n - (CAST(s AS DOUBLE) / m.n) * (CAST(s AS DOUBLE) / m.n), 6) AS f2,
-       |  round(CAST(mn AS DOUBLE), 6) AS f3,
-       |  round(CAST(mx AS DOUBLE), 6) AS f4,
-       |  round(CAST(ord(substr(m.text, 1, 1)) AS DOUBLE), 6) AS f5,
-       |  round(CAST(ord(substr(m.text, m.n, 1)) AS DOUBLE), 6) AS f6,
-       |  round(CAST(ord(substr(m.text, CAST(m.n // 2 AS INT) + 1, 1)) AS DOUBLE), 6) AS f7
-       |FROM m JOIN agg ON m.media_id = agg.media_id""".stripMargin
+       |  CASE WHEN m.n = 0 THEN 0.0 ELSE round(CAST(s AS DOUBLE) / m.n, 6) END AS f1,
+       |  CASE WHEN m.n = 0 THEN 0.0 ELSE round(CAST(s2 AS DOUBLE) / m.n - (CAST(s AS DOUBLE) / m.n) * (CAST(s AS DOUBLE) / m.n), 6) END AS f2,
+       |  CASE WHEN m.n = 0 THEN 0.0 ELSE round(CAST(mn AS DOUBLE), 6) END AS f3,
+       |  CASE WHEN m.n = 0 THEN 0.0 ELSE round(CAST(mx AS DOUBLE), 6) END AS f4,
+       |  CASE WHEN m.n = 0 THEN 0.0 ELSE round(CAST(ord(substr(m.text, 1, 1)) AS DOUBLE), 6) END AS f5,
+       |  CASE WHEN m.n = 0 THEN 0.0 ELSE round(CAST(ord(substr(m.text, m.n, 1)) AS DOUBLE), 6) END AS f6,
+       |  CASE WHEN m.n = 0 THEN 0.0 ELSE round(CAST(ord(substr(m.text, CAST(m.n // 2 AS INT) + 1, 1)) AS DOUBLE), 6) END AS f7
+       |FROM m LEFT JOIN agg ON m.media_id = agg.media_id""".stripMargin
 
   val mediaFrameSample: String =
     s"""SELECT doc_id AS media_id, CAST(j.frame_idx AS INTEGER) AS frame_idx,

@@ -60,7 +60,20 @@ object Sessionize {
           } else {
             // fold this micro-batch's events (sorted: micro-batch iterators
             // carry no order guarantee) into the running accumulator,
-            // closing sessions on gap/cap boundaries as they appear
+            // closing sessions on gap/cap boundaries as they appear.
+            //
+            // Cross-batch ordering caveat (streaming only): sorting is
+            // per-micro-batch, so a late-but-within-watermark event that
+            // belongs BEFORE the stored accumulator's events is folded as
+            // if it arrived in order — it can extend lastMs but never move
+            // session_start backward, and its gap check runs against the
+            // stored lastMs rather than its true predecessor. This is the
+            // standard approximation of single-pass streaming
+            // sessionization; exact order-independence would require
+            // buffering every open session's events until the watermark
+            // passes. Batch mode sees each user's full history in one
+            // sorted group, so batch results (and the recursive-CTE oracle)
+            // are exact.
             val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
             var acc = state.getOption.orNull
             rows.toSeq.sortBy(_.ts.getTime).foreach { e =>

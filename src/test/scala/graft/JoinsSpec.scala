@@ -174,6 +174,23 @@ class JoinsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       got shouldBe 11.0
     }
 
+    it("rejects mismatched key or timestamp types instead of merging raw values") {
+      val (left, right) = semanticsFixture
+      // int key vs the right's bigint key: raw internal comparison would be
+      // silently wrong, so construction must throw
+      val badKey = left.withColumn("key", $"key".cast("int"))
+      an[IllegalArgumentException] should be thrownBy
+        Joins.asofJoinMerge(badKey, right, "key", "rkey", "ts", "rts", Seq("rid"), "rid")
+      // date ts vs the right's timestamp ts: days-int vs micros-long
+      val badTs = left.withColumn("ts", $"ts".cast("date"))
+      an[IllegalArgumentException] should be thrownBy
+        Joins.asofJoinMerge(badTs, right, "key", "rkey", "ts", "rts", Seq("rid"), "rid")
+      // an explicit caller-side cast back to the right's type restores it
+      Joins.asofJoinMerge(
+        badKey.withColumn("key", $"key".cast("bigint")), right,
+        "key", "rkey", "ts", "rts", Seq("rid"), "rid").count() should be > 0L
+    }
+
     it("pushes left-only filters below the join via the optimizer rule") {
       val (left, right) = semanticsFixture
       val out = Joins.asofJoinMerge(left, right,

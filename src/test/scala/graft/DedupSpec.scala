@@ -83,6 +83,42 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       Dedup.incrementalDedup(batch, history)
         .collect().map(_.getLong(0)).toSet shouldBe Set(20L, 21L)
     }
+
+    it("probes a bucketBy-persisted history table without exchanging history") {
+      import org.apache.spark.sql.functions.col
+      // the 100 TB ingest layout: history bands live in a table bucketed by
+      // the probe key, so each arriving batch shuffles only ITSELF — the
+      // (huge) history side is read pre-partitioned, no exchange
+      val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.01")
+      val hist = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+      val histBands = Dedup.minhashBands(Dedup.minhashSignatures(hist))
+      spark.sql("DROP TABLE IF EXISTS graft_dedup_hist")
+      histBands.write.bucketBy(8, "band", "bh").sortBy("band", "bh")
+        .saveAsTable("graft_dedup_hist")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val newBands = Dedup.minhashBands(Dedup.minhashSignatures(batch))
+        // count via the rendered tree: the AQE wrapper hides children from
+        // plan.collect but prints the full inner plan
+        def probeExchanges(history: org.apache.spark.sql.DataFrame): Int =
+          "Exchange hashpartitioning\\(band".r.findAllIn(
+            newBands.join(history, Seq("band", "bh"), "left_semi")
+              .queryExecution.executedPlan.toString).size
+        // bucketed history: only the new batch shuffles; inline history
+        // (no bucketing) needs an exchange on BOTH sides
+        probeExchanges(spark.table("graft_dedup_hist")) shouldBe 1
+        probeExchanges(histBands) shouldBe 2
+        // and the full incremental path over the bucketed table agrees with
+        // the inline-history path
+        val viaTable = Dedup.incrementalDedup(batch, spark.table("graft_dedup_hist"))
+          .collect().map(_.getLong(0)).toSet
+        val inline = Dedup.incrementalDedup(batch, histBands)
+          .collect().map(_.getLong(0)).toSet
+        viaTable shouldBe inline
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
   }
 
   describe("fingerprintJaccardPairs") {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.{ActivityOps, Dedup, Multimodal, Relational, TextOps, VectorOps}
+import graft.ops.{ActivityOps, Dedup, Multimodal, Relational, Sampling, TextOps, VectorOps}
 import graft.oracle.DuckDbOracles
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -313,11 +313,23 @@ object SparkEntry {
     "dedup_normalized" -> ((s, dir) => TextOps.normalizedDedup(Tables.documents(s, dir))),
     "text_scrub_pii" -> ((s, dir) => TextOps.scrubPii(Tables.documents(s, dir))),
     "pack_training_shards" -> ((s, dir) => TextOps.packShards(Tables.documents(s, dir))),
+    // Deterministic hash-based stratified sampling + train/val split: the
+    // reproducible-subset op a training pipeline runs before tokenization.
+    "stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
+    // Gopher-style intra-doc repetition signals (dup-bigram / top-bigram
+    // fractions + threshold flag).
+    "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.documents(s, dir))),
     "minhash_signatures" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
     "minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "simhash_docs" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) => Dedup.fingerprintJaccardPairs(Tables.documents(s, dir))),
+
+    // Transitive near-dup clustering: bounded min-label propagation over
+    // the LSH pair graph — one representative per connected component
+    // (pairwise keep-lowest would over-keep on chains A~B~C).
+    "dedup_components" -> ((s, dir) =>
+      Dedup.nearDupComponents(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
 
     // Dedup applied end-to-end: survivors = docs never appearing as the
     // higher id of a MinHash-LSH near-dup pair (greedy keep-lowest policy).
@@ -335,6 +347,9 @@ object SparkEntry {
         size(col("embedding")).as("dim"),
         round(sqrt(graft.functions.ArrayDotProduct.dot(col("embedding"), col("embedding"))), 6)
           .as("l2_norm"))),
+
+    // Symmetric int8 quantization summarized to hash-comparable scalars.
+    "embedding_quantize" -> ((s, dir) => VectorOps.quantizeStats(Tables.embeddings(s, dir))),
 
     // ---- similarity search (north star) over `embeddings` ----------------
     "embedding_neardup" -> ((s, dir) => VectorOps.cosineNearDupPairs(Tables.embeddings(s, dir))),
@@ -644,6 +659,10 @@ object SparkEntry {
     "text_scrub_pii" -> DuckDbOracles.textScrubPii,
     "pack_training_shards" -> DuckDbOracles.packShards,
     "custom_sessions" -> DuckDbOracles.customSessions(SessionGapMs, SessionCapMs),
+    "stratified_sample" -> DuckDbOracles.stratifiedSample,
+    "text_repetition" -> DuckDbOracles.textRepetition(),
+    "dedup_components" -> DuckDbOracles.dedupComponents(),
+    "embedding_quantize" -> DuckDbOracles.embeddingQuantize,
     "minhash_signatures" -> DuckDbOracles.minhashSignatures,
     "minhash_lsh_pairs" -> DuckDbOracles.minhashLshPairs,
     "dedup_apply_minhash" -> DuckDbOracles.dedupApplyMinhash,

@@ -196,6 +196,45 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup clustering: iterated min-label propagation over the candidate
+    * pair graph, so transitive duplicate chains (A~B, B~C) collapse to ONE
+    * surviving representative per connected component — pairwise keep-lowest
+    * dedup would keep C when only (A,B),(B,C) paired. `iters` bounds the
+    * propagated hop distance (labels converge once iters ≥ the distance
+    * from each node to its component's minimum; near-dup components are
+    * shallow in practice — SemDeDup and the Gopher dedup pipeline run the
+    * same bounded-iteration CC). Deterministic: every step is a min over an
+    * equi-join, and the fixed iteration count lets the DuckDB oracle unroll
+    * the loop into chained CTEs exactly like the k-means oracle.
+    *
+    * Scale: per iteration one equi-join (edges ⋈ labels on dst) + one
+    * min-aggregate on src — alternating-star optimizations exist for
+    * adversarially deep graphs, but each step here is plain hash-join +
+    * partial-agg, shuffling only the (small) pair graph, never the corpus.
+    * The edge list is persisted once (cache lifetime belongs to the caller,
+    * as everywhere in graft): deriving it re-runs the LSH pipeline, and the
+    * loop reads it 2×iters times.
+    */
+  def nearDupComponents(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id"))
+    for (_ <- 0 until iters) {
+      val nmin = edges
+        .join(labels.select(col("doc_id").as("nbr"), col("rep").as("nrep")),
+          col("dst") === col("nbr"))
+        .groupBy(col("src")).agg(min(col("nrep")).as("nmin"))
+      labels = labels
+        .join(nmin, labels("doc_id") === nmin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+    }
+    labels
+  }
+
   /** Exact Jaccard over winnowed fingerprint sets (TextOps.fingerprints):
     * candidates = docs sharing ≥1 fingerprint hash (equi-join, no n²);
     * J = |A∩B| / |A∪B| computed from exact set sizes.

@@ -210,4 +210,39 @@ object TextOps {
       .select(col("doc_id"), hash("fp", col("shingle")).as("fp_hash"))
       .filter(col("fp_hash") % 8 === 0)
       .distinct()
+
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021 §A1.1):
+    * over the document's bigram MULTISET, the duplicate fraction
+    * (1 − distinct/total) and the top-bigram share — the two filters that
+    * catch boilerplate loops and keyword-stuffed spam that dedup across
+    * documents cannot see. `repetitive` flags docs breaching either
+    * threshold on the ROUNDED fractions (so the flag is bit-stable across
+    * engines). Docs with <2 tokens have no bigrams and drop out, matching
+    * the oracle's derivation. Two hash aggregations over exploded bigrams —
+    * partial aggregation runs map-side, so the exchange carries one row per
+    * (doc, distinct-bigram), not per token.
+    */
+  def repetitionStats(
+      docs: DataFrame,
+      dupFracMax: Double = 0.2,
+      topFracMax: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("tok"), lead(col("tok"), 1).over(w).as("tok1"))
+      .filter(col("tok1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("tok1")).as("bigram"))
+    bigrams
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("mx"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("dup_frac"),
+        round(col("mx").cast("double") / col("n_bigrams").cast("double"), 6).as("top_frac"))
+      .withColumn("repetitive",
+        col("dup_frac") > dupFracMax || col("top_frac") > topFracMax)
+  }
 }

@@ -188,6 +188,30 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), cos.as("cos"))
   }
 
+  /** Symmetric per-vector int8 quantization, summarized to scalar columns:
+    * scale = 127/max|v_i| (safe: the corpus is unit-norm, amax > 0), each
+    * component q_i = round(v_i · scale) ∈ [-127, 127]. The pipeline step
+    * that shrinks an embedding store 4× before ANN serving; emitting the
+    * quantized vector's (min, max, sum, L1) instead of the raw int array
+    * keeps the result hash-comparable across engines without array-encoding
+    * ambiguity while still pinning every q_i (sum + L1 over known bounds
+    * leave no slack for a single flipped component to hide). Narrow
+    * projection, no shuffle; the higher-order transforms run interpreted
+    * but touch each row once.
+    */
+  def quantizeStats(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        array_max(transform(col("v"), x => abs(x))).as("amax"))
+      .select(col("vec_id"),
+        round(lit(127.0) / col("amax"), 6).as("scale"),
+        transform(col("v"), x => round(x * (lit(127.0) / col("amax"))).cast("int")).as("q"))
+      .select(col("vec_id"), col("scale"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"))
+
   /** Deterministic query subset: every 100th vector. */
   def querySet(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") % 100 === 0)

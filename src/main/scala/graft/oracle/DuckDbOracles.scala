@@ -1,6 +1,6 @@
 package graft.oracle
 
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Dedup, Sampling, TextOps}
 
 /** DuckDB oracle SQL for every hash-checkable north-star query, GENERATED
   * from the same Scala constants the Spark operators use (seeds, band
@@ -106,6 +106,57 @@ object DuckDbOracles {
        |SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
        |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 1000) AS BIGINT) AS bin
        |FROM c""".stripMargin
+
+  /** Twin of Sampling.stratifiedSample — ppm rates and the val share come
+    * from the same Scala constants; decisions are pure integer arithmetic
+    * over the md5 bridge, so both engines keep exactly the same documents.
+    */
+  val stratifiedSample: String = {
+    val ppmCase = Sampling.DefaultRatesPpm
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, lang, source,
+       |  CASE WHEN ${h("split", "CAST(doc_id AS VARCHAR)")} % 1000 < ${Sampling.ValPerMille}
+       |       THEN 'val' ELSE 'train' END AS split
+       |FROM documents
+       |WHERE ${h("samp", "CAST(doc_id AS VARCHAR)")} % 1000000
+       |  < (CASE $ppmCase ELSE ${Sampling.DefaultPpm} END)""".stripMargin
+  }
+
+  /** Twin of TextOps.repetitionStats; the repetitive flag compares the
+    * ROUNDED fractions on both sides (bit-stable across engines).
+    */
+  def textRepetition(dupFracMax: Double = 0.2, topFracMax: Double = 0.1): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+       |       FROM t, (SELECT unnest(range(1, (SELECT max(len(toks)) FROM t))) AS i) r
+       |       WHERE i < len(toks)),
+       |c AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams, count(*) AS n_distinct,
+       |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_frac,
+       |  round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS top_frac,
+       |  (round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) > $dupFracMax
+       |   OR round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) > $topFracMax) AS repetitive
+       |FROM c GROUP BY 1""".stripMargin
+
+  /** Twin of Dedup.nearDupComponents: the bounded min-label-propagation loop
+    * unrolls into chained CTEs (same technique as the k-means oracle) over
+    * the MinHash-LSH pair set.
+    */
+  def dedupComponents(iters: Int = 3): String = {
+    val iterCtes = (1 to iters).map { n =>
+      s"""l$n AS (SELECT l.doc_id, least(l.rep, coalesce(m.nmin, l.rep)) AS rep
+         |  FROM l${n - 1} l LEFT JOIN (
+         |    SELECT e.src, min(x.rep) AS nmin
+         |    FROM edges e JOIN l${n - 1} x ON e.dst = x.doc_id GROUP BY 1
+         |  ) m ON l.doc_id = m.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($minhashLshPairs) p),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS doc_id, src AS rep FROM edges),
+       |$iterCtes
+       |SELECT doc_id, rep FROM l$iters""".stripMargin
+  }
 
   val dedupExactDocs: String =
     """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_copies
@@ -261,6 +312,20 @@ object DuckDbOracles {
        |  FROM cand JOIN aug sa ON vec_a = sa.vec_id JOIN aug sb ON vec_b = sb.vec_id)
        |WHERE cos >= $threshold""".stripMargin
   }
+
+  /** Twin of VectorOps.quantizeStats: identical double arithmetic
+    * (127/amax, component-wise round-half-away), integer summaries.
+    */
+  val embeddingQuantize: String =
+    s"""WITH $embCte,
+       |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+       |q AS (SELECT vec_id, round(127.0 / amax, 6) AS scale,
+       |       list_transform(v, x -> CAST(round(x * (127.0 / amax)) AS INT)) AS qv FROM a)
+       |SELECT vec_id, scale,
+       |  list_min(qv) AS q_min, list_max(qv) AS q_max,
+       |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+       |FROM q""".stripMargin
 
   def annBruteTopK(k: Int = 10): String =
     s"""WITH $embCte,

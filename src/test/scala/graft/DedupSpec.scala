@@ -121,6 +121,31 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("nearDupComponents") {
+    it("collapses transitive chains to the component minimum") {
+      import spark.implicits._
+      // chain 1~2~3 plus island 7~9: pairwise keep-lowest would keep 3
+      // (never a doc_b of a *surviving* doc) — CC reps must say otherwise
+      val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+      val reps = Dedup.nearDupComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      reps shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    }
+
+    it("propagates one hop per iteration") {
+      import spark.implicits._
+      val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+      // node 5 is 4 hops from the minimum: 3 iterations leave it unconverged...
+      val r3 = Dedup.nearDupComponents(chain, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      r3(5L) shouldBe 2L
+      // ...4 reach it (bounded-iteration contract, not a convergence claim)
+      val r4 = Dedup.nearDupComponents(chain, iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      r4.values.toSet shouldBe Set(1L)
+    }
+  }
+
   describe("fingerprintJaccardPairs") {
     it("reports high jaccard for near-dups only") {
       val pairs = Dedup.fingerprintJaccardPairs(

@@ -40,6 +40,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // planted near-dup copies use transform() on the every-20th slice —
     // interpreted on 5% of rows by design (exact ±1/64 double nudges)
     "embedding_lsh_pairs" -> Set("codegen-fallback"),
+    // per-vector higher-order transform/aggregate for int8 quantization —
+    // one interpreted pass per row, narrow projection, no shuffle
+    "embedding_quantize" -> Set("codegen-fallback"),
     // intrinsically interpreted built-ins: the expression class itself is
     // CodegenFallback in Spark, there is no codegen'd alternative
     "json_pipeline" -> Set("codegen-fallback"),   // from_json

@@ -76,6 +76,24 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("repetitionStats") {
+    it("flags looping/stuffed docs, passes diverse ones, drops 1-token docs") {
+      val rows = TextOps.repetitionStats(docsDf(Seq(
+          1L -> "spam spam spam spam spam",  // one bigram repeated 4×
+          2L -> "the quick brown fox jumps", // all bigrams distinct
+          3L -> "single")))                  // no bigram → no row
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+      rows.keySet shouldBe Set(1L, 2L)
+      rows(1L) shouldBe ((4L, 1L, 0.75, 1.0, true))
+      rows(2L) shouldBe ((4L, 4L, 0.0, 0.25, true)) // top_frac 0.25 > 0.1
+      // a long diverse doc sits under both thresholds
+      val clean = (1 to 50).map(i => s"w$i").mkString(" ")
+      val r = TextOps.repetitionStats(docsDf(Seq(9L -> clean))).collect()(0)
+      r.getBoolean(5) shouldBe false
+    }
+  }
+
   describe("fingerprints") {
     it("is deterministic and winnows to ≈1/8 of shingle hashes") {
       val doc = (1 to 200).map(i => s"w$i").mkString(" ")

@@ -175,6 +175,18 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     }
   }
 
+  describe("quantizeStats") {
+    it("computes int8 scale and summaries on a known vector") {
+      // amax = 1.0 → scale 127; q = [127, round(-63.5)=-64 (half away from
+      // zero), round(31.75)=32, 0]
+      val df = embDf(Seq((1L, Seq(1.0f, -0.5f, 0.25f, 0.0f), 0)))
+      val r = VectorOps.quantizeStats(df).collect()(0)
+      r.getDouble(1) shouldBe 127.0
+      (r.getInt(2), r.getInt(3)) shouldBe ((-64, 127))
+      (r.getLong(4), r.getLong(5)) shouldBe ((95L, 223L))
+    }
+  }
+
   describe("cosineNearDupPairs") {
     it("finds only pairs above threshold") {
       val data = Seq(

@@ -319,6 +319,9 @@ object SparkEntry {
     // Gopher-style intra-doc repetition signals (dup-bigram / top-bigram
     // fractions + threshold flag).
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.documents(s, dir))),
+    // E2E curation report: length/quality/repetition gates with first-match
+    // reject reason + PII audit flag — the whole filter chain in one pass.
+    "corpus_retention" -> ((s, dir) => TextOps.retentionReport(Tables.documents(s, dir))),
     "minhash_signatures" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
     "minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "simhash_docs" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
@@ -661,6 +664,7 @@ object SparkEntry {
     "custom_sessions" -> DuckDbOracles.customSessions(SessionGapMs, SessionCapMs),
     "stratified_sample" -> DuckDbOracles.stratifiedSample,
     "text_repetition" -> DuckDbOracles.textRepetition(),
+    "corpus_retention" -> DuckDbOracles.corpusRetention(),
     "dedup_components" -> DuckDbOracles.dedupComponents(),
     "embedding_quantize" -> DuckDbOracles.embeddingQuantize,
     "minhash_signatures" -> DuckDbOracles.minhashSignatures,

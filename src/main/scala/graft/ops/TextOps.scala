@@ -211,6 +211,39 @@ object TextOps {
       .filter(col("fp_hash") % 8 === 0)
       .distinct()
 
+  /** End-to-end corpus curation report — the filter chain a pretraining
+    * pipeline runs per document, composed from the individual operators:
+    * length gate, quality-score gate, repetition gate (first breached gate
+    * wins as `reject_reason`, in that order), plus the PII audit flag
+    * (scrubbing keeps a document; it never rejects). `retained` is simply
+    * `reject_reason IS NULL`, so the report drives both the keep-filter and
+    * per-reason loss accounting in one pass.
+    *
+    * Scale: quality and PII are narrow projections; repetition is the only
+    * aggregation, and its per-doc result joins back on doc_id. Docs too
+    * short to have bigrams coalesce to non-repetitive (they are rejected by
+    * the length gate anyway).
+    */
+  def retentionReport(
+      docs: DataFrame,
+      minTokens: Int = 20,
+      minQuality: Double = 0.6,
+      dupFracMax: Double = 0.2,
+      topFracMax: Double = 0.1): DataFrame = {
+    val q = qualityScore(docs).select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val rep = repetitionStats(docs, dupFracMax, topFracMax)
+      .select(col("doc_id"), col("repetitive"))
+    val pii = scrubPii(docs).select(col("doc_id"), col("had_pii"))
+    q.join(rep, Seq("doc_id"), "left").join(pii, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        coalesce(col("repetitive"), lit(false)).as("repetitive"), col("had_pii"),
+        when(col("n_tokens") < minTokens, "short")
+          .when(col("quality_score") < minQuality, "low_quality")
+          .when(coalesce(col("repetitive"), lit(false)), "repetitive")
+          .as("reject_reason"))
+      .withColumn("retained", col("reject_reason").isNull)
+  }
+
   /** Gopher-style intra-document repetition signals (Rae et al. 2021 §A1.1):
     * over the document's bigram MULTISET, the duplicate fraction
     * (1 − distinct/total) and the top-bigram share — the two filters that

@@ -138,6 +138,26 @@ object DuckDbOracles {
        |   OR round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) > $topFracMax) AS repetitive
        |FROM c GROUP BY 1""".stripMargin
 
+  /** Twin of TextOps.retentionReport — composed from the same quality /
+    * repetition / PII oracle fragments the individual queries use, so the
+    * composition cannot drift from its parts.
+    */
+  def corpusRetention(
+      minTokens: Int = 20,
+      minQuality: Double = 0.6,
+      dupFracMax: Double = 0.2,
+      topFracMax: Double = 0.1): String =
+    s"""SELECT *, (reject_reason IS NULL) AS retained FROM (
+       |  SELECT q.doc_id, q.n_tokens, q.quality_score,
+       |    coalesce(r.repetitive, FALSE) AS repetitive, p.had_pii,
+       |    CASE WHEN q.n_tokens < $minTokens THEN 'short'
+       |         WHEN q.quality_score < $minQuality THEN 'low_quality'
+       |         WHEN coalesce(r.repetitive, FALSE) THEN 'repetitive' END AS reject_reason
+       |  FROM (SELECT doc_id, n_tokens, quality_score FROM ($textQuality)) q
+       |  LEFT JOIN (SELECT doc_id, repetitive FROM (${textRepetition(dupFracMax, topFracMax)})) r
+       |    ON q.doc_id = r.doc_id
+       |  JOIN (SELECT doc_id, had_pii FROM ($textScrubPii)) p ON q.doc_id = p.doc_id)""".stripMargin
+
   /** Twin of Dedup.nearDupComponents: the bounded min-label-propagation loop
     * unrolls into chained CTEs (same technique as the k-means oracle) over
     * the MinHash-LSH pair set.

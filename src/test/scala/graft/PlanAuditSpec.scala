@@ -52,6 +52,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // higher-order filter() over the token array (stopword/marker ratios)
     "text_quality" -> Set("codegen-fallback"),
     "text_langid" -> Set("codegen-fallback"),
+    "corpus_retention" -> Set("codegen-fallback"), // composes text_quality
     // our own typed bounded-heap UDAF — imperative by design
     "topk_agg_per_segment" -> Set("codegen-fallback"))
 

@@ -94,6 +94,23 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("retentionReport") {
+    it("assigns the first breached gate as the reject reason") {
+      val longDiverse = (1 to 60).map(i => s"word$i").mkString(" ")
+      val rows = TextOps.retentionReport(docsDf(Seq(
+          1L -> "too short",                                // short (and repetitive)
+          2L -> ((1 to 30).map(_ => "the of a").mkString(" ")), // stopword soup: low quality + repetitive
+          3L -> ((1 to 15).map(_ => s"go stop").mkString(" ") + " " + longDiverse), // repetitive bigrams, decent quality
+          4L -> longDiverse)))                              // retained
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.getString(5)), r.getBoolean(6)))).toMap
+      rows(1L) shouldBe ((Some("short"), false))
+      rows(2L) shouldBe ((Some("low_quality"), false))
+      rows(4L) shouldBe ((None, true))
+      rows(3L)._2 shouldBe false // rejected by some later gate, not retained
+    }
+  }
+
   describe("fingerprints") {
     it("is deterministic and winnows to ≈1/8 of shingle hashes") {
       val doc = (1 to 200).map(i => s"w$i").mkString(" ")

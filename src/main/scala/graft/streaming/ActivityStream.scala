@@ -39,17 +39,24 @@ object ActivityStream {
       windowDuration: String = "1 minute",
       checkpointLocation: String = "/tmp/spark-checkpoints/user_activity")
 
+  /** The exact spark-sql-kafka option spellings, exposed as a plain Map so
+    * the spelling contract is unit-testable without a broker (the one part
+    * of the Kafka path this image cannot execute): consumer configs pass
+    * through with the `kafka.` prefix, source-level options
+    * (subscribe/startingOffsets) without it.
+    */
+  def kafkaOptions(cfg: Config): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> cfg.bootstrapServers,
+      "subscribe" -> cfg.topic,
+      "startingOffsets" -> cfg.startingOffsets) ++
+      cfg.groupId.map("kafka.group.id" -> _)
+
   /** S1/S2: Kafka streaming source, value-only (column pruning to `value`
     * happens in the plan; Kafka's other 6 columns are never materialized).
     */
-  def kafkaSource(spark: SparkSession, cfg: Config): DataFrame = {
-    val base = spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
-      .option("subscribe", cfg.topic)
-      .option("startingOffsets", cfg.startingOffsets)
-    cfg.groupId.fold(base)(g => base.option("kafka.group.id", g)).load()
-  }
+  def kafkaSource(spark: SparkSession, cfg: Config): DataFrame =
+    spark.readStream.format("kafka").options(kafkaOptions(cfg)).load()
 
   /** Raw `value: binary` stream → flattened clean activity rows
     * (id, date timestamp, event_type lowercase, url). Works identically on

@@ -134,4 +134,24 @@ class ActivityStreamingSpec extends AnyFunSpec with Matchers with SparkSessionTe
       } finally q.stop()
     }
   }
+
+  describe("kafka source option contract") {
+    it("spells every spark-sql-kafka option exactly (no broker needed)") {
+      import graft.streaming.ActivityStream
+      val cfg = ActivityStream.Config(
+        topic = "user_activity", bootstrapServers = "broker:9092",
+        startingOffsets = "earliest", groupId = Some("g1"))
+      // consumer configs carry the kafka. prefix, source options do not —
+      // a misspelling here is the one Kafka failure this image can't surface
+      ActivityStream.kafkaOptions(cfg) shouldBe Map(
+        "kafka.bootstrap.servers" -> "broker:9092",
+        "subscribe" -> "user_activity",
+        "startingOffsets" -> "earliest",
+        "kafka.group.id" -> "g1")
+      // default config: no group id → Spark assigns one (Flink-twin option
+      // only when the caller pins it)
+      ActivityStream.kafkaOptions(ActivityStream.Config())
+        .contains("kafka.group.id") shouldBe false
+    }
+  }
 }

@@ -328,6 +328,27 @@ object SparkEntry {
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) => Dedup.fingerprintJaccardPairs(Tables.documents(s, dir))),
 
+    // Cross-modal dedup triage: per document, a lexical flag (member of any
+    // MinHash-LSH pair) and a semantic flag (member of any embedding
+    // cosine pair via the aligned vec_id) — both = high-confidence dup,
+    // semantic-only = paraphrase candidate, lexical-only = shared
+    // template/boilerplate. The triage step SemDeDup-style pipelines run
+    // before choosing a removal policy per category.
+    "dedup_crossmodal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lex = Dedup.minhashLshPairs(docs)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+        .withColumn("l", lit(true))
+      val sem = VectorOps.cosineNearDupPairs(Tables.embeddings(s, dir))
+        .select(explode(array(col("vec_a"), col("vec_b"))).as("doc_id")).distinct()
+        .withColumn("s", lit(true))
+      docs.select(col("doc_id"))
+        .join(lex, Seq("doc_id"), "left").join(sem, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("l"), lit(false)).as("lexical_dup"),
+          coalesce(col("s"), lit(false)).as("semantic_dup"))
+    }),
+
     // Transitive near-dup clustering: bounded min-label propagation over
     // the LSH pair graph — one representative per connected component
     // (pairwise keep-lowest would over-keep on chains A~B~C).
@@ -666,6 +687,7 @@ object SparkEntry {
     "text_repetition" -> DuckDbOracles.textRepetition(),
     "corpus_retention" -> DuckDbOracles.corpusRetention(),
     "dedup_components" -> DuckDbOracles.dedupComponents(),
+    "dedup_crossmodal" -> DuckDbOracles.dedupCrossmodal(),
     "embedding_quantize" -> DuckDbOracles.embeddingQuantize,
     "minhash_signatures" -> DuckDbOracles.minhashSignatures,
     "minhash_lsh_pairs" -> DuckDbOracles.minhashLshPairs,

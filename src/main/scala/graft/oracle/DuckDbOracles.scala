@@ -158,6 +158,23 @@ object DuckDbOracles {
        |    ON q.doc_id = r.doc_id
        |  JOIN (SELECT doc_id, had_pii FROM ($textScrubPii)) p ON q.doc_id = p.doc_id)""".stripMargin
 
+  /** Cross-modal dedup triage twin: lexical membership from the MinHash
+    * pair set, semantic membership from the exact cosine pair set, joined
+    * onto the document spine (vec_id aligns with doc_id in the testdata).
+    */
+  def dedupCrossmodal(cosThreshold: Double = 0.35): String =
+    s"""WITH lexp AS (SELECT doc_a, doc_b FROM ($minhashLshPairs) p),
+       |lex AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_a AS doc_id FROM lexp UNION ALL SELECT doc_b FROM lexp)),
+       |semp AS (SELECT vec_a, vec_b FROM (${embeddingNearDup(cosThreshold)}) p),
+       |sem AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT vec_a AS doc_id FROM semp UNION ALL SELECT vec_b FROM semp))
+       |SELECT d.doc_id, (l.doc_id IS NOT NULL) AS lexical_dup,
+       |  (s.doc_id IS NOT NULL) AS semantic_dup
+       |FROM documents d
+       |LEFT JOIN lex l ON d.doc_id = l.doc_id
+       |LEFT JOIN sem s ON d.doc_id = s.doc_id""".stripMargin
+
   /** Twin of Dedup.nearDupComponents: the bounded min-label-propagation loop
     * unrolls into chained CTEs (same technique as the k-means oracle) over
     * the MinHash-LSH pair set.

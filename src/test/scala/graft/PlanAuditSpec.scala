@@ -28,6 +28,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // operator; the bucketed LSH path is the scale twin
     "embedding_neardup" -> Set("nested-loop-join"),
     "ann_brute_topk" -> Set("nested-loop-join"),
+    // composes the labeled all-pairs semantic baseline (0.35 is below any
+    // LSH-able threshold; at a real >=0.85 threshold the LSH path applies)
+    "dedup_crossmodal" -> Set("nested-loop-join"),
     // one-row bounds aggregate broadcast-crossed onto the grid spine
     "resample_hourly" -> Set("nested-loop-join"),
     // query-side nprobe cell ranking: a k-row centroid table broadcast onto

@@ -399,6 +399,8 @@ object SparkEntry {
     "media_meta" -> ((s, dir) => Multimodal.mediaMeta(Tables.documents(s, dir))),
     "media_typed_meta" -> ((s, dir) => Multimodal.typedMeta(Tables.documents(s, dir))),
     "media_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
+    // Aspect-preserving resize planning (dims/scale/output-size budget).
+    "media_resize" -> ((s, dir) => Multimodal.resizePlan(Tables.documents(s, dir))),
     // Stub decoder through real mapPartitions plumbing; byte-moment
     // features come out as scalar f0..f7 and are fully oracle-checked.
     "media_features" -> ((s, dir) =>
@@ -705,6 +707,7 @@ object SparkEntry {
     "media_meta" -> DuckDbOracles.mediaMeta,
     "media_typed_meta" -> DuckDbOracles.mediaTypedMeta,
     "media_frame_sample" -> DuckDbOracles.mediaFrameSample,
+    "media_resize" -> DuckDbOracles.mediaResize(),
     "media_features" -> DuckDbOracles.mediaFeatures,
   )
 }

@@ -64,6 +64,24 @@ object Multimodal {
       (PortableHash.h31("w", col("text")) % 1280 + 1).as("width"),
       (PortableHash.h31("h", col("text")) % 720 + 1).as("height"))
 
+  /** Resize planning for "image" media: aspect-preserving fit into a target
+    * box — output dims, the scale factor, and the decoded-output byte
+    * estimate (out_w × out_h × 3 RGB) a batch scheduler uses to size decode
+    * tasks. Pure columnar arithmetic over the typed metadata (the actual
+    * pixel resample belongs to the stub-codec boundary, like `stubDecode`);
+    * both engines evaluate the identical double expression, so floor/cast
+    * agree bit-for-bit. Narrow projection, no shuffle.
+    */
+  def resizePlan(docs: DataFrame, boxW: Int = 256, boxH: Int = 256): DataFrame = {
+    val scale = least(lit(boxW.toDouble) / col("width"), lit(boxH.toDouble) / col("height"))
+    mediaMeta(docs).filter(col("media_type") === "image")
+      .select(col("media_id"), col("width"), col("height"),
+        round(scale, 6).as("scale"),
+        greatest(lit(1), floor(col("width") * scale).cast("int")).as("out_w"),
+        greatest(lit(1), floor(col("height") * scale).cast("int")).as("out_h"))
+      .withColumn("out_bytes", col("out_w").cast("bigint") * col("out_h") * 3)
+  }
+
   /** Frame sampling for "video" payloads: fixed-stride byte windows
     * (stride 64, ≤8 frames), each fingerprinted. A real video path would
     * replace the substring with a keyframe extractor; the explode/filter

@@ -544,6 +544,23 @@ object DuckDbOracles {
        |  CASE WHEN m.n = 0 THEN 0.0 ELSE round(CAST(ord(substr(m.text, CAST(m.n // 2 AS INT) + 1, 1)) AS DOUBLE), 6) END AS f7
        |FROM m LEFT JOIN agg ON m.media_id = agg.media_id""".stripMargin
 
+  /** Twin of Multimodal.resizePlan over the image subset of mediaMeta. */
+  def mediaResize(boxW: Int = 256, boxH: Int = 256): String = {
+    val scale = s"least($boxW.0 / width, $boxH.0 / height)"
+    s"""WITH m AS (SELECT doc_id AS media_id,
+       |    ${h("w", "text")} % 1280 + 1 AS width,
+       |    ${h("h", "text")} % 720 + 1 AS height
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |r AS (SELECT media_id, width, height,
+       |    round($scale, 6) AS scale,
+       |    greatest(1, CAST(floor(width * $scale) AS INT)) AS out_w,
+       |    greatest(1, CAST(floor(height * $scale) AS INT)) AS out_h
+       |  FROM m)
+       |SELECT media_id, width, height, scale, out_w, out_h,
+       |  CAST(out_w AS BIGINT) * out_h * 3 AS out_bytes
+       |FROM r""".stripMargin
+  }
+
   val mediaFrameSample: String =
     s"""SELECT doc_id AS media_id, CAST(j.frame_idx AS INTEGER) AS frame_idx,
        |  ${h("fr", "substr(text, 1 + 64 * j.frame_idx, 64)")} AS frame_hash

@@ -247,6 +247,26 @@ object SparkEntry {
           (abs(col("approx") - col("n_users")).cast("double") / col("n_users")
             <= 0.05).as("approx_within_5pct"))),
 
+    // Quantile sketch (Greenwald-Khanna style approx_percentile) with the
+    // same driver-checkable contract as the HLL query: the sketch value is
+    // engine-specific, so emit the EXACT percentiles plus booleans
+    // asserting the sketch landed inside the ±1% rank window around its
+    // target (10x its configured 1/1000 rank-error budget) — the oracle
+    // computes the exact side and emits TRUE.
+    "approx_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, array(0.5D, 0.9D), 1000)").as("ap"),
+          expr("percentile(value, array(0.49D, 0.5D, 0.51D, 0.89D, 0.9D, 0.91D))").as("ex"))
+        .select(col("event_type"),
+          round(element_at(col("ex"), 2), 6).as("p50_exact"),
+          round(element_at(col("ex"), 5), 6).as("p90_exact"),
+          (element_at(col("ap"), 1) >= element_at(col("ex"), 1) &&
+            element_at(col("ap"), 1) <= element_at(col("ex"), 3)).as("p50_in_rank_window"),
+          (element_at(col("ap"), 2) >= element_at(col("ex"), 4) &&
+            element_at(col("ap"), 2) <= element_at(col("ex"), 6)).as("p90_in_rank_window"))),
+
     // Hierarchical totals via ROLLUP (grouping-sets family).
     "rollup_revenue" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -582,6 +602,16 @@ object SparkEntry {
     "approx_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          TRUE AS approx_within_5pct
+         FROM events GROUP BY 1""",
+
+    // exact side of the quantile-sketch contract (quantile_cont matches
+    // Spark's interpolated percentile); TRUE mirrors the rank-window checks
+    "approx_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS p50_exact,
+         round(quantile_cont(value, 0.9), 6) AS p90_exact,
+         TRUE AS p50_in_rank_window,
+         TRUE AS p90_in_rank_window
          FROM events GROUP BY 1""",
 
     "rollup_revenue" ->

@@ -52,6 +52,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "pivot_event_counts" -> Set("codegen-fallback"), // pivotfirst
     "value_percentiles" -> Set("codegen-fallback"),  // exact percentile agg
     "approx_distinct_users" -> Set("codegen-fallback"), // HLL++ agg
+    "approx_percentiles" -> Set("codegen-fallback"), // GK sketch + exact percentile aggs
     // higher-order filter() over the token array (stopword/marker ratios)
     "text_quality" -> Set("codegen-fallback"),
     "text_langid" -> Set("codegen-fallback"),

@@ -175,6 +175,41 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     }
   }
 
+  describe("bucketed IVF cell layout") {
+    it("probe reads only the probed cells' buckets (SelectedBucketsCount)") {
+      import org.apache.spark.sql.functions.col
+      // the 100 TB serving layout: corpus persisted bucketed by cell id, so
+      // a query batch's nprobe cells select a bucket subset at scan time
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val cents = VectorOps.centroids(emb)
+        .select(col("label").as("cell"), col("centroid"))
+      val assigned = emb.join(org.apache.spark.sql.functions.broadcast(cents))
+        .select(col("vec_id"), col("cell"),
+          org.apache.spark.sql.functions.round(
+            VectorOps.cosine(col("embedding"), col("centroid")), 6).as("ccos"))
+        .groupBy(col("vec_id"))
+        .agg(org.apache.spark.sql.functions.max_by(col("cell"), col("ccos")).as("cell"))
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_cells")
+      assigned.write.bucketBy(8, "cell").saveAsTable("graft_ivf_cells")
+      // a probe set of 2 cells: the scan must select a strict bucket subset.
+      // autoBucketedScan drops to a plain scan when no join/agg wants the
+      // distribution, which also forfeits pruning — pin it on for the probe.
+      val prevAuto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      try {
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val probed = spark.table("graft_ivf_cells").filter(col("cell").isin(1, 3))
+        val selected = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metadata.get("SelectedBucketsCount")
+        }.flatten
+        info(s"scan metadata: $selected")
+        selected should be (defined)
+        selected.get should include regex "[12] out of 8"
+        probed.count() should be > 0L
+      } finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+    }
+  }
+
   describe("quantizeStats") {
     it("computes int8 scale and summaries on a known vector") {
       // amax = 1.0 → scale 127; q = [127, round(-63.5)=-64 (half away from

@@ -267,6 +267,24 @@ object SparkEntry {
           (element_at(col("ap"), 2) >= element_at(col("ex"), 4) &&
             element_at(col("ap"), 2) <= element_at(col("ex"), 6)).as("p90_in_rank_window"))),
 
+    // Attribution interval join via the time-binned equi-join: clicks in
+    // the hour before each same-user purchase. A raw BETWEEN join would
+    // plan as a nested loop (quadratic); binning makes it a hash join.
+    "attribution_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("p_user"),
+          (unix_millis(col("ts")) - 3600000L).as("start_ms"),
+          unix_millis(col("ts")).as("end_ms"))
+      graft.ops.Joins.binnedRangeJoin(clicks, purchases,
+          leftKey = "user_id", rightKey = "p_user",
+          leftTsMs = "ts_ms", startMs = "start_ms", endMs = "end_ms",
+          binMillis = 3600000L)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_clicks_1h_before"))
+    }),
+
     // Hierarchical totals via ROLLUP (grouping-sets family).
     "rollup_revenue" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -603,6 +621,14 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          TRUE AS approx_within_5pct
          FROM events GROUP BY 1""",
+
+    "attribution_window" ->
+      """SELECT p.event_id, count(*) AS n_clicks_1h_before
+         FROM events p JOIN events c ON c.user_id = p.user_id
+           AND p.event_type = 'purchase' AND c.event_type = 'click'
+           AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 3600000
+           AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+         GROUP BY 1""",
 
     // exact side of the quantile-sketch contract (quantile_cont matches
     // Spark's interpolated percentile); TRUE mirrors the rank-window checks

@@ -36,6 +36,40 @@ object Joins {
       .drop("__salt")
   }
 
+  /** Time-binned range join: match left point rows (`leftTsMs`) to right
+    * interval rows [`startMs`, `endMs`] sharing `key` — as an EQUI-join.
+    * Every interval explodes into the time bins it covers (≤ span/bin + 1
+    * rows; pick binMillis ≈ the typical span so the fan-out is ~2×), every
+    * point maps to its single bin, and the bin+key equi-join plus the exact
+    * range predicate reproduce the interval-join result. This is the same
+    * move the LSH band table and the SimHash byte bands make — turn a
+    * non-equi predicate into a bucketed equi-join so cost is O(collisions):
+    * Spark plans a raw `BETWEEN` join as a nested-loop (every left row
+    * scans every right row — the quadratic disaster PlanAudit flags), while
+    * this shape is a plain shuffled/broadcast hash join at any scale.
+    * Inclusive on both interval endpoints.
+    */
+  def binnedRangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTsMs: String,
+      startMs: String,
+      endMs: String,
+      binMillis: Long): DataFrame = {
+    val lb = left.withColumn("__bin", floor(col(leftTsMs) / binMillis).cast("bigint"))
+    val rb = right.withColumn("__bin", explode(sequence(
+      floor(col(startMs) / binMillis).cast("bigint"),
+      floor(col(endMs) / binMillis).cast("bigint"))))
+    lb.as("l").join(rb.as("r"),
+        col("l.__bin") === col("r.__bin") &&
+          col(s"l.$leftKey") === col(s"r.$rightKey") &&
+          col(s"l.$leftTsMs") >= col(s"r.$startMs") &&
+          col(s"l.$leftTsMs") <= col(s"r.$endMs"))
+      .drop("__bin")
+  }
+
   /** As-of join: for every left row, attach the LATEST right row with
     * `rightTs <= leftTs` for the same key (inner semantics — left rows with
     * no qualifying right row are dropped). Ties on rightTs break by the

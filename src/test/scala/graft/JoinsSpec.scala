@@ -25,6 +25,29 @@ class JoinsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("binnedRangeJoin") {
+    it("matches the naive interval join and plans as a hash join, not a nested loop") {
+      import spark.implicits._
+      val rng = new scala.util.Random(7)
+      val points = (1 to 500).map(i => (i.toLong % 5, rng.nextInt(100000).toLong))
+        .toDF("k", "t")
+      val iv = (1 to 50).map { i =>
+        val s = rng.nextInt(95000).toLong
+        (i.toLong, i.toLong % 5, s, s + rng.nextInt(5000)) // span ≤ bin
+      }.toDF("iv_id", "ik", "s", "e")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("iv_id", "t").as[(Long, Long)].collect().toSet
+      val naive = canon(points.join(iv,
+        $"k" === $"ik" && $"t" >= $"s" && $"t" <= $"e"))
+      val binned = Joins.binnedRangeJoin(points, iv, "k", "ik", "t", "s", "e", binMillis = 5000L)
+      canon(binned) shouldBe naive
+      naive.size should be > 50 // non-trivial overlap actually exercised
+      // equi-join on (bin, key): a hash join, never the quadratic NLJ the
+      // raw BETWEEN predicate would plan
+      binned.queryExecution.executedPlan.toString should not include "NestedLoop"
+    }
+  }
+
   describe("bucketed co-located join") {
     it("joins two bucketed tables without a shuffle exchange") {
       import spark.implicits._

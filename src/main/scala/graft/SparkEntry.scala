@@ -267,6 +267,39 @@ object SparkEntry {
           (element_at(col("ap"), 2) >= element_at(col("ex"), 4) &&
             element_at(col("ap"), 2) <= element_at(col("ex"), 6)).as("p90_in_rank_window"))),
 
+    // Conversion funnel: per user the furthest stage reached — first click,
+    // then a purchase within 24h of that first click. Two conditional
+    // min-aggregates + semi-join flags; no per-user sequence explosion.
+    "funnel_stages" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val fc = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(unix_millis(col("ts"))).as("c_ms"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_millis(col("ts")).as("p_ms"))
+      val conv = fc.join(purch, Seq("user_id"))
+        .filter(col("p_ms") >= col("c_ms") && col("p_ms") <= col("c_ms") + 86400000L)
+        .select(col("user_id")).distinct().withColumn("converted", lit(true))
+      ev.select(col("user_id")).distinct()
+        .join(fc.select(col("user_id"), lit(true).as("clicked")), Seq("user_id"), "left")
+        .join(conv, Seq("user_id"), "left")
+        .select(when(col("converted"), 2).when(col("clicked"), 1).otherwise(0).as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Weekly cohort retention: users grouped by first-activity week, counted
+    // in every later week they reappear. Two aggregations, one equi-join.
+    "cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+      first.join(active, Seq("user_id"))
+        .select(col("cohort"),
+          ((unix_millis(col("wk")) - unix_millis(col("cohort"))) / 604800000L)
+            .cast("bigint").as("week_offset"))
+        .groupBy(col("cohort"), col("week_offset")).agg(count(lit(1)).as("n_users"))
+    }),
+
     // Attribution interval join via the time-binned equi-join: clicks in
     // the hour before each same-user purchase. A raw BETWEEN join would
     // plan as a nested loop (quadratic); binning makes it a hash join.
@@ -621,6 +654,30 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          TRUE AS approx_within_5pct
          FROM events GROUP BY 1""",
+
+    "funnel_stages" ->
+      """WITH fc AS (SELECT user_id, min(epoch_ms(ts)) AS c_ms FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+         conv AS (SELECT DISTINCT f.user_id FROM fc f JOIN events p
+           ON p.user_id = f.user_id AND p.event_type = 'purchase'
+           AND epoch_ms(p.ts) >= f.c_ms AND epoch_ms(p.ts) <= f.c_ms + 86400000),
+         u AS (SELECT DISTINCT user_id FROM events)
+         SELECT CASE WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN f.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage,
+                count(*) AS n_users
+         FROM u LEFT JOIN fc f ON u.user_id = f.user_id
+           LEFT JOIN conv c ON u.user_id = c.user_id
+         GROUP BY 1""",
+
+    "cohort_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+           FROM events GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+         SELECT f.cohort,
+           CAST((epoch_ms(a.wk) - epoch_ms(f.cohort)) / 604800000 AS BIGINT) AS week_offset,
+           count(*) AS n_users
+         FROM f JOIN a ON f.user_id = a.user_id
+         GROUP BY 1, 2""",
 
     "attribution_window" ->
       """SELECT p.event_id, count(*) AS n_clicks_1h_before

@@ -426,6 +426,18 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       Dedup.nearDupComponents(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
 
+    // Dedup applied via components: survivors = each component's minimum
+    // representative. Strictly stronger than the pairwise policy below on
+    // star shapes — pairs (5,9),(7,9) leave both 5 and 7 under pairwise
+    // keep-lowest (only 9 is ever a doc_b), while CC keeps only 5.
+    "dedup_apply_components" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val drops = Dedup.nearDupComponents(Dedup.minhashLshPairs(docs))
+        .filter(col("rep") =!= col("doc_id")).select(col("doc_id"))
+      docs.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // Dedup applied end-to-end: survivors = docs never appearing as the
     // higher id of a MinHash-LSH near-dup pair (greedy keep-lowest policy).
     "dedup_apply_minhash" -> ((s, dir) => {
@@ -803,6 +815,10 @@ object SparkEntry {
     "corpus_retention" -> DuckDbOracles.corpusRetention(),
     "dedup_components" -> DuckDbOracles.dedupComponents(),
     "dedup_crossmodal" -> DuckDbOracles.dedupCrossmodal(),
+    "dedup_apply_components" ->
+      s"""SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (
+         |  SELECT doc_id FROM (${DuckDbOracles.dedupComponents()}) c WHERE rep <> doc_id)""".stripMargin,
     "embedding_quantize" -> DuckDbOracles.embeddingQuantize,
     "minhash_signatures" -> DuckDbOracles.minhashSignatures,
     "minhash_lsh_pairs" -> DuckDbOracles.minhashLshPairs,

@@ -48,6 +48,28 @@ class JoinsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("binnedRangeJoin properties") {
+    it("equals the naive interval join for random intervals and any bin size") {
+      import spark.implicits._
+      val rng = new scala.util.Random(11)
+      for (bin <- Seq(100L, 1000L, 7777L, 100000L)) {
+        val points = List.fill(300)((rng.nextInt(4).toLong, rng.nextInt(50000).toLong))
+          .toDF("k", "t")
+        val iv = List.fill(40) {
+          val s = rng.nextInt(50000).toLong
+          // spans from empty to bin-straddling, including span > bin
+          (rng.nextLong(), rng.nextInt(4).toLong, s, s + rng.nextInt(2 * bin.toInt + 1))
+        }.toDF("iv_id", "ik", "s", "e")
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.select("iv_id", "t").as[(Long, Long)].collect()
+            .groupBy(identity).view.mapValues(_.length).toMap
+        val naive = canon(points.join(iv, $"k" === $"ik" && $"t" >= $"s" && $"t" <= $"e"))
+        val binned = canon(Joins.binnedRangeJoin(points, iv, "k", "ik", "t", "s", "e", bin))
+        withClue(s"bin=$bin: ") { binned shouldBe naive }
+      }
+    }
+  }
+
   describe("bucketed co-located join") {
     it("joins two bucketed tables without a shuffle exchange") {
       import spark.implicits._

@@ -156,6 +156,40 @@ object SparkEntry {
           .cast("double").as("qty_returned"))),
 
     // ---- relational core (joins/agg/ranking at scale) --------------------
+    // SQL surface: spark.sql over temp views, with an IN-subquery (Q18
+    // shape). Catalyst rewrites the subquery to a semi join — no manual
+    // decorrelation. Quantities are integer-valued doubles, so the sums are
+    // exact in any accumulation order.
+    "q18_large_orders" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT c.c_name, o.o_orderkey, sum(l.l_quantity) AS total_qty
+        FROM v_customer c
+        JOIN v_orders o ON c.c_custkey = o.o_custkey
+        JOIN v_lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM v_lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        GROUP BY c.c_name, o.o_orderkey""")
+    }),
+
+    // Correlated EXISTS (Q4 shape): orders with any lineitem shipped more
+    // than 90 days after the order date, counted by priority.
+    "q4_late_orders" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o.o_orderpriority, count(*) AS n_orders
+        FROM v_orders o
+        WHERE EXISTS (
+          SELECT 1 FROM v_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o.o_orderpriority""")
+    }),
+
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q3_top_orders" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
     "q5_region_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
@@ -666,6 +700,25 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          TRUE AS approx_within_5pct
          FROM events GROUP BY 1""",
+
+    "q18_large_orders" ->
+      """SELECT c.c_name, o.o_orderkey, sum(l.l_quantity) AS total_qty
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         WHERE o.o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+         GROUP BY c.c_name, o.o_orderkey""",
+
+    "q4_late_orders" ->
+      """SELECT o.o_orderpriority, count(*) AS n_orders
+         FROM orders o
+         WHERE EXISTS (
+           SELECT 1 FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o.o_orderpriority""",
 
     "funnel_stages" ->
       """WITH fc AS (SELECT user_id, min(epoch_ms(ts)) AS c_ms FROM events

@@ -81,6 +81,36 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
         PlanAudit.audit(a.crossJoin(b)).map(_.kind) should contain("cartesian")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
+
+    it("fires on a broadcast nested-loop join") {
+      import spark.implicits._
+      val a = Seq(1, 2).toDF("a")
+      val b = Seq(3, 4).toDF("b")
+      // non-equi condition with a broadcastable side → BNLJ
+      PlanAudit.audit(a.join(b, $"a" < $"b")).map(_.kind) should
+        contain("nested-loop-join")
+    }
+
+    it("fires on a sort-aggregate fallback") {
+      import spark.implicits._
+      // grouping by an unhashable-for-HashAggregate buffer shape: min/max
+      // over an array column forces SortAggregate
+      val df = Seq((1, Seq(1.0, 2.0)), (1, Seq(0.5, 3.0))).toDF("k", "v")
+      PlanAudit.audit(df.groupBy($"k").agg(min($"v"))).map(_.kind) should
+        contain("sort-aggregate")
+    }
+
+    it("fires on a codegen-fallback expression") {
+      import spark.implicits._
+      // non-foldable json over a Range scan: a LocalRelation fixture would
+      // be evaluated away by ConvertToLocalRelation before planning
+      val bad = spark.range(2).select(
+        from_json(concat(lit("{\"a\": "), $"id".cast("string"), lit("}")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "a", org.apache.spark.sql.types.IntegerType)))).as("s"))
+      PlanAudit.audit(bad).map(_.kind) should contain("codegen-fallback")
+    }
   }
 
   describe("PlanAudit over every registered query") {

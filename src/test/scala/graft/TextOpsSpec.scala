@@ -111,6 +111,42 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("null and empty text semantics") {
+    it("null-safe across the text operator family (no crashes, defined outputs)") {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val docs = spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(1L, null), Row(2L, ""), Row(3L, "ok text here")),
+        schema)
+      // null text → null stats (modern size(null)=null), empty → 1 empty token
+      val tok = TextOps.tokenStats(docs).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      tok(1L) shouldBe None
+      tok(2L) shouldBe Some(1)
+      tok(3L) shouldBe Some(3)
+      // generators drop null/short docs instead of exploding nulls
+      TextOps.fingerprints(docs).collect().map(_.getLong(0)).toSet shouldBe Set.empty
+      // only doc 3 reaches 3 tokens (one shingle); null/empty drop out
+      graft.ops.Dedup.minhashSignatures(docs).collect()
+        .map(_.getLong(0)).toSet shouldBe Set(3L)
+      TextOps.repetitionStats(docs).collect().map(_.getLong(0)).toSet shouldBe Set(3L)
+      // scrub/normalize pass nulls through as nulls, not failures
+      val scrub = TextOps.scrubPii(docs).collect()
+        .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+      scrub(1L) shouldBe true
+      scrub(2L) shouldBe false
+      // subword ratio is NULL (not a crash or inf) for null AND empty text
+      val sw = TextOps.subwordStats(docs).collect()
+        .map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+      sw(1L) shouldBe true
+      sw(2L) shouldBe true
+      sw(3L) shouldBe false
+    }
+  }
+
   describe("fingerprints") {
     it("is deterministic and winnows to ≈1/8 of shingle hashes") {
       val doc = (1 to 200).map(i => s"w$i").mkString(" ")

@@ -202,7 +202,10 @@ object VectorOps {
   def quantizeStats(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), col("v"),
-        array_max(transform(col("v"), x => abs(x))).as("amax"))
+        // nullif guard: a zero vector would otherwise diverge cross-engine
+        // (Spark x/0.0 = NULL, DuckDB = inf); with the guard both agree on
+        // NULL scale/summaries
+        nullif(array_max(transform(col("v"), x => abs(x))), lit(0.0)).as("amax"))
       .select(col("vec_id"),
         round(lit(127.0) / col("amax"), 6).as("scale"),
         transform(col("v"), x => round(x * (lit(127.0) / col("amax"))).cast("int")).as("q"))

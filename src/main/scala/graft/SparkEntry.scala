@@ -268,14 +268,18 @@ object SparkEntry {
     // HLL++ cardinality sketch with a driver-checkable contract: the raw
     // sketch estimate is engine-specific (DuckDB cannot replay Spark's
     // HLL++), so the emitted columns are the EXACT distinct count plus a
-    // boolean asserting the sketch landed within its 5% relative-error
+    // boolean asserting the sketch landed within a 5% relative-error
     // budget — the oracle computes the exact side and emits TRUE, so an
     // out-of-bound sketch hash-mismatches instead of going unchecked.
+    // The sketch runs at rsd=0.01, making the 5% budget a 5-sigma bound:
+    // at the DEFAULT rsd 0.05 the budget is one sigma, which genuinely
+    // fails ~1/3 of the time once cardinalities leave HLL's exact sparse
+    // range (observed at sf0.1: all five groups out of bound).
     // Absolute sketch accuracy curves live in SketchSpec.
     "approx_distinct_users" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx"),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
           countDistinct(col("user_id")).as("n_users"))
         .select(col("event_type"), col("n_users"),
           (abs(col("approx") - col("n_users")).cast("double") / col("n_users")

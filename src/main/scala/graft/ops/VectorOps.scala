@@ -63,6 +63,27 @@ object VectorOps {
   val LshPlanes: Int = LshBands * LshRows
   val LshDim = 64
 
+  /** Embedding dimensionality the literal-based operators (LSH planes,
+    * centroid argmax, the DuckDB oracle's `range(1, dim+1)` bounds) are
+    * generated for. The oracle SQL renders its loop bounds from THIS
+    * constant, so a future dim change cannot silently diverge the two
+    * engines; `plantedCorpus` cross-checks it against the actual data.
+    */
+  val EmbeddingDim = 64
+
+  /** Upper bound on driver-side literal doubles folded into one projection
+    * (centroid tables via `nearestCellExpr`, hyperplanes via `lshSigns`).
+    * Literal-argmax cost is linear in plan size but Catalyst
+    * analysis/optimization over a CreateArray of k×dim literals degrades
+    * quadratically once plans reach megabytes — past this bound the right
+    * shape is the broadcast-join assignment (join the corpus against a
+    * broadcast centroid table + aggregate argmax), which trades one
+    * broadcast for unbounded k. Enforced with a loud `require` so the
+    * fallback is an explicit design decision, not a silent 100× planning
+    * stall.
+    */
+  val MaxLiteralDoubles: Int = 65536
+
   /** Deterministic ±1 hyperplane components from a fixed 64-bit LCG (same
     * construction as Dedup.minhashSeeds; bit 40 of the state — low LCG bits
     * alternate). Pure values shared verbatim with the generated oracle SQL,
@@ -75,6 +96,11 @@ object VectorOps {
     def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x }
     Array.fill(LshPlanes, LshDim)(if (((next() >>> 40) & 1L) == 1L) 1.0 else -1.0)
   }
+  require(LshPlanes * LshDim <= MaxLiteralDoubles,
+    s"LSH geometry embeds ${LshPlanes * LshDim} literal doubles per plan — past " +
+      s"MaxLiteralDoubles=$MaxLiteralDoubles store the planes as a broadcast table instead")
+  require(LshDim == EmbeddingDim,
+    "lshSigns planes are generated at EmbeddingDim width — the two constants must move together")
 
   /** 12-bit band value for band `j`: bit r set iff round(v·h_{j·12+r}, 6) ≥ 0.
     * The rounding is the repo-wide cross-engine float convention — a raw
@@ -119,6 +145,17 @@ object VectorOps {
       every: Int = 20,
       delta: Double = 0.015625,
       idOffset: Long = 1000000L): DataFrame = {
+    // One tiny column-stats aggregate guards the two silent-divergence
+    // hazards ADVICE r3 flagged: (a) a scale factor shipping vec_id >=
+    // idOffset would merge a planted copy with a real row; (b) a dim change
+    // would diverge from the oracle's EmbeddingDim-rendered range bound.
+    val g = emb.agg(max(col("vec_id")), max(size(col("embedding")))).head()
+    require(g.getLong(0) < idOffset,
+      s"plantedCorpus: max(vec_id)=${g.getLong(0)} >= idOffset=$idOffset — " +
+        "planted ids would collide with genuine rows; raise idOffset")
+    require(g.getInt(1) == EmbeddingDim,
+      s"plantedCorpus: embedding dim ${g.getInt(1)} != VectorOps.EmbeddingDim=$EmbeddingDim — " +
+        "the oracle SQL renders its transform bounds from EmbeddingDim")
     val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val copies = base.filter(col("vec_id") % every === 0)
       .select((col("vec_id") + idOffset).as("vec_id"),
@@ -248,25 +285,62 @@ object VectorOps {
     * and never exchanged, vs round-2's ×C broadcast-join fan-out + hash
     * exchange + row_number (VERDICT r2 #4).
     */
-  private def nearestCellExpr(centArr: Seq[(Int, Seq[Double])], vecCol: Column): Column =
+  /** `normCol` must be sqrt(dot(vec, vec)) materialized ONCE in a child
+    * projection: with C centroids the naive per-centroid `cosine` call
+    * evaluates dot(v,v) C times and dot(c,c) C times per row — 3C 64-wide
+    * loops where C+1 suffice (r3's measured ~3× overhead on ann_ivf_topk).
+    * The centroid norms are loop-invariant driver-side constants, computed
+    * with the same left-to-right fold + sqrt as the codegen'd
+    * ArrayDotProduct, so each literal is bit-identical to what
+    * sqrt(dot(c,c)) would produce per row and the rounded cosine (and thus
+    * the argmax cell) is unchanged.
+    */
+  private def nearestCellExpr(
+      centArr: Seq[(Int, Seq[Double])], vecCol: Column, normCol: Column): Column = {
+    val dim = centArr.headOption.map(_._2.size).getOrElse(0)
+    require(centArr.size * dim <= MaxLiteralDoubles,
+      s"nearestCellExpr: ${centArr.size} centroids x $dim dims = ${centArr.size * dim} " +
+        s"literal doubles exceeds MaxLiteralDoubles=$MaxLiteralDoubles; at this quantizer " +
+        "size switch to the broadcast-join assignment (join corpus to a broadcast " +
+        "centroid table and aggregate the argmax) instead of literal folding")
     -array_max(array(centArr.sortBy(_._1).map { case (c, m) =>
-      struct(round(cosine(vecCol, array(m.map(lit(_)): _*)), 6).as("ccos"),
+      val cn = math.sqrt(m.foldLeft(0.0)((s, x) => s + x * x))
+      struct(round(dot(vecCol, array(m.map(lit(_)): _*)) / (normCol * lit(cn)), 6).as("ccos"),
         lit(-c).as("negCell"))
     }: _*)).getField("negCell")
+  }
 
   /** Coarse centroids = per-label mean vector, components rounded to 6
     * decimals (stand-in for one k-means iteration; label plays the cluster-id
     * role so the oracle can replay it — a production build would iterate
     * k-means over a sample and broadcast the result identically).
     */
-  def centroids(emb: DataFrame): DataFrame =
-    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("v").cast("double")).as("m"))
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => round(s.getField("m"), 6)).as("centroid"))
+  def centroids(emb: DataFrame): DataFrame = {
+    // limit-1 probe for the dimensionality (ANSI element_at is strict OOB);
+    // far cheaper than the corpus-wide job the explode shape needed
+    val dim = emb.select(size(col("embedding")).as("d")).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(EmbeddingDim)
+    meanVector(emb.select(col("label"), col("embedding").cast("array<double>").as("v")),
+      "label", "v", dim).withColumnRenamed("key", "label")
+  }
+
+  /** Per-key element-wise mean vector as ONE hash aggregation with `dim`
+    * `avg(element_at(...))` columns — no posexplode: the exploded form
+    * shuffles dim× the corpus row count and needs a second aggregation to
+    * reassemble the array (r3's shape; at sf0.1 that was 320k exploded rows
+    * and two exchanges per k-means iteration). Here partial aggregation
+    * folds each row into k×dim running sums map-side, the exchange carries
+    * one partial row per (key, partition), and the array is rebuilt by a
+    * plain projection. Components rounded to 6dp (cross-engine contract).
+    */
+  private def meanVector(df: DataFrame, keyCol: String, vecCol: String, dim: Int): DataFrame = {
+    val aggs = (0 until dim).map(i =>
+      avg(element_at(col(vecCol), i + 1)).as(s"m$i"))
+    df.groupBy(col(keyCol).as("key"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("key"),
+        array((0 until dim).map(i => round(col(s"m$i"), 6)): _*).as("centroid"))
+  }
 
   /** Lloyd-iterated k-means coarse centroids (the production quantizer; the
     * label-mean `centroids` is the oracle-replayable stand-in). Deterministic
@@ -296,18 +370,18 @@ object VectorOps {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](2)) }
 
+    // per-vector norm computed once in a child projection, reused by every
+    // iteration's assignment (CollapseProject will not inline a non-cheap
+    // expression referenced k times, so the sqrt(dot) really runs once/row)
+    val vn = v.select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("vn"))
     for (_ <- 0 until iters) {
       // assignment is a PURE PROJECTION over the corpus: the k centroids are
       // driver-side literals, so the nearest-cell argmax needs no ×k join
       // fan-out, no exchange, no window (same shape as ivfTopK's corpus side)
-      val assigned = v.select(col("vec_id"), col("v"),
-        nearestCellExpr(cents, col("v")).as("cell"))
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => round(s.getField("m"), 6)).as("centroid"))
+      val assigned = vn.select(col("vec_id"), col("v"),
+        nearestCellExpr(cents, col("v"), col("vn")).as("cell"))
+      val means = meanVector(assigned, "cell", "v",
+        cents.headOption.map(_._2.size).getOrElse(EmbeddingDim))
       // k×dim doubles — empty cells drop out (standard Lloyd behavior)
       cents = means.collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
     }
@@ -327,7 +401,6 @@ object VectorOps {
       k: Int = 10,
       nprobe: Int = 1,
       coarse: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // (cell, centroid) table: label-means by default (oracle-replayable),
     // or a caller-supplied quantizer (e.g. kmeansCentroids)
     val cents = coarse.getOrElse(
@@ -340,34 +413,51 @@ object VectorOps {
     val centArr: Array[(Int, Seq[Double])] = cents.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
 
+    // cast + norm in a child projection so the literal argmax does C+1 dots
+    // per row (the norm feeds both the assignment and the final scoring)
     val corpus = emb
-      .select(col("vec_id"), col("embedding"), nearestCellExpr(centArr, col("embedding")).as("cell"))
-      .select(col("vec_id"), col("cell"),
-        col("embedding").cast("array<double>").as("cv"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("cn"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+      .select(col("vec_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
+      .select(col("vec_id"), nearestCellExpr(centArr, col("cv"), col("cn")).as("cell"),
+        col("cv"), col("cn"))
 
-    // query side: n/100 rows probe their nprobe nearest cells — the ×C
-    // fan-out + window ranking only ever touches the tiny query set
-    def assign(df: DataFrame, vecCol: String, idCol: String, probes: Int): DataFrame = {
-      val scored = df.join(broadcast(cents))
-        .select(col(idCol), col(vecCol), col("cell"),
-          round(cosine(col(vecCol), col("centroid")), 6).as("ccos"))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cell").asc)
-      scored.withColumn("r", row_number().over(w)).filter(col("r") <= probes)
-        .select(col(idCol), col(vecCol), col("cell"))
+    // query side: the nprobe nearest cells are ALSO a pure literal
+    // expression — sort the per-centroid (ccos, -cell) structs descending
+    // (lexicographic struct order = ccos DESC, cell ASC on ties, the same
+    // ranking as the row_number() form), slice the first nprobe, explode.
+    // r3 ranked probe cells with a broadcast join against the centroid
+    // FRAME + a window, which re-executed the whole centroid aggregation a
+    // second time inside the broadcast exchange; for a collected quantizer
+    // that join buys nothing.
+    val probeStructs = centArr.map { case (c, m) =>
+      val cn = math.sqrt(m.foldLeft(0.0)((s, x) => s + x * x))
+      struct(round(dot(col("qv"), array(m.map(lit(_)): _*)) / (col("qn") * lit(cn)), 6)
+        .as("ccos"), lit(-c).as("negCell"))
     }
-    val queries = assign(querySet(emb), "q_emb", "q_id", probes = nprobe)
-      .select(col("q_id"), col("cell"),
-        col("q_emb").cast("array<double>").as("qv"),
-        sqrt(dot(col("q_emb"), col("q_emb"))).as("qn"))
+    val queries = querySet(emb)
+      .select(col("q_id"), col("q_emb").cast("array<double>").as("qv"))
+      .select(col("q_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("qn"))
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(slice(reverse(array_sort(array(probeStructs: _*))), 1, nprobe)).as("p"))
+      .select(col("q_id"), (-col("p.negCell")).as("cell"), col("qv"), col("qn"))
 
     val scored = broadcast(queries).join(corpus,
         col("q_id") =!= col("vec_id") && queries("cell") === corpus("cell"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
+    // final per-query top-k through the bounded-heap aggregator instead of a
+    // row_number window: partial ≤k buffers combine map-side, so at most k
+    // rows per (query, partition) cross the last shuffle and no full
+    // candidate sort ever materializes — same (cos DESC, neighbor_id ASC)
+    // ranking; the DuckDB oracle still ranks with row_number, so the
+    // aggregator path stays hash-checked row-identical to the window form
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    scored.groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("neighbor_id")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("i", "t")))
+      .select(col("q_id"), (col("i") + 1).cast("int").as("rank"),
+        col("t._2").as("neighbor_id"), col("t._1").as("cos"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.oracle
 
-import graft.ops.{Dedup, Sampling, TextOps}
+import graft.ops.{Dedup, Sampling, TextOps, VectorOps}
 
 /** DuckDB oracle SQL for every hash-checkable north-star query, GENERATED
   * from the same Scala constants the Spark operators use (seeds, band
@@ -322,7 +322,6 @@ object DuckDbOracles {
       every: Int = 20,
       delta: String = "0.015625",
       idOffset: Long = 1000000L): String = {
-    import graft.ops.VectorOps
     def bvExpr(j: Int): String = (0 until VectorOps.LshRows).map { r =>
       val arr = VectorOps.lshSigns(j * VectorOps.LshRows + r)
         .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
@@ -335,7 +334,7 @@ object DuckDbOracles {
        |aug AS (SELECT vec_id, v FROM e
        |  UNION ALL
        |  SELECT vec_id + $idOffset AS vec_id,
-       |    list_transform(range(1, 65), i -> v[i] +
+       |    list_transform(range(1, ${VectorOps.EmbeddingDim + 1}), i -> v[i] +
        |      CASE WHEN (vec_id + i - 1) % 2 = 0 THEN $delta ELSE -$delta END) AS v
        |  FROM e WHERE vec_id % $every = 0),
        |banded AS (
@@ -377,7 +376,7 @@ object DuckDbOracles {
 
   def annIvfTopK(k: Int = 10, nprobe: Int = 1): String =
     s"""WITH $embCte,
-       |dims AS (SELECT unnest(range(1, 65)) AS pos),
+       |dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
        |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
        |cent AS (SELECT label AS cell, list(round(m, 6) ORDER BY pos) AS centroid
        |  FROM comp GROUP BY label),
@@ -481,7 +480,7 @@ object DuckDbOracles {
          |  FROM it${n}_comp GROUP BY cell)""".stripMargin
     }.mkString(",\n")
     s"""WITH $embCte,
-       |dims AS (SELECT unnest(range(1, 65)) AS pos),
+       |dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
        |$init,
        |$iterCtes,
        |ranked_cells AS (SELECT e.vec_id, e.v, c.cell,

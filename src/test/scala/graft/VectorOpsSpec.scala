@@ -210,6 +210,39 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     }
   }
 
+  describe("literal-expression plan-size guard") {
+    it("rejects a quantizer that would fold more than MaxLiteralDoubles into the plan") {
+      import spark.implicits._
+      val emb = embDf(Seq((0L, Seq.fill(64)(0.1f), 0), (100L, Seq.fill(64)(0.2f), 0)))
+      // 1025 centroids x 64 dims = 65600 literal doubles > 65536
+      val huge = Seq.tabulate(1025)(i => (i, Seq.fill(64)(0.001 * i)))
+        .toDF("cell", "centroid")
+      val ex = intercept[IllegalArgumentException] {
+        VectorOps.ivfTopK(emb, coarse = Some(huge))
+      }
+      ex.getMessage should include("MaxLiteralDoubles")
+      ex.getMessage should include("broadcast")
+    }
+
+    it("ivfTopK output is ranked exactly like the row_number form") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val rows = VectorOps.ivfTopK(emb, k = 10).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      rows.groupBy(_._1).foreach { case (_, g) =>
+        val sorted = g.sortBy(_._2)
+        // ranks are consecutive from 1 and order by (cos DESC, neighbor_id ASC)
+        sorted.map(_._2).toList shouldBe (1 to g.length).toList
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+              s"rank ${a._2}->${b._2} violates (cos DESC, id ASC): $a vs $b")
+          case _ => ()
+        }
+      }
+      rows.nonEmpty shouldBe true
+    }
+  }
+
   describe("quantizeStats") {
     it("computes int8 scale and summaries on a known vector") {
       // amax = 1.0 → scale 127; q = [127, round(-63.5)=-64 (half away from

@@ -177,26 +177,59 @@ object TextOps {
     * over `nShards` (hashing avoids ordered-id skew), then within each shard
     * fill fixed `tokenBudget` bins in doc_id order by cumulative token
     * count — the sequence-packing step a pretraining data pipeline runs
-    * before tokenizer sharding. One window sort per shard, no other
-    * shuffle; bin ids are a pure function of the running sum, so the whole
-    * assignment is deterministic and SQL-replayable.
+    * before tokenizer sharding. Bin ids are a pure function of the running
+    * sum, so the whole assignment is deterministic and SQL-replayable.
+    *
+    * The per-shard running sum is a TWO-LEVEL distributed prefix sum, so
+    * parallelism is never bounded by `nShards` (r3's single window per
+    * shard meant 8 tasks each sorting ~1/8 of the corpus — at 100 TB, 8
+    * tasks sorting 12.5 TB each):
+    *  1. docs are blocked by contiguous doc_id range (`block =
+    *     floor(doc_id / blockSpan)`, order-preserving since the id is the
+    *     pack order); the running sum WITHIN each (shard, block) is a
+    *     window whose keyspace — and therefore parallelism — scales with
+    *     corpus size;
+    *  2. each block's start offset is the prefix sum of per-block totals —
+    *     a corpus/blockSpan-row aggregate (the classic carry table), joined
+    *     back on (shard, block). The join reuses the level-1 hash
+    *     partitioning, so the corpus is never re-exchanged, and the carry
+    *     side is deliberately NOT broadcast-hinted: at extreme scale the
+    *     carry table itself outgrows a broadcast, and the planner/AQE picks
+    *     broadcast whenever it genuinely fits.
+    * `global cum = block_offset + local_cum` reproduces the r3 single-window
+    * sum exactly (blocking by id range preserves the per-shard doc_id
+    * order), so bins — and the unchanged single-window oracle SQL — are
+    * bit-identical. doc_id must be non-negative (floor semantics) and
+    * < 2^53 (the block id is computed in double); both hold for every
+    * harness scale factor and are asserted in TextOpsSpec.
     */
   def packShards(
       docs: DataFrame,
       nShards: Int = 8,
       tokenBudget: Int = 1000,
+      blockSpan: Long = 1024L,
       hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(
       col("doc_id"),
       size(tokens(col("text"))).as("n_tokens"),
-      (hash("shard", col("doc_id").cast("string")) % nShards).as("shard"))
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-    base
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+      (hash("shard", col("doc_id").cast("string")) % nShards).as("shard"),
+      floor(col("doc_id") / blockSpan).cast("bigint").as("block"))
+    val wLocal = Window.partitionBy(col("shard"), col("block")).orderBy(col("doc_id"))
+    val local = base.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+    // carry table: one row per (shard, block); the window here partitions
+    // by shard only, but over block TOTALS — corpus/blockSpan rows, the
+    // metadata-sized level of the prefix sum
+    val wOff = Window.partitionBy(col("shard")).orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("shard"), col("block"))
+      .agg(sum(col("n_tokens")).as("block_total"))
+      .select(col("shard"), col("block"),
+        coalesce(sum(col("block_total")).over(wOff), lit(0L)).as("block_offset"))
+    local.join(offsets, Seq("shard", "block"))
       // bin = which budget-window the doc STARTS in (greedy sequential fill)
       .select(col("doc_id"), col("shard"), col("n_tokens"),
-        floor((col("cum") - col("n_tokens")).cast("double") / tokenBudget)
+        floor((col("block_offset") + col("local_cum") - col("n_tokens")).cast("double") / tokenBudget)
           .cast("bigint").as("bin"))
   }
 

@@ -158,4 +158,79 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
       a.size should (be >= 10 and be <= 50)
     }
   }
+
+  describe("packShards two-level prefix sum") {
+    import org.apache.spark.sql.{functions => F}
+
+    // 300 docs, irregular token counts, ids with gaps (stress block edges)
+    def corpus = docsDf((0 until 300).map { i =>
+      val id = i.toLong * 3 // gaps: blocks are id-RANGE based, not dense
+      id -> Seq.fill(i % 37 + 1)("w").mkString(" ")
+    })
+
+    it("matches the single-window per-shard reference bit-for-bit") {
+      import org.apache.spark.sql.expressions.Window
+      // reference = r3's formula: ONE running sum per shard
+      val base = corpus.select(
+        F.col("doc_id"),
+        F.size(F.split(F.col("text"), " ")).as("n_tokens"),
+        (graft.functions.PortableHash.h31("shard", F.col("doc_id").cast("string")) % 8).as("shard"))
+      val w = Window.partitionBy(F.col("shard")).orderBy(F.col("doc_id"))
+      val ref = base.withColumn("cum", F.sum(F.col("n_tokens")).over(w))
+        .select(F.col("doc_id"), F.col("shard"), F.col("n_tokens"),
+          F.floor((F.col("cum") - F.col("n_tokens")).cast("double") / 1000).cast("bigint").as("bin"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+      for (span <- Seq(16L, 64L, 1024L)) {
+        val got = TextOps.packShards(corpus, blockSpan = span)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+        withClue(s"blockSpan=$span: ") { got shouldBe ref }
+      }
+    }
+
+    it("partitions the corpus-scale window by (shard, block), not by shard alone") {
+      import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.window.WindowExec
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      val df = TextOps.packShards(corpus, blockSpan = 16L)
+      // AQE's wrapper hides children — re-plan statically (as PlanAudit does)
+      val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan =
+        try spark.sessionState.executePlan(df.queryExecution.logical).executedPlan
+        finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      val windows = plan.collect { case e: WindowExec => e }
+      windows.nonEmpty shouldBe true
+      // the window over RAW docs (no aggregate below it) is the corpus-scale
+      // stage: its partition keyspace must include the block id so task
+      // count scales with input size — nShards-only partitioning is the
+      // 8-tasks-sort-the-corpus defect r3's VERDICT flagged
+      val corpusScale = windows.filter(_.collectLeaves().nonEmpty)
+        .filter(e => e.collect { case a: HashAggregateExec => a }.isEmpty)
+      corpusScale.nonEmpty shouldBe true
+      corpusScale.foreach { e =>
+        withClue(s"partitionSpec=${e.partitionSpec}: ") {
+          e.partitionSpec.size shouldBe 2
+        }
+        val ex = e.collect { case s: ShuffleExchangeExec => s }
+        ex.nonEmpty shouldBe true
+        ex.head.outputPartitioning match {
+          case hp: HashPartitioning => hp.expressions.size shouldBe 2
+          case other => fail(s"expected HashPartitioning(shard, block), got $other")
+        }
+      }
+      // and the keyspace genuinely exceeds nShards on this corpus
+      val keys = TextOps.packShards(corpus, blockSpan = 16L)
+        .select(F.col("shard"), F.floor(F.col("doc_id") / 16).cast("bigint").as("block"))
+        .distinct().count()
+      keys should be > 8L
+    }
+
+    it("harness doc_ids satisfy the non-negative / < 2^53 block-id contract") {
+      val g = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+        .agg(F.min(F.col("doc_id")), F.max(F.col("doc_id"))).head()
+      g.getLong(0) should be >= 0L
+      g.getLong(1) should be < (1L << 53)
+    }
+  }
 }

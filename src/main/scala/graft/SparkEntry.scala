@@ -288,14 +288,18 @@ object SparkEntry {
     // Robust outlier detection per event type: |x - median| > 3 * MAD
     // (median absolute deviation — resistant to the outliers it hunts,
     // unlike stddev-based z-scores). Two exact-percentile aggregation
-    // passes; rates rounded for cross-engine stability.
+    // passes. med and mad are rounded to 6dp BEFORE the 3*MAD comparison
+    // (repo convention for any cross-engine float compare): Spark's
+    // percentile and DuckDB's quantile_cont interpolate with different
+    // formulas that can differ in the last ulp, and an unrounded boundary
+    // row could flip n_outliers at a new scale factor.
     "value_outliers" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val med = ev.groupBy(col("event_type"))
-        .agg(expr("percentile(value, 0.5D)").as("med"))
+        .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
       val mad = ev.join(broadcast(med), Seq("event_type"))
         .groupBy(col("event_type"), col("med"))
-        .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+        .agg(round(expr("percentile(abs(value - med), 0.5D)"), 6).as("mad"))
       ev.join(broadcast(mad), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -489,15 +493,20 @@ object SparkEntry {
     // representative. Strictly stronger than the pairwise policy below on
     // star shapes — pairs (5,9),(7,9) leave both 5 and 7 under pairwise
     // keep-lowest (only 9 is ever a doc_b), while CC keeps only 5.
-    // iters=2 here: survivorship only needs rep != doc_id, which one
-    // neighbor-min hop already decides for every non-minimum node that has
-    // a lower-id neighbor; 2 hops covers the shallow components LSH pair
-    // graphs produce, at 2/3 the iteration-chain cost of the full
-    // 3-iteration labeling above (the oracle unrolls the same 2 steps).
+    // This applies the 2-HOP survivorship bound (Dedup.nearDupDropSet, the
+    // collapsed algebraic form of nearDupComponents at iters=2; the oracle
+    // unrolls the same 2 steps, so the engines stay in lockstep). The
+    // bound's failure shape, explicitly: a node whose nearest lower-id
+    // label sits MORE than 2 hops away is over-KEPT — e.g. the chain
+    // 3—9—7—1 keeps both 1 and 3, because 3's label reaches 1 only after 3
+    // propagation steps. Over-keeping is the conservative direction for
+    // dedup (never drops a component minimum); the full-depth policy lives
+    // in dedup_components above, and both derive from the SAME LSH pair
+    // table (in production, the persisted band-index artifact that
+    // incrementalDedup maintains — computed once, not per policy).
     "dedup_apply_components" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val drops = Dedup.nearDupComponents(Dedup.minhashLshPairs(docs), iters = 2)
-        .filter(col("rep") =!= col("doc_id")).select(col("doc_id"))
+      val drops = Dedup.nearDupDropSet(Dedup.minhashLshPairs(docs))
       docs.join(drops, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
     }),
@@ -783,10 +792,10 @@ object SparkEntry {
          GROUP BY 1""",
 
     "value_outliers" ->
-      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      """WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
            FROM events GROUP BY 1),
          mad AS (SELECT e.event_type, m.med,
-             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+             round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
            FROM events e JOIN med m ON e.event_type = m.event_type
            GROUP BY 1, 2)
          SELECT e.event_type, count(*) AS n,

@@ -235,6 +235,33 @@ object Dedup {
     labels
   }
 
+  /** Drop set of the 2-hop survivorship bound, computed WITHOUT the label
+    * chain: a doc is dropped iff its 2-step propagated label differs from
+    * its own id, and algebraically
+    *   rep2(x) != x  ⟺  min over neighbors y of rep1(y) < x,
+    * where rep1(y) = least(y, min N(y)). (rep2(x) = least(rep1(x),
+    * min_y rep1(y)); if rep1(x) < x then some neighbor y < x exists and
+    * rep1(y) ≤ y < x already witnesses the right side.) That collapses the
+    * unrolled 2-iteration propagation — two outer-joined label steps each
+    * reading the edge list twice — to TWO hash aggregations and ONE
+    * equi-join over the pair graph. Same result set as
+    * `nearDupComponents(pairs, iters = 2).filter(rep != doc_id)`
+    * (spec-proven in DedupSpec, including the >2-hop chain where the bound
+    * over-keeps); same scale shape (shuffles only the pair graph).
+    */
+  def nearDupDropSet(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist() // read by both the rep1 aggregate and the 2-hop join
+    val r1 = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("nbr"), least(col("src"), col("mn")).as("rep1"))
+    edges.join(r1, col("dst") === col("nbr"))
+      .groupBy(col("src")).agg(min(col("rep1")).as("m"))
+      .filter(col("m") < col("src"))
+      .select(col("src").as("doc_id"))
+  }
+
   /** Exact Jaccard over winnowed fingerprint sets (TextOps.fingerprints):
     * candidates = docs sharing ≥1 fingerprint hash (equi-join, no n²);
     * J = |A∩B| / |A∪B| computed from exact set sizes.

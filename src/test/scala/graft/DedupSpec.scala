@@ -146,6 +146,34 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("nearDupDropSet") {
+    it("equals iters=2 propagation survivorship, including the >2-hop over-keep") {
+      import spark.implicits._
+      // chain 3—9—7—1 (ADVICE r3's shape: 3's nearest lower label is 3 hops
+      // away, so the 2-hop bound over-keeps 3), a star (5,9),(7,9)-like
+      // triangle, an isolated pair, and a within-2-hops chain
+      val graphs = Seq(
+        Seq((3L, 9L), (7L, 9L), (1L, 7L)),             // chain: 2-hop keeps {1, 3}
+        Seq((5L, 9L), (7L, 9L)),                       // star through max id
+        Seq((11L, 12L)),                               // isolated pair
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))   // path graph
+      graphs.foreach { g =>
+        val pairs = g.toDF("doc_a", "doc_b")
+        val viaChain = Dedup.nearDupComponents(pairs, iters = 2)
+          .filter(org.apache.spark.sql.functions.col("rep") =!=
+            org.apache.spark.sql.functions.col("doc_id"))
+          .collect().map(_.getLong(0)).toSet
+        val direct = Dedup.nearDupDropSet(pairs).collect().map(_.getLong(0)).toSet
+        withClue(s"graph $g: ") { direct shouldBe viaChain }
+      }
+      // the explicit over-keep: 3 survives the 2-hop bound
+      val drops = Dedup.nearDupDropSet(
+        Seq((3L, 9L), (7L, 9L), (1L, 7L)).toDF("doc_a", "doc_b"))
+        .collect().map(_.getLong(0)).toSet
+      drops shouldBe Set(7L, 9L) // 1 and 3 both kept
+    }
+  }
+
   describe("fingerprintJaccardPairs") {
     it("reports high jaccard for near-dups only") {
       val pairs = Dedup.fingerprintJaccardPairs(

@@ -21,11 +21,14 @@ import org.apache.spark.sql.execution.window.WindowExec
   *  - `sort-aggregate`   SortAggregateExec — hash aggregation fell back to
   *                       sort-based, usually an unorderable/unhashable
   *                       grouping type sneaking in;
-  *  - `codegen-fallback` an expression evaluated via CodegenFallback inside
-  *                       a whole-stage-codegen-eligible operator — breaks
-  *                       the fused loop (e.g. from_json; fine when the
-  *                       operator is intrinsically interpreted, costly in a
-  *                       hot projection).
+  *  - `codegen-fallback` an expression evaluated via CodegenFallback,
+  *                       flagged in EVERY operator that carries it
+  *                       (deliberately broader than the codegen-eligible
+  *                       hot path: an interpreted expression inside an
+  *                       already-interpreted operator still costs per-row
+  *                       virtual dispatch, and the allowlist — not the
+  *                       detector — is where intrinsically-interpreted
+  *                       built-ins like from_json are excused).
   *
   * PlanAuditSpec runs this over every SparkEntry query with a per-query
   * allowlist; anything new that shuffles-to-one or goes quadratic fails CI
@@ -42,14 +45,24 @@ object PlanAudit {
     * children (its inner plan is private state), so auditing the adaptive
     * plan would silently see nothing — the deterministic pre-runtime shape
     * is also the right thing to assert against.
+    *
+    * The AQE toggle briefly mutates the shared session conf (set, plan,
+    * restore); an originally-unset key is UNSET again rather than pinned to
+    * its default, so the audit leaves no conf residue. Concurrent planning
+    * on the same session during that window would see AQE off — CI runs
+    * audits sequentially, so this is a documented single-threaded contract,
+    * not a lock.
     */
   def audit(df: DataFrame): Seq[Violation] = {
     val spark = df.sparkSession
-    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val plan =
       try spark.sessionState.executePlan(df.queryExecution.logical).executedPlan
-      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
     val nodes: Seq[SparkPlan] = plan.collect { case p => p }
     val structural = nodes.flatMap {
       case p: CartesianProductExec =>

@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 import graft.ops.Dedup
 
@@ -20,13 +22,78 @@ import graft.ops.Dedup
   * bound — the pattern Kafka-fed ingest dedup uses when the dedup horizon
   * is "all of history", beyond dropDuplicates' watermark window.
   *
-  * Delivery: parquet appends inside foreachBatch are at-least-once across
-  * JVM-crash retries (the checkpoint tracks offsets per batch; a retried
-  * batch re-appends). Exactly-once needs a transactional sink or
-  * batchId-keyed idempotent overwrite — same caveat as the reference's JDBC
-  * foreachBatch writer, documented rather than hidden.
+  * Delivery: EXACTLY-ONCE across JVM-crash retries. Both sinks are
+  * hive-partitioned by `batch_id` and written with dynamic partition
+  * overwrite, so a replayed batch REPLACES its own first attempt instead of
+  * appending beside it; and the history probe excludes the current batch's
+  * partition, so a retry cannot collide with its own half-written output
+  * (the replayed input and the history visible to it are both identical to
+  * the first attempt — Structured Streaming pins batch contents in the
+  * checkpoint offset log — hence the recomputed survivors are identical and
+  * the overwrite is a no-op rename). The batch_id partition column doubles
+  * as partition pruning on the retry-exclusion filter at scale.
+  *
+  * A missing or not-yet-created `historyDir` reads as an EMPTY history
+  * (batch 0 needs no pre-seeded index); the first batch's survivors create
+  * the table.
   */
 object StreamingDedup {
+
+  private val BatchCol = "batch_id"
+
+  /** Band-index schema as written by this job: Dedup.minhashBands' columns
+    * plus the batch_id partition key.
+    */
+  private val historySchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("band", IntegerType),
+    StructField("bh", LongType),
+    StructField(BatchCol, LongType)))
+
+  /** The accumulated band index, or an empty frame of the same shape when
+    * the path does not exist yet / has no committed files (batch 0).
+    */
+  def readHistory(spark: SparkSession, historyDir: String): DataFrame =
+    try spark.read.schema(historySchema).parquet(historyDir)
+    catch {
+      // PATH_NOT_FOUND (and the empty-dir schema-inference twin): the
+      // stream hasn't written its first batch yet
+      case _: AnalysisException =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], historySchema)
+    }
+
+  /** One micro-batch of the ingest loop, exposed for direct use (and for
+    * the crash-retry spec, which replays a batchId and asserts both sinks
+    * end up with exactly one copy). Idempotent in `batchId`.
+    */
+  def processBatch(
+      batch: DataFrame,
+      batchId: Long,
+      historyDir: String,
+      corpusDir: String): Unit = {
+    val spark = batch.sparkSession
+    // exclude this batch's OWN partition: on a retry the index already
+    // holds the first attempt's bands and probing them would drop every
+    // replayed doc as a "history" collision
+    val history = readHistory(spark, historyDir).filter(col(BatchCol) =!= batchId)
+    val survivors = Dedup.incrementalDedup(batch, history)
+    // two writes read the survivors: persist for the scope of this
+    // batch, release before the next (no cross-batch cache leak)
+    survivors.persist()
+    try {
+      survivors.withColumn(BatchCol, lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BatchCol)
+        .parquet(corpusDir)
+      Dedup.minhashBands(Dedup.minhashSignatures(survivors))
+        .withColumn(BatchCol, lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BatchCol)
+        .parquet(historyDir)
+    } finally survivors.unpersist()
+  }
 
   def start(
       docsStream: DataFrame,
@@ -36,19 +103,8 @@ object StreamingDedup {
     docsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val history = spark.read.parquet(historyDir)
-        val survivors = Dedup.incrementalDedup(batch, history)
-        // two writes read the survivors: persist for the scope of this
-        // batch, release before the next (no cross-batch cache leak)
-        survivors.persist()
-        try {
-          survivors.write.mode("append").parquet(corpusDir)
-          Dedup.minhashBands(Dedup.minhashSignatures(survivors))
-            .write.mode("append").parquet(historyDir)
-        } finally survivors.unpersist()
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, historyDir, corpusDir)
       }
       .start()
 }

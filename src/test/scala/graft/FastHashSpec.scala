@@ -88,9 +88,13 @@ class FastHashSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper
       val docs = graft.model.Tables.documents(spark, sfDir)
       def time(hash: (String, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Double = {
         Dedup.minhashSignatures(docs, hash).count() // warm plan + IO
-        val t0 = System.nanoTime()
-        Dedup.minhashSignatures(docs, hash).count()
-        (System.nanoTime() - t0) / 1e9
+        // best-of-3 minima, the Bench methodology: a single rep under the
+        // full parallel suite can catch a futex-noise episode and flake
+        (0 until 3).map { _ =>
+          val t0 = System.nanoTime()
+          Dedup.minhashSignatures(docs, hash).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
       }
       val tMd5 = time(PortableHash.h31)
       val tFast = time(PortableHash.fast)

@@ -62,18 +62,23 @@ object Sessionize {
             // carry no order guarantee) into the running accumulator,
             // closing sessions on gap/cap boundaries as they appear.
             //
-            // Cross-batch ordering caveat (streaming only): sorting is
+            // Cross-batch ordering (streaming only): sorting is
             // per-micro-batch, so a late-but-within-watermark event that
-            // belongs BEFORE the stored accumulator's events is folded as
-            // if it arrived in order — it can extend lastMs but never move
-            // session_start backward, and its gap check runs against the
-            // stored lastMs rather than its true predecessor. This is the
-            // standard approximation of single-pass streaming
-            // sessionization; exact order-independence would require
-            // buffering every open session's events until the watermark
-            // passes. Batch mode sees each user's full history in one
-            // sorted group, so batch results (and the recursive-CTE oracle)
-            // are exact.
+            // belongs BEFORE the stored accumulator's events folds into the
+            // open session where it belongs — session_start tracks
+            // min(startMs, t), so the recorded bounds are exact for every
+            // event that reaches the operator. Two residual, pinned
+            // approximations (StatefulSessionSpec): the late event's gap
+            // check runs against the stored lastMs rather than its true
+            // in-order predecessor (it can MERGE two would-be sessions a
+            // batch boundary separated, never split one), and the cap
+            // check fires on forward extension only, so a backward
+            // extension can leave a recorded span up to watermarkDelay past
+            // capMs. Exact order-independence would require buffering every
+            // open session's events until the watermark passes — O(events)
+            // state instead of O(1). Batch mode sees each user's full
+            // history in one sorted group, so batch results (and the
+            // recursive-CTE oracle) are exact.
             val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
             var acc = state.getOption.orNull
             rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
@@ -84,7 +89,9 @@ object Sessionize {
                   closed += close(user, a, "gap"); acc = SessionAcc(t, t, 1)
                 case a if t - a.startMs > capMs =>
                   closed += close(user, a, "cap"); acc = SessionAcc(t, t, 1)
-                case a => acc = a.copy(lastMs = math.max(a.lastMs, t), n = a.n + 1)
+                case a => acc = a.copy(
+                  startMs = math.min(a.startMs, t),
+                  lastMs = math.max(a.lastMs, t), n = a.n + 1)
               }
             }
             if (isStreaming) {

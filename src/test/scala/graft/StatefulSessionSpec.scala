@@ -69,6 +69,44 @@ class StatefulSessionSpec extends AnyFunSpec with Matchers with SparkSessionTest
     }
   }
 
+  describe("cross-batch out-of-order arrival") {
+    it("a late-but-within-watermark event extends the open session backward") {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[SEvent]
+      // generous watermark so a genuinely out-of-order event still clears
+      // the pre-operator late-row filter in the NEXT micro-batch
+      val sessions = Sessionize.sessionize(
+        mem.toDS(), gapMs = 60000L, capMs = 600000L, watermarkDelay = "120 seconds")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ooo").toString
+      val sink = s"ooo_${System.nanoTime()}"
+      val q = sessions.writeStream.outputMode("append").format("memory")
+        .queryName(sink).option("checkpointLocation", ckpt).start()
+      try {
+        // batch 1: open session [60s, 90s]; watermark after it = 90s - 120s
+        mem.addData(at("u1", 60), at("u1", 90))
+        q.processAllAvailable()
+        // batch 2: event at 30s — BEFORE the stored session_start, above
+        // the watermark. Folds into the open session and must move
+        // session_start backward (pre-fix it could only extend lastMs).
+        mem.addData(at("u1", 30))
+        q.processAllAvailable()
+        // batch 3: far-future event advances the watermark past
+        // last(90s) + gap(60s) → the u1 session times out and emits
+        mem.addData(at("u9", 1200))
+        q.processAllAvailable()
+
+        val closed = spark.table(sink).as[Sessionize.Session]
+          .collect().filter(_.user_id == "u1").toSeq
+        closed should have size 1
+        closed.head.closed_by shouldBe "timeout"
+        closed.head.n_events shouldBe 3L
+        closed.head.session_start.getTime - base shouldBe 30000L // extended back
+        closed.head.session_end.getTime - base shouldBe 150000L // 90s + 60s gap
+      } finally q.stop()
+    }
+  }
+
   describe("sessionize on the RocksDB state store") {
     it("runs the same stateful pipeline with RocksDBStateStoreProvider") {
       import spark.implicits._

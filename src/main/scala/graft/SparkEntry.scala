@@ -560,7 +560,7 @@ object SparkEntry {
     // Stub decoder through real mapPartitions plumbing; byte-moment
     // features come out as scalar f0..f7 and are fully oracle-checked.
     "media_features" -> ((s, dir) =>
-      Multimodal.decodeFeatures(Multimodal.mediaTable(Tables.documents(s, dir)))),
+      Multimodal.decodeFeaturesArrow(Multimodal.mediaTable(Tables.documents(s, dir)))),
   )
 
   def oracleSql: Map[String, String] = Map(

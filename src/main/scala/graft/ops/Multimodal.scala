@@ -176,4 +176,130 @@ object Multimodal {
     spark.createDataFrame(rdd, decodeSchema)
       .select(Seq(col("media_id"), col("media_type"), col("n_bytes")) ++ scalars: _*)
   }
+
+  // ======= ARROW-BATCH DECODE (the 100 TB production codec contract) =======
+
+  /** Arrow schema of one decode input batch: exactly the columns a native
+    * codec needs, as columnar buffers it can read without JVM round-trips.
+    */
+  private def arrowInputSchema: org.apache.arrow.vector.types.pojo.Schema = {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field}
+    new org.apache.arrow.vector.types.pojo.Schema(java.util.Arrays.asList(
+      Field.nullable("media_id", new ArrowType.Int(64, true)),
+      Field.nullable("media_type", ArrowType.Utf8.INSTANCE),
+      Field.nullable("content", ArrowType.Binary.INSTANCE)))
+  }
+
+  /** Arrow schema of one decode output batch: pass-through keys plus
+    * fixed-width feature columns (f0..f7 as FLOAT8 vectors — fixed-width
+    * stays columnar; a list vector would re-introduce offsets for no gain).
+    */
+  private def arrowOutputSchema: org.apache.arrow.vector.types.pojo.Schema = {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field}
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    val fs = Seq(
+      Field.nullable("media_id", new ArrowType.Int(64, true)),
+      Field.nullable("media_type", ArrowType.Utf8.INSTANCE),
+      Field.nullable("n_bytes", new ArrowType.Int(32, true))) ++
+      (0 until FeatureCount).map(i =>
+        Field.nullable(s"f$i", new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)))
+    new org.apache.arrow.vector.types.pojo.Schema(
+      scala.jdk.CollectionConverters.SeqHasAsJava(fs).asJava)
+  }
+
+  /** ======= STUB ARROW CODEC =======
+    * The production decode boundary: ONE Arrow record batch in, one out.
+    * This is the signature a JNI/FFI media codec exports — the input
+    * VectorSchemaRoot's validity/offset/data ArrowBufs are off-heap and can
+    * cross the native boundary zero-copy (Arrow C Data Interface); the stub
+    * reads them through the JVM accessors and computes the same byte
+    * moments as `stubDecode`, so the two decode paths are verifiably
+    * identical. Caller owns both roots.
+    */
+  def stubArrowCodec(
+      in: org.apache.arrow.vector.VectorSchemaRoot,
+      out: org.apache.arrow.vector.VectorSchemaRoot): Unit = {
+    import org.apache.arrow.vector.{BigIntVector, Float8Vector, IntVector, VarBinaryVector, VarCharVector}
+    val n = in.getRowCount
+    val ids = in.getVector("media_id").asInstanceOf[BigIntVector]
+    val types = in.getVector("media_type").asInstanceOf[VarCharVector]
+    val content = in.getVector("content").asInstanceOf[VarBinaryVector]
+    val oIds = out.getVector("media_id").asInstanceOf[BigIntVector]
+    val oTypes = out.getVector("media_type").asInstanceOf[VarCharVector]
+    val oBytes = out.getVector("n_bytes").asInstanceOf[IntVector]
+    val oF = (0 until FeatureCount).map(i => out.getVector(s"f$i").asInstanceOf[Float8Vector])
+    out.allocateNew()
+    var i = 0
+    while (i < n) {
+      oIds.setSafe(i, ids.get(i))
+      if (types.isNull(i)) oTypes.setNull(i) else oTypes.setSafe(i, types.get(i))
+      val bytes = if (content.isNull(i)) null else content.get(i)
+      oBytes.setSafe(i, if (bytes == null) 0 else bytes.length)
+      val feats = stubDecode(bytes)
+      var j = 0
+      while (j < FeatureCount) { oF(j).setSafe(i, feats(j)); j += 1 }
+      i += 1
+    }
+    out.setRowCount(n)
+  }
+
+  /** `decodeFeatures` through the Arrow record-batch interface: each task
+    * slices its partition into `batchSize`-row Arrow batches (peak memory =
+    * one batch of payload buffers per task, exactly the mapInArrow batch
+    * shape), hands each batch to the codec at the VectorSchemaRoot boundary,
+    * and re-emits the output batch as rows. Row-identical to
+    * `decodeFeatures` by construction (MultimodalSpec asserts it); swap
+    * `stubArrowCodec` for an FFI codec and nothing else changes. Allocation
+    * hygiene: one RootAllocator per task, closed (leak-checked by Arrow) on
+    * task completion; both roots closed per batch.
+    */
+  def decodeFeaturesArrow(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val inSchemaJson = arrowInputSchema.toJson
+    val outSchemaJson = arrowOutputSchema.toJson
+    val rdd = media.select("media_id", "media_type", "content").rdd
+      .mapPartitions { it =>
+        import org.apache.arrow.vector.{BigIntVector, Float8Vector, IntVector, VarBinaryVector, VarCharVector, VectorSchemaRoot}
+        import org.apache.arrow.vector.types.pojo.{Schema => ASchema}
+        val allocator = new org.apache.arrow.memory.RootAllocator()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => allocator.close()))
+        val inSchema = ASchema.fromJSON(inSchemaJson)
+        val outSchema = ASchema.fromJSON(outSchemaJson)
+        it.grouped(batchSize).flatMap { batch =>
+          val in = VectorSchemaRoot.create(inSchema, allocator)
+          val out = VectorSchemaRoot.create(outSchema, allocator)
+          try {
+            in.allocateNew()
+            val ids = in.getVector("media_id").asInstanceOf[BigIntVector]
+            val types = in.getVector("media_type").asInstanceOf[VarCharVector]
+            val content = in.getVector("content").asInstanceOf[VarBinaryVector]
+            batch.zipWithIndex.foreach { case (r, i) =>
+              ids.setSafe(i, r.getLong(0))
+              if (r.isNullAt(1)) types.setNull(i)
+              else types.setSafe(i, r.getString(1).getBytes("UTF-8"))
+              val c = r.getAs[Array[Byte]]("content")
+              if (c == null) content.setNull(i) else content.setSafe(i, c)
+            }
+            in.setRowCount(batch.size)
+            stubArrowCodec(in, out)
+            val oIds = out.getVector("media_id").asInstanceOf[BigIntVector]
+            val oTypes = out.getVector("media_type").asInstanceOf[VarCharVector]
+            val oBytes = out.getVector("n_bytes").asInstanceOf[IntVector]
+            val oF = (0 until FeatureCount).map(i => out.getVector(s"f$i").asInstanceOf[Float8Vector])
+            // materialize rows BEFORE closing the roots (their buffers back the accessors)
+            (0 until out.getRowCount).map { i =>
+              Row(oIds.get(i),
+                if (oTypes.isNull(i)) null else new String(oTypes.get(i), "UTF-8"),
+                oBytes.get(i),
+                (0 until FeatureCount).map(j => oF(j).get(i)).toArray.toSeq)
+            }.toList
+          } finally { out.close(); in.close() }
+        }
+      }
+    val scalars = (0 until FeatureCount)
+      .map(i => round(element_at(col("features"), i + 1), 6).as(s"f$i"))
+    spark.createDataFrame(rdd, decodeSchema)
+      .select(Seq(col("media_id"), col("media_type"), col("n_bytes")) ++ scalars: _*)
+  }
 }

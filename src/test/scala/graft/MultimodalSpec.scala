@@ -58,4 +58,32 @@ class MultimodalSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapp
       (0 until 8).map(i => viaDf.getDouble(3 + i)).toArray shouldBe expected
     }
   }
+
+  describe("decodeFeaturesArrow") {
+    it("is row-identical to the mapPartitions path through real Arrow batches") {
+      val media = Multimodal.mediaTable(docs)
+      // batchSize 2 forces multiple Arrow record batches per partition
+      val arrow = Multimodal.decodeFeaturesArrow(media, batchSize = 2)
+      val rows = Multimodal.decodeFeatures(media, batchSize = 2)
+      arrow.columns.toSeq shouldBe rows.columns.toSeq
+      val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+      val a = arrow.collect().sortBy(key).map(_.toSeq)
+      val b = rows.collect().sortBy(key).map(_.toSeq)
+      a shouldBe b
+    }
+
+    it("round-trips null and empty payloads through the Arrow batch") {
+      import spark.implicits._
+      val media = Seq(
+        (0L, Option("image"), Option("abc".getBytes("UTF-8"))),
+        (1L, None: Option[String], Option(Array.emptyByteArray)),
+        (2L, Option("audio"), None: Option[Array[Byte]]))
+        .toDF("media_id", "media_type", "content")
+      val out = Multimodal.decodeFeaturesArrow(media, batchSize = 2)
+        .collect().sortBy(_.getLong(0))
+      out.map(_.getInt(2)).toSeq shouldBe Seq(3, 0, 0) // n_bytes
+      out(1).isNullAt(1) shouldBe true // media_type null survives
+      out(2).getDouble(3) shouldBe 0.0 // null payload → zero features
+    }
+  }
 }

@@ -401,6 +401,31 @@ object VectorOps {
       k: Int = 10,
       nprobe: Int = 1,
       coarse: Option[DataFrame] = None): DataFrame = {
+    // final per-query top-k through the bounded-heap aggregator instead of a
+    // row_number window: partial ≤k buffers combine map-side, so at most k
+    // rows per (query, partition) cross the last shuffle and no full
+    // candidate sort ever materializes — same (cos DESC, neighbor_id ASC)
+    // ranking; the DuckDB oracle still ranks with row_number, so the
+    // aggregator path stays hash-checked row-identical to the window form
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    ivfScored(emb, nprobe, coarse).groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("neighbor_id")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("i", "t")))
+      .select(col("q_id"), (col("i") + 1).cast("int").as("rank"),
+        col("t._2").as("neighbor_id"), col("t._1").as("cos"))
+  }
+
+  /** The IVF candidate-scoring join (everything in `ivfTopK` up to, but not
+    * including, the final per-query top-k): corpus cell assignment, query
+    * probe-cell selection, and the broadcast cell-equi-join with exact
+    * rounded cosine per candidate.
+    */
+  def ivfScored(
+      emb: DataFrame,
+      nprobe: Int = 1,
+      coarse: Option[DataFrame] = None): DataFrame = {
     // (cell, centroid) table: label-means by default (oracle-replayable),
     // or a caller-supplied quantizer (e.g. kmeansCentroids)
     val cents = coarse.getOrElse(
@@ -441,23 +466,9 @@ object VectorOps {
         explode(slice(reverse(array_sort(array(probeStructs: _*))), 1, nprobe)).as("p"))
       .select(col("q_id"), (-col("p.negCell")).as("cell"), col("qv"), col("qn"))
 
-    val scored = broadcast(queries).join(corpus,
+    broadcast(queries).join(corpus,
         col("q_id") =!= col("vec_id") && queries("cell") === corpus("cell"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
-    // final per-query top-k through the bounded-heap aggregator instead of a
-    // row_number window: partial ≤k buffers combine map-side, so at most k
-    // rows per (query, partition) cross the last shuffle and no full
-    // candidate sort ever materializes — same (cos DESC, neighbor_id ASC)
-    // ranking; the DuckDB oracle still ranks with row_number, so the
-    // aggregator path stays hash-checked row-identical to the window form
-    val topk = udaf(new graft.functions.TopKAggregator(k),
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
-    scored.groupBy(col("q_id"))
-      .agg(topk(col("cos"), col("neighbor_id")).as("topk"))
-      .select(col("q_id"), posexplode(col("topk")).as(Seq("i", "t")))
-      .select(col("q_id"), (col("i") + 1).cast("int").as("rank"),
-        col("t._2").as("neighbor_id"), col("t._1").as("cos"))
   }
 }

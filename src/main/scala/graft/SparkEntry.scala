@@ -450,6 +450,15 @@ object SparkEntry {
     // Deterministic hash-based stratified sampling + train/val split: the
     // reproducible-subset op a training pipeline runs before tokenization.
     "stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
+    // Temperature-based source mixing: p_s ∝ sqrt(share_s), deterministic
+    // ppm hash gate — the skew-flattening resampler in LLM data recipes.
+    "temperature_mix" -> ((s, dir) => Sampling.temperatureMix(Tables.documents(s, dir))),
+    // Benchmark decontamination: flag docs sharing a 3-shingle with the
+    // (corpus-derived, oracle-replayable) benchmark set.
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.decontaminate(docs, TextOps.benchmarkSet(docs))
+    }),
     // Gopher-style intra-doc repetition signals (dup-bigram / top-bigram
     // fractions + threshold flag).
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.documents(s, dir))),
@@ -916,6 +925,8 @@ object SparkEntry {
     "pack_training_shards" -> DuckDbOracles.packShards,
     "custom_sessions" -> DuckDbOracles.customSessions(SessionGapMs, SessionCapMs),
     "stratified_sample" -> DuckDbOracles.stratifiedSample,
+    "temperature_mix" -> DuckDbOracles.temperatureMix,
+    "decontaminate" -> DuckDbOracles.decontaminate,
     "text_repetition" -> DuckDbOracles.textRepetition(),
     "corpus_retention" -> DuckDbOracles.corpusRetention(),
     "dedup_components" -> DuckDbOracles.dedupComponents(),

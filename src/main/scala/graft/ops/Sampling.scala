@@ -52,4 +52,45 @@ object Sampling {
         when(pmod(hash("split", col("doc_id").cast("string")), lit(1000L)) < ValPerMille,
           lit("val")).otherwise(lit("train")).as("split"))
   }
+
+  /** Fraction of the corpus the temperature mix targets in expectation. */
+  val MixTargetFrac: Double = 0.5
+
+  /** Temperature-based source mixing — the data-recipe resampler that
+    * flattens a skewed source distribution before training: sampling
+    * probability p_s ∝ q_s^α for source share q_s, here pinned at α = 1/2
+    * (exponential smoothing as in multilingual LM recipes; sqrt is
+    * IEEE-exact in every engine where a general pow differs by ulps, so the
+    * per-source rates — and therefore every membership decision — replay
+    * bit-identically in the DuckDB oracle). Per-source keep rate
+    * r_s = targetFrac·N / (Σ_t √n_t · √n_s), capped at 1, quantized to
+    * integer ppm; a doc survives iff its portable hash lands under its
+    * source's rate — deterministic, growth-stable membership exactly like
+    * `stratifiedSample`.
+    *
+    * Scale: one count aggregate over the corpus (map-side combinable), a
+    * few-row rate table derived from it (the one-row totals frame is
+    * broadcast-crossed onto the per-source counts — the same labeled
+    * one-row NLJ shape as resample_hourly's bounds), then one broadcast
+    * equi-join + hash-gate filter over the corpus. No corpus shuffle at all.
+    */
+  def temperatureMix(
+      docs: DataFrame,
+      targetFrac: Double = MixTargetFrac,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    // totals rounded to 6dp before the rate division: a handful of sqrt
+    // terms can sum in different orders across engines (cross-engine float
+    // convention, same as every other emitted double)
+    val totals = counts.agg(
+      sum(col("n_s")).as("n_tot"), round(sum(sqrt(col("n_s"))), 6).as("s_sum"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("source"),
+        least(lit(1000000L),
+          round(lit(1e6) * lit(targetFrac) * col("n_tot") / col("s_sum") / sqrt(col("n_s")), 0)
+            .cast("bigint")).as("rate_ppm"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(pmod(hash("mix", col("doc_id").cast("string")), lit(1000000L)) < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("rate_ppm"))
+  }
 }

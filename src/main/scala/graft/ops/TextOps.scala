@@ -244,6 +244,51 @@ object TextOps {
       .filter(col("fp_hash") % 8 === 0)
       .distinct()
 
+  /** Every `BenchEvery`-th document contributes one benchmark entry. */
+  val BenchEvery = 50
+
+  /** Tokens per benchmark entry (a short eval prompt/answer span). */
+  val BenchPrefixTokens = 8
+
+  /** Deterministic evaluation-benchmark stand-in derived from the corpus
+    * itself: every `BenchEvery`-th document contributes its first
+    * `BenchPrefixTokens` tokens as one benchmark entry — so contamination
+    * provably exists in any test corpus (the contributing documents
+    * themselves) without shipping a real eval set. A production run passes
+    * its actual benchmark table to `decontaminate` instead.
+    */
+  def benchmarkSet(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % BenchEvery === 0)
+      .select(col("doc_id").as("bench_id"),
+        concat_ws(" ", slice(tokens(col("text")), 1, BenchPrefixTokens)).as("text"))
+
+  /** Benchmark decontamination — the train/test-overlap gate every serious
+    * pretraining pipeline runs before training: a document is contaminated
+    * iff it shares at least one 3-token shingle with the evaluation set
+    * (`bench`: one (bench_id, text) row per benchmark entry). Emits per-doc
+    * `n_hits` (distinct overlapping shingles) and the `contaminated` flag,
+    * so callers can either drop flagged docs or audit overlap depth.
+    *
+    * Scale: the benchmark side is small by nature (eval sets are ~1e4-1e6
+    * rows vs the 100 TB corpus), so its distinct shingle set is BROADCAST
+    * and the corpus-side join is shuffle-free; the only corpus exchange is
+    * the per-doc hit count (map-side combinable) that shingleSet's explode
+    * already pays. At production scale key the join on
+    * PortableHash.fast(shingle) instead of the raw string — identical
+    * decisions on both sides of the join, 8-byte keys across the wire.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame): DataFrame = {
+    val benchSh = shingleSet(bench.select(col("bench_id").as("doc_id"), col("text")))
+      .select(col("shingle")).distinct()
+    val hits = shingleSet(docs).join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** End-to-end corpus curation report — the filter chain a pretraining
     * pipeline runs per document, composed from the individual operators:
     * length gate, quality-score gate, repetition gate (first breached gate

@@ -122,6 +122,38 @@ object DuckDbOracles {
        |  < (CASE $ppmCase ELSE ${Sampling.DefaultPpm} END)""".stripMargin
   }
 
+  /** Twin of TextOps.decontaminate over TextOps.benchmarkSet — the bench
+    * derivation constants render from the same Scala values.
+    */
+  val decontaminate: String =
+    s"""WITH $tokCte, $shCte,
+       |bench AS (SELECT doc_id AS bench_id,
+       |  array_to_string(t[1:${TextOps.BenchPrefixTokens}], ' ') AS text
+       |  FROM tok WHERE doc_id % ${TextOps.BenchEvery} = 0),
+       |btok AS (SELECT bench_id, string_split(text, ' ') AS t FROM bench),
+       |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(t) - 1),
+       |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+       |  FROM btok WHERE len(t) >= 3),
+       |hits AS (SELECT doc_id, count(*) AS n_hits FROM sh JOIN bsh USING (shingle)
+       |         GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(hits.n_hits, 0) AS n_hits,
+       |  coalesce(hits.n_hits, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits USING (doc_id)""".stripMargin
+
+  /** Twin of Sampling.temperatureMix — α is pinned to 1/2 (sqrt), the
+    * totals sum is rounded to 6dp on both sides before the rate division,
+    * and membership is the same integer-ppm hash gate as stratifiedSample.
+    */
+  val temperatureMix: String =
+    s"""WITH n AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+       |t AS (SELECT sum(n_s) AS n_tot, round(sum(sqrt(n_s)), 6) AS s_sum FROM n),
+       |r AS (SELECT source, least(1000000, CAST(round(
+       |        1000000.0 * ${Sampling.MixTargetFrac} * n_tot / s_sum / sqrt(n_s), 0)
+       |      AS BIGINT)) AS rate_ppm FROM n, t)
+       |SELECT d.doc_id, d.source, r.rate_ppm
+       |FROM documents d JOIN r USING (source)
+       |WHERE ${h("mix", "CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm""".stripMargin
+
   /** Twin of TextOps.repetitionStats; the repetitive flag compares the
     * ROUNDED fractions on both sides (bit-stable across engines).
     */

@@ -33,6 +33,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "dedup_crossmodal" -> Set("nested-loop-join"),
     // one-row bounds aggregate broadcast-crossed onto the grid spine
     "resample_hourly" -> Set("nested-loop-join"),
+    // one-row totals aggregate broadcast-crossed onto the few-row
+    // per-source counts (never the corpus)
+    "temperature_mix" -> Set("nested-loop-join"),
     // query-side nprobe cell ranking: a k-row centroid table broadcast onto
     // n/100 query rows (the corpus side assigns cells via projection);
     // centroid tables are built with collect_list + transform + array_sort

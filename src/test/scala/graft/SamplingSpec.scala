@@ -39,4 +39,32 @@ class SamplingSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper
       kept(500) shouldBe small // and re-running changes nothing
     }
   }
+
+  describe("temperatureMix") {
+    // 900/100 source skew: S = 30 + 10 = 40, so rate_A = 0.5·1000/(40·30)
+    // ≈ 0.4167 and rate_B = 0.5·1000/(40·10) = 1.25 → capped at 1.0
+    def skewed = {
+      import spark.implicits._
+      (0 until 1000).map(i =>
+        (i.toLong, s"text $i", "en", if (i < 900) "srcA" else "srcB"))
+        .toDF("doc_id", "text", "lang", "source")
+    }
+
+    it("flattens source skew: minority kept whole, majority downsampled") {
+      val out = Sampling.temperatureMix(skewed).collect()
+      val rates = out.map(r => (r.getString(1), r.getLong(2))).toMap
+      rates("srcB") shouldBe 1000000L // sqrt smoothing caps the minority at keep-all
+      rates("srcA") shouldBe 416667L // round(1e6·0.5·1000/(40·30))
+      // kept counts follow the rates (hash gate is uniform; generous band)
+      val kept = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+      kept("srcB") shouldBe 100
+      kept("srcA").toDouble should (be >= 315.0 and be <= 435.0)
+      // expectation: ~475 of 1000 total ≈ MixTargetFrac·N
+    }
+
+    it("is deterministic across runs") {
+      def ids = Sampling.temperatureMix(skewed).collect().map(_.getLong(0)).toSet
+      ids shouldBe ids
+    }
+  }
 }

@@ -159,6 +159,39 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("decontaminate") {
+    it("flags docs sharing any 3-shingle with the benchmark set") {
+      // doc 0 (%50==0) seeds the benchmark with its first 8 tokens;
+      // doc 1 quotes three of those tokens verbatim (one shared shingle);
+      // doc 2 is disjoint; doc 3 shares tokens only beyond the 8-token
+      // benchmark prefix — clean
+      val docs = docsDf(Seq(
+        0L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        1L -> "intro words then beta gamma delta closing",
+        2L -> "totally unrelated text with no overlap at all",
+        3L -> "iota kappa lambda and more past the prefix"))
+      val out = TextOps.decontaminate(docs, TextOps.benchmarkSet(docs))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      out(0L)._2 shouldBe true // the bench contributor itself
+      out(0L)._1 shouldBe 6L // all 6 shingles of its 8-token prefix
+      out(1L) shouldBe ((1L, true)) // "beta gamma delta"
+      out(2L) shouldBe ((0L, false))
+      out(3L) shouldBe ((0L, false)) // overlap outside the bench prefix
+    }
+
+    it("benchmarkSet derives one prefix entry per 50th doc") {
+      val docs = docsDf(Seq(
+        0L -> (1 to 20).map(i => s"t$i").mkString(" "),
+        7L -> "not a contributor",
+        50L -> "short doc"))
+      val bench = TextOps.benchmarkSet(docs).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      bench.keySet shouldBe Set(0L, 50L)
+      bench(0L) shouldBe (1 to 8).map(i => s"t$i").mkString(" ")
+      bench(50L) shouldBe "short doc" // shorter than the prefix: kept whole
+    }
+  }
+
   describe("packShards two-level prefix sum") {
     import org.apache.spark.sql.{functions => F}
 

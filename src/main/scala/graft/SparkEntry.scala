@@ -552,6 +552,11 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, dir) => VectorOps.bruteForceTopK(Tables.embeddings(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir))),
     "ann_ivf_topk_np2" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir), nprobe = 2)),
+    // Filtered ANN (hybrid search): candidates restricted by a metadata
+    // predicate applied before cell assignment; quantizer stays corpus-wide.
+    "ann_ivf_filtered_topk" -> ((s, dir) => VectorOps.ivfTopK(
+      Tables.embeddings(s, dir), nprobe = 2,
+      corpusPred = Some(pmod(col("label"), lit(2)) === 0))),
     // Lloyd-iterated quantizer; oracle unrolls the fixed iteration count
     // into chained CTEs (per-iteration 6dp rounding stops ulp compounding).
     // Recall vs label-centroids measured in VectorOpsSpec.
@@ -948,6 +953,8 @@ object SparkEntry {
     "ann_brute_topk" -> DuckDbOracles.annBruteTopK(),
     "ann_ivf_topk" -> DuckDbOracles.annIvfTopK(),
     "ann_ivf_topk_np2" -> DuckDbOracles.annIvfTopK(nprobe = 2),
+    "ann_ivf_filtered_topk" ->
+      DuckDbOracles.annIvfTopK(nprobe = 2, corpusFilter = "label % 2 = 0"),
     "ann_ivf_kmeans_topk" -> DuckDbOracles.annIvfKmeansTopK(),
     "media_meta" -> DuckDbOracles.mediaMeta,
     "media_typed_meta" -> DuckDbOracles.mediaTypedMeta,

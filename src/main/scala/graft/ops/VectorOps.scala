@@ -400,7 +400,8 @@ object VectorOps {
       emb: DataFrame,
       k: Int = 10,
       nprobe: Int = 1,
-      coarse: Option[DataFrame] = None): DataFrame = {
+      coarse: Option[DataFrame] = None,
+      corpusPred: Option[Column] = None): DataFrame = {
     // final per-query top-k through the bounded-heap aggregator instead of a
     // row_number window: partial ≤k buffers combine map-side, so at most k
     // rows per (query, partition) cross the last shuffle and no full
@@ -410,7 +411,7 @@ object VectorOps {
     val topk = udaf(new graft.functions.TopKAggregator(k),
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
-    ivfScored(emb, nprobe, coarse).groupBy(col("q_id"))
+    ivfScored(emb, nprobe, coarse, corpusPred).groupBy(col("q_id"))
       .agg(topk(col("cos"), col("neighbor_id")).as("topk"))
       .select(col("q_id"), posexplode(col("topk")).as(Seq("i", "t")))
       .select(col("q_id"), (col("i") + 1).cast("int").as("rank"),
@@ -421,11 +422,21 @@ object VectorOps {
     * including, the final per-query top-k): corpus cell assignment, query
     * probe-cell selection, and the broadcast cell-equi-join with exact
     * rounded cosine per candidate.
+    *
+    * `corpusPred` is the FILTERED-ANN knob (metadata-predicate search, the
+    * hybrid-search feature of every production vector store): candidates
+    * are restricted to corpus rows passing the predicate, applied BEFORE
+    * cell assignment so excluded rows never pay the argmax — and, on a
+    * parquet-backed corpus, the predicate reaches the scan as a pushed
+    * filter. The quantizer stays corpus-wide (serving-time filters must
+    * not re-train the index), and queries come from the unfiltered table:
+    * any query may search a filtered corpus.
     */
   def ivfScored(
       emb: DataFrame,
       nprobe: Int = 1,
-      coarse: Option[DataFrame] = None): DataFrame = {
+      coarse: Option[DataFrame] = None,
+      corpusPred: Option[Column] = None): DataFrame = {
     // (cell, centroid) table: label-means by default (oracle-replayable),
     // or a caller-supplied quantizer (e.g. kmeansCentroids)
     val cents = coarse.getOrElse(
@@ -439,8 +450,9 @@ object VectorOps {
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
 
     // cast + norm in a child projection so the literal argmax does C+1 dots
-    // per row (the norm feeds both the assignment and the final scoring)
-    val corpus = emb
+    // per row (the norm feeds both the assignment and the final scoring);
+    // the metadata predicate filters FIRST, so excluded rows pay nothing
+    val corpus = corpusPred.fold(emb)(emb.filter(_))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
       .select(col("vec_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
       .select(col("vec_id"), nearestCellExpr(centArr, col("cv"), col("cn")).as("cell"),

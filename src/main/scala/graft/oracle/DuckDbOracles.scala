@@ -406,19 +406,24 @@ object DuckDbOracles {
        |  FROM scored)
        |SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k""".stripMargin
 
-  def annIvfTopK(k: Int = 10, nprobe: Int = 1): String =
+  /** `corpusFilter`: extra predicate (over `e` columns, carried through
+    * `cscore`) restricting CANDIDATE rows — the filtered-ANN twin of
+    * ivfScored's corpusPred. The quantizer CTEs stay corpus-wide, exactly
+    * like the Spark side.
+    */
+  def annIvfTopK(k: Int = 10, nprobe: Int = 1, corpusFilter: String = "TRUE"): String =
     s"""WITH $embCte,
        |dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
        |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
        |cent AS (SELECT label AS cell, list(round(m, 6) ORDER BY pos) AS centroid
        |  FROM comp GROUP BY label),
-       |cscore AS (SELECT e.vec_id, e.v, cent.cell,
+       |cscore AS (SELECT e.vec_id, e.label, e.v, cent.cell,
        |    round(${cosSql("e.v", "centroid")}, 6) AS ccos
        |  FROM e CROSS JOIN cent),
-       |ranked_cells AS (SELECT vec_id, v, cell,
+       |ranked_cells AS (SELECT vec_id, label, v, cell,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
        |  FROM cscore),
-       |asg AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r = 1),
+       |asg AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r = 1 AND ($corpusFilter)),
        |qasg AS (SELECT vec_id, v, cell FROM ranked_cells
        |  WHERE r <= $nprobe AND vec_id % 100 = 0),
        |scored AS (SELECT qa.vec_id AS q_id, ca.vec_id AS neighbor_id,

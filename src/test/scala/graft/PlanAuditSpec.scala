@@ -42,6 +42,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // over k grouped rows — interpreted eval on k rows, not a hot path
     "ann_ivf_topk" -> Set("nested-loop-join", "codegen-fallback"),
     "ann_ivf_topk_np2" -> Set("nested-loop-join", "codegen-fallback"),
+    "ann_ivf_filtered_topk" -> Set("nested-loop-join", "codegen-fallback"),
     "ann_ivf_kmeans_topk" -> Set("nested-loop-join", "codegen-fallback"),
     // planted near-dup copies use transform() on the every-20th slice —
     // interpreted on 5% of rows by design (exact ±1/64 double nudges)

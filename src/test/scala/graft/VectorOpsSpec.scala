@@ -52,6 +52,21 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
       ivf.filter(t => c0ids(t._1)).foreach { case (_, _, n) => c0ids should contain(n) }
       ivf.nonEmpty shouldBe true
     }
+
+    it("filtered ANN returns only corpus rows passing the metadata predicate") {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val out = VectorOps.ivfTopK(emb, k = 5, nprobe = 2,
+        corpusPred = Some(pmod(col("label"), lit(2)) === 0))
+      val evenIds = emb.filter(pmod(col("label"), lit(2)) === 0)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val rows = out.collect()
+      rows.nonEmpty shouldBe true
+      rows.foreach(r => evenIds should contain(r.getLong(2)))
+      // unfiltered neighbors with odd labels exist, so the filter is load-bearing
+      val unfiltered = VectorOps.ivfTopK(emb, k = 5, nprobe = 2).collect()
+      unfiltered.exists(r => !evenIds(r.getLong(2))) shouldBe true
+    }
   }
 
   describe("IVF recall vs brute force") {

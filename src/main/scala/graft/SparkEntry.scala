@@ -564,6 +564,11 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       VectorOps.ivfTopK(emb, coarse = Some(VectorOps.kmeansCentroids(emb, k = 10, iters = 3)))
     }),
+    // SemDeDup: k-means clusters bound the near-dup comparison to
+    // within-cluster pairs; higher vec_id of each pair at cos >= 0.35 drops.
+    "semantic_dedup" -> ((s, dir) => VectorOps.semanticDedup(Tables.embeddings(s, dir))),
+    // JL random projection 64 -> 8 dims (Rademacher rows, scalar outputs).
+    "embedding_rproj" -> ((s, dir) => VectorOps.randomProjection(Tables.embeddings(s, dir))),
 
     // ---- multimodal columns (north star) ---------------------------------
     "media_meta" -> ((s, dir) => Multimodal.mediaMeta(Tables.documents(s, dir))),
@@ -956,6 +961,8 @@ object SparkEntry {
     "ann_ivf_filtered_topk" ->
       DuckDbOracles.annIvfTopK(nprobe = 2, corpusFilter = "label % 2 = 0"),
     "ann_ivf_kmeans_topk" -> DuckDbOracles.annIvfKmeansTopK(),
+    "semantic_dedup" -> DuckDbOracles.semanticDedup(),
+    "embedding_rproj" -> DuckDbOracles.randomProjection,
     "media_meta" -> DuckDbOracles.mediaMeta,
     "media_typed_meta" -> DuckDbOracles.mediaTypedMeta,
     "media_frame_sample" -> DuckDbOracles.mediaFrameSample,

@@ -483,4 +483,98 @@ object VectorOps {
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
   }
+
+  /** (vec_id, cell, v, vn) cell assignment against a collected quantizer —
+    * the same pure literal-argmax projection `ivfScored` uses for its corpus
+    * side, exposed for operators that need the assignment itself (SemDeDup,
+    * cluster audits). Zero shuffle: the corpus is scanned once, never
+    * exchanged.
+    */
+  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val centArr: Array[(Int, Seq[Double])] = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("vn"))
+      .select(col("vec_id"), nearestCellExpr(centArr, col("v"), col("vn")).as("cell"),
+        col("v"), col("vn"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the Lloyd quantizer
+    * (`kmeansCentroids`), then prune near-duplicate pairs WITHIN each
+    * cluster only — the clustering reduces the O(n²) all-pairs comparison
+    * to Σ|cluster|², the whole point of the recipe. Pairs at rounded
+    * cos ≥ `threshold` drop the higher vec_id (the repo-wide keep-lowest
+    * policy; the paper keeps the member farthest from the centroid — the
+    * policy is orthogonal to the plan shape and keep-lowest is
+    * oracle-replayable without a second distance pass).
+    *
+    * Output: one row per corpus vector — (vec_id, cell, kept).
+    *
+    * Scale: the within-cluster join is an equi-join on `cell`, so
+    * parallelism equals k. k=10 here is sized to the 500-vector test
+    * corpus; the production recipe scales k with the corpus
+    * (k ≈ √N keeps E[|cluster|²] = N, i.e. total pair work linear in N,
+    * and gives the join √N-way parallelism) — at k beyond
+    * MaxLiteralDoubles/dim the assignment switches to the broadcast-join
+    * form per `nearestCellExpr`'s bound. Fat clusters (skewed cells) split
+    * under AQE skew-join handling, proven live in SkewJoinSpec. The
+    * assignment projection is evaluated once per join side — two corpus
+    * scans, no corpus-wide shuffle beyond the cell equi-join of cluster
+    * members.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      k: Int = 10,
+      iters: Int = 3,
+      threshold: Double = 0.35): DataFrame = {
+    val asg = assignCells(emb, kmeansCentroids(emb, k, iters))
+    val a = asg.select(col("cell"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = asg.select(col("cell"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("vn").as("nb"))
+    val drops = a.join(b, "cell")
+      .filter(col("vec_a") < col("vec_b") &&
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    asg.select(col("vec_id"), col("cell"))
+      .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dropped"), lit(false)).unary_!.as("kept"))
+  }
+
+  /** Output dimensionality of the random projection (8 = a 8× compression
+    * of the 64-dim embeddings; JL-style sketches for clustering/retrieval
+    * pre-passes).
+    */
+  val RpDim = 8
+
+  /** Deterministic ±1 Rademacher projection matrix (RpDim × EmbeddingDim),
+    * drawn from the same LCG family as `lshSigns` under a different seed —
+    * shared verbatim with the generated oracle SQL.
+    */
+  val rpSigns: Array[Array[Double]] = {
+    var x = 0x7A3C9E15L
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x }
+    Array.fill(RpDim, EmbeddingDim)(if (((next() >>> 40) & 1L) == 1L) 1.0 else -1.0)
+  }
+  require(RpDim * EmbeddingDim <= MaxLiteralDoubles,
+    "rpSigns exceeds the literal-folding bound — store the matrix as a broadcast table")
+
+  /** Johnson–Lindenstrauss random projection to `RpDim` dimensions:
+    * r_j = (v · s_j) / √RpDim with Rademacher rows s_j (Achlioptas 2003 —
+    * ±1 entries achieve the JL guarantee with database-friendly
+    * arithmetic). Emitted as scalar columns r0..r7 rounded to 6dp (the
+    * cross-engine contract). A pure narrow projection: RpDim fused
+    * codegen'd dot loops per row, zero shuffle, zero driver state — the
+    * dimensionality-reduction pre-pass a clustering/dedup pipeline runs
+    * before its distance-heavy stage at 100 TB.
+    */
+  def randomProjection(emb: DataFrame): DataFrame = {
+    val scale = math.sqrt(RpDim.toDouble)
+    val v = col("embedding").cast("array<double>")
+    emb.select(col("vec_id") +: (0 until RpDim).map { j =>
+      round(dot(v, array(rpSigns(j).map(lit(_)): _*)) / lit(scale), 6).as(s"r$j")
+    }: _*)
+  }
 }

@@ -493,13 +493,14 @@ object DuckDbOracles {
        |LEFT JOIN ev nx ON nx.user_id = a.user_id AND nx.i = a.next_i
        |LEFT JOIN ev pv ON pv.user_id = a.user_id AND pv.i = a.next_i - 1""".stripMargin
 
-  /** Twin of VectorOps.kmeansCentroids + ivfTopK(coarse = kmeans): the
-    * fixed iteration count lets the Lloyd loop unroll into chained CTEs
-    * (it0 = seeded init, it1..itN = assign+mean). Works because every
-    * centroid component is rounded to 6 decimals per iteration on BOTH
-    * sides, so accumulation-order ulps cannot compound across iterations.
+  /** The unrolled-Lloyd CTE chain shared by every kmeans-backed oracle:
+    * `e` must already be in scope; emits dims, it0 (seeded init),
+    * it1..itN (assign + per-component mean), ranked_cells and asg (the
+    * final per-vector cell assignment). Fixed `iters` is what makes the
+    * loop unrollable; per-iteration 6dp rounding on BOTH engines stops
+    * accumulation-order ulps compounding across iterations.
     */
-  def annIvfKmeansTopK(k: Int = 10, kmK: Int = 10, iters: Int = 3): String = {
+  private def kmeansAsgCtes(kmK: Int, iters: Int): String = {
     val init =
       s"""it0 AS (SELECT CAST(rn - 1 AS INT) AS cell, v AS centroid FROM (
          |  SELECT v, row_number() OVER (
@@ -516,15 +517,20 @@ object DuckDbOracles {
          |it$n AS (SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid
          |  FROM it${n}_comp GROUP BY cell)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $embCte,
-       |dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
+    s"""dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
        |$init,
        |$iterCtes,
        |ranked_cells AS (SELECT e.vec_id, e.v, c.cell,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY round(${cosSql("e.v", "c.centroid")}, 6) DESC, c.cell ASC) AS r
        |  FROM e CROSS JOIN it$iters c),
-       |asg AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r = 1),
+       |asg AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r = 1)""".stripMargin
+  }
+
+  /** Twin of VectorOps.kmeansCentroids + ivfTopK(coarse = kmeans). */
+  def annIvfKmeansTopK(k: Int = 10, kmK: Int = 10, iters: Int = 3): String = {
+    s"""WITH $embCte,
+       |${kmeansAsgCtes(kmK, iters)},
        |qasg AS (SELECT vec_id, v, cell FROM ranked_cells
        |  WHERE r = 1 AND vec_id % 100 = 0),
        |scored AS (SELECT qa.vec_id AS q_id, ca.vec_id AS neighbor_id,
@@ -535,6 +541,35 @@ object DuckDbOracles {
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
        |  FROM scored)
        |SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** Twin of VectorOps.semanticDedup: unrolled-Lloyd assignment, then
+    * within-cell near-dup pairs drop the higher vec_id.
+    */
+  def semanticDedup(kmK: Int = 10, iters: Int = 3, threshold: Double = 0.35): String =
+    s"""WITH $embCte,
+       |${kmeansAsgCtes(kmK, iters)},
+       |drops AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(${cosSql("a.v", "b.v")}, 6) >= $threshold)
+       |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
+       |FROM asg a LEFT JOIN drops d ON a.vec_id = d.vec_id""".stripMargin
+
+  /** Twin of VectorOps.randomProjection: the Rademacher rows render from
+    * VectorOps.rpSigns verbatim, so both engines project with the same
+    * matrix by construction.
+    */
+  val randomProjection: String = {
+    val scale = s"sqrt(${VectorOps.RpDim}.0)"
+    val cols = (0 until VectorOps.RpDim).map { j =>
+      val arr = VectorOps.rpSigns(j)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"round(list_dot_product(v, CAST($arr AS DOUBLE[])) / $scale, 6) AS r$j"
+    }.mkString(",\n  ")
+    s"""WITH $embCte
+       |SELECT vec_id,
+       |  $cols
+       |FROM e""".stripMargin
   }
 
   val mediaTypedMeta: String = {

@@ -281,4 +281,53 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
       pairs shouldBe Set((1L, 2L))
     }
   }
+
+  describe("semanticDedup") {
+    it("drops exactly the higher ids of within-cluster near-dup pairs") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val out = VectorOps.semanticDedup(emb).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      out.length.toLong shouldBe emb.count() // one verdict per corpus vector
+      out.count(!_._3) should be > 0         // the pruning actually fires
+      // soundness + completeness against an independent recomputation:
+      // dropped ⟺ some lower-id member of the SAME cell at rounded cos ≥ τ
+      val asg = VectorOps.assignCells(emb, VectorOps.kmeansCentroids(emb, 10, 3))
+        .select(col("vec_id"), col("cell"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val expectDropped = (for {
+        (ia, ca, va) <- asg; (ib, cb, vb) <- asg
+        if ca == cb && ia < ib && cos(va, vb) >= 0.35
+      } yield ib).toSet
+      out.filter(!_._3).map(_._1).toSet shouldBe expectDropped
+      // the operator's cell agrees with the assignment it derives from
+      val cellOf = asg.map(t => t._1 -> t._2).toMap
+      out.foreach { case (id, cell, _) => cell shouldBe cellOf(id) }
+    }
+  }
+
+  describe("randomProjection") {
+    it("projects a basis vector to exactly its matrix column over sqrt(RpDim)") {
+      // v = e_5 → r_j = rpSigns(j)(5) / √8 for every output dim j
+      val v = Array.fill(VectorOps.EmbeddingDim)(0.0f); v(5) = 1.0f
+      val df = embDf(Seq((1L, v.toSeq, 0)))
+      val r = VectorOps.randomProjection(df).collect()(0)
+      val s = math.sqrt(VectorOps.RpDim.toDouble)
+      (0 until VectorOps.RpDim).foreach { j =>
+        r.getDouble(j + 1) shouldBe
+          BigDecimal(VectorOps.rpSigns(j)(5) / s)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    it("is a pure narrow projection — no exchange in the plan") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val plan = VectorOps.randomProjection(emb).queryExecution.executedPlan.toString
+      plan should not include "Exchange"
+    }
+  }
 }

@@ -439,6 +439,10 @@ object SparkEntry {
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "text_subword_stats" -> ((s, dir) => TextOps.subwordStats(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
+    // Per-language bottom-quantile drop via a bounded score histogram
+    // (exact-percentile aggs buffer corpus-sized state; this doesn't).
+    "quality_quantile_filter" -> ((s, dir) =>
+      TextOps.qualityQuantileFilter(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
 
@@ -927,6 +931,7 @@ object SparkEntry {
     "text_token_stats" -> DuckDbOracles.textTokenStats,
     "text_subword_stats" -> DuckDbOracles.textSubwordStats,
     "text_quality" -> DuckDbOracles.textQuality,
+    "quality_quantile_filter" -> DuckDbOracles.qualityQuantileFilter(),
     "text_langid" -> DuckDbOracles.textLangId,
     "text_fingerprint" -> DuckDbOracles.textFingerprint,
     "dedup_exact_docs" -> DuckDbOracles.dedupExactDocs,

@@ -67,22 +67,75 @@ object TextOps {
     * non-stopword density, and a length credit — the shape (not the exact
     * weights) of production quality classifiers' hand-crafted features.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  /** The 6dp-rounded blended score, shared by `qualityScore` and
+    * `qualityQuantileFilter` so the two can never drift.
+    */
+  private def qualityScoreExpr: Column = {
     val t = tokens(col("text"))
     val nTok = size(t).cast("double")
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(t, x => array_contains(stopArr, x))).cast("double")
     val ttr = size(array_distinct(t)).cast("double") / nTok
-    val meanLen = (length(col("text")).cast("double") - nTok + lit(1.0)) / nTok
     val stopRatio = nStop / nTok
     val lenCredit = least(nTok / lit(100.0), lit(1.0))
+    round(lit(0.5) * ttr + lit(0.3) * (lit(1.0) - stopRatio) + lit(0.2) * lenCredit, 6)
+  }
+
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(t, x => array_contains(stopArr, x))).cast("double")
+    val meanLen = (length(col("text")).cast("double") - nTok + lit(1.0)) / nTok
+    val stopRatio = nStop / nTok
     docs.select(
       col("doc_id"),
       size(t).as("n_tokens"),
       round(meanLen, 6).as("mean_token_len"),
       round(stopRatio, 6).as("stopword_ratio"),
-      round(lit(0.5) * ttr + lit(0.3) * (lit(1.0) - stopRatio) + lit(0.2) * lenCredit, 6)
-        .as("quality_score"))
+      qualityScoreExpr.as("quality_score"))
+  }
+
+  /** Quantile position of the per-language keep threshold, in ppm (300000 =
+    * drop the bottom ~30% of each language) — integer ppm so the cutoff
+    * count is exact integer arithmetic in every engine, the same convention
+    * as Sampling.
+    */
+  val QualityQuantilePpm: Long = 300000L
+
+  /** Per-language quality-quantile filtering: drop each language's bottom
+    * p-quantile by quality score — the relative-threshold gate data recipes
+    * use instead of one absolute cutoff (an absolute threshold calibrated
+    * on English over-drops morphologically rich languages).
+    *
+    * The threshold is the empirical (type-1) p-quantile computed from a
+    * per-(lang, score) HISTOGRAM, not an exact-percentile aggregate:
+    * Spark's `percentile` buffers every value per group (corpus-sized state
+    * on #lang reducers — a 100 TB scale-killer), while the histogram is a
+    * map-side-combinable hash aggregate whose output is HARD-BOUNDED at
+    * ≤ 1e6+1 rows per language (scores live in [0,1] rounded to 6dp), so
+    * the cumulative-sum window that follows runs over a bounded frame no
+    * matter how large the corpus — same justification class as the
+    * PlanAudit allowlist's bounded windows. Threshold = smallest score with
+    * cum_count ≥ ⌈n·p/1e6⌉, tested as the cross-multiplied integer
+    * comparison cum·1e6 ≥ n·p (⌈⌉-equivalent for integers, overflow-safe to
+    * n ≈ 9·10¹², and free of any division an engine could round); survivors
+    * keep score strictly above it. The tiny threshold table broadcast-joins
+    * back onto the corpus.
+    */
+  def qualityQuantileFilter(docs: DataFrame, pPpm: Long = QualityQuantilePpm): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("lang"), qualityScoreExpr.as("quality_score"))
+    val hist = scored.groupBy(col("lang"), col("quality_score")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("lang")).orderBy(col("quality_score"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    val thr = cum
+      .filter(col("cum") * lit(1000000L) >= col("n") * lit(pPpm))
+      .groupBy(col("lang")).agg(min(col("quality_score")).as("lang_thr"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .filter(col("quality_score") > col("lang_thr"))
+      .select(col("doc_id"), col("lang"), col("quality_score"), col("lang_thr"))
   }
 
   /** Marker-token lists per language; priority order below breaks ties. */

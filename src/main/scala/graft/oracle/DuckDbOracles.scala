@@ -42,6 +42,30 @@ object DuckDbOracles {
        |FROM tok""".stripMargin
   }
 
+  /** Twin of TextOps.qualityQuantileFilter: same histogram → cumulative →
+    * cross-multiplied integer cutoff algorithm, so the threshold matches by
+    * construction rather than by matching two engines' quantile
+    * interpolation formulas.
+    */
+  def qualityQuantileFilter(pPpm: Long = TextOps.QualityQuantilePpm): String = {
+    val stop = inList(TextOps.stopwords)
+    s"""WITH tokl AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |q AS (SELECT doc_id, lang,
+       |  round(0.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+       |      + 0.3 * (1.0 - CAST(len(list_filter(t, x -> x IN ($stop))) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+       |      + 0.2 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0), 6) AS quality_score
+       |  FROM tokl),
+       |hist AS (SELECT lang, quality_score, count(*) AS c FROM q GROUP BY 1, 2),
+       |cum AS (SELECT lang, quality_score,
+       |    sum(c) OVER (PARTITION BY lang ORDER BY quality_score) AS cum,
+       |    sum(c) OVER (PARTITION BY lang) AS n
+       |  FROM hist),
+       |thr AS (SELECT lang, min(quality_score) AS lang_thr FROM cum
+       |  WHERE cum * 1000000 >= n * $pPpm GROUP BY 1)
+       |SELECT q.doc_id, q.lang, q.quality_score, thr.lang_thr
+       |FROM q JOIN thr ON q.lang = thr.lang WHERE q.quality_score > thr.lang_thr""".stripMargin
+  }
+
   val textLangId: String = {
     val langs = TextOps.langMarkers.map(_._1)
     val scoreSelects = TextOps.langMarkers.map { case (lang, ms) =>

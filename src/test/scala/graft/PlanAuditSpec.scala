@@ -60,6 +60,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "value_outliers" -> Set("codegen-fallback"), // exact percentile (median/MAD) aggs
     // higher-order filter() over the token array (stopword/marker ratios)
     "text_quality" -> Set("codegen-fallback"),
+    "quality_quantile_filter" -> Set("codegen-fallback"), // same score expr as text_quality
     "text_langid" -> Set("codegen-fallback"),
     "corpus_retention" -> Set("codegen-fallback"), // composes text_quality
     // our own typed bounded-heap UDAF — imperative by design

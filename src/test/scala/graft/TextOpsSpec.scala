@@ -266,4 +266,32 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
       g.getLong(1) should be < (1L << 53)
     }
   }
+
+  describe("qualityQuantileFilter") {
+    import org.apache.spark.sql.{functions => F}
+    it("keeps, per language, exactly the docs strictly above the type-1 p-quantile") {
+      val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.01")
+      val kept = TextOps.qualityQuantileFilter(docs).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      kept.nonEmpty shouldBe true
+      // independent recomputation of the per-lang threshold from raw scores
+      val scores = TextOps.qualityScore(docs)
+        .join(docs.select(F.col("doc_id"), F.col("lang")), "doc_id")
+        .select(F.col("doc_id"), F.col("lang"), F.col("quality_score")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val byLang = scores.groupBy(_._2)
+      val thr = byLang.map { case (lang, xs) =>
+        val sorted = xs.map(_._3).sorted
+        val cut = ((xs.size.toLong * TextOps.QualityQuantilePpm + 999999L) / 1000000L).toInt
+        lang -> sorted(cut - 1) // smallest score with cum >= ceil(n*p)
+      }
+      val expected = scores.filter { case (_, lang, s) => s > thr(lang) }
+        .map(t => (t._1, t._2, t._3, thr(t._2))).toSet
+      kept.toSet shouldBe expected
+      // every language retains at most ~(1-p) of its docs
+      kept.groupBy(_._2).foreach { case (lang, ks) =>
+        ks.size.toDouble / byLang(lang).size.toDouble should be <= 0.71
+      }
+    }
+  }
 }

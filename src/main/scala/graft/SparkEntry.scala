@@ -244,6 +244,11 @@ object SparkEntry {
         Tables.events(s, dir), tsCol = "ts", keyCol = "user_id",
         valueCol = "value", stepMillis = 3600000L)),
 
+    // Z-order (Morton) key for 2-D storage clustering — the layout that
+    // makes a (user, value) box predicate prune row groups on BOTH columns
+    // (skipping measured live in ParquetLayoutSpec).
+    "zorder_events" -> ((s, dir) => graft.ops.Layout.zorderEvents(Tables.events(s, dir))),
+
     // Statistical aggregates (Welford-merged moments, rounded for
     // cross-engine ulp stability).
     "value_stats" -> ((s, dir) =>
@@ -727,6 +732,7 @@ object SparkEntry {
          SELECT bigram, count(*) AS n FROM bg GROUP BY 1
          ORDER BY n DESC, bigram ASC LIMIT 20""",
 
+    "zorder_events" -> DuckDbOracles.zorderEvents,
     "resample_hourly" ->
       """WITH b AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
                 round(avg(value), 6) AS avg_v

@@ -42,6 +42,23 @@ object DuckDbOracles {
        |FROM tok""".stripMargin
   }
 
+  /** Twin of Layout.zorderEvents: the bit interleave unrolled into SQL add
+    * terms; pmod replicated as ((a % m) + m) % m (DuckDB % keeps sign).
+    */
+  val zorderEvents: String = {
+    val m = 1L << graft.ops.Layout.ZBits
+    val terms = (0 until graft.ops.Layout.ZBits).map { i =>
+      s"((zx >> $i) & 1) * ${1L << (2 * i)} + ((zy >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString("\n    + ")
+    s"""WITH z AS (SELECT event_id,
+       |    ((user_id % $m) + $m) % $m AS zx,
+       |    ((CAST(floor(value) AS BIGINT) % $m) + $m) % $m AS zy
+       |  FROM events)
+       |SELECT event_id, zx, zy,
+       |    $terms AS zval
+       |FROM z""".stripMargin
+  }
+
   /** Twin of TextOps.qualityQuantileFilter: same histogram → cumulative →
     * cross-multiplied integer cutoff algorithm, so the threshold matches by
     * construction rather than by matching two engines' quantile

@@ -74,6 +74,51 @@ class ParquetLayoutSpec extends AnyFunSpec with Matchers with SparkSessionTestWr
     }
   }
 
+  describe("z-order clustering vs single-column sort") {
+    it("a 2-D box predicate skips far more data on the z-clustered layout") {
+      import spark.implicits._
+      import graft.ops.Layout
+      // full 256×256 grid, one row per (x, y): 65536 rows, 8 bits/coordinate
+      val bits = 8
+      val grid = spark.range(0, 1L << (2 * bits)).select(
+        col("id"),
+        (col("id") % 256).as("x"),
+        (col("id") / 256).cast("long").as("y"))
+
+      def write(df: org.apache.spark.sql.DataFrame): String = {
+        val dir = java.nio.file.Files.createTempDirectory("graft-z").toString
+        // one small row group per file → min/max pruning granularity = 1024
+        // rows, standing in for the per-row-group stats a 100 TB table has
+        df.write.option("maxRecordsPerFile", 1024).mode("overwrite").parquet(dir)
+        dir
+      }
+      val xSorted = write(grid.repartitionByRange(64, col("x"))
+        .sortWithinPartitions(col("x")))
+      val zSorted = write(Layout.zorderCluster(grid, col("x"), col("y"), 64, bits))
+
+      // 32×32 box = 1024 matching rows (1/64 of the grid) selective in BOTH dims
+      def scannedRows(dir: String): Long = {
+        val q = spark.read.parquet(dir)
+          .filter(col("x").between(64, 95) && col("y").between(64, 95))
+        // collect() drives THIS Dataset's queryExecution, so its scan
+        // metrics are the ones populated (count() would plan a fresh one)
+        q.collect().length shouldBe 1024 // correctness first: same answer on every layout
+        q.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numOutputRows").value
+        }.sum
+      }
+      val viaX = scannedRows(xSorted)
+      val viaZ = scannedRows(zSorted)
+      info(s"rows surviving row-group pruning: x-sorted=$viaX z-clustered=$viaZ")
+      // x-sort prunes on x only → reads every row group of the x-slice
+      // (all y values); the z-layout bounds BOTH coordinates per row group
+      viaZ.toDouble should be <= viaX.toDouble / 2.0
+      // and the box itself is a small fraction of what the 1-D layout reads
+      viaZ should be < 16384L // << the 65536-row corpus
+    }
+  }
+
   describe("schema evolution across parquet files") {
     it("mergeSchema unions columns; old files read the new column as null") {
       import spark.implicits._

@@ -448,6 +448,9 @@ object SparkEntry {
     // (exact-percentile aggs buffer corpus-sized state; this doesn't).
     "quality_quantile_filter" -> ((s, dir) =>
       TextOps.qualityQuantileFilter(Tables.documents(s, dir))),
+    // Corpus-unigram LM scoring (CCNet/KenLM-shape model-based filter).
+    "text_unigram_logprob" -> ((s, dir) =>
+      TextOps.unigramLogprob(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
 
@@ -938,6 +941,7 @@ object SparkEntry {
     "text_subword_stats" -> DuckDbOracles.textSubwordStats,
     "text_quality" -> DuckDbOracles.textQuality,
     "quality_quantile_filter" -> DuckDbOracles.qualityQuantileFilter(),
+    "text_unigram_logprob" -> DuckDbOracles.unigramLogprob(),
     "text_langid" -> DuckDbOracles.textLangId,
     "text_fingerprint" -> DuckDbOracles.textFingerprint,
     "dedup_exact_docs" -> DuckDbOracles.dedupExactDocs,

@@ -96,6 +96,43 @@ object TextOps {
       qualityScoreExpr.as("quality_score"))
   }
 
+  /** Token count below which a vocabulary entry counts as "rare" for the
+    * rare-token fraction signal.
+    */
+  val RareTokenMax: Long = 5L
+
+  /** Corpus-unigram language-model document scoring — the shape of the
+    * perplexity-based quality filter (CCNet/KenLM-style): train a unigram
+    * LM on the corpus itself (token → count, one map-side-combinable hash
+    * aggregate), then score every document by its mean token log-probability
+    * ln(c_tok/N). Low scores = documents dominated by rare tokens
+    * (boilerplate, code dumps, mojibake) — the model-based gate that runs
+    * after the hand-crafted heuristics in `qualityScore`. Also emits the
+    * integer-exact rare-token fraction (share of tokens with corpus count
+    * < RareTokenMax).
+    *
+    * Scale: vocabulary counts are a hash agg over exploded tokens; the
+    * token-instance ⋈ vocabulary equi-join shuffles on the token — a
+    * Zipf-skewed key ("the" carries ~5% of instances), which is exactly the
+    * case AQE skew-join splitting handles (proven live in SkewJoinSpec);
+    * the one-row total is the labeled broadcast one-row cross (same shape
+    * as temperature_mix). ln(c/N) is evaluated per JOIN ROW from two
+    * integer columns, so every per-token term is bit-identical across
+    * engines; the per-doc mean is rounded 6dp (repo float convention).
+    */
+  def unigramLogprob(docs: DataFrame, rareMax: Long = RareTokenMax): DataFrame = {
+    val inst = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vc = inst.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = vc.agg(sum(col("c")).as("n"))
+    inst.join(vc, "tok").crossJoin(broadcast(tot))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c").cast("double") / col("n").cast("double"))), 6)
+          .as("mean_logprob"),
+        round(sum(when(col("c") < rareMax, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("rare_frac"))
+  }
+
   /** Quantile position of the per-language keep threshold, in ppm (300000 =
     * drop the bottom ~30% of each language) — integer ppm so the cutoff
     * count is exact integer arithmetic in every engine, the same convention

@@ -402,16 +402,22 @@ object VectorOps {
       nprobe: Int = 1,
       coarse: Option[DataFrame] = None,
       corpusPred: Option[Column] = None): DataFrame = {
-    // final per-query top-k through the bounded-heap aggregator instead of a
-    // row_number window: partial ≤k buffers combine map-side, so at most k
-    // rows per (query, partition) cross the last shuffle and no full
-    // candidate sort ever materializes — same (cos DESC, neighbor_id ASC)
-    // ranking; the DuckDB oracle still ranks with row_number, so the
-    // aggregator path stays hash-checked row-identical to the window form
+    topKPerQuery(ivfScored(emb, nprobe, coarse, corpusPred), k)
+  }
+
+  /** Final per-query top-k over scored candidates, through the bounded-heap
+    * aggregator instead of a row_number window: partial ≤k buffers combine
+    * map-side, so at most k rows per (query, partition) cross the last
+    * shuffle and no full candidate sort ever materializes — same
+    * (cos DESC, neighbor_id ASC) ranking; the DuckDB oracle still ranks
+    * with row_number, so the aggregator path stays hash-checked
+    * row-identical to the window form.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKAggregator(k),
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
-    ivfScored(emb, nprobe, coarse, corpusPred).groupBy(col("q_id"))
+    scored.groupBy(col("q_id"))
       .agg(topk(col("cos"), col("neighbor_id")).as("topk"))
       .select(col("q_id"), posexplode(col("topk")).as(Seq("i", "t")))
       .select(col("q_id"), (col("i") + 1).cast("int").as("rank"),
@@ -458,20 +464,30 @@ object VectorOps {
       .select(col("vec_id"), nearestCellExpr(centArr, col("cv"), col("cn")).as("cell"),
         col("cv"), col("cn"))
 
-    // query side: the nprobe nearest cells are ALSO a pure literal
-    // expression — sort the per-centroid (ccos, -cell) structs descending
-    // (lexicographic struct order = ccos DESC, cell ASC on ties, the same
-    // ranking as the row_number() form), slice the first nprobe, explode.
-    // r3 ranked probe cells with a broadcast join against the centroid
-    // FRAME + a window, which re-executed the whole centroid aggregation a
-    // second time inside the broadcast exchange; for a collected quantizer
-    // that join buys nothing.
+    scoreProbes(corpus, querySet(emb), centArr, nprobe)
+  }
+
+  /** Query-side probing of a PRE-ASSIGNED corpus/index — (vec_id, cell, cv,
+    * cn) rows, e.g. the parquet cell index StreamingAnnIngest accumulates.
+    * The nprobe nearest cells per query are a pure literal expression —
+    * sort the per-centroid (ccos, -cell) structs descending (lexicographic
+    * struct order = ccos DESC, cell ASC on ties, the same ranking as the
+    * row_number() form), slice the first nprobe, explode. (r3 ranked probe
+    * cells with a broadcast join against the centroid FRAME + a window,
+    * which re-executed the centroid aggregation inside the broadcast
+    * exchange; for a collected quantizer that join buys nothing.)
+    */
+  private def scoreProbes(
+      corpus: DataFrame,
+      queries0: DataFrame,
+      centArr: Seq[(Int, Seq[Double])],
+      nprobe: Int): DataFrame = {
     val probeStructs = centArr.map { case (c, m) =>
       val cn = math.sqrt(m.foldLeft(0.0)((s, x) => s + x * x))
       struct(round(dot(col("qv"), array(m.map(lit(_)): _*)) / (col("qn") * lit(cn)), 6)
         .as("ccos"), lit(-c).as("negCell"))
     }
-    val queries = querySet(emb)
+    val queries = queries0
       .select(col("q_id"), col("q_emb").cast("array<double>").as("qv"))
       .select(col("q_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("qn"))
       .select(col("q_id"), col("qv"), col("qn"),
@@ -482,6 +498,23 @@ object VectorOps {
         col("q_id") =!= col("vec_id") && queries("cell") === corpus("cell"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+  }
+
+  /** IVF top-k served from an accumulated cell INDEX (vec_id, cell, cv, cn)
+    * instead of raw embeddings — the query path over the table
+    * StreamingAnnIngest maintains: assignment already happened at ingest,
+    * so serving pays only probe-cell selection + the cell equi-join (and,
+    * on a cell-partitioned index, reads only the probed cells' partitions).
+    */
+  def ivfTopKFromIndex(
+      index: DataFrame,
+      queries: DataFrame,
+      coarse: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 1): DataFrame = {
+    val centArr: Array[(Int, Seq[Double])] = coarse.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    topKPerQuery(scoreProbes(index, queries, centArr, nprobe), k)
   }
 
   /** (vec_id, cell, v, vn) cell assignment against a collected quantizer —

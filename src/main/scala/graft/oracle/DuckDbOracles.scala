@@ -42,6 +42,22 @@ object DuckDbOracles {
        |FROM tok""".stripMargin
   }
 
+  /** Twin of TextOps.unigramLogprob: same two-integer-column ln(c/N) per
+    * token instance, mean rounded 6dp, integer-exact rare fraction.
+    */
+  def unigramLogprob(rareMax: Long = TextOps.RareTokenMax): String =
+    s"""WITH $tokCte,
+       |inst AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+       |vc AS (SELECT tok, count(*) AS c FROM inst GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+       |sc AS (SELECT i.doc_id, vc.c, tot.n FROM inst i
+       |  JOIN vc ON i.tok = vc.tok CROSS JOIN tot)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  round(avg(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS mean_logprob,
+       |  round(CAST(sum(CASE WHEN c < $rareMax THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS rare_frac
+       |FROM sc GROUP BY 1""".stripMargin
+
   /** Twin of Layout.zorderEvents: the bit interleave unrolled into SQL add
     * terms; pmod replicated as ((a % m) + m) % m (DuckDB % keeps sign).
     */

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.ops.VectorOps
+
+/** Structured-Streaming maintenance of the IVF cell index: every
+  * micro-batch of arriving vectors is assigned to its nearest coarse cell
+  * against a FIXED quantizer (trained once offline — the serving contract
+  * `ivfScored` documents: ingest must never re-train the index, or every
+  * already-indexed vector would silently sit in a stale cell), then
+  * appended to the cell-partitioned index that `VectorOps.ivfTopKFromIndex`
+  * serves queries from. The twin of StreamingDedup for the similarity-search
+  * side of the pipeline: state lives in the index table, not in streaming
+  * state, so nothing needs a watermark bound.
+  *
+  * Layout: hive-partitioned by (cell, batch_id). `cell` first — the serving
+  * probe prunes to its nprobe cells' directories at scan time (the same
+  * partition-pruning contract ParquetLayoutSpec proves); `batch_id` second
+  * for delivery.
+  *
+  * Delivery: EXACTLY-ONCE across JVM-crash retries, the StreamingDedup
+  * mechanism: dynamic partition overwrite keyed by batch_id means a
+  * replayed batch REPLACES its own first attempt. Cell assignment is a
+  * deterministic projection and Structured Streaming pins batch contents in
+  * the checkpoint offset log, so a retry writes exactly the same
+  * (cell, batch_id) leaf partitions — any half-written first attempt is
+  * fully covered by the overwrite.
+  *
+  * Scale: the per-batch work is one narrow literal-argmax projection (zero
+  * shuffle) + one partitioned write; the index grows file-count-wise per
+  * (cell × batch) — production compacts cold batches per cell, which is a
+  * pure file rewrite invisible to readers of the (vec_id, cell, cv, cn)
+  * schema.
+  */
+object StreamingAnnIngest {
+
+  private val BatchCol = "batch_id"
+
+  /** Index schema as written by this job: `assignCells` output (minus the
+    * heavyweight raw vector kept as cv) plus the batch_id partition key.
+    */
+  private val indexSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("cell", IntegerType),
+    StructField("cv", ArrayType(DoubleType)),
+    StructField("cn", DoubleType),
+    StructField(BatchCol, LongType)))
+
+  /** The accumulated cell index, or an empty same-shaped frame before the
+    * first batch commits.
+    */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame =
+    try spark.read.schema(indexSchema).parquet(indexDir)
+    catch {
+      case _: AnalysisException =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], indexSchema)
+    }
+
+  /** One micro-batch: assign cells against the fixed quantizer, write
+    * (vec_id, cell, cv, cn) under this batch's partitions. Idempotent in
+    * `batchId`.
+    */
+  def processBatch(
+      batch: DataFrame,
+      batchId: Long,
+      cents: DataFrame,
+      indexDir: String): Unit = {
+    VectorOps.assignCells(batch, cents)
+      .select(col("vec_id"), col("cell"), col("v").as("cv"), col("vn").as("cn"))
+      .withColumn(BatchCol, lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", BatchCol)
+      .parquet(indexDir)
+  }
+
+  def start(
+      vecStream: DataFrame,
+      cents: DataFrame,
+      indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    vecStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, cents, indexDir)
+      }
+      .start()
+}

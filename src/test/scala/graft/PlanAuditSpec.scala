@@ -36,6 +36,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // one-row totals aggregate broadcast-crossed onto the few-row
     // per-source counts (never the corpus)
     "temperature_mix" -> Set("nested-loop-join"),
+    // one-row vocabulary-total broadcast-crossed onto the instance⋈vocab
+    // join output (the N in ln(c/N))
+    "text_unigram_logprob" -> Set("nested-loop-join"),
     // query-side nprobe cell ranking: a k-row centroid table broadcast onto
     // n/100 query rows (the corpus side assigns cells via projection);
     // centroid tables are built with collect_list + transform + array_sort

@@ -267,6 +267,23 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("unigramLogprob") {
+    it("scores docs by mean ln(c/N) over the corpus-trained unigram counts") {
+      // vocab: a→2, b→2, c→1; N = 5
+      val out = TextOps.unigramLogprob(docsDf(Seq((1L, "a a b"), (2L, "b c"))))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      out(1L)._1 shouldBe 3L
+      out(1L)._2 shouldBe r6(math.log(2.0 / 5.0)) // all three tokens at c=2
+      out(2L)._2 shouldBe r6((math.log(2.0 / 5.0) + math.log(1.0 / 5.0)) / 2.0)
+      // every token in this tiny corpus is rare (c < 5)
+      out(1L)._3 shouldBe 1.0
+      out(2L)._3 shouldBe 1.0
+    }
+  }
+
   describe("qualityQuantileFilter") {
     import org.apache.spark.sql.{functions => F}
     it("keeps, per language, exactly the docs strictly above the type-1 p-quantile") {

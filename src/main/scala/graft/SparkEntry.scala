@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.{ActivityOps, Dedup, Multimodal, Relational, Sampling, TextOps, VectorOps}
+import graft.ops.{ActivityOps, Dedup, Multimodal, Relational, Sampling, Sketches, TextOps, VectorOps}
 import graft.oracle.DuckDbOracles
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -290,6 +290,23 @@ object SparkEntry {
           (abs(col("approx") - col("n_users")).cast("double") / col("n_users")
             <= 0.05).as("approx_within_5pct"))),
 
+    // Mergeable HLL sketch tables (DataSketches): per-(type, day) partial
+    // sketches rolled up by register-wise union — the pre-aggregation that
+    // answers distinct-count rollups at 100 TB without rescanning raw
+    // events. Contract check: the union estimate lands within the 5-sigma
+    // budget of the exact count (same shape as approx_distinct_users).
+    "hll_sketch_users" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val rolled = Sketches.hllRollup(Sketches.hllPartials(ev))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      exact.join(rolled, Seq("event_type"))
+        .select(col("event_type"), col("n_users"), col("n_days"),
+          (abs(col("approx_users") - col("n_users").cast("double")) /
+            col("n_users").cast("double") <= Sketches.ErrorBudget)
+            .as("union_within_budget"))
+    }),
+
     // Robust outlier detection per event type: |x - median| > 3 * MAD
     // (median absolute deviation — resistant to the outliers it hunts,
     // unlike stddev-based z-scores). Two exact-percentile aggregation
@@ -453,6 +470,19 @@ object SparkEntry {
       TextOps.unigramLogprob(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
+    // Vocabulary coverage: top-V corpus vocab (TakeOrdered, broadcast) →
+    // per-doc OOV token fraction — the tokenizer-fit signal.
+    "vocab_coverage" -> ((s, dir) => TextOps.vocabCoverage(Tables.documents(s, dir))),
+    // Cross-document boilerplate removal over fixed-width token segments
+    // (RefinedWeb line-dedup shape), on the deterministically-planted
+    // corpus — the raw synthetic docs share no segments.
+    "strip_boilerplate" -> ((s, dir) =>
+      TextOps.stripBoilerplate(TextOps.withPlantedBoilerplate(Tables.documents(s, dir)))),
+    // Frequent-bigram mining via bounded-memory Misra-Gries sketch + exact
+    // recount: output = exactly the >=threshold bigrams (planted boilerplate
+    // bigrams at ~0.46% vs organic ~0.1%), sketch candidacy load-bearing.
+    "frequent_bigrams" -> ((s, dir) =>
+      TextOps.frequentBigrams(TextOps.withPlantedBoilerplate(Tables.documents(s, dir)))),
 
     // ---- deduplication (north star) --------------------------------------
     "dedup_exact_docs" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
@@ -772,6 +802,16 @@ object SparkEntry {
          TRUE AS approx_within_5pct
          FROM events GROUP BY 1""",
 
+    // The sketch estimate itself is not SQL-replayable; the CONTRACT is —
+    // exact distinct users, the number of day-partials merged, and the
+    // within-budget flag (TRUE: a DataSketches union outside 5 sigma of
+    // exact is a broken sketch, not an unlucky draw).
+    "hll_sketch_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+         count(DISTINCT CAST(ts AS DATE)) AS n_days,
+         TRUE AS union_within_budget
+         FROM events GROUP BY 1""",
+
     "q18_large_orders" ->
       """SELECT c.c_name, o.o_orderkey, sum(l.l_quantity) AS total_qty
          FROM customer c
@@ -944,6 +984,9 @@ object SparkEntry {
     "text_unigram_logprob" -> DuckDbOracles.unigramLogprob(),
     "text_langid" -> DuckDbOracles.textLangId,
     "text_fingerprint" -> DuckDbOracles.textFingerprint,
+    "vocab_coverage" -> DuckDbOracles.vocabCoverage(),
+    "strip_boilerplate" -> DuckDbOracles.stripBoilerplate(),
+    "frequent_bigrams" -> DuckDbOracles.frequentBigrams(),
     "dedup_exact_docs" -> DuckDbOracles.dedupExactDocs,
     "dedup_normalized" -> DuckDbOracles.dedupNormalized,
     "text_scrub_pii" -> DuckDbOracles.textScrubPii,

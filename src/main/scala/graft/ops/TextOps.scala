@@ -323,6 +323,164 @@ object TextOps {
           .cast("bigint").as("bin"))
   }
 
+  /** Tokens per boilerplate-removal segment (the "line" unit — the synthetic
+    * corpus has no newlines, so segmentation is fixed-width in tokens; a
+    * production corpus would split on newline/sentence boundaries instead,
+    * changing only the segmenter, not the algorithm).
+    */
+  val SegTokens = 8
+
+  /** Minimum distinct documents sharing a segment before it counts as
+    * boilerplate.
+    */
+  val BoilerMinDocs = 3
+
+  /** Every `PlantEvery`-th document gets the planted boilerplate prefix. */
+  val PlantEvery = 4
+
+  /** Deterministic boilerplate: exactly 2×SegTokens tokens, so planting
+    * shifts the original text's segment boundaries uniformly.
+    */
+  val BoilerplateText: String =
+    "subscribe to our newsletter for more updates click " +
+      "here to accept cookies and privacy terms now"
+
+  /** Deterministic test augmentation (same role as VectorOps.plantedCorpus):
+    * prepend the fixed boilerplate to every `every`-th document, so
+    * cross-document repeated segments provably exist in the synthetic
+    * corpus. A real web crawl arrives with its boilerplate built in.
+    */
+  def withPlantedBoilerplate(docs: DataFrame, every: Int = PlantEvery): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % every === 0, concat(lit(BoilerplateText), lit(" "), col("text")))
+        .otherwise(col("text")))
+
+  /** Cross-document boilerplate removal (the RefinedWeb/CCNet line-dedup
+    * pass): segment every document into fixed-width token windows, count
+    * distinct documents per segment, strip segments shared by ≥ `minDocs`
+    * docs, and reassemble the survivors in order. Catches nav bars, cookie
+    * banners, and license headers that document-level dedup cannot see
+    * (the documents differ; their segments repeat).
+    *
+    * Scale shape: one hash agg over segments for the frequency table; the
+    * boilerplate set is small by construction (segments repeated across
+    * ≥ minDocs docs are boilerplate precisely because the web has few of
+    * them repeated many times), so it BROADCASTS and the corpus-side strip
+    * is an anti join with no corpus exchange beyond the segment groupBy.
+    * Per-group state is bounded: ≤ segTokens tokens per segment buffer and
+    * ≤ one doc's segments per reassembly buffer — never corpus-sized.
+    * Output `text_clean` is NULL for a document whose every segment was
+    * boilerplate (n_removed = n_segments).
+    */
+  def stripBoilerplate(
+      docs: DataFrame,
+      segTokens: Int = SegTokens,
+      minDocs: Int = BoilerMinDocs,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .groupBy(col("doc_id"), floor(col("pos") / segTokens).cast("bigint").as("seg_idx"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))), s => s("tok")),
+        " ").as("seg"))
+      .withColumn("seg_h", hash("seg", col("seg")))
+    val boiler = segs.groupBy(col("seg_h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("seg_h"))
+    val kept = segs.join(broadcast(boiler), Seq("seg_h"), "left_anti")
+    val totals = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segments"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))), s => s("seg")),
+          " ").as("text_clean"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        col("text_clean"))
+  }
+
+  /** Misra-Gries sketch capacity for frequent-bigram mining. */
+  val FreqSketchK = 400
+
+  /** Frequency threshold in ppm — must exceed the MG guarantee 1/(k+1). */
+  val FreqMinPpm = 3000L
+
+  /** Corpus-wide frequent-bigram mining via a bounded-memory Misra-Gries
+    * sketch + exact recount — the boilerplate-n-gram miner that feeds lists
+    * like `stripBoilerplate`'s at corpus scale. Two passes:
+    *
+    *  1. CANDIDATES: one `FreqItemsAggregator` pass over all bigram
+    *     instances. The exchange carries ≤ k counters per partition (vs the
+    *     vocabulary-sized shuffle of a plain groupBy — billions of distinct
+    *     n-grams at 100 TB), and MG guarantees every bigram with true
+    *     frequency > N/(k+1) survives.
+    *  2. EXACT RECOUNT: instances semi-filtered by the ≤ k-row broadcast
+    *     candidate set, exact-counted, thresholded at `minPpm` (integer
+    *     cross-multiplication — no division to round).
+    *
+    * Because `minPpm/1e6 > 1/(k+1)` (enforced), the output is EXACTLY the
+    * set of bigrams at or above the threshold with exact counts —
+    * deterministic even though the sketch's internal estimates are
+    * partition-order dependent. The oracle is therefore plain SQL, and the
+    * sketch is load-bearing: a dropped guaranteed candidate loses a row.
+    */
+  def frequentBigrams(
+      docs: DataFrame,
+      k: Int = FreqSketchK,
+      minPpm: Long = FreqMinPpm): DataFrame = {
+    require(minPpm * (k + 1) > 1000000L,
+      s"frequentBigrams: threshold $minPpm ppm must exceed the MG guarantee " +
+        s"1/(k+1) = ${1000000L / (k + 1)} ppm, or the sketch may drop a qualifying bigram")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val inst = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("tok"), lead(col("tok"), 1).over(w).as("tok1"))
+      .filter(col("tok1").isNotNull)
+      .select(concat_ws(" ", col("tok"), col("tok1")).as("bigram"))
+    val mg = udaf(new graft.functions.FreqItemsAggregator(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val cand = inst.agg(mg(col("bigram")).as("sk"))
+      .select(explode(map_keys(col("sk"))).as("bigram"))
+    val tot = inst.agg(count(lit(1)).as("n"))
+    inst.join(broadcast(cand), Seq("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * lit(1000000L) >= col("n") * lit(minPpm))
+      .select(col("bigram"), col("cnt"),
+        round(col("cnt").cast("double") / col("n").cast("double"), 6).as("frac"))
+  }
+
+  /** Top-V corpus vocabulary size for OOV-rate reporting. */
+  val VocabSize = 20
+
+  /** Vocabulary coverage / out-of-vocabulary rate: build the top-`vocabSize`
+    * corpus vocabulary (count desc, token asc tie-break — fully
+    * deterministic), then report each document's OOV token fraction — the
+    * tokenizer-coverage signal a pipeline checks before committing to a
+    * vocab (high OOV = wrong language mix or a corpus the tokenizer wasn't
+    * trained for).
+    *
+    * Scale: the vocabulary is a TakeOrdered over the token-count agg (k
+    * rows cross the final exchange, never a global sort), and the per-doc
+    * pass joins against it BROADCAST — the corpus sees one explode + one
+    * doc_id hash agg, no token-keyed shuffle.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = VocabSize): DataFrame = {
+    val inst = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = inst.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1).as("iv"))
+    inst.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6).as("oov_frac"))
+  }
+
   /** Winnowing-style document fingerprint (0-mod-p scheme, Schleimer et al.,
     * SIGMOD'03): 3-token shingles → portable hash → keep hashes ≡ 0 (mod 8).
     * Output is the exploded (doc_id, fp_hash) set — the input to any

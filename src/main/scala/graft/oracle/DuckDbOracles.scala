@@ -152,6 +152,71 @@ object DuckDbOracles {
        |FROM documents""".stripMargin
   }
 
+  /** Planted-boilerplate docs CTE shared by the boilerplate-mining twins —
+    * rendered from the same TextOps constants the Spark side plants with.
+    */
+  private def plantedDocsCte: String =
+    s"""docs2 AS (SELECT doc_id, CASE WHEN doc_id % ${TextOps.PlantEvery} = 0
+       |  THEN '${TextOps.BoilerplateText} ' || text ELSE text END AS text FROM documents)""".stripMargin
+
+  /** Twin of TextOps.stripBoilerplate over withPlantedBoilerplate: same
+    * fixed-width token segmentation (DuckDB subscripts are 1-based, hence
+    * (pos-1)//w against Spark's 0-based floor(pos/w)), same portable
+    * segment hash, same ≥ minDocs distinct-doc boilerplate rule, same
+    * in-order reassembly (NULL text_clean when everything was stripped).
+    */
+  def stripBoilerplate(
+      segTokens: Int = TextOps.SegTokens,
+      minDocs: Int = TextOps.BoilerMinDocs): String =
+    s"""WITH $plantedDocsCte,
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs2),
+       |tokp AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM tok),
+       |seg AS (SELECT doc_id, (pos - 1) // $segTokens AS seg_idx,
+       |    string_agg(tok, ' ' ORDER BY pos) AS seg FROM tokp GROUP BY 1, 2),
+       |segh AS (SELECT doc_id, seg_idx, seg, ${h("seg", "seg")} AS seg_h FROM seg),
+       |boiler AS (SELECT seg_h FROM
+       |    (SELECT seg_h, count(DISTINCT doc_id) AS nd FROM segh GROUP BY 1)
+       |  WHERE nd >= $minDocs),
+       |kept AS (SELECT * FROM segh WHERE seg_h NOT IN (SELECT seg_h FROM boiler)),
+       |totals AS (SELECT doc_id, count(*) AS n_segments FROM segh GROUP BY 1),
+       |rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean FROM kept GROUP BY 1)
+       |SELECT t.doc_id, t.n_segments,
+       |  t.n_segments - COALESCE(r.n_kept, 0) AS n_removed, r.text_clean
+       |FROM totals t LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+
+  /** Twin of TextOps.frequentBigrams over withPlantedBoilerplate. The
+    * sketch has no SQL twin and needs none: the operator's contract is
+    * exact — output = bigrams at/above the ppm threshold with exact counts
+    * (MG guarantees candidate completeness above 1/(k+1)) — so the oracle
+    * is the plain exact-count query.
+    */
+  def frequentBigrams(minPpm: Long = TextOps.FreqMinPpm): String =
+    s"""WITH $plantedDocsCte,
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs2),
+       |bg AS (SELECT unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i+1])) AS bigram FROM tok WHERE len(t) >= 2),
+       |tot AS (SELECT count(*) AS n FROM bg),
+       |vc AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1)
+       |SELECT bigram, cnt, round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac
+       |FROM vc CROSS JOIN tot WHERE cnt * 1000000 >= n * $minPpm""".stripMargin
+
+  /** Twin of TextOps.vocabCoverage — same (count desc, token asc) vocab
+    * tie-break, OOV counts cast to BIGINT to match Spark's sum type.
+    */
+  def vocabCoverage(vocabSize: Int = TextOps.VocabSize): String =
+    s"""WITH $tokCte,
+       |inst AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+       |vc AS (SELECT tok, count(*) AS cnt FROM inst GROUP BY 1),
+       |vocab AS (SELECT tok FROM vc ORDER BY cnt DESC, tok ASC LIMIT $vocabSize),
+       |iv AS (SELECT i.doc_id, v.tok IS NOT NULL AS inv
+       |  FROM inst i LEFT JOIN vocab v ON i.tok = v.tok)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN NOT inv THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  round(CAST(sum(CASE WHEN NOT inv THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS oov_frac
+       |FROM iv GROUP BY 1""".stripMargin
+
   /** Twin of TextOps.packShards(nShards=8, tokenBudget=1000). */
   val packShards: String =
     s"""WITH base AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

@@ -67,7 +67,18 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "text_langid" -> Set("codegen-fallback"),
     "corpus_retention" -> Set("codegen-fallback"), // composes text_quality
     // our own typed bounded-heap UDAF — imperative by design
-    "topk_agg_per_segment" -> Set("codegen-fallback"))
+    "topk_agg_per_segment" -> Set("codegen-fallback"),
+    // DataSketches HLL agg/union/estimate are intrinsically interpreted
+    // built-ins (no codegen'd alternative exists)
+    "hll_sketch_users" -> Set("codegen-fallback"),
+    // collect_list + transform + array_sort assemble segments/documents from
+    // ≤ segment-/doc-sized buffers AFTER the hash agg — interpreted eval on
+    // bounded post-agg groups, not the corpus scan path
+    "strip_boilerplate" -> Set("codegen-fallback"),
+    // our own typed Misra-Gries UDAF (imperative by design) + the one-row
+    // corpus-total broadcast-crossed onto the ≤k-row candidate counts
+    // (same one-row-bounds shape as temperature_mix)
+    "frequent_bigrams" -> Set("codegen-fallback", "nested-loop-join"))
 
   describe("PlanAudit seeded violations") {
     it("fires on a global (single-partition) window") {

@@ -57,4 +57,30 @@ class SketchSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       est(4) shouldBe est(4)
     }
   }
+
+  describe("DataSketches HLL sketch tables (Sketches.hllPartials/hllRollup)") {
+    import graft.ops.Sketches
+
+    it("rolls day-partials up within the error budget of the exact count") {
+      val ev = graft.model.Tables.events(spark, "/root/testdata/sf0.001")
+      val rolled = Sketches.hllRollup(Sketches.hllPartials(ev)).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2).toDouble)).toMap
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")), countDistinct(to_date(col("ts"))))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      exact.foreach { case (et, (nUsers, nDays)) =>
+        val (days, est) = rolled(et)
+        days shouldBe nDays
+        math.abs(est - nUsers.toDouble) / nUsers.toDouble should be < Sketches.ErrorBudget
+      }
+    }
+
+    it("union is order/partitioning-invariant (register-wise max)") {
+      val ev = graft.model.Tables.events(spark, "/root/testdata/sf0.001")
+      def est(parts: Int): Map[String, Long] =
+        Sketches.hllRollup(Sketches.hllPartials(ev).repartition(parts))
+          .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      est(2) shouldBe est(11)
+    }
+  }
 }

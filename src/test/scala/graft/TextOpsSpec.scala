@@ -311,4 +311,86 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
       }
     }
   }
+
+  describe("stripBoilerplate") {
+    it("strips segments shared by >= minDocs docs and reassembles survivors in order") {
+      val docs = docsDf(Seq(
+        1L -> "nav bar alpha beta",
+        2L -> "nav bar gamma delta",
+        3L -> "nav bar epsilon zeta",
+        4L -> "unique text here now"))
+      val out = TextOps.stripBoilerplate(docs, segTokens = 2, minDocs = 3)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), Option(r.getAs[String]("text_clean")))))
+        .toMap
+      out(1L) shouldBe ((2L, 1L, Some("alpha beta")))
+      out(2L) shouldBe ((2L, 1L, Some("gamma delta")))
+      out(3L) shouldBe ((2L, 1L, Some("epsilon zeta")))
+      out(4L) shouldBe ((2L, 0L, Some("unique text here now")))
+    }
+
+    it("yields NULL text_clean when every segment was boilerplate") {
+      val docs = docsDf(Seq(1L -> "all the same", 2L -> "all the same", 3L -> "all the same"))
+      val out = TextOps.stripBoilerplate(docs, segTokens = 3, minDocs = 3).collect()
+      out should have length 3
+      all(out.map(_.getLong(2))) shouldBe 1L
+      all(out.map(_.isNullAt(3))) shouldBe true
+    }
+
+    it("planted boilerplate spans exactly two whole segments") {
+      TextOps.BoilerplateText.split(" ").length shouldBe 2 * TextOps.SegTokens
+    }
+  }
+
+  describe("frequentBigrams") {
+    it("returns exactly the planted boilerplate bigrams with exact counts") {
+      import org.apache.spark.sql.{functions => F}
+      val docs = TextOps.withPlantedBoilerplate(
+        graft.model.Tables.documents(spark, "/root/testdata/sf0.001"))
+      val out = TextOps.frequentBigrams(docs).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // expected: the 15 consecutive bigrams of the 16-token boilerplate,
+      // recomputed exactly (plus any organic bigram crossing the threshold
+      // — none at this skew by construction)
+      val bt = TextOps.BoilerplateText.split(" ")
+      val planted = bt.init.zip(bt.tail).map { case (a, b) => s"$a $b" }.toSet
+      planted.subsetOf(out.keySet) shouldBe true
+      // exact recount: compare each planted bigram's count to a direct agg
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(F.col("doc_id")).orderBy(F.col("pos"))
+      val exact = docs
+        .select(F.col("doc_id"), F.posexplode(F.split(F.col("text"), " ")).as(Seq("pos", "tok")))
+        .select(F.col("doc_id"), F.col("tok"), F.lead(F.col("tok"), 1).over(w).as("tok1"))
+        .filter(F.col("tok1").isNotNull)
+        .select(F.concat_ws(" ", F.col("tok"), F.col("tok1")).as("bigram"))
+        .groupBy("bigram").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      out.foreach { case (bg, c) => c shouldBe exact(bg) }
+    }
+
+    it("rejects a threshold at or below the MG guarantee") {
+      an[IllegalArgumentException] should be thrownBy
+        TextOps.frequentBigrams(docsDf(Seq(1L -> "a b")), k = 9, minPpm = 100000L)
+    }
+  }
+
+  describe("vocabCoverage") {
+    it("reports per-doc OOV fraction against the deterministic top-V vocab") {
+      val docs = docsDf(Seq(
+        1L -> "x x x y y z", // vocab(2) = {x, y}; z is OOV
+        2L -> "x q r"))
+      val out = TextOps.vocabCoverage(docs, vocabSize = 2).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      out(1L) shouldBe ((6L, 1L, 0.166667))
+      out(2L) shouldBe ((3L, 2L, 0.666667))
+    }
+
+    it("breaks count ties by token order") {
+      // all counts equal: vocab(2) must be the lexicographically first two
+      val docs = docsDf(Seq(1L -> "c b a"))
+      val out = TextOps.vocabCoverage(docs, vocabSize = 2).collect()(0)
+      out.getLong(2) shouldBe 1L // only "c" is OOV
+    }
+  }
 }

@@ -275,15 +275,21 @@ object VectorOps {
   }
 
   /** Nearest-centroid argmax as a pure projection expression over driver-side
-    * centroid literals: array_max over (ccos, -cell) structs. Struct ordering
-    * is lexicographic, so the max carries the highest ccos and, on ties, the
-    * highest -cell = LOWEST cell — the same ordering as row_number() over
-    * (ccos DESC, cell ASC). Each centroid dot is evaluated exactly once
-    * inside one CreateArray (a when/otherwise fold would re-embed the
-    * accumulated expression at every step — exponential tree blow-up). This
-    * is the no-shuffle cell assignment: at 100 TB the corpus is scanned once
-    * and never exchanged, vs round-2's ×C broadcast-join fan-out + hash
-    * exchange + row_number (VERDICT r2 #4).
+    * centroid literals: array_max over one packed long per centroid. Each
+    * centroid dot is evaluated exactly once inside one CreateArray (a
+    * when/otherwise fold would re-embed the accumulated expression at every
+    * step — exponential tree blow-up). This is the no-shuffle cell
+    * assignment: at 100 TB the corpus is scanned once and never exchanged,
+    * vs round-2's ×C broadcast-join fan-out + hash exchange + row_number
+    * (VERDICT r2 #4).
+    *
+    * Measured floor note (tools/AbIvf, sf0.1): the residual ~1-2 s the IVF
+    * queries show at toy scale is NOT per-row work — assignment over the
+    * whole corpus executes in ~0.2 s and a reused-DataFrame execution of
+    * the full scored join runs ~1.0 s of pure AQE stage-materialization +
+    * broadcast-build barriers, with ~0.3 s centroid-aggregate collect and
+    * ~0.1 s planning on top per fresh build. All of that is O(1) in data
+    * volume; per-row cost is C+1 dots exactly.
     */
   /** `normCol` must be sqrt(dot(vec, vec)) materialized ONCE in a child
     * projection: with C centroids the naive per-centroid `cosine` call
@@ -303,11 +309,24 @@ object VectorOps {
         s"literal doubles exceeds MaxLiteralDoubles=$MaxLiteralDoubles; at this quantizer " +
         "size switch to the broadcast-join assignment (join corpus to a broadcast " +
         "centroid table and aggregate the argmax) instead of literal folding")
-    -array_max(array(centArr.sortBy(_._1).map { case (c, m) =>
+    require(centArr.forall { case (c, _) => c >= 0 && c < 1024 },
+      "nearestCellExpr: the long encoding packs the cell id into 10 bits (cell < 1024); " +
+        "widen the packing constant for a larger quantizer")
+    // (ccos DESC, cell ASC) argmax packed into ONE long per centroid:
+    // enc = k*1024 + (1023 - cell), where k = round(ccos,6)*1e6 ∈ [-1e6,1e6]
+    // is the exact integer the 6dp-rounded cosine denotes (the rounded
+    // double is the closest representable to k/1e6, so *1e6 + round lands
+    // on k exactly). max(enc) ranks by k first, then by 1023-cell = lowest
+    // cell on ties — the same ordering as the earlier array<struct> form,
+    // but over array<long>, which (unlike struct comparison) stays inside
+    // whole-stage codegen on the corpus-scan hot path.
+    val enc = array_max(array(centArr.sortBy(_._1).map { case (c, m) =>
       val cn = math.sqrt(m.foldLeft(0.0)((s, x) => s + x * x))
-      struct(round(dot(vecCol, array(m.map(lit(_)): _*)) / (normCol * lit(cn)), 6).as("ccos"),
-        lit(-c).as("negCell"))
-    }: _*)).getField("negCell")
+      val k = round(round(dot(vecCol, array(m.map(lit(_)): _*)) / (normCol * lit(cn)), 6)
+        * lit(1000000.0), 0).cast("long")
+      k * lit(1024L) + lit(1023L - c)
+    }: _*))
+    (lit(1023L) - pmod(enc, lit(1024L))).cast("int")
   }
 
   /** Coarse centroids = per-label mean vector, components rounded to 6

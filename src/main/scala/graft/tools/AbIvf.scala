@@ -49,6 +49,33 @@ object AbIvf {
     // scored join alone — the floor every final stage pays
     time("scored-only") { VectorOps.ivfScored(emb, 1).count() }
 
+    // phase floors inside the scored join
+    time("cents-agg-collect") {
+      VectorOps.centroids(emb).collect().length.toLong
+    }
+    val centsDf = VectorOps.centroids(emb).select(col("label").as("cell"), col("centroid"))
+    time("assign-only") {
+      VectorOps.assignCells(emb, centsDf).count()
+    }
+    time("raw-scan") { emb.count() }
+
+    // planning alone: analyze+optimize+physical-plan the scored join,
+    // execute nothing — how much of the floor is O(plan size), constant in
+    // data volume?
+    time("plan-only") {
+      VectorOps.ivfScored(emb, 1).queryExecution.executedPlan
+      0L
+    }
+
+    println("fallbacks: " +
+      graft.plans.PlanAudit.audit(VectorOps.ivfScored(emb, 1))
+        .filter(_.kind == "codegen-fallback").mkString("; "))
+
+    // same logical query, ONE DataFrame reused across reps: separates
+    // re-derivation cost (analysis/codegen per fresh build) from execution
+    val reused = VectorOps.ivfScored(emb, 1)
+    time("scored-reused-df") { reused.count() }
+
     spark.stop()
   }
 }

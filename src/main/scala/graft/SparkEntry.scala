@@ -495,6 +495,9 @@ object SparkEntry {
     // Temperature-based source mixing: p_s ∝ sqrt(share_s), deterministic
     // ppm hash gate — the skew-flattening resampler in LLM data recipes.
     "temperature_mix" -> ((s, dir) => Sampling.temperatureMix(Tables.documents(s, dir))),
+    // Per-source quota cap ("max N docs per domain") via the bounded-heap
+    // aggregator — no per-source sort ever materializes.
+    "capped_per_source" -> ((s, dir) => Sampling.cappedPerSource(Tables.documents(s, dir))),
     // Benchmark decontamination: flag docs sharing a 3-shingle with the
     // (corpus-derived, oracle-replayable) benchmark set.
     "decontaminate" -> ((s, dir) => {
@@ -994,6 +997,7 @@ object SparkEntry {
     "custom_sessions" -> DuckDbOracles.customSessions(SessionGapMs, SessionCapMs),
     "stratified_sample" -> DuckDbOracles.stratifiedSample,
     "temperature_mix" -> DuckDbOracles.temperatureMix,
+    "capped_per_source" -> DuckDbOracles.cappedPerSource(),
     "decontaminate" -> DuckDbOracles.decontaminate,
     "text_repetition" -> DuckDbOracles.textRepetition(),
     "corpus_retention" -> DuckDbOracles.corpusRetention(),

@@ -74,6 +74,45 @@ object Sampling {
     * one-row NLJ shape as resample_hourly's bounds), then one broadcast
     * equi-join + hash-gate filter over the corpus. No corpus shuffle at all.
     */
+  /** Maximum documents kept per source by `cappedPerSource`. */
+  val SourceCap = 10
+
+  /** Per-source quota capping — the "at most N documents per domain" gate
+    * web-scale recipes apply so no single domain dominates the mix (the
+    * complement of `temperatureMix`: a hard per-source ceiling instead of a
+    * proportional rate). Keeps, per source, the `cap` documents with the
+    * smallest portable hash (doc_id tie-break) — a deterministic priority
+    * sample whose membership is as stable under corpus growth as hashing
+    * allows: a new document displaces at most the current boundary doc.
+    *
+    * Scale shape: implemented with the bounded-heap `TopKAggregator`, NOT a
+    * ranking window — the window form shuffles and SORTS every source's
+    * full document list (hot domains are exactly where the cap matters and
+    * exactly where that sort blows up), while the aggregator ships ≤ cap
+    * rows per (source, partition) map-side and never materializes a sort.
+    * The DuckDB oracle ranks with row_number over the same (hash, doc_id)
+    * order, so the aggregator path stays hash-checked row-identical.
+    */
+  def cappedPerSource(
+      docs: DataFrame,
+      cap: Int = SourceCap,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(cap),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    docs
+      .select(col("source"), col("doc_id"),
+        hash("cap", col("doc_id").cast("string")).as("h"))
+      // TopKAggregator keeps the LARGEST sortValues; negate the 31-bit hash
+      // (exactly representable in double) so "largest" = smallest hash,
+      // ties to the smallest doc_id — row_number() over (h ASC, doc_id ASC)
+      .groupBy(col("source"))
+      .agg(topk((-col("h")).cast("double"), col("doc_id")).as("topk"))
+      .select(col("source"), posexplode(col("topk")).as(Seq("i", "t")))
+      .select(col("source"), (col("i") + 1).cast("int").as("rank"),
+        col("t._2").as("doc_id"))
+  }
+
   def temperatureMix(
       docs: DataFrame,
       targetFrac: Double = MixTargetFrac,

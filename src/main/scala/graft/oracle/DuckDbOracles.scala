@@ -276,6 +276,17 @@ object DuckDbOracles {
        |FROM documents d JOIN r USING (source)
        |WHERE ${h("mix", "CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm""".stripMargin
 
+  /** Twin of Sampling.cappedPerSource: the bounded-heap aggregator path
+    * must be row-identical to a ranking window over the same (hash,
+    * doc_id) priority order.
+    */
+  def cappedPerSource(cap: Int = Sampling.SourceCap): String =
+    s"""SELECT source, rank, doc_id FROM (
+       |  SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY ${h("cap", "CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS INT) AS rank
+       |  FROM documents)
+       |WHERE rank <= $cap""".stripMargin
+
   /** Twin of TextOps.repetitionStats; the repetitive flag compares the
     * ROUNDED fractions on both sides (bit-stable across engines).
     */

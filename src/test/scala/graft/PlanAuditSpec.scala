@@ -68,6 +68,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "corpus_retention" -> Set("codegen-fallback"), // composes text_quality
     // our own typed bounded-heap UDAF — imperative by design
     "topk_agg_per_segment" -> Set("codegen-fallback"),
+    "capped_per_source" -> Set("codegen-fallback"), // same bounded-heap UDAF
     // DataSketches HLL agg/union/estimate are intrinsically interpreted
     // built-ins (no codegen'd alternative exists)
     "hll_sketch_users" -> Set("codegen-fallback"),

@@ -67,4 +67,31 @@ class SamplingSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper
       ids shouldBe ids
     }
   }
+
+  describe("cappedPerSource") {
+    it("keeps at most cap docs per source, row-identical to the window reference") {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(90) // 3 sources x 30 docs
+      val out = Sampling.cappedPerSource(d, cap = 7).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      out.groupBy(_._1).foreach { case (_, rows) => rows.size should be <= 7 }
+      // reference: ranking window over the same (hash, doc_id) priority
+      val h = graft.functions.PortableHash.h31("cap", col("doc_id").cast("string"))
+      val w = Window.partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
+      val ref = d.select(col("source"), col("doc_id"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 7)
+        .select(col("source"), col("rank").cast("int"), col("doc_id")).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      out shouldBe ref
+    }
+
+    it("a new document displaces at most the boundary entry per source") {
+      val before = Sampling.cappedPerSource(docs(90), cap = 7).collect()
+        .map(r => (r.getString(0), r.getLong(2))).toSet
+      val after = Sampling.cappedPerSource(docs(93), cap = 7).collect()
+        .map(r => (r.getString(0), r.getLong(2))).toSet
+      // each of the 3 sources gained one candidate doc → at most one swap each
+      (before -- after).size should be <= 3
+    }
+  }
 }

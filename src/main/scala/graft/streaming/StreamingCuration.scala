@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.TextOps
+
+/** Structured-Streaming lift of the batch curation report
+  * (TextOps.retentionReport): every micro-batch of arriving documents runs
+  * the full gate chain — length, quality, repetition, PII — and is routed
+  * to two sinks: KEPT documents (with PII already masked, the text a
+  * training pipeline may actually retain) and a REJECTS audit table
+  * carrying the first-breached gate per document, so per-reason loss
+  * accounting streams alongside ingest instead of re-scanning the corpus.
+  *
+  * Scale: every gate is per-document (narrow projections + one bounded
+  * per-doc bigram agg) — no history table, no streaming state, nothing for
+  * watermarks to bound; each micro-batch is embarrassingly parallel.
+  *
+  * Delivery: EXACTLY-ONCE across JVM-crash retries by the same mechanism
+  * as StreamingDedup — both sinks are hive-partitioned by `batch_id` and
+  * written with dynamic partition overwrite, so a replayed batch replaces
+  * its own first attempt (Structured Streaming pins batch contents in the
+  * checkpoint offset log, so the recomputation is identical and the
+  * overwrite is a no-op rename).
+  */
+object StreamingCuration {
+
+  private val BatchCol = "batch_id"
+
+  /** One micro-batch of the curation loop, exposed for direct use and for
+    * the crash-retry spec. Idempotent in `batchId`.
+    */
+  def processBatch(
+      batch: DataFrame,
+      batchId: Long,
+      keptDir: String,
+      rejectsDir: String): Unit = {
+    val report = TextOps.retentionReport(batch)
+    report.persist()
+    try {
+      // kept docs ship the SCRUBBED text: the PII gate flags, the scrub
+      // masks — what leaves the pipeline is already masked
+      val scrubbed = TextOps.scrubPii(batch).select(col("doc_id"), col("text_scrubbed"))
+      report.filter(col("retained"))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("had_pii"))
+        .join(scrubbed, Seq("doc_id"))
+        .withColumn(BatchCol, lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BatchCol)
+        .parquet(keptDir)
+      report.filter(not(col("retained")))
+        .select(col("doc_id"), col("reject_reason"))
+        .withColumn(BatchCol, lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BatchCol)
+        .parquet(rejectsDir)
+    } finally report.unpersist()
+  }
+
+  def start(
+      docsStream: DataFrame,
+      keptDir: String,
+      rejectsDir: String,
+      checkpointDir: String): StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, keptDir, rejectsDir)
+      }
+      .start()
+}

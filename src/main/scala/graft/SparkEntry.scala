@@ -193,6 +193,11 @@ object SparkEntry {
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q3_top_orders" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
     "q5_region_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
+    // Q7 shape: bilateral-trade revenue by ship year — two broadcast nation
+    // resolutions, one fact-fact shuffle.
+    "q7_volume_shipping" -> ((s, dir) => Relational.volumeShipping(s, dir)),
+    // Q10 shape: top returned-item customers in a date window.
+    "q10_returned_items" -> ((s, dir) => Relational.returnedItemLosses(s, dir)),
     "top_orders_per_segment" -> ((s, dir) => Relational.topOrdersPerSegment(s, dir)),
     "topk_agg_per_segment" -> ((s, dir) => Relational.topOrdersPerSegmentAgg(s, dir)),
     "customer_order_stats" -> ((s, dir) => Relational.customerOrderStats(s, dir)),
@@ -612,6 +617,9 @@ object SparkEntry {
     // SemDeDup: k-means clusters bound the near-dup comparison to
     // within-cluster pairs; higher vec_id of each pair at cos >= 0.35 drops.
     "semantic_dedup" -> ((s, dir) => VectorOps.semanticDedup(Tables.embeddings(s, dir))),
+    // Cluster-cohesion audit: per assigned cell, member count, label
+    // agreement, and mean cosine to the assigned centroid.
+    "cluster_cohesion" -> ((s, dir) => VectorOps.clusterCohesion(Tables.embeddings(s, dir))),
     // JL random projection 64 -> 8 dims (Rademacher rows, scalar outputs).
     "embedding_rproj" -> ((s, dir) => VectorOps.randomProjection(Tables.embeddings(s, dir))),
 
@@ -676,6 +684,45 @@ object SparkEntry {
          count(*) FILTER (l_discount > 0.05) AS n_high_disc,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag = 'R') AS DOUBLE) AS qty_returned
          FROM lineitem""",
+
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+         CAST(sum(rev) AS DOUBLE) AS revenue, count(*) AS n_items
+         FROM (
+           SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))) AS rev
+           FROM lineitem l
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+           WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+             AND nc.n_name IN ('NATION_1', 'NATION_2')
+             AND ns.n_name <> nc.n_name)
+         GROUP BY 1, 2, 3""",
+
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+         CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal,
+         n_items, CAST(rev_dec AS DOUBLE) AS revenue
+         FROM (
+           SELECT o.o_custkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev_dec,
+             count(*) AS n_items
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_returnflag = 'R'
+             AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o.o_orderdate < TIMESTAMP '1997-01-01'
+           GROUP BY 1) r
+         JOIN customer c ON r.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         ORDER BY rev_dec DESC, c.c_custkey ASC
+         LIMIT 20""",
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1024,6 +1071,7 @@ object SparkEntry {
       DuckDbOracles.annIvfTopK(nprobe = 2, corpusFilter = "label % 2 = 0"),
     "ann_ivf_kmeans_topk" -> DuckDbOracles.annIvfKmeansTopK(),
     "semantic_dedup" -> DuckDbOracles.semanticDedup(),
+    "cluster_cohesion" -> DuckDbOracles.clusterCohesion(),
     "embedding_rproj" -> DuckDbOracles.randomProjection,
     "media_meta" -> DuckDbOracles.mediaMeta,
     "media_typed_meta" -> DuckDbOracles.mediaTypedMeta,

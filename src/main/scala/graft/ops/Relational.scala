@@ -119,6 +119,72 @@ object Relational {
         col("t._2").as("o_orderkey"), col("t._1").as("o_totalprice"))
   }
 
+  /** TPC-H Q7-flavored volume shipping: bilateral trade revenue between two
+    * nations by ship year — supplier side resolves through lineitem's
+    * suppkey, customer side through orders; BOTH nation hops are broadcast
+    * dimension joins, so the only fact exchange is the one orders⋈lineitem
+    * shuffle on orderkey (the filter to the two nations is applied inside
+    * the broadcast dims, shrinking the fact stream before it).
+    */
+  def volumeShipping(
+      spark: SparkSession, dir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+      .filter(col("n_name").isin(nationA, nationB))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).as("l_year"),
+        (dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("rev"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      // exclude domestic flows: Q7 reports cross-nation trade only
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q10-flavored returned-item losses: top-k customers by revenue on
+    * R-flagged lineitems in a date window. Customer/nation hops broadcast;
+    * the orderkey shuffle is the single fact exchange; the final top-k is
+    * TakeOrderedAndProject over exact-decimal revenue (id tie-break).
+    */
+  def returnedItemLosses(
+      spark: SparkSession, dir: String,
+      from: String = "1996-01-01", until: String = "1997-01-01", k: Int = 20): DataFrame = {
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), dec("c_acctbal").cast("double").as("c_acctbal"),
+        col("n_name"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("rev"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).as("rev_dec"), count(lit(1)).as("n_items"))
+      .join(broadcast(cust), col("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"),
+        col("rev_dec"), col("n_items"))
+      .orderBy(col("rev_dec").desc, col("c_custkey").asc)
+      .limit(k)
+      .withColumn("revenue", col("rev_dec").cast("double"))
+      .drop("rev_dec")
+  }
+
   /** Grouped order stats per customer with exact-decimal average — the
     * sum/count division happens on exact inputs so it is engine-stable.
     */

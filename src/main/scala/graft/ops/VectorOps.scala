@@ -551,6 +551,40 @@ object VectorOps {
         col("v"), col("vn"))
   }
 
+  /** Cluster-cohesion audit over the label-mean quantizer — per assigned
+    * cell: member count, how many members' true label equals the cell
+    * (nearest-class-mean agreement), and the mean cosine to the assigned
+    * centroid. The report a pipeline reads before trusting an IVF/SemDeDup
+    * clustering: low mean_cos or low label agreement in a cell means the
+    * quantizer is splitting/merging real clusters.
+    *
+    * Scale: assignment is the shared zero-shuffle literal argmax; the
+    * per-member cosine joins the k-row centroid table BROADCAST; the only
+    * corpus exchange is the final k-group hash agg.
+    */
+  def clusterCohesion(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val centArr: Array[(Int, Seq[Double])] = centroids(emb)
+      .select(col("label").as("cell"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    // centroid norms precomputed with the same left-to-right fold as the
+    // codegen'd dot (bit-identical to sqrt(dot(c,c)) per row)
+    val centDf = spark.createDataFrame(centArr.toSeq.map { case (c, m) =>
+      (c, m, math.sqrt(m.foldLeft(0.0)((s, x) => s + x * x)))
+    }).toDF("cell", "centroid", "cnorm")
+    emb.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("label"), col("v"), sqrt(dot(col("v"), col("v"))).as("vn"))
+      .select(col("label"), col("v"), col("vn"),
+        nearestCellExpr(centArr, col("v"), col("vn")).as("cell"))
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col("cell"), col("label"),
+        round(dot(col("v"), col("centroid")) / (col("vn") * col("cnorm")), 6).as("ccos"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("label") === col("cell"), 1L).otherwise(0L)).as("n_label_match"),
+        round(avg(col("ccos")), 6).as("mean_cos"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the Lloyd quantizer
     * (`kmeansCentroids`), then prune near-duplicate pairs WITHIN each

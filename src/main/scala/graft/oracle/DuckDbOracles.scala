@@ -528,6 +528,26 @@ object DuckDbOracles {
        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
        |FROM q""".stripMargin
 
+  /** Twin of VectorOps.clusterCohesion: same label-mean centroids, same
+    * (rounded-cos DESC, cell ASC) assignment, same per-cell rollup.
+    */
+  def clusterCohesion(): String =
+    s"""WITH $embCte,
+       |dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
+       |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
+       |cent AS (SELECT label AS cell, list(round(m, 6) ORDER BY pos) AS centroid
+       |  FROM comp GROUP BY label),
+       |cscore AS (SELECT e.vec_id, e.label, cent.cell,
+       |    round(${cosSql("e.v", "centroid")}, 6) AS ccos
+       |  FROM e CROSS JOIN cent),
+       |asg AS (SELECT vec_id, label, cell, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
+       |  FROM cscore)
+       |SELECT cell, count(*) AS n_members,
+       |  CAST(sum(CASE WHEN label = cell THEN 1 ELSE 0 END) AS BIGINT) AS n_label_match,
+       |  round(avg(ccos), 6) AS mean_cos
+       |FROM asg WHERE r = 1 GROUP BY 1""".stripMargin
+
   def annBruteTopK(k: Int = 10): String =
     s"""WITH $embCte,
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),

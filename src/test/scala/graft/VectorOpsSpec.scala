@@ -330,4 +330,46 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
       plan should not include "Exchange"
     }
   }
+
+  describe("clusterCohesion") {
+    it("matches an independent driver-side recomputation per cell") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val out = VectorOps.clusterCohesion(emb).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+      // recompute from raw rows: label-mean centroids (6dp), nearest by
+      // rounded cosine with cell tie-break, per-cell rollup
+      val rows = emb.select("vec_id", "label", "embedding").collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          r.getSeq[Float](2).map(_.toDouble).toArray))
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      val cents = rows.groupBy(_._2).map { case (l, xs) =>
+        val dim = xs.head._3.length
+        l -> Array.tabulate(dim)(i => r6(xs.map(_._3(i)).sum / xs.size))
+      }
+      val assigned = rows.map { case (_, label, v) =>
+        val vn = math.sqrt(dot(v, v))
+        val cell = cents.toSeq.map { case (c, m) =>
+          (r6(dot(v, m) / (vn * math.sqrt(dot(m, m)))), c)
+        }.maxBy { case (cos, c) => (cos, -c) }._2
+        val cos = r6(dot(v, cents(cell)) / (vn * math.sqrt(dot(cents(cell), cents(cell)))))
+        (cell, label, cos)
+      }
+      val expected = assigned.groupBy(_._1).map { case (cell, xs) =>
+        cell -> ((xs.length.toLong,
+          xs.count { case (c, l, _) => l == c }.toLong,
+          r6(xs.map(_._3).sum / xs.length)))
+      }
+      out.keySet shouldBe expected.keySet
+      out.foreach { case (cell, (n, m, cos)) =>
+        val (en, em, ecos) = expected(cell)
+        n shouldBe en
+        m shouldBe em
+        cos shouldBe ecos +- 1e-6
+      }
+    }
+  }
 }

@@ -167,4 +167,19 @@ object ActivityOps {
     */
   def distinctRows(df: DataFrame, watermark: Option[(String, String)] = None): DataFrame =
     watermark.fold(df) { case (c, w) => df.withWatermark(c, w) }.dropDuplicates()
+
+  /** Bounded-state streaming dedup on a KEY SUBSET
+    * (dropDuplicatesWithinWatermark): a key's state expires once the
+    * watermark passes its first-seen event time + delay, so duplicate
+    * suppression is exact within the horizon WITHOUT keying state on the
+    * event-time column. Contrast `distinctRows` on a subset key: plain
+    * dropDuplicates holds every key seen forever — unbounded state on an
+    * unbounded stream. This is the engine-native complement to
+    * StreamingDedup's index-backed "all of history" horizon: pick this when
+    * duplicates only ever arrive close together (retries, at-least-once
+    * sources), the index when they can arrive years apart.
+    */
+  def distinctWithinWatermark(
+      df: DataFrame, tsCol: String, delay: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
 }

@@ -54,6 +54,33 @@ object Layout {
       .sortWithinPartitions(col("z"))
   }
 
+  /** Small-file compaction: re-emit a fragmented table as
+    * ceil(rows / targetRowsPerFile) files, optionally re-establishing a
+    * sort order so min/max row-group pruning survives the rewrite. The
+    * storage-hygiene pass every long-lived 100 TB table needs: streaming
+    * ingest and per-batch overwrites (StreamingDedup/StreamingAnnIngest
+    * write one partition per micro-batch) accrete thousands of KB-sized
+    * files, and at scan time each file costs a task launch + footer read —
+    * compaction trades one bounded rewrite for every future scan's
+    * task-count.
+    *
+    * The file count derives from a COUNT over the input (one cheap
+    * metadata-ish agg) rather than a guessed partition number, so the
+    * target size holds regardless of input fragmentation. With a sort key
+    * the rewrite is one range shuffle (identical cost shape to
+    * zorderCluster); without, a round-robin repartition.
+    */
+  def compact(
+      df: DataFrame,
+      targetRowsPerFile: Long,
+      orderBy: Seq[Column] = Nil): DataFrame = {
+    require(targetRowsPerFile >= 1, s"compact: targetRowsPerFile=$targetRowsPerFile must be >= 1")
+    val n = math.max(1L, (df.count() + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    if (orderBy.nonEmpty)
+      df.repartitionByRange(n, orderBy: _*).sortWithinPartitions(orderBy: _*)
+    else df.repartition(n)
+  }
+
   /** Oracle-checkable z-value projection over `events`: x = low 16 bits of
     * user_id, y = floor(value) masked to 16 bits (both via pmod so the
     * mapping is total on any input range).

@@ -99,6 +99,38 @@ class ActivityStreamingSpec extends AnyFunSpec with Matchers with SparkSessionTe
           .as[(Long, Long)].collect().toMap shouldBe Map(1L -> 1L, 2L -> 1L)
       } finally q.stop()
     }
+
+    it("dropDuplicatesWithinWatermark dedups a key subset and expires its state") {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      val dedup = graft.ops.ActivityOps.distinctWithinWatermark(
+        mem.toDS().toDF("id", "ts"), "ts", "10 seconds", Seq("id"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ww").toString
+      val sink = s"dedup_ww_${System.nanoTime()}"
+      val q = dedup.writeStream.outputMode("append").format("memory")
+        .queryName(sink).option("checkpointLocation", ckpt).start()
+      try {
+        val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+        // duplicates inside the horizon collapse (within and across batches)
+        mem.addData((1L, t1), (1L, t1), (2L, t1))
+        q.processAllAvailable()
+        mem.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:05")))
+        q.processAllAvailable()
+        spark.table(sink).groupBy("id").count()
+          .as[(Long, Long)].collect().toMap shouldBe Map(1L -> 1L, 2L -> 1L)
+        // advance the watermark far past id=1's expiry...
+        mem.addData((9L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00")))
+        q.processAllAvailable()
+        // ...a re-arrival of id=1 is a NEW occurrence: state expired, row
+        // emitted again — the bounded-state semantics plain dropDuplicates
+        // on a subset key does not have
+        mem.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:01")))
+        q.processAllAvailable()
+        spark.table(sink).groupBy("id").count()
+          .as[(Long, Long)].collect().toMap shouldBe Map(1L -> 2L, 2L -> 1L, 9L -> 1L)
+      } finally q.stop()
+    }
   }
 
   describe("append-mode session windows over a memory stream") {

@@ -138,4 +138,52 @@ class ParquetLayoutSpec extends AnyFunSpec with Matchers with SparkSessionTestWr
       rows shouldBe Map(1L -> None, 2L -> None, 3L -> Some(0.5), 4L -> Some(0.7))
     }
   }
+
+  describe("small-file compaction (Layout.compact)") {
+    import graft.ops.Layout
+
+    def parquetFiles(dir: String): Array[java.io.File] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+
+    it("rewrites a fragmented table to ceil(rows/target) files, data intact") {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      // simulate per-batch ingest fragmentation: 40 files of 25 rows
+      (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+        .repartition(40).write.parquet(s"$dir/frag")
+      parquetFiles(s"$dir/frag").length shouldBe 40
+
+      Layout.compact(spark.read.parquet(s"$dir/frag"), targetRowsPerFile = 250)
+        .write.parquet(s"$dir/compacted")
+      parquetFiles(s"$dir/compacted").length shouldBe 4
+      spark.read.parquet(s"$dir/compacted").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap shouldBe
+        (1 to 1000).map(i => i.toLong -> i * 2.0).toMap
+    }
+
+    it("with a sort key, restores contiguous min/max ranges for pruning") {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-compact-sort").toString
+      // shuffled ids: every fragment spans the whole id range, so min/max
+      // pruning on the fragmented layout is useless
+      val rnd = new scala.util.Random(7)
+      rnd.shuffle((1 to 1000).toList).map(i => (i.toLong, s"p$i"))
+        .toDF("id", "payload").repartition(20).write.parquet(s"$dir/frag")
+
+      Layout.compact(spark.read.parquet(s"$dir/frag"), 250, Seq(col("id")))
+        .write.parquet(s"$dir/sorted")
+      // each output file must cover a disjoint contiguous id range
+      val ranges = parquetFiles(s"$dir/sorted").map { f =>
+        val ids = spark.read.parquet(f.getAbsolutePath).select("id")
+          .collect().map(_.getLong(0))
+        (ids.min, ids.max)
+      }.sortBy(_._1)
+      ranges.length shouldBe 4
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo, _)) => hi should be < lo
+        case _ =>
+      }
+    }
+  }
 }

@@ -91,6 +91,29 @@ object SparkEntry {
         tsCol = "date", keyCols = Seq("id", "event_type"), windowDuration = "1 minute")
     }),
 
+    // Corrupt-record dead-letter routing — the ingest-reliability twin of
+    // json_pipeline: every 13th wire payload is truncated (deterministic
+    // corruption stand-in for real-world mangled messages), and the
+    // PERMISSIVE parse must null EXACTLY those rows; the router flags them
+    // for a quarantine sink instead of silently dropping. The oracle checks
+    // the routing contract end to end (valid ⟺ uncorrupted); the parse
+    // mechanics on malformed text are spec-covered (ActivityGoldenSpec).
+    "json_dead_letter" -> ((s, dir) => {
+      val payload = to_json(struct(
+        col("user_id").cast("string").as("id"),
+        unix_millis(col("ts")).as("date"),
+        struct(upper(col("event_type")).as("event_type"), col("props").as("url")).as("event")))
+      Tables.events(s, dir)
+        .select(col("event_id"), payload.as("payload"))
+        .select(col("event_id"),
+          when(col("event_id") % 13 === 0,
+            col("payload").substr(lit(1), length(col("payload")) - 1))
+            .otherwise(col("payload")).as("wire"))
+        .select(col("event_id"),
+          from_json(col("wire"), graft.model.Schemas.activitySchema).as("data"))
+        .select(col("event_id"), col("data.id").isNotNull.as("parse_ok"))
+    }),
+
     "dedup_distinct" -> ((s, dir) =>
       ActivityOps.distinctRows(
         Tables.events(s, dir)
@@ -1000,6 +1023,12 @@ object SparkEntry {
          count(*) AS "count"
          FROM events WHERE event_type IN ('click','purchase')
          GROUP BY 1,2,3""",
+
+    // routing contract: PERMISSIVE-parse failure ⟺ the deterministic
+    // corruption gate (truncating a well-formed object's closing brace is
+    // always invalid JSON)
+    "json_dead_letter" ->
+      """SELECT event_id, event_id % 13 <> 0 AS parse_ok FROM events""",
 
     "dedup_distinct" ->
       """SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events""",

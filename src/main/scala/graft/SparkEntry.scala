@@ -538,6 +538,19 @@ object SparkEntry {
     // E2E curation report: length/quality/repetition gates with first-match
     // reject reason + PII audit flag — the whole filter chain in one pass.
     "corpus_retention" -> ((s, dir) => TextOps.retentionReport(Tables.documents(s, dir))),
+    // THE composed pipeline: retention gates → MinHash-LSH near-dup
+    // survivors among the retained docs → deterministic stratified
+    // sample + train/val split. One query, four operators, one oracle —
+    // the end-to-end "prepare training data" chain a user actually runs.
+    "curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val retained = TextOps.retentionReport(docs)
+        .filter(col("retained")).select(col("doc_id"))
+      val kept = docs.join(retained, Seq("doc_id"))
+      val dupes = Dedup.minhashLshPairs(kept).select(col("doc_b")).distinct()
+      val surv = kept.join(dupes, kept("doc_id") === dupes("doc_b"), "left_anti")
+      Sampling.stratifiedSample(surv)
+    }),
     "minhash_signatures" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
     "minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "simhash_docs" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
@@ -1077,6 +1090,7 @@ object SparkEntry {
     "decontaminate" -> DuckDbOracles.decontaminate,
     "text_repetition" -> DuckDbOracles.textRepetition(),
     "corpus_retention" -> DuckDbOracles.corpusRetention(),
+    "curation_pipeline" -> DuckDbOracles.curationPipeline(),
     "dedup_components" -> DuckDbOracles.dedupComponents(),
     "dedup_crossmodal" -> DuckDbOracles.dedupCrossmodal(),
     "dedup_apply_components" ->

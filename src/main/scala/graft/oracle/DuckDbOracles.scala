@@ -233,9 +233,14 @@ object DuckDbOracles {
     * from the same Scala constants; decisions are pure integer arithmetic
     * over the md5 bridge, so both engines keep exactly the same documents.
     */
+  /** Per-language ppm CASE arms, shared by stratifiedSample and the
+    * composed curation pipeline.
+    */
+  private val ratesCaseSql: String = Sampling.DefaultRatesPpm
+    .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+
   val stratifiedSample: String = {
-    val ppmCase = Sampling.DefaultRatesPpm
-      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    val ppmCase = ratesCaseSql
     s"""SELECT doc_id, lang, source,
        |  CASE WHEN ${h("split", "CAST(doc_id AS VARCHAR)")} % 1000 < ${Sampling.ValPerMille}
        |       THEN 'val' ELSE 'train' END AS split
@@ -378,24 +383,61 @@ object DuckDbOracles {
     s"""WITH $tokCte, $shCte, $sigCte
        |SELECT * FROM sig""".stripMargin
 
-  val minhashLshPairs: String = {
-    val bandSelects = (0 until Dedup.MinhashBands).map { j =>
+  /** Body of the LSH band table (UNION ALL over bands) — references `sig`;
+    * shared by minhashLshPairs and the composed curation pipeline.
+    */
+  private val bandsCteBody: String =
+    (0 until Dedup.MinhashBands).map { j =>
       val catExpr = (j * Dedup.MinhashRows until (j + 1) * Dedup.MinhashRows)
         .map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, ${(0 until Dedup.MinhashK).map(i => s"mh$i").mkString(", ")}, " +
         s"$j AS band, ${h(s"band$j", catExpr)} AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
+
+  /** The pair-select over a `bands` CTE — the banded equi-join + exact
+    * signature-agreement estimate.
+    */
+  private val pairsFromBands: String = {
     val est = (0 until Dedup.MinhashK)
       .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH $tokCte, $shCte, $sigCte,
-       |bands AS (
-       |  $bandSelects
-       |)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  round(CAST(($est) AS DOUBLE) / ${Dedup.MinhashK}.0, 6) AS est_jaccard
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin
   }
+
+  val minhashLshPairs: String =
+    s"""WITH $tokCte, $shCte, $sigCte,
+       |bands AS (
+       |  $bandsCteBody
+       |)
+       |$pairsFromBands""".stripMargin
+
+  /** Twin of the composed `curation_pipeline` query — the end-to-end
+    * training-data preparation chain built from the SAME fragments the
+    * individual oracles use (retention gates → MinHash-LSH near-dup
+    * survivors AMONG the retained subset → stratified sample + split), so
+    * the composition cannot drift from its parts. The dedup stage runs
+    * over `docsr` (the retained docs) — pair candidacy is a property of
+    * the corpus actually being deduplicated, not of the raw table.
+    */
+  def curationPipeline(): String =
+    s"""WITH ret AS (SELECT doc_id FROM (${corpusRetention()}) WHERE retained),
+       |docsr AS (SELECT d.* FROM documents d JOIN ret USING (doc_id)),
+       |tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM docsr),
+       |$shCte, $sigCte,
+       |bands AS (
+       |  $bandsCteBody
+       |),
+       |pairs AS ($pairsFromBands),
+       |surv AS (SELECT dr.doc_id, dr.lang, dr.source FROM docsr dr
+       |  WHERE dr.doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs))
+       |SELECT doc_id, lang, source,
+       |  CASE WHEN ${h("split", "CAST(doc_id AS VARCHAR)")} % 1000 < ${Sampling.ValPerMille}
+       |       THEN 'val' ELSE 'train' END AS split
+       |FROM surv
+       |WHERE ${h("samp", "CAST(doc_id AS VARCHAR)")} % 1000000
+       |  < (CASE $ratesCaseSql ELSE ${Sampling.DefaultPpm} END)""".stripMargin
 
   private val simhashCte: String = {
     val votes = (0 until Dedup.SimhashBits)

@@ -67,6 +67,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "quality_quantile_filter" -> Set("codegen-fallback"), // same score expr as text_quality
     "text_langid" -> Set("codegen-fallback"),
     "corpus_retention" -> Set("codegen-fallback"), // composes text_quality
+    "curation_pipeline" -> Set("codegen-fallback"), // composes corpus_retention
     // our own typed bounded-heap UDAF — imperative by design
     "topk_agg_per_segment" -> Set("codegen-fallback"),
     "capped_per_source" -> Set("codegen-fallback"), // same bounded-heap UDAF

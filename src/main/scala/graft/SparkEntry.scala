@@ -143,6 +143,21 @@ object SparkEntry {
         Tables.events(s, dir), tsCol = "ts", keyCols = Seq("event_type"),
         windowDuration = "10 minutes", slide = "5 minutes")),
 
+    // Windowed distinct users per event type (1-hour tumbling): exact
+    // count + HLL++ estimate under the 5-sigma contract — the per-window
+    // cardinality panel of a streaming dashboard, batch-checked.
+    "windowed_distinct_users" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx"))
+        .select(col("event_type"),
+          col("window.start").as("window_start"), col("window.end").as("window_end"),
+          col("n_users"),
+          (abs(col("approx") - col("n_users")).cast("double") /
+            greatest(col("n_users").cast("double"), lit(1.0)) <= 0.05)
+            .as("approx_within_5pct"))),
+
     // As-of join (operator Spark lacks): each event joined to the latest
     // order of the same customer placed at-or-before the event time.
     "asof_join_orders" -> ((s, dir) =>
@@ -556,6 +571,22 @@ object SparkEntry {
     "simhash_docs" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) => Dedup.fingerprintJaccardPairs(Tables.documents(s, dir))),
+    // Lexical kNN: each doc's top-3 fingerprint-Jaccard neighbors over the
+    // symmetrized candidate graph — text-side similarity SEARCH (not just
+    // dedup pairs), through the bounded-heap aggregator.
+    "knn_lexical" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAggregator(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+      val pairs = Dedup.fingerprintJaccardPairs(Tables.documents(s, dir), minJaccard = 0.1)
+      val sym = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nb"), col("jaccard"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nb"), col("jaccard")))
+      sym.groupBy(col("doc_id"))
+        .agg(topk(col("jaccard"), col("nb")).as("topk"))
+        .select(col("doc_id"), posexplode(col("topk")).as(Seq("i", "t")))
+        .select(col("doc_id"), (col("i") + 1).cast("int").as("rank"),
+          col("t._2").as("neighbor_id"), col("t._1").as("jaccard"))
+    }),
 
     // Cross-modal dedup triage: per document, a lexical flag (member of any
     // MinHash-LSH pair) and a semantic flag (member of any embedding
@@ -888,6 +919,14 @@ object SparkEntry {
          TRUE AS approx_within_5pct
          FROM events GROUP BY 1""",
 
+    "windowed_distinct_users" ->
+      """SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+         count(DISTINCT user_id) AS n_users,
+         TRUE AS approx_within_5pct
+         FROM events GROUP BY 1, 2, 3""",
+
     // The sketch estimate itself is not SQL-replayable; the CONTRACT is —
     // exact distinct users, the number of day-partials merged, and the
     // within-budget flag (TRUE: a DataSketches union outside 5 sigma of
@@ -1105,6 +1144,7 @@ object SparkEntry {
     "simhash_docs" -> DuckDbOracles.simhashDocs,
     "simhash_pairs" -> DuckDbOracles.simhashPairs(),
     "ngram_jaccard_pairs" -> DuckDbOracles.ngramJaccardPairs(),
+    "knn_lexical" -> DuckDbOracles.knnLexical(),
     "embedding_neardup" -> DuckDbOracles.embeddingNearDup(),
     "embedding_lsh_pairs" -> DuckDbOracles.embeddingLshPairs(),
     "ann_brute_topk" -> DuckDbOracles.annBruteTopK(),

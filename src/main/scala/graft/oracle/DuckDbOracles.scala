@@ -500,6 +500,19 @@ object DuckDbOracles {
   /** Cosine between two DOUBLE[] SQL expressions (matches VectorOps.cosine
     * up to accumulation-order ulps, removed by round(·, 6) on both sides).
     */
+  /** Twin of the knn_lexical query: symmetrized fingerprint-Jaccard pairs
+    * ranked per doc — the aggregator path must match the window form.
+    */
+  def knnLexical(k: Int = 3, minJaccard: Double = 0.1): String =
+    s"""WITH pairs AS (${ngramJaccardPairs(minJaccard)}),
+       |sym AS (SELECT doc_a AS doc_id, doc_b AS nb, jaccard FROM pairs
+       |  UNION ALL SELECT doc_b AS doc_id, doc_a AS nb, jaccard FROM pairs),
+       |r AS (SELECT doc_id, nb, jaccard,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY jaccard DESC, nb ASC) AS INT) AS rank
+       |  FROM sym)
+       |SELECT doc_id, rank, nb AS neighbor_id, jaccard FROM r WHERE rank <= $k""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 

@@ -60,6 +60,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "pivot_event_counts" -> Set("codegen-fallback"), // pivotfirst
     "value_percentiles" -> Set("codegen-fallback"),  // exact percentile agg
     "approx_distinct_users" -> Set("codegen-fallback"), // HLL++ agg
+    "windowed_distinct_users" -> Set("codegen-fallback"), // HLL++ agg
     "approx_percentiles" -> Set("codegen-fallback"), // GK sketch + exact percentile aggs
     "value_outliers" -> Set("codegen-fallback"), // exact percentile (median/MAD) aggs
     // higher-order filter() over the token array (stopword/marker ratios)
@@ -71,6 +72,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // our own typed bounded-heap UDAF — imperative by design
     "topk_agg_per_segment" -> Set("codegen-fallback"),
     "capped_per_source" -> Set("codegen-fallback"), // same bounded-heap UDAF
+    "knn_lexical" -> Set("codegen-fallback"), // same bounded-heap UDAF
     // DataSketches HLL agg/union/estimate are intrinsically interpreted
     // built-ins (no codegen'd alternative exists)
     "hll_sketch_users" -> Set("codegen-fallback"),

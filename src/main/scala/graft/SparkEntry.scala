@@ -687,6 +687,9 @@ object SparkEntry {
     // Cluster-cohesion audit: per assigned cell, member count, label
     // agreement, and mean cosine to the assigned centroid.
     "cluster_cohesion" -> ((s, dir) => VectorOps.clusterCohesion(Tables.embeddings(s, dir))),
+    // Two-stage serving: int8-quantized first pass (FAISS IVF+SQ8 shape,
+    // 4x smaller index) → exact re-rank of the 30-row shortlist.
+    "ann_ivf_rerank_topk" -> ((s, dir) => VectorOps.ivfRerankTopK(Tables.embeddings(s, dir))),
     // JL random projection 64 -> 8 dims (Rademacher rows, scalar outputs).
     "embedding_rproj" -> ((s, dir) => VectorOps.randomProjection(Tables.embeddings(s, dir))),
 
@@ -1155,6 +1158,7 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> DuckDbOracles.annIvfKmeansTopK(),
     "semantic_dedup" -> DuckDbOracles.semanticDedup(),
     "cluster_cohesion" -> DuckDbOracles.clusterCohesion(),
+    "ann_ivf_rerank_topk" -> DuckDbOracles.annIvfRerankTopK(),
     "embedding_rproj" -> DuckDbOracles.randomProjection,
     "media_meta" -> DuckDbOracles.mediaMeta,
     "media_typed_meta" -> DuckDbOracles.mediaTypedMeta,

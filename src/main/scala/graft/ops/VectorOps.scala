@@ -496,21 +496,30 @@ object VectorOps {
     * which re-executed the centroid aggregation inside the broadcast
     * exchange; for a collected quantizer that join buys nothing.)
     */
+  /** Exploding probe-cell generator: the nprobe nearest cells for a query
+    * vector column, as a pure literal expression (shared by the exact and
+    * re-ranked serving paths).
+    */
+  private def probeCellsCol(
+      centArr: Seq[(Int, Seq[Double])], qv: Column, qn: Column, nprobe: Int): Column = {
+    val probeStructs = centArr.map { case (c, m) =>
+      val cn = math.sqrt(m.foldLeft(0.0)((s, x) => s + x * x))
+      struct(round(dot(qv, array(m.map(lit(_)): _*)) / (qn * lit(cn)), 6)
+        .as("ccos"), lit(-c).as("negCell"))
+    }
+    explode(slice(reverse(array_sort(array(probeStructs: _*))), 1, nprobe))
+  }
+
   private def scoreProbes(
       corpus: DataFrame,
       queries0: DataFrame,
       centArr: Seq[(Int, Seq[Double])],
       nprobe: Int): DataFrame = {
-    val probeStructs = centArr.map { case (c, m) =>
-      val cn = math.sqrt(m.foldLeft(0.0)((s, x) => s + x * x))
-      struct(round(dot(col("qv"), array(m.map(lit(_)): _*)) / (col("qn") * lit(cn)), 6)
-        .as("ccos"), lit(-c).as("negCell"))
-    }
     val queries = queries0
       .select(col("q_id"), col("q_emb").cast("array<double>").as("qv"))
       .select(col("q_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("qn"))
       .select(col("q_id"), col("qv"), col("qn"),
-        explode(slice(reverse(array_sort(array(probeStructs: _*))), 1, nprobe)).as("p"))
+        probeCellsCol(centArr, col("qv"), col("qn"), nprobe).as("p"))
       .select(col("q_id"), (-col("p.negCell")).as("cell"), col("qv"), col("qn"))
 
     broadcast(queries).join(corpus,
@@ -549,6 +558,77 @@ object VectorOps {
       .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("vn"))
       .select(col("vec_id"), nearestCellExpr(centArr, col("v"), col("vn")).as("cell"),
         col("v"), col("vn"))
+  }
+
+  /** Shortlist size of the quantized first stage before exact re-rank. */
+  val RerankShortlist = 30
+
+  /** Two-stage IVF serving with an int8-quantized first pass — the
+    * memory-compression pattern production ANN stores use (FAISS
+    * IVF+SQ8): the index holds 1-byte components (4× smaller than f32,
+    * 8× than f64), the first stage ranks candidates by approximate cosine
+    * from integer dots, and only the `rerankK`-row shortlist per query
+    * fetches full-precision vectors for exact re-ranking.
+    *
+    * Determinism: q_i = round(v_i · 127/amax) is integer-exact cross-engine
+    * (the same per-component rule `quantizeStats` pins); the approximate
+    * score divides the exact integer dot by the two scales and norms in a
+    * fixed order and rounds to 6dp, so stage-1 ranking — and therefore the
+    * shortlist SET (neighbor-id tie-break) — replays bit-identically in the
+    * oracle. Zero vectors (amax=0) are assumed absent (they have no cosine
+    * to anything).
+    *
+    * Scale shape: stage 1 is the same zero-shuffle cell assignment +
+    * broadcast probe join as `ivfTopK`, but carrying int8-sized payloads;
+    * stage 2 broadcasts the (queries × rerankK)-row shortlist against the
+    * full-precision table — the "fetch" side of a serving tier, touching
+    * only shortlist rows. Quantization here runs inline per row
+    * (interpreted transform, one pass); a production deployment
+    * precomputes the quantized index offline (StreamingAnnIngest shape).
+    */
+  def ivfRerankTopK(
+      emb: DataFrame,
+      k: Int = 10,
+      rerankK: Int = RerankShortlist,
+      nprobe: Int = 2): DataFrame = {
+    val centArr: Array[(Int, Seq[Double])] =
+      centroids(emb).select(col("label").as("cell"), col("centroid"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+
+    // (id, v, vn, s, q): double-carried int8 components (values ≤127 over
+    // 64 dims keep every integer dot exact in double)
+    def quantized(df: DataFrame, idFrom: String, idAs: String, vecCol: String): DataFrame =
+      df.select(col(idFrom).as(idAs), col(vecCol).cast("array<double>").as("v"))
+        .select(col(idAs), col("v"), sqrt(dot(col("v"), col("v"))).as("vn"),
+          (lit(127.0) / array_max(transform(col("v"), x => abs(x)))).as("s"))
+        .select(col(idAs), col("v"), col("vn"), col("s"),
+          transform(col("v"), x => round(x * col("s")).cast("double")).as("q"))
+
+    val corpus = quantized(emb, "vec_id", "vec_id", "embedding")
+      .select(col("vec_id"), nearestCellExpr(centArr, col("v"), col("vn")).as("cell"),
+        col("vn").as("cvn"), col("s").as("cs"), col("q").as("cq"))
+    val queries = quantized(emb.filter(col("vec_id") % 100 === 0), "vec_id", "q_id", "embedding")
+      .select(col("q_id"), col("q").as("qq"), col("s").as("qs"), col("vn").as("qvn"),
+        probeCellsCol(centArr, col("v"), col("vn"), nprobe).as("p"))
+      .select(col("q_id"), col("qq"), col("qs"), col("qvn"), (-col("p.negCell")).as("cell"))
+
+    // stage 1: approximate cosine from the exact integer dot
+    val approx = broadcast(queries).join(corpus,
+        col("q_id") =!= col("vec_id") && queries("cell") === corpus("cell"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qq"), col("cq")) / (col("qs") * col("cs")) / (col("qvn") * col("cvn")), 6)
+          .as("cos"))
+    val shortlist = topKPerQuery(approx, rerankK).select(col("q_id"), col("neighbor_id"))
+
+    // stage 2: fetch full precision for the shortlist only, exact re-rank
+    val full = withNorm(emb, "neighbor_id", "cv", "cn")
+    val qFull = withNorm(emb.filter(col("vec_id") % 100 === 0), "q_id", "qv2", "qn2")
+    val exact = broadcast(shortlist)
+      .join(full, Seq("neighbor_id"))
+      .join(broadcast(qFull), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        round(dot(col("qv2"), col("cv")) / (col("qn2") * col("cn")), 6).as("cos"))
+    topKPerQuery(exact, k)
   }
 
   /** Cluster-cohesion audit over the label-mean quantizer — per assigned

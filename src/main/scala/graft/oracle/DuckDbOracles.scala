@@ -583,6 +583,52 @@ object DuckDbOracles {
        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
        |FROM q""".stripMargin
 
+  /** Twin of VectorOps.ivfRerankTopK: same int8 quantization rule as
+    * embeddingQuantize, same IVF cell CTEs as annIvfTopK, stage-1 ranking
+    * on the identically-ordered approximate-cosine division chain, exact
+    * re-rank of the shortlist.
+    */
+  def annIvfRerankTopK(
+      k: Int = 10,
+      rerankK: Int = VectorOps.RerankShortlist,
+      nprobe: Int = 2): String =
+    s"""WITH $embCte,
+       |qzq AS (SELECT vec_id, v,
+       |    sqrt(list_dot_product(v, v)) AS vn,
+       |    127.0 / list_max(list_transform(v, x -> abs(x))) AS s,
+       |    list_transform(v, x ->
+       |      CAST(CAST(round(x * (127.0 / list_max(list_transform(v, y -> abs(y))))) AS INT) AS DOUBLE)) AS q
+       |  FROM e),
+       |dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
+       |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
+       |cent AS (SELECT label AS cell, list(round(m, 6) ORDER BY pos) AS centroid
+       |  FROM comp GROUP BY label),
+       |cscore AS (SELECT z.vec_id, z.vn, z.s, z.q, cent.cell,
+       |    round(${cosSql("z.v", "centroid")}, 6) AS ccos
+       |  FROM qzq z CROSS JOIN cent),
+       |rc AS (SELECT vec_id, vn, s, q, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
+       |  FROM cscore),
+       |asg AS (SELECT vec_id, vn, s, q, cell FROM rc WHERE r = 1),
+       |qasg AS (SELECT vec_id, vn, s, q, cell FROM rc WHERE r <= $nprobe AND vec_id % 100 = 0),
+       |approx AS (SELECT qa.vec_id AS q_id, ca.vec_id AS neighbor_id,
+       |    round(list_dot_product(qa.q, ca.q) / (qa.s * ca.s) / (qa.vn * ca.vn), 6) AS acos
+       |  FROM qasg qa JOIN asg ca ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id),
+       |short AS (SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY acos DESC, neighbor_id ASC) AS r
+       |    FROM approx) WHERE r <= $rerankK),
+       |ex AS (SELECT sh.q_id, sh.neighbor_id,
+       |    round(${cosSql("qe.v", "ce.v")}, 6) AS cos
+       |  FROM short sh
+       |  JOIN e ce ON sh.neighbor_id = ce.vec_id
+       |  JOIN e qe ON sh.q_id = qe.vec_id)
+       |SELECT q_id, rank, neighbor_id, cos FROM (
+       |  SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM ex) WHERE rank <= $k""".stripMargin
+
   /** Twin of VectorOps.clusterCohesion: same label-mean centroids, same
     * (rounded-cos DESC, cell ASC) assignment, same per-cell rollup.
     */

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions.{col, count, lit, not, sum, when}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.ops.TextOps
@@ -30,14 +30,23 @@ object StreamingCuration {
   private val BatchCol = "batch_id"
 
   /** One micro-batch of the curation loop, exposed for direct use and for
-    * the crash-retry spec. Idempotent in `batchId`.
+    * the crash-retry spec. Idempotent in `batchId`. Returns the batch's
+    * observed metrics (rows in, rows kept, PII count), collected by the
+    * `Observation` API as a side-channel of the kept-sink write — ZERO
+    * extra passes. (The reference's foreachBatch logs `df.count()` before
+    * writing, re-executing the whole batch plan — SURVEY §2 K6; persist
+    * was the round-1 fix, observe is the no-cache-needed one.)
     */
   def processBatch(
       batch: DataFrame,
       batchId: Long,
       keptDir: String,
-      rejectsDir: String): Unit = {
+      rejectsDir: String): Map[String, Any] = {
+    val obs = Observation(s"curation_$batchId")
     val report = TextOps.retentionReport(batch)
+      .observe(obs, count(lit(1)).as("n_in"),
+        sum(when(col("retained"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("had_pii"), 1L).otherwise(0L)).as("n_pii"))
     report.persist()
     try {
       // kept docs ship the SCRUBBED text: the PII gate flags, the scrub
@@ -58,6 +67,7 @@ object StreamingCuration {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(BatchCol)
         .parquet(rejectsDir)
+      obs.get
     } finally report.unpersist()
   }
 
@@ -70,7 +80,7 @@ object StreamingCuration {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, keptDir, rejectsDir)
+        processBatch(batch, batchId, keptDir, rejectsDir): Unit
       }
       .start()
 }

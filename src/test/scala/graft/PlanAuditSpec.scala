@@ -46,6 +46,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "ann_ivf_topk" -> Set("nested-loop-join", "codegen-fallback"),
     "ann_ivf_topk_np2" -> Set("nested-loop-join", "codegen-fallback"),
     "ann_ivf_filtered_topk" -> Set("nested-loop-join", "codegen-fallback"),
+    // same IVF probe shape + per-row int8 transform() quantization (one
+    // interpreted pass; production precomputes the quantized index)
+    "ann_ivf_rerank_topk" -> Set("nested-loop-join", "codegen-fallback"),
     "ann_ivf_kmeans_topk" -> Set("nested-loop-join", "codegen-fallback"),
     // planted near-dup copies use transform() on the every-20th slice —
     // interpreted on 5% of rows by design (exact ±1/64 double nudges)

@@ -69,8 +69,15 @@ class StreamingCurationSpec extends AnyFunSpec with Matchers with SparkSessionTe
       val (keptDir, rejDir) = (s"$dir/kept", s"$dir/rej")
       val b0 = Seq((1L, short), (2L, good)).toDF("doc_id", "text")
       val b1 = Seq((3L, withPii), (4L, stuffed)).toDF("doc_id", "text")
-      StreamingCuration.processBatch(b0, 0L, keptDir, rejDir)
-      StreamingCuration.processBatch(b1, 1L, keptDir, rejDir)
+      // observed metrics ride the write — no extra pass — and match the sinks
+      val m0 = StreamingCuration.processBatch(b0, 0L, keptDir, rejDir)
+      m0("n_in") shouldBe 2L
+      m0("n_kept") shouldBe 1L
+      m0("n_pii") shouldBe 0L
+      val m1 = StreamingCuration.processBatch(b1, 1L, keptDir, rejDir)
+      m1("n_in") shouldBe 2L
+      m1("n_kept") shouldBe 1L
+      m1("n_pii") shouldBe 1L
       // crash-after-commit retry replays batch 1 with identical contents
       StreamingCuration.processBatch(b1, 1L, keptDir, rejDir)
 

@@ -331,6 +331,20 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     }
   }
 
+  describe("ivfRerankTopK") {
+    it("int8 first stage + exact re-rank nearly matches the full-precision IVF path") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val reranked = asMap(VectorOps.ivfRerankTopK(emb, k = 10, nprobe = 2))
+      val exact = asMap(VectorOps.ivfTopK(emb, k = 10, nprobe = 2))
+      // same candidate cells, same final metric — the only divergence is a
+      // true top-10 neighbor falling outside the 30-row quantized shortlist
+      val agree = exact.count { case (key, nb) => reranked.get(key).contains(nb) }
+      agree.toDouble / exact.size.toDouble should be >= 0.9
+    }
+  }
+
   describe("clusterCohesion") {
     it("matches an independent driver-side recomputation per cell") {
       val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -287,6 +287,13 @@ object SparkEntry {
         Tables.events(s, dir), tsCol = "ts", keyCol = "user_id",
         valueCol = "value", stepMillis = 3600000L)),
 
+    // Distribution-drift monitor: PSI of `value` per event type between
+    // the reference half and the current half of the event window.
+    "psi_drift" -> ((s, dir) =>
+      graft.ops.TimeSeries.psiDrift(
+        Tables.events(s, dir), tsCol = "ts", keyCol = "event_type",
+        valueCol = "value", splitTs = graft.ops.TimeSeries.PsiSplitTs)),
+
     // Z-order (Morton) key for 2-D storage clustering — the layout that
     // makes a (user, value) box predicate prune row groups on BOTH columns
     // (skipping measured live in ParquetLayoutSpec).
@@ -921,6 +928,8 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          TRUE AS approx_within_5pct
          FROM events GROUP BY 1""",
+
+    "psi_drift" -> DuckDbOracles.psiDrift(),
 
     "windowed_distinct_users" ->
       """SELECT event_type,

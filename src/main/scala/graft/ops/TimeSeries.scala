@@ -45,4 +45,61 @@ object TimeSeries {
     grid.join(agg, Seq(keyCol, "bucket_start"), "left")
       .select(col(keyCol), col("bucket_start"), col("avg_v"))
   }
+
+  /** Fixed-width value bins for the drift monitor (overflow clamps to the
+    * last bin) and the Laplace smoothing the PSI terms use.
+    */
+  val PsiBinWidth = 25.0
+  val PsiBins = 17
+
+  /** Reference/current window boundary for the registered drift query
+    * (mid-range of the synthetic events' 30-day span).
+    */
+  val PsiSplitTs = "2024-01-16"
+
+  /** Population-stability-index drift monitor: PSI of the `valueCol`
+    * distribution between a reference window (ts < split) and the current
+    * window, per key — the deploy-gate metric that catches a feature or
+    * corpus distribution shifting between training snapshots
+    * (rule of thumb: <0.1 stable, >0.25 action). Bins are FIXED-WIDTH
+    * (deterministic; quantile bins would couple the monitor to a
+    * cross-engine percentile), counts are Laplace-smoothed
+    * (p = (cnt+1)/(n+bins)) so empty bins contribute finite terms, and
+    * psi = Σ (p_cur − p_ref)·ln(p_cur/p_ref) is rounded 6dp at the end
+    * (exact-integer-derived inputs; same ln convention as unigramLogprob).
+    *
+    * Scale: one hash agg over the events (bucket, side) + a key×bins spine
+    * join — the spine is (distinct keys)·bins rows, metadata-sized.
+    */
+  def psiDrift(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      splitTs: String,
+      binWidth: Double = PsiBinWidth,
+      nBins: Int = PsiBins): DataFrame = {
+    val bucket = least(lit(nBins - 1), floor(col(valueCol) / binWidth)).cast("int")
+    val sided = df.select(col(keyCol), bucket.as("b"),
+      (col(tsCol) < lit(splitTs).cast("timestamp")).as("is_ref"))
+    val counts = sided.groupBy(col(keyCol), col("b"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+    val spine = df.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(sequence(lit(0), lit(nBins - 1))).as("b0"))
+      .select(col(keyCol), col("b0").cast("int").as("b"))
+    val filled = spine.join(counts, Seq(keyCol, "b"), "left")
+      .select(col(keyCol), col("b"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val tot = filled.groupBy(col(keyCol))
+      .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+    filled.join(broadcast(tot), Seq(keyCol))
+      .select(col(keyCol), col("n_ref"), col("n_cur"),
+        ((col("c_ref") + 1).cast("double") / (col("n_ref") + nBins).cast("double")).as("pr"),
+        ((col("c_cur") + 1).cast("double") / (col("n_cur") + nBins).cast("double")).as("pc"))
+      .groupBy(col(keyCol))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        round(sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))), 6).as("psi"))
+  }
 }

@@ -622,6 +622,28 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       Dedup.nearDupComponents(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
 
+    // Dedup-cluster audit: component-size distribution over the near-dup
+    // graph — the sanity panel read before applying a drop policy (one
+    // giant component = a boilerplate artifact, not real duplication).
+    "dedup_cluster_stats" -> ((s, dir) => {
+      val comp = Dedup.nearDupComponents(Dedup.minhashLshPairs(Tables.documents(s, dir)))
+      comp.groupBy(col("rep")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_components"),
+          sum(col("sz")).as("n_nodes"),
+          max(col("sz")).as("max_size"),
+          round(avg(col("sz")), 6).as("avg_size"))
+    }),
+
+    // Shard-balance audit over the packed training shards: per shard, doc
+    // and token totals and bins filled — the check that the hash spread
+    // actually balanced the corpus before a tokenizer run fans out.
+    "shard_balance" -> ((s, dir) =>
+      TextOps.packShards(Tables.documents(s, dir))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          (max(col("bin")) + 1).as("n_bins"))),
+
     // Dedup applied via components: survivors = each component's minimum
     // representative. Strictly stronger than the pairwise policy below on
     // star shapes — pairs (5,9),(7,9) leave both 5 and 7 under pairwise
@@ -1143,6 +1165,18 @@ object SparkEntry {
     "corpus_retention" -> DuckDbOracles.corpusRetention(),
     "curation_pipeline" -> DuckDbOracles.curationPipeline(),
     "dedup_components" -> DuckDbOracles.dedupComponents(),
+    "dedup_cluster_stats" ->
+      s"""SELECT count(*) AS n_components,
+         CAST(sum(sz) AS BIGINT) AS n_nodes,
+         CAST(max(sz) AS BIGINT) AS max_size,
+         round(avg(sz), 6) AS avg_size
+         FROM (SELECT rep, count(*) AS sz
+               FROM (${DuckDbOracles.dedupComponents()}) GROUP BY rep)""",
+    "shard_balance" ->
+      s"""SELECT shard, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(max(bin) + 1 AS BIGINT) AS n_bins
+         FROM (${DuckDbOracles.packShards}) GROUP BY 1""",
     "dedup_crossmodal" -> DuckDbOracles.dedupCrossmodal(),
     "dedup_apply_components" ->
       s"""SELECT d.doc_id, d.lang, d.source FROM documents d

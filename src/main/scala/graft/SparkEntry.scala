@@ -241,6 +241,10 @@ object SparkEntry {
     "q7_volume_shipping" -> ((s, dir) => Relational.volumeShipping(s, dir)),
     // Q10 shape: top returned-item customers in a date window.
     "q10_returned_items" -> ((s, dir) => Relational.returnedItemLosses(s, dir)),
+    // Q14 shape: promo revenue share (conditional agg over lineitem⋈part).
+    "q14_promo_revenue" -> ((s, dir) => Relational.promoRevenueShare(s, dir)),
+    // Q19 shape: OR-of-ANDs predicate groups across the join.
+    "q19_disjunctive_revenue" -> ((s, dir) => Relational.disjunctiveRevenue(s, dir)),
     "top_orders_per_segment" -> ((s, dir) => Relational.topOrdersPerSegment(s, dir)),
     "topk_agg_per_segment" -> ((s, dir) => Relational.topOrdersPerSegmentAgg(s, dir)),
     "customer_order_stats" -> ((s, dir) => Relational.customerOrderStats(s, dir)),
@@ -827,6 +831,31 @@ object SparkEntry {
          JOIN nation n ON c.c_nationkey = n.n_nationkey
          ORDER BY rev_dec DESC, c.c_custkey ASC
          LIMIT 20""",
+
+    "q14_promo_revenue" ->
+      """SELECT CAST(promo_dec AS DOUBLE) AS promo_revenue,
+         CAST(total_dec AS DOUBLE) AS total_revenue,
+         round(100.0 * CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE), 6) AS promo_share
+         FROM (
+           SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_dec,
+                  sum(rev) AS total_dec
+           FROM (SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+                   p_type
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+                   AND l_shipdate < TIMESTAMP '1996-04-01'))""",
+
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(sum(rev) AS DOUBLE) AS revenue, count(*) AS n_items
+         FROM (SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+                 p_brand, p_size, l_quantity
+               FROM lineitem JOIN part ON l_partkey = p_partkey)
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1.0 AND 20.0)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10.0 AND 30.0)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20.0 AND 40.0)""",
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

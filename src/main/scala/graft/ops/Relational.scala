@@ -185,6 +185,60 @@ object Relational {
       .drop("rev_dec")
   }
 
+  /** TPC-H Q14-flavored promo revenue share: conditional aggregation over
+    * the lineitem⋈part join in one ship-month. Part is a dimension here
+    * (broadcast); revenue sums stay DECIMAL to the end and the share
+    * divides two exact decimals cast to double — engine-stable.
+    */
+  def promoRevenueShare(
+      spark: SparkSession, dir: String,
+      from: String = "1996-03-01", until: String = "1996-04-01"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_partkey"),
+        (dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("rev"))
+    val part = Tables.part(spark, dir).select("p_partkey", "p_type")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("promo_dec"),
+        sum(col("rev")).as("total_dec"))
+      .select(
+        col("promo_dec").cast("double").as("promo_revenue"),
+        col("total_dec").cast("double").as("total_revenue"),
+        round(lit(100.0) * col("promo_dec").cast("double") / col("total_dec").cast("double"), 6)
+          .as("promo_share"))
+  }
+
+  /** TPC-H Q19-flavored disjunctive-predicate revenue: OR-of-ANDs over
+    * (brand, size, quantity) groups across the lineitem⋈part join. The
+    * part side pre-filters to the UNION of the groups' attribute ranges
+    * before broadcasting (each group's part constraints are
+    * part-side-only, so the fact stream only meets parts that can
+    * possibly match); the per-group conjunctions evaluate post-join.
+    */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Seq(
+      ("Brand#1", 1, 10, 1.0, 20.0),
+      ("Brand#2", 11, 25, 10.0, 30.0),
+      ("Brand#3", 26, 50, 20.0, 40.0))
+    val partPre = groups.map { case (b, s1, s2, _, _) =>
+      col("p_brand") === b && col("p_size").between(s1, s2)
+    }.reduce(_ || _)
+    val part = Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_size").filter(partPre)
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_quantity"),
+      (dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("rev"))
+    val full = groups.map { case (b, s1, s2, q1, q2) =>
+      col("p_brand") === b && col("p_size").between(s1, s2) &&
+        col("l_quantity").between(q1, q2)
+    }.reduce(_ || _)
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .filter(full)
+      .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+  }
+
   /** Grouped order stats per customer with exact-decimal average — the
     * sum/count division happens on exact inputs so it is engine-stable.
     */

@@ -528,6 +528,16 @@ object SparkEntry {
     "text_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramLogprob(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    // Classifier-quality audit: language-ID prediction vs the labeled lang
+    // column as a confusion matrix — the accuracy panel read before
+    // trusting langId gates in a curation run.
+    "langid_confusion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.langId(docs).select(col("doc_id"), col("lang_pred"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+    }),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
     // Vocabulary coverage: top-V corpus vocab (TakeOrdered, broadcast) →
     // per-doc OOV token fraction — the tokenizer-fit signal.
@@ -1182,6 +1192,10 @@ object SparkEntry {
     "quality_quantile_filter" -> DuckDbOracles.qualityQuantileFilter(),
     "text_unigram_logprob" -> DuckDbOracles.unigramLogprob(),
     "text_langid" -> DuckDbOracles.textLangId,
+    "langid_confusion" ->
+      s"""SELECT d.lang, p.lang_pred, count(*) AS n
+         FROM (${DuckDbOracles.textLangId}) p JOIN documents d USING (doc_id)
+         GROUP BY 1, 2""",
     "text_fingerprint" -> DuckDbOracles.textFingerprint,
     "vocab_coverage" -> DuckDbOracles.vocabCoverage(),
     "strip_boilerplate" -> DuckDbOracles.stripBoilerplate(),

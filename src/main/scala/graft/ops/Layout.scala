@@ -81,6 +81,52 @@ object Layout {
     else df.repartition(n)
   }
 
+  /** Maintenance compaction for the batch_id-partitioned streaming sinks
+    * (StreamingDedup / StreamingAnnIngest / StreamingCuration corpora):
+    * consolidate all partitions STRICTLY BEFORE `upToBatchId` into one
+    * `compacted=true` partition, leaving newer batch partitions — which a
+    * crash-retry of an in-flight batch may still dynamically overwrite —
+    * untouched. Exactly-once batch overwrites and compaction compose
+    * because they never own the same partition: a replay of batch b
+    * rewrites `batch_id=b`, and only batches older than the stream's
+    * committed watermark are ever folded into the archive.
+    *
+    * The consolidated rows land under `batch_id = -1` (the archive
+    * partition, merged with any previous archive), so downstream readers
+    * keep a single scan path and the retry-exclusion filter
+    * (`batch_id =!= currentBatch`) keeps excluding exactly what it must.
+    */
+  def compactBatchSink(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      upToBatchId: Long,
+      targetRowsPerFile: Long,
+      orderBy: Seq[Column] = Nil): Unit = {
+    val all = spark.read.parquet(dir)
+    val old = all.filter(col("batch_id") < upToBatchId && col("batch_id") =!= -1L)
+    val archive = all.filter(col("batch_id") === -1L)
+    // eager localCheckpoint cuts lineage to the input files: the archive
+    // write overwrites a partition the plan would otherwise still be
+    // reading (and the folded source partitions are deleted right after)
+    val merged = compact(archive.unionByName(old).drop("batch_id"), targetRowsPerFile, orderBy)
+      .withColumn("batch_id", lit(-1L))
+      .localCheckpoint(true)
+    // swap: dynamic overwrite replaces ONLY the batch_id=-1 partition; the
+    // folded-in source partitions are removed after the write commits
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    // partition-directory values read back with inferred (possibly INT)
+    // type — normalize before building the paths to delete
+    old.select(col("batch_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch_id=$b"), true)
+      }
+  }
+
   /** Oracle-checkable z-value projection over `events`: x = low 16 bits of
     * user_id, y = floor(value) masked to 16 bits (both via pmod so the
     * mapping is total on any input range).

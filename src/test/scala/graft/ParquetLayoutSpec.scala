@@ -162,6 +162,40 @@ class ParquetLayoutSpec extends AnyFunSpec with Matchers with SparkSessionTestWr
         (1 to 1000).map(i => i.toLong -> i * 2.0).toMap
     }
 
+    it("folds committed batch partitions into the archive without touching in-flight ones") {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-sink-compact").toString
+      def writeBatch(b: Long, ids: Range): Unit =
+        ids.map(i => (i.toLong, s"d$i")).toDF("doc_id", "payload")
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(b))
+          .repartition(3) // simulate multi-task micro-batch output files
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(dir)
+      writeBatch(0L, 0 until 100)
+      writeBatch(1L, 100 until 200)
+      writeBatch(2L, 200 until 300)
+      writeBatch(3L, 300 until 400)
+
+      Layout.compactBatchSink(spark, dir, upToBatchId = 3L, targetRowsPerFile = 300)
+
+      val after = spark.read.parquet(dir)
+      after.select(col("batch_id").cast("long")).distinct().collect()
+        .map(_.getLong(0)).toSet shouldBe Set(-1L, 3L)
+      after.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+        (0 until 400).map(_.toLong).toSet
+      // 300 archived rows at 300/file = one file replaces 9 fragments
+      parquetFiles(s"$dir/batch_id=-1").length shouldBe 1
+
+      // the in-flight batch can still be exactly-once-replayed...
+      writeBatch(3L, 300 until 400)
+      // ...and a later compaction folds it into the existing archive
+      Layout.compactBatchSink(spark, dir, upToBatchId = 4L, targetRowsPerFile = 300)
+      val finalDf = spark.read.parquet(dir)
+      finalDf.select(col("batch_id").cast("long")).distinct().collect()
+        .map(_.getLong(0)).toSet shouldBe Set(-1L)
+      finalDf.count() shouldBe 400L
+    }
+
     it("with a sort key, restores contiguous min/max ranges for pruning") {
       import spark.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft-compact-sort").toString

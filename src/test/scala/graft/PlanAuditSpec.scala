@@ -70,6 +70,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "text_quality" -> Set("codegen-fallback"),
     "quality_quantile_filter" -> Set("codegen-fallback"), // same score expr as text_quality
     "text_langid" -> Set("codegen-fallback"),
+    "langid_confusion" -> Set("codegen-fallback"), // composes text_langid
     "corpus_retention" -> Set("codegen-fallback"), // composes text_quality
     "curation_pipeline" -> Set("codegen-fallback"), // composes corpus_retention
     // our own typed bounded-heap UDAF — imperative by design

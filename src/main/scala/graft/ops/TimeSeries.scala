@@ -92,6 +92,14 @@ object TimeSeries {
       .select(col(keyCol), col("b"),
         coalesce(col("c_ref"), lit(0L)).as("c_ref"),
         coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    psiOfCounts(filled, keyCol, nBins)
+  }
+
+  /** PSI rollup over a pre-filled per-(key, bin) count table with columns
+    * (keyCol, b, c_ref, c_cur) — the tail of `psiDrift`, shared with the
+    * streaming monitor so the two can never diverge.
+    */
+  def psiOfCounts(filled: DataFrame, keyCol: String, nBins: Int = PsiBins): DataFrame = {
     val tot = filled.groupBy(col(keyCol))
       .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
     filled.join(broadcast(tot), Seq(keyCol))
@@ -102,4 +110,18 @@ object TimeSeries {
       .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
         round(sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))), 6).as("psi"))
   }
+
+  /** Per-(key, bin) reference histogram for the streaming drift monitor —
+    * computed ONCE from a trusted snapshot, persisted, and compared
+    * against every arriving micro-batch.
+    */
+  def referenceHistogram(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      binWidth: Double = PsiBinWidth,
+      nBins: Int = PsiBins): DataFrame =
+    df.select(col(keyCol),
+        least(lit(nBins - 1), floor(col(valueCol) / binWidth)).cast("int").as("b"))
+      .groupBy(col(keyCol), col("b")).agg(count(lit(1)).as("c_ref"))
 }

@@ -542,6 +542,8 @@ object SparkEntry {
     // Vocabulary coverage: top-V corpus vocab (TakeOrdered, broadcast) →
     // per-doc OOV token fraction — the tokenizer-fit signal.
     "vocab_coverage" -> ((s, dir) => TextOps.vocabCoverage(Tables.documents(s, dir))),
+    // Per-doc top-5 TF-IDF terms (smooth IDF) — salient-term extraction.
+    "tfidf_top_terms" -> ((s, dir) => TextOps.tfidfTopTerms(Tables.documents(s, dir))),
     // Cross-document boilerplate removal over fixed-width token segments
     // (RefinedWeb line-dedup shape), on the deterministically-planted
     // corpus — the raw synthetic docs share no segments.
@@ -1198,6 +1200,7 @@ object SparkEntry {
          GROUP BY 1, 2""",
     "text_fingerprint" -> DuckDbOracles.textFingerprint,
     "vocab_coverage" -> DuckDbOracles.vocabCoverage(),
+    "tfidf_top_terms" -> DuckDbOracles.tfidfTopTerms(),
     "strip_boilerplate" -> DuckDbOracles.stripBoilerplate(),
     "frequent_bigrams" -> DuckDbOracles.frequentBigrams(),
     "dedup_exact_docs" -> DuckDbOracles.dedupExactDocs,

@@ -453,6 +453,38 @@ object TextOps {
         round(col("cnt").cast("double") / col("n").cast("double"), 6).as("frac"))
   }
 
+  /** Terms kept per document by `tfidfTopTerms`. */
+  val TfidfK = 5
+
+  /** Per-document top-k TF-IDF terms — the classic salient-term extraction
+    * (document keywords, sparse retrieval features). Smooth IDF
+    * (ln((1+N)/(1+df)) + 1, the sklearn convention: never zero, no
+    * division by an absent term), score = raw term count × IDF, rounded
+    * 6dp. Every input to the score is an exact integer, so the ranking —
+    * ties broken by token — replays bit-identically in the oracle.
+    *
+    * Scale: term frequencies and document frequencies are two hash aggs
+    * over the exploded tokens; the tf⋈df equi-join shuffles on the token
+    * (Zipf-skewed — the AQE skew-split case, like unigramLogprob); the
+    * final per-doc ranking window partitions by doc_id with group size
+    * bounded by the document's distinct-token count, never corpus-sized.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = TfidfK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inst = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = inst.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val df = inst.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        round(col("cnt").cast("double") *
+          (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + lit(1.0)), 6).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"), col("tok"), col("tfidf"))
+  }
+
   /** Top-V corpus vocabulary size for OOV-rate reporting. */
   val VocabSize = 20
 

@@ -201,6 +201,24 @@ object DuckDbOracles {
        |SELECT bigram, cnt, round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac
        |FROM vc CROSS JOIN tot WHERE cnt * 1000000 >= n * $minPpm""".stripMargin
 
+  /** Twin of TextOps.tfidfTopTerms: same smooth-IDF formula over exact
+    * integer counts, same (tfidf DESC, token ASC) ranking.
+    */
+  def tfidfTopTerms(k: Int = TextOps.TfidfK): String =
+    s"""WITH $tokCte,
+       |inst AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+       |tf AS (SELECT doc_id, tok, count(*) AS cnt FROM inst GROUP BY 1, 2),
+       |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM inst GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |sc AS (SELECT tf.doc_id, tf.tok,
+       |    round(CAST(cnt AS DOUBLE) * (ln((1.0 + n) / (1.0 + df)) + 1.0), 6) AS tfidf
+       |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+       |r AS (SELECT doc_id, tok, tfidf,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY tfidf DESC, tok ASC) AS INT) AS rank
+       |  FROM sc)
+       |SELECT doc_id, rank, tok, tfidf FROM r WHERE rank <= $k""".stripMargin
+
   /** Twin of TextOps.vocabCoverage — same (count desc, token asc) vocab
     * tie-break, OOV counts cast to BIGINT to match Spark's sum type.
     */

@@ -39,6 +39,8 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // one-row vocabulary-total broadcast-crossed onto the instance⋈vocab
     // join output (the N in ln(c/N))
     "text_unigram_logprob" -> Set("nested-loop-join"),
+    // one-row corpus-count broadcast-crossed onto tf⋈df (the N in the IDF)
+    "tfidf_top_terms" -> Set("nested-loop-join"),
     // query-side nprobe cell ranking: a k-row centroid table broadcast onto
     // n/100 query rows (the corpus side assigns cells via projection);
     // centroid tables are built with collect_list + transform + array_sort

@@ -375,6 +375,25 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("tfidfTopTerms") {
+    it("ranks terms by count x smooth IDF with token tie-break") {
+      val docs = docsDf(Seq(
+        1L -> "apple apple banana", // apple: rare + doubled → top term
+        2L -> "banana cherry",
+        3L -> "banana cherry"))
+      val out = TextOps.tfidfTopTerms(docs, k = 2).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getDouble(3))).toMap
+      def idf(df: Int) = math.log(4.0 / (1.0 + df)) + 1.0
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      out((1L, 1)) shouldBe (("apple", r6(2 * idf(1))))
+      out((1L, 2)) shouldBe (("banana", r6(1 * idf(3))))
+      // docs 2 and 3 are identical: cherry (df=2) outranks banana (df=3)
+      out((2L, 1))._1 shouldBe "cherry"
+      out((2L, 2))._1 shouldBe "banana"
+    }
+  }
+
   describe("vocabCoverage") {
     it("reports per-doc OOV fraction against the deterministic top-V vocab") {
       val docs = docsDf(Seq(

@@ -569,6 +569,13 @@ object SparkEntry {
     // Per-source quota cap ("max N docs per domain") via the bounded-heap
     // aggregator — no per-source sort ever materializes.
     "capped_per_source" -> ((s, dir) => Sampling.cappedPerSource(Tables.documents(s, dir))),
+    // Leakage-safe split: hash the near-dup component representative so no
+    // near-dup pair straddles train and validation.
+    "leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.leakageSafeSplit(docs,
+        Dedup.nearDupComponents(Dedup.minhashLshPairs(docs)))
+    }),
     // Benchmark decontamination: flag docs sharing a 3-shingle with the
     // (corpus-derived, oracle-replayable) benchmark set.
     "decontaminate" -> ((s, dir) => {
@@ -1211,6 +1218,15 @@ object SparkEntry {
     "stratified_sample" -> DuckDbOracles.stratifiedSample,
     "temperature_mix" -> DuckDbOracles.temperatureMix,
     "capped_per_source" -> DuckDbOracles.cappedPerSource(),
+    "leakage_safe_split" ->
+      s"""WITH comp AS (${DuckDbOracles.dedupComponents()})
+         SELECT d.doc_id, d.lang, d.source,
+           coalesce(comp.rep, d.doc_id) AS rep,
+           CASE WHEN ${graft.functions.PortableHash.h31Sql("split",
+               "CAST(coalesce(comp.rep, d.doc_id) AS VARCHAR)")} % 1000
+                  < ${Sampling.ValPerMille}
+                THEN 'val' ELSE 'train' END AS split
+         FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id""",
     "decontaminate" -> DuckDbOracles.decontaminate,
     "text_repetition" -> DuckDbOracles.textRepetition(),
     "corpus_retention" -> DuckDbOracles.corpusRetention(),

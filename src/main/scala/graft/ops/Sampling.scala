@@ -53,6 +53,31 @@ object Sampling {
           lit("val")).otherwise(lit("train")).as("split"))
   }
 
+  /** Leakage-safe train/validation split: the split decision hashes the
+    * document's near-dup COMPONENT representative, not the document — so a
+    * near-duplicate pair can never straddle train and validation (the
+    * eval-contamination channel a per-doc hash split leaves wide open:
+    * with 10% val and independent per-doc decisions, ~18% of near-dup
+    * pairs land split-crossed). Documents outside the near-dup graph are
+    * their own representative, so the op degrades to `stratifiedSample`'s
+    * split exactly where no duplication exists.
+    *
+    * Scale: the component table is pair-graph-sized (never corpus-sized);
+    * the join back to the corpus is one equi-join on doc_id; the split
+    * gate is the same integer-ppm hash as every other sampling decision.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      components: DataFrame,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(components, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("rep"), col("doc_id")).as("rep"))
+      .select(col("doc_id"), col("lang"), col("source"), col("rep"),
+        when(pmod(hash("split", col("rep").cast("string")), lit(1000L)) < ValPerMille,
+          lit("val")).otherwise(lit("train")).as("split"))
+
   /** Fraction of the corpus the temperature mix targets in expectation. */
   val MixTargetFrac: Double = 0.5
 

@@ -68,6 +68,32 @@ class SamplingSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper
     }
   }
 
+  describe("leakageSafeSplit") {
+    it("no near-dup component ever straddles train and val; isolated docs keep the naive split") {
+      import spark.implicits._
+      val d = docs(200)
+      // synthetic component table: docs 0-9 form one component (rep 0),
+      // docs 10-14 another (rep 10); everyone else isolated
+      val comp = ((0L to 9L).map(_ -> 0L) ++ (10L to 14L).map(_ -> 10L))
+        .toDF("doc_id", "rep")
+      val out = Sampling.leakageSafeSplit(d, comp).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+      // split coherence within each component
+      (0L to 9L).map(out(_)._2).toSet should have size 1
+      (10L to 14L).map(out(_)._2).toSet should have size 1
+      // the naive per-doc decision, computed directly from the same gate
+      val naive = d.select(col("doc_id"),
+          org.apache.spark.sql.functions.when(
+            pmod(graft.functions.PortableHash.h31("split", col("doc_id").cast("string")),
+              lit(1000L)) < Sampling.ValPerMille, "val").otherwise("train").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // the exact contract: every doc gets its REPRESENTATIVE's naive
+      // split — isolated docs (rep = self) degrade to the per-doc split
+      val repOf = (id: Long) => if (id <= 9L) 0L else if (id <= 14L) 10L else id
+      (0L until 200L).foreach(id => out(id)._2 shouldBe naive(repOf(id)))
+    }
+  }
+
   describe("cappedPerSource") {
     it("keeps at most cap docs per source, row-identical to the window reference") {
       import org.apache.spark.sql.expressions.Window

@@ -594,41 +594,89 @@ object VectorOps {
     val centArr: Array[(Int, Seq[Double])] =
       centroids(emb).select(col("label").as("cell"), col("centroid"))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-
-    // (id, v, vn, s, q): double-carried int8 components (values ≤127 over
-    // 64 dims keep every integer dot exact in double)
-    def quantized(df: DataFrame, idFrom: String, idAs: String, vecCol: String): DataFrame =
-      df.select(col(idFrom).as(idAs), col(vecCol).cast("array<double>").as("v"))
-        .select(col(idAs), col("v"), sqrt(dot(col("v"), col("v"))).as("vn"),
-          (lit(127.0) / array_max(transform(col("v"), x => abs(x)))).as("s"))
-        .select(col(idAs), col("v"), col("vn"), col("s"),
-          transform(col("v"), x => round(x * col("s")).cast("double")).as("q"))
-
-    val corpus = quantized(emb, "vec_id", "vec_id", "embedding")
+    val corpus = quantizedView(emb, "vec_id", "vec_id", "embedding")
       .select(col("vec_id"), nearestCellExpr(centArr, col("v"), col("vn")).as("cell"),
         col("vn").as("cvn"), col("s").as("cs"), col("q").as("cq"))
-    val queries = quantized(emb.filter(col("vec_id") % 100 === 0), "vec_id", "q_id", "embedding")
+    val full = withNorm(emb, "neighbor_id", "cv", "cn")
+    val qSrc = emb.filter(col("vec_id") % 100 === 0)
+    rerankStages(corpus, full,
+      probedQuantizedQueries(qSrc, "vec_id", "embedding", centArr, nprobe),
+      withNorm(qSrc, "q_id", "qv2", "qn2"), k, rerankK)
+  }
+
+  /** (id, v, vn, s, q) projection: double-carried int8 components
+    * (values ≤127 over 64 dims keep every integer dot exact in double).
+    */
+  private def quantizedView(
+      df: DataFrame, idFrom: String, idAs: String, vecCol: String): DataFrame =
+    df.select(col(idFrom).as(idAs), col(vecCol).cast("array<double>").as("v"))
+      .select(col(idAs), col("v"), sqrt(dot(col("v"), col("v"))).as("vn"),
+        (lit(127.0) / array_max(transform(col("v"), x => abs(x)))).as("s"))
+      .select(col(idAs), col("v"), col("vn"), col("s"),
+        transform(col("v"), x => round(x * col("s")).cast("double")).as("q"))
+
+  /** Quantized query side with exploded probe cells: (q_id, qq, qs, qvn,
+    * cell) — one row per (query, probed cell).
+    */
+  private def probedQuantizedQueries(
+      queries: DataFrame, idFrom: String, vecCol: String,
+      centArr: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame =
+    quantizedView(queries, idFrom, "q_id", vecCol)
       .select(col("q_id"), col("q").as("qq"), col("s").as("qs"), col("vn").as("qvn"),
         probeCellsCol(centArr, col("v"), col("vn"), nprobe).as("p"))
       .select(col("q_id"), col("qq"), col("qs"), col("qvn"), (-col("p.negCell")).as("cell"))
 
+  /** The two re-rank stages over a pre-assigned quantized corpus — shared
+    * by the inline path (`ivfRerankTopK`) and the index-served path
+    * (`ivfRerankTopKFromIndex`) so the serving tiers cannot diverge.
+    */
+  private def rerankStages(
+      corpus: DataFrame,   // vec_id, cell, cvn, cs, cq
+      full: DataFrame,     // neighbor_id, cv, cn (full-precision fetch side)
+      queriesQ: DataFrame, // q_id, qq, qs, qvn, cell (exploded probes)
+      qFull: DataFrame,    // q_id, qv2, qn2
+      k: Int,
+      rerankK: Int): DataFrame = {
     // stage 1: approximate cosine from the exact integer dot
-    val approx = broadcast(queries).join(corpus,
-        col("q_id") =!= col("vec_id") && queries("cell") === corpus("cell"))
+    val approx = broadcast(queriesQ).join(corpus,
+        col("q_id") =!= col("vec_id") && queriesQ("cell") === corpus("cell"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qq"), col("cq")) / (col("qs") * col("cs")) / (col("qvn") * col("cvn")), 6)
           .as("cos"))
     val shortlist = topKPerQuery(approx, rerankK).select(col("q_id"), col("neighbor_id"))
-
     // stage 2: fetch full precision for the shortlist only, exact re-rank
-    val full = withNorm(emb, "neighbor_id", "cv", "cn")
-    val qFull = withNorm(emb.filter(col("vec_id") % 100 === 0), "q_id", "qv2", "qn2")
     val exact = broadcast(shortlist)
       .join(full, Seq("neighbor_id"))
       .join(broadcast(qFull), Seq("q_id"))
       .select(col("q_id"), col("neighbor_id"),
         round(dot(col("qv2"), col("cv")) / (col("qn2") * col("cn")), 6).as("cos"))
     topKPerQuery(exact, k)
+  }
+
+  /** Two-stage re-rank served from an accumulated QUANTIZED cell index —
+    * (vec_id, cell, cv, cn, s, q) rows as StreamingAnnIngest maintains
+    * them: stage 1 reads only the int8 payload of the probed cells'
+    * partitions, stage 2 fetches the shortlist's full-precision vectors
+    * from the same index. Queries are (q_id, q_emb) rows.
+    */
+  def ivfRerankTopKFromIndex(
+      index: DataFrame,
+      queries: DataFrame,
+      coarse: DataFrame,
+      k: Int = 10,
+      rerankK: Int = RerankShortlist,
+      nprobe: Int = 2): DataFrame = {
+    val centArr: Array[(Int, Seq[Double])] = coarse.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val corpus = index.select(col("vec_id"), col("cell"),
+      col("cn").as("cvn"), col("s").as("cs"), col("q").as("cq"))
+    val full = index.select(col("vec_id").as("neighbor_id"), col("cv"), col("cn"))
+    val qFull = queries
+      .select(col("q_id"), col("q_emb").cast("array<double>").as("qv2"))
+      .select(col("q_id"), col("qv2"), sqrt(dot(col("qv2"), col("qv2"))).as("qn2"))
+    rerankStages(corpus, full,
+      probedQuantizedQueries(queries, "q_id", "q_emb", centArr, nprobe),
+      qFull, k, rerankK)
   }
 
   /** Cluster-cohesion audit over the label-mean quantizer — per assigned

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{abs, array_max, col, lit, round, transform}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
@@ -40,14 +40,18 @@ object StreamingAnnIngest {
 
   private val BatchCol = "batch_id"
 
-  /** Index schema as written by this job: `assignCells` output (minus the
-    * heavyweight raw vector kept as cv) plus the batch_id partition key.
+  /** Index schema as written by this job: `assignCells` output plus the
+    * int8 payload (`s` scale + `q` quantized components — what the
+    * re-rank serving tier's first stage reads; 4× smaller than the f32
+    * vector it stands in for) and the batch_id partition key.
     */
   private val indexSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("cell", IntegerType),
     StructField("cv", ArrayType(DoubleType)),
     StructField("cn", DoubleType),
+    StructField("s", DoubleType),
+    StructField("q", ArrayType(DoubleType)),
     StructField(BatchCol, LongType)))
 
   /** The accumulated cell index, or an empty same-shaped frame before the
@@ -70,7 +74,10 @@ object StreamingAnnIngest {
       cents: DataFrame,
       indexDir: String): Unit = {
     VectorOps.assignCells(batch, cents)
-      .select(col("vec_id"), col("cell"), col("v").as("cv"), col("vn").as("cn"))
+      .select(col("vec_id"), col("cell"), col("v").as("cv"), col("vn").as("cn"),
+        (lit(127.0) / array_max(transform(col("v"), x => abs(x)))).as("s"))
+      .select(col("vec_id"), col("cell"), col("cv"), col("cn"), col("s"),
+        transform(col("cv"), x => round(x * col("s")).cast("double")).as("q"))
       .withColumn(BatchCol, lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -91,6 +91,21 @@ class StreamingAnnIngestSpec extends AnyFunSpec with Matchers with SparkSessionT
       val batch = ranked(VectorOps.ivfTopKFromIndex(batchIdx, queries, quantizer, k = 2))
       served shouldBe batch
       served.nonEmpty shouldBe true
+
+      // the index also carries the int8 payload: two-stage re-rank serving
+      // from the streamed index ≡ the same stages over a batch-built
+      // quantized index (shared rerankStages code, same data)
+      val batchQIdx = VectorOps.assignCells(corpus, quantizer)
+        .select(col("vec_id"), col("cell"), col("v").as("cv"), col("vn").as("cn"),
+          (lit(127.0) / array_max(transform(col("v"), x => abs(x)))).as("s"))
+        .select(col("vec_id"), col("cell"), col("cv"), col("cn"), col("s"),
+          transform(col("cv"), x => round(x * col("s")).cast("double")).as("q"))
+      val servedRr = ranked(VectorOps.ivfRerankTopKFromIndex(
+        idx, queries, quantizer, k = 2, rerankK = 3))
+      val batchRr = ranked(VectorOps.ivfRerankTopKFromIndex(
+        batchQIdx, queries, quantizer, k = 2, rerankK = 3))
+      servedRr shouldBe batchRr
+      servedRr.nonEmpty shouldBe true
     }
   }
 }

@@ -606,6 +606,10 @@ object SparkEntry {
     "simhash_docs" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) => Dedup.fingerprintJaccardPairs(Tables.documents(s, dir))),
+    // Asymmetric containment (near-subset) pairs over planted truncated
+    // twins — catches quotes/reposts symmetric Jaccard misses.
+    "containment_pairs" -> ((s, dir) =>
+      Dedup.fingerprintContainmentPairs(Dedup.withPlantedQuotes(Tables.documents(s, dir)))),
     // Lexical kNN: each doc's top-3 fingerprint-Jaccard neighbors over the
     // symmetrized candidate graph — text-side similarity SEARCH (not just
     // dedup pairs), through the bounded-heap aggregator.
@@ -1257,6 +1261,7 @@ object SparkEntry {
     "simhash_docs" -> DuckDbOracles.simhashDocs,
     "simhash_pairs" -> DuckDbOracles.simhashPairs(),
     "ngram_jaccard_pairs" -> DuckDbOracles.ngramJaccardPairs(),
+    "containment_pairs" -> DuckDbOracles.containmentPairs(),
     "knn_lexical" -> DuckDbOracles.knnLexical(),
     "embedding_neardup" -> DuckDbOracles.embeddingNearDup(),
     "embedding_lsh_pairs" -> DuckDbOracles.embeddingLshPairs(),

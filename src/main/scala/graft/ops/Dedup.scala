@@ -266,6 +266,52 @@ object Dedup {
     * candidates = docs sharing ≥1 fingerprint hash (equi-join, no n²);
     * J = |A∩B| / |A∪B| computed from exact set sizes.
     */
+  /** Deterministic containment-test augmentation (same role as
+    * plantedCorpus/withPlantedBoilerplate): every `every`-th document
+    * gains a truncated twin — its first half (≥3 tokens) under
+    * `doc_id + idOffset` — so near-subset pairs provably exist in the
+    * synthetic corpus. Output is the (doc_id, text) spine containment
+    * detection consumes.
+    */
+  def withPlantedQuotes(
+      docs: DataFrame, every: Int = 25, idOffset: Long = 2000000L): DataFrame = {
+    val g = docs.agg(max(col("doc_id"))).collect()(0)
+    require(g.getLong(0) < idOffset,
+      s"withPlantedQuotes: max(doc_id)=${g.getLong(0)} >= idOffset=$idOffset — " +
+        "planted quote ids would collide with genuine rows; raise idOffset")
+    val t = split(col("text"), " ")
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % every === 0)
+        .select((col("doc_id") + idOffset).as("doc_id"),
+          concat_ws(" ",
+            slice(t, lit(1), greatest(floor(size(t) / 2), lit(3)).cast("int"))).as("text")))
+  }
+
+  /** Asymmetric CONTAINMENT pairs (Broder's near-subset relation):
+    * c(A→B) = |A∩B| / |A| over the winnowed fingerprint sets — flags a
+    * document mostly CONTAINED in another (quotes, reposts, expanded
+    * revisions) that symmetric Jaccard misses whenever the host is much
+    * larger (J = i/(|A|+|B|−i) stays small while i/|A| ≈ 1). Emits the
+    * ordered (contained, container) pair with both directions checked;
+    * same equi-join candidate shape as the Jaccard op — never O(n²).
+    */
+  def fingerprintContainmentPairs(
+      docs: DataFrame,
+      minContainment: Double = 0.8,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val fp = TextOps.fingerprints(docs, hash).persist()
+    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = fp.as("a").join(fp.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_in"), col("b.doc_id").as("doc_host"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("doc_in") === col("sa.doc_id"))
+      .select(col("doc_in"), col("doc_host"),
+        round(col("i").cast("double") / col("sa.n").cast("double"), 6).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   def fingerprintJaccardPairs(
       docs: DataFrame,
       minJaccard: Double = 0.3,

@@ -518,6 +518,34 @@ object DuckDbOracles {
        |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
 
+  /** Twin of Dedup.fingerprintContainmentPairs over withPlantedQuotes:
+    * same truncated-twin planting, same winnowed-fingerprint candidate
+    * join, c = i/|A| with the ordered (contained, host) output.
+    */
+  def containmentPairs(
+      minContainment: Double = 0.8, every: Int = 25, idOffset: Long = 2000000L): String =
+    s"""WITH docsq AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $idOffset AS doc_id,
+       |    array_to_string(t[1:greatest(len(t) // 2, 3)], ' ') AS text
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |  WHERE doc_id % $every = 0),
+       |tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM docsq),
+       |$shCte,
+       |fp AS (SELECT DISTINCT doc_id, fp_hash FROM
+       |    (SELECT doc_id, ${h("fp", "shingle")} AS fp_hash FROM sh)
+       |  WHERE fp_hash % 8 = 0),
+       |sz AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_in, b.doc_id AS doc_host, count(*) AS i
+       |  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_in, doc_host, containment FROM (
+       |  SELECT doc_in, doc_host,
+       |    round(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE), 6) AS containment
+       |  FROM inter JOIN sz sa ON doc_in = sa.doc_id)
+       |WHERE containment >= $minContainment""".stripMargin
+
   def ngramJaccardPairs(minJaccard: Double = 0.3): String =
     s"""WITH $tokCte, $shCte,
        |fp AS (SELECT DISTINCT doc_id, fp_hash FROM

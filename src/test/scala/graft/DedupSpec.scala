@@ -183,4 +183,24 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       pairs((1L, 2L)) should be >= 0.5
     }
   }
+
+  describe("fingerprintContainmentPairs") {
+    it("flags a doc contained in a larger host that symmetric Jaccard misses") {
+      import spark.implicits._
+      // host = 120 tokens; quote = its first 30 tokens verbatim
+      val host = (1 to 120).map(i => s"w$i").mkString(" ")
+      val quote = (1 to 30).map(i => s"w$i").mkString(" ")
+      val unrelated = (1 to 120).map(i => s"z$i").mkString(" ")
+      val docs = Seq((1L, host), (2L, quote), (3L, unrelated)).toDF("doc_id", "text")
+      val cont = graft.ops.Dedup.fingerprintContainmentPairs(docs, minContainment = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      cont.keySet shouldBe Set((2L, 1L)) // quote ⊂ host, never the reverse
+      cont((2L, 1L)) shouldBe 1.0
+      // the same pair is invisible to symmetric Jaccard at its threshold:
+      // J = |A|/|B| ≈ 0.25 for a quarter-length quote
+      val jac = graft.ops.Dedup.fingerprintJaccardPairs(docs, minJaccard = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      jac should not contain ((1L, 2L))
+    }
+  }
 }

@@ -245,6 +245,12 @@ object SparkEntry {
     "q14_promo_revenue" -> ((s, dir) => Relational.promoRevenueShare(s, dir)),
     // Q19 shape: OR-of-ANDs predicate groups across the join.
     "q19_disjunctive_revenue" -> ((s, dir) => Relational.disjunctiveRevenue(s, dir)),
+    // Q13 shape: left-outer order-count distribution per customer.
+    "q13_customer_distribution" -> ((s, dir) => Relational.customerDistribution(s, dir)),
+    // Q17 shape: decorrelated per-part scalar-average subquery.
+    "q17_small_quantity_revenue" -> ((s, dir) => Relational.smallQuantityRevenue(s, dir)),
+    // Q22 shape: scalar-avg threshold + NOT EXISTS anti join.
+    "q22_sales_opportunity" -> ((s, dir) => Relational.globalSalesOpportunity(s, dir)),
     "top_orders_per_segment" -> ((s, dir) => Relational.topOrdersPerSegment(s, dir)),
     "topk_agg_per_segment" -> ((s, dir) => Relational.topOrdersPerSegmentAgg(s, dir)),
     "customer_order_stats" -> ((s, dir) => Relational.customerOrderStats(s, dir)),
@@ -554,6 +560,11 @@ object SparkEntry {
     // bigrams at ~0.46% vs organic ~0.1%), sketch candidacy load-bearing.
     "frequent_bigrams" -> ((s, dir) =>
       TextOps.frequentBigrams(TextOps.withPlantedBoilerplate(Tables.documents(s, dir)))),
+    // Cross-doc duplicate-span coverage (fixed-width exact-substring dedup
+    // signal, Lee et al. ACL'22) on the planted corpus — the boilerplate
+    // prefix is the provable duplicated span source.
+    "dup_span_stats" -> ((s, dir) =>
+      TextOps.dupSpanStats(TextOps.withPlantedBoilerplate(Tables.documents(s, dir)))),
 
     // ---- deduplication (north star) --------------------------------------
     "dedup_exact_docs" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
@@ -879,6 +890,41 @@ object SparkEntry {
          WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1.0 AND 20.0)
             OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10.0 AND 30.0)
             OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20.0 AND 40.0)""",
+
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (
+           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer c LEFT OUTER JOIN orders o
+             ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+           GROUP BY 1)
+         GROUP BY 1""",
+
+    "q17_small_quantity_revenue" ->
+      """WITH li AS (
+           SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#1'),
+         a AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+           FROM li GROUP BY 1)
+         SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           count(*) AS n_items
+         FROM li l JOIN a ON l.l_partkey = a.l_partkey
+         WHERE l.l_quantity < 0.2 * a.avg_qty""",
+
+    "q22_sales_opportunity" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM customer c
+         WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > (
+             SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+           AND NOT EXISTS (
+             SELECT 1 FROM orders o
+             WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+         GROUP BY 1""",
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1213,6 +1259,7 @@ object SparkEntry {
     "vocab_coverage" -> DuckDbOracles.vocabCoverage(),
     "tfidf_top_terms" -> DuckDbOracles.tfidfTopTerms(),
     "strip_boilerplate" -> DuckDbOracles.stripBoilerplate(),
+    "dup_span_stats" -> DuckDbOracles.dupSpanStats(),
     "frequent_bigrams" -> DuckDbOracles.frequentBigrams(),
     "dedup_exact_docs" -> DuckDbOracles.dedupExactDocs,
     "dedup_normalized" -> DuckDbOracles.dedupNormalized,

@@ -239,6 +239,91 @@ object Relational {
       .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q13-flavored customer order-count distribution: customers
+    * LEFT OUTER joined to a filtered orders side (the filter references
+    * only the right side, so pre-filtering before the join is ON-clause
+    * equivalent and pushes to the orders scan), counted per customer,
+    * then a tiny second aggregation over the ≤|distinct counts| rows.
+    *
+    * Scale: the outer join shuffles both sides on custkey once; the
+    * per-customer count REUSES that partitioning (same key → no second
+    * exchange); the distribution agg sees one row per customer and
+    * collapses to ~dozens of groups. All-integer output — no float
+    * crosses the engine boundary.
+    */
+  def customerDistribution(
+      spark: SparkSession, dir: String,
+      excludePriority: String = "5-LOW"): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= excludePriority)
+      .select("o_orderkey", "o_custkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+      .groupBy(cust("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q17-flavored small-quantity revenue: lineitems of one brand's
+    * parts whose quantity is below 20% of that part's average quantity,
+    * summed and annualized. The classic correlated scalar subquery
+    * decorrelates into a per-part aggregate joined back on partkey.
+    *
+    * Determinism: avg_qty = CAST(exact decimal sum AS DOUBLE) / count —
+    * the sum is order-independent, so the double division (and the
+    * 0.2*avg threshold) is bit-identical across engines/partitionings.
+    * Scale: part is broadcast; the per-part agg and the join-back share
+    * the l_partkey key, so the fact side shuffles once and the agg
+    * output (|parts of brand| rows) rides the same partitioning.
+    */
+  def smallQuantityRevenue(
+      spark: SparkSession, dir: String, brand: String = "Brand#1"): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand).select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val avgQty = li.groupBy(col("l_partkey"))
+      .agg((sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"))
+    li.join(avgQty, Seq("l_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        (sum(dec("l_extendedprice")).cast("double") / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22-flavored sales opportunity: customers with above-average
+    * positive account balance and no urgent orders, grouped by market
+    * segment. The scalar-average subquery becomes a one-row broadcast
+    * cross join (same labeled pattern as resample_hourly's bounds frame);
+    * the NOT EXISTS becomes a left_anti join against the pre-filtered
+    * urgent-orders side.
+    *
+    * Determinism: the average divides an exact decimal sum by a count in
+    * double — engine-stable without rounding. Scale: the anti join
+    * shuffles customer⋈orders on custkey once; the threshold frame is
+    * one row.
+    */
+  def globalSalesOpportunity(
+      spark: SparkSession, dir: String,
+      urgentPriority: String = "1-URGENT"): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), dec("c_acctbal").as("bal"))
+    val avgBal = cust.filter(col("bal") > 0)
+      .agg((sum(col("bal")).cast("double") / count(lit(1))).as("avg_bal"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === urgentPriority)
+      .select("o_custkey")
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("bal").cast("double") > col("avg_bal"))
+      .join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("bal")).cast("double").as("total_bal"))
+  }
+
   /** Grouped order stats per customer with exact-decimal average — the
     * sum/count division happens on exact inputs so it is engine-stable.
     */

@@ -401,6 +401,63 @@ object TextOps {
         col("text_clean"))
   }
 
+  /** Window width (tokens) for cross-document duplicate-span analysis. */
+  val SpanTokens = 5
+
+  /** Cross-document duplicate-span statistics — the fixed-width
+    * approximation of exact-substring training-data dedup (Lee et al.,
+    * ACL'22, arXiv:2107.06499: duplicated ≥50-token spans; width scaled to
+    * the synthetic corpus): a position's span is DUPLICATED iff the same
+    * `spanTokens`-token window appears in ≥2 distinct documents. Emits, per
+    * document, the duplicated-span count and the fraction of TOKENS covered
+    * by at least one duplicated span (overlapping spans merged by interval
+    * union, not double-counted) — the signal used to cut repeated
+    * boilerplate/licensing/quote content before training.
+    *
+    * Scale shape: positional spans shuffle once on doc_id (the window that
+    * assembles each span), the span-frequency table is one hash agg over
+    * (span_h, doc_id) pairs, and the dup marking is an equi-join on span_h
+    * — never broadcast, because adversarial corpora can have corpus-sized
+    * dup sets. The interval union is a per-doc window over DUP positions
+    * only (≤ spans per doc), then one final per-doc agg.
+    */
+  def dupSpanStats(
+      docs: DataFrame,
+      spanTokens: Int = SpanTokens,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(spanTokens >= 2, s"dupSpanStats: spanTokens=$spanTokens must be >= 2")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until spanTokens).map(i => lead(col("tok"), i).over(w))
+    val spans = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (col("tok") +: leads): _*).as("span"),
+        leads.last.isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("doc_id"), col("pos"), hash("ds", col("span")).as("span_h"))
+    val dup = spans.select(col("span_h"), col("doc_id")).distinct()
+      .groupBy(col("span_h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("span_h"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = spans.join(dup, Seq("span_h"), "left_semi")
+      .select(col("doc_id"), col("pos"),
+        least(lit(spanTokens),
+          coalesce(lead(col("pos"), 1).over(wd) - col("pos"), lit(spanTokens))).as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cov")).cast("bigint").as("dup_tokens"),
+        count(lit(1)).as("n_dup_spans"))
+    val totals = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("bigint").as("n_tokens"),
+      greatest(size(tokens(col("text"))) - (spanTokens - 1), lit(0)).cast("bigint").as("n_spans"))
+    totals.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_token_frac"))
+  }
+
   /** Misra-Gries sketch capacity for frequent-bigram mining. */
   val FreqSketchK = 400
 

@@ -185,6 +185,37 @@ object DuckDbOracles {
        |  t.n_segments - COALESCE(r.n_kept, 0) AS n_removed, r.text_clean
        |FROM totals t LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
 
+  /** Twin of TextOps.dupSpanStats over withPlantedBoilerplate: same
+    * positional spans (DuckDB 1-based subscripts vs Spark's 0-based pos —
+    * coverage math uses position DIFFERENCES only, so the offset cancels),
+    * same ≥2-distinct-docs dup rule, same interval-union token coverage.
+    */
+  def dupSpanStats(spanTokens: Int = TextOps.SpanTokens): String = {
+    val spanExpr = (0 until spanTokens).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH $plantedDocsCte,
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs2),
+       |sp AS (SELECT doc_id, i AS pos, ${h("ds", spanExpr)} AS span_h
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${spanTokens - 2})) AS i
+       |        FROM tok WHERE len(t) >= $spanTokens)),
+       |dup AS (SELECT span_h FROM
+       |    (SELECT span_h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1)
+       |  WHERE nd >= 2),
+       |dp AS (SELECT doc_id, pos FROM sp WHERE span_h IN (SELECT span_h FROM dup)),
+       |cov AS (SELECT doc_id, least($spanTokens,
+       |    coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+       |      $spanTokens)) AS cov FROM dp),
+       |agg AS (SELECT doc_id, CAST(sum(cov) AS BIGINT) AS dup_tokens,
+       |    count(*) AS n_dup_spans FROM cov GROUP BY 1),
+       |tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(greatest(len(t) - ${spanTokens - 1}, 0) AS BIGINT) AS n_spans FROM tok)
+       |SELECT t.doc_id, t.n_tokens, t.n_spans,
+       |  coalesce(a.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+       |  coalesce(a.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+       |  round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE)
+       |    / CAST(t.n_tokens AS DOUBLE), 6) AS dup_token_frac
+       |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   /** Twin of TextOps.frequentBigrams over withPlantedBoilerplate. The
     * sketch has no SQL twin and needs none: the operator's contract is
     * exact — output = bigrams at/above the ppm threshold with exact counts

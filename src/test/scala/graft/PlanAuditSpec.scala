@@ -33,6 +33,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "dedup_crossmodal" -> Set("nested-loop-join"),
     // one-row bounds aggregate broadcast-crossed onto the grid spine
     "resample_hourly" -> Set("nested-loop-join"),
+    // one-row average-balance aggregate broadcast-crossed onto customer
+    // (the Q22 scalar subquery threshold)
+    "q22_sales_opportunity" -> Set("nested-loop-join"),
     // one-row totals aggregate broadcast-crossed onto the few-row
     // per-source counts (never the corpus)
     "temperature_mix" -> Set("nested-loop-join"),

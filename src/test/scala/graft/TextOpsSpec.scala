@@ -343,6 +343,37 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("dupSpanStats") {
+    it("merges overlapping duplicated spans by interval union, not span-count x width") {
+      // docs 1 and 2 share the 8-token run A..H; with width-5 windows that
+      // is 4 duplicated spans per doc, but only 8 COVERED tokens (union),
+      // not 4x5=20. doc 3 shares nothing.
+      val docs = docsDf(Seq(
+        1L -> "x1 x2 A B C D E F G H y1 y2",
+        2L -> "A B C D E F G H z1 z2 z3 z4",
+        3L -> "q1 q2 q3 q4 q5 q6"))
+      val r = TextOps.dupSpanStats(docs).collect()
+        .map(x => x.getLong(0) -> x).toMap
+      for (id <- Seq(1L, 2L)) {
+        r(id).getAs[Long]("n_tokens") shouldBe 12L
+        r(id).getAs[Long]("n_spans") shouldBe 8L
+        r(id).getAs[Long]("n_dup_spans") shouldBe 4L
+        r(id).getAs[Long]("dup_tokens") shouldBe 8L
+        r(id).getAs[Double]("dup_token_frac") shouldBe 0.666667 +- 1e-9
+      }
+      r(3L).getAs[Long]("n_dup_spans") shouldBe 0L
+      r(3L).getAs[Double]("dup_token_frac") shouldBe 0.0
+    }
+
+    it("requires a span to recur in a SECOND document (intra-doc repeats are not cross-doc dups)") {
+      val docs = docsDf(Seq(
+        1L -> "A B C D E w A B C D E",  // same span twice, one doc
+        2L -> "m n o p q r"))
+      val r = TextOps.dupSpanStats(docs).collect()
+      r.map(_.getAs[Long]("n_dup_spans")).sum shouldBe 0L
+    }
+  }
+
   describe("frequentBigrams") {
     it("returns exactly the planted boilerplate bigrams with exact counts") {
       import org.apache.spark.sql.{functions => F}

@@ -314,6 +314,23 @@ object SparkEntry {
     // (skipping measured live in ParquetLayoutSpec).
     "zorder_events" -> ((s, dir) => graft.ops.Layout.zorderEvents(Tables.events(s, dir))),
 
+    // CDC snapshot maintenance (MERGE INTO shape): the event stream as a
+    // keyed change feed (user_id, version (ts, event_id), error = tombstone);
+    // snapshot-at-cutoff incrementally merged with the post-cutoff batch.
+    // The oracle recomputes the final snapshot DIRECTLY over all changes —
+    // the maintenance invariant merge(snap(t0), changes) == snap(t1) IS the
+    // correctness contract.
+    "cdc_latest_state" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .withColumn("is_delete", col("event_type") === "error")
+      val cutoff = lit("2024-01-21").cast("timestamp")
+      val base = graft.ops.Cdc.latestWins(
+        ev.filter(col("ts") < cutoff), Seq("user_id"), Seq("ts", "event_id"), "is_delete")
+      graft.ops.Cdc.applyChanges(
+        base, ev.filter(col("ts") >= cutoff), Seq("user_id"), Seq("ts", "event_id"), "is_delete")
+    }),
+
     // Statistical aggregates (Welford-merged moments, rounded for
     // cross-engine ulp stability).
     "value_stats" -> ((s, dir) =>
@@ -1018,6 +1035,14 @@ object SparkEntry {
          ORDER BY n DESC, bigram ASC LIMIT 20""",
 
     "zorder_events" -> DuckDbOracles.zorderEvents,
+
+    "cdc_latest_state" ->
+      """SELECT event_id, ts, user_id, event_type, value
+         FROM (
+           SELECT e.*, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events e)
+         WHERE rn = 1 AND event_type <> 'error'""",
     "resample_hourly" ->
       """WITH b AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
                 round(avg(value), 6) AS avg_v

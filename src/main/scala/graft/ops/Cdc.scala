@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture snapshot maintenance — the MERGE INTO shape every
+  * incrementally-maintained corpus needs (document re-crawls, label fixes,
+  * takedown/tombstone requests), expressed with built-in operators only.
+  *
+  * A change feed carries upserts and tombstones for keyed rows, versioned
+  * by one or more ordering columns (lexicographic; e.g. (ts, event_id)).
+  * `latestWins` compacts a feed to latest-state-per-key; `applyChanges`
+  * folds a compacted batch into an existing snapshot.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - the per-key ranking window runs over the CHANGE BATCH only — its
+  *    sort cost follows |changes|, never |snapshot|;
+  *  - the snapshot is touched by exactly one anti equi-join on the key
+  *    (drop every key the batch mentions) plus a union — no snapshot-side
+  *    sort, no snapshot-side window; AQE broadcasts the compacted batch
+  *    side when it is small (the common CDC case);
+  *  - a key whose LATEST change is a tombstone disappears (the anti join
+  *    removes it from the base; the tombstone filter keeps it out of the
+  *    upsert side) — delete-then-reinsert within one batch resurrects it,
+  *    because only the latest change per key decides.
+  *
+  * Maintenance invariant (this is the oracle's contract):
+  * `applyChanges(latestWins(changes < t), changes >= t) ==
+  *  latestWins(all changes)` — the incremental path must be
+  * indistinguishable from recomputing the snapshot from scratch.
+  */
+object Cdc {
+
+  private def rankLatest(
+      changes: DataFrame, keyCols: Seq[String], versionCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(versionCols.map(c => col(c).desc): _*)
+    changes.withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .drop("graft_rn")
+  }
+
+  /** Latest state per key from a change feed; keys whose latest change is
+    * a tombstone (`deleteCol` true) are dropped. Output schema = input
+    * schema minus `deleteCol`.
+    */
+  def latestWins(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      versionCols: Seq[String],
+      deleteCol: String): DataFrame =
+    rankLatest(changes, keyCols, versionCols)
+      .filter(!col(deleteCol))
+      .drop(deleteCol)
+
+  /** Fold a change batch into a snapshot (MERGE INTO): rows of `base`
+    * whose key the batch mentions are replaced (or tombstoned away); all
+    * other base rows pass through untouched. `base` must have the schema
+    * `latestWins` produces (changes minus `deleteCol`).
+    */
+  def applyChanges(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      versionCols: Seq[String],
+      deleteCol: String): DataFrame = {
+    val latest = rankLatest(changes, keyCols, versionCols)
+    val touched = latest.select(keyCols.map(col): _*)
+    base.join(touched, keyCols, "left_anti")
+      .unionByName(latest.filter(!col(deleteCol)).drop(deleteCol))
+  }
+}

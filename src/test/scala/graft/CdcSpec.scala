@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.Cdc
+
+/** CDC snapshot maintenance: latest-wins compaction + incremental merge.
+  * The load-bearing property is the maintenance invariant — folding batches
+  * into a snapshot must be indistinguishable from recomputing the snapshot
+  * from the full history.
+  */
+class CdcSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  // (key, version, payload, is_delete)
+  private def feed(rows: Seq[(Long, Long, String, Boolean)]) =
+    rows.toDF("k", "v", "payload", "is_delete")
+
+  private val history = Seq(
+    // key 1: plain upserts, latest should win
+    (1L, 1L, "one-a", false), (1L, 3L, "one-c", false), (1L, 2L, "one-b", false),
+    // key 2: upsert then tombstone — must vanish
+    (2L, 1L, "two-a", false), (2L, 2L, "", true),
+    // key 3: tombstone then REINSERT — must resurrect with the new payload
+    (3L, 1L, "", true), (3L, 2L, "three-b", false),
+    // key 4: only in the early half, untouched later — must pass through
+    (4L, 1L, "four-a", false),
+    // key 5: born in the late half
+    (5L, 9L, "five-i", false),
+    // key 6: alive early, tombstoned late — anti join must remove the base row
+    (6L, 1L, "six-a", false), (6L, 8L, "", true))
+
+  private def snap(rows: Seq[(Long, Long, String, Boolean)]) =
+    Cdc.latestWins(feed(rows), Seq("k"), Seq("v"), "is_delete")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  it("latestWins keeps exactly the latest non-tombstone state per key") {
+    snap(history) shouldBe Set(
+      (1L, 3L, "one-c"), (3L, 2L, "three-b"), (4L, 1L, "four-a"), (5L, 9L, "five-i"))
+  }
+
+  it("incremental merge == direct recompute (the maintenance invariant)") {
+    val (early, late) = history.partition(_._2 < 5L)
+    val base = Cdc.latestWins(feed(early), Seq("k"), Seq("v"), "is_delete")
+    val merged = Cdc.applyChanges(base, feed(late), Seq("k"), Seq("v"), "is_delete")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    merged shouldBe snap(history)
+  }
+
+  it("chained batch folds == direct recompute over the whole history") {
+    val b1 = history.filter(_._2 < 2L)
+    val b2 = history.filter(t => t._2 >= 2L && t._2 < 5L)
+    val b3 = history.filter(_._2 >= 5L)
+    val s1 = Cdc.latestWins(feed(b1), Seq("k"), Seq("v"), "is_delete")
+    val s2 = Cdc.applyChanges(s1, feed(b2), Seq("k"), Seq("v"), "is_delete")
+    val s3 = Cdc.applyChanges(s2, feed(b3), Seq("k"), Seq("v"), "is_delete")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    s3 shouldBe snap(history)
+  }
+
+  it("a batch whose latest change per key is a tombstone deletes even fresh base keys") {
+    val base = Cdc.latestWins(feed(Seq((7L, 1L, "seven", false))), Seq("k"), Seq("v"), "is_delete")
+    val out = Cdc.applyChanges(
+      base, feed(Seq((7L, 2L, "seven-b", false), (7L, 3L, "", true))),
+      Seq("k"), Seq("v"), "is_delete")
+    out.count() shouldBe 0L
+  }
+}

@@ -314,6 +314,14 @@ object SparkEntry {
     // (skipping measured live in ParquetLayoutSpec).
     "zorder_events" -> ((s, dir) => graft.ops.Layout.zorderEvents(Tables.events(s, dir))),
 
+    // Fuzzy entity resolution: blocked (nationkey, exact-decimal balance)
+    // candidates verified by levenshtein <= 2 over the planted-dirty
+    // customer table — record linkage as equi-join + cheap verify, never a
+    // name cross-product.
+    "entity_resolution_pairs" -> ((s, dir) =>
+      graft.ops.Entity.resolvePairs(
+        graft.ops.Entity.withPlantedDirty(Tables.customer(s, dir)))),
+
     // CDC snapshot maintenance (MERGE INTO shape): the event stream as a
     // keyed change feed (user_id, version (ts, event_id), error = tombstone);
     // snapshot-at-cutoff incrementally merged with the post-cutoff batch.
@@ -1035,6 +1043,8 @@ object SparkEntry {
          ORDER BY n DESC, bigram ASC LIMIT 20""",
 
     "zorder_events" -> DuckDbOracles.zorderEvents,
+
+    "entity_resolution_pairs" -> DuckDbOracles.entityResolutionPairs(),
 
     "cdc_latest_state" ->
       """SELECT event_id, ts, user_id, event_type, value

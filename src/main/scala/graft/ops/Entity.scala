@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy entity resolution — the record-linkage pass that reconciles dirty
+  * duplicate records (re-crawled author/domain/license records, OCR'd
+  * citations) before they become distinct "sources" downstream.
+  *
+  * Standard blocking + verification shape (Fellegi-Sunter / Dedoop):
+  *  1. BLOCK on cheap exact attributes — candidates come from an EQUI-JOIN
+  *     on the block key (the same convention as every near-dup family
+  *     here: never an O(n²) name cross-product);
+  *  2. VERIFY candidates with an edit-distance bound on the name.
+  *
+  * A block key must be corruption-invariant: here (nationkey, exact
+  * DECIMAL(18,2) balance) — the attributes typos don't touch. At 100 TB
+  * the block join shuffles on the key once; block sizes follow the key's
+  * selectivity, not corpus size, and a hot block (e.g. bal=0.00) is AQE
+  * skew-join territory, same as every equi-join in the engine.
+  */
+object Entity {
+
+  /** Every `every`-th customer gains a dirty twin. */
+  val PlantEvery = 25
+
+  /** Verification bound: max name edit distance for a candidate match. */
+  val MaxEditDist = 2
+
+  /** Deterministic test augmentation (same role as VectorOps.plantedCorpus):
+    * every `every`-th customer contributes a twin record at
+    * `c_custkey + idOffset` whose name has ONE substituted character at
+    * position (c_custkey % 8) + 1 — a typo'd duplicate the blocking must
+    * recover. Non-name attributes are copied verbatim (block-key
+    * invariance).
+    */
+  def withPlantedDirty(
+      cust: DataFrame,
+      every: Int = PlantEvery,
+      idOffset: Long = 1000000L): DataFrame = {
+    val g = cust.agg(max(col("c_custkey"))).collect()(0)
+    require(g.getLong(0) < idOffset,
+      s"withPlantedDirty: max(c_custkey)=${g.getLong(0)} >= idOffset=$idOffset — " +
+        "planted ids would collide with genuine rows; raise idOffset")
+    val pos = (col("c_custkey") % 8).cast("int")
+    val corrupted = concat(
+      substr(col("c_name"), lit(1), pos),
+      lit("x"),
+      substr(col("c_name"), pos + lit(2), lit(1000)))
+    val twins = cust.filter(col("c_custkey") % every === 0)
+      .select(
+        (col("c_custkey") + idOffset).as("c_custkey"),
+        corrupted.as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    cust.select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .unionByName(twins)
+  }
+
+  /** Blocked fuzzy-match pairs: records sharing (nationkey, exact decimal
+    * balance) whose names are within `maxDist` edits. Output one row per
+    * unordered pair (id_a < id_b) with the distance.
+    */
+  def resolvePairs(records: DataFrame, maxDist: Int = MaxEditDist): DataFrame = {
+    val r = records.select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").as("nk"), col("c_acctbal").cast("decimal(18,2)").as("bal"))
+    val a = r.select(col("id").as("id_a"), col("name").as("name_a"), col("nk"), col("bal"))
+    val b = r.select(col("id").as("id_b"), col("name").as("name_b"), col("nk"), col("bal"))
+    a.join(b, Seq("nk", "bal"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -216,6 +216,28 @@ object DuckDbOracles {
        |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
+  /** Twin of Entity.resolvePairs over Entity.withPlantedDirty: same planted
+    * single-character substitution at (c_custkey % 8) + 1 (both engines'
+    * substring is 1-based), same (nationkey, exact-decimal-balance) block,
+    * same levenshtein verification bound.
+    */
+  def entityResolutionPairs(
+      every: Int = graft.ops.Entity.PlantEvery,
+      maxDist: Int = graft.ops.Entity.MaxEditDist,
+      idOffset: Long = 1000000L): String =
+    s"""WITH c2 AS (
+       |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,
+       |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey + $idOffset,
+       |    substring(c_name, 1, CAST(c_custkey % 8 AS INT)) || 'x'
+       |      || substring(c_name, CAST(c_custkey % 8 AS INT) + 2, 1000),
+       |    c_nationkey, CAST(c_acctbal AS DECIMAL(18,2))
+       |  FROM customer WHERE c_custkey % $every = 0)
+       |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.name, b.name) AS dist
+       |FROM c2 a JOIN c2 b ON a.nk = b.nk AND a.bal = b.bal AND a.id < b.id
+       |WHERE levenshtein(a.name, b.name) <= $maxDist""".stripMargin
+
   /** Twin of TextOps.frequentBigrams over withPlantedBoilerplate. The
     * sketch has no SQL twin and needs none: the operator's contract is
     * exact — output = bigrams at/above the ppm threshold with exact counts

@@ -314,6 +314,12 @@ object SparkEntry {
     // (skipping measured live in ParquetLayoutSpec).
     "zorder_events" -> ((s, dir) => graft.ops.Layout.zorderEvents(Tables.events(s, dir))),
 
+    // Rolling z-score anomaly detection: each value vs its user's trailing
+    // window (current row excluded), 6dp-rounded moments before the flag
+    // comparison (cross-engine window-summation order differs).
+    "rolling_zscore_anomalies" -> ((s, dir) =>
+      graft.ops.TimeSeries.rollingZscore(Tables.events(s, dir))),
+
     // Fuzzy entity resolution: blocked (nationkey, exact-decimal balance)
     // candidates verified by levenshtein <= 2 over the planted-dirty
     // customer table — record linkage as equi-join + cheap verify, never a
@@ -1045,6 +1051,19 @@ object SparkEntry {
     "zorder_events" -> DuckDbOracles.zorderEvents,
 
     "entity_resolution_pairs" -> DuckDbOracles.entityResolutionPairs(),
+
+    "rolling_zscore_anomalies" ->
+      """SELECT event_id, user_id, value, n_hist, mu, sd,
+         (n_hist >= 5 AND sd IS NOT NULL AND sd > 0
+           AND abs(value - mu) > 3.0 * sd) AS is_anomaly
+         FROM (
+           SELECT event_id, user_id, value,
+             count(value) OVER w AS n_hist,
+             round(avg(value) OVER w, 6) AS mu,
+             round(stddev_samp(value) OVER w, 6) AS sd
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))""",
 
     "cdc_latest_state" ->
       """SELECT event_id, ts, user_id, event_type, value

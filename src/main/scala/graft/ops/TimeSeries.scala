@@ -95,6 +95,43 @@ object TimeSeries {
     psiOfCounts(filled, keyCol, nBins)
   }
 
+  /** Rolling z-score anomaly detection: each event's value against the
+    * mean/stddev of its key's `w` PRECEDING events (the current row is
+    * excluded so an outlier cannot mask itself), flagged when the
+    * deviation exceeds `nSigma` standard deviations and at least `minN`
+    * history rows exist.
+    *
+    * Determinism: the window frame is row-bounded with a total
+    * (ts, event_id) order; mean/std are rounded to 6dp BEFORE the
+    * comparison (both engines then evaluate the identical flag
+    * expression — same convention as value_outliers' MAD gate, because
+    * DuckDB's segment-tree window aggregation sums in a different order
+    * than Spark's sequential frame).
+    *
+    * Scale: one shuffle on the key, per-key sort, O(1) state per row —
+    * the streaming twin is the same expression over
+    * dropDuplicates-bounded state. Keys are users (bounded history);
+    * a hot key degrades to one task's sort, AQE-skew territory.
+    */
+  def rollingZscore(
+      events: DataFrame,
+      w: Int = 10,
+      minN: Int = 5,
+      nSigma: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-w, -1)
+    events
+      .select(col("event_id"), col("user_id"), col("value"),
+        count(col("value")).over(win).as("n_hist"),
+        round(avg(col("value")).over(win), 6).as("mu"),
+        round(stddev_samp(col("value")).over(win), 6).as("sd"))
+      .withColumn("is_anomaly",
+        col("n_hist") >= minN && col("sd").isNotNull && col("sd") > 0 &&
+          abs(col("value") - col("mu")) > lit(nSigma) * col("sd"))
+  }
+
   /** PSI rollup over a pre-filled per-(key, bin) count table with columns
     * (keyCol, b, c_ref, c_cur) — the tail of `psiDrift`, shared with the
     * streaming monitor so the two can never diverge.

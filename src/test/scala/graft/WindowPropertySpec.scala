@@ -55,4 +55,34 @@ class WindowPropertySpec extends AnyFunSpec with Matchers with SparkSessionTestW
       }
     }
   }
+
+  describe("rollingZscore") {
+    it("flags a spike against its PRECEDING window and never against itself") {
+      import spark.implicits._
+      // ten calm values, then a spike, then calm again: only the spike row
+      // is anomalous, and the row AFTER the spike is judged against a
+      // window that now contains the spike (sd inflated, so not flagged).
+      val vals = (1 to 10).map(i => 10.0 + 0.1 * (i % 3)) ++ Seq(500.0, 10.1)
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, 77L, new java.sql.Timestamp(1700000000000L + i * 1000L), v)
+      }
+      val df = rows.toDF("event_id", "user_id", "ts", "value")
+      val out = graft.ops.TimeSeries.rollingZscore(df)
+        .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("is_anomaly")).toMap
+      out(10L) shouldBe true                  // the spike
+      (0L to 9L).foreach(out(_) shouldBe false) // calm prefix (incl. short history)
+      out(11L) shouldBe false                 // post-spike row: sd inflated by the spike
+    }
+
+    it("requires minN history rows before flagging anything") {
+      import spark.implicits._
+      val rows = Seq(
+        (0L, 1L, new java.sql.Timestamp(0L), 1.0),
+        (1L, 1L, new java.sql.Timestamp(1000L), 1.0),
+        (2L, 1L, new java.sql.Timestamp(2000L), 99999.0)) // only 2 history rows
+      val out = graft.ops.TimeSeries.rollingZscore(rows.toDF("event_id", "user_id", "ts", "value"))
+        .collect().map(_.getAs[Boolean]("is_anomaly"))
+      out.count(identity) shouldBe 0
+    }
+  }
 }

@@ -564,6 +564,10 @@ object SparkEntry {
     // Corpus-unigram LM scoring (CCNet/KenLM-shape model-based filter).
     "text_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramLogprob(Tables.documents(s, dir))),
+    // Corpus-bigram LM with Jelinek-Mercer backoff — orders matter: the
+    // coherence signal the unigram gate cannot see.
+    "text_bigram_logprob" -> ((s, dir) =>
+      TextOps.bigramLogprob(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     // Classifier-quality audit: language-ID prediction vs the labeled lang
     // column as a confusion matrix — the accuracy panel read before
@@ -1304,6 +1308,7 @@ object SparkEntry {
     "text_quality" -> DuckDbOracles.textQuality,
     "quality_quantile_filter" -> DuckDbOracles.qualityQuantileFilter(),
     "text_unigram_logprob" -> DuckDbOracles.unigramLogprob(),
+    "text_bigram_logprob" -> DuckDbOracles.bigramLogprob(),
     "text_langid" -> DuckDbOracles.textLangId,
     "langid_confusion" ->
       s"""SELECT d.lang, p.lang_pred, count(*) AS n

@@ -133,6 +133,53 @@ object TextOps {
           count(lit(1)).cast("double"), 6).as("rare_frac"))
   }
 
+  /** Jelinek-Mercer interpolation weight on the bigram term (0.75 and its
+    * complement 0.25 are exact in binary — the blend introduces no
+    * cross-engine rounding).
+    */
+  val BigramLambda = 0.75
+
+  /** Corpus-bigram language-model document scoring with Jelinek-Mercer
+    * backoff — the next step up from `unigramLogprob` toward the KenLM
+    * n-gram perplexity filters (CCNet): p(w|v) = λ·c(v,w)/c(v) +
+    * (1−λ)·c(w)/N, first tokens scored by the unigram term alone. A
+    * document of individually-common but incoherently-ordered tokens
+    * (shuffled text, keyword stuffing) scores near its unigram mean;
+    * coherent text scores markedly higher — the delta is the signal the
+    * unigram gate cannot see.
+    *
+    * Every probability is assembled from INTEGER counts per join row
+    * (c(v,w) ≥ 1 whenever v is present — the LM is self-trained — so the
+    * left joins only go null for first tokens), making each term
+    * bit-identical across engines; the per-doc mean is rounded 6dp.
+    *
+    * Scale: two hash aggs (unigram, bigram vocabularies) + three
+    * token-keyed equi-joins over the instance stream — Zipf-skewed keys,
+    * the AQE skew-join case (SkewJoinSpec), same as unigramLogprob; the
+    * one-row total is the labeled broadcast one-row cross.
+    */
+  def bigramLogprob(docs: DataFrame, lambda: Double = BigramLambda): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val inst = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val withPrev = inst.select(col("doc_id"), col("pos"), col("tok"),
+      lag(col("tok"), 1).over(w).as("prev"))
+    val vc = inst.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val tot = vc.agg(sum(col("cu")).as("n"))
+    val bc = withPrev.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cb"))
+    val ctx = vc.select(col("tok").as("prev"), col("cu").as("cp"))
+    val uniTerm = col("cu").cast("double") / col("n").cast("double")
+    val p = when(col("prev").isNull, uniTerm)
+      .otherwise(lit(lambda) * col("cb").cast("double") / col("cp").cast("double") +
+        lit(1.0 - lambda) * uniTerm)
+    withPrev.join(vc, "tok").join(ctx, Seq("prev"), "left").join(bc, Seq("prev", "tok"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(p)), 6).as("mean_logprob_bi"))
+  }
+
   /** Quantile position of the per-language keep threshold, in ppm (300000 =
     * drop the bottom ~30% of each language) — integer ppm so the cutoff
     * count is exact integer arithmetic in every engine, the same convention

@@ -58,6 +58,31 @@ object DuckDbOracles {
        |    / CAST(count(*) AS DOUBLE), 6) AS rare_frac
        |FROM sc GROUP BY 1""".stripMargin
 
+  /** Twin of TextOps.bigramLogprob: same Jelinek-Mercer blend from integer
+    * counts (λ rendered from the shared constant), same first-token
+    * unigram-only case, mean rounded 6dp.
+    */
+  def bigramLogprob(lambda: Double = TextOps.BigramLambda): String =
+    s"""WITH $tokCte,
+       |inst AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok FROM tok),
+       |wp AS (SELECT doc_id, pos, tok,
+       |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM inst),
+       |vc AS (SELECT tok, count(*) AS cu FROM inst GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM vc),
+       |bc AS (SELECT prev, tok, count(*) AS cb FROM wp WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |sc AS (SELECT wp.doc_id,
+       |    CASE WHEN wp.prev IS NULL THEN CAST(vc.cu AS DOUBLE) / CAST(tot.n AS DOUBLE)
+       |         ELSE $lambda * CAST(bc.cb AS DOUBLE) / CAST(cx.cp AS DOUBLE)
+       |           + ${1.0 - lambda} * CAST(vc.cu AS DOUBLE) / CAST(tot.n AS DOUBLE) END AS p
+       |  FROM wp
+       |  JOIN vc ON wp.tok = vc.tok
+       |  LEFT JOIN (SELECT tok AS prev, cu AS cp FROM vc) cx ON wp.prev = cx.prev
+       |  LEFT JOIN bc ON wp.prev = bc.prev AND wp.tok = bc.tok
+       |  CROSS JOIN tot)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  round(avg(ln(p)), 6) AS mean_logprob_bi
+       |FROM sc GROUP BY 1""".stripMargin
+
   /** Twin of Layout.zorderEvents: the bit interleave unrolled into SQL add
     * terms; pmod replicated as ((a % m) + m) % m (DuckDB % keeps sign).
     */

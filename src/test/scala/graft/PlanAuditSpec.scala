@@ -42,6 +42,8 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // one-row vocabulary-total broadcast-crossed onto the instance⋈vocab
     // join output (the N in ln(c/N))
     "text_unigram_logprob" -> Set("nested-loop-join"),
+    // same one-row total cross for the interpolated bigram LM
+    "text_bigram_logprob" -> Set("nested-loop-join"),
     // one-row corpus-count broadcast-crossed onto tf⋈df (the N in the IDF)
     "tfidf_top_terms" -> Set("nested-loop-join"),
     // query-side nprobe cell ranking: a k-row centroid table broadcast onto

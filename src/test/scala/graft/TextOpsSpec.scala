@@ -284,6 +284,28 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("bigramLogprob") {
+    it("matches the hand-computed Jelinek-Mercer blend on a tiny corpus") {
+      // corpus: "a b a b" + "b a" -> N=6, c(a)=c(b)=3, c(a,b)=c(b,a)=2.
+      // first tokens: p=3/6=.5; others: .75*(2/3)+.25*.5=.625
+      val r = TextOps.bigramLogprob(docsDf(Seq(1L -> "a b a b", 2L -> "b a")))
+        .collect().map(x => x.getLong(0) -> x).toMap
+      r(1L).getAs[Long]("n_tokens") shouldBe 4L
+      r(1L).getAs[Double]("mean_logprob_bi") shouldBe
+        math.rint(((math.log(0.5) + 3 * math.log(0.625)) / 4) * 1e6) / 1e6 +- 1e-9
+      r(2L).getAs[Double]("mean_logprob_bi") shouldBe
+        math.rint(((math.log(0.5) + math.log(0.625)) / 2) * 1e6) / 1e6 +- 1e-9
+    }
+
+    it("scores coherent ordering above a shuffled doc with identical token counts") {
+      val out = TextOps.bigramLogprob(docsDf(Seq(
+        1L -> "x y x y x y x y",   // coherent alternation
+        2L -> "x x y y y x x y"))) // same counts, broken order
+        .collect().map(x => x.getLong(0) -> x.getAs[Double]("mean_logprob_bi")).toMap
+      out(1L) should be > out(2L)
+    }
+  }
+
   describe("qualityQuantileFilter") {
     import org.apache.spark.sql.{functions => F}
     it("keeps, per language, exactly the docs strictly above the type-1 p-quantile") {

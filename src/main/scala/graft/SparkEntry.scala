@@ -403,6 +403,14 @@ object SparkEntry {
             .as("union_within_budget"))
     }),
 
+    // Mergeable quantile partials: per-(type, day) value histograms at a
+    // declared 2dp granularity, merged by addition and answered with the
+    // integer-exact type-1 cutoff — EXACT quantiles of rounded values from
+    // a partials table, no raw rescan, no sketch error. Oracle recomputes
+    // directly from raw events: partials+merge == direct is the contract.
+    "quantile_rollup" -> ((s, dir) =>
+      Sketches.quantileRollup(Sketches.quantilePartials(Tables.events(s, dir)))),
+
     // Robust outlier detection per event type: |x - median| > 3 * MAD
     // (median absolute deviation — resistant to the outliers it hunts,
     // unlike stddev-based z-scores). Two exact-percentile aggregation
@@ -1131,6 +1139,8 @@ object SparkEntry {
          count(DISTINCT CAST(ts AS DATE)) AS n_days,
          TRUE AS union_within_budget
          FROM events GROUP BY 1""",
+
+    "quantile_rollup" -> DuckDbOracles.quantileRollup(),
 
     "q18_large_orders" ->
       """SELECT c.c_name, o.o_orderkey, sum(l.l_quantity) AS total_qty

@@ -43,4 +43,58 @@ object Sketches {
     partials.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_users"))
+
+  /** Decimal places kept for quantile-partial value buckets: the declared
+    * GRANULARITY of every quantile answered from the partials table. 2dp
+    * over this value domain (~[0, 500]) bounds the histogram at ~5·10⁴
+    * buckets per key — per-key state is domain/granularity-sized, never
+    * corpus-sized.
+    */
+  val QuantileGranularity = 2
+
+  /** Quantile positions answered by `quantileRollup`, in integer ppm (the
+    * Sampling convention — cutoff tests are exact integer
+    * cross-multiplications, no division for an engine to round).
+    */
+  val QuantilesPpm: Seq[(String, Long)] =
+    Seq("p50" -> 500000L, "p95" -> 950000L, "p99" -> 990000L)
+
+  /** Per-(event_type, day) value-histogram partials — the quantile twin of
+    * `hllPartials`, with a stronger contract: partials merge by ADDITION
+    * (associative/commutative), and any rollup quantile computed from the
+    * merged histogram is EXACTLY the type-1 quantile of the
+    * granularity-rounded values — deterministic, not an estimate (KLL-style
+    * sketches trade that exactness away; at a declared granularity the
+    * histogram is strictly better until the value domain explodes).
+    *
+    * One map-side-combinable hash agg; the exchange carries ≤ |domain| /
+    * granularity rows per (type, day, partition).
+    */
+  def quantilePartials(events: DataFrame, granularity: Int = QuantileGranularity): DataFrame =
+    events.groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value"), granularity).as("vb"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Answer per-key quantiles from a partials table without rescanning raw
+    * events: merge day histograms by addition, cumulative-sum over the
+    * BOUNDED per-key bucket list, and pick each quantile as the smallest
+    * bucket with cum·10⁶ ≥ n·ppm (type-1, same integer-exact cutoff as
+    * qualityQuantileFilter).
+    */
+  def quantileRollup(
+      partials: DataFrame,
+      ps: Seq[(String, Long)] = QuantilesPpm): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = partials.groupBy(col("event_type"), col("vb"))
+      .agg(sum(col("c")).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("vb"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = merged.select(col("event_type"), col("vb"),
+      sum(col("c")).over(w).as("cum"), sum(col("c")).over(wAll).as("n"))
+    val qCols = ps.map { case (name, ppm) =>
+      min(when(col("cum") * 1000000L >= col("n") * ppm, col("vb"))).as(name)
+    }
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), qCols: _*)
+  }
 }

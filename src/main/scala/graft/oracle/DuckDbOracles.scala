@@ -83,6 +83,28 @@ object DuckDbOracles {
        |  round(avg(ln(p)), 6) AS mean_logprob_bi
        |FROM sc GROUP BY 1""".stripMargin
 
+  /** Twin of Sketches.quantileRollup ∘ quantilePartials, computed DIRECTLY
+    * from raw events — the partials-merge path must be indistinguishable
+    * from the direct histogram (addition is associative), with the same
+    * granularity rounding and integer type-1 cutoffs rendered from the
+    * shared constants.
+    */
+  def quantileRollup(
+      granularity: Int = graft.ops.Sketches.QuantileGranularity,
+      ps: Seq[(String, Long)] = graft.ops.Sketches.QuantilesPpm): String = {
+    val qs = ps.map { case (name, ppm) =>
+      s"min(CASE WHEN cum * 1000000 >= n * $ppm THEN vb END) AS $name"
+    }.mkString(", ")
+    s"""WITH r AS (SELECT event_type, round(value, $granularity) AS vb FROM events),
+       |hist AS (SELECT event_type, vb, count(*) AS c FROM r GROUP BY 1, 2),
+       |cum AS (SELECT event_type, vb,
+       |    sum(c) OVER (PARTITION BY event_type ORDER BY vb) AS cum,
+       |    sum(c) OVER (PARTITION BY event_type) AS n
+       |  FROM hist)
+       |SELECT event_type, CAST(max(n) AS BIGINT) AS n, $qs
+       |FROM cum GROUP BY 1""".stripMargin
+  }
+
   /** Twin of Layout.zorderEvents: the bit interleave unrolled into SQL add
     * terms; pmod replicated as ((a % m) + m) % m (DuckDB % keeps sign).
     */

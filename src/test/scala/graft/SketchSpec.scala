@@ -83,4 +83,31 @@ class SketchSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       est(2) shouldBe est(11)
     }
   }
+
+  describe("quantile partials (Sketches.quantilePartials/quantileRollup)") {
+    import graft.ops.Sketches
+
+    it("rollup from partials == rollup from any other partitioning (merge is addition)") {
+      val ev = graft.model.Tables.events(spark, "/root/testdata/sf0.001")
+      val a = Sketches.quantileRollup(Sketches.quantilePartials(ev))
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val b = Sketches.quantileRollup(Sketches.quantilePartials(ev.repartition(13)))
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      a shouldBe b
+    }
+
+    it("picks the exact type-1 quantile of granularity-rounded values") {
+      import spark.implicits._
+      // ten values 1.00..10.00 for one key: p50 -> 5.0 (cum 5 >= 10*0.5),
+      // p95 -> 10.0 (cum 10 >= 9.5), p99 -> 10.0
+      val rows = (1 to 10).map(i =>
+        ("k", new java.sql.Timestamp(1700000000000L + i * 86400000L), i.toDouble))
+      val ev = rows.toDF("event_type", "ts", "value")
+      val r = Sketches.quantileRollup(Sketches.quantilePartials(ev)).collect()(0)
+      r.getAs[Long]("n") shouldBe 10L
+      r.getAs[Double]("p50") shouldBe 5.0
+      r.getAs[Double]("p95") shouldBe 10.0
+      r.getAs[Double]("p99") shouldBe 10.0
+    }
+  }
 }

@@ -708,6 +708,12 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       Dedup.nearDupComponents(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
 
+    // PageRank over the near-dup pair graph: hub documents entangled with
+    // many near-duplicates (template centers) — centrality the component
+    // SIZE distribution cannot distinguish (chain vs star).
+    "pagerank_neardup" -> ((s, dir) =>
+      graft.ops.Graph.pageRank(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
+
     // Dedup-cluster audit: component-size distribution over the near-dup
     // graph — the sanity panel read before applying a drop policy (one
     // giant component = a boilerplate artifact, not real duplication).
@@ -1352,6 +1358,7 @@ object SparkEntry {
     "corpus_retention" -> DuckDbOracles.corpusRetention(),
     "curation_pipeline" -> DuckDbOracles.curationPipeline(),
     "dedup_components" -> DuckDbOracles.dedupComponents(),
+    "pagerank_neardup" -> DuckDbOracles.pagerankNeardup(),
     "dedup_cluster_stats" ->
       s"""SELECT count(*) AS n_components,
          CAST(sum(sz) AS BIGINT) AS n_nodes,

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over derived pair graphs (near-dup candidates, citation
+  * or link tables) — the iterative-dataflow family beyond connected
+  * components: power iteration expressed as join + aggregate per step,
+  * exactly the GraphX/Pregel contribution-passing shape but in plain
+  * DataFrame operators the optimizer can see through.
+  */
+object Graph {
+
+  /** PageRank damping factor (the classic 0.85). */
+  val Damping = 0.85
+
+  /** Power-iteration count — like nearDupComponents' bounded label
+    * propagation, a FIXED unrollable depth so the oracle can replay it.
+    */
+  val PrIters = 3
+
+  /** PageRank over an undirected pair graph (columns doc_a, doc_b):
+    * symmetrize to a directed edge list, then `iters` rounds of
+    *   rank'(v) = (1−d)/N + d · Σ_{u→v} rank(u)/deg(u).
+    *
+    * Within the near-dup use: rank concentrates on documents entangled
+    * with MANY near-duplicates (template hubs) — a cluster-centrality
+    * signal component-size counts cannot see (a chain and a star of equal
+    * size get identical component stats but very different hub ranks).
+    *
+    * Determinism: per-edge contributions divide two per-node values
+    * (bit-identical in both engines); each iteration's rank is rounded to
+    * 6dp so cross-engine aggregation-order ulps cannot compound across
+    * iterations (same convention as psiDrift's ln-term sum).
+    *
+    * Scale: every step is one equi-join of the edge list against the
+    * rank table plus one hash agg — shuffles the PAIR GRAPH only, never a
+    * corpus (the same invariant as nearDupComponents); the driver sees a
+    * single scalar (N) for the teleport term.
+    */
+  def pageRank(
+      pairs: DataFrame,
+      iters: Int = PrIters,
+      damping: Double = Damping): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    val nodeDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .persist()
+    val n = nodeDeg.count()
+    require(n > 0, "pageRank: empty pair graph — nothing to rank")
+    var ranks = nodeDeg.select(col("node"), (lit(1.0) / lit(n.toDouble)).as("rank"))
+    for (_ <- 0 until iters) {
+      val contrib = edges
+        .join(ranks.join(nodeDeg, Seq("node")).withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg").cast("double")).as("in_sum"))
+      ranks = nodeDeg.select(col("node"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(lit(1.0 - damping) / lit(n.toDouble) +
+            lit(damping) * coalesce(col("in_sum"), lit(0.0)), 6).as("rank"))
+    }
+    nodeDeg.join(ranks, Seq("node"))
+      .select(col("node"), col("deg"), col("rank"))
+  }
+}

@@ -499,6 +499,32 @@ object DuckDbOracles {
     * unrolls into chained CTEs (same technique as the k-means oracle) over
     * the MinHash-LSH pair set.
     */
+  /** Twin of Graph.pageRank over the MinHash-LSH pair graph: same
+    * symmetrized edges, same unrolled power iterations with per-iteration
+    * 6dp rank rounding, damping rendered from the shared constant.
+    */
+  def pagerankNeardup(
+      iters: Int = graft.ops.Graph.PrIters,
+      damping: Double = graft.ops.Graph.Damping): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""r$k AS (SELECT nd.node,
+         |    round((1.0 - $damping) / nn.n + $damping * coalesce(s.in_sum, 0.0), 6) AS rank
+         |  FROM nd CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst, sum(r.rank / CAST(d.deg AS DOUBLE)) AS in_sum
+         |    FROM edges e JOIN r${k - 1} r ON e.src = r.node JOIN nd d ON e.src = d.node
+         |    GROUP BY 1) s ON nd.node = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($minhashLshPairs) p),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |nd AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM nd),
+       |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nd CROSS JOIN nn),
+       |$iterCtes
+       |SELECT nd.node, nd.deg, r.rank
+       |FROM nd JOIN r$iters r ON nd.node = r.node""".stripMargin
+  }
+
   def dedupComponents(iters: Int = 3): String = {
     val iterCtes = (1 to iters).map { n =>
       s"""l$n AS (SELECT l.doc_id, least(l.rep, coalesce(m.nmin, l.rep)) AS rep

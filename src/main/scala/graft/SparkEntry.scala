@@ -808,6 +808,11 @@ object SparkEntry {
     // Cluster-cohesion audit: per assigned cell, member count, label
     // agreement, and mean cosine to the assigned centroid.
     "cluster_cohesion" -> ((s, dir) => VectorOps.clusterCohesion(Tables.embeddings(s, dir))),
+    // Cluster-balanced diversity sampling: each quantizer cell contributes
+    // at most CellCap hash-priority representatives — the per-cell twin of
+    // capped_per_source, aimed at semantic redundancy.
+    "cluster_balanced_sample" -> ((s, dir) =>
+      VectorOps.clusterBalancedSample(Tables.embeddings(s, dir))),
     // Two-stage serving: int8-quantized first pass (FAISS IVF+SQ8 shape,
     // 4x smaller index) → exact re-rank of the 30-row shortlist.
     "ann_ivf_rerank_topk" -> ((s, dir) => VectorOps.ivfRerankTopK(Tables.embeddings(s, dir))),
@@ -1396,6 +1401,7 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> DuckDbOracles.annIvfKmeansTopK(),
     "semantic_dedup" -> DuckDbOracles.semanticDedup(),
     "cluster_cohesion" -> DuckDbOracles.clusterCohesion(),
+    "cluster_balanced_sample" -> DuckDbOracles.clusterBalancedSample(),
     "ann_ivf_rerank_topk" -> DuckDbOracles.annIvfRerankTopK(),
     "embedding_rproj" -> DuckDbOracles.randomProjection,
     "media_meta" -> DuckDbOracles.mediaMeta,

@@ -713,6 +713,47 @@ object VectorOps {
         round(avg(col("ccos")), 6).as("mean_cos"))
   }
 
+  /** Per-cell cap for cluster-balanced sampling. */
+  val CellCap = 20
+
+  /** Cluster-balanced (diversity) sampling: cap each quantizer cell at
+    * `cap` members chosen by deterministic hash priority — the embedding
+    * twin of `Sampling.cappedPerSource`, aimed at semantic redundancy
+    * instead of source domination: cells over-stuffed with one content
+    * mode (SEO templates, license pages) contribute at most `cap`
+    * representatives to the mixture, while sparse cells keep everything —
+    * the cluster-proportional flattening step data recipes run after
+    * SemDeDup pruning.
+    *
+    * Scale: cell assignment is the shared zero-shuffle literal argmax; the
+    * cap is the bounded-heap aggregator (≤ cap rows per cell-partition
+    * cross the exchange, no per-cell sort); determinism is the integer
+    * hash order, so membership is stable under corpus growth everywhere
+    * except genuine displacement.
+    */
+  def clusterBalancedSample(
+      emb: DataFrame,
+      cap: Int = CellCap,
+      hash: (String, Column) => Column = graft.functions.PortableHash.h31): DataFrame = {
+    val centArr: Array[(Int, Seq[Double])] = centroids(emb)
+      .select(col("label").as("cell"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val topk = udaf(new graft.functions.TopKAggregator(cap),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("vn"))
+      .select(col("vec_id"), nearestCellExpr(centArr, col("v"), col("vn")).as("cell"),
+        hash("cbs", col("vec_id").cast("string")).as("h"))
+      // largest (-h) = smallest hash, ties to smallest vec_id — identical
+      // to row_number() over (h ASC, vec_id ASC), cappedPerSource's order
+      .groupBy(col("cell"))
+      .agg(topk((-col("h")).cast("double"), col("vec_id")).as("topk"))
+      .select(col("cell"), posexplode(col("topk")).as(Seq("i", "t")))
+      .select(col("cell"), (col("i") + 1).cast("int").as("rank"),
+        col("t._2").as("vec_id"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the Lloyd quantizer
     * (`kmeansCentroids`), then prune near-duplicate pairs WITHIN each

@@ -853,6 +853,28 @@ object DuckDbOracles {
        |  round(avg(ccos), 6) AS mean_cos
        |FROM asg WHERE r = 1 GROUP BY 1""".stripMargin
 
+  /** Twin of VectorOps.clusterBalancedSample: same label-mean quantizer
+    * assignment (row_number argmax over rounded cosines), same
+    * (hash ASC, vec_id ASC) per-cell priority order, same cap.
+    */
+  def clusterBalancedSample(cap: Int = VectorOps.CellCap): String =
+    s"""WITH $embCte,
+       |dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
+       |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
+       |cent AS (SELECT label AS cell, list(round(m, 6) ORDER BY pos) AS centroid
+       |  FROM comp GROUP BY label),
+       |cscore AS (SELECT e.vec_id, cent.cell,
+       |    round(${cosSql("e.v", "centroid")}, 6) AS ccos
+       |  FROM e CROSS JOIN cent),
+       |asg AS (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
+       |  FROM cscore),
+       |rk AS (SELECT cell, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY cell
+       |      ORDER BY ${h("cbs", "CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS INT) AS rank
+       |  FROM asg WHERE r = 1)
+       |SELECT cell, rank, vec_id FROM rk WHERE rank <= $cap""".stripMargin
+
   def annBruteTopK(k: Int = 10): String =
     s"""WITH $embCte,
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),

@@ -83,6 +83,10 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // our own typed bounded-heap UDAF — imperative by design
     "topk_agg_per_segment" -> Set("codegen-fallback"),
     "capped_per_source" -> Set("codegen-fallback"), // same bounded-heap UDAF
+    // bounded-heap UDAF over the literal-argmax cell assignment; the
+    // k-row centroid aggregate is the same interpreted collect_list path
+    // as the IVF family
+    "cluster_balanced_sample" -> Set("codegen-fallback"),
     "knn_lexical" -> Set("codegen-fallback"), // same bounded-heap UDAF
     // DataSketches HLL agg/union/estimate are intrinsically interpreted
     // built-ins (no codegen'd alternative exists)

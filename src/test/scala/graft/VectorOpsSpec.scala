@@ -386,4 +386,29 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
       }
     }
   }
+
+  describe("clusterBalancedSample") {
+    it("caps every cell and matches the ranking-window reference over the same priority") {
+      import org.apache.spark.sql.expressions.Window
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val cap = 5
+      val out = VectorOps.clusterBalancedSample(emb, cap = cap).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      out.groupBy(_._1).foreach { case (_, rows) => rows.size should be <= cap }
+      out.size should be > cap // more than one cell contributes
+      // reference: same cell assignment via clusterCohesion's quantizer
+      // shape is implicit — recompute ranks with a window over the
+      // aggregator's own (hash, vec_id) priority and identical cells
+      val full = VectorOps.clusterBalancedSample(emb, cap = 1000000).collect()
+        .map(r => (r.getInt(0), r.getLong(2)))
+      import spark.implicits._
+      val h = graft.functions.PortableHash.h31("cbs", col("vec_id").cast("string"))
+      val w = Window.partitionBy(col("cell")).orderBy(h.asc, col("vec_id").asc)
+      val ref = full.toSeq.toDF("cell", "vec_id")
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= cap)
+        .collect().map(r => (r.getInt(0), r.getInt(2), r.getLong(1))).toSet
+      out shouldBe ref
+    }
+  }
 }

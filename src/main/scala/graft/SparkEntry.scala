@@ -29,6 +29,10 @@ object SparkEntry {
   private val SessionGapMs = 600000L
   private val SessionCapMs = 1800000L
 
+  /** Columns profiled by `profile_events` — shared with the oracle twin. */
+  private val ProfileCols =
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference parity (SURVEY.md §2) over `events` -------------------
     "windowed_count" -> ((s, dir) =>
@@ -410,6 +414,11 @@ object SparkEntry {
     // directly from raw events: partials+merge == direct is the contract.
     "quantile_rollup" -> ((s, dir) =>
       Sketches.quantileRollup(Sketches.quantilePartials(Tables.events(s, dir)))),
+
+    // Column-profiling audit: one row per column (nulls, exact distincts,
+    // typed min/max) in a single Expand-based scan.
+    "profile_events" -> ((s, dir) =>
+      graft.ops.Profile.profile(Tables.events(s, dir), ProfileCols)),
 
     // Robust outlier detection per event type: |x - median| > 3 * MAD
     // (median absolute deviation — resistant to the outliers it hunts,
@@ -1152,6 +1161,7 @@ object SparkEntry {
          FROM events GROUP BY 1""",
 
     "quantile_rollup" -> DuckDbOracles.quantileRollup(),
+    "profile_events" -> DuckDbOracles.profileEvents(ProfileCols),
 
     "q18_large_orders" ->
       """SELECT c.c_name, o.o_orderkey, sum(l.l_quantity) AS total_qty

@@ -83,6 +83,19 @@ object DuckDbOracles {
        |  round(avg(ln(p)), 6) AS mean_logprob_bi
        |FROM sc GROUP BY 1""".stripMargin
 
+  /** Twin of Profile.profile over the events table: one UNION ALL branch
+    * per column, min/max compared in the column type and cast to VARCHAR
+    * last — rendered from the same column list.
+    */
+  def profileEvents(cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+         |FROM events""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** Twin of Sketches.quantileRollup ∘ quantilePartials, computed DIRECTLY
     * from raw events — the partials-merge path must be indistinguishable
     * from the direct histogram (addition is associative), with the same

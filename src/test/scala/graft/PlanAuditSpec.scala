@@ -87,6 +87,11 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // k-row centroid aggregate is the same interpreted collect_list path
     // as the IVF family
     "cluster_balanced_sample" -> Set("codegen-fallback"),
+    // global (zero-grouping-key) aggregate with string-typed min/max
+    // buffers: variable-width buffers exclude HashAggregate, but a
+    // SortAggregate over ONE group sorts nothing — it is a linear fold
+    // with map-side partials, not the per-key sort the audit class hunts
+    "profile_events" -> Set("sort-aggregate"),
     "knn_lexical" -> Set("codegen-fallback"), // same bounded-heap UDAF
     // DataSketches HLL agg/union/estimate are intrinsically interpreted
     // built-ins (no codegen'd alternative exists)

@@ -612,6 +612,10 @@ object SparkEntry {
     // bigrams at ~0.46% vs organic ~0.1%), sketch candidacy load-bearing.
     "frequent_bigrams" -> ((s, dir) =>
       TextOps.frequentBigrams(TextOps.withPlantedBoilerplate(Tables.documents(s, dir)))),
+    // Overlapping fixed-token chunking (RAG/embedding preprocessing) — a
+    // pure zero-shuffle projection: tokenize, explode chunk ids, slice.
+    "chunk_documents" -> ((s, dir) =>
+      TextOps.chunkDocuments(Tables.documents(s, dir))),
     // Cross-doc duplicate-span coverage (fixed-width exact-substring dedup
     // signal, Lee et al. ACL'22) on the planted corpus — the boilerplate
     // prefix is the provable duplicated span source.
@@ -1350,6 +1354,7 @@ object SparkEntry {
     "tfidf_top_terms" -> DuckDbOracles.tfidfTopTerms(),
     "strip_boilerplate" -> DuckDbOracles.stripBoilerplate(),
     "dup_span_stats" -> DuckDbOracles.dupSpanStats(),
+    "chunk_documents" -> DuckDbOracles.chunkDocuments(),
     "frequent_bigrams" -> DuckDbOracles.frequentBigrams(),
     "dedup_exact_docs" -> DuckDbOracles.dedupExactDocs,
     "dedup_normalized" -> DuckDbOracles.dedupNormalized,

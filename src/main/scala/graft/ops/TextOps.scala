@@ -448,6 +448,43 @@ object TextOps {
         col("text_clean"))
   }
 
+  /** Chunk width in tokens for document chunking. */
+  val ChunkTokens = 32
+
+  /** Chunk stride in tokens (stride < width ⇒ overlapping chunks). */
+  val ChunkStride = 24
+
+  /** Overlapping fixed-token document chunking — the retrieval/embedding
+    * preprocessing step (RAG indexing, long-doc embedding): chunk k of a
+    * document covers tokens [k·stride, k·stride + width), for every k with
+    * k·stride < n_tokens; the final chunk may run short. stride < width
+    * gives the overlap that keeps sentences straddling a boundary visible
+    * to both neighbors.
+    *
+    * Scale: a pure zero-shuffle projection — tokenize, explode the chunk
+    * index range, `slice` each chunk out of the token array. No window, no
+    * groupBy, no exchange: chunking 100 TB is embarrassingly parallel and
+    * this plan keeps it that way (parallelism rides the scan; the explode
+    * multiplies rows ~n/stride per doc).
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      width: Int = ChunkTokens,
+      stride: Int = ChunkStride): DataFrame = {
+    require(stride >= 1 && width >= stride,
+      s"chunkDocuments: need 1 <= stride <= width, got width=$width stride=$stride")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L),
+          floor((size(col("t")) - 1).cast("double") / stride).cast("long"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        least(lit(width), size(col("t")) - col("chunk_idx").cast("int") * stride)
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("t"), (col("chunk_idx").cast("int") * stride) + 1, lit(width)))
+          .as("chunk_text"))
+  }
+
   /** Window width (tokens) for cross-document duplicate-span analysis. */
   val SpanTokens = 5
 

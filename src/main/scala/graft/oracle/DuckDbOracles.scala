@@ -245,6 +245,23 @@ object DuckDbOracles {
        |  t.n_segments - COALESCE(r.n_kept, 0) AS n_removed, r.text_clean
        |FROM totals t LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
 
+  /** Twin of TextOps.chunkDocuments: same k·stride < n chunk-index rule
+    * (count = (n−1)//stride + 1), same 1-based slice of width tokens, same
+    * short final chunk.
+    */
+  def chunkDocuments(
+      width: Int = TextOps.ChunkTokens,
+      stride: Int = TextOps.ChunkStride): String =
+    s"""WITH $tokCte,
+       |ch AS (SELECT doc_id, t,
+       |    CAST(unnest(range(0, (len(t) - 1) // $stride + 1)) AS INT) AS chunk_idx
+       |  FROM tok)
+       |SELECT doc_id, chunk_idx,
+       |  CAST(least($width, len(t) - chunk_idx * $stride) AS INT) AS n_chunk_tokens,
+       |  array_to_string(list_slice(t, chunk_idx * $stride + 1,
+       |    least(chunk_idx * $stride + $width, len(t))), ' ') AS chunk_text
+       |FROM ch""".stripMargin
+
   /** Twin of TextOps.dupSpanStats over withPlantedBoilerplate: same
     * positional spans (DuckDB 1-based subscripts vs Spark's 0-based pos —
     * coverage math uses position DIFFERENCES only, so the offset cancels),

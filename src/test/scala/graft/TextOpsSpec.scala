@@ -365,6 +365,26 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("chunkDocuments") {
+    it("covers every token, overlaps by width-stride, and runs the last chunk short") {
+      val docs = docsDf(Seq(1L -> "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"))
+      val r = TextOps.chunkDocuments(docs, width = 4, stride = 3).collect()
+        .map(x => (x.getInt(1), x.getInt(2), x.getString(3))).sortBy(_._1)
+      r shouldBe Array(
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+        (3, 1, "t9"))
+    }
+
+    it("a doc shorter than one chunk yields exactly one full-text chunk") {
+      val r = TextOps.chunkDocuments(docsDf(Seq(1L -> "a b")), width = 4, stride = 3).collect()
+      r.length shouldBe 1
+      r(0).getInt(2) shouldBe 2
+      r(0).getString(3) shouldBe "a b"
+    }
+  }
+
   describe("dupSpanStats") {
     it("merges overlapping duplicated spans by interval union, not span-count x width") {
       // docs 1 and 2 share the 8-token run A..H; with width-5 windows that

@@ -255,6 +255,10 @@ object SparkEntry {
     "q17_small_quantity_revenue" -> ((s, dir) => Relational.smallQuantityRevenue(s, dir)),
     // Q22 shape: scalar-avg threshold + NOT EXISTS anti join.
     "q22_sales_opportunity" -> ((s, dir) => Relational.globalSalesOpportunity(s, dir)),
+    // Q15 shape: view + max scalar subquery as an exact-decimal equi-join.
+    "q15_top_supplier" -> ((s, dir) => Relational.topSupplier(s, dir)),
+    // Q16 shape: distinct supplier counts with a NOT IN deny list.
+    "q16_supplier_part_counts" -> ((s, dir) => Relational.supplierPartCounts(s, dir)),
     "top_orders_per_segment" -> ((s, dir) => Relational.topOrdersPerSegment(s, dir)),
     "topk_agg_per_segment" -> ((s, dir) => Relational.topOrdersPerSegmentAgg(s, dir)),
     "customer_order_stats" -> ((s, dir) => Relational.customerOrderStats(s, dir)),
@@ -992,6 +996,28 @@ object SparkEntry {
              SELECT 1 FROM orders o
              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
          GROUP BY 1""",
+
+    "q15_top_supplier" ->
+      """WITH r AS (
+           SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+         FROM r JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_rev = (SELECT max(total_rev) FROM r)""",
+
+    "q16_supplier_part_counts" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#1'
+           AND l_suppkey NOT IN (
+             SELECT s_suppkey FROM supplier WHERE CAST(s_acctbal AS DECIMAL(18,2)) < 0)
+         GROUP BY 1, 2""",
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -324,6 +324,52 @@ object Relational {
         sum(col("bal")).cast("double").as("total_bal"))
   }
 
+  /** TPC-H Q15-flavored top supplier: revenue per supplier in a quarter,
+    * keep the supplier(s) hitting the maximum. The "create view + max
+    * subquery" shape decorrelates into one supplier-keyed aggregate, a
+    * one-row max aggregate, and an EQUI-join on the exact-decimal revenue
+    * (decimal equality is bit-stable — a double revenue here would make
+    * the max join engine-dependent).
+    */
+  def topSupplier(
+      spark: SparkSession, dir: String,
+      from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("total_rev"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    rev.join(broadcast(maxRev), Seq("total_rev"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q16-flavored supplier-part counts: distinct suppliers per
+    * (brand, size) over the observed part-supplier pairs, excluding one
+    * brand and suppliers on a deny list (NOT IN → broadcast left_anti —
+    * never a shuffled subquery). The distinct pair projection is the one
+    * fact shuffle; part is broadcast.
+    */
+  def supplierPartCounts(
+      spark: SparkSession, dir: String,
+      excludeBrand: String = "Brand#1"): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val denied = Tables.supplier(spark, dir)
+      .filter(dec("s_acctbal") < 0).select("s_suppkey")
+    val part = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= excludeBrand)
+      .select("p_partkey", "p_brand", "p_size")
+    ps.join(broadcast(denied), ps("l_suppkey") === denied("s_suppkey"), "left_anti")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   /** Grouped order stats per customer with exact-decimal average — the
     * sum/count division happens on exact inputs so it is engine-stable.
     */

@@ -488,6 +488,29 @@ object SparkEntry {
         .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
     }),
 
+    // ORDERED funnel: signup → first click strictly after it → first
+    // purchase strictly after that — each stage's timestamp anchors the
+    // next (the sequencing constraint funnel_stages' presence flags can't
+    // express). A cascade of min-aggregates + user-keyed joins: every
+    // exchange is on user_id, so the three stages reuse one partitioning.
+    "ordered_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id")).filter(col("ms") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id")).filter(col("ms") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("t3"))
+      s1.agg(count(lit(1)).as("n_users")).select(lit("signup").as("stage"), col("n_users"))
+        .unionByName(s2.agg(count(lit(1)).as("n_users"))
+          .select(lit("click_after_signup").as("stage"), col("n_users")))
+        .unionByName(s3.agg(count(lit(1)).as("n_users"))
+          .select(lit("purchase_after_click").as("stage"), col("n_users")))
+    }),
+
     // Weekly cohort retention: users grouped by first-activity week, counted
     // in every later week they reappear. Two aggregations, one equi-join.
     "cohort_retention" -> ((s, dir) => {
@@ -1225,6 +1248,18 @@ object SparkEntry {
          FROM u LEFT JOIN fc f ON u.user_id = f.user_id
            LEFT JOIN conv c ON u.user_id = c.user_id
          GROUP BY 1""",
+
+    "ordered_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+         s1 AS (SELECT user_id, min(ms) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(ms) AS t2 FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND ms > t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(ms) AS t3 FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND ms > t2 GROUP BY 1)
+         SELECT 'signup' AS stage, count(*) AS n_users FROM s1
+         UNION ALL SELECT 'click_after_signup', count(*) FROM s2
+         UNION ALL SELECT 'purchase_after_click', count(*) FROM s3""",
 
     "cohort_retention" ->
       """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort

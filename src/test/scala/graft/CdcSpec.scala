@@ -60,6 +60,26 @@ class CdcSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     s3 shouldBe snap(history)
   }
 
+  it("holds the maintenance invariant on seeded random histories with random batch cuts") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 6) {
+      val n = 30 + rng.nextInt(120)
+      val hist = (1 to n).map { v =>
+        (rng.nextInt(12).toLong, v.toLong, s"p$v", rng.nextInt(4) == 0)
+      }
+      val cut1 = 1 + rng.nextInt(n)
+      val cut2 = cut1 + rng.nextInt(n - cut1 + 1)
+      val (b1, rest) = hist.partition(_._2 <= cut1)
+      val (b2, b3) = rest.partition(_._2 <= cut2)
+      var snapDf = Cdc.latestWins(feed(b1), Seq("k"), Seq("v"), "is_delete")
+      for (b <- Seq(b2, b3) if b.nonEmpty)
+        snapDf = Cdc.applyChanges(snapDf, feed(b), Seq("k"), Seq("v"), "is_delete")
+      val folded = snapDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      folded shouldBe snap(hist)
+    }
+  }
+
   it("a batch whose latest change per key is a tombstone deletes even fresh base keys") {
     val base = Cdc.latestWins(feed(Seq((7L, 1L, "seven", false))), Seq("k"), Seq("v"), "is_delete")
     val out = Cdc.applyChanges(

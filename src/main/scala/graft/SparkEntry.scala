@@ -848,6 +848,12 @@ object SparkEntry {
     // Cluster-cohesion audit: per assigned cell, member count, label
     // agreement, and mean cosine to the assigned centroid.
     "cluster_cohesion" -> ((s, dir) => VectorOps.clusterCohesion(Tables.embeddings(s, dir))),
+    // Hard-negative mining (contrastive training prep): per query the most
+    // similar corpus vectors BELOW the positive ceiling — the IVF scored
+    // join + one filter + bounded-heap top-k.
+    "hard_negatives" -> ((s, dir) =>
+      VectorOps.hardNegatives(Tables.embeddings(s, dir))),
+
     // Cluster-balanced diversity sampling: each quantizer cell contributes
     // at most CellCap hash-priority representatives — the per-cell twin of
     // capped_per_source, aimed at semantic redundancy.
@@ -1478,6 +1484,8 @@ object SparkEntry {
     "semantic_dedup" -> DuckDbOracles.semanticDedup(),
     "cluster_cohesion" -> DuckDbOracles.clusterCohesion(),
     "cluster_balanced_sample" -> DuckDbOracles.clusterBalancedSample(),
+    "hard_negatives" -> DuckDbOracles.annIvfTopK(
+      k = 10, nprobe = 2, scoreFilter = s"cos < ${VectorOps.HardNegCeiling}"),
     "ann_ivf_rerank_topk" -> DuckDbOracles.annIvfRerankTopK(),
     "embedding_rproj" -> DuckDbOracles.randomProjection,
     "media_meta" -> DuckDbOracles.mediaMeta,

@@ -432,6 +432,25 @@ object VectorOps {
     * with row_number, so the aggregator path stays hash-checked
     * row-identical to the window form.
     */
+  /** Similarity ceiling for hard-negative mining: candidates at or above
+    * it count as positives/near-dups, not negatives.
+    */
+  val HardNegCeiling = 0.5
+
+  /** Hard-negative mining for contrastive training (DPR/SimCSE recipe):
+    * per query, the top-k most-similar corpus vectors that are NOT too
+    * similar — IVF candidates filtered to cos < `ceiling`, then ranked.
+    * The hardest negatives are exactly the near-miss candidates ANN
+    * surfaces anyway, so this is the IVF scored join + one filter + the
+    * bounded-heap top-k: no new shuffle beyond the ivfTopK plan it rides.
+    */
+  def hardNegatives(
+      emb: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 2,
+      ceiling: Double = HardNegCeiling): DataFrame =
+    topKPerQuery(ivfScored(emb, nprobe).filter(col("cos") < ceiling), k)
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKAggregator(k),
       org.apache.spark.sql.Encoders.tuple(

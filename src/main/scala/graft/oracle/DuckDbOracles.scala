@@ -921,7 +921,9 @@ object DuckDbOracles {
     * ivfScored's corpusPred. The quantizer CTEs stay corpus-wide, exactly
     * like the Spark side.
     */
-  def annIvfTopK(k: Int = 10, nprobe: Int = 1, corpusFilter: String = "TRUE"): String =
+  def annIvfTopK(
+      k: Int = 10, nprobe: Int = 1, corpusFilter: String = "TRUE",
+      scoreFilter: String = "TRUE"): String =
     s"""WITH $embCte,
        |dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
        |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
@@ -942,7 +944,7 @@ object DuckDbOracles {
        |    ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id),
        |ranked AS (SELECT q_id, neighbor_id, cos,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
-       |  FROM scored)
+       |  FROM scored WHERE ($scoreFilter))
        |SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k""".stripMargin
 
   val mediaMeta: String =

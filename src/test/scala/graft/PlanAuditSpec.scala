@@ -56,6 +56,8 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // same IVF probe shape + per-row int8 transform() quantization (one
     // interpreted pass; production precomputes the quantized index)
     "ann_ivf_rerank_topk" -> Set("nested-loop-join", "codegen-fallback"),
+    // same IVF probe shape + the bounded-heap top-k UDAF
+    "hard_negatives" -> Set("nested-loop-join", "codegen-fallback"),
     "ann_ivf_kmeans_topk" -> Set("nested-loop-join", "codegen-fallback"),
     // planted near-dup copies use transform() on the every-20th slice —
     // interpreted on 5% of rows by design (exact ±1/64 double nudges)

@@ -387,6 +387,37 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     }
   }
 
+  describe("hardNegatives") {
+    it("drops near-positive candidates above the ceiling and keeps the hardest below it") {
+      import spark.implicits._
+      // fan of unit vectors at 10-degree steps from the query (vec 0),
+      // plus a near-identical twin (999): cos spans ~0.98..0.17, so the
+      // 0.5 ceiling genuinely splits the candidate set.
+      val fan = (0 to 8).map { i =>
+        val th = math.toRadians(10.0 * i)
+        (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat, 0f, 0f), 0)
+      }
+      val other = (10 to 14).map { i =>
+        val th = math.toRadians(10.0 * (i - 10))
+        (i.toLong, Array(0f, 0f, math.cos(th).toFloat, math.sin(th).toFloat), 1)
+      }
+      val twin = Seq((999L, Array(1.0f, 0.001f, 0f, 0f), 0))
+      val emb = (fan ++ other ++ twin).toDF("vec_id", "embedding", "label")
+      val plain = VectorOps.ivfTopK(emb, k = 20, nprobe = 2)
+        .filter(col("q_id") === 0L).collect()
+      plain.map(_.getAs[Long]("neighbor_id")) should contain(999L)
+      val hn = VectorOps.hardNegatives(emb, k = 20, nprobe = 2)
+        .filter(col("q_id") === 0L).collect()
+      val hnIds = hn.map(_.getAs[Long]("neighbor_id")).toSet
+      hnIds should not contain 999L
+      all(hn.map(_.getAs[Double]("cos"))) should be < VectorOps.HardNegCeiling
+      // identical to filtering the plain candidate list below the ceiling
+      val expected = plain.filter(_.getAs[Double]("cos") < VectorOps.HardNegCeiling)
+        .map(_.getAs[Long]("neighbor_id")).toSet
+      hnIds shouldBe expected
+    }
+  }
+
   describe("clusterBalancedSample") {
     it("caps every cell and matches the ranking-window reference over the same priority") {
       import org.apache.spark.sql.expressions.Window

@@ -848,6 +848,11 @@ object SparkEntry {
     // Cluster-cohesion audit: per assigned cell, member count, label
     // agreement, and mean cosine to the assigned centroid.
     "cluster_cohesion" -> ((s, dir) => VectorOps.clusterCohesion(Tables.embeddings(s, dir))),
+    // ANN quality report: recall@k + reciprocal rank of the IVF path vs
+    // the exact brute baseline, per query — integer-derived, engine-exact.
+    "ann_recall_report" -> ((s, dir) =>
+      VectorOps.annRecallReport(Tables.embeddings(s, dir))),
+
     // Hard-negative mining (contrastive training prep): per query the most
     // similar corpus vectors BELOW the positive ceiling — the IVF scored
     // join + one filter + bounded-heap top-k.
@@ -1486,6 +1491,7 @@ object SparkEntry {
     "cluster_balanced_sample" -> DuckDbOracles.clusterBalancedSample(),
     "hard_negatives" -> DuckDbOracles.annIvfTopK(
       k = 10, nprobe = 2, scoreFilter = s"cos < ${VectorOps.HardNegCeiling}"),
+    "ann_recall_report" -> DuckDbOracles.annRecallReport(),
     "ann_ivf_rerank_topk" -> DuckDbOracles.annIvfRerankTopK(),
     "embedding_rproj" -> DuckDbOracles.randomProjection,
     "media_meta" -> DuckDbOracles.mediaMeta,

@@ -451,6 +451,34 @@ object VectorOps {
       ceiling: Double = HardNegCeiling): DataFrame =
     topKPerQuery(ivfScored(emb, nprobe).filter(col("cos") < ceiling), k)
 
+  /** ANN quality report — recall@k and reciprocal rank of the IVF path
+    * against the exact brute-force baseline, per query: the
+    * measure-don't-guess artifact an index rollout reads before trusting
+    * nprobe/k settings (the recall-curve spec, promoted to an
+    * oracle-checked table). All metrics derive from integer hit counts and
+    * ranks — engine-exact.
+    *
+    * Scale: truth is the labeled all-pairs baseline over the SAMPLED query
+    * set (n/100 queries × corpus — the same budget ann_brute_topk already
+    * pays); the comparison itself is an equi-join on (q_id, neighbor_id)
+    * plus one per-query aggregate.
+    */
+  def annRecallReport(emb: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val truth = bruteForceTopK(emb, k)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("t_rank"))
+    val approx = ivfTopK(emb, k, nprobe)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("a_rank"))
+    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when(col("a_rank").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        // reciprocal rank of the TRUE nearest neighbor in the approx list
+        max(when(col("t_rank") === 1 && col("a_rank").isNotNull,
+          round(lit(1.0) / col("a_rank").cast("double"), 6)).otherwise(lit(0.0))).as("rr"))
+      .select(col("q_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, 6).as("recall_at_k"), col("rr"))
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKAggregator(k),
       org.apache.spark.sql.Encoders.tuple(

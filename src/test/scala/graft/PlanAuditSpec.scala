@@ -58,6 +58,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "ann_ivf_rerank_topk" -> Set("nested-loop-join", "codegen-fallback"),
     // same IVF probe shape + the bounded-heap top-k UDAF
     "hard_negatives" -> Set("nested-loop-join", "codegen-fallback"),
+    // composes the labeled brute baseline (all-pairs truth) with the IVF
+    // path — inherits both queries' labeled exceptions
+    "ann_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     "ann_ivf_kmeans_topk" -> Set("nested-loop-join", "codegen-fallback"),
     // planted near-dup copies use transform() on the every-20th slice —
     // interpreted on 5% of rows by design (exact ±1/64 double nudges)

@@ -748,6 +748,12 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       Dedup.nearDupComponents(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
 
+    // EXACT connected components (fixpoint min-label propagation with a
+    // convergence scalar per round) — the no-approximation twin of
+    // dedup_components' documented bounded-hop contract.
+    "dedup_components_exact" -> ((s, dir) =>
+      Dedup.nearDupComponentsExact(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
+
     // PageRank over the near-dup pair graph: hub documents entangled with
     // many near-duplicates (template centers) — centrality the component
     // SIZE distribution cannot distinguish (chain vs star).
@@ -1451,6 +1457,7 @@ object SparkEntry {
     "curation_pipeline" -> DuckDbOracles.curationPipeline(),
     "dedup_components" -> DuckDbOracles.dedupComponents(),
     "pagerank_neardup" -> DuckDbOracles.pagerankNeardup(),
+    "dedup_components_exact" -> DuckDbOracles.dedupComponentsExact,
     "dedup_cluster_stats" ->
       s"""SELECT count(*) AS n_components,
          CAST(sum(sz) AS BIGINT) AS n_nodes,

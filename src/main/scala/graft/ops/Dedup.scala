@@ -235,6 +235,54 @@ object Dedup {
     labels
   }
 
+  /** EXACT connected components over the pair graph: min-label propagation
+    * iterated to FIXPOINT (each round, every node takes the minimum of its
+    * own and its neighbors' labels), with a driver-side convergence check —
+    * one changed-row COUNT scalar per round, the same k-sized-aggregate
+    * budget as the k-means loop. Converges in ≤ diameter rounds; near-dup
+    * components are shallow (stars and short chains), so the loop is a few
+    * rounds in practice, and `maxIters` is a hard backstop (it throws
+    * rather than silently returning unconverged labels — the bounded-hop
+    * variant `nearDupComponents` is the one with a DOCUMENTED approximation
+    * contract).
+    *
+    * Scale: every round is one equi-join + one hash agg over the PAIR
+    * GRAPH only (never the corpus); each round's labels are persisted and
+    * the previous round's cache released, so lineage stays one round deep.
+    */
+  def nearDupComponentsExact(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id"))
+      .persist()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nmin = edges
+        .join(labels.select(col("doc_id").as("nbr"), col("rep").as("nrep")),
+          col("dst") === col("nbr"))
+        .groupBy(col("src")).agg(min(col("nrep")).as("nmin"))
+      val next = labels
+        .join(nmin, labels("doc_id") === nmin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
+          col("rep").as("prev"))
+        .persist()
+      val changed = next.filter(col("rep") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next.drop("prev")
+      converged = changed == 0
+      it += 1
+    }
+    require(converged,
+      s"nearDupComponentsExact: no fixpoint after $maxIters rounds — component " +
+        "diameter exceeds the backstop; raise maxIters or switch to pointer-jumping")
+    labels
+  }
+
   /** Drop set of the 2-hop survivorship bound, computed WITHOUT the label
     * chain: a doc is dropped iff its 2-step propagated label differs from
     * its own id, and algebraically

@@ -555,6 +555,22 @@ object DuckDbOracles {
        |FROM nd JOIN r$iters r ON nd.node = r.node""".stripMargin
   }
 
+  /** Twin of Dedup.nearDupComponentsExact: the fixpoint needs no unrolling
+    * in SQL — a RECURSIVE transitive-closure CTE (set semantics, so it
+    * terminates) reaches every node of the component and min() picks the
+    * representative.
+    */
+  def dedupComponentsExact: String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($minhashLshPairs) p),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.src, rch.r FROM edges e JOIN reach rch ON e.dst = rch.node)
+       |SELECT node AS doc_id, min(r) AS rep FROM reach GROUP BY 1""".stripMargin
+
   def dedupComponents(iters: Int = 3): String = {
     val iterCtes = (1 to iters).map { n =>
       s"""l$n AS (SELECT l.doc_id, least(l.rep, coalesce(m.nmin, l.rep)) AS rep

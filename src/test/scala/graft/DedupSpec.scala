@@ -146,6 +146,34 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("nearDupComponentsExact") {
+    it("converges past the bounded variant's horizon on a deep chain") {
+      import spark.implicits._
+      // diameter 6: the 3-iteration bounded variant leaves the tail
+      // unconverged; the fixpoint loop must not
+      val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+        .toDF("doc_a", "doc_b")
+      val bounded = Dedup.nearDupComponents(chain, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      bounded.values.toSet should not be Set(1L)
+      val exact = Dedup.nearDupComponentsExact(chain)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exact.values.toSet shouldBe Set(1L)
+      exact.keySet shouldBe (1L to 7L).toSet
+    }
+
+    it("keeps disjoint components separate and throws past the iteration backstop") {
+      import spark.implicits._
+      val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+      val exact = Dedup.nearDupComponentsExact(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exact shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+      val deep = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+      an[IllegalArgumentException] should be thrownBy
+        Dedup.nearDupComponentsExact(deep, maxIters = 2)
+    }
+  }
+
   describe("nearDupDropSet") {
     it("equals iters=2 propagation survivorship, including the >2-hop over-keep") {
       import spark.implicits._

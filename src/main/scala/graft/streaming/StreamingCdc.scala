@@ -61,6 +61,16 @@ object StreamingCdc {
     else prior.filter(col(VersionCol) === maxV.getLong(0)).drop(VersionCol)
   }
 
+  /** Time travel: the snapshot as of `version` (inclusive) — the state a
+    * reader at that batch would have seen. Retained versions make this a
+    * free capability of the layout (the same AS OF read a table format
+    * sells); prune old version partitions to trade history for storage.
+    */
+  def snapshotAsOf(
+      spark: SparkSession, dir: String,
+      snapSchema: StructType, version: Long): DataFrame =
+    latestSnapshot(spark, dir, snapSchema, version + 1)
+
   /** One micro-batch fold, exposed for the crash-retry spec. Idempotent in
     * `batchId`.
     */

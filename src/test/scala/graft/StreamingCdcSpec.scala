@@ -77,6 +77,21 @@ class StreamingCdcSpec extends AnyFunSpec with Matchers with SparkSessionTestWra
       first shouldBe direct(b0 ++ b1)
     }
 
+    it("time-travels: AS OF version v returns exactly the state after batch v") {
+      import org.apache.spark.sql.types._
+      val dir = java.nio.file.Files.createTempDirectory("graft-scdc-tt").toString
+      val snapDir = s"$dir/snap"
+      for ((b, i) <- Seq(b0, b1, b2).zipWithIndex)
+        StreamingCdc.processBatch(feed(b), i.toLong, snapDir, Seq("k"), Seq("v"), "is_delete")
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("v", LongType), StructField("payload", StringType)))
+      def asOf(ver: Long) = StreamingCdc.snapshotAsOf(spark, snapDir, schema, ver)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      asOf(0L) shouldBe direct(b0)
+      asOf(1L) shouldBe direct(b0 ++ b1)
+      asOf(2L) shouldBe direct(b0 ++ b1 ++ b2)
+    }
+
     it("batch 0 folds onto a missing snapshot dir as empty state") {
       val dir = java.nio.file.Files.createTempDirectory("graft-scdc-b0").toString
       StreamingCdc.processBatch(

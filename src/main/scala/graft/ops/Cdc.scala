@@ -32,6 +32,11 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** Plan note (verified via explain): the row_number()=1 filter triggers
+    * Spark's WindowGroupLimit pushdown — a partial per-key top-1 runs
+    * BEFORE the exchange, so the shuffle carries at most one row per
+    * (key, partition), not the whole change batch.
+    */
   private def rankLatest(
       changes: DataFrame, keyCols: Seq[String], versionCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)

@@ -257,6 +257,9 @@ object SparkEntry {
     "q22_sales_opportunity" -> ((s, dir) => Relational.globalSalesOpportunity(s, dir)),
     // Q15 shape: view + max scalar subquery as an exact-decimal equi-join.
     "q15_top_supplier" -> ((s, dir) => Relational.topSupplier(s, dir)),
+    // Q2 shape: correlated per-part min subquery as a supplier-bounded
+    // ranking window over the derived offer table.
+    "q2_min_cost_supplier" -> ((s, dir) => Relational.minCostSupplier(s, dir)),
     // Q16 shape: distinct supplier counts with a NOT IN deny list.
     "q16_supplier_part_counts" -> ((s, dir) => Relational.supplierPartCounts(s, dir)),
     "top_orders_per_segment" -> ((s, dir) => Relational.topOrdersPerSegment(s, dir)),
@@ -584,6 +587,22 @@ object SparkEntry {
         dense_rank().over(w).as("drnk"),
         ntile(4).over(w).as("quartile"),
         round(cume_dist().over(w), 6).as("cdist"))
+    }),
+
+    // Value-RANGE window frame: trailing-1h sum/count per user keyed on
+    // the ORDER BY value (epoch ms), not row offsets — frames are
+    // peer-inclusive, so the result is order-independent as a set (the 6dp
+    // rounding absorbs summation-order ulps only).
+    "range_frame_sum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+        .rangeBetween(-3600000L, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ms"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value")).over(w), 6).as("sum_1h"))
     }),
 
     // Semi/anti join pair: customers with ≥1 urgent order vs none.
@@ -1036,6 +1055,33 @@ object SparkEntry {
              SELECT 1 FROM orders o
              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
          GROUP BY 1""",
+
+    "q2_min_cost_supplier" ->
+      """WITH offers AS (
+           SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#2'
+           GROUP BY 1, 2),
+         best AS (
+           SELECT l_partkey, l_suppkey, cost,
+             row_number() OVER (PARTITION BY l_partkey
+               ORDER BY cost ASC, l_suppkey ASC) AS rn
+           FROM offers)
+         SELECT p_partkey, p_name, s_suppkey, s_name,
+           CAST(cost AS DOUBLE) AS min_cost
+         FROM best
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rn = 1""",
+
+    "range_frame_sum" ->
+      """SELECT event_id, user_id,
+         CAST(count(*) OVER w AS BIGINT) AS n_1h,
+         round(sum(value) OVER w, 6) AS sum_1h
+         FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms, value FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ms
+           RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""",
 
     "q15_top_supplier" ->
       """WITH r AS (

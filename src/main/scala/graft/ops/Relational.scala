@@ -370,6 +370,33 @@ object Relational {
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
 
+  /** TPC-H Q2-flavored min-cost supplier: for each part of one brand, the
+    * supplier offering the minimum observed price (offers derived from
+    * distinct (part, supplier) lineitem pairs — the partsupp stand-in this
+    * schema affords). The correlated min subquery decorrelates into a
+    * per-part ranking window over the OFFER table (offers per part are
+    * few — the window frame is supplier-count-bounded, never fact-sized);
+    * cost stays DECIMAL so the min and its tie-break are bit-stable.
+    */
+  def minCostSupplier(
+      spark: SparkSession, dir: String, brand: String = "Brand#2"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand).select("p_partkey", "p_name")
+    val offers = Tables.lineitem(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(dec("l_extendedprice")).as("cost"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("cost").asc, col("l_suppkey").asc)
+    offers.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("cost").cast("double").as("min_cost"))
+  }
+
   /** Grouped order stats per customer with exact-decimal average — the
     * sum/count division happens on exact inputs so it is engine-stable.
     */

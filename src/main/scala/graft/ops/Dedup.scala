@@ -265,12 +265,28 @@ object Dedup {
         .join(labels.select(col("doc_id").as("nbr"), col("rep").as("nrep")),
           col("dst") === col("nbr"))
         .groupBy(col("src")).agg(min(col("nrep")).as("nmin"))
-      val next = labels
+      val hopped = labels
         .join(nmin, labels("doc_id") === nmin("src"), "left")
         .select(labels("doc_id"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
           col("rep").as("prev"))
-        .persist()
+      // POINTER JUMP (path halving): follow the label's own label, so the
+      // distance to the component minimum halves per round — convergence
+      // in O(log diameter) rounds instead of O(diameter), which is what
+      // keeps the backstop comfortable on adversarial chain-shaped
+      // components at scale
+      // localCheckpoint (eager) TRUNCATES the logical plan each round:
+      // persist alone caches data but the plan tree still nests — with the
+      // pointer-jump self-join it would DOUBLE per round and the planner
+      // itself becomes the bottleneck (the standard iterative-lineage
+      // hazard GraphX solves the same way)
+      val next = hopped
+        .join(hopped.select(col("doc_id").as("p_id"), col("rep").as("p_rep")),
+          hopped("rep") === col("p_id"), "left")
+        .select(hopped("doc_id"),
+          least(hopped("rep"), coalesce(col("p_rep"), hopped("rep"))).as("rep"),
+          col("prev"))
+        .localCheckpoint(true)
       val changed = next.filter(col("rep") =!= col("prev")).count()
       labels.unpersist()
       labels = next.drop("prev")
@@ -278,8 +294,8 @@ object Dedup {
       it += 1
     }
     require(converged,
-      s"nearDupComponentsExact: no fixpoint after $maxIters rounds — component " +
-        "diameter exceeds the backstop; raise maxIters or switch to pointer-jumping")
+      s"nearDupComponentsExact: no fixpoint after $maxIters rounds — raise maxIters " +
+        "(pointer jumping makes the bound logarithmic in component diameter)")
     labels
   }
 

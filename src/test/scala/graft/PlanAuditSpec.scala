@@ -105,6 +105,10 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // ≤ segment-/doc-sized buffers AFTER the hash agg — interpreted eval on
     // bounded post-agg groups, not the corpus scan path
     "strip_boilerplate" -> Set("codegen-fallback"),
+    // SAX word assembly: collect_list + transform + array_sort over the
+    // 6-row per-user segment groups AFTER the hash agg (same bounded
+    // post-agg shape as strip_boilerplate)
+    "ts_similarity_pairs" -> Set("codegen-fallback"),
     // our own typed Misra-Gries UDAF (imperative by design) + the one-row
     // corpus-total broadcast-crossed onto the ≤k-row candidate counts
     // (same one-row-bounds shape as temperature_mix)

@@ -56,6 +56,35 @@ class WindowPropertySpec extends AnyFunSpec with Matchers with SparkSessionTestW
     }
   }
 
+  describe("saxSimilarPairs") {
+    it("pairs users with matching activity shapes and separates the anti-phase one") {
+      import spark.implicits._
+      def mk(uid: Long, pattern: Int => Double) =
+        (0 until 30).flatMap { d =>
+          val n = math.max(1, pattern(d).toInt)
+          (0 until n).map(i =>
+            (uid * 1000 + d * 10 + i, uid,
+              new java.sql.Timestamp(
+                java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+                  d * 86400000L + i * 1000L),
+              pattern(d)))
+        }
+      // users 1 and 2: identical front-loaded shape (scaled 2x — z-norm
+      // must make them distance 0); user 3: anti-phase (back-loaded)
+      val front = (d: Int) => if (d < 10) 9.0 else 1.0
+      val front2x = (d: Int) => if (d < 10) 18.0 else 2.0
+      val back = (d: Int) => if (d < 20) 1.0 else 9.0
+      val ev = (mk(1L, front) ++ mk(2L, front2x) ++ mk(3L, back))
+        .toDF("event_id", "user_id", "ts", "value")
+      val pairs = graft.ops.TimeSeries.saxSimilarPairs(ev).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      pairs.map(p => (p._1, p._2)) should contain(1L -> 2L)
+      pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 shouldBe 0.0
+      pairs.map(p => (p._1, p._2)) should not contain (1L -> 3L)
+      pairs.map(p => (p._1, p._2)) should not contain (2L -> 3L)
+    }
+  }
+
   describe("rollingZscore") {
     it("flags a spike against its PRECEDING window and never against itself") {
       import spark.implicits._

@@ -64,5 +64,45 @@ class StreamResilienceSpec extends AnyFunSpec with Matchers with SparkSessionTes
           Set((1L, 10.0, "gold"), (2L, 20.0, "silver"), (9L, 5.0, "unknown"))
       } finally q.stop()
     }
+
+    it("foreachBatch re-reads the dimension per batch, so dim UPDATES reach later batches") {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val dir = java.nio.file.Files.createTempDirectory("graft-dimrf").toString
+      val (dimDir, outDir, ckpt) = (s"$dir/dim", s"$dir/out", s"$dir/ckpt")
+      Seq((1L, "gold")).toDF("user_id", "tier")
+        .write.mode("overwrite").parquet(dimDir)
+
+      val mem = MemoryStream[(Long, Double)]
+      // the production dimension-refresh pattern: the plain stream-static
+      // join PINS the dim at plan time; re-reading INSIDE foreachBatch
+      // resolves it per batch, so slowly-changing dims need no restart
+      val q = mem.toDS().toDF("user_id", "amount").writeStream
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val dim = batch.sparkSession.read.parquet(dimDir)
+          batch.join(broadcast(dim), Seq("user_id"), "left")
+            .select(col("user_id"), col("amount"),
+              coalesce(col("tier"), lit("unknown")).as("tier"),
+              lit(batchId).as("batch_id"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(outDir)
+        }.start()
+      try {
+        mem.addData((1L, 10.0))
+        q.processAllAvailable()
+        // the dimension changes BETWEEN batches — no stream restart
+        Seq((1L, "platinum")).toDF("user_id", "tier")
+          .write.mode("overwrite").parquet(dimDir)
+        mem.addData((1L, 11.0))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val rows = spark.read.parquet(outDir)
+        .select("user_id", "amount", "tier")
+        .as[(Long, Double, String)].collect().toSet
+      rows shouldBe Set((1L, 10.0, "gold"), (1L, 11.0, "platinum"))
+    }
   }
 }

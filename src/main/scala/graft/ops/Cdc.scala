@@ -59,10 +59,24 @@ object Cdc {
       .filter(!col(deleteCol))
       .drop(deleteCol)
 
-  /** Fold a change batch into a snapshot (MERGE INTO): rows of `base`
-    * whose key the batch mentions are replaced (or tombstoned away); all
-    * other base rows pass through untouched. `base` must have the schema
+  /** Fold a change batch into a snapshot (MERGE INTO): for every key the
+    * batch mentions, the VERSION-WISE latest of {current base row, batch
+    * changes} wins — so a late/stale batch (replayed from an old offset,
+    * or an out-of-order upstream) can never regress a newer snapshot row;
+    * all untouched base rows pass through. `base` must have the schema
     * `latestWins` produces (changes minus `deleteCol`).
+    *
+    * Mechanically: base rows of touched keys re-enter the ranking as
+    * non-tombstone "changes" (an equi-join on the key extracts them — the
+    * snapshot's single key-shuffle), and the union ranks per key exactly
+    * like `latestWins`. The ranking window still sees only touched keys'
+    * rows: |batch| + |touched base| — batch-sized, never snapshot-sized.
+    *
+    * Known limit (standard CDC tombstone-retention tradeoff): a DROPPED
+    * key's tombstone version is not retained in the snapshot, so a stale
+    * upsert arriving AFTER the delete was applied resurrects the key.
+    * Guarding that case needs a tombstone-retention window (Kafka
+    * compaction's delete.retention.ms) — orthogonal to this fold's shape.
     */
   def applyChanges(
       base: DataFrame,
@@ -70,9 +84,12 @@ object Cdc {
       keyCols: Seq[String],
       versionCols: Seq[String],
       deleteCol: String): DataFrame = {
-    val latest = rankLatest(changes, keyCols, versionCols)
-    val touched = latest.select(keyCols.map(col): _*)
+    val touched = changes.select(keyCols.map(col): _*).distinct()
+    val baseTouched = base.join(touched, keyCols, "left_semi")
+      .withColumn(deleteCol, lit(false))
+    val merged = latestWins(
+      changes.unionByName(baseTouched), keyCols, versionCols, deleteCol)
     base.join(touched, keyCols, "left_anti")
-      .unionByName(latest.filter(!col(deleteCol)).drop(deleteCol))
+      .unionByName(merged)
   }
 }

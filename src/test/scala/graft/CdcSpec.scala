@@ -80,6 +80,19 @@ class CdcSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  it("a stale/late batch never regresses a newer snapshot row (version guard)") {
+    val base = Cdc.latestWins(feed(Seq((1L, 5L, "newest", false))), Seq("k"), Seq("v"), "is_delete")
+    // stale upsert AND stale tombstone both lose to the base's version
+    val out1 = Cdc.applyChanges(base, feed(Seq((1L, 3L, "stale", false))),
+      Seq("k"), Seq("v"), "is_delete")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    out1 shouldBe Set((1L, 5L, "newest"))
+    val out2 = Cdc.applyChanges(base, feed(Seq((1L, 3L, "", true))),
+      Seq("k"), Seq("v"), "is_delete")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    out2 shouldBe Set((1L, 5L, "newest"))
+  }
+
   it("a batch whose latest change per key is a tombstone deletes even fresh base keys") {
     val base = Cdc.latestWins(feed(Seq((7L, 1L, "seven", false))), Seq("k"), Seq("v"), "is_delete")
     val out = Cdc.applyChanges(

@@ -258,4 +258,42 @@ class JoinsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       }.isDefined shouldBe true
     }
   }
+
+  describe("runtime bloom-filter join pruning") {
+    it("injects a bloom filter on the fact side of a selective dim join") {
+      import spark.implicits._
+      val confs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        // the default demands a >=10GB probe-side scan before it bothers —
+        // zero it so the toy-sized fact qualifies
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+        // force a shuffle join so the runtime filter has a scan to protect
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+        (1L to 20000L).map(i => (i, i % 512, s"p$i"))
+          .toDF("id", "key", "payload").write.parquet(s"$dir/fact")
+        (0L until 512L).map(i => (i, s"d$i"))
+          .toDF("key", "attr").write.parquet(s"$dir/dim")
+        val fact = spark.read.parquet(s"$dir/fact")
+        val dim = spark.read.parquet(s"$dir/dim").filter($"attr" === "d7")
+        val joined = fact.join(dim, Seq("key"))
+        joined.count() shouldBe (20000L / 512L + 1) // keys ≡ 7 (mod 512)
+        // at 100 TB this is the optimization that spares the fact scan
+        // from shuffling rows a selective dim filter will discard anyway:
+        // the optimizer plants a BloomFilter agg on the dim side and a
+        // might_contain probe above the fact scan
+        val plan = joined.queryExecution.optimizedPlan.toString
+        assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilter"),
+          s"no runtime bloom filter in plan:\n${plan.take(2000)}")
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }

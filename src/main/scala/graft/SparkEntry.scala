@@ -64,6 +64,16 @@ object SparkEntry {
         .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("n"))),
 
+    // Spark 4 VARIANT path for semi-structured props: parse once into the
+    // binary variant encoding, extract typed fields with variant_get —
+    // the shredded-at-scan answer to per-access get_json_object string
+    // re-parsing (each g_j_o call re-parses the JSON text; variant parses
+    // once and serves every extraction from the encoded form).
+    "variant_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          try_variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))),
+
     "epoch_millis_roundtrip" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"), expr("timestamp_millis(unix_millis(ts))").as("ts_ms"))),
@@ -945,6 +955,10 @@ object SparkEntry {
     "json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
          FROM events GROUP BY 1""",
+
+    "variant_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events""",
 
     "epoch_millis_roundtrip" ->
       """SELECT event_id, make_timestamp(epoch_ms(ts) * 1000) AS ts_ms FROM events""",

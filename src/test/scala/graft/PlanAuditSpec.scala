@@ -71,6 +71,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // intrinsically interpreted built-ins: the expression class itself is
     // CodegenFallback in Spark, there is no codegen'd alternative
     "json_pipeline" -> Set("codegen-fallback"),   // from_json
+    "variant_props" -> Set("codegen-fallback"),   // parse_json/variant_get
     "json_dead_letter" -> Set("codegen-fallback"), // from_json
     "pivot_event_counts" -> Set("codegen-fallback"), // pivotfirst
     "value_percentiles" -> Set("codegen-fallback"),  // exact percentile agg

@@ -64,6 +64,26 @@ object SparkEntry {
         .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("n"))),
 
+    // Spark 4 collated comparison: case-insensitivity declared ON THE TYPE
+    // (UTF8_LCASE) instead of wrapping every predicate in lower() — the
+    // collation-aware equality the lower()-roundtrip ci_filter predates.
+    "collated_filter" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(collate(col("event_type"), "UTF8_LCASE") === lit("CLICK"))
+        .select(col("event_id"), col("user_id"), col("event_type"))),
+
+    // UNPIVOT/melt: the per-user event-type count matrix back to long form
+    // (ids stay columns, the five count columns become (event_type, n)).
+    "unpivot_event_counts" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+    }),
+
     // Spark 4 VARIANT path for semi-structured props: parse once into the
     // binary variant encoding, extract typed fields with variant_get —
     // the shredded-at-scan answer to per-access get_json_object string
@@ -959,6 +979,20 @@ object SparkEntry {
     "variant_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events""",
+
+    "collated_filter" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE lower(event_type) = lower('CLICK')""",
+
+    "unpivot_event_counts" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         t AS (SELECT unnest(['click','view','purchase','signup','error']) AS event_type),
+         c AS (SELECT user_id, event_type, count(*) AS n FROM events
+           WHERE event_type IN ('click','view','purchase','signup','error')
+           GROUP BY 1, 2)
+         SELECT u.user_id, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+         FROM u CROSS JOIN t
+         LEFT JOIN c ON u.user_id = c.user_id AND t.event_type = c.event_type""",
 
     "epoch_millis_roundtrip" ->
       """SELECT event_id, make_timestamp(epoch_ms(ts) * 1000) AS ts_ms FROM events""",

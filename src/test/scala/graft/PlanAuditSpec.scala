@@ -74,6 +74,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "variant_props" -> Set("codegen-fallback"),   // parse_json/variant_get
     "json_dead_letter" -> Set("codegen-fallback"), // from_json
     "pivot_event_counts" -> Set("codegen-fallback"), // pivotfirst
+    "unpivot_event_counts" -> Set("codegen-fallback"), // same pivotfirst input
     "value_percentiles" -> Set("codegen-fallback"),  // exact percentile agg
     "approx_distinct_users" -> Set("codegen-fallback"), // HLL++ agg
     "windowed_distinct_users" -> Set("codegen-fallback"), // HLL++ agg

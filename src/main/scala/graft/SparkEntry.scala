@@ -290,6 +290,42 @@ object SparkEntry {
     // Q2 shape: correlated per-part min subquery as a supplier-bounded
     // ranking window over the derived offer table.
     "q2_min_cost_supplier" -> ((s, dir) => Relational.minCostSupplier(s, dir)),
+    // Q6 shape: forecast-revenue-change — pure predicate pushdown + one
+    // global decimal agg, the scan-bound query row-group stats must carry.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+    // Q8 shape: per-year supplier-nation market share — a conditional
+    // share over the year's total, exact decimals to the division.
+    "q8_market_share" -> ((s, dir) => {
+      val dec18 = (c: String) => col(c).cast("decimal(18,2)")
+      val nat = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (dec18("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec18("l_discount")))
+            .as("rev"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("yr"), col("n_name"))
+        .agg(sum(col("rev")).as("rev_dec"))
+        .withColumn("yr_total",
+          sum(col("rev_dec")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("yr"))))
+        .select(col("yr"), col("n_name"),
+          col("rev_dec").cast("double").as("revenue"),
+          round(col("rev_dec").cast("double") / col("yr_total").cast("double"), 6)
+            .as("share"))
+    }),
     // Q16 shape: distinct supplier counts with a NOT IN deny list.
     "q16_supplier_part_counts" -> ((s, dir) => Relational.supplierPartCounts(s, dir)),
     "top_orders_per_segment" -> ((s, dir) => Relational.topOrdersPerSegment(s, dir)),
@@ -1136,6 +1172,31 @@ object SparkEntry {
          FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms, value FROM events)
          WINDOW w AS (PARTITION BY user_id ORDER BY ms
            RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""",
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q8_market_share" ->
+      """WITH rev AS (
+           SELECT year(o.o_orderdate) AS yr, n.n_name,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev_dec
+           FROM lineitem l
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           GROUP BY 1, 2)
+         SELECT CAST(yr AS INT) AS yr, n_name,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           round(CAST(rev_dec AS DOUBLE)
+             / CAST(sum(rev_dec) OVER (PARTITION BY yr) AS DOUBLE), 6) AS share
+         FROM rev""",
 
     "q15_top_supplier" ->
       """WITH r AS (

@@ -499,6 +499,28 @@ object SparkEntry {
     "profile_events" -> ((s, dir) =>
       graft.ops.Profile.profile(Tables.events(s, dir), ProfileCols)),
 
+    // Winsorization: clip values to the per-type [p01, p99] cutoffs from
+    // the same granularity-bounded histogram as quantile_rollup — the
+    // robust-cleaning TRANSFORM the outlier report motivates. The clipped
+    // sum is exact (values are 2dp ⇒ DECIMAL(18,2) casts are lossless).
+    "winsorize_values" -> ((s, dir) => {
+      val cuts = Sketches.quantileRollup(
+        Sketches.quantilePartials(Tables.events(s, dir)),
+        Seq("p01" -> 10000L, "p99" -> 990000L))
+        .select(col("event_type"), col("p01"), col("p99"))
+      Tables.events(s, dir)
+        .join(broadcast(cuts), Seq("event_type"))
+        .select(col("event_type"),
+          greatest(least(col("value"), col("p99")), col("p01")).as("w"),
+          (col("value") < col("p01")).as("lo"),
+          (col("value") > col("p99")).as("hi"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+          sum(when(col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+          sum(col("w").cast("decimal(18,2)")).cast("double").as("sum_winsorized"))
+    }),
+
     // Robust outlier detection per event type: |x - median| > 3 * MAD
     // (median absolute deviation — resistant to the outliers it hunts,
     // unlike stddev-based z-scores). Two exact-percentile aggregation
@@ -1394,6 +1416,7 @@ object SparkEntry {
          FROM events GROUP BY 1""",
 
     "quantile_rollup" -> DuckDbOracles.quantileRollup(),
+    "winsorize_values" -> DuckDbOracles.winsorizeValues(),
     "profile_events" -> DuckDbOracles.profileEvents(ProfileCols),
 
     "q18_large_orders" ->

@@ -138,6 +138,28 @@ object DuckDbOracles {
          |FROM events""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** Twin of the winsorize_values query: cutoffs from the same direct
+    * histogram as quantileRollup (p01/p99 ppm), clip, exact decimal sum.
+    */
+  def winsorizeValues(granularity: Int = graft.ops.Sketches.QuantileGranularity): String =
+    s"""WITH r AS (SELECT event_type, round(value, $granularity) AS vb FROM events),
+       |hist AS (SELECT event_type, vb, count(*) AS c FROM r GROUP BY 1, 2),
+       |cum AS (SELECT event_type, vb,
+       |    sum(c) OVER (PARTITION BY event_type ORDER BY vb) AS cum,
+       |    sum(c) OVER (PARTITION BY event_type) AS n
+       |  FROM hist),
+       |cuts AS (SELECT event_type,
+       |    min(CASE WHEN cum * 1000000 >= n * 10000 THEN vb END) AS p01,
+       |    min(CASE WHEN cum * 1000000 >= n * 990000 THEN vb END) AS p99
+       |  FROM cum GROUP BY 1)
+       |SELECT e.event_type, count(*) AS n,
+       |  CAST(sum(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       |  CAST(sum(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       |  CAST(sum(CAST(greatest(least(value, p99), p01) AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS sum_winsorized
+       |FROM events e JOIN cuts USING (event_type)
+       |GROUP BY 1""".stripMargin
+
   /** Twin of Sketches.quantileRollup ∘ quantilePartials, computed DIRECTLY
     * from raw events — the partials-merge path must be indistinguishable
     * from the direct histogram (addition is associative), with the same

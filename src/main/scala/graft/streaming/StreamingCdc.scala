@@ -61,6 +61,28 @@ object StreamingCdc {
     else prior.filter(col(VersionCol) === maxV.getLong(0)).drop(VersionCol)
   }
 
+  /** Retention: drop snapshot versions STRICTLY OLDER than the newest
+    * `keepLatest` committed ones — the maintenance pass that trades AS OF
+    * history depth for storage (a table format's VACUUM). Never touches
+    * the latest version, so readers and the next batch's prior-read are
+    * unaffected; pruned versions simply stop time-traveling.
+    */
+  def pruneVersions(
+      spark: SparkSession, dir: String,
+      snapSchema: StructType, keepLatest: Int): Seq[Long] = {
+    require(keepLatest >= 1, "pruneVersions: must keep at least the latest version")
+    val versions = readVersions(spark, dir, snapSchema)
+      .select(col(VersionCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val doomed = versions.dropRight(keepLatest)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$VersionCol=$v"), true)
+    }
+    doomed.toSeq
+  }
+
   /** Time travel: the snapshot as of `version` (inclusive) — the state a
     * reader at that batch would have seen. Retained versions make this a
     * free capability of the layout (the same AS OF read a table format

@@ -92,6 +92,24 @@ class StreamingCdcSpec extends AnyFunSpec with Matchers with SparkSessionTestWra
       asOf(2L) shouldBe direct(b0 ++ b1 ++ b2)
     }
 
+    it("pruning old versions keeps the latest state serving and folding") {
+      import org.apache.spark.sql.types._
+      val dir = java.nio.file.Files.createTempDirectory("graft-scdc-prune").toString
+      val snapDir = s"$dir/snap"
+      for ((b, i) <- Seq(b0, b1, b2).zipWithIndex)
+        StreamingCdc.processBatch(feed(b), i.toLong, snapDir, Seq("k"), Seq("v"), "is_delete")
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("v", LongType), StructField("payload", StringType)))
+      val doomed = StreamingCdc.pruneVersions(spark, snapDir, schema, keepLatest = 1)
+      doomed shouldBe Seq(0L, 1L)
+      snapshotSet(snapDir) shouldBe direct(b0 ++ b1 ++ b2)
+      // and the NEXT batch still folds onto the retained latest version
+      StreamingCdc.processBatch(feed(Seq((9L, 9L, "nine", false))), 3L,
+        snapDir, Seq("k"), Seq("v"), "is_delete")
+      snapshotSet(snapDir) shouldBe
+        direct(b0 ++ b1 ++ b2 ++ Seq((9L, 9L, "nine", false)))
+    }
+
     it("batch 0 folds onto a missing snapshot dir as empty state") {
       val dir = java.nio.file.Files.createTempDirectory("graft-scdc-b0").toString
       StreamingCdc.processBatch(

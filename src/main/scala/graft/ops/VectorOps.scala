@@ -352,6 +352,30 @@ object VectorOps {
     * one partial row per (key, partition), and the array is rebuilt by a
     * plain projection. Components rounded to 6dp (cross-engine contract).
     */
+  /** Public zero-shuffle cell assignment over driver-side centroid
+    * literals — the same argmax projection the IVF family uses, exposed
+    * for streaming quantizer maintenance. Input needs (vec_id, embedding);
+    * output carries (vec_id, v, cell).
+    */
+  def assignCells(emb: DataFrame, centArr: Seq[(Int, Seq[Double])]): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("vn"))
+      .select(col("vec_id"), col("v"),
+        nearestCellExpr(centArr, col("v"), col("vn")).as("cell"))
+
+  /** Per-cell member count + 6dp-rounded mean vector over an assigned
+    * frame — one hash agg with a k×dim-sized result (the driver-collect
+    * budget every quantizer loop here lives on).
+    */
+  def cellStats(assigned: DataFrame, dim: Int): DataFrame = {
+    val aggs = count(lit(1)).as("n") +:
+      (0 until dim).map(i => avg(element_at(col("v"), i + 1)).as(s"m$i"))
+    assigned.groupBy(col("cell"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("cell"), col("n"),
+        array((0 until dim).map(i => round(col(s"m$i"), 6)): _*).as("mean"))
+  }
+
   private def meanVector(df: DataFrame, keyCol: String, vecCol: String, dim: Int): DataFrame = {
     val aggs = (0 until dim).map(i =>
       avg(element_at(col(vecCol), i + 1)).as(s"m$i"))

@@ -608,6 +608,17 @@ object SparkEntry {
           .select(lit("purchase_after_click").as("stage"), col("n_users")))
     }),
 
+    // Markov next-event transition matrix — see TimeSeries.transitions
+    // (no user shares a microsecond in this data, so the (ts, event_id)
+    // order is identical across engines).
+    "event_transitions" -> ((s, dir) =>
+      graft.ops.TimeSeries.transitions(Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id")))),
+
+    // Key-skew diagnostic over (event_type, user_id) — see Profile.keySkew.
+    "key_skew_report" -> ((s, dir) =>
+      graft.ops.Profile.keySkew(Tables.events(s, dir), "event_type", "user_id")),
+
     // Weekly cohort retention: users grouped by first-activity week, counted
     // in every later week they reappear. Two aggregations, one equi-join.
     "cohort_retention" -> ((s, dir) => {
@@ -1463,6 +1474,25 @@ object SparkEntry {
          SELECT 'signup' AS stage, count(*) AS n_users FROM s1
          UNION ALL SELECT 'click_after_signup', count(*) FROM s2
          UNION ALL SELECT 'purchase_after_click', count(*) FROM s3""",
+
+    "event_transitions" ->
+      """WITH t AS (SELECT event_type AS src,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+           FROM events),
+         c AS (SELECT src, dst, count(*) AS n FROM t WHERE dst IS NOT NULL GROUP BY 1, 2)
+         SELECT src, dst, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS prob
+         FROM c""",
+
+    "key_skew_report" ->
+      """WITH per AS (SELECT event_type, user_id, count(*) AS c FROM events GROUP BY 1, 2),
+         agg AS (SELECT event_type, count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+           max(c) AS max_per_key FROM per GROUP BY 1)
+         SELECT event_type, n_keys, n_rows, max_per_key,
+           CAST(floor(max_per_key * 1000000 / n_rows) AS BIGINT) AS top_share_ppm,
+           round(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_per_key,
+           round(max_per_key * n_keys / CAST(n_rows AS DOUBLE), 6) AS skew_ratio
+         FROM agg""",
 
     "cohort_retention" ->
       """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort

@@ -37,4 +37,24 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
+
+  /** Key-skew diagnostic per `groupCol` over `keyCol`: key count, max and
+    * mean per-key row counts, top-key share in integer ppm, and the
+    * max/mean skew ratio — the panel read before picking a salting factor
+    * for a hot key. Two keyed hash aggs; the ratio columns derive from
+    * the emitted integers (no avg() aggregator crosses the engine
+    * boundary).
+    */
+  def keySkew(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol), col(keyCol)).agg(count(lit(1)).as("c"))
+    per.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_per_key"))
+      .select(col(groupCol), col("n_keys"), col("n_rows"), col("max_per_key"),
+        floor(col("max_per_key") * lit(1000000L) / col("n_rows"))
+          .cast("bigint").as("top_share_ppm"),
+        round(col("n_rows").cast("double") / col("n_keys"), 6).as("avg_per_key"),
+        round(col("max_per_key") * col("n_keys")
+          / col("n_rows").cast("double"), 6).as("skew_ratio"))
+  }
 }

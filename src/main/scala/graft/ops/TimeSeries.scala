@@ -210,6 +210,26 @@ object TimeSeries {
           abs(col("value") - col("mu")) > lit(nSigma) * col("sd"))
   }
 
+  /** Markov next-event transition matrix: per (src → dst) count and
+    * row-normalized probability from a lag-1 self-alignment over each
+    * user's event sequence (ORDER BY ts, event_id — the repo's
+    * deterministic tie-break). The lead() window is PARTITIONED per user
+    * so the sort is per-key, never global; the normalizing window runs
+    * over the |types|²-row matrix — negligible at any scale.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    counts.select(col("src"), col("dst"), col("n"),
+      round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("src"))), 6).as("prob"))
+  }
+
   /** PSI rollup over a pre-filled per-(key, bin) count table with columns
     * (keyCol, b, c_ref, c_cur) — the tail of `psiDrift`, shared with the
     * streaming monitor so the two can never diverge.

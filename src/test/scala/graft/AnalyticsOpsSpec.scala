@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Profile, TimeSeries}
+
+/** Hand-computed cases for the sequence/skew diagnostics: the Markov
+  * transition matrix (lag-1 per-user alignment) and the key-skew report.
+  */
+class AnalyticsOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  describe("TimeSeries.transitions") {
+    it("counts lag-1 pairs per user and row-normalizes per source") {
+      // u1: a b a b   -> a→b ×2, b→a ×1
+      // u2: a a c     -> a→a ×1, a→c ×1
+      val ev = Seq(
+        ("u1", "a", 1000L, 1L), ("u1", "b", 2000L, 2L),
+        ("u1", "a", 3000L, 3L), ("u1", "b", 4000L, 4L),
+        ("u2", "a", 1000L, 5L), ("u2", "a", 2000L, 6L), ("u2", "c", 3000L, 7L))
+        .toDF("user_id", "event_type", "ms", "event_id")
+        .select(col("user_id"), col("event_type"),
+          timestamp_millis(col("ms")).as("ts"), col("event_id"))
+      val got = TimeSeries.transitions(ev).collect()
+        .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+        .toMap
+      got(("a", "b")) shouldBe ((2L, 0.5)) // a has 4 outgoing: b,b,a,c
+      got(("a", "a")) shouldBe ((1L, 0.25))
+      got(("a", "c")) shouldBe ((1L, 0.25))
+      got(("b", "a")) shouldBe ((1L, 1.0))
+      got.size shouldBe 4 // never a cross-user pair (u1's last b → u2's first a)
+    }
+
+    it("breaks equal-timestamp ties by event_id") {
+      val ev = Seq(("u", "x", 1000L, 2L), ("u", "y", 1000L, 1L))
+        .toDF("user_id", "event_type", "ms", "event_id")
+        .select(col("user_id"), col("event_type"),
+          timestamp_millis(col("ms")).as("ts"), col("event_id"))
+      val got = TimeSeries.transitions(ev).collect()
+      got.length shouldBe 1
+      (got.head.getString(0), got.head.getString(1)) shouldBe (("y", "x"))
+    }
+  }
+
+  describe("Profile.keySkew") {
+    it("computes integer-exact top share and the max/mean ratio") {
+      // group g: key k1 ×6, k2 ×1, k3 ×1 → 8 rows, 3 keys
+      val df = (Seq.fill(6)("k1") ++ Seq("k2", "k3")).map(("g", _))
+        .toDF("grp", "key")
+      val r = Profile.keySkew(df, "grp", "key").collect().head
+      r.getAs[Long]("n_keys") shouldBe 3L
+      r.getAs[Long]("n_rows") shouldBe 8L
+      r.getAs[Long]("max_per_key") shouldBe 6L
+      r.getAs[Long]("top_share_ppm") shouldBe 750000L
+      r.getAs[Double]("avg_per_key") shouldBe (8.0 / 3 +- 1e-6)
+      r.getAs[Double]("skew_ratio") shouldBe 2.25 // 6 / (8/3)
+    }
+
+    it("reports no skew for a uniform distribution") {
+      val df = Seq("k1", "k2", "k3", "k4").map(("g", _)).toDF("grp", "key")
+      val r = Profile.keySkew(df, "grp", "key").collect().head
+      r.getAs[Long]("top_share_ppm") shouldBe 250000L
+      r.getAs[Double]("skew_ratio") shouldBe 1.0
+    }
+  }
+}

@@ -884,6 +884,13 @@ object SparkEntry {
     "pagerank_neardup" -> ((s, dir) =>
       graft.ops.Graph.pageRank(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
 
+    // Per-node triangles + clustering coefficient over the near-dup graph:
+    // high-degree/low-coefficient nodes are template hubs bridging
+    // unrelated docs; coefficient ≈ 1 marks a genuine duplicate clique —
+    // the signal deciding "drop the hub" vs "drop the cluster".
+    "neardup_triangles" -> ((s, dir) =>
+      graft.ops.Graph.triangleStats(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
+
     // Dedup-cluster audit: component-size distribution over the near-dup
     // graph — the sanity panel read before applying a drop policy (one
     // giant component = a boilerplate artifact, not real duplication).
@@ -1673,6 +1680,7 @@ object SparkEntry {
     "curation_pipeline" -> DuckDbOracles.curationPipeline(),
     "dedup_components" -> DuckDbOracles.dedupComponents(),
     "pagerank_neardup" -> DuckDbOracles.pagerankNeardup(),
+    "neardup_triangles" -> DuckDbOracles.neardupTriangles,
     "dedup_components_exact" -> DuckDbOracles.dedupComponentsExact,
     "dedup_cluster_stats" ->
       s"""SELECT count(*) AS n_components,

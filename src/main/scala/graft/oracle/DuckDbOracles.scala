@@ -619,6 +619,26 @@ object DuckDbOracles {
        |FROM nd JOIN r$iters r ON nd.node = r.node""".stripMargin
   }
 
+  /** Twin of Graph.triangleStats. The Spark side enumerates with degree
+    * orientation (the O(m^1.5) bound); the triangle SET is
+    * orientation-independent, so the oracle uses the simple a<b<c
+    * three-way join over the canonical (doc_a < doc_b) edge list.
+    */
+  def neardupTriangles: String =
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($minhashLshPairs) p),
+       |nodes AS (SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b AS node FROM pairs),
+       |deg AS (SELECT node, count(*) AS deg FROM nodes GROUP BY 1),
+       |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c FROM pairs e1
+       |  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+       |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       |pn AS (SELECT unnest([a, b, c]) AS node FROM tri),
+       |cnt AS (SELECT node, count(*) AS n_tri FROM pn GROUP BY 1)
+       |SELECT d.node, d.deg, CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri,
+       |  round(CASE WHEN d.deg >= 2
+       |    THEN 2.0 * coalesce(c.n_tri, 0) / (d.deg * (d.deg - 1)) ELSE 0.0 END, 6)
+       |    AS clustering_coef
+       |FROM deg d LEFT JOIN cnt c ON d.node = c.node""".stripMargin
+
   /** Twin of Dedup.nearDupComponentsExact: the fixpoint needs no unrolling
     * in SQL — a RECURSIVE transitive-closure CTE (set semantics, so it
     * terminates) reaches every node of the component and min() picks the

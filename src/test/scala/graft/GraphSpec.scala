@@ -51,4 +51,61 @@ class GraphSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
     a shouldBe b
   }
+
+  describe("triangleStats") {
+    def stats(rows: Seq[(Long, Long)]) =
+      Graph.triangleStats(pairsDf(rows)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+    it("a star has zero triangles and hub coefficient 0 (template hub shape)") {
+      val r = stats(Seq(1L -> 2L, 1L -> 3L, 1L -> 4L))
+      r(1L) shouldBe ((3L, 0L, 0.0))
+      r(2L) shouldBe ((1L, 0L, 0.0)) // deg 1: coefficient defined as 0
+    }
+
+    it("a 3-clique is one triangle with coefficient 1 everywhere (duplicate clique shape)") {
+      val r = stats(Seq(1L -> 2L, 1L -> 3L, 2L -> 3L))
+      Seq(1L, 2L, 3L).foreach(n => r(n) shouldBe ((2L, 1L, 1.0)))
+    }
+
+    it("two triangles sharing an edge count each corner once per triangle") {
+      // 1-2-3 and 2-3-4: shared edge 2-3 → nodes 2,3 sit in both triangles
+      val r = stats(Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 2L -> 4L, 3L -> 4L))
+      r(1L) shouldBe ((2L, 1L, 1.0))
+      r(4L) shouldBe ((2L, 1L, 1.0))
+      r(2L) shouldBe ((3L, 2L, round6(2.0 * 2 / (3 * 2))))
+      r(3L)._2 shouldBe 2L
+    }
+
+    it("a 4-clique has C(3,2)=3 triangles per node, coefficient 1") {
+      val n = Seq(1L, 2L, 3L, 4L)
+      val edges = for (a <- n; b <- n if a < b) yield a -> b
+      val r = stats(edges)
+      n.foreach(x => r(x) shouldBe ((3L, 3L, 1.0)))
+    }
+
+    it("matches the orientation-free count and survives repartitioning") {
+      // pseudo-random graph on 30 nodes, deterministic edge rule
+      val edges = (for (a <- 1L to 30L; b <- 1L to 30L
+        if a < b && (a * 7 + b * 13) % 5 == 0) yield a -> b).toSeq
+      val df = pairsDf(edges)
+      val a = Graph.triangleStats(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val b = Graph.triangleStats(df.repartition(13)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      a shouldBe b
+      // orientation-free reference: count closed wedges directly
+      val es = edges.toSet
+      def adj(x: Long) = edges.collect {
+        case (a2, b2) if a2 == x => b2; case (a2, b2) if b2 == x => a2 }
+      val expect = (1L to 30L).map { x =>
+        val nb = adj(x)
+        x -> nb.combinations(2).count {
+          case Seq(p, q) => es.contains((p min q, p max q)) }
+      }.toMap
+      a.foreach { case (node, _, nTri, _) => nTri shouldBe expect(node).toLong }
+    }
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 }

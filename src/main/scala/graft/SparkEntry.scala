@@ -494,6 +494,13 @@ object SparkEntry {
     "quantile_rollup" -> ((s, dir) =>
       Sketches.quantileRollup(Sketches.quantilePartials(Tables.events(s, dir)))),
 
+    // Mergeable moment partials: per-(type, day) EXACT decimal power sums
+    // (n, Σv, Σv², Σv³) merged by addition, derived into mean / sample
+    // variance / skewness — the moments twin of quantile_rollup. Oracle
+    // recomputes direct from raw: partials+merge == direct, exactly.
+    "moments_rollup" -> ((s, dir) =>
+      Sketches.momentsRollup(Sketches.momentPartials(Tables.events(s, dir)))),
+
     // Column-profiling audit: one row per column (nulls, exact distincts,
     // typed min/max) in a single Expand-based scan.
     "profile_events" -> ((s, dir) =>
@@ -1434,6 +1441,7 @@ object SparkEntry {
          FROM events GROUP BY 1""",
 
     "quantile_rollup" -> DuckDbOracles.quantileRollup(),
+    "moments_rollup" -> DuckDbOracles.momentsRollup,
     "winsorize_values" -> DuckDbOracles.winsorizeValues(),
     "profile_events" -> DuckDbOracles.profileEvents(ProfileCols),
 

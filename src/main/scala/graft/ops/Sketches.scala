@@ -97,4 +97,48 @@ object Sketches {
     cum.groupBy(col("event_type"))
       .agg(max(col("n")).as("n"), qCols: _*)
   }
+
+  /** Per-(event_type, day) moment partials: row count + EXACT decimal
+    * power sums Σv, Σv², Σv³ of the 2dp value column — the
+    * mean/variance/skewness twin of `quantilePartials`. DECIMAL power sums
+    * make the merge EXACT addition: a float-sum partial table merges with
+    * summation-order drift, while these fold across any
+    * day/shard/stream boundary with zero error — so a 100 TB scan can be
+    * moment-summarized once, incrementally, and every later rollup is as
+    * good as a rescan. 2dp values cast losslessly to DECIMAL(10,2); v³
+    * sums in DECIMAL(38,6) with ~30 integer digits of headroom.
+    *
+    * One map-side-combinable hash agg per day grain.
+    */
+  def momentPartials(events: DataFrame): DataFrame = {
+    val v = col("value").cast("decimal(10,2)")
+    events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s1"),
+        sum(v * v).as("s2"), sum(v * v * v).as("s3"))
+  }
+
+  /** Roll moment partials up to per-key n / Σv / mean / sample variance /
+    * population skewness: merge = decimal addition (exact), derived stats
+    * computed in double from the exact sums with expression shapes the
+    * DuckDB oracle mirrors token for token (m2^1.5 as m2·√m2 — sqrt is
+    * IEEE-exact where a general pow differs by ulps). Constant groups
+    * (m2 = 0) emit skewness 0 rather than a 0/0.
+    */
+  def momentsRollup(partials: DataFrame): DataFrame = {
+    val merged = partials.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+        sum(col("s2")).as("s2"), sum(col("s3")).as("s3"))
+    val nd = col("n").cast("double")
+    val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double")
+    val s3 = col("s3").cast("double")
+    val mu = s1 / nd
+    val m2 = s2 / nd - mu * mu
+    val m3 = s3 / nd - lit(3.0) * mu * (s2 / nd) + lit(2.0) * mu * mu * mu
+    merged.select(col("event_type"), col("n"),
+      col("s1").cast("decimal(18,2)").as("sum_v"),
+      round(mu, 6).as("mean_v"),
+      round((s2 - s1 * s1 / nd) / (nd - lit(1.0)), 6).as("var_samp"),
+      round(when(m2 > 0, m3 / (m2 * sqrt(m2))).otherwise(lit(0.0)), 6).as("skew_pop"))
+  }
 }

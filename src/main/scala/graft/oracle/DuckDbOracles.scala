@@ -182,6 +182,32 @@ object DuckDbOracles {
        |FROM cum GROUP BY 1""".stripMargin
   }
 
+  /** Twin of Sketches.momentPartials + momentsRollup, computed DIRECT from
+    * raw values — partials + exact-decimal merge == direct is the
+    * contract under test. Derived doubles mirror the Spark expression
+    * shapes token for token (left-assoc products, m2·√m2 for m2^1.5).
+    */
+  val momentsRollup: String = {
+    val v = "CAST(value AS DECIMAL(10,2))"
+    s"""WITH p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    sum($v) AS s1, sum($v * $v) AS s2, sum($v * $v * $v) AS s3
+       |  FROM events GROUP BY 1),
+       |d AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd, s1,
+       |    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+       |    CAST(s3 AS DOUBLE) AS s3d
+       |  FROM p)
+       |SELECT event_type, n, CAST(s1 AS DECIMAL(18,2)) AS sum_v,
+       |  round(s1d / nd, 6) AS mean_v,
+       |  round((s2d - s1d * s1d / nd) / (nd - 1.0), 6) AS var_samp,
+       |  round(CASE WHEN s2d / nd - (s1d / nd) * (s1d / nd) > 0
+       |    THEN (s3d / nd - 3.0 * (s1d / nd) * (s2d / nd)
+       |          + 2.0 * (s1d / nd) * (s1d / nd) * (s1d / nd))
+       |      / ((s2d / nd - (s1d / nd) * (s1d / nd))
+       |         * sqrt(s2d / nd - (s1d / nd) * (s1d / nd)))
+       |    ELSE 0.0 END, 6) AS skew_pop
+       |FROM d""".stripMargin
+  }
+
   /** Twin of Layout.zorderEvents: the bit interleave unrolled into SQL add
     * terms; pmod replicated as ((a % m) + m) % m (DuckDB % keeps sign).
     */

@@ -110,4 +110,55 @@ class SketchSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       r.getAs[Double]("p99") shouldBe 10.0
     }
   }
+
+  describe("moment partials + rollup") {
+    import spark.implicits._
+    import graft.ops.Sketches
+
+    def ev(rows: Seq[(String, Long, Double)]) =
+      rows.map { case (k, ms, v) => (k, new java.sql.Timestamp(ms), v) }
+        .toDF("event_type", "ts", "value")
+
+    it("matches Spark's own var_samp and skewness computed direct from raw") {
+      val rng = new scala.util.Random(7)
+      val rows = (1 to 500).map { i =>
+        (s"k${i % 3}", 1700000000000L + i * 3600000L,
+          math.rint(rng.nextDouble() * 10000) / 100.0) // 2dp values
+      }
+      val df = ev(rows)
+      val got = Sketches.momentsRollup(Sketches.momentPartials(df)).collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[Double]("mean_v"), r.getAs[Double]("var_samp"),
+            r.getAs[Double]("skew_pop")))).toMap
+      val direct = df.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("m"), var_samp(col("value")).as("v"),
+          skewness(col("value")).as("s")).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      direct.foreach { case (k, (m, v, s)) =>
+        got(k)._1 shouldBe m +- 1e-6
+        got(k)._2 shouldBe v +- 1e-4
+        got(k)._3 shouldBe s +- 1e-4
+      }
+    }
+
+    it("merge is exact: any partitioning and any day-split give identical rows") {
+      val rows = (1 to 200).map(i =>
+        ("k", 1700000000000L + i * 7200000L, (i % 37) + 0.25))
+      val a = Sketches.momentsRollup(Sketches.momentPartials(ev(rows))).collect()
+      val b = Sketches.momentsRollup(Sketches.momentPartials(ev(rows).repartition(17)))
+        .collect()
+      a.map(_.toSeq) shouldBe b.map(_.toSeq)
+      // the partials table really is per-day mergeable state, not one blob
+      Sketches.momentPartials(ev(rows)).count() should be > 1L
+    }
+
+    it("a constant group has variance 0 and skewness 0 (no 0/0)") {
+      val rows = (1 to 8).map(i => ("c", 1700000000000L + i * 1000L, 4.5))
+      val r = Sketches.momentsRollup(Sketches.momentPartials(ev(rows))).collect()(0)
+      r.getAs[java.math.BigDecimal]("sum_v").doubleValue() shouldBe 36.0
+      r.getAs[Double]("var_samp") shouldBe 0.0
+      r.getAs[Double]("skew_pop") shouldBe 0.0
+    }
+  }
 }

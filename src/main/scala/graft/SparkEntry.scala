@@ -791,6 +791,13 @@ object SparkEntry {
     // Temperature-based source mixing: p_s ∝ sqrt(share_s), deterministic
     // ppm hash gate — the skew-flattening resampler in LLM data recipes.
     "temperature_mix" -> ((s, dir) => Sampling.temperatureMix(Tables.documents(s, dir))),
+    // Quality-weighted Bernoulli sampling: keep probability ∝ the 6dp
+    // quality score — the soft gate between hard filtering and uniform
+    // sampling; same deterministic ppm hash machinery.
+    "weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+        TextOps.qualityScore(Tables.documents(s, dir))
+          .select(col("doc_id"), col("quality_score")))),
     // Per-source quota cap ("max N docs per domain") via the bounded-heap
     // aggregator — no per-source sort ever materializes.
     "capped_per_source" -> ((s, dir) => Sampling.cappedPerSource(Tables.documents(s, dir))),
@@ -1672,6 +1679,7 @@ object SparkEntry {
     "custom_sessions" -> DuckDbOracles.customSessions(SessionGapMs, SessionCapMs),
     "stratified_sample" -> DuckDbOracles.stratifiedSample,
     "temperature_mix" -> DuckDbOracles.temperatureMix,
+    "weighted_sample" -> DuckDbOracles.weightedSample(),
     "capped_per_source" -> DuckDbOracles.cappedPerSource(),
     "leakage_safe_split" ->
       s"""WITH comp AS (${DuckDbOracles.dedupComponents()})

@@ -138,6 +138,36 @@ object Sampling {
         col("t._2").as("doc_id"))
   }
 
+  /** Base ppm multiplier for `weightedSample`: a quality score of 1.0 maps
+    * to rate 1.2e6 (clamped to certain-keep), so top-quality docs always
+    * survive and the keep probability degrades linearly below ~0.83.
+    * 1 200 000 is deliberately NOT a multiple that can land a 6dp score on
+    * a .5 tie (1.2·d mod 1 ∈ {0, .2, .4, .6, .8}), and the rate is
+    * floor()ed from the identical IEEE product in both engines.
+    */
+  val WeightBasePpm: Long = 1200000L
+
+  /** Quality-weighted deterministic Bernoulli sampling: keep probability
+    * proportional to a per-doc score (capped at 1) — the soft keep/drop
+    * gate between hard quality filtering (lose borderline docs entirely)
+    * and uniform sampling (ignore quality). Input needs (doc_id,
+    * quality_score[6dp]); a doc survives iff its portable hash lands under
+    * floor(score·base) ppm — deterministic, growth-stable, replayable,
+    * like every other sampling decision here.
+    *
+    * Scale: a projection + filter over the scored corpus; no shuffle.
+    */
+  def weightedSample(
+      scored: DataFrame,
+      basePpm: Long = WeightBasePpm,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame =
+    scored
+      .select(col("doc_id"), col("quality_score"),
+        least(lit(1000000L),
+          floor(col("quality_score") * lit(basePpm)).cast("bigint")).as("rate_ppm"))
+      .filter(pmod(hash("wsamp", col("doc_id").cast("string")), lit(1000000L))
+        < col("rate_ppm"))
+
   def temperatureMix(
       docs: DataFrame,
       targetFrac: Double = MixTargetFrac,

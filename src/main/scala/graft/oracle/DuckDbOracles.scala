@@ -487,6 +487,26 @@ object DuckDbOracles {
        |  < (CASE $ppmCase ELSE ${Sampling.DefaultPpm} END)""".stripMargin
   }
 
+  /** Twin of Sampling.weightedSample over TextOps.qualityScore — the score
+    * formula and stopword list render from the same Scala constants as
+    * textQuality, the rate is floor()ed from the identical IEEE product,
+    * and the keep gate replays the portable hash.
+    */
+  def weightedSample(basePpm: Long = Sampling.WeightBasePpm): String = {
+    val stop = inList(TextOps.stopwords)
+    s"""WITH $tokCte,
+       |q AS (SELECT doc_id,
+       |  round(0.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+       |      + 0.3 * (1.0 - CAST(len(list_filter(t, x -> x IN ($stop))) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+       |      + 0.2 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0), 6) AS quality_score
+       |  FROM tok)
+       |SELECT doc_id, quality_score,
+       |  least(1000000, CAST(floor(quality_score * $basePpm) AS BIGINT)) AS rate_ppm
+       |FROM q
+       |WHERE ${h("wsamp", "CAST(doc_id AS VARCHAR)")} % 1000000
+       |  < least(1000000, CAST(floor(quality_score * $basePpm) AS BIGINT))""".stripMargin
+  }
+
   /** Twin of TextOps.decontaminate over TextOps.benchmarkSet — the bench
     * derivation constants render from the same Scala values.
     */

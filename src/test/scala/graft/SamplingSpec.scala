@@ -120,4 +120,41 @@ class SamplingSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper
       (before -- after).size should be <= 3
     }
   }
+
+  describe("weightedSample") {
+    import spark.implicits._
+
+    def scored(rows: Seq[(Long, Double)]) =
+      rows.toDF("doc_id", "quality_score")
+
+    it("rate is floor(score*base) capped at 1e6; score >= 5/6 always survives") {
+      val rows = (1L to 600L).map(i => (i, if (i <= 300) 1.0 else 0.9))
+      val out = Sampling.weightedSample(scored(rows)).collect()
+      out.foreach { r =>
+        val expect = math.min(1000000L,
+          math.floor(r.getDouble(1) * Sampling.WeightBasePpm).toLong)
+        r.getLong(2) shouldBe expect
+      }
+      // both 1.0 and 0.9 map to rate >= 1e6 → certain keep
+      out.length shouldBe 600
+    }
+
+    it("keep fraction tracks the score and zero-score docs never survive") {
+      val n = 4000L
+      val rows = (1L to n).map(i => (i, if (i % 2 == 0) 0.5 else 0.0))
+      val out = Sampling.weightedSample(scored(rows)).collect()
+      out.foreach(_.getDouble(1) shouldBe 0.5) // no zero-score doc kept
+      // rate 600000 ppm over 2000 docs: expect ~1200, generous hash wiggle
+      out.length.toDouble should (be >= 1050.0 and be <= 1350.0)
+    }
+
+    it("is deterministic and stable under corpus growth") {
+      def kept(n: Long): Set[Long] =
+        Sampling.weightedSample(scored((1L to n).map(i => (i, 0.4))))
+          .collect().map(_.getLong(0)).toSet
+      val small = kept(300)
+      small.subsetOf(kept(900)) shouldBe true
+      kept(300) shouldBe small
+    }
+  }
 }

@@ -835,6 +835,11 @@ object SparkEntry {
     }),
     "minhash_signatures" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
     "minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
+    // Estimator-quality audit: signature-agreement estimate vs exact
+    // shingle Jaccard on every candidate pair (precision ppm, MAE, bias,
+    // worst error) — decides whether k=12 is enough for a new corpus mix.
+    "minhash_quality_report" -> ((s, dir) =>
+      Dedup.minhashQualityReport(Tables.documents(s, dir))),
     "simhash_docs" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) => Dedup.fingerprintJaccardPairs(Tables.documents(s, dir))),
@@ -1718,6 +1723,7 @@ object SparkEntry {
     "embedding_quantize" -> DuckDbOracles.embeddingQuantize,
     "minhash_signatures" -> DuckDbOracles.minhashSignatures,
     "minhash_lsh_pairs" -> DuckDbOracles.minhashLshPairs,
+    "minhash_quality_report" -> DuckDbOracles.minhashQualityReport(),
     "dedup_apply_minhash" -> DuckDbOracles.dedupApplyMinhash,
     "embedding_norms" -> DuckDbOracles.embeddingNorms,
     "simhash_docs" -> DuckDbOracles.simhashDocs,

@@ -171,6 +171,58 @@ object Dedup {
     tallied.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** Exact-Jaccard threshold above which a candidate pair counts as a true
+    * near-dup in `minhashQualityReport` (the ngramJaccardPairs default).
+    */
+  val EstAuditThreshold = 0.3
+
+  /** Estimator-quality audit for the MinHash pipeline — the signature
+    * twin of `VectorOps` ann_recall_report: for every LSH candidate pair,
+    * compare the k-position signature-agreement ESTIMATE against the EXACT
+    * 3-shingle Jaccard, and report candidate count, true-near-dup count +
+    * precision (integer ppm), MAE, signed bias, and worst error. The
+    * report that decides whether k=12 signatures are enough before anyone
+    * trusts `dedup_apply_minhash` at a new corpus mix.
+    *
+    * Scale: exact Jaccard is computed ONLY for documents that appear in a
+    * candidate pair (semi-join gate), so the shingle equi-join runs over
+    * the candidate subset — pair-graph-sized, never corpus-sized; the
+    * report itself is one global aggregate row.
+    */
+  def minhashQualityReport(
+      docs: DataFrame,
+      trueThreshold: Double = EstAuditThreshold,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val pairs = minhashLshPairs(docs, hash)
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val shp = shingles(docs).join(nodes, Seq("doc_id"), "left_semi").persist()
+    val sz = shp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = shp.as("a").join(shp.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val err = col("est_jaccard") - col("exact_jaccard")
+    pairs
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(col("est_jaccard"),
+        round(coalesce(col("i"), lit(0L)).cast("double")
+          / (col("na") + col("nb") - coalesce(col("i"), lit(0L))).cast("double"), 6)
+          .as("exact_jaccard"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("exact_jaccard") >= lit(trueThreshold), 1L).otherwise(0L))
+          .as("n_true"),
+        round(avg(abs(err)), 6).as("mae"),
+        round(avg(err), 6).as("bias"),
+        round(max(abs(err)), 6).as("max_abs_err"))
+      .select(col("n_pairs"), col("n_true"),
+        floor(col("n_true") * lit(1000000L) / col("n_pairs"))
+          .cast("bigint").as("precision_ppm"),
+        col("mae"), col("bias"), col("max_abs_err"))
+  }
+
   /** SimHash near-dup pairs: candidates share at least one of the 4 bytes of
     * the fingerprint. By pigeonhole, any pair within Hamming distance 3 of
     * 32 bits agrees on ≥1 whole byte, so the byte-band equi-join has perfect

@@ -765,6 +765,39 @@ object DuckDbOracles {
        |)
        |$pairsFromBands""".stripMargin
 
+  /** Twin of Dedup.minhashQualityReport: candidate pairs from the shared
+    * band fragments, exact Jaccard recomputed over the candidate-doc
+    * shingle subset, one aggregate report row.
+    */
+  def minhashQualityReport(threshold: Double = Dedup.EstAuditThreshold): String =
+    s"""WITH $tokCte, $shCte, $sigCte,
+       |bands AS (
+       |  $bandsCteBody
+       |),
+       |pairs AS ($pairsFromBands),
+       |pd AS (SELECT DISTINCT node AS doc_id FROM (
+       |  SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b AS node FROM pairs)),
+       |shp AS (SELECT s.doc_id, s.shingle FROM sh s JOIN pd ON s.doc_id = pd.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pe AS (SELECT p.est_jaccard,
+       |    round(CAST(coalesce(i.i, 0) AS DOUBLE)
+       |      / CAST(sa.n + sb.n - coalesce(i.i, 0) AS DOUBLE), 6) AS exact_jaccard
+       |  FROM pairs p JOIN sz sa ON p.doc_a = sa.doc_id
+       |  JOIN sz sb ON p.doc_b = sb.doc_id
+       |  LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN exact_jaccard >= $threshold THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_true,
+       |  CAST(floor(sum(CASE WHEN exact_jaccard >= $threshold THEN 1 ELSE 0 END)
+       |    * 1000000 / count(*)) AS BIGINT) AS precision_ppm,
+       |  round(avg(abs(est_jaccard - exact_jaccard)), 6) AS mae,
+       |  round(avg(est_jaccard - exact_jaccard), 6) AS bias,
+       |  round(max(abs(est_jaccard - exact_jaccard)), 6) AS max_abs_err
+       |FROM pe""".stripMargin
+
   /** Twin of the composed `curation_pipeline` query — the end-to-end
     * training-data preparation chain built from the SAME fragments the
     * individual oracles use (retention gates → MinHash-LSH near-dup

@@ -38,6 +38,30 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("minhashQualityReport") {
+    it("identical docs give a zero-error, full-precision report") {
+      val r = Dedup.minhashQualityReport(
+        docsDf(Seq(1L -> base, 2L -> base, 3L -> unrelated))).collect()(0)
+      r.getAs[Long]("n_pairs") shouldBe 1L
+      r.getAs[Long]("n_true") shouldBe 1L
+      r.getAs[Long]("precision_ppm") shouldBe 1000000L
+      r.getAs[Double]("mae") shouldBe 0.0 // est 12/12 = exact 1.0
+      r.getAs[Double]("bias") shouldBe 0.0
+      r.getAs[Double]("max_abs_err") shouldBe 0.0
+    }
+
+    it("near-dup pair: |bias| <= mae <= max error, exact jaccard grounds the truth gate") {
+      val r = Dedup.minhashQualityReport(
+        docsDf(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated))).collect()(0)
+      r.getAs[Long]("n_pairs") shouldBe 1L
+      r.getAs[Long]("n_true") shouldBe 1L // exact 55/61 ≈ 0.90 >= 0.3
+      val mae = r.getAs[Double]("mae")
+      math.abs(r.getAs[Double]("bias")) should be <= mae
+      mae should be <= r.getAs[Double]("max_abs_err")
+      mae should be <= 0.5 // k=12 estimator within half a unit of truth here
+    }
+  }
+
   describe("simhash") {
     it("near-identical docs land within the hamming threshold; unrelated far") {
       val fp = Dedup.simhash(docsDf(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated)))

@@ -615,6 +615,11 @@ object SparkEntry {
           .select(lit("purchase_after_click").as("stage"), col("n_users")))
     }),
 
+    // Hourly-count autocorrelation at lags 1-3 per event_type over the
+    // gap-filled grid — the seasonality probe; exact integer power sums.
+    "hourly_acf" -> ((s, dir) =>
+      graft.ops.TimeSeries.hourlyAcf(Tables.events(s, dir))),
+
     // Markov next-event transition matrix — see TimeSeries.transitions
     // (no user shares a microsecond in this data, so the (ts, event_id)
     // order is identical across engines).
@@ -1501,6 +1506,8 @@ object SparkEntry {
          SELECT 'signup' AS stage, count(*) AS n_users FROM s1
          UNION ALL SELECT 'click_after_signup', count(*) FROM s2
          UNION ALL SELECT 'purchase_after_click', count(*) FROM s3""",
+
+    "hourly_acf" -> DuckDbOracles.hourlyAcf(),
 
     "event_transitions" ->
       """WITH t AS (SELECT event_type AS src,

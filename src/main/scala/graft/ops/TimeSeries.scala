@@ -210,6 +210,67 @@ object TimeSeries {
           abs(col("value") - col("mu")) > lit(nSigma) * col("sd"))
   }
 
+  /** ACF lags computed by `hourlyAcf`. */
+  val AcfLags: Seq[Int] = Seq(1, 2, 3)
+
+  /** Autocorrelation of the hourly event-count series per event_type at
+    * small lags — the seasonality probe behind "is this signal hourly-
+    * periodic enough to forecast". The series is GAP-FILLED with zero
+    * counts (ACF over the regular grid, not over observed rows only);
+    * Pearson r at lag l comes from the textbook sum formula with every
+    * power sum computed in EXACT integer arithmetic (counts are longs),
+    * so the only floating-point steps are the final three casts, one
+    * multiply and one divide — mirrored token for token in the oracle.
+    * Degenerate windows (zero variance on either side) emit r = 0.
+    *
+    * Scale: one hash agg to hourly counts, a per-type bounded sequence()
+    * explode (series length, not event count), ONE per-type-partitioned
+    * lag window pass shared by all lags, one final agg. Integer power
+    * sums assume per-hour counts ≲ 2^31 (beyond that, move the sums to
+    * DECIMAL — the formula is unchanged).
+    */
+  def hourlyAcf(events: DataFrame, lags: Seq[Int] = AcfLags): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hc = events
+      .select(col("event_type"),
+        floor(unix_millis(col("ts")) / lit(3600000L)).cast("bigint").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    val bounds = hc.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val filled = bounds
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hc, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val lagged = filled.select(
+      col("event_type") +: col("c").as("y") +:
+        lags.map(l => lag(col("c"), l).over(w).as(s"x$l")): _*)
+    val aggs = lags.flatMap { l =>
+      val x = col(s"x$l")
+      Seq(count(x).as(s"n$l"), sum(x).as(s"sx$l"),
+        sum(when(x.isNotNull, col("y"))).as(s"sy$l"),
+        sum(x * col("y")).as(s"sxy$l"), sum(x * x).as(s"sxx$l"),
+        sum(when(x.isNotNull, col("y") * col("y"))).as(s"syy$l"))
+    }
+    val perLag = lags.map { l =>
+      struct(lit(l).as("lag"), col(s"n$l").as("n"), col(s"sx$l").as("sx"),
+        col(s"sy$l").as("sy"), col(s"sxy$l").as("sxy"),
+        col(s"sxx$l").as("sxx"), col(s"syy$l").as("syy"))
+    }
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    lagged.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type"), explode(array(perLag: _*)).as("r"))
+      .select(col("event_type"), col("r.lag").as("lag"), col("r.n").as("n"),
+        col("r.sx").as("sx"), col("r.sy").as("sy"), col("r.sxy").as("sxy"),
+        col("r.sxx").as("sxx"), col("r.syy").as("syy"))
+      .select(col("event_type"), col("lag"), col("n"),
+        round(when(vx > 0 && vy > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .otherwise(lit(0.0)), 6).as("acf"))
+  }
+
   /** Markov next-event transition matrix: per (src → dst) count and
     * row-normalized probability from a lag-1 self-alignment over each
     * user's event sequence (ORDER BY ts, event_id — the repo's

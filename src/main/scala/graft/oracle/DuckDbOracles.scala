@@ -182,6 +182,40 @@ object DuckDbOracles {
        |FROM cum GROUP BY 1""".stripMargin
   }
 
+  /** Twin of TimeSeries.hourlyAcf: gap-filled hourly grid, one lag window
+    * pass, exact integer power sums, the Pearson division mirrored token
+    * for token. `//` keeps the hour bucket in integer floor division
+    * (DuckDB `/` is float division; CAST would round-to-nearest).
+    */
+  def hourlyAcf(lags: Seq[Int] = graft.ops.TimeSeries.AcfLags): String = {
+    val xCols = lags.map(l => s"lag(c, $l) OVER w AS x$l").mkString(", ")
+    val aCtes = lags.map { l =>
+      s"""a$l AS (SELECT event_type, $l AS lag, count(x$l) AS n, sum(x$l) AS sx,
+         |  sum(CASE WHEN x$l IS NOT NULL THEN y END) AS sy, sum(x$l * y) AS sxy,
+         |  sum(x$l * x$l) AS sxx,
+         |  sum(CASE WHEN x$l IS NOT NULL THEN y * y END) AS syy
+         |  FROM lagged GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val union = lags.map(l => s"SELECT * FROM a$l").mkString(" UNION ALL ")
+    s"""WITH hc AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hc GROUP BY 1),
+       |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM bounds),
+       |filled AS (SELECT g.event_type, g.h, CAST(coalesce(hc.c, 0) AS BIGINT) AS c
+       |  FROM grid g LEFT JOIN hc ON g.event_type = hc.event_type AND g.h = hc.h),
+       |lagged AS (SELECT event_type, c AS y, $xCols FROM filled
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+       |$aCtes,
+       |u AS ($union)
+       |SELECT event_type, lag, CAST(n AS BIGINT) AS n,
+       |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       |    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+       |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       |    ELSE 0.0 END, 6) AS acf
+       |FROM u""".stripMargin
+  }
+
   /** Twin of Sketches.momentPartials + momentsRollup, computed DIRECT from
     * raw values — partials + exact-decimal merge == direct is the
     * contract under test. Derived doubles mirror the Spark expression

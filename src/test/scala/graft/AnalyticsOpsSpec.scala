@@ -45,6 +45,38 @@ class AnalyticsOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWra
     }
   }
 
+  describe("TimeSeries.hourlyAcf") {
+    val H = 3600000L
+
+    def evAt(tpe: String, hourCounts: Seq[Int]) =
+      hourCounts.zipWithIndex.flatMap { case (n, h) =>
+        (0 until n).map(i => (tpe, 1700000000000L + h * H + i * 1000L))
+      }
+
+    def acfMap(rows: Seq[(String, Long)]) =
+      TimeSeries.hourlyAcf(
+        rows.toDF("event_type", "ms")
+          .select(col("event_type"), timestamp_millis(col("ms")).as("ts")))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+
+    it("a perfectly alternating series has acf(1) = -1 and acf(2) = +1") {
+      val m = acfMap(evAt("alt", Seq(2, 4, 2, 4, 2, 4, 2, 4)))
+      m(("alt", 1))._2 shouldBe -1.0
+      m(("alt", 2))._2 shouldBe 1.0
+      m(("alt", 1))._1 shouldBe 7L // 8 hours -> 7 lag-1 pairs
+    }
+
+    it("gap hours are filled with zero counts (and constant windows emit 0)") {
+      // observed hours 0 and 2 only: filled series 1,0,1
+      val m = acfMap(evAt("gap", Seq(1, 0, 1)))
+      m(("gap", 1)) shouldBe ((2L, -1.0)) // (1,0),(0,1): the zero was inserted
+      m(("gap", 2)) shouldBe ((1L, 0.0)) // single degenerate pair -> guard
+      m(("gap", 3))._1 shouldBe 0L
+    }
+  }
+
   describe("Profile.keySkew") {
     it("computes integer-exact top share and the max/mean ratio") {
       // group g: key k1 ×6, k2 ×1, k3 ×1 → 8 rows, 3 keys

@@ -1003,6 +1003,16 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       VectorOps.ivfTopK(emb, coarse = Some(VectorOps.kmeansCentroids(emb, k = 10, iters = 3)))
     }),
+    // Product quantization: per-subspace Lloyd codebooks (4×16 over dim
+    // 64) — the artifact a production pipeline persists beside the
+    // compressed index.
+    "pq_codebooks" -> ((s, dir) =>
+      VectorOps.pqCodebooksDf(Tables.embeddings(s, dir))),
+    // PQ asymmetric-distance top-k: 12-byte codes + stored norm per
+    // vector, broadcast-codebook dequantization, exact-query cosine — the
+    // RAM-resident 100 TB ANN path.
+    "pq_adc_topk" -> ((s, dir) =>
+      VectorOps.pqAdcTopK(Tables.embeddings(s, dir))),
     // SemDeDup: k-means clusters bound the near-dup comparison to
     // within-cluster pairs; higher vec_id of each pair at cos >= 0.35 drops.
     "semantic_dedup" -> ((s, dir) => VectorOps.semanticDedup(Tables.embeddings(s, dir))),
@@ -1746,6 +1756,8 @@ object SparkEntry {
     "ann_ivf_filtered_topk" ->
       DuckDbOracles.annIvfTopK(nprobe = 2, corpusFilter = "label % 2 = 0"),
     "ann_ivf_kmeans_topk" -> DuckDbOracles.annIvfKmeansTopK(),
+    "pq_codebooks" -> DuckDbOracles.pqCodebooks,
+    "pq_adc_topk" -> DuckDbOracles.pqAdcTopK(),
     "semantic_dedup" -> DuckDbOracles.semanticDedup(),
     "cluster_cohesion" -> DuckDbOracles.clusterCohesion(),
     "cluster_balanced_sample" -> DuckDbOracles.clusterBalancedSample(),

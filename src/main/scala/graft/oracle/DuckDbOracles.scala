@@ -1286,6 +1286,89 @@ object DuckDbOracles {
        |SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** Per-subspace PQ CTE chain (prefix p$s): sliced sub-vectors, the same
+    * unrolled-Lloyd shape as kmeansAsgCtes (hashed-id init, 6dp-rounded
+    * cosine argmax, 6dp-rounded means), ending in p${s}_cb (the codebook)
+    * and p${s}_asg (the per-vector code). Twin of
+    * VectorOps.pqCodebooks/pqEncode applied to subspace `s`.
+    */
+  private def pqSubCtes(s: Int, kmK: Int, iters: Int): String = {
+    val lo = s * VectorOps.PqSubDim
+    val hi = lo + VectorOps.PqSubDim
+    val init =
+      s"""p${s}_it0 AS (SELECT CAST(rn - 1 AS INT) AS cell, v AS centroid FROM (
+         |  SELECT v, row_number() OVER (
+         |    ORDER BY (vec_id * 2654435761) % 2147483647, vec_id) AS rn FROM es$s)
+         |  WHERE rn <= $kmK)""".stripMargin
+    val iterCtes = (1 to iters).map { n =>
+      s"""p${s}_it${n}_asg AS (SELECT vec_id, v, cell FROM (
+         |  SELECT e.vec_id, e.v, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosSql("e.v", "c.centroid")}, 6) DESC, c.cell ASC) AS r
+         |  FROM es$s e CROSS JOIN p${s}_it${n - 1} c) WHERE r = 1),
+         |p${s}_it${n}_comp AS (SELECT cell, pos, avg(v[pos]) AS m
+         |  FROM p${s}_it${n}_asg, sdims GROUP BY 1, 2),
+         |p${s}_it$n AS (SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid
+         |  FROM p${s}_it${n}_comp GROUP BY cell)""".stripMargin
+    }.mkString(",\n")
+    s"""es$s AS (SELECT vec_id, v[${lo + 1}:$hi] AS v FROM e),
+       |$init,
+       |$iterCtes,
+       |p${s}_cb AS (SELECT cell, centroid FROM p${s}_it$iters),
+       |p${s}_asg AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${cosSql("e.v", "c.centroid")}, 6) DESC, c.cell ASC) AS r
+       |  FROM es$s e CROSS JOIN p${s}_cb c) WHERE r = 1)""".stripMargin
+  }
+
+  private def pqAllCtes(kmK: Int = VectorOps.PqK, iters: Int = VectorOps.PqIters): String =
+    s"""sdims AS (SELECT unnest(range(1, ${VectorOps.PqSubDim + 1})) AS pos),
+       |${(0 until VectorOps.PqM).map(s => pqSubCtes(s, kmK, iters)).mkString(",\n")}""".stripMargin
+
+  /** Twin of VectorOps.pqCodebooksDf — scalar component rows read from the
+    * final iteration's mean CTE (whose 6dp-rounded values ARE the codebook
+    * list entries).
+    */
+  def pqCodebooks: String = {
+    val it = VectorOps.PqIters
+    val union = (0 until VectorOps.PqM)
+      .map(s => s"SELECT $s AS subspace, cell, CAST(pos AS BIGINT) AS pos, " +
+        s"round(m, 6) AS m FROM p${s}_it${it}_comp")
+      .mkString(" UNION ALL ")
+    s"""WITH $embCte,
+       |${pqAllCtes()}
+       |$union""".stripMargin
+  }
+
+  /** Twin of VectorOps.pqAdcTopK: codes joined back to codebooks, list
+    * concat = the reconstructed vector, exact-query / stored-norm cosine.
+    */
+  def pqAdcTopK(k: Int = 10): String = {
+    val codeJoins = (0 until VectorOps.PqM)
+      .map(s => s"JOIN p${s}_asg a$s ON e.vec_id = a$s.vec_id").mkString(" ")
+    val codeCols = (0 until VectorOps.PqM).map(s => s"a$s.cell AS c$s").mkString(", ")
+    val cbJoins = (0 until VectorOps.PqM)
+      .map(s => s"JOIN p${s}_cb cb$s ON c.c$s = cb$s.cell").mkString(" ")
+    val rv = (0 until VectorOps.PqM).map(s => s"cb$s.centroid").mkString(" || ")
+    s"""WITH $embCte,
+       |${pqAllCtes()},
+       |codes AS (SELECT e.vec_id,
+       |    round(sqrt(list_dot_product(e.v, e.v)), 6) AS vnorm, $codeCols
+       |  FROM e $codeJoins),
+       |rec AS (SELECT c.vec_id AS neighbor_id, c.vnorm, $rv AS rv
+       |  FROM codes c $cbJoins),
+       |q AS (SELECT vec_id AS q_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+       |  FROM e WHERE vec_id % 100 = 0),
+       |scored AS (SELECT q_id, neighbor_id,
+       |    round(list_dot_product(qv, rv) / (qn * vnorm), 6) AS cos
+       |  FROM q JOIN rec ON q_id <> neighbor_id),
+       |ranked AS (SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** Twin of VectorOps.semanticDedup: unrolled-Lloyd assignment, then
     * within-cell near-dup pairs drop the higher vec_id.
     */

@@ -28,6 +28,11 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // operator; the bucketed LSH path is the scale twin
     "embedding_neardup" -> Set("nested-loop-join"),
     "ann_brute_topk" -> Set("nested-loop-join"),
+    // same broadcast query-set × corpus shape as ann_brute_topk — ADC
+    // scores EVERY corpus row by design (the compression is in bytes
+    // read per row, not rows touched; cell-pruned variants are the IVF
+    // family)
+    "pq_adc_topk" -> Set("nested-loop-join"),
     // composes the labeled all-pairs semantic baseline (0.35 is below any
     // LSH-able threshold; at a real >=0.85 threshold the LSH path applies)
     "dedup_crossmodal" -> Set("nested-loop-join"),

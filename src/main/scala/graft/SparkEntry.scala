@@ -615,6 +615,14 @@ object SparkEntry {
           .select(lit("purchase_after_click").as("stage"), col("n_users")))
     }),
 
+    // Two-sample KS drift per event_type at the psi split: exact
+    // D = max |F_ref - F_cur| + the alpha=0.05 rejection flag — the
+    // binning-free companion to psi_drift.
+    "ks_drift" -> ((s, dir) =>
+      graft.ops.TimeSeries.ksDrift(Tables.events(s, dir),
+        tsCol = "ts", keyCol = "event_type", valueCol = "value",
+        splitTs = graft.ops.TimeSeries.PsiSplitTs)),
+
     // Hourly-count autocorrelation at lags 1-3 per event_type over the
     // gap-filled grid — the seasonality probe; exact integer power sums.
     "hourly_acf" -> ((s, dir) =>
@@ -1518,6 +1526,7 @@ object SparkEntry {
          UNION ALL SELECT 'purchase_after_click', count(*) FROM s3""",
 
     "hourly_acf" -> DuckDbOracles.hourlyAcf(),
+    "ks_drift" -> DuckDbOracles.ksDrift(),
 
     "event_transitions" ->
       """WITH t AS (SELECT event_type AS src,

@@ -95,6 +95,50 @@ object TimeSeries {
     psiOfCounts(filled, keyCol, nBins)
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift per key: the EXACT
+    * D = max_v |F_ref(v) − F_cur(v)| over the pooled distinct values —
+    * the binning-free companion to `psiDrift` (PSI needs a declared bin
+    * width and saturates on within-bin shifts; KS sees any change
+    * anywhere in the distribution). Alongside D: the α=0.05 rejection
+    * flag from the classic c(α)·√((n₁+n₂)/(n₁n₂)) critical value.
+    *
+    * Determinism: cumulative and total counts are exact integers from one
+    * per-key value-ordered window pass; the only float ops are the two
+    * divisions, the difference, and the critical value — mirrored token
+    * for token and compared after 6dp rounding on both sides.
+    *
+    * Scale: one hash agg to per-(key, value) side counts (value-domain-
+    * sized, not row-sized), one per-key window, one final agg. Keys with
+    * an empty side drop (no two-sample test exists).
+    */
+  def ksDrift(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      splitTs: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sided = df.select(col(keyCol), col(valueCol).as("v"),
+      (col(tsCol) < lit(splitTs).cast("timestamp")).as("is_ref"))
+    val counts = sided.groupBy(col(keyCol), col("v"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("v"))
+    val wAll = Window.partitionBy(col(keyCol))
+    val cum = counts.select(col(keyCol), col("v"),
+      sum(col("cr")).over(w).as("r"), sum(col("cc")).over(w).as("c"),
+      sum(col("cr")).over(wAll).as("nr"), sum(col("cc")).over(wAll).as("nc"))
+    cum.filter(col("nr") > 0 && col("nc") > 0)
+      .groupBy(col(keyCol))
+      .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+        round(max(abs(col("r").cast("double") / col("nr")
+          - col("c").cast("double") / col("nc"))), 6).as("ks_d"))
+      .select(col(keyCol), col("n_ref"), col("n_cur"), col("ks_d"),
+        (col("ks_d") > round(lit(1.358) * sqrt((col("n_ref") + col("n_cur"))
+          .cast("double") / (col("n_ref") * col("n_cur")).cast("double")), 6))
+          .as("drift_05"))
+  }
+
   /** SAX parameters for time-series similarity search (shared with the
     * oracle): the 30-day window splits into 6 five-day PAA segments,
     * z-normalized and discretized into a 4-symbol alphabet at the Gaussian

@@ -182,6 +182,29 @@ object DuckDbOracles {
        |FROM cum GROUP BY 1""".stripMargin
   }
 
+  /** Twin of TimeSeries.ksDrift over events/value at the psi split. */
+  def ksDrift(splitTs: String = graft.ops.TimeSeries.PsiSplitTs): String =
+    s"""WITH sided AS (SELECT event_type, value AS v,
+       |    ts < CAST('$splitTs' AS TIMESTAMP) AS is_ref FROM events),
+       |counts AS (SELECT event_type, v,
+       |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+       |    sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS cc
+       |  FROM sided GROUP BY 1, 2),
+       |cum AS (SELECT event_type, v,
+       |    sum(cr) OVER (PARTITION BY event_type ORDER BY v) AS r,
+       |    sum(cc) OVER (PARTITION BY event_type ORDER BY v) AS c,
+       |    sum(cr) OVER (PARTITION BY event_type) AS nr,
+       |    sum(cc) OVER (PARTITION BY event_type) AS nc
+       |  FROM counts),
+       |agg AS (SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
+       |    CAST(max(nc) AS BIGINT) AS n_cur,
+       |    round(max(abs(CAST(r AS DOUBLE) / nr - CAST(c AS DOUBLE) / nc)), 6) AS ks_d
+       |  FROM cum WHERE nr > 0 AND nc > 0 GROUP BY 1)
+       |SELECT event_type, n_ref, n_cur, ks_d,
+       |  ks_d > round(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+       |    / CAST(n_ref * n_cur AS DOUBLE)), 6) AS drift_05
+       |FROM agg""".stripMargin
+
   /** Twin of TimeSeries.hourlyAcf: gap-filled hourly grid, one lag window
     * pass, exact integer power sums, the Pearson division mirrored token
     * for token. `//` keeps the hour bucket in integer floor division

@@ -77,6 +77,47 @@ class AnalyticsOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWra
     }
   }
 
+  describe("TimeSeries.ksDrift") {
+    val Split = "2024-01-16"
+
+    def df(rows: Seq[(String, String, Double)]) =
+      rows.toDF("event_type", "d", "value")
+        .select(col("event_type"), col("d").cast("timestamp").as("ts"), col("value"))
+
+    it("identical distributions give D = 0; disjoint supports give D = 1 and reject") {
+      val same = (1 to 20).flatMap(i => Seq(
+        ("same", "2024-01-10", i.toDouble), ("same", "2024-01-20", i.toDouble)))
+      val far = (1 to 20).flatMap(i => Seq(
+        ("far", "2024-01-10", i.toDouble), ("far", "2024-01-20", i + 1000.0)))
+      val m = TimeSeries.ksDrift(df(same ++ far), "ts", "event_type", "value", Split)
+        .collect().map(r => r.getString(0) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+      m("same") shouldBe ((0.0, false))
+      m("far")._1 shouldBe 1.0
+      m("far")._2 shouldBe true
+    }
+
+    it("computes the textbook D on a hand-checked shifted sample") {
+      // ref {1,2,3,4}, cur {3,4,5,6}: D peaks at v=2 with |2/4 - 0/4| = 0.5
+      val rows = Seq(1, 2, 3, 4).map(v => ("k", "2024-01-10", v.toDouble)) ++
+        Seq(3, 4, 5, 6).map(v => ("k", "2024-01-20", v.toDouble))
+      val r = TimeSeries.ksDrift(df(rows), "ts", "event_type", "value", Split)
+        .collect().head
+      r.getAs[Long]("n_ref") shouldBe 4L
+      r.getAs[Long]("n_cur") shouldBe 4L
+      r.getAs[Double]("ks_d") shouldBe 0.5
+      // critical value 1.358*sqrt(8/16) = 0.960 > 0.5: no rejection at n=4
+      r.getAs[Boolean]("drift_05") shouldBe false
+    }
+
+    it("drops keys with an empty side") {
+      val rows = Seq(("only_ref", "2024-01-10", 1.0), ("both", "2024-01-10", 1.0),
+        ("both", "2024-01-20", 2.0))
+      val keys = TimeSeries.ksDrift(df(rows), "ts", "event_type", "value", Split)
+        .collect().map(_.getString(0)).toSet
+      keys shouldBe Set("both")
+    }
+  }
+
   describe("Profile.keySkew") {
     it("computes integer-exact top share and the max/mean ratio") {
       // group g: key k1 ×6, k2 ×1, k3 ×1 → 8 rows, 3 keys

@@ -628,6 +628,11 @@ object SparkEntry {
     "hourly_acf" -> ((s, dir) =>
       graft.ops.TimeSeries.hourlyAcf(Tables.events(s, dir))),
 
+    // Per-key OLS trend over the same grid: slope/intercept/r² from exact
+    // integer normal-equation sums — the growth probe beside hourly_acf.
+    "hourly_trend" -> ((s, dir) =>
+      graft.ops.TimeSeries.hourlyTrend(Tables.events(s, dir))),
+
     // Markov next-event transition matrix — see TimeSeries.transitions
     // (no user shares a microsecond in this data, so the (ts, event_id)
     // order is identical across engines).
@@ -1526,6 +1531,7 @@ object SparkEntry {
          UNION ALL SELECT 'purchase_after_click', count(*) FROM s3""",
 
     "hourly_acf" -> DuckDbOracles.hourlyAcf(),
+    "hourly_trend" -> DuckDbOracles.hourlyTrend,
     "ks_drift" -> DuckDbOracles.ksDrift(),
 
     "event_transitions" ->

@@ -95,6 +95,37 @@ object TimeSeries {
     psiOfCounts(filled, keyCol, nBins)
   }
 
+  /** Per-key OLS trend of the hourly count series over the gap-filled
+    * grid: slope (events/hour), intercept, and r² — the volume-growth
+    * probe beside `hourlyAcf`'s seasonality probe. t is re-based to the
+    * key's first hour so every power sum is an exact small integer; the
+    * closed-form normal-equation ratios are the only float ops (the r²
+    * numerator square runs in double — its integer form can exceed
+    * int64 — identically in both engines). Zero-variance sides emit 0.
+    */
+  def hourlyTrend(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val filled = hourlyFilled(events)
+    val t = (col("h") - min(col("h")).over(Window.partitionBy(col("event_type"))))
+      .as("t")
+    val sums = filled.select(col("event_type"), col("c"), t)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"), sum(col("c")).as("sy"),
+        sum(col("t") * col("c")).as("sty"), sum(col("t") * col("t")).as("stt"),
+        sum(col("c") * col("c")).as("syy"))
+    val vx = col("n") * col("stt") - col("st") * col("st")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val cov = (col("n") * col("sty") - col("st") * col("sy")).cast("double")
+    sums.select(col("event_type"), col("n"),
+      round(when(vx > 0, cov / vx.cast("double")).otherwise(lit(0.0)), 6)
+        .as("slope_per_hour"),
+      round(when(vx > 0, (col("sy") * col("stt") - col("st") * col("sty"))
+        .cast("double") / vx.cast("double")).otherwise(lit(0.0)), 6).as("intercept"),
+      round(when(vx > 0 && vy > 0,
+        cov * cov / (vx.cast("double") * vy.cast("double"))).otherwise(lit(0.0)), 6)
+        .as("r2"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov drift per key: the EXACT
     * D = max_v |F_ref(v) − F_cur(v)| over the pooled distinct values —
     * the binning-free companion to `psiDrift` (PSI needs a declared bin
@@ -273,18 +304,27 @@ object TimeSeries {
     * sums assume per-hour counts ≲ 2^31 (beyond that, move the sums to
     * DECIMAL — the formula is unchanged).
     */
-  def hourlyAcf(events: DataFrame, lags: Seq[Int] = AcfLags): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Gap-filled hourly count grid per event_type: (event_type, h, c) with
+    * every hour from the key's min to max present (zeros inserted) —
+    * shared by `hourlyAcf` and `hourlyTrend`. The sequence() explode is
+    * series-length-sized, never event-sized.
+    */
+  private def hourlyFilled(events: DataFrame): DataFrame = {
     val hc = events
       .select(col("event_type"),
         floor(unix_millis(col("ts")) / lit(3600000L)).cast("bigint").as("h"))
       .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
     val bounds = hc.groupBy(col("event_type"))
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-    val filled = bounds
+    bounds
       .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
       .join(hc, Seq("event_type", "h"), "left")
       .select(col("event_type"), col("h"), coalesce(col("c"), lit(0L)).as("c"))
+  }
+
+  def hourlyAcf(events: DataFrame, lags: Seq[Int] = AcfLags): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val filled = hourlyFilled(events)
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
     val lagged = filled.select(
       col("event_type") +: col("c").as("y") +:

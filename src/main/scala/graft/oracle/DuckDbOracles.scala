@@ -205,10 +205,45 @@ object DuckDbOracles {
        |    / CAST(n_ref * n_cur AS DOUBLE)), 6) AS drift_05
        |FROM agg""".stripMargin
 
+  /** Gap-filled hourly grid CTEs shared by hourlyAcf and hourlyTrend.
+    * `//` keeps the hour bucket in integer floor division (DuckDB `/` is
+    * float division; CAST would round-to-nearest).
+    */
+  private val hourlyFilledCtes: String =
+    s"""hc AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hc GROUP BY 1),
+       |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM bounds),
+       |filled AS (SELECT g.event_type, g.h, CAST(coalesce(hc.c, 0) AS BIGINT) AS c
+       |  FROM grid g LEFT JOIN hc ON g.event_type = hc.event_type AND g.h = hc.h)"""
+      .stripMargin
+
+  /** Twin of TimeSeries.hourlyTrend: same grid, closed-form OLS from exact
+    * integer sums (r² numerator squared in double on both sides).
+    */
+  val hourlyTrend: String =
+    s"""WITH $hourlyFilledCtes,
+       |tt AS (SELECT event_type, c,
+       |    h - min(h) OVER (PARTITION BY event_type) AS t FROM filled),
+       |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(t) AS st,
+       |    sum(c) AS sy, sum(t * c) AS sty, sum(t * t) AS stt, sum(c * c) AS syy
+       |  FROM tt GROUP BY 1)
+       |SELECT event_type, n,
+       |  round(CASE WHEN n * stt - st * st > 0
+       |    THEN CAST(n * sty - st * sy AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE)
+       |    ELSE 0.0 END, 6) AS slope_per_hour,
+       |  round(CASE WHEN n * stt - st * st > 0
+       |    THEN CAST(sy * stt - st * sty AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE)
+       |    ELSE 0.0 END, 6) AS intercept,
+       |  round(CASE WHEN n * stt - st * st > 0 AND n * syy - sy * sy > 0
+       |    THEN CAST(n * sty - st * sy AS DOUBLE) * CAST(n * sty - st * sy AS DOUBLE)
+       |      / (CAST(n * stt - st * st AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+       |    ELSE 0.0 END, 6) AS r2
+       |FROM s""".stripMargin
+
   /** Twin of TimeSeries.hourlyAcf: gap-filled hourly grid, one lag window
     * pass, exact integer power sums, the Pearson division mirrored token
-    * for token. `//` keeps the hour bucket in integer floor division
-    * (DuckDB `/` is float division; CAST would round-to-nearest).
+    * for token.
     */
   def hourlyAcf(lags: Seq[Int] = graft.ops.TimeSeries.AcfLags): String = {
     val xCols = lags.map(l => s"lag(c, $l) OVER w AS x$l").mkString(", ")
@@ -220,12 +255,7 @@ object DuckDbOracles {
          |  FROM lagged GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     val union = lags.map(l => s"SELECT * FROM a$l").mkString(" UNION ALL ")
-    s"""WITH hc AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h, count(*) AS c
-       |  FROM events GROUP BY 1, 2),
-       |bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hc GROUP BY 1),
-       |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM bounds),
-       |filled AS (SELECT g.event_type, g.h, CAST(coalesce(hc.c, 0) AS BIGINT) AS c
-       |  FROM grid g LEFT JOIN hc ON g.event_type = hc.event_type AND g.h = hc.h),
+    s"""WITH $hourlyFilledCtes,
        |lagged AS (SELECT event_type, c AS y, $xCols FROM filled
        |  WINDOW w AS (PARTITION BY event_type ORDER BY h)),
        |$aCtes,

@@ -77,6 +77,41 @@ class AnalyticsOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWra
     }
   }
 
+  describe("TimeSeries.hourlyTrend") {
+    val H = 3600000L
+
+    def trend(hourCounts: Seq[Int]) =
+      TimeSeries.hourlyTrend(
+        hourCounts.zipWithIndex.flatMap { case (n, h) =>
+          (0 until n).map(i => ("k", 1700000000000L + h * H + i * 1000L))
+        }.toDF("event_type", "ms")
+          .select(col("event_type"), timestamp_millis(col("ms")).as("ts")))
+        .collect().head
+
+    it("recovers an exact linear ramp with r² = 1") {
+      val r = trend(Seq(1, 2, 3, 4, 5))
+      r.getAs[Long]("n") shouldBe 5L
+      r.getAs[Double]("slope_per_hour") shouldBe 1.0
+      r.getAs[Double]("intercept") shouldBe 1.0
+      r.getAs[Double]("r2") shouldBe 1.0
+    }
+
+    it("a constant series has slope 0 and the degenerate r² guard") {
+      val r = trend(Seq(3, 3, 3, 3))
+      r.getAs[Double]("slope_per_hour") shouldBe 0.0
+      r.getAs[Double]("intercept") shouldBe 3.0
+      r.getAs[Double]("r2") shouldBe 0.0 // vy = 0: guarded, not 0/0
+    }
+
+    it("counts gap hours as zero activity (they pull the fit down)") {
+      // observed 4,0(gap),4: slope 0, intercept 8/3 — the gap was real data
+      val r = trend(Seq(4, 0, 4))
+      r.getAs[Long]("n") shouldBe 3L
+      r.getAs[Double]("slope_per_hour") shouldBe 0.0
+      r.getAs[Double]("intercept") shouldBe (8.0 / 3 +- 1e-6)
+    }
+  }
+
   describe("TimeSeries.ksDrift") {
     val Split = "2024-01-16"
 

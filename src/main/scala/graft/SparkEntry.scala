@@ -1036,6 +1036,10 @@ object SparkEntry {
     // the exact brute baseline, per query — integer-derived, engine-exact.
     "ann_recall_report" -> ((s, dir) =>
       VectorOps.annRecallReport(Tables.embeddings(s, dir))),
+    // PQ quality audit: ADC recall@k + MRR vs brute truth — the
+    // is-the-codebook-fine-enough gate for the compressed index.
+    "pq_recall_report" -> ((s, dir) =>
+      VectorOps.pqRecallReport(Tables.embeddings(s, dir))),
 
     // Hard-negative mining (contrastive training prep): per query the most
     // similar corpus vectors BELOW the positive ceiling — the IVF scored
@@ -1779,6 +1783,7 @@ object SparkEntry {
     "hard_negatives" -> DuckDbOracles.annIvfTopK(
       k = 10, nprobe = 2, scoreFilter = s"cos < ${VectorOps.HardNegCeiling}"),
     "ann_recall_report" -> DuckDbOracles.annRecallReport(),
+    "pq_recall_report" -> DuckDbOracles.pqRecallReport(),
     "ann_ivf_rerank_topk" -> DuckDbOracles.annIvfRerankTopK(),
     "embedding_rproj" -> DuckDbOracles.randomProjection,
     "media_meta" -> DuckDbOracles.mediaMeta,

@@ -633,6 +633,27 @@ object VectorOps {
         round(col("n_hit").cast("double") / k, 6).as("recall_at_k"), col("rr"))
   }
 
+  /** PQ quality audit — the ADC twin of `annRecallReport`: per query,
+    * recall@k of `pqAdcTopK` against the brute-force truth plus the
+    * reciprocal rank of the true nearest neighbor in the ADC list. The
+    * number that says whether 8×16 codebooks are quantizing THIS corpus
+    * finely enough before anyone serves from the compressed index.
+    */
+  def pqRecallReport(emb: DataFrame, k: Int = 10): DataFrame = {
+    val truth = bruteForceTopK(emb, k)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("t_rank"))
+    val approx = pqAdcTopK(emb, k)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("a_rank"))
+    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when(col("a_rank").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        max(when(col("t_rank") === 1 && col("a_rank").isNotNull,
+          round(lit(1.0) / col("a_rank").cast("double"), 6)).otherwise(lit(0.0))).as("rr"))
+      .select(col("q_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, 6).as("recall_at_k"), col("rr"))
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKAggregator(k),
       org.apache.spark.sql.Encoders.tuple(

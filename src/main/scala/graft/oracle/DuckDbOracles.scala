@@ -1231,6 +1231,23 @@ object DuckDbOracles {
        |FROM t LEFT JOIN a ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
        |GROUP BY 1""".stripMargin
 
+  /** Twin of VectorOps.pqRecallReport: brute truth vs the PQ-ADC ranking,
+    * metrics from integer hits/ranks only (the annRecallReport shape).
+    */
+  def pqRecallReport(k: Int = 10): String =
+    s"""WITH t AS (SELECT q_id, neighbor_id, rank AS t_rank FROM (
+       |${annBruteTopK(k)})),
+       |a AS (SELECT q_id, neighbor_id, rank AS a_rank FROM (
+       |${pqAdcTopK(k)}))
+       |SELECT t.q_id,
+       |  CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / $k, 6) AS recall_at_k,
+       |  max(CASE WHEN t.t_rank = 1 AND a.a_rank IS NOT NULL
+       |    THEN round(1.0 / a.a_rank, 6) ELSE 0.0 END) AS rr
+       |FROM t LEFT JOIN a ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY 1""".stripMargin
+
   val mediaMeta: String =
     s"""SELECT doc_id AS media_id,
        |  CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -474,6 +474,13 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
       val adc = neighbors(VectorOps.pqAdcTopK(emb))
       val recall = (adc & brute).size.toDouble / brute.size
       info(f"PQ-ADC recall@10 = $recall%.3f (16x compression)")
+      // the oracle-checked report aggregates to the same number
+      val report = VectorOps.pqRecallReport(emb).collect()
+      report.map(_.getAs[Long]("n_hit")).sum.toDouble / brute.size shouldBe recall
+      report.foreach { r =>
+        val rr = r.getAs[Double]("rr")
+        rr should (be >= 0.0 and be <= 1.0)
+      }
       // 8x16 codes compress 64 dims ~16x. These synthetic embeddings are
       // near-isotropic (no cluster structure for the codebooks to exploit
       // — measured 0.30 at m=8, 0.18 at m=4, flat in k), so the bar is

@@ -1021,8 +1021,15 @@ object SparkEntry {
     // compressed index.
     "pq_codebooks" -> ((s, dir) =>
       VectorOps.pqCodebooksDf(Tables.embeddings(s, dir))),
-    // PQ asymmetric-distance top-k: 12-byte codes + stored norm per
-    // vector, broadcast-codebook dequantization, exact-query cosine — the
+    // The encoded corpus itself (vec_id, 6dp norm, m codes) — the
+    // compressed artifact a pipeline persists; its contract is checked
+    // directly, not only through the ADC ranking built on it.
+    "pq_encode" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.pqEncode(emb, VectorOps.pqCodebooks(emb))
+    }),
+    // PQ asymmetric-distance top-k: byte codes + stored norm per vector,
+    // literal-lookup dequantization, exact-query cosine — the
     // RAM-resident 100 TB ANN path.
     "pq_adc_topk" -> ((s, dir) =>
       VectorOps.pqAdcTopK(Tables.embeddings(s, dir))),
@@ -1776,6 +1783,7 @@ object SparkEntry {
       DuckDbOracles.annIvfTopK(nprobe = 2, corpusFilter = "label % 2 = 0"),
     "ann_ivf_kmeans_topk" -> DuckDbOracles.annIvfKmeansTopK(),
     "pq_codebooks" -> DuckDbOracles.pqCodebooks,
+    "pq_encode" -> DuckDbOracles.pqEncode,
     "pq_adc_topk" -> DuckDbOracles.pqAdcTopK(),
     "semantic_dedup" -> DuckDbOracles.semanticDedup(),
     "cluster_cohesion" -> DuckDbOracles.clusterCohesion(),

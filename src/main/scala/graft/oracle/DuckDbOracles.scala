@@ -1411,6 +1411,19 @@ object DuckDbOracles {
        |$union""".stripMargin
   }
 
+  /** Twin of VectorOps.pqEncode over the trained codebooks: the encoded
+    * artifact (vec_id, 6dp norm, m codes) checked directly.
+    */
+  def pqEncode: String = {
+    val codeJoins = (0 until VectorOps.PqM)
+      .map(s => s"JOIN p${s}_asg a$s ON e.vec_id = a$s.vec_id").mkString(" ")
+    val codeCols = (0 until VectorOps.PqM).map(s => s"a$s.cell AS c$s").mkString(", ")
+    s"""WITH $embCte,
+       |${pqAllCtes()}
+       |SELECT e.vec_id, round(sqrt(list_dot_product(e.v, e.v)), 6) AS vnorm, $codeCols
+       |FROM e $codeJoins""".stripMargin
+  }
+
   /** Twin of VectorOps.pqAdcTopK: codes joined back to codebooks, list
     * concat = the reconstructed vector, exact-query / stored-norm cosine.
     */

@@ -66,6 +66,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // composes the labeled brute baseline (all-pairs truth) with the IVF
     // path — inherits both queries' labeled exceptions
     "ann_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
+    // composes the same labeled brute baseline with the ADC ranking —
+    // inherits ann_brute_topk's and pq_adc_topk's labeled exception
+    "pq_recall_report" -> Set("nested-loop-join"),
     "ann_ivf_kmeans_topk" -> Set("nested-loop-join", "codegen-fallback"),
     // planted near-dup copies use transform() on the every-20th slice —
     // interpreted on 5% of rows by design (exact ±1/64 double nudges)

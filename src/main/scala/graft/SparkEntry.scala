@@ -835,6 +835,9 @@ object SparkEntry {
     // Gopher-style intra-doc repetition signals (dup-bigram / top-bigram
     // fractions + threshold flag).
     "text_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.documents(s, dir))),
+    // Character/bigram Shannon entropy — the gibberish detector (binary
+    // junk, looping filler). Zero-shuffle narrow projection per doc.
+    "text_entropy" -> ((s, dir) => TextOps.charEntropy(Tables.documents(s, dir))),
     // E2E curation report: length/quality/repetition gates with first-match
     // reject reason + PII audit flag — the whole filter chain in one pass.
     "corpus_retention" -> ((s, dir) => TextOps.retentionReport(Tables.documents(s, dir))),
@@ -1740,6 +1743,7 @@ object SparkEntry {
          FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id""",
     "decontaminate" -> DuckDbOracles.decontaminate,
     "text_repetition" -> DuckDbOracles.textRepetition(),
+    "text_entropy" -> DuckDbOracles.charEntropy,
     "corpus_retention" -> DuckDbOracles.corpusRetention(),
     "curation_pipeline" -> DuckDbOracles.curationPipeline(),
     "dedup_components" -> DuckDbOracles.dedupComponents(),

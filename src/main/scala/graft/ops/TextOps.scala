@@ -777,4 +777,50 @@ object TextOps {
       .withColumn("repetitive",
         col("dup_frac") > dupFracMax || col("top_frac") > topFracMax)
   }
+
+  /** Shannon entropy (bits) of a character-level symbol array, as a pure
+    * projection expression: H = log2(n) - (Σ c·log2 c)/n over the
+    * per-symbol occurrence counts c. The count list is sorted ascending
+    * and left-folded so both engines execute the IDENTICAL sequence of
+    * IEEE additions — `array_distinct`/`list_distinct` return different
+    * orders (DuckDB's is not first-occurrence), and double summation is
+    * order-dependent, so without the sort the 6dp rounding could flip on
+    * a boundary.
+    */
+  private def symbolEntropy(symbols: Column): Column = {
+    val n = size(symbols).cast("double")
+    val counts = array_sort(transform(array_distinct(symbols),
+      c => size(filter(symbols, x => x === c)).cast("double")))
+    val sumClog = aggregate(counts, lit(0.0), (acc, c) => acc + c * log2(c))
+    log2(n) - sumClog / n
+  }
+
+  /** Character- and character-bigram-level Shannon entropy per document —
+    * the classic gibberish/junk detector (low entropy = repeated filler or
+    * binary padding; low CONDITIONAL entropy `cond_entropy` = each char is
+    * predictable from its predecessor, i.e. looping text). Zero-shuffle by
+    * design: every column is a narrow per-row projection over the doc's
+    * own char array (distinct-alphabet × length comparisons per doc — for
+    * natural text the alphabet is ~30-300 symbols, so this beats the
+    * explode + two-shuffle groupBy shape by the full shuffle volume at
+    * 100 TB). `cond_entropy` is derived from the two ROUNDED entropies so
+    * the flag algebra stays bit-stable across engines.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val chars = split(col("text"), "")
+    val n = size(chars)
+    val bigrams = zip_with(
+      slice(chars, lit(1), n - 1), slice(chars, lit(2), n - 1),
+      (a, b) => concat(a, b))
+    docs
+      .select(col("doc_id"), chars.as("ch"), bigrams.as("bg"))
+      .select(
+        col("doc_id"),
+        size(col("ch")).as("n_chars"),
+        size(array_distinct(col("ch"))).as("n_uniq_chars"),
+        round(symbolEntropy(col("ch")), 6).as("char_entropy"),
+        round(symbolEntropy(col("bg")), 6).as("bigram_entropy"))
+      .withColumn("cond_entropy",
+        round(col("bigram_entropy") - col("char_entropy"), 6))
+  }
 }

@@ -42,6 +42,27 @@ object DuckDbOracles {
        |FROM tok""".stripMargin
   }
 
+  /** Twin of TextOps.charEntropy. The count list is sorted ascending and
+    * left-folded (`list_reduce`) so the sequence of IEEE additions matches
+    * Spark's `aggregate` fold exactly — `list_distinct` order differs
+    * between engines and double summation is order-dependent.
+    */
+  val charEntropy: String = {
+    def ent(l: String): String =
+      s"""log2(CAST(len($l) AS DOUBLE)) - list_reduce(list_transform(
+         |    list_sort(list_transform(list_distinct($l),
+         |      c -> CAST(len(list_filter($l, x -> x = c)) AS DOUBLE))),
+         |    c -> c * log2(c)), (a, b) -> a + b) / CAST(len($l) AS DOUBLE)""".stripMargin
+    s"""WITH ch AS (SELECT doc_id, string_split(text, '') AS ch FROM documents),
+       |base AS (SELECT doc_id, ch,
+       |  list_transform(range(1, len(ch)), i -> ch[i] || ch[i+1]) AS bg FROM ch)
+       |SELECT doc_id, len(ch) AS n_chars, len(list_distinct(ch)) AS n_uniq_chars,
+       |  round(${ent("ch")}, 6) AS char_entropy,
+       |  round(${ent("bg")}, 6) AS bigram_entropy,
+       |  round(round(${ent("bg")}, 6) - round(${ent("ch")}, 6), 6) AS cond_entropy
+       |FROM base""".stripMargin
+  }
+
   /** Twin of TextOps.unigramLogprob: same two-integer-column ln(c/N) per
     * token instance, mean rounded 6dp, integer-exact rare fraction.
     */

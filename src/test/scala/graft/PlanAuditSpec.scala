@@ -90,6 +90,10 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "value_outliers" -> Set("codegen-fallback"), // exact percentile (median/MAD) aggs
     // higher-order filter() over the token array (stopword/marker ratios)
     "text_quality" -> Set("codegen-fallback"),
+    // higher-order array lambdas (transform/filter/aggregate/zip_with) are
+    // interpreted by design — the zero-shuffle per-row entropy projection
+    // trades codegen for shipping no char-level rows at all
+    "text_entropy" -> Set("codegen-fallback"),
     "quality_quantile_filter" -> Set("codegen-fallback"), // same score expr as text_quality
     "text_langid" -> Set("codegen-fallback"),
     "langid_confusion" -> Set("codegen-fallback"), // composes text_langid

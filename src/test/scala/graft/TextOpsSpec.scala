@@ -27,6 +27,32 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("charEntropy") {
+    it("matches hand-computed entropies and orders junk below text") {
+      // "aaaa": 1 symbol -> H = 0; bigrams "aa"×3 -> H = 0; conditional 0.
+      val flat = TextOps.charEntropy(docsDf(Seq(1L -> "aaaa"))).collect()(0)
+      flat.getAs[Double]("char_entropy") shouldBe 0.0
+      flat.getAs[Double]("bigram_entropy") shouldBe 0.0
+      flat.getAs[Double]("cond_entropy") shouldBe 0.0
+      // "abab": p(a)=p(b)=1/2 -> H = 1 bit exactly; bigrams ab,ba,ab ->
+      // H = -(2/3 log2 2/3 + 1/3 log2 1/3) = log2(3) - 2/3.
+      val ab = TextOps.charEntropy(docsDf(Seq(1L -> "abab"))).collect()(0)
+      ab.getAs[Double]("char_entropy") shouldBe 1.0
+      ab.getAs[Double]("bigram_entropy") shouldBe
+        (math.log(3) / math.log(2) - 2.0 / 3.0) +- 1e-6
+      ab.getAs[Int]("n_chars") shouldBe 4
+      ab.getAs[Int]("n_uniq_chars") shouldBe 2
+      // A looping doc scores strictly below varied text on BOTH signals —
+      // the detector's ordering property.
+      val r = TextOps.charEntropy(docsDf(Seq(
+        1L -> "spam spam spam spam spam spam spam",
+        2L -> "the quick brown fox jumps over lazy dogs"))).collect()
+          .map(x => x.getAs[Long]("doc_id") -> x).toMap
+      r(1L).getAs[Double]("char_entropy") should be < r(2L).getAs[Double]("char_entropy")
+      r(1L).getAs[Double]("cond_entropy") should be < r(2L).getAs[Double]("cond_entropy")
+    }
+  }
+
   describe("langId") {
     it("predicts by marker counts with fixed tie-break") {
       val out = TextOps.langId(docsDf(Seq(

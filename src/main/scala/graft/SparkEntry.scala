@@ -269,6 +269,19 @@ object SparkEntry {
 
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q3_top_orders" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
+    // Q9 shape: nation×year profit with the retailprice-derived supply
+    // cost; tight decimals keep both engines exact end to end.
+    "q9_product_profit" -> ((s, dir) => Relational.productTypeProfit(s, dir)),
+    // Q11 shape: per-part value vs a broadcast scalar total, compared in
+    // cross-multiplied integer form.
+    "q11_important_stock" -> ((s, dir) => Relational.importantStock(s, dir)),
+    // Q12 shape: CASE-sum priority counts among late lines per returnflag.
+    "q12_priority_lateness" -> ((s, dir) => Relational.priorityLateness(s, dir)),
+    // Q20 shape: the nested semi-join chain to promotable suppliers.
+    "q20_promotable_suppliers" -> ((s, dir) => Relational.promotableSuppliers(s, dir)),
+    // Q21 shape: sole-late-supplier detection, hand-decorrelated to one
+    // scan + one shuffle; the oracle runs the literal EXISTS/NOT-EXISTS.
+    "q21_waiting_suppliers" -> ((s, dir) => Relational.waitingSuppliers(s, dir)),
     "q5_region_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     // Q7 shape: bilateral-trade revenue by ship year — two broadcast nation
     // resolutions, one fact-fact shuffle.
@@ -1517,6 +1530,69 @@ object SparkEntry {
            WHERE l.l_orderkey = o.o_orderkey
              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
          GROUP BY o.o_orderpriority""",
+
+    "q9_product_profit" ->
+      """SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+             - CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST('0.60' AS DECIMAL(3,2))
+               * CAST(l.l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS profit
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE p.p_name LIKE '%widget%'
+         GROUP BY 1, 2""",
+
+    "q11_important_stock" ->
+      """WITH v AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+               AS DECIMAL(18,4)) AS val_dec
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(val_dec) AS DECIMAL(18,4)) AS tot_dec FROM v)
+         SELECT l_partkey, CAST(val_dec AS DOUBLE) AS stock_value
+         FROM v, t WHERE val_dec * 10000 > tot_dec * 7""",
+
+    "q12_priority_lateness" ->
+      """SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END) AS low_line_count
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+         GROUP BY 1""",
+
+    "q20_promotable_suppliers" ->
+      """SELECT s.s_suppkey, s.s_name FROM supplier s
+         WHERE s.s_suppkey IN (
+           SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE '%widget%'
+             AND l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY l_suppkey, l_partkey
+           HAVING sum(CAST(l_quantity AS DECIMAL(6,2))) > CAST(50 AS DECIMAL(18,2)))""",
+
+    "q21_waiting_suppliers" ->
+      """SELECT s.s_suppkey, s.s_name, count(*) AS numwait FROM (
+           SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+           FROM lineitem l1 JOIN orders o ON l1.l_orderkey = o.o_orderkey
+           WHERE o.o_orderstatus = 'F'
+             AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+             AND EXISTS (
+               SELECT 1 FROM lineitem l2
+               WHERE l2.l_orderkey = l1.l_orderkey
+                 AND l2.l_suppkey <> l1.l_suppkey)
+             AND NOT EXISTS (
+               SELECT 1 FROM lineitem l3
+               WHERE l3.l_orderkey = l1.l_orderkey
+                 AND l3.l_suppkey <> l1.l_suppkey
+                 AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+         ) q JOIN supplier s ON q.l_suppkey = s.s_suppkey
+         GROUP BY 1, 2""",
 
     "funnel_stages" ->
       """WITH fc AS (SELECT user_id, min(epoch_ms(ts)) AS c_ms FROM events

@@ -397,6 +397,150 @@ object Relational {
         col("cost").cast("double").as("min_cost"))
   }
 
+  /** TPC-H Q9 shape: product-type profit by supplier nation and order
+    * year. The schema carries no partsupp, so supply cost is the stand-in
+    * 60% of `p_retailprice` (the TPC-H generator itself prices
+    * ps_supplycost off the part's retail price) — an exact DECIMAL
+    * product, so profit stays bit-stable. Part and supplier-nation are
+    * broadcast; the one fact-fact shuffle is orders⋈lineitem for the
+    * order year.
+    */
+  def productTypeProfit(
+      spark: SparkSession, dir: String, nameLike: String = "widget"): DataFrame = {
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    // Deliberately TIGHT decimal types: the three-factor product must stay
+    // inside both engines' 38-digit decimal ceiling END TO END (DuckDB
+    // widens sums to precision 38, Spark adds 10), or one engine silently
+    // rounds/overflows where the other doesn't. (12,2)×(3,2)×(6,2) sums
+    // at scale 6 well under the ceiling in both.
+    val part = Tables.part(spark, dir)
+      .filter(col("p_name").contains(nameLike))
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast("decimal(12,2)") *
+          lit("0.60").cast("decimal(3,2)")).as("supp_cost"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(3,2)") -
+            col("l_discount").cast("decimal(4,2)"))).as("rev"),
+        col("l_quantity").cast("decimal(6,2)").as("qty"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("rev") - col("supp_cost") * col("qty")).as("profit_dec"))
+      .select(col("n_name").as("nation"), col("o_year"),
+        col("profit_dec").cast("double").as("profit"))
+  }
+
+  /** TPC-H Q11 shape: parts whose revenue-weighted "stock value" exceeds a
+    * fixed fraction of the corpus-wide total — groupBy part, then a HAVING
+    * against a broadcast one-row scalar aggregate (never a second scan
+    * pass over per-part state). The comparison multiplies the total by an
+    * exact DECIMAL fraction so the strict `>` cannot flip between engines.
+    */
+  def importantStock(
+      spark: SparkSession, dir: String,
+      fracNumer: Int = 7, fracDenom: Int = 10000): DataFrame = {
+    // The HAVING boundary `val > (numer/denom) × total` is evaluated as
+    // the cross-multiplied INTEGER form `val × denom > total × numer` on
+    // decimals re-tightened to (18,4) after the sum — multiplying a
+    // precision-38 sum would overflow DuckDB's decimal ceiling and force
+    // a lossy fallback on exactly one engine.
+    val value = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+        .cast("decimal(18,4)").as("val_dec"))
+    val total = value.agg(sum(col("val_dec")).cast("decimal(18,4)").as("tot_dec"))
+    value.join(broadcast(total))
+      .filter(col("val_dec") * lit(fracDenom) > col("tot_dec") * lit(fracNumer))
+      .select(col("l_partkey"), col("val_dec").cast("double").as("stock_value"))
+  }
+
+  /** TPC-H Q12 shape: conditional priority counts among late-shipped
+    * lines, grouped by return flag (the schema's categorical stand-in for
+    * ship mode): one fact-fact shuffle, then CASE-sum conditional
+    * aggregation — the map-side partial agg collapses each partition to
+    * |flags| rows before the exchange.
+    */
+  def priorityLateness(
+      spark: SparkSession, dir: String, lateDays: Int = 90): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1).otherwise(0)).as("high_line_count"),
+        sum(when(high, 0).otherwise(1)).as("low_line_count"))
+  }
+
+  /** TPC-H Q20 shape: suppliers who shipped more than `minQty` units of a
+    * name-filtered part family inside one year — the nested semi-join
+    * chain (part filter → per-(supplier, part) HAVING → distinct suppliers
+    * → LEFT SEMI against supplier). Quantities sum in DECIMAL so the
+    * HAVING boundary is exact.
+    */
+  def promotableSuppliers(
+      spark: SparkSession, dir: String, nameLike: String = "widget",
+      year: Int = 1996, minQty: Int = 50): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains(nameLike)).select("p_partkey")
+    val shippers = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec("l_quantity")).as("qty"))
+      .filter(col("qty") > lit(minQty).cast("decimal(18,2)"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
+  /** TPC-H Q21 shape: suppliers who were the SOLE late shipper in a
+    * multi-supplier finalized order. The textbook form is a correlated
+    * EXISTS + NOT-EXISTS pair over lineitem; here it is hand-decorrelated
+    * into one per-order aggregate — count of distinct suppliers, count of
+    * distinct LATE suppliers, and (via max over a CASE) the unique late
+    * supplier when exactly one exists — so the fact table is scanned once
+    * and shuffled once instead of three self-joins. The DuckDB oracle runs
+    * the literal double-EXISTS formulation, cross-proving the
+    * decorrelation. `numwait` counts qualifying orders per supplier.
+    */
+  def waitingSuppliers(
+      spark: SparkSession, dir: String, lateDays: Int = 90): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val lx = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).as("late"))
+    lx.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
+
   /** Grouped order stats per customer with exact-decimal average — the
     * sum/count division happens on exact inputs so it is engine-stable.
     */

@@ -41,6 +41,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // one-row average-balance aggregate broadcast-crossed onto customer
     // (the Q22 scalar subquery threshold)
     "q22_sales_opportunity" -> Set("nested-loop-join"),
+    // one-row corpus-total aggregate broadcast-crossed onto the per-part
+    // value table (the Q11 HAVING threshold)
+    "q11_important_stock" -> Set("nested-loop-join"),
     // one-row totals aggregate broadcast-crossed onto the few-row
     // per-source counts (never the corpus)
     "temperature_mix" -> Set("nested-loop-join"),

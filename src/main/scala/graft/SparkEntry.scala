@@ -1049,6 +1049,11 @@ object SparkEntry {
     // RAM-resident 100 TB ANN path.
     "pq_adc_topk" -> ((s, dir) =>
       VectorOps.pqAdcTopK(Tables.embeddings(s, dir))),
+    // Matryoshka funnel: prefix-dim shortlist (scan-bandwidth tier) +
+    // exact full-dim re-rank of the shortlist only.
+    "mrl_topk" -> ((s, dir) => VectorOps.mrlTopK(Tables.embeddings(s, dir))),
+    "mrl_recall_report" -> ((s, dir) =>
+      VectorOps.mrlRecallReport(Tables.embeddings(s, dir))),
     // SemDeDup: k-means clusters bound the near-dup comparison to
     // within-cluster pairs; higher vec_id of each pair at cos >= 0.35 drops.
     "semantic_dedup" -> ((s, dir) => VectorOps.semanticDedup(Tables.embeddings(s, dir))),
@@ -1865,6 +1870,8 @@ object SparkEntry {
     "pq_codebooks" -> DuckDbOracles.pqCodebooks,
     "pq_encode" -> DuckDbOracles.pqEncode,
     "pq_adc_topk" -> DuckDbOracles.pqAdcTopK(),
+    "mrl_topk" -> DuckDbOracles.mrlTopK(),
+    "mrl_recall_report" -> DuckDbOracles.mrlRecallReport(),
     "semantic_dedup" -> DuckDbOracles.semanticDedup(),
     "cluster_cohesion" -> DuckDbOracles.clusterCohesion(),
     "cluster_balanced_sample" -> DuckDbOracles.clusterBalancedSample(),

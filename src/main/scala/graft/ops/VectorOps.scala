@@ -875,6 +875,64 @@ object VectorOps {
     topKPerQuery(exact, k)
   }
 
+  /** Matryoshka-style funnel retrieval (adaptive retrieval over nested
+    * representation prefixes, Kusupati et al. NeurIPS'22): stage 1 ranks
+    * the corpus by cosine over only the first `prefixDim` components —
+    * the scan touches prefixDim/dim of the bytes, the scan-BANDWIDTH
+    * compression tier complementing PQ's byte-code tier and IVF's
+    * cell-pruning tier — and stage 2 fetches full-precision vectors for
+    * the `shortlist` rows only and re-ranks exactly (same
+    * broadcast-shortlist fetch as `rerankStages`). The stage-1 all-pairs
+    * scan is the labeled baseline shape (as in `bruteForceTopK`); the
+    * scale path composes the prefix score into the IVF cell join.
+    *
+    * Note on this corpus: the synthetic embeddings are isotropic, so a
+    * 16-of-64 prefix carries ~1/4 of the energy with no learned
+    * concentration — the recall `mrlRecallReport` measures here is the
+    * method's WORST case; MRL-trained embeddings front-load variance into
+    * the prefix by construction.
+    */
+  def mrlTopK(
+      emb: DataFrame, k: Int = 10, prefixDim: Int = 16,
+      shortlist: Int = RerankShortlist): DataFrame = {
+    def prefixView(df: DataFrame, idAs: String, pAs: String, pnAs: String) =
+      df.select(col("vec_id").as(idAs),
+          slice(col("embedding").cast("array<double>"), 1, prefixDim).as(pAs))
+        .select(col(idAs), col(pAs), sqrt(dot(col(pAs), col(pAs))).as(pnAs))
+    val qSrc = emb.filter(col("vec_id") % 100 === 0)
+    val approx = broadcast(prefixView(qSrc, "q_id", "qp", "qpn"))
+      .join(prefixView(emb, "neighbor_id", "cp", "cpn"),
+        col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        round(dot(col("qp"), col("cp")) / (col("qpn") * col("cpn")), 6).as("cos"))
+    val short = topKPerQuery(approx, shortlist).select(col("q_id"), col("neighbor_id"))
+    val exact = broadcast(short)
+      .join(withNorm(emb, "neighbor_id", "cv", "cn"), Seq("neighbor_id"))
+      .join(broadcast(withNorm(qSrc, "q_id", "qv", "qn")), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+    topKPerQuery(exact, k)
+  }
+
+  /** Funnel-quality audit — recall@k + MRR of `mrlTopK` against the
+    * brute-force truth, per query: how much the prefix shortlist loses at
+    * this corpus's (worst-case, isotropic) energy profile.
+    */
+  def mrlRecallReport(emb: DataFrame, k: Int = 10): DataFrame = {
+    val truth = bruteForceTopK(emb, k)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("t_rank"))
+    val approx = mrlTopK(emb, k)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("a_rank"))
+    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when(col("a_rank").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        max(when(col("t_rank") === 1 && col("a_rank").isNotNull,
+          round(lit(1.0) / col("a_rank").cast("double"), 6)).otherwise(lit(0.0))).as("rr"))
+      .select(col("q_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, 6).as("recall_at_k"), col("rr"))
+  }
+
   /** Two-stage re-rank served from an accumulated QUANTIZED cell index —
     * (vec_id, cell, cv, cn, s, q) rows as StreamingAnnIngest maintains
     * them: stage 1 reads only the int8 payload of the probed cells'

@@ -1255,6 +1255,47 @@ object DuckDbOracles {
   /** Twin of VectorOps.pqRecallReport: brute truth vs the PQ-ADC ranking,
     * metrics from integer hits/ranks only (the annRecallReport shape).
     */
+  /** Twin of VectorOps.mrlTopK: prefix-cosine shortlist (6dp + id
+    * tie-break keeps the shortlist SET bit-identical), exact re-rank of
+    * the shortlist only.
+    */
+  def mrlTopK(k: Int = 10, prefixDim: Int = 16, shortlist: Int = 30): String =
+    s"""WITH $embCte,
+       |q AS (SELECT vec_id AS q_id, v AS qv, v[1:$prefixDim] AS qp FROM e WHERE vec_id % 100 = 0),
+       |c AS (SELECT vec_id, v, v[1:$prefixDim] AS cp FROM e),
+       |pscored AS (SELECT q_id, vec_id AS neighbor_id,
+       |    round(${cosSql("qp", "cp")}, 6) AS pcos
+       |  FROM q JOIN c ON q_id <> vec_id),
+       |short AS (SELECT q_id, neighbor_id FROM (
+       |  SELECT q_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY pcos DESC, neighbor_id ASC) AS prank
+       |  FROM pscored) WHERE prank <= $shortlist),
+       |exact AS (SELECT s.q_id, s.neighbor_id,
+       |    round(${cosSql("q.qv", "c2.v")}, 6) AS cos
+       |  FROM short s JOIN e c2 ON s.neighbor_id = c2.vec_id
+       |  JOIN q ON s.q_id = q.q_id)
+       |SELECT q_id, rank, neighbor_id, cos FROM (
+       |  SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM exact) WHERE rank <= $k""".stripMargin
+
+  /** Twin of VectorOps.mrlRecallReport — same composition as
+    * pqRecallReport over the funnel ranking.
+    */
+  def mrlRecallReport(k: Int = 10): String =
+    s"""WITH t AS (SELECT q_id, neighbor_id, rank AS t_rank FROM (
+       |${annBruteTopK(k)})),
+       |a AS (SELECT q_id, neighbor_id, rank AS a_rank FROM (
+       |${mrlTopK(k)}))
+       |SELECT t.q_id,
+       |  CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / $k, 6) AS recall_at_k,
+       |  max(CASE WHEN t.t_rank = 1 AND a.a_rank IS NOT NULL
+       |    THEN round(1.0 / a.a_rank, 6) ELSE 0.0 END) AS rr
+       |FROM t LEFT JOIN a ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY 1""".stripMargin
+
   def pqRecallReport(k: Int = 10): String =
     s"""WITH t AS (SELECT q_id, neighbor_id, rank AS t_rank FROM (
        |${annBruteTopK(k)})),

@@ -72,6 +72,11 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // composes the same labeled brute baseline with the ADC ranking —
     // inherits ann_brute_topk's and pq_adc_topk's labeled exception
     "pq_recall_report" -> Set("nested-loop-join"),
+    // the MRL stage-1 prefix scan is the labeled all-pairs baseline shape
+    // (scan-bandwidth tier; compose with IVF cell pruning at scale); the
+    // bounded-heap top-k UDAF is the intentional typed-aggregator fallback
+    "mrl_topk" -> Set("nested-loop-join", "codegen-fallback"),
+    "mrl_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     "ann_ivf_kmeans_topk" -> Set("nested-loop-join", "codegen-fallback"),
     // planted near-dup copies use transform() on the every-20th slice —
     // interpreted on 5% of rows by design (exact ±1/64 double nudges)

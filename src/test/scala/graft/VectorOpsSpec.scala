@@ -345,6 +345,30 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     }
   }
 
+  describe("mrlTopK") {
+    it("degenerates to exact brute force when the prefix is the full dim") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val brute = VectorOps.bruteForceTopK(emb, k = 10).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val full = VectorOps.mrlTopK(emb, k = 10, prefixDim = 64).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      full shouldBe brute
+    }
+    it("a 16-dim prefix funnel beats the random-shortlist baseline") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val n = emb.count().toDouble
+      val report = VectorOps.mrlRecallReport(emb, k = 10).collect()
+      val meanRecall = report.map(_.getAs[Double]("recall_at_k")).sum / report.length
+      // a random 30-row shortlist holds each true top-10 neighbor with
+      // p ≈ 30/n, so expected random recall@10 ≈ 30/n ≈ 0.06 here;
+      // measured ≈ 0.44 on the isotropic corpus (the method's worst case)
+      meanRecall should be > (3.0 * VectorOps.RerankShortlist / n)
+      // re-ranked hits are scored with the EXACT cosine, so a hit at rank 1
+      // in truth that survives the shortlist gets rr = 1.0
+      report.map(_.getAs[Double]("rr")).max shouldBe 1.0
+    }
+  }
+
   describe("clusterCohesion") {
     it("matches an independent driver-side recomputation per cell") {
       val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -819,6 +819,10 @@ object SparkEntry {
     // Deterministic hash-based stratified sampling + train/val split: the
     // reproducible-subset op a training pipeline runs before tokenization.
     "stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
+    // Length-histogram matching: flatten the token-length distribution to
+    // the rarest bucket's mass via integer-ppm acceptance per bucket.
+    "length_matched_sample" -> ((s, dir) =>
+      Sampling.histogramMatch(Tables.documents(s, dir))),
     // Temperature-based source mixing: p_s ∝ sqrt(share_s), deterministic
     // ppm hash gate — the skew-flattening resampler in LLM data recipes.
     "temperature_mix" -> ((s, dir) => Sampling.temperatureMix(Tables.documents(s, dir))),
@@ -1810,6 +1814,7 @@ object SparkEntry {
     "pack_training_shards" -> DuckDbOracles.packShards,
     "custom_sessions" -> DuckDbOracles.customSessions(SessionGapMs, SessionCapMs),
     "stratified_sample" -> DuckDbOracles.stratifiedSample,
+    "length_matched_sample" -> DuckDbOracles.histogramMatch(),
     "temperature_mix" -> DuckDbOracles.temperatureMix,
     "weighted_sample" -> DuckDbOracles.weightedSample(),
     "capped_per_source" -> DuckDbOracles.cappedPerSource(),

@@ -78,6 +78,38 @@ object Sampling {
         when(pmod(hash("split", col("rep").cast("string")), lit(1000L)) < ValPerMille,
           lit("val")).otherwise(lit("train")).as("split"))
 
+  /** Bucket width (whitespace tokens) for the length histogram. */
+  val LenBucketTokens = 8
+
+  /** Length-histogram matching resample — the distribution-matching move
+    * (here with a uniform target): flatten the token-length histogram to
+    * the RAREST bucket's mass, so bucket b survives at
+    * `floor(1e6·min_count/count_b)` ppm through the shared integer-ppm
+    * hash gate. Every step is integer-exact: bucket ids come from `div`
+    * (never double division, whose floor can misbucket on exact
+    * boundaries), and the ppm is a 64-bit integer quotient — at corpus
+    * counts ~1e11 the double path would already be past 2^53.
+    *
+    * Scale: one |buckets|-row aggregate, its one-row min broadcast-crossed
+    * back (the temperature_mix pattern), one broadcast equi-join onto the
+    * corpus — scanned once, never shuffled.
+    */
+  def histogramMatch(
+      docs: DataFrame,
+      bucketTokens: Int = LenBucketTokens,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketTokens"))
+    val counts = base.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val minCnt = counts.agg(min(col("cnt")).as("min_cnt"))
+    val ppm = counts.join(broadcast(minCnt))
+      .select(col("bucket"), expr("1000000 * min_cnt div cnt").as("ppm"))
+    base.join(broadcast(ppm), Seq("bucket"))
+      .filter(pmod(hash("lenmatch", col("doc_id").cast("string")), lit(1000000L)) < col("ppm"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("ppm"))
+  }
+
   /** Fraction of the corpus the temperature mix targets in expectation. */
   val MixTargetFrac: Double = 0.5
 

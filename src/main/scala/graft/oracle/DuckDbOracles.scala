@@ -575,6 +575,21 @@ object DuckDbOracles {
        |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 1000) AS BIGINT) AS bin
        |FROM c""".stripMargin
 
+  /** Twin of Sampling.histogramMatch — same integer bucket ids (floor
+    * division), same 64-bit integer ppm quotient, same md5-bridge gate.
+    */
+  def histogramMatch(bucketTokens: Int = Sampling.LenBucketTokens): String =
+    s"""WITH b AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) // $bucketTokens AS bucket
+       |  FROM documents),
+       |c AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+       |m AS (SELECT min(cnt) AS min_cnt FROM c),
+       |p AS (SELECT bucket, (1000000 * min_cnt) // cnt AS ppm FROM c, m)
+       |SELECT b.doc_id, b.n_tokens, b.bucket, p.ppm
+       |FROM b JOIN p ON b.bucket = p.bucket
+       |WHERE ${h("lenmatch", "CAST(doc_id AS VARCHAR)")} % 1000000 < p.ppm""".stripMargin
+
   /** Twin of Sampling.stratifiedSample — ppm rates and the val share come
     * from the same Scala constants; decisions are pure integer arithmetic
     * over the md5 bridge, so both engines keep exactly the same documents.

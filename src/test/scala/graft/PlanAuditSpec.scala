@@ -47,6 +47,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // one-row totals aggregate broadcast-crossed onto the few-row
     // per-source counts (never the corpus)
     "temperature_mix" -> Set("nested-loop-join"),
+    // one-row min-bucket-count aggregate broadcast-crossed onto the
+    // few-row per-bucket counts (never the corpus)
+    "length_matched_sample" -> Set("nested-loop-join"),
     // one-row vocabulary-total broadcast-crossed onto the instance⋈vocab
     // join output (the N in ln(c/N))
     "text_unigram_logprob" -> Set("nested-loop-join"),

@@ -40,6 +40,28 @@ class SamplingSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper
     }
   }
 
+  describe("histogramMatch") {
+    it("flattens the length histogram to the rarest bucket's mass and keeps that bucket whole") {
+      import spark.implicits._
+      // buckets (width 8 tokens): 400 docs of ~4 tokens, 100 of ~12, 20 of ~20
+      val rows = (0 until 400).map(i => (i.toLong, "a b c d")) ++
+        (400 until 500).map(i => (i.toLong, Seq.fill(12)("t").mkString(" "))) ++
+        (500 until 520).map(i => (i.toLong, Seq.fill(20)("t").mkString(" ")))
+      val df = rows.toDF("doc_id", "text")
+      val out = Sampling.histogramMatch(df).collect()
+      val byBucket = out.groupBy(_.getAs[Long]("bucket")).view.mapValues(_.length).toMap
+      // rarest bucket (20 docs) gets ppm = 1e6 → survives whole
+      byBucket(2L) shouldBe 20
+      // denser buckets downsample toward 20 (hash wiggle allowed)
+      byBucket(0L).toDouble should (be >= 8.0 and be <= 36.0)
+      byBucket(1L).toDouble should (be >= 8.0 and be <= 36.0)
+      // membership is a pure doc_id hash — invariant under repartitioning
+      val again = Sampling.histogramMatch(df.repartition(7)).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      again shouldBe out.map(_.getAs[Long]("doc_id")).toSet
+    }
+  }
+
   describe("temperatureMix") {
     // 900/100 source skew: S = 30 + 10 = 40, so rate_A = 0.5·1000/(40·30)
     // ≈ 0.4167 and rate_B = 0.5·1000/(40·10) = 1.25 → capped at 1.0

@@ -519,6 +519,11 @@ object SparkEntry {
     "profile_events" -> ((s, dir) =>
       graft.ops.Profile.profile(Tables.events(s, dir), ProfileCols)),
 
+    // Data-contract validation: every rule's violation count + exact ppm
+    // from ONE scan; rules are ANSI predicates shared with the oracle.
+    "contract_report" -> ((s, dir) =>
+      graft.ops.Profile.contractReport(Tables.events(s, dir))),
+
     // Winsorization: clip values to the per-type [p01, p99] cutoffs from
     // the same granularity-bounded histogram as quantile_rollup — the
     // robust-cleaning TRANSFORM the outlier report motivates. The clipped
@@ -1520,6 +1525,7 @@ object SparkEntry {
     "moments_rollup" -> DuckDbOracles.momentsRollup,
     "winsorize_values" -> DuckDbOracles.winsorizeValues(),
     "profile_events" -> DuckDbOracles.profileEvents(ProfileCols),
+    "contract_report" -> DuckDbOracles.contractReport,
 
     "q18_large_orders" ->
       """SELECT c.c_name, o.o_orderkey, sum(l.l_quantity) AS total_qty

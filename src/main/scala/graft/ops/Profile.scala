@@ -57,4 +57,41 @@ object Profile {
         round(col("max_per_key") * col("n_keys")
           / col("n_rows").cast("double"), 6).as("skew_ratio"))
   }
+
+  /** Data-contract rules over the events stream: (rule name, VIOLATION
+    * predicate). The predicates are ANSI SQL strings that parse
+    * identically in Spark (`expr`) and DuckDB — one source of truth for
+    * the operator and its oracle, so a contract can never drift between
+    * the enforcement path and the audit path.
+    */
+  val ContractRules: Seq[(String, String)] = Seq(
+    "user_id_not_null" -> "user_id IS NULL",
+    "user_id_positive" -> "user_id <= 0",
+    "value_in_range" -> "value < 0 OR value > 400",
+    "event_type_enum" ->
+      "event_type NOT IN ('click', 'view', 'purchase', 'error', 'signup')",
+    "ts_in_window" ->
+      "ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2027-01-01'")
+
+  /** Contract-validation report — the data-quality gate a pipeline runs
+    * before promoting a batch: every rule's violation count from ONE scan
+    * (all CASE-sums fold into a single hash aggregate; no per-rule pass),
+    * with the rate as an exact integer ppm quotient. A NULL predicate
+    * result counts as non-violating (the not-null rule itself is explicit).
+    */
+  def contractReport(
+      df: DataFrame,
+      rules: Seq[(String, String)] = ContractRules): DataFrame = {
+    val aggs = rules.map { case (n, p) =>
+      sum(when(expr(p), 1L).otherwise(0L)).as(s"v__$n")
+    } :+ count(lit(1)).as("n_checked")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.map { case (n, _) =>
+      struct(lit(n).as("rule"), col(s"v__$n").as("n_violations"))
+    }
+    one.select(explode(array(rows: _*)).as("r"), col("n_checked"))
+      .select(col("r.rule").as("rule"), col("r.n_violations").as("n_violations"),
+        col("n_checked"),
+        expr("1000000 * r.n_violations div n_checked").as("violation_ppm"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.oracle
 
-import graft.ops.{Dedup, Sampling, TextOps, VectorOps}
+import graft.ops.{Dedup, Profile, Sampling, TextOps, VectorOps}
 
 /** DuckDB oracle SQL for every hash-checkable north-star query, GENERATED
   * from the same Scala constants the Spark operators use (seeds, band
@@ -158,6 +158,22 @@ object DuckDbOracles {
          |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
          |FROM events""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  /** Twin of Profile.contractReport — rendered from the SAME predicate
+    * strings (ContractRules), so the audited contract cannot drift.
+    */
+  def contractReport: String = {
+    val aggs = Profile.ContractRules
+      .map { case (n, p) => s"""sum(CASE WHEN $p THEN 1 ELSE 0 END) AS "v__$n"""" }
+      .mkString(",\n  ")
+    val arms = Profile.ContractRules.map { case (n, _) =>
+      s"""SELECT '$n' AS rule, CAST("v__$n" AS BIGINT) AS n_violations, n_checked,
+         |  (1000000 * "v__$n") // n_checked AS violation_ppm FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH a AS (SELECT $aggs,
+       |  count(*) AS n_checked FROM events)
+       |$arms""".stripMargin
+  }
 
   /** Twin of the winsorize_values query: cutoffs from the same direct
     * histogram as quantileRollup (p01/p99 ppm), clip, exact decimal sum.

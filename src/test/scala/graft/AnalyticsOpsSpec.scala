@@ -174,4 +174,24 @@ class AnalyticsOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWra
       r.getAs[Double]("skew_ratio") shouldBe 1.0
     }
   }
+
+  describe("Profile.contractReport") {
+    it("counts violations per rule exactly, with NULL predicates non-violating") {
+      val ts0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      val rows = Seq(
+        (Some(1L), "click", 10.0, ts0),    // clean
+        (None: Option[Long], "view", 5.0, ts0), // null user: trips ONLY not_null
+        (Some(-2L), "view", 500.0, ts0),   // trips positive AND range
+        (Some(3L), "weird", 1.0, java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+      val df = rows.toDF("user_id", "event_type", "value", "ts")
+      val got = Profile.contractReport(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+      got("user_id_not_null") shouldBe ((1L, 250000L))
+      // the NULL user_id makes `user_id <= 0` NULL → non-violating there
+      got("user_id_positive") shouldBe ((1L, 250000L))
+      got("value_in_range") shouldBe ((1L, 250000L))
+      got("event_type_enum") shouldBe ((1L, 250000L))
+      got("ts_in_window") shouldBe ((1L, 250000L))
+    }
+  }
 }

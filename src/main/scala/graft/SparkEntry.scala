@@ -860,6 +860,9 @@ object SparkEntry {
     // Character/bigram Shannon entropy — the gibberish detector (binary
     // junk, looping filler). Zero-shuffle narrow projection per doc.
     "text_entropy" -> ((s, dir) => TextOps.charEntropy(Tables.documents(s, dir))),
+    // BM25 lexical retrieval: inverted-index posting join, broadcast
+    // df/query/stats sides, per-query ranking window.
+    "bm25_topk" -> ((s, dir) => TextOps.bm25TopK(Tables.documents(s, dir))),
     // E2E curation report: length/quality/repetition gates with first-match
     // reject reason + PII audit flag — the whole filter chain in one pass.
     "corpus_retention" -> ((s, dir) => TextOps.retentionReport(Tables.documents(s, dir))),
@@ -1836,6 +1839,7 @@ object SparkEntry {
     "decontaminate" -> DuckDbOracles.decontaminate,
     "text_repetition" -> DuckDbOracles.textRepetition(),
     "text_entropy" -> DuckDbOracles.charEntropy,
+    "bm25_topk" -> DuckDbOracles.bm25TopK(),
     "corpus_retention" -> DuckDbOracles.corpusRetention(),
     "curation_pipeline" -> DuckDbOracles.curationPipeline(),
     "dedup_components" -> DuckDbOracles.dedupComponents(),

@@ -778,6 +778,68 @@ object TextOps {
         col("dup_frac") > dupFracMax || col("top_frac") > topFracMax)
   }
 
+  /** BM25 parameters (Robertson-Spärck Jones; the k1/b defaults every
+    * search engine ships) and the fixed query set — literal constants so
+    * the oracle replays the exact same retrieval.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join"),
+    2 -> Seq("window", "agg", "stream"),
+    3 -> Seq("vector", "scan"),
+    4 -> Seq("customer", "order", "merge"),
+    5 -> Seq("slow", "query"))
+
+  /** The per-(term, doc) BM25 contribution as ONE ANSI-SQL expression
+    * string, evaluated verbatim by Spark's `expr` and the DuckDB oracle —
+    * identical expression shape means identical IEEE operation order, so
+    * the 6dp rounding only has to absorb the engines' ln() ulp, not a
+    * different arithmetic tree. Column contract: tf, df, dl, n_docs,
+    * sum_dl in scope.
+    */
+  def bm25TermSql: String =
+    s"round(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * (tf * ${Bm25K1 + 1}) / " +
+      s"(tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / (CAST(sum_dl AS DOUBLE) / n_docs))), 6)"
+
+  /** BM25 top-k lexical retrieval over the corpus for the fixed query
+    * set — the inverted-index posting join expressed relationally: the
+    * token table filtered to query terms (tf), term document frequencies
+    * (|terms| rows, broadcast), document lengths, and the one-row
+    * (n_docs, sum_dl) corpus stats broadcast-crossed on. Scale shape:
+    * the posting table shuffles once on (doc, term); df/qterm/stats sides
+    * are all broadcast; the final per-query ranking window partitions by
+    * query. avgdl derives from INTEGER sums (sum_dl/n_docs), never a
+    * double avg() crossing the engine boundary.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: Seq[(Int, Seq[String])] = Bm25Queries,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = queries.flatMap(_._2).distinct
+    val qterms = queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "qtok")
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val scored = tf
+      .join(broadcast(qterms), col("tok") === col("qtok"))
+      .join(broadcast(dft), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(stats))
+      .select(col("q_id"), col("doc_id"), expr(bm25TermSql).as("s"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Shannon entropy (bits) of a character-level symbol array, as a pure
     * projection expression: H = log2(n) - (Σ c·log2 c)/n over the
     * per-symbol occurrence counts c. The count list is sorted ascending

@@ -42,6 +42,32 @@ object DuckDbOracles {
        |FROM tok""".stripMargin
   }
 
+  /** Twin of TextOps.bm25TopK — the scoring expression is the SAME string
+    * (bm25TermSql), so only ln()'s ulp crosses the 6dp rounding.
+    */
+  def bm25TopK(k: Int = 10): String = {
+    val terms = TextOps.Bm25Queries.flatMap(_._2).distinct
+    val qtRows = TextOps.Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    s"""WITH $tokCte,
+       |inst AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM inst
+       |  WHERE tok IN (${inList(terms)}) GROUP BY 1, 2),
+       |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |qt AS (SELECT * FROM (VALUES $qtRows) AS v(q_id, qtok)),
+       |sc AS (SELECT qt.q_id, tf.doc_id, ${TextOps.bm25TermSql} AS s
+       |  FROM tf JOIN qt ON tf.tok = qt.qtok
+       |  JOIN dft ON tf.tok = dft.tok
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+       |agg AS (SELECT q_id, doc_id, round(sum(s), 6) AS score FROM sc GROUP BY 1, 2)
+       |SELECT q_id, rank, doc_id, score FROM (
+       |  SELECT q_id, doc_id, score,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+       |  FROM agg) WHERE rank <= $k""".stripMargin
+  }
+
   /** Twin of TextOps.charEntropy. The count list is sorted ascending and
     * left-folded (`list_reduce`) so the sequence of IEEE additions matches
     * Spark's `aggregate` fold exactly — `list_distinct` order differs

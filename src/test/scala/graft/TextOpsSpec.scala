@@ -27,6 +27,20 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("bm25TopK") {
+    it("matches the hand-computed score and ranks higher-tf docs first") {
+      // N=3, df(cat)=2 → idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6)
+      // d1: tf=1, dl=2=avgdl → length norm = 1 → score = idf exactly
+      // d2: tf=3, dl=3 → 6.6/(3+1.2·(0.25+0.75·1.5))·idf > idf
+      val docs = docsDf(Seq(1L -> "cat dog", 2L -> "cat cat cat", 3L -> "bird"))
+      val got = TextOps.bm25TopK(docs, queries = Seq(1 -> Seq("cat")), k = 10)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toList
+      got.map(_._2) shouldBe List(2L, 1L) // bird doc never matches
+      got(1)._3 shouldBe (math.log(1.6) +- 5e-7) // rounded to 6dp
+      got(0)._3 should be > got(1)._3
+    }
+  }
+
   describe("charEntropy") {
     it("matches hand-computed entropies and orders junk below text") {
       // "aaaa": 1 symbol -> H = 0; bigrams "aa"×3 -> H = 0; conditional 0.

@@ -863,6 +863,9 @@ object SparkEntry {
     // BM25 lexical retrieval: inverted-index posting join, broadcast
     // df/query/stats sides, per-query ranking window.
     "bm25_topk" -> ((s, dir) => TextOps.bm25TopK(Tables.documents(s, dir))),
+    // DSIR importance resampling: hashed-bigram target/raw log-ratio
+    // weights + deterministic hash-Gumbel top-k selection.
+    "dsir_resample" -> ((s, dir) => TextOps.dsirResample(Tables.documents(s, dir))),
     // E2E curation report: length/quality/repetition gates with first-match
     // reject reason + PII audit flag — the whole filter chain in one pass.
     "corpus_retention" -> ((s, dir) => TextOps.retentionReport(Tables.documents(s, dir))),
@@ -1840,6 +1843,7 @@ object SparkEntry {
     "text_repetition" -> DuckDbOracles.textRepetition(),
     "text_entropy" -> DuckDbOracles.charEntropy,
     "bm25_topk" -> DuckDbOracles.bm25TopK(),
+    "dsir_resample" -> DuckDbOracles.dsirResample(),
     "corpus_retention" -> DuckDbOracles.corpusRetention(),
     "curation_pipeline" -> DuckDbOracles.curationPipeline(),
     "dedup_components" -> DuckDbOracles.dedupComponents(),

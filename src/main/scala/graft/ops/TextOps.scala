@@ -180,6 +180,84 @@ object TextOps {
         round(avg(log(p)), 6).as("mean_logprob_bi"))
   }
 
+  /** DSIR feature-hash buckets (hashed word-bigram features). 1024 keeps
+    * the bucket-stats table broadcast-sized while leaving collisions rare
+    * on this vocabulary; the bucket count also appears as the Laplace
+    * smoothing denominator term.
+    */
+  val DsirBuckets = 1024
+
+  /** Documents selected by `dsirResample`. */
+  val DsirK = 200
+
+  /** Seeds for the DSIR feature hash and the per-doc Gumbel gate. */
+  val DsirSeed = "dsir"
+  val DsirGumbelSeed = "dsir-g"
+
+  /** The stand-in target domain: labeled-English documents. */
+  val DsirTargetLang = "en"
+
+  /** Data Selection via Importance Resampling (DSIR, Xie et al. NeurIPS'23):
+    * select raw documents whose hashed-n-gram profile looks like a target
+    * domain, by (1) estimating target and raw unigram distributions over
+    * HASHED BIGRAM features (h31 % buckets — the fixed-width sketch that
+    * makes the estimator corpus-size-independent), (2) scoring every doc
+    * with its importance log-weight Σ_b n_b·(ln p̂_target(b) − ln p̂_raw(b))
+    * under Laplace smoothing, and (3) sampling k docs WITHOUT replacement
+    * with probability ∝ weight via the Gumbel-top-k trick — the Gumbel
+    * noise derived deterministically from the portable doc-id hash
+    * (u = (h%1e6 + 0.5)/1e6, g = −ln(−ln u)), so the "random" resample is
+    * bit-reproducible and oracle-replayable, the same integer-ppm
+    * convention as Sampling.
+    *
+    * Every probability assembles per join row from INTEGER counts
+    * ((c+1)/(N+B)); the per-doc feature-sum is rounded 6dp (≤ `buckets`
+    * addends — summation-order drift ~1e-12, absorbed), and the final key
+    * once more after the Gumbel add. Docs with < 2 tokens have no bigram
+    * features and drop out of the resample on both engines.
+    *
+    * Scale: bigrams via the codegen'd posexplode+lead shape (shared with
+    * frequentBigrams — the doc_id window exchange also re-partitions to
+    * post-explode volume); doc×bucket counts are one hash agg; the
+    * bucket-stats side is HARD-BOUNDED at `buckets` rows (broadcast), the
+    * totals one row (labeled broadcast cross); selection is a TakeOrdered —
+    * k rows cross the final exchange, never a global sort or window.
+    */
+  def dsirResample(
+      docs: DataFrame,
+      k: Int = DsirK,
+      buckets: Int = DsirBuckets,
+      targetLang: String = DsirTargetLang): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = docs
+      .select(col("doc_id"), (col("lang") === targetLang).as("is_t"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("is_t"), col("tok"), lead(col("tok"), 1).over(w).as("tok1"))
+      .filter(col("tok1").isNotNull)
+      .select(col("doc_id"), col("is_t"),
+        pmod(PortableHash.h31(DsirSeed, concat_ws(" ", col("tok"), col("tok1"))),
+          lit(buckets.toLong)).as("bucket"))
+    val db = bg.groupBy(col("doc_id"), col("is_t"), col("bucket")).agg(count(lit(1)).as("n"))
+    val bs = db.groupBy(col("bucket")).agg(
+      sum(col("n")).as("cr"),
+      sum(when(col("is_t"), col("n")).otherwise(0L)).as("ct"))
+    val tot = bs.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val term = col("n").cast("double") *
+      (log((col("ct").cast("double") + lit(1.0)) /
+           (col("nt").cast("double") + lit(buckets.toDouble))) -
+       log((col("cr").cast("double") + lit(1.0)) /
+           (col("nr").cast("double") + lit(buckets.toDouble))))
+    val lw = db.join(broadcast(bs), Seq("bucket")).crossJoin(broadcast(tot))
+      .groupBy(col("doc_id")).agg(round(sum(term), 6).as("log_w"))
+    val u = (pmod(PortableHash.h31(DsirGumbelSeed, col("doc_id").cast("string")),
+      lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+    lw.select(col("doc_id"), col("log_w"),
+        round(col("log_w") + -log(-log(u)), 6).as("gkey"))
+      .orderBy(col("gkey").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Quantile position of the per-language keep threshold, in ppm (300000 =
     * drop the bottom ~30% of each language) — integer ppm so the cutoff
     * count is exact integer arithmetic in every engine, the same convention

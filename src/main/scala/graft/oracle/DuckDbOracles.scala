@@ -68,6 +68,34 @@ object DuckDbOracles {
        |  FROM agg) WHERE rank <= $k""".stripMargin
   }
 
+  /** Twin of TextOps.dsirResample — same hashed-bigram features, Laplace
+    * log-ratio assembled per join row from integer counts, same 6dp
+    * rounding points, same deterministic hash-Gumbel top-k (ORDER BY +
+    * LIMIT, mirroring the Spark TakeOrdered).
+    */
+  def dsirResample(
+      k: Int = TextOps.DsirK,
+      buckets: Int = TextOps.DsirBuckets,
+      targetLang: String = TextOps.DsirTargetLang): String = {
+    val b = buckets
+    val u = s"(CAST(${h(TextOps.DsirGumbelSeed, "CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) + 0.5) / 1000000.0"
+    s"""WITH tokl AS (SELECT doc_id, lang = '$targetLang' AS is_t,
+       |    string_split(text, ' ') AS t FROM documents),
+       |bg AS (SELECT doc_id, is_t, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i+1])) AS bigram FROM tokl WHERE len(t) >= 2),
+       |db AS (SELECT doc_id, is_t, ${h(TextOps.DsirSeed, "bigram")} % $b AS bucket,
+       |    count(*) AS n FROM bg GROUP BY 1, 2, 3),
+       |bs AS (SELECT bucket, sum(n) AS cr,
+       |    sum(CASE WHEN is_t THEN n ELSE 0 END) AS ct FROM db GROUP BY 1),
+       |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bs),
+       |lw AS (SELECT doc_id, round(sum(CAST(n AS DOUBLE) *
+       |      (ln((CAST(ct AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + $b.0))
+       |     - ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + $b.0)))), 6) AS log_w
+       |  FROM db JOIN bs USING (bucket) CROSS JOIN tot GROUP BY 1)
+       |SELECT doc_id, log_w, round(log_w + -ln(-ln($u)), 6) AS gkey
+       |FROM lw ORDER BY gkey DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
   /** Twin of TextOps.charEntropy. The count list is sorted ascending and
     * left-folded (`list_reduce`) so the sequence of IEEE additions matches
     * Spark's `aggregate` fold exactly — `list_distinct` order differs

@@ -53,6 +53,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // one-row (n_docs, sum_dl) corpus-stats aggregate broadcast-crossed
     // onto the posting join (the BM25 avgdl/idf denominators)
     "bm25_topk" -> Set("nested-loop-join"),
+    // one-row (nr, nt) feature-total aggregate broadcast-crossed onto the
+    // doc×bucket counts (the DSIR Laplace denominators)
+    "dsir_resample" -> Set("nested-loop-join"),
     // one-row vocabulary-total broadcast-crossed onto the instance⋈vocab
     // join output (the N in ln(c/N))
     "text_unigram_logprob" -> Set("nested-loop-join"),

@@ -41,6 +41,25 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("dsirResample") {
+    it("weights docs by target-likeness of hashed-bigram features, deterministically") {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "cat dog cat", "en"), (2L, "cat dog cat", "xx"),
+        (3L, "zz qq zz", "xx"), (4L, "solo", "en"))
+        .toDF("doc_id", "text", "lang")
+      val got = TextOps.dsirResample(docs).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      got.map(_._1).toSet shouldBe Set(1L, 2L, 3L) // <2-token doc has no features
+      val byId = got.map(t => t._1 -> t._2).toMap
+      byId(1L) shouldBe byId(2L) // same text, same features: the weight is label-free
+      byId(1L) should be > byId(3L) // target-profile bigrams outweigh raw-only ones
+      val again = TextOps.dsirResample(docs).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      again.toSet shouldBe got.toSet // hash-Gumbel selection is bit-reproducible
+    }
+  }
+
   describe("charEntropy") {
     it("matches hand-computed entropies and orders junk below text") {
       // "aaaa": 1 symbol -> H = 0; bigrams "aa"×3 -> H = 0; conditional 0.

@@ -866,6 +866,10 @@ object SparkEntry {
     // DSIR importance resampling: hashed-bigram target/raw log-ratio
     // weights + deterministic hash-Gumbel top-k selection.
     "dsir_resample" -> ((s, dir) => TextOps.dsirResample(Tables.documents(s, dir))),
+    // PMI collocation mining over the planted-boilerplate corpus —
+    // association strength, the signal raw bigram counts can't see.
+    "pmi_collocations" -> ((s, dir) =>
+      TextOps.pmiCollocations(TextOps.withPlantedBoilerplate(Tables.documents(s, dir)))),
     // E2E curation report: length/quality/repetition gates with first-match
     // reject reason + PII audit flag — the whole filter chain in one pass.
     "corpus_retention" -> ((s, dir) => TextOps.retentionReport(Tables.documents(s, dir))),
@@ -1844,6 +1848,7 @@ object SparkEntry {
     "text_entropy" -> DuckDbOracles.charEntropy,
     "bm25_topk" -> DuckDbOracles.bm25TopK(),
     "dsir_resample" -> DuckDbOracles.dsirResample(),
+    "pmi_collocations" -> DuckDbOracles.pmiCollocations(),
     "corpus_retention" -> DuckDbOracles.corpusRetention(),
     "curation_pipeline" -> DuckDbOracles.curationPipeline(),
     "dedup_components" -> DuckDbOracles.dedupComponents(),

@@ -672,6 +672,60 @@ object TextOps {
         round(col("cnt").cast("double") / col("n").cast("double"), 6).as("frac"))
   }
 
+  /** PMI collocation floor: pairs below this exact count are too rare for
+    * a stable association estimate (and unsmoothed PMI explodes on
+    * singletons), the standard Church-Hanks practice.
+    */
+  val PmiMinCount = 5L
+
+  /** Collocations reported by `pmiCollocations`. */
+  val PmiK = 30
+
+  /** Pointwise-mutual-information collocation mining (Church & Hanks 1990):
+    * PMI(v,w) = ln(p(v,w) / (p(v)·p(w))) over adjacent token pairs — the
+    * ASSOCIATION-strength signal `frequentBigrams`' raw counts cannot see
+    * (frequent-but-independent pairs score ~0; rare-but-always-together
+    * phrases score high — multiword expressions, templated boilerplate
+    * stubs). Floored at `minCount` exact occurrences.
+    *
+    * Every probability ratio assembles per join row from INTEGER counts as
+    * separate IEEE divisions — (cb/nb) / ((cv/n)·(cw/n)), never a cross-
+    * multiplied integer product (cb·n² overflows int64 at corpus scale) —
+    * identical expression shape in the oracle; one ln, rounded 6dp; full
+    * (pmi, v, w) ordering so the k-boundary is deterministic.
+    *
+    * Scale: bigrams via the codegen'd posexplode+lead shape; the pair and
+    * unigram vocabularies are hash aggs; cb⋈cu joins key on the token over
+    * VOCABULARY-sized tables (not instances); the one-row (n, nb) stats
+    * frame is the labeled broadcast cross; selection is a TakeOrdered — k
+    * rows cross the final exchange.
+    */
+  def pmiCollocations(
+      docs: DataFrame,
+      k: Int = PmiK,
+      minCount: Long = PmiMinCount): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val inst = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("tok"), lead(col("tok"), 1).over(w).as("tok1"))
+    val stats = inst.agg(count(lit(1)).as("n"), count(col("tok1")).as("nb"))
+    val cu = inst.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val cb = inst.filter(col("tok1").isNotNull)
+      .groupBy(col("tok"), col("tok1")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+    val pmi = round(log(
+      (col("cb").cast("double") / col("nb").cast("double")) /
+        ((col("cuv").cast("double") / col("n").cast("double")) *
+         (col("cuw").cast("double") / col("n").cast("double")))), 6)
+    cb.join(cu.select(col("tok"), col("cu").as("cuv")), Seq("tok"))
+      .join(cu.select(col("tok").as("tok1"), col("cu").as("cuw")), Seq("tok1"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), col("tok1"), col("cb"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("tok").asc, col("tok1").asc)
+      .limit(k)
+  }
+
   /** Terms kept per document by `tfidfTopTerms`. */
   val TfidfK = 5
 

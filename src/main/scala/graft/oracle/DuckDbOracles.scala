@@ -599,6 +599,29 @@ object DuckDbOracles {
        |SELECT bigram, cnt, round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac
        |FROM vc CROSS JOIN tot WHERE cnt * 1000000 >= n * $minPpm""".stripMargin
 
+  /** Twin of TextOps.pmiCollocations over withPlantedBoilerplate: same
+    * integer counts, same division-shaped probability ratios (no integer
+    * cross-products), same (pmi DESC, v, w) boundary ordering.
+    */
+  def pmiCollocations(
+      k: Int = TextOps.PmiK,
+      minCount: Long = TextOps.PmiMinCount): String =
+    s"""WITH $plantedDocsCte,
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs2),
+       |inst AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok FROM tok),
+       |wp AS (SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS tok1 FROM inst),
+       |st AS (SELECT count(*) AS n, count(tok1) AS nb FROM wp),
+       |cu AS (SELECT tok, count(*) AS cu FROM wp GROUP BY 1),
+       |cb AS (SELECT tok, tok1, count(*) AS cb FROM wp WHERE tok1 IS NOT NULL
+       |  GROUP BY 1, 2 HAVING count(*) >= $minCount)
+       |SELECT cb.tok, cb.tok1, cb.cb,
+       |  round(ln((CAST(cb.cb AS DOUBLE) / CAST(st.nb AS DOUBLE)) /
+       |    ((CAST(cuv.cu AS DOUBLE) / CAST(st.n AS DOUBLE)) *
+       |     (CAST(cuw.cu AS DOUBLE) / CAST(st.n AS DOUBLE)))), 6) AS pmi
+       |FROM cb JOIN cu cuv ON cb.tok = cuv.tok
+       |JOIN cu cuw ON cb.tok1 = cuw.tok CROSS JOIN st
+       |ORDER BY pmi DESC, cb.tok ASC, cb.tok1 ASC LIMIT $k""".stripMargin
+
   /** Twin of TextOps.tfidfTopTerms: same smooth-IDF formula over exact
     * integer counts, same (tfidf DESC, token ASC) ranking.
     */

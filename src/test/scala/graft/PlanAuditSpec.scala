@@ -56,6 +56,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // one-row (nr, nt) feature-total aggregate broadcast-crossed onto the
     // doc×bucket counts (the DSIR Laplace denominators)
     "dsir_resample" -> Set("nested-loop-join"),
+    // one-row (n, nb) token/bigram-total aggregate broadcast-crossed onto
+    // the vocabulary-sized pair table (the PMI denominators)
+    "pmi_collocations" -> Set("nested-loop-join"),
     // one-row vocabulary-total broadcast-crossed onto the instance⋈vocab
     // join output (the N in ln(c/N))
     "text_unigram_logprob" -> Set("nested-loop-join"),

@@ -41,6 +41,20 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("pmiCollocations") {
+    it("matches hand-computed PMI and enforces the count floor") {
+      // n=12, nb=10, cu: x=3, y=3, p=6; cb: (x,y)=3, (y,x)=2, (p,p)=5
+      // PMI(x,y)=ln((3/10)/(0.25·0.25))=ln 4.8; (y,x)=ln 3.2; (p,p)=ln 2
+      val docs = docsDf(Seq(1L -> "x y x y x y", 2L -> "p p p p p p"))
+      val got = TextOps.pmiCollocations(docs, k = 10, minCount = 1L)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toList
+      got shouldBe List(("x", "y", 3L, 1.568616), ("y", "x", 2L, 1.163151),
+        ("p", "p", 5L, 0.693147))
+      TextOps.pmiCollocations(docs).count() shouldBe 1L // only (p,p) reaches the 5 floor
+    }
+  }
+
   describe("dsirResample") {
     it("weights docs by target-likeness of hashed-bigram features, deterministically") {
       import spark.implicits._

@@ -1016,6 +1016,10 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // Per-dimension corpus standardization: one moment aggregate broadcast
+    // back onto a zero-shuffle projection.
+    "embedding_standardize" -> ((s, dir) => VectorOps.standardize(Tables.embeddings(s, dir))),
+
     // Per-vector scalar features: L2 norm and dimensionality.
     "embedding_norms" -> ((s, dir) =>
       Tables.embeddings(s, dir).select(
@@ -1878,6 +1882,7 @@ object SparkEntry {
     "minhash_quality_report" -> DuckDbOracles.minhashQualityReport(),
     "dedup_apply_minhash" -> DuckDbOracles.dedupApplyMinhash,
     "embedding_norms" -> DuckDbOracles.embeddingNorms,
+    "embedding_standardize" -> DuckDbOracles.embeddingStandardize(),
     "simhash_docs" -> DuckDbOracles.simhashDocs,
     "simhash_pairs" -> DuckDbOracles.simhashPairs(),
     "ngram_jaccard_pairs" -> DuckDbOracles.ngramJaccardPairs(),

@@ -35,6 +35,42 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Per-dimension corpus standardization (whitening-lite): z_i =
+    * (x_i − μ_i)/σ_i from corpus-wide per-dimension moments — the
+    * preprocessing step before distance-based ops (k-means, PQ, cosine
+    * retrieval) when dimensions carry unequal scales; anisotropy makes
+    * Euclidean quantizers spend their codebook on the dominant axes.
+    *
+    * σ derives as sqrt(max(E[x²] − E[x]², 0)) — the max(), mirrored in the
+    * oracle, guards the catastrophic-cancellation case where a CONSTANT
+    * dimension's variance computes to −1e-18 and sqrt returns NaN; constant
+    * dimensions standardize to 0 by the shared CASE. Engine-side mean
+    * summation order differs at ~1e-15 relative; the final 6dp round
+    * absorbs it (repo float convention).
+    *
+    * Scale: ONE partial+final aggregate produces the 2×dim moment row
+    * (map-side combinable, tiny result), broadcast-crossed back (the
+    * labeled one-row cross); the standardization itself is a zero-shuffle
+    * narrow projection — the corpus is scanned exactly twice and never
+    * shuffled. Output is row-per-dimension (vec_id, d, z) — the
+    * hash-comparable long shape, same artifact convention as pq_codebooks.
+    */
+  def standardize(emb: DataFrame, dim: Int = EmbeddingDim): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val aggs = (0 until dim).flatMap(i => Seq(
+      avg(element_at(col("v"), i + 1)).as(s"m$i"),
+      avg(element_at(col("v"), i + 1) * element_at(col("v"), i + 1)).as(s"q$i")))
+    val st = v.agg(aggs.head, aggs.drop(1): _*)
+    val z = array((0 until dim).map { i =>
+      val s = sqrt(greatest(col(s"q$i") - col(s"m$i") * col(s"m$i"), lit(0.0)))
+      round(when(s === lit(0.0), lit(0.0))
+        .otherwise((element_at(col("v"), i + 1) - col(s"m$i")) / s), 6)
+    }: _*)
+    v.crossJoin(broadcast(st))
+      .select(col("vec_id"), posexplode(z.as("zl")).as(Seq("d0", "z")))
+      .select(col("vec_id"), (col("d0") + 1).cast("int").as("d"), col("z"))
+  }
+
   /** (id, vector, precomputed sqrt-norm) projection. */
   private def withNorm(emb: DataFrame, idAlias: String, vecAlias: String, normAlias: String): DataFrame =
     emb.select(

@@ -1121,6 +1121,24 @@ object DuckDbOracles {
     s"""SELECT d.doc_id, d.lang, d.source FROM documents d
        |WHERE d.doc_id NOT IN (SELECT DISTINCT doc_b FROM ($minhashLshPairs) p)""".stripMargin
 
+  /** Twin of VectorOps.standardize: same E[x²]−E[x]² moments, same
+    * max(·,0) cancellation guard and constant-dimension CASE, loop bounds
+    * rendered from the shared EmbeddingDim.
+    */
+  def embeddingStandardize(dim: Int = VectorOps.EmbeddingDim): String = {
+    val stats = (1 to dim)
+      .map(i => s"avg(v[$i]) AS m$i, avg(v[$i]*v[$i]) AS q$i").mkString(", ")
+    val elems = (1 to dim).map { i =>
+      s"round(CASE WHEN sqrt(greatest(q$i - m$i*m$i, 0.0)) = 0.0 THEN 0.0 " +
+        s"ELSE (v[$i] - m$i) / sqrt(greatest(q$i - m$i*m$i, 0.0)) END, 6)"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |st AS (SELECT $stats FROM e),
+       |zl AS (SELECT vec_id, [$elems] AS zl FROM e CROSS JOIN st)
+       |SELECT vec_id, CAST(generate_subscripts(zl, 1) AS INTEGER) AS d, unnest(zl) AS z
+       |FROM zl""".stripMargin
+  }
+
   val embeddingNorms: String =
     """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
       |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm

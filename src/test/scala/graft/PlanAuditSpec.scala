@@ -59,6 +59,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // one-row (n, nb) token/bigram-total aggregate broadcast-crossed onto
     // the vocabulary-sized pair table (the PMI denominators)
     "pmi_collocations" -> Set("nested-loop-join"),
+    // one-row 2×dim moment aggregate broadcast-crossed onto the
+    // zero-shuffle standardization projection
+    "embedding_standardize" -> Set("nested-loop-join"),
     // one-row vocabulary-total broadcast-crossed onto the instance⋈vocab
     // join output (the N in ln(c/N))
     "text_unigram_logprob" -> Set("nested-loop-join"),

@@ -25,6 +25,21 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     }
   }
 
+  describe("standardize") {
+    it("z-scores each dimension and zeroes constant dimensions") {
+      // dim1: values 1,3,5 -> mean 3, var_pop 8/3, std 1.6329932
+      // dim2: constant 2 -> guard kicks in, z = 0
+      val emb = embDf(Seq(
+        (1L, Seq(1.0f, 2.0f), 0), (2L, Seq(3.0f, 2.0f), 0), (3L, Seq(5.0f, 2.0f), 0)))
+      val got = VectorOps.standardize(emb, dim = 2).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      got((1L, 1)) shouldBe -1.224745
+      got((2L, 1)) shouldBe 0.0
+      got((3L, 1)) shouldBe 1.224745
+      Seq(1L, 2L, 3L).foreach(id => got((id, 2)) shouldBe 0.0) // constant dim
+    }
+  }
+
   describe("bruteForceTopK") {
     it("ranks neighbors by cosine with id tie-break") {
       // query = vec 0 (id 0 ≡ 0 mod 100); neighbors along known directions

@@ -888,6 +888,9 @@ object SparkEntry {
     }),
     "minhash_signatures" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
     "minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
+    // Cross-source contamination matrix over the LSH pair graph — the
+    // which-sources-copy-from-which audit behind per-source mix weights.
+    "source_contamination" -> ((s, dir) => Dedup.sourceContamination(Tables.documents(s, dir))),
     // Estimator-quality audit: signature-agreement estimate vs exact
     // shingle Jaccard on every candidate pair (precision ppm, MAE, bias,
     // worst error) — decides whether k=12 is enough for a new corpus mix.
@@ -1879,6 +1882,7 @@ object SparkEntry {
     "embedding_quantize" -> DuckDbOracles.embeddingQuantize,
     "minhash_signatures" -> DuckDbOracles.minhashSignatures,
     "minhash_lsh_pairs" -> DuckDbOracles.minhashLshPairs,
+    "source_contamination" -> DuckDbOracles.sourceContamination,
     "minhash_quality_report" -> DuckDbOracles.minhashQualityReport(),
     "dedup_apply_minhash" -> DuckDbOracles.dedupApplyMinhash,
     "embedding_norms" -> DuckDbOracles.embeddingNorms,

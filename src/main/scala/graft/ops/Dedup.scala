@@ -111,6 +111,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-source contamination matrix: per unordered source pair, how many
+    * near-dup candidate pairs straddle the two sources and their mean
+    * estimated Jaccard — the "which sources copy from which" audit a corpus
+    * curator reads before setting per-source mixing weights (a source that
+    * heavily near-duplicates another adds tokens but no information; the
+    * diagonal entries are within-source template churn).
+    *
+    * Scale: the near-dup PAIR GRAPH (already ~250×-pruned by LSH banding)
+    * is what joins against the (doc_id, source) projection — two equi-joins
+    * keyed on doc id, then one hash agg over the ≤|sources|² matrix;
+    * the corpus itself is only read by the underlying signature pass.
+    * The unordered pair canonicalizes via least/greatest so (A,B) and
+    * (B,A) fold into one cell on both engines.
+    */
+  def sourceContamination(
+      docs: DataFrame,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val pairs = minhashLshPairs(docs, hash)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("est_jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("est_jaccard")), 6).as("mean_est_jaccard"))
+  }
+
   /** (doc_id, band, bh) banding of a signature table — the join key table an
     * incremental pipeline persists (bucketed by (band, bh)) so each new
     * batch probes history with one co-located equi-join.

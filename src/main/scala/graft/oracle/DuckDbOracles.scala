@@ -981,6 +981,25 @@ object DuckDbOracles {
        |)
        |$pairsFromBands""".stripMargin
 
+  /** Twin of Dedup.sourceContamination: the shared band-pair fragments
+    * labeled with each side's source, canonicalized least/greatest, one
+    * matrix aggregate.
+    */
+  val sourceContamination: String =
+    s"""WITH $tokCte, $shCte, $sigCte,
+       |bands AS (
+       |  $bandsCteBody
+       |),
+       |pairs AS ($pairsFromBands),
+       |lab AS (SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b, p.est_jaccard
+       |  FROM pairs p
+       |  JOIN documents da ON p.doc_a = da.doc_id
+       |  JOIN documents db ON p.doc_b = db.doc_id)
+       |SELECT source_a, source_b, count(*) AS n_pairs,
+       |  round(avg(est_jaccard), 6) AS mean_est_jaccard
+       |FROM lab GROUP BY 1, 2""".stripMargin
+
   /** Twin of Dedup.minhashQualityReport: candidate pairs from the shared
     * band fragments, exact Jaccard recomputed over the candidate-doc
     * shingle subset, one aggregate report row.

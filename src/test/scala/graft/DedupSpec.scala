@@ -38,6 +38,24 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("sourceContamination") {
+    it("folds cross-source near-dup pairs into canonical matrix cells") {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, base, "web"), (2L, nearDup, "books"), // cross-source near-dup
+        (3L, base, "web"),                         // within-source copy of 1
+        (4L, unrelated, "books"))
+        .toDF("doc_id", "text", "source")
+      val got = Dedup.sourceContamination(docs).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // pairs: (1,2) web×books, (1,3) web×web, (2,3) books×web — canonical
+      // least/greatest folds both cross-source pairs into one cell
+      got(("books", "web")) shouldBe 2L
+      got(("web", "web")) shouldBe 1L
+      got.keySet shouldBe Set(("books", "web"), ("web", "web"))
+    }
+  }
+
   describe("minhashQualityReport") {
     it("identical docs give a zero-error, full-precision report") {
       val r = Dedup.minhashQualityReport(

@@ -863,6 +863,12 @@ object SparkEntry {
     // BM25 lexical retrieval: inverted-index posting join, broadcast
     // df/query/stats sides, per-query ranking window.
     "bm25_topk" -> ((s, dir) => TextOps.bm25TopK(Tables.documents(s, dir))),
+    // Dirichlet query-likelihood retrieval — the probabilistic LM ranker
+    // that pairs with BM25 in fusion baselines.
+    "ql_topk" -> ((s, dir) => TextOps.qlTopK(Tables.documents(s, dir))),
+    // Reciprocal-rank fusion of the BM25 and QL pools — hybrid retrieval's
+    // calibration-free rank combiner.
+    "rrf_fusion" -> ((s, dir) => TextOps.rrfFusion(Tables.documents(s, dir))),
     // DSIR importance resampling: hashed-bigram target/raw log-ratio
     // weights + deterministic hash-Gumbel top-k selection.
     "dsir_resample" -> ((s, dir) => TextOps.dsirResample(Tables.documents(s, dir))),
@@ -1856,6 +1862,8 @@ object SparkEntry {
     "bm25_topk" -> DuckDbOracles.bm25TopK(),
     "dsir_resample" -> DuckDbOracles.dsirResample(),
     "pmi_collocations" -> DuckDbOracles.pmiCollocations(),
+    "ql_topk" -> DuckDbOracles.qlTopK(),
+    "rrf_fusion" -> DuckDbOracles.rrfFusion(),
     "corpus_retention" -> DuckDbOracles.corpusRetention(),
     "curation_pipeline" -> DuckDbOracles.curationPipeline(),
     "dedup_components" -> DuckDbOracles.dedupComponents(),

@@ -972,6 +972,97 @@ object TextOps {
       .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Dirichlet query-likelihood smoothing mass (Zhai-Lafferty μ; 2000 is
+    * the classic TREC default) and the RRF constant/pool/output sizes.
+    */
+  val QlMu = 2000.0
+  val RrfC = 60
+  val RrfPoolK = 20
+  val RrfK = 10
+
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    * SIGIR'01): score(q,d) = Σ_{t∈q} ln((tf + μ·cf_t/N) / (dl + μ)) — the
+    * probabilistic LM ranker that pairs with BM25 in every fusion
+    * baseline. Scored over the candidate pool (docs matching ≥1 query
+    * term); a query term with tf=0 still contributes its smoothing-only
+    * mass via the LEFT join, which is what makes two-term docs comparable
+    * to one-term docs. All inputs are integers; the 2-3-term sum rounds
+    * 6dp before ranking (the cross-engine ln-ulp convention).
+    *
+    * Scale: same posting-join shape as bm25TopK — tf/cf sides filtered to
+    * the query vocabulary (broadcast-sized), the one-row corpus stats a
+    * labeled broadcast cross, per-query ranking window.
+    */
+  def qlTopK(
+      docs: DataFrame,
+      queries: Seq[(Int, Seq[String])] = Bm25Queries,
+      k: Int = RrfPoolK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = queries.flatMap(_._2).distinct
+    val qterms = queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "qtok")
+    val inst = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+    val tf = inst.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val cf = inst.groupBy(col("tok").as("qtok")).agg(count(lit(1)).as("cf"))
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val cand = tf.join(broadcast(qterms), col("tok") === col("qtok"))
+      .select(col("q_id"), col("doc_id")).distinct()
+    val term = log(
+      (coalesce(col("tf"), lit(0L)).cast("double") +
+        lit(QlMu) * (col("cf").cast("double") / col("sum_dl").cast("double"))) /
+        (col("dl").cast("double") + lit(QlMu)))
+    cand.join(broadcast(qterms), Seq("q_id"))
+      .join(tf.select(col("doc_id"), col("tok").as("qtok"), col("tf")), Seq("doc_id", "qtok"), "left")
+      .join(broadcast(cf), Seq("qtok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(term), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR'09) of the BM25 and
+    * Dirichlet-QL rankers: rrf(d) = Σ_r 1/(C + rank_r(d)) over the two
+    * top-`poolK` lists, C=60 — the standard hybrid-retrieval combiner
+    * (rank-only, so incomparable score scales fuse without calibration;
+    * the same shape fuses lexical with ANN lists in a RAG stack). A doc
+    * in one list only gets that list's term (the union-fusion
+    * convention). Ranks are integers, so each 1/(C+r) is an exactly
+    * rounded IEEE division — bit-identical across engines pre-round.
+    *
+    * Scale: both ranker pools are ≤ |queries|·poolK rows; the fusion is a
+    * full-outer equi-join + per-query window over that tiny frame — the
+    * corpus is touched only inside the two rankers.
+    */
+  def rrfFusion(
+      docs: DataFrame,
+      queries: Seq[(Int, Seq[String])] = Bm25Queries,
+      poolK: Int = RrfPoolK,
+      k: Int = RrfK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = bm25TopK(docs, queries, poolK)
+      .select(col("q_id"), col("doc_id"), col("rank").as("ra"))
+    val b = qlTopK(docs, queries, poolK)
+      .select(col("q_id").as("qb"), col("doc_id").as("db"), col("rank").as("rb"))
+    val fused = a.join(b, col("q_id") === col("qb") && col("doc_id") === col("db"), "full_outer")
+      .select(
+        coalesce(col("q_id"), col("qb")).as("q_id"),
+        coalesce(col("doc_id"), col("db")).as("doc_id"),
+        round(
+          coalesce(lit(1.0) / (col("ra") + lit(RrfC)).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rb") + lit(RrfC)).cast("double"), lit(0.0)), 6).as("rrf"))
+    fused.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("rrf"))
+  }
+
   /** Shannon entropy (bits) of a character-level symbol array, as a pure
     * projection expression: H = log2(n) - (Σ c·log2 c)/n over the
     * per-symbol occurrence counts c. The count list is sorted ascending

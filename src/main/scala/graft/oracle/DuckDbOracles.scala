@@ -42,15 +42,15 @@ object DuckDbOracles {
        |FROM tok""".stripMargin
   }
 
-  /** Twin of TextOps.bm25TopK — the scoring expression is the SAME string
-    * (bm25TermSql), so only ln()'s ulp crosses the 6dp rounding.
+  /** Shared BM25 CTE chain (postings, df, doc lengths, corpus stats, query
+    * terms, per-(q,doc) score agg) — used verbatim by bm25TopK and
+    * rrfFusion so the two cannot drift.
     */
-  def bm25TopK(k: Int = 10): String = {
+  private def bm25Ctes: String = {
     val terms = TextOps.Bm25Queries.flatMap(_._2).distinct
     val qtRows = TextOps.Bm25Queries
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
-    s"""WITH $tokCte,
-       |inst AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+    s"""inst AS (SELECT doc_id, unnest(t) AS tok FROM tok),
        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM inst
        |  WHERE tok IN (${inList(terms)}) GROUP BY 1, 2),
        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
@@ -61,12 +61,76 @@ object DuckDbOracles {
        |  FROM tf JOIN qt ON tf.tok = qt.qtok
        |  JOIN dft ON tf.tok = dft.tok
        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
-       |agg AS (SELECT q_id, doc_id, round(sum(s), 6) AS score FROM sc GROUP BY 1, 2)
+       |agg AS (SELECT q_id, doc_id, round(sum(s), 6) AS score FROM sc GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Twin of TextOps.bm25TopK — the scoring expression is the SAME string
+    * (bm25TermSql), so only ln()'s ulp crosses the 6dp rounding.
+    */
+  def bm25TopK(k: Int = 10): String =
+    s"""WITH $tokCte,
+       |$bm25Ctes
        |SELECT q_id, rank, doc_id, score FROM (
        |  SELECT q_id, doc_id, score,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
        |  FROM agg) WHERE rank <= $k""".stripMargin
-  }
+
+  /** Dirichlet-QL CTE chain on top of bm25Ctes (collection frequencies,
+    * candidate pool, smoothed per-term scores, per-(q,doc) agg) — shared
+    * by qlTopK and rrfFusion.
+    */
+  private def qlCtes(mu: Double): String =
+    s"""cf AS (SELECT tok AS qtok, count(*) AS cf FROM inst
+       |  WHERE tok IN (SELECT qtok FROM qt) GROUP BY 1),
+       |cand AS (SELECT DISTINCT qt.q_id, tf.doc_id FROM tf JOIN qt ON tf.tok = qt.qtok),
+       |qsc AS (SELECT cd.q_id, cd.doc_id,
+       |    ln((CAST(coalesce(tf.tf, 0) AS DOUBLE) + $mu * (CAST(cf.cf AS DOUBLE) / CAST(st.sum_dl AS DOUBLE)))
+       |      / (CAST(dl.dl AS DOUBLE) + $mu)) AS s
+       |  FROM cand cd JOIN qt ON cd.q_id = qt.q_id
+       |  LEFT JOIN tf ON tf.doc_id = cd.doc_id AND tf.tok = qt.qtok
+       |  JOIN cf ON cf.qtok = qt.qtok
+       |  JOIN dl ON dl.doc_id = cd.doc_id CROSS JOIN st),
+       |qagg AS (SELECT q_id, doc_id, round(sum(s), 6) AS score FROM qsc GROUP BY 1, 2)""".stripMargin
+
+  /** Twin of TextOps.qlTopK: the shared posting chain plus the Dirichlet
+    * chain, ranked per query.
+    */
+  def qlTopK(k: Int = TextOps.RrfPoolK, mu: Double = TextOps.QlMu): String =
+    s"""WITH $tokCte,
+       |$bm25Ctes,
+       |${qlCtes(mu)}
+       |SELECT q_id, rank, doc_id, score FROM (
+       |  SELECT q_id, doc_id, score,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+       |  FROM qagg) WHERE rank <= $k""".stripMargin
+
+  /** Twin of TextOps.rrfFusion: the shared BM25 chain plus the Dirichlet
+    * query-likelihood chain (tf=0 terms keep their smoothing-only mass via
+    * the LEFT join), both ranked to poolK, fused by 1/(C+rank) over the
+    * full-outer union — ranks are integers so each reciprocal is an
+    * exactly rounded IEEE division on both engines.
+    */
+  def rrfFusion(
+      poolK: Int = TextOps.RrfPoolK,
+      k: Int = TextOps.RrfK,
+      c: Int = TextOps.RrfC,
+      mu: Double = TextOps.QlMu): String =
+    s"""WITH $tokCte,
+       |$bm25Ctes,
+       |bml AS (SELECT q_id, doc_id, r FROM (
+       |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS r
+       |  FROM agg) WHERE r <= $poolK),
+       |${qlCtes(mu)},
+       |qll AS (SELECT q_id, doc_id, r FROM (
+       |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS r
+       |  FROM qagg) WHERE r <= $poolK),
+       |f AS (SELECT coalesce(b.q_id, q.q_id) AS q_id, coalesce(b.doc_id, q.doc_id) AS doc_id,
+       |    round(coalesce(1.0 / ($c + b.r), 0.0) + coalesce(1.0 / ($c + q.r), 0.0), 6) AS rrf
+       |  FROM bml b FULL JOIN qll q ON b.q_id = q.q_id AND b.doc_id = q.doc_id)
+       |SELECT q_id, rank, doc_id, rrf FROM (
+       |  SELECT q_id, doc_id, rrf,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank
+       |  FROM f) WHERE rank <= $k""".stripMargin
 
   /** Twin of TextOps.dsirResample — same hashed-bigram features, Laplace
     * log-ratio assembled per join row from integer counts, same 6dp

@@ -53,6 +53,10 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // one-row (n_docs, sum_dl) corpus-stats aggregate broadcast-crossed
     // onto the posting join (the BM25 avgdl/idf denominators)
     "bm25_topk" -> Set("nested-loop-join"),
+    // same one-row corpus-stats cross in the QL smoothing denominator
+    "ql_topk" -> Set("nested-loop-join"),
+    // rrf composes the BM25 and QL chains, inheriting both stats crosses
+    "rrf_fusion" -> Set("nested-loop-join"),
     // one-row (nr, nt) feature-total aggregate broadcast-crossed onto the
     // doc×bucket counts (the DSIR Laplace denominators)
     "dsir_resample" -> Set("nested-loop-join"),

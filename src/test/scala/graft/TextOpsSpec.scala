@@ -41,6 +41,42 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("qlTopK") {
+    it("matches the replicated Dirichlet formula and keeps smoothing-only terms") {
+      // cf(cat)=4, N=6 total tokens; dl: d1=2, d2=3; candidates = {d1, d2}
+      val docs = docsDf(Seq(1L -> "cat dog", 2L -> "cat cat cat", 3L -> "bird"))
+      val got = TextOps.qlTopK(docs, queries = Seq(1 -> Seq("cat")), k = 10)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toList
+      val exp = (tf: Int, dl: Int) =>
+        BigDecimal(math.log((tf + 2000.0 * (4.0 / 6.0)) / (dl + 2000.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      got shouldBe List((1, 2L, exp(3, 3)), (2, 1L, exp(1, 2)))
+
+      // two-term query: d2 matches only "cat" but still pays/earns the
+      // smoothing-only mass for "dog" (tf=0 through the LEFT join)
+      val docs2 = docsDf(Seq(1L -> "cat dog", 2L -> "cat cat cat", 3L -> "bird"))
+      val term = (tf: Int, cf: Int, dl: Int) =>
+        math.log((tf + 2000.0 * (cf / 6.0)) / (dl + 2000.0))
+      val r6 = (x: Double) =>
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val got2 = TextOps.qlTopK(docs2, queries = Seq(1 -> Seq("cat", "dog")), k = 10)
+        .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+      got2(1L) shouldBe r6(term(1, 4, 2) + term(1, 1, 2))
+      got2(2L) shouldBe r6(term(3, 4, 3) + term(0, 1, 3))
+    }
+  }
+
+  describe("rrfFusion") {
+    it("fuses agreeing rankers into exact reciprocal-rank sums") {
+      // both rankers put d2 first, d1 second for "cat" ->
+      // rrf(d2) = 2/61, rrf(d1) = 2/62, at 6dp
+      val docs = docsDf(Seq(1L -> "cat dog", 2L -> "cat cat cat", 3L -> "bird"))
+      val got = TextOps.rrfFusion(docs, queries = Seq(1 -> Seq("cat")))
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toList
+      got shouldBe List((1, 2L, 0.032787), (2, 1L, 0.032258))
+    }
+  }
+
   describe("pmiCollocations") {
     it("matches hand-computed PMI and enforces the count floor") {
       // n=12, nb=10, cu: x=3, y=3, p=6; cb: (x,y)=3, (y,x)=2, (p,p)=5

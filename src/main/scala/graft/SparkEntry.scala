@@ -651,6 +651,11 @@ object SparkEntry {
     "hourly_trend" -> ((s, dir) =>
       graft.ops.TimeSeries.hourlyTrend(Tables.events(s, dir))),
 
+    // Theil-Sen robust daily trend: exact median of pairwise slopes —
+    // spike-immune where the OLS slope chases outliers quadratically.
+    "theilsen_trend" -> ((s, dir) =>
+      graft.ops.TimeSeries.theilSenDaily(Tables.events(s, dir))),
+
     // Markov next-event transition matrix — see TimeSeries.transitions
     // (no user shares a microsecond in this data, so the (ts, event_id)
     // order is identical across engines).
@@ -1660,6 +1665,7 @@ object SparkEntry {
 
     "hourly_acf" -> DuckDbOracles.hourlyAcf(),
     "hourly_trend" -> DuckDbOracles.hourlyTrend,
+    "theilsen_trend" -> DuckDbOracles.theilSenDaily,
     "ks_drift" -> DuckDbOracles.ksDrift(),
 
     "event_transitions" ->

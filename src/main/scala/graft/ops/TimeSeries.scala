@@ -126,6 +126,59 @@ object TimeSeries {
         .as("r2"))
   }
 
+  /** Theil-Sen robust trend per event type, on a gap-filled DAILY grid:
+    * the slope estimate is the exact lower MEDIAN of all pairwise slopes
+    * (c_j − c_i)/(d_j − d_i), i < j — up to ~29% of days can be arbitrary
+    * outliers (incident spikes, backfill days) without moving the
+    * estimate, where `hourlyTrend`'s least-squares slope chases every
+    * spike quadratically. The robust companion to the OLS fit, same
+    * pairing as classic Sen (1968).
+    *
+    * Determinism: every pairwise slope is ONE exactly rounded IEEE
+    * division of integers — bit-identical across engines — so ordering by
+    * (s, d1, d2) needs no pre-rounding; the median picks row
+    * (n_pairs+1) div 2 by integer arithmetic; only the emitted slope is
+    * 6dp-rounded.
+    *
+    * Scale: the pair self-join fans each key's grid into (days choose 2)
+    * rows — CALENDAR-bounded (a decade ≈ 6.7M pairs/key), independent of
+    * corpus row count; the per-key fanout on a few-valued event_type key
+    * is the AQE skew-split case. The grid itself derives from one hash agg
+    * over events. For multi-decade spans the repeated-median variant
+    * (median over d1 of per-d1 medians) caps the blowup at O(days·k) —
+    * not needed at this span.
+    */
+  def theilSenDaily(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dc = events
+      .select(col("event_type"),
+        floor(unix_millis(col("ts")) / lit(86400000L)).cast("bigint").as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("c"))
+    val bounds = dc.groupBy(col("event_type"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val grid = bounds
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("d"))
+      .join(dc, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"), coalesce(col("c"), lit(0L)).as("c"))
+    val nd = grid.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    val b = grid.select(col("event_type").as("et2"), col("d").as("d2"), col("c").as("c2"))
+    val pairs = grid
+      .select(col("event_type"), col("d").as("d1"), col("c").as("c1"))
+      .join(b, col("event_type") === col("et2") && col("d1") < col("d2"))
+      .select(col("event_type"), col("d1"), col("d2"),
+        ((col("c2") - col("c1")).cast("double") /
+          (col("d2") - col("d1")).cast("double")).as("s"))
+    val w = Window.partitionBy(col("event_type"))
+    pairs
+      .select(col("event_type"), col("s"),
+        row_number().over(w.orderBy(col("s"), col("d1"), col("d2"))).as("rn"),
+        count(lit(1)).over(w).as("np"))
+      .filter(col("rn") === expr("(np + 1) div 2"))
+      .select(col("event_type"), col("np").as("n_pairs"),
+        round(col("s"), 6).as("ts_slope_per_day"))
+      .join(nd, Seq("event_type"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov drift per key: the EXACT
     * D = max_v |F_ref(v) − F_cur(v)| over the pooled distinct values —
     * the binning-free companion to `psiDrift` (PSI needs a declared bin

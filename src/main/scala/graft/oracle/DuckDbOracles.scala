@@ -373,6 +373,27 @@ object DuckDbOracles {
        |  FROM grid g LEFT JOIN hc ON g.event_type = hc.event_type AND g.h = hc.h)"""
       .stripMargin
 
+  /** Twin of TimeSeries.theilSenDaily: same gap-filled daily grid, same
+    * exact-IEEE pairwise slope ordering (no pre-rounding needed), same
+    * integer lower-median pick.
+    */
+  val theilSenDaily: String =
+    s"""WITH dcte AS (SELECT event_type, epoch_ms(ts) // 86400000 AS d, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |db AS (SELECT event_type, min(d) AS d0, max(d) AS d1 FROM dcte GROUP BY 1),
+       |dgrid AS (SELECT event_type, unnest(generate_series(d0, d1)) AS d FROM db),
+       |dg AS (SELECT g.event_type, g.d, CAST(coalesce(dcte.c, 0) AS BIGINT) AS c
+       |  FROM dgrid g LEFT JOIN dcte ON g.event_type = dcte.event_type AND g.d = dcte.d),
+       |nd AS (SELECT event_type, count(*) AS n_days FROM dg GROUP BY 1),
+       |p AS (SELECT a.event_type, a.d AS d1, b.d AS d2,
+       |    CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s
+       |  FROM dg a JOIN dg b ON a.event_type = b.event_type AND a.d < b.d),
+       |r AS (SELECT event_type, s,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY s, d1, d2) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS np FROM p)
+       |SELECT r.event_type, r.np AS n_pairs, round(r.s, 6) AS ts_slope_per_day, nd.n_days
+       |FROM r JOIN nd ON r.event_type = nd.event_type WHERE rn = (np + 1) // 2""".stripMargin
+
   /** Twin of TimeSeries.hourlyTrend: same grid, closed-form OLS from exact
     * integer sums (r² numerator squared in double on both sides).
     */

@@ -112,6 +112,39 @@ class AnalyticsOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWra
     }
   }
 
+  describe("TimeSeries.theilSenDaily") {
+    val D = 86400000L
+
+    def ts(dayCounts: Seq[Int]) =
+      TimeSeries.theilSenDaily(
+        dayCounts.zipWithIndex.flatMap { case (n, d) =>
+          (0 until n).map(i => ("k", 1700000000000L + d * D + i * 1000L))
+        }.toDF("event_type", "ms")
+          .select(col("event_type"), timestamp_millis(col("ms")).as("ts")))
+        .collect().head
+
+    it("recovers an exact linear ramp") {
+      val r = ts(Seq(1, 2, 3, 4, 5))
+      r.getAs[Long]("n_days") shouldBe 5L
+      r.getAs[Long]("n_pairs") shouldBe 10L
+      r.getAs[Double]("ts_slope_per_day") shouldBe 1.0
+    }
+
+    it("ignores a spike day the OLS slope would chase") {
+      // 6 of 10 pairwise slopes are the clean ramp's 1.0; the lower median
+      // (position 5) never reaches the four spike-inflated slopes
+      val r = ts(Seq(1, 2, 3, 4, 100))
+      r.getAs[Double]("ts_slope_per_day") shouldBe 1.0
+    }
+
+    it("counts gap days as zero and medians across them") {
+      // slopes: (0-4)/1=-4, (4-4)/2=0, (4-0)/1=4 -> median 0
+      val r = ts(Seq(4, 0, 4))
+      r.getAs[Long]("n_days") shouldBe 3L
+      r.getAs[Double]("ts_slope_per_day") shouldBe 0.0
+    }
+  }
+
   describe("TimeSeries.ksDrift") {
     val Split = "2024-01-16"
 

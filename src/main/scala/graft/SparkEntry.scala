@@ -868,6 +868,9 @@ object SparkEntry {
     // BM25 lexical retrieval: inverted-index posting join, broadcast
     // df/query/stats sides, per-query ranking window.
     "bm25_topk" -> ((s, dir) => TextOps.bm25TopK(Tables.documents(s, dir))),
+    // Heaps'-law vocabulary-growth fit across sources — the
+    // tokenizer-vocab-sizing / dedup-sanity diagnostic.
+    "heaps_law_fit" -> ((s, dir) => TextOps.heapsLawFit(Tables.documents(s, dir))),
     // Dirichlet query-likelihood retrieval — the probabilistic LM ranker
     // that pairs with BM25 in fusion baselines.
     "ql_topk" -> ((s, dir) => TextOps.qlTopK(Tables.documents(s, dir))),
@@ -1870,6 +1873,7 @@ object SparkEntry {
     "pmi_collocations" -> DuckDbOracles.pmiCollocations(),
     "ql_topk" -> DuckDbOracles.qlTopK(),
     "rrf_fusion" -> DuckDbOracles.rrfFusion(),
+    "heaps_law_fit" -> DuckDbOracles.heapsLawFit,
     "corpus_retention" -> DuckDbOracles.corpusRetention(),
     "curation_pipeline" -> DuckDbOracles.curationPipeline(),
     "dedup_components" -> DuckDbOracles.dedupComponents(),

@@ -972,6 +972,42 @@ object TextOps {
       .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Heaps'-law vocabulary-growth fit V = K·N^β across sources: per-source
+    * (total tokens N, distinct tokens V) points, log-log OLS for (K, β, r²)
+    * — the corpus-growth diagnostic behind tokenizer-vocab sizing and
+    * dedup sanity (β far above the usual 0.4-0.6 band flags synthetic or
+    * ID-like token churn; β near 0 flags template spam where new text adds
+    * no new vocabulary).
+    *
+    * The regression runs over the |sources|-row point set; x=ln N, y=ln V
+    * are each ONE libm call on an exact integer — the ulp plus the tiny
+    * few-point sum drift is absorbed by the final 6dp rounds (repo
+    * convention); vx/vy=0 degenerate guards mirror hourlyTrend's.
+    *
+    * Scale: one hash agg over exploded tokens to per-source (N, V) —
+    * count-distinct's partial de-dup shuffles (source, tok) pairs,
+    * vocabulary-sized per source — then a zero-group agg over the tiny
+    * point frame. Output is ONE row.
+    */
+  def heapsLawFit(docs: DataFrame): DataFrame = {
+    val inst = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val per = inst.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("v_tok"))
+    val pts = per.select(
+      log(col("n_tok").cast("double")).as("x"), log(col("v_tok").cast("double")).as("y"))
+    val s = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    s.select(col("n").as("n_sources"),
+      round(when(vx > 0, cov / vx).otherwise(lit(0.0)), 6).as("beta"),
+      round(when(vx > 0, exp((col("sy") - (cov / vx) * col("sx")) / col("n")))
+        .otherwise(lit(0.0)), 6).as("k_coeff"),
+      round(when(vx > 0 && vy > 0, cov * cov / (vx * vy)).otherwise(lit(0.0)), 6).as("r2"))
+  }
+
   /** Dirichlet query-likelihood smoothing mass (Zhai-Lafferty μ; 2000 is
     * the classic TREC default) and the RRF constant/pool/output sizes.
     */

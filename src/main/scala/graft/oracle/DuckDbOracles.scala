@@ -42,6 +42,27 @@ object DuckDbOracles {
        |FROM tok""".stripMargin
   }
 
+  /** Twin of TextOps.heapsLawFit: same per-source (N, V) points, same
+    * log-log closed-form OLS shape and degenerate guards.
+    */
+  val heapsLawFit: String =
+    s"""WITH inst AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |per AS (SELECT source, count(*) AS n_tok, count(DISTINCT tok) AS v_tok
+       |  FROM inst GROUP BY 1),
+       |pts AS (SELECT ln(CAST(n_tok AS DOUBLE)) AS x, ln(CAST(v_tok AS DOUBLE)) AS y FROM per),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM pts)
+       |SELECT n AS n_sources,
+       |  round(CASE WHEN n * sxx - sx * sx > 0
+       |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) ELSE 0.0 END, 6) AS beta,
+       |  round(CASE WHEN n * sxx - sx * sx > 0
+       |    THEN exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+       |    ELSE 0.0 END, 6) AS k_coeff,
+       |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       |    THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+       |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) ELSE 0.0 END, 6) AS r2
+       |FROM s""".stripMargin
+
   /** Shared BM25 CTE chain (postings, df, doc lengths, corpus stats, query
     * terms, per-(q,doc) score agg) — used verbatim by bm25TopK and
     * rrfFusion so the two cannot drift.

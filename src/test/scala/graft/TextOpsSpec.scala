@@ -41,6 +41,21 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("heapsLawFit") {
+    it("recovers the exact exponent and coefficient from a two-point fit") {
+      import spark.implicits._
+      // srcA: N=2, V=2; srcB: N=8, V=4 -> beta = ln2/ln4 = 0.5, K = sqrt(2)
+      val docs = Seq(
+        (1L, "a b", "A"), (2L, "a a a b b c c d", "B"))
+        .toDF("doc_id", "text", "source")
+      val r = TextOps.heapsLawFit(docs).collect().head
+      r.getAs[Long]("n_sources") shouldBe 2L
+      r.getAs[Double]("beta") shouldBe 0.5
+      r.getAs[Double]("k_coeff") shouldBe 1.414214
+      r.getAs[Double]("r2") shouldBe 1.0
+    }
+  }
+
   describe("qlTopK") {
     it("matches the replicated Dirichlet formula and keeps smoothing-only terms") {
       // cf(cat)=4, N=6 total tokens; dl: d1=2, d2=3; candidates = {d1, d2}

@@ -10,17 +10,34 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects (micros is Spark's max precision). Read nanos
-    * as long and truncate-divide to micros — the same floor conversion DuckDB
-    * applies at scan, so oracle comparisons stay exact.
+  /** `events.parquet`'s `ts` physical type has drifted across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark reads only as long via the
+    * `nanosAsLong` legacy conf) and timestamp[us] (which Spark reads as
+    * TIMESTAMP_NTZ when the file is not UTC-adjusted). Normalize both to
+    * session-TZ TimestampType (sessions here run UTC, so NTZ→TZ is
+    * value-identical) so every downstream operator and oracle sees one stable
+    * type. Any other dtype fails loudly with the table/column named, instead
+    * of 50+ cryptic analysis errors downstream.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
     // Set once; repeated conf.set calls invalidate session-level caches.
+    // Harmless for non-nanos files; required to even infer a nanos schema.
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long: floor-divide to micros (matches DuckDB's scan conversion)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unexpected parquet dtype $other in $dir/events.parquet — " +
+            "expected TIMESTAMP(NANOS)-as-long, timestamp, or timestamp_ntz; " +
+            "testdata schema drifted again?")
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

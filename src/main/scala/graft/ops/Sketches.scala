@@ -136,7 +136,11 @@ object Sketches {
     val m2 = s2 / nd - mu * mu
     val m3 = s3 / nd - lit(3.0) * mu * (s2 / nd) + lit(2.0) * mu * mu * mu
     merged.select(col("event_type"), col("n"),
-      col("s1").cast("decimal(18,2)").as("sum_v"),
+      // exact decimal sum surfaced as DOUBLE: both engines round the same
+      // exact decimal to the same nearest double, so the hash compare is
+      // type-stable (pandas reads Spark parquet DECIMAL as objects, DuckDB
+      // fetches its DECIMAL as float — DOUBLE on both sides removes the skew)
+      col("s1").cast("decimal(18,2)").cast("double").as("sum_v"),
       round(mu, 6).as("mean_v"),
       round((s2 - s1 * s1 / nd) / (nd - lit(1.0)), 6).as("var_samp"),
       round(when(m2 > 0, m3 / (m2 * sqrt(m2))).otherwise(lit(0.0)), 6).as("skew_pop"))

@@ -488,19 +488,21 @@ object VectorOps {
     * assignment+mean pass over all m subspaces instead of m sequential
     * jobs (m·iters ≈ 16 stage roundtrips → iters ≈ 2; measured 4.3 s →
     * sub-second at sf0.1). Collected driver-side: m·k·subdim doubles.
+    *
+    * Assignment runs through the codegen'd `PqEncodeCodes` kernel (one
+    * static call per row over a reference-object codebook) — the earlier
+    * m-way literal-argmax projection exceeded Janino's 64 KB method limit
+    * and dropped the whole scan stage to interpreted execution.
     */
   def pqCodebooks(
       emb: DataFrame, m: Int = PqM, k: Int = PqK,
       iters: Int = PqIters): Seq[(Int, Array[(Int, Seq[Double])])] = {
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val base = v.select(col("vec_id") +:
+    val base = v.select(col("vec_id") +: col("v") +:
       (0 until m).map(s => slice(col("v"), s * PqSubDim + 1, PqSubDim).as(s"v$s")): _*)
-    val normed = base.select(col("vec_id") +:
-      ((0 until m).map(s => col(s"v$s")) ++
-        (0 until m).map(s => sqrt(dot(col(s"v$s"), col(s"v$s"))).as(s"n$s"))): _*)
       .persist()
     // one shared init: the k hashed-lowest rows seed EVERY subspace
-    val initRows = normed
+    val initRows = base
       .select(pmod(col("vec_id") * 2654435761L, lit(2147483647L)).as("hk") +:
         col("vec_id") +: (0 until m).map(s => col(s"v$s")): _*)
       .orderBy(col("hk"), col("vec_id")).limit(k)
@@ -508,11 +510,13 @@ object VectorOps {
     var cbs: Array[Array[(Int, Seq[Double])]] = Array.tabulate(m)(s =>
       initRows.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](2 + s)) })
     for (_ <- 0 until iters) {
+      val book = graft.functions.PqBook((0 until m).map(s => s -> cbs(s)), PqSubDim)
       val subStructs = (0 until m).map { s =>
         struct(lit(s).as("s"), col(s"v$s").as("vs"),
-          nearestCellExpr(cbs(s), col(s"v$s"), col(s"n$s")).as("cell"))
+          element_at(col("codes"), s + 1).as("cell"))
       }
-      val assigned = normed
+      val assigned = base
+        .withColumn("codes", graft.functions.PqEncodeCodes.encode(col("v"), book))
         .select(explode(array(subStructs: _*)).as("e"))
         .select(col("e.s").as("s"), col("e.cell").as("cell"), col("e.vs").as("vs"))
       val aggs = (0 until PqSubDim).map(i =>
@@ -524,7 +528,7 @@ object VectorOps {
           .map(r => (r.getInt(1), (0 until PqSubDim).map(i => r.getDouble(2 + i)): Seq[Double]))
           .sortBy(_._1))
     }
-    normed.unpersist()
+    base.unpersist()
     (0 until m).map(s => s -> cbs(s))
   }
 
@@ -542,25 +546,32 @@ object VectorOps {
   }
 
   /** PQ-encode the corpus: per vector, the 6dp-rounded full norm plus one
-    * nearest-codeword code per subspace — m literal-argmax expressions in
-    * ONE zero-shuffle projection (each over its slice, with the subspace
-    * norm materialized once in a child projection). At 100 TB this is the
-    * single corpus pass that writes the compressed index.
+    * nearest-codeword code per subspace — all m subspace argmaxes in ONE
+    * zero-shuffle projection through the codegen'd `PqEncodeCodes` kernel
+    * (slice, subspace norm, and argmax all inside one fused loop over a
+    * reference-object codebook; the earlier literal-folded shape blew
+    * Janino's 64 KB method limit and ran interpreted). At 100 TB this is
+    * the single corpus pass that writes the compressed index.
     */
   def pqEncode(
       emb: DataFrame,
+      cbs: Seq[(Int, Array[(Int, Seq[Double])])]): DataFrame =
+    pqCodesFrame(emb, cbs).select(col("vec_id") +: col("vnorm") +:
+      cbs.sortBy(_._1).map { case (s, _) =>
+        element_at(col("codes"), s + 1).as(s"c$s") }: _*)
+
+  /** (vec_id, vnorm, codes array<int>) — the encode kernel's raw shape,
+    * shared by `pqEncode` (flattens to c0..c_{m-1}) and `pqAdcTopK`
+    * (reconstructs directly from the array).
+    */
+  private def pqCodesFrame(
+      emb: DataFrame,
       cbs: Seq[(Int, Array[(Int, Seq[Double])])]): DataFrame = {
-    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val base = v.select(col("vec_id") +: col("v") +:
-      cbs.map { case (s, _) =>
-        slice(col("v"), s * PqSubDim + 1, PqSubDim).as(s"v$s") }: _*)
-    val normed = base.select(
-      (col("vec_id") +: round(sqrt(dot(col("v"), col("v"))), 6).as("vnorm") +:
-        cbs.map { case (s, _) => col(s"v$s") }) ++
-        cbs.map { case (s, _) => sqrt(dot(col(s"v$s"), col(s"v$s"))).as(s"n$s") }: _*)
-    normed.select(col("vec_id") +: col("vnorm") +:
-      cbs.map { case (s, arr) =>
-        nearestCellExpr(arr, col(s"v$s"), col(s"n$s")).as(s"c$s") }: _*)
+    val book = graft.functions.PqBook(cbs, PqSubDim)
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        round(sqrt(dot(col("v"), col("v"))), 6).as("vnorm"),
+        graft.functions.PqEncodeCodes.encode(col("v"), book).as("codes"))
   }
 
   /** Asymmetric-distance top-k over the PQ-encoded corpus: queries keep
@@ -574,20 +585,16 @@ object VectorOps {
   def pqAdcTopK(emb: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cbs = pqCodebooks(emb)
-    // dequantize with a literal positional lookup per subspace — zero
-    // joins, zero broadcasts, stays in the scan projection (measured: the
-    // 8-broadcast-join chain cost ~8 AQE barriers per run). Lloyd-dropout
-    // gaps are padded with a placeholder no code can select.
-    val rec = pqEncode(emb, cbs)
+    val book = graft.functions.PqBook(cbs, PqSubDim)
+    // dequantize in the scan projection via the codegen'd PqReconstruct
+    // kernel over the reference-object codebook — zero joins, zero
+    // broadcasts (measured: the 8-broadcast-join chain cost ~8 AQE
+    // barriers per run; the literal-lookup shape blew Janino's 64 KB
+    // method limit). Lloyd-dropout gaps are zero-padded rows no code can
+    // select.
+    val rec = pqCodesFrame(emb, cbs)
       .select(col("vec_id").as("neighbor_id"), col("vnorm"),
-        concat(cbs.map { case (s, arr) =>
-          val byCell = arr.toMap
-          val maxCell = arr.map(_._1).max
-          val dense = (0 to maxCell).map(c =>
-            byCell.getOrElse(c, Seq.fill(PqSubDim)(0.0)))
-          element_at(array(dense.map(cen => array(cen.map(lit(_)): _*)): _*),
-            col(s"c$s") + 1)
-        }: _*).as("rv"))
+        graft.functions.PqReconstruct.reconstruct(col("codes"), book).as("rv"))
     val q = withNorm(emb.filter(col("vec_id") % 100 === 0), "q_id", "qv", "qn")
     val scored = broadcast(q).join(rec, col("q_id") =!= col("neighbor_id"))
       .select(col("q_id"), col("neighbor_id"),

@@ -307,7 +307,7 @@ object DuckDbOracles {
       .mkString(",\n  ")
     val arms = Profile.ContractRules.map { case (n, _) =>
       s"""SELECT '$n' AS rule, CAST("v__$n" AS BIGINT) AS n_violations, n_checked,
-         |  (1000000 * "v__$n") // n_checked AS violation_ppm FROM a""".stripMargin
+         |  CAST((1000000 * "v__$n") // n_checked AS BIGINT) AS violation_ppm FROM a""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH a AS (SELECT $aggs,
        |  count(*) AS n_checked FROM events)
@@ -480,7 +480,7 @@ object DuckDbOracles {
        |    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
        |    CAST(s3 AS DOUBLE) AS s3d
        |  FROM p)
-       |SELECT event_type, n, CAST(s1 AS DECIMAL(18,2)) AS sum_v,
+       |SELECT event_type, n, CAST(CAST(s1 AS DECIMAL(18,2)) AS DOUBLE) AS sum_v,
        |  round(s1d / nd, 6) AS mean_v,
        |  round((s2d - s1d * s1d / nd) / (nd - 1.0), 6) AS var_samp,
        |  round(CASE WHEN s2d / nd - (s1d / nd) * (s1d / nd) > 0

@@ -156,7 +156,7 @@ class SketchSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     it("a constant group has variance 0 and skewness 0 (no 0/0)") {
       val rows = (1 to 8).map(i => ("c", 1700000000000L + i * 1000L, 4.5))
       val r = Sketches.momentsRollup(Sketches.momentPartials(ev(rows))).collect()(0)
-      r.getAs[java.math.BigDecimal]("sum_v").doubleValue() shouldBe 36.0
+      r.getAs[Double]("sum_v") shouldBe 36.0
       r.getAs[Double]("var_samp") shouldBe 0.0
       r.getAs[Double]("skew_pop") shouldBe 0.0
     }

@@ -1094,6 +1094,13 @@ object SparkEntry {
     "mrl_topk" -> ((s, dir) => VectorOps.mrlTopK(Tables.embeddings(s, dir))),
     "mrl_recall_report" -> ((s, dir) =>
       VectorOps.mrlRecallReport(Tables.embeddings(s, dir))),
+    // MRL × IVF composition: cells pruned first, prefix bytes scanned only
+    // in probed cells, full vectors fetched for the shortlist alone — the
+    // scale path the all-pairs mrl_topk baselines.
+    "mrl_ivf_topk" -> ((s, dir) =>
+      VectorOps.mrlIvfTopK(Tables.embeddings(s, dir))),
+    "mrl_ivf_recall_report" -> ((s, dir) =>
+      VectorOps.mrlIvfRecallReport(Tables.embeddings(s, dir))),
     // SemDeDup: k-means clusters bound the near-dup comparison to
     // within-cluster pairs; higher vec_id of each pair at cos >= 0.35 drops.
     "semantic_dedup" -> ((s, dir) => VectorOps.semanticDedup(Tables.embeddings(s, dir))),
@@ -1923,6 +1930,8 @@ object SparkEntry {
     "pq_adc_topk" -> DuckDbOracles.pqAdcTopK(),
     "mrl_topk" -> DuckDbOracles.mrlTopK(),
     "mrl_recall_report" -> DuckDbOracles.mrlRecallReport(),
+    "mrl_ivf_topk" -> DuckDbOracles.mrlIvfTopK(),
+    "mrl_ivf_recall_report" -> DuckDbOracles.mrlIvfRecallReport(),
     "semantic_dedup" -> DuckDbOracles.semanticDedup(),
     "cluster_cohesion" -> DuckDbOracles.clusterCohesion(),
     "cluster_balanced_sample" -> DuckDbOracles.clusterBalancedSample(),

@@ -927,7 +927,8 @@ object VectorOps {
     * the `shortlist` rows only and re-ranks exactly (same
     * broadcast-shortlist fetch as `rerankStages`). The stage-1 all-pairs
     * scan is the labeled baseline shape (as in `bruteForceTopK`); the
-    * scale path composes the prefix score into the IVF cell join.
+    * scale path — prefix scoring composed into the IVF cell join — is
+    * `mrlIvfTopK` below.
     *
     * Note on this corpus: the synthetic embeddings are isotropic, so a
     * 16-of-64 prefix carries ~1/4 of the energy with no learned
@@ -955,6 +956,76 @@ object VectorOps {
       .select(col("q_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
     topKPerQuery(exact, k)
+  }
+
+  /** MRL × IVF composition — the scale path `mrlTopK`'s baseline stands in
+    * for: cells are pruned FIRST (the query probes its `nprobe` nearest of
+    * C cells), stage 1 scans ONLY the probed cells' prefix slices, and
+    * stage 2 fetches full-precision vectors for the shortlist alone. Per
+    * query the stage-1 byte traffic drops from N·dim (all-pairs funnel) to
+    * (nprobe/C)·N·prefixDim — both compression axes at once (IVF prunes
+    * WHICH rows are read, MRL prunes HOW MUCH of each row is read). On a
+    * cell-partitioned index with the prefix stored as its own column
+    * group, the probed scan touches nothing else; assignment happens once
+    * at index-build time with the full vector (as `StreamingAnnIngest`
+    * does), so serving pays probe selection + one cell equi-join.
+    */
+  def mrlIvfTopK(
+      emb: DataFrame, k: Int = 10, prefixDim: Int = 16,
+      shortlist: Int = RerankShortlist, nprobe: Int = 2): DataFrame = {
+    val cents = centroids(emb).select(col("label").as("cell"), col("centroid"))
+    val centArr: Array[(Int, Seq[Double])] = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    // index-build side: full-vector cell assignment; the stage-1 payload
+    // carried into the join is only (prefix, prefix norm)
+    val corpus = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+      .select(col("vec_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
+      .select(col("vec_id"), nearestCellExpr(centArr, col("cv"), col("cn")).as("cell"),
+        slice(col("cv"), 1, prefixDim).as("cp"))
+      .select(col("vec_id"), col("cell"), col("cp"),
+        sqrt(dot(col("cp"), col("cp"))).as("cpn"))
+    // query side: probe cells from the FULL query vector (queries are few
+    // and online), score stage 1 with the prefix only
+    val queries = querySet(emb)
+      .select(col("q_id"), col("q_emb").cast("array<double>").as("qv"))
+      .select(col("q_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("qn"))
+      .select(col("q_id"), slice(col("qv"), 1, prefixDim).as("qp"),
+        probeCellsCol(centArr, col("qv"), col("qn"), nprobe).as("p"))
+      .select(col("q_id"), col("qp"), sqrt(dot(col("qp"), col("qp"))).as("qpn"),
+        (-col("p.negCell")).as("cell"))
+    val approx = broadcast(queries).join(corpus,
+        col("q_id") =!= col("vec_id") && queries("cell") === corpus("cell"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qp"), col("cp")) / (col("qpn") * col("cpn")), 6).as("cos"))
+    val short = topKPerQuery(approx, shortlist).select(col("q_id"), col("neighbor_id"))
+    val qSrc = emb.filter(col("vec_id") % 100 === 0)
+    val exact = broadcast(short)
+      .join(withNorm(emb, "neighbor_id", "cv2", "cn2"), Seq("neighbor_id"))
+      .join(broadcast(withNorm(qSrc, "q_id", "qv2", "qn2")), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        round(dot(col("qv2"), col("cv2")) / (col("qn2") * col("cn2")), 6).as("cos"))
+    topKPerQuery(exact, k)
+  }
+
+  /** Funnel-quality audit for the composed path — recall@k + MRR of
+    * `mrlIvfTopK` against the brute-force truth: what the cell pruning
+    * costs ON TOP of the prefix shortlist (compare with
+    * `mrlRecallReport`'s all-pairs funnel numbers).
+    */
+  def mrlIvfRecallReport(emb: DataFrame, k: Int = 10): DataFrame = {
+    val truth = bruteForceTopK(emb, k)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("t_rank"))
+    val approx = mrlIvfTopK(emb, k)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("a_rank"))
+    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when(col("a_rank").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        max(when(col("t_rank") === 1 && col("a_rank").isNotNull,
+          round(lit(1.0) / col("a_rank").cast("double"), 6)).otherwise(lit(0.0))).as("rr"))
+      .select(col("q_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, 6).as("recall_at_k"), col("rr"))
   }
 
   /** Funnel-quality audit — recall@k + MRR of `mrlTopK` against the

@@ -1506,6 +1506,63 @@ object DuckDbOracles {
   /** Twin of VectorOps.pqRecallReport: brute truth vs the PQ-ADC ranking,
     * metrics from integer hits/ranks only (the annRecallReport shape).
     */
+  /** Twin of VectorOps.mrlIvfTopK: the annIvfTopK assignment CTEs (label
+    * means, rounded-cos argmax, r ≤ nprobe query probes) with mrlTopK's
+    * prefix-cosine stage-1 restricted to probed cells and the exact
+    * full-dim re-rank of the shortlist only.
+    */
+  def mrlIvfTopK(
+      k: Int = 10, prefixDim: Int = 16, shortlist: Int = 30,
+      nprobe: Int = 2): String =
+    s"""WITH $embCte,
+       |dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
+       |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
+       |cent AS (SELECT label AS cell, list(round(m, 6) ORDER BY pos) AS centroid
+       |  FROM comp GROUP BY label),
+       |cscore AS (SELECT e.vec_id, e.v, cent.cell,
+       |    round(${cosSql("e.v", "centroid")}, 6) AS ccos
+       |  FROM e CROSS JOIN cent),
+       |ranked_cells AS (SELECT vec_id, v, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
+       |  FROM cscore),
+       |asg AS (SELECT vec_id, v[1:$prefixDim] AS cp, cell FROM ranked_cells WHERE r = 1),
+       |qasg AS (SELECT vec_id, v[1:$prefixDim] AS qp, cell FROM ranked_cells
+       |  WHERE r <= $nprobe AND vec_id % 100 = 0),
+       |pscored AS (SELECT qa.vec_id AS q_id, ca.vec_id AS neighbor_id,
+       |    round(${cosSql("qa.qp", "ca.cp")}, 6) AS pcos
+       |  FROM qasg qa JOIN asg ca
+       |    ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id),
+       |short AS (SELECT q_id, neighbor_id FROM (
+       |  SELECT q_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY pcos DESC, neighbor_id ASC) AS prank
+       |  FROM pscored) WHERE prank <= $shortlist),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |exact AS (SELECT s.q_id, s.neighbor_id,
+       |    round(${cosSql("q.qv", "c2.v")}, 6) AS cos
+       |  FROM short s JOIN e c2 ON s.neighbor_id = c2.vec_id
+       |  JOIN q ON s.q_id = q.q_id)
+       |SELECT q_id, rank, neighbor_id, cos FROM (
+       |  SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM exact) WHERE rank <= $k""".stripMargin
+
+  /** Twin of VectorOps.mrlIvfRecallReport — the annRecallReport shape over
+    * the composed MRL×IVF ranking.
+    */
+  def mrlIvfRecallReport(k: Int = 10): String =
+    s"""WITH t AS (SELECT q_id, neighbor_id, rank AS t_rank FROM (
+       |${annBruteTopK(k)})),
+       |a AS (SELECT q_id, neighbor_id, rank AS a_rank FROM (
+       |${mrlIvfTopK(k)}))
+       |SELECT t.q_id,
+       |  CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / $k, 6) AS recall_at_k,
+       |  max(CASE WHEN t.t_rank = 1 AND a.a_rank IS NOT NULL
+       |    THEN round(1.0 / a.a_rank, 6) ELSE 0.0 END) AS rr
+       |FROM t LEFT JOIN a ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY 1""".stripMargin
+
   /** Twin of VectorOps.mrlTopK: prefix-cosine shortlist (6dp + id
     * tie-break keeps the shortlist SET bit-identical), exact re-rank of
     * the shortlist only.

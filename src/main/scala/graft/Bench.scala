@@ -93,8 +93,18 @@ object Bench {
     val gc = reps.map { case (k, rs) =>
       jstr(k) + ":" + rs.map(_.gcMs).mkString("[", ",", "]") }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, e) => jstr(k) + ":" + jstr(e) }.mkString("{", ",", "}")
+    // host-noise marker, judged from the artifact alone: reps disagreeing
+    // >3× while heap stays flat (<1.3×) is an environment episode, not an
+    // engine/plan regression (a real regression reproduces across reps; a
+    // leak shows rising heap). Lets a reader separate noise from
+    // regression without re-running.
+    val noise = reps.collect { case (n, rs) if rs.size >= 2 && {
+      val secs = rs.map(_.sec)
+      val heaps = rs.map(_.heapMb.toDouble.max(1.0))
+      secs.max / math.max(secs.min, 1e-9) > 3.0 && heaps.max / heaps.min < 1.3
+    } => jstr(n) }
     val total = best.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"heap_mb":$heap,"gc_ms":$gc,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"heap_mb":$heap,"gc_ms":$gc,"errors":$errJson,"noise_queries":${noise.mkString("[", ",", "]")},"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] failed queries: ${errors.map(_._1).mkString(", ")}")

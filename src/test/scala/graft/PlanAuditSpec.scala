@@ -96,6 +96,11 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // bounded-heap top-k UDAF is the intentional typed-aggregator fallback
     "mrl_topk" -> Set("nested-loop-join", "codegen-fallback"),
     "mrl_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
+    // the composed path keeps the IVF probe's interpreted k-row centroid
+    // ranking and the bounded-heap top-k UDAF; its recall report adds the
+    // labeled all-pairs brute TRUTH join (the thing being audited against)
+    "mrl_ivf_topk" -> Set("codegen-fallback"),
+    "mrl_ivf_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     "ann_ivf_kmeans_topk" -> Set("nested-loop-join", "codegen-fallback"),
     // planted near-dup copies use transform() on the every-20th slice —
     // interpreted on 5% of rows by design (exact ±1/64 double nudges)
@@ -169,13 +174,18 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
 
     it("fires on a cartesian product") {
       import spark.implicits._
-      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      // getOption: if the conf was never explicitly set, restore by
+      // UNSETTING (writing back the resolved default would pin it)
+      val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       try {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         val a = Seq(1, 2).toDF("a")
         val b = Seq(3, 4).toDF("b")
         PlanAudit.audit(a.crossJoin(b)).map(_.kind) should contain("cartesian")
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
     }
 
     it("fires on a broadcast nested-loop join") {

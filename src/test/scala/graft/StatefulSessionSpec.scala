@@ -105,6 +105,40 @@ class StatefulSessionSpec extends AnyFunSpec with Matchers with SparkSessionTest
         closed.head.session_end.getTime - base shouldBe 150000L // 90s + 60s gap
       } finally q.stop()
     }
+
+    it("pins the documented divergence: a late gap-predecessor MERGES, never splits") {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[SEvent]
+      val sessions = Sessionize.sessionize(
+        mem.toDS(), gapMs = 60000L, capMs = 600000L, watermarkDelay = "300 seconds")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-merge").toString
+      val sink = s"merge_${System.nanoTime()}"
+      val q = sessions.writeStream.outputMode("append").format("memory")
+        .queryName(sink).option("checkpointLocation", ckpt).start()
+      try {
+        // batch 1: open session [200s, 230s]
+        mem.addData(at("u1", 200), at("u1", 230))
+        q.processAllAvailable()
+        // batch 2: late event at 100s. IN ORDER, 100s→200s is a 100s gap
+        // (> 60s): two sessions. The O(1)-state operator folds it into the
+        // stored accumulator (gap checked against lastMs=230s, not the true
+        // in-order successor) → ONE merged session — the exact divergence
+        // Sessionize's scaladoc documents (merge, never split).
+        mem.addData(at("u1", 100))
+        q.processAllAvailable()
+        // advance the watermark far enough to time the session out
+        mem.addData(at("u9", 2000))
+        q.processAllAvailable()
+
+        val closed = spark.table(sink).as[Sessionize.Session]
+          .collect().filter(_.user_id == "u1").toSeq
+        closed should have size 1 // merged — in-order replay would yield 2
+        closed.head.n_events shouldBe 3L
+        closed.head.session_start.getTime - base shouldBe 100000L
+        closed.head.session_end.getTime - base shouldBe 290000L // 230s + gap
+      } finally q.stop()
+    }
   }
 
   describe("sessionize on the RocksDB state store") {

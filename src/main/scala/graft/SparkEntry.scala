@@ -1115,6 +1115,13 @@ object SparkEntry {
     // is-the-codebook-fine-enough gate for the compressed index.
     "pq_recall_report" -> ((s, dir) =>
       VectorOps.pqRecallReport(Tables.embeddings(s, dir))),
+    // IVF × PQ (classic IVFPQ serving): coarse cells prune WHICH rows are
+    // scanned, PQ codes compress WHAT each row costs — ADC over probed
+    // cells only; completes the tier matrix with mrl_ivf's bandwidth axis.
+    "ivf_pq_topk" -> ((s, dir) =>
+      VectorOps.ivfPqTopK(Tables.embeddings(s, dir))),
+    "ivf_pq_recall_report" -> ((s, dir) =>
+      VectorOps.ivfPqRecallReport(Tables.embeddings(s, dir))),
 
     // Hard-negative mining (contrastive training prep): per query the most
     // similar corpus vectors BELOW the positive ceiling — the IVF scored
@@ -1932,6 +1939,8 @@ object SparkEntry {
     "mrl_recall_report" -> DuckDbOracles.mrlRecallReport(),
     "mrl_ivf_topk" -> DuckDbOracles.mrlIvfTopK(),
     "mrl_ivf_recall_report" -> DuckDbOracles.mrlIvfRecallReport(),
+    "ivf_pq_topk" -> DuckDbOracles.ivfPqTopK(),
+    "ivf_pq_recall_report" -> DuckDbOracles.ivfPqRecallReport(),
     "semantic_dedup" -> DuckDbOracles.semanticDedup(),
     "cluster_cohesion" -> DuckDbOracles.clusterCohesion(),
     "cluster_balanced_sample" -> DuckDbOracles.clusterBalancedSample(),

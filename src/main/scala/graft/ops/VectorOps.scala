@@ -604,6 +604,67 @@ object VectorOps {
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF × PQ serving (the classic IVFPQ layout, cosine variant without
+    * residual encoding): coarse cells prune WHICH rows are scanned
+    * (nprobe of C), PQ codes compress WHAT each scanned row costs (m codes
+    * + one stored norm instead of dim floats), and ADC scores the probed
+    * cells' reconstructions against the exact query. Completes the tier
+    * matrix — IVF (row pruning) × PQ (byte compression); `mrlIvfTopK`
+    * covers the bandwidth axis. On a cell-partitioned compressed index the
+    * scan reads nprobe/C of the rows at (m + 8) bytes each — at 100 TB
+    * that is the RAM-resident serving path; full-precision vectors are
+    * touched only if a rerank stage is layered on (as `ivfRerankTopK`
+    * does over its int8 index).
+    */
+  def ivfPqTopK(emb: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val cents = centroids(emb).select(col("label").as("cell"), col("centroid"))
+    val centArr: Array[(Int, Seq[Double])] = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val cbs = pqCodebooks(emb)
+    val book = graft.functions.PqBook(cbs, PqSubDim)
+    // index build (one corpus pass at write time): coarse cell + PQ codes
+    // + stored 6dp norm; serving dequantizes in the scan projection
+    val corpus = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+      .select(col("vec_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
+      .select(col("vec_id"),
+        nearestCellExpr(centArr, col("cv"), col("cn")).as("cell"),
+        round(col("cn"), 6).as("vnorm"),
+        graft.functions.PqEncodeCodes.encode(col("cv"), book).as("codes"))
+      .select(col("vec_id"), col("cell"), col("vnorm"),
+        graft.functions.PqReconstruct.reconstruct(col("codes"), book).as("rv"))
+    val queries = querySet(emb)
+      .select(col("q_id"), col("q_emb").cast("array<double>").as("qv"))
+      .select(col("q_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("qn"))
+      .select(col("q_id"), col("qv"), col("qn"),
+        probeCellsCol(centArr, col("qv"), col("qn"), nprobe).as("p"))
+      .select(col("q_id"), col("qv"), col("qn"), (-col("p.negCell")).as("cell"))
+    val scored = broadcast(queries).join(corpus,
+        col("q_id") =!= col("vec_id") && queries("cell") === corpus("cell"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("rv")) / (col("qn") * col("vnorm")), 6).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Compressed-serving quality audit — recall@k + MRR of `ivfPqTopK`
+    * against the brute truth: the cell-pruning loss ON TOP of the
+    * quantization loss (`pqRecallReport` isolates the latter).
+    */
+  def ivfPqRecallReport(emb: DataFrame, k: Int = 10): DataFrame = {
+    val truth = bruteForceTopK(emb, k)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("t_rank"))
+    val approx = ivfPqTopK(emb, k)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("a_rank"))
+    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when(col("a_rank").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        max(when(col("t_rank") === 1 && col("a_rank").isNotNull,
+          round(lit(1.0) / col("a_rank").cast("double"), 6)).otherwise(lit(0.0))).as("rr"))
+      .select(col("q_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, 6).as("recall_at_k"), col("rr"))
+  }
+
   /** IVF top-k: assign every corpus vector to its nearest coarse centroid
     * (broadcast join against the tiny centroid table); each query probes its
     * `nprobe` nearest cells. ~C/nprobe× less distance work than brute force;

@@ -1822,6 +1822,67 @@ object DuckDbOracles {
        |SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** Twin of VectorOps.ivfPqTopK: the annIvfTopK coarse-assignment CTEs
+    * (label means, rounded-cos argmax, r ≤ nprobe probes) composed with
+    * pqAdcTopK's codebook-replay/reconstruction CTEs — ADC scoring
+    * restricted to probed cells.
+    */
+  def ivfPqTopK(k: Int = 10, nprobe: Int = 2): String = {
+    val codeJoins = (0 until VectorOps.PqM)
+      .map(s => s"JOIN p${s}_asg a$s ON e.vec_id = a$s.vec_id").mkString(" ")
+    val codeCols = (0 until VectorOps.PqM).map(s => s"a$s.cell AS c$s").mkString(", ")
+    val cbJoins = (0 until VectorOps.PqM)
+      .map(s => s"JOIN p${s}_cb cb$s ON c.c$s = cb$s.cell").mkString(" ")
+    val rv = (0 until VectorOps.PqM).map(s => s"cb$s.centroid").mkString(" || ")
+    s"""WITH $embCte,
+       |dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
+       |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
+       |cent AS (SELECT label AS cell, list(round(m, 6) ORDER BY pos) AS centroid
+       |  FROM comp GROUP BY label),
+       |cscore AS (SELECT e.vec_id, e.v, cent.cell,
+       |    round(${cosSql("e.v", "centroid")}, 6) AS ccos
+       |  FROM e CROSS JOIN cent),
+       |ranked_cells AS (SELECT vec_id, v, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
+       |  FROM cscore),
+       |casg AS (SELECT vec_id, cell FROM ranked_cells WHERE r = 1),
+       |qasg AS (SELECT vec_id, v, cell FROM ranked_cells
+       |  WHERE r <= $nprobe AND vec_id % 100 = 0),
+       |${pqAllCtes()},
+       |codes AS (SELECT e.vec_id,
+       |    round(sqrt(list_dot_product(e.v, e.v)), 6) AS vnorm, $codeCols
+       |  FROM e $codeJoins),
+       |rec AS (SELECT c.vec_id AS neighbor_id, c.vnorm, $rv AS rv
+       |  FROM codes c $cbJoins),
+       |scored AS (SELECT qa.vec_id AS q_id, rec.neighbor_id,
+       |    round(list_dot_product(qa.v, rec.rv)
+       |      / (sqrt(list_dot_product(qa.v, qa.v)) * rec.vnorm), 6) AS cos
+       |  FROM qasg qa JOIN casg ca
+       |    ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id
+       |  JOIN rec ON rec.neighbor_id = ca.vec_id),
+       |ranked AS (SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** Twin of VectorOps.ivfPqRecallReport — the annRecallReport shape over
+    * the compressed cell-pruned ranking.
+    */
+  def ivfPqRecallReport(k: Int = 10): String =
+    s"""WITH t AS (SELECT q_id, neighbor_id, rank AS t_rank FROM (
+       |${annBruteTopK(k)})),
+       |a AS (SELECT q_id, neighbor_id, rank AS a_rank FROM (
+       |${ivfPqTopK(k)}))
+       |SELECT t.q_id,
+       |  CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / $k, 6) AS recall_at_k,
+       |  max(CASE WHEN t.t_rank = 1 AND a.a_rank IS NOT NULL
+       |    THEN round(1.0 / a.a_rank, 6) ELSE 0.0 END) AS rr
+       |FROM t LEFT JOIN a ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY 1""".stripMargin
+
   /** Twin of VectorOps.semanticDedup: unrolled-Lloyd assignment, then
     * within-cell near-dup pairs drop the higher vec_id.
     */

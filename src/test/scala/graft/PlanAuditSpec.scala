@@ -101,6 +101,11 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // labeled all-pairs brute TRUTH join (the thing being audited against)
     "mrl_ivf_topk" -> Set("codegen-fallback"),
     "mrl_ivf_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
+    // IVFPQ serving: equi-join on cell (no BNLJ); the probe ranking's
+    // interpreted k-row centroid sort and the top-k UDAF are the labeled
+    // fallbacks; the recall report adds the labeled brute-truth join
+    "ivf_pq_topk" -> Set("codegen-fallback"),
+    "ivf_pq_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     "ann_ivf_kmeans_topk" -> Set("nested-loop-join", "codegen-fallback"),
     // planted near-dup copies use transform() on the every-20th slice —
     // interpreted on 5% of rows by design (exact ±1/64 double nudges)

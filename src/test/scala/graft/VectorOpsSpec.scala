@@ -369,6 +369,17 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
       full shouldBe brute
     }
+    it("ivfPqTopK degenerates to pqAdcTopK when every cell is probed") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val nCells = emb.select("label").distinct().count().toInt
+      val adc = VectorOps.pqAdcTopK(emb, k = 10).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      // nprobe = C → the candidate set is every non-self pair, so the
+      // cell pruning vanishes and only the shared quantization remains
+      val all = VectorOps.ivfPqTopK(emb, k = 10, nprobe = nCells).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      all shouldBe adc
+    }
     it("a 16-dim prefix funnel beats the random-shortlist baseline") {
       val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
       val n = emb.count().toDouble

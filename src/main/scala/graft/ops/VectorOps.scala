@@ -583,7 +583,6 @@ object VectorOps {
     * top-k — and at 100 TB the scan reads 12 bytes/vector instead of 256.
     */
   def pqAdcTopK(emb: DataFrame, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cbs = pqCodebooks(emb)
     val book = graft.functions.PqBook(cbs, PqSubDim)
     // dequantize in the scan projection via the codegen'd PqReconstruct
@@ -592,16 +591,26 @@ object VectorOps {
     // barriers per run; the literal-lookup shape blew Janino's 64 KB
     // method limit). Lloyd-dropout gaps are zero-padded rows no code can
     // select.
+    // A persisted compressed index is many-split by construction; a single
+    // tiny local file collapses the scan to ONE task and serializes the
+    // whole ADC pass behind one core (stage-profiled: 2.1 s of a 3.2 s
+    // query in one task at sf0.1). Exchange the (m+8)-byte/row CODES —
+    // never the reconstructions — to restore executor-width parallelism;
+    // at scale this moves ~1/16 of the raw bytes and is dwarfed by the
+    // scan it parallelizes.
     val rec = pqCodesFrame(emb, cbs)
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id").as("neighbor_id"), col("vnorm"),
         graft.functions.PqReconstruct.reconstruct(col("codes"), book).as("rv"))
     val q = withNorm(emb.filter(col("vec_id") % 100 === 0), "q_id", "qv", "qn")
     val scored = broadcast(q).join(rec, col("q_id") =!= col("neighbor_id"))
       .select(col("q_id"), col("neighbor_id"),
         round(dot(col("qv"), col("rv")) / (col("qn") * col("vnorm")), 6).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
+    // bounded-heap top-k (family convention): partial ≤k buffers combine
+    // map-side, so ≤k rows per (query, partition) cross the shuffle — the
+    // row_number window this replaces sorted and exchanged every scored
+    // pair (same deterministic (cos DESC, id ASC) ranking either way)
+    topKPerQuery(scored, k)
   }
 
   /** IVF × PQ serving (the classic IVFPQ layout, cosine variant without
@@ -631,6 +640,10 @@ object VectorOps {
         nearestCellExpr(centArr, col("cv"), col("cn")).as("cell"),
         round(col("cn"), 6).as("vnorm"),
         graft.functions.PqEncodeCodes.encode(col("cv"), book).as("codes"))
+      // codes-only exchange before dequantize — same single-split-file
+      // parallelism restoration as pqAdcTopK (see comment there); a real
+      // cell-partitioned index is many-split and skips this
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("cell"), col("vnorm"),
         graft.functions.PqReconstruct.reconstruct(col("codes"), book).as("rv"))
     val queries = querySet(emb)
@@ -1044,6 +1057,10 @@ object VectorOps {
       .select(col("vec_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
       .select(col("vec_id"), nearestCellExpr(centArr, col("cv"), col("cn")).as("cell"),
         slice(col("cv"), 1, prefixDim).as("cp"))
+      // prefix-only exchange (prefixDim/dim of the raw bytes) — restores
+      // executor-width parallelism over a single-split local file; a real
+      // cell-partitioned prefix store is many-split and skips this
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("cell"), col("cp"),
         sqrt(dot(col("cp"), col("cp"))).as("cpn"))
     // query side: probe cells from the FULL query vector (queries are few

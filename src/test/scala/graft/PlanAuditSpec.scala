@@ -32,7 +32,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // scores EVERY corpus row by design (the compression is in bytes
     // read per row, not rows touched; cell-pruned variants are the IVF
     // family)
-    "pq_adc_topk" -> Set("nested-loop-join"),
+    // labeled brute-scan query join + the bounded-heap top-k UDAF (the
+    // intentional typed-aggregator fallback, as in the IVF family)
+    "pq_adc_topk" -> Set("nested-loop-join", "codegen-fallback"),
     // composes the labeled all-pairs semantic baseline (0.35 is below any
     // LSH-able threshold; at a real >=0.85 threshold the LSH path applies)
     "dedup_crossmodal" -> Set("nested-loop-join"),
@@ -90,7 +92,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "ann_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     // composes the same labeled brute baseline with the ADC ranking —
     // inherits ann_brute_topk's and pq_adc_topk's labeled exception
-    "pq_recall_report" -> Set("nested-loop-join"),
+    "pq_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     // the MRL stage-1 prefix scan is the labeled all-pairs baseline shape
     // (scan-bandwidth tier; compose with IVF cell pruning at scale); the
     // bounded-heap top-k UDAF is the intentional typed-aggregator fallback

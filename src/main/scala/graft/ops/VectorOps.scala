@@ -212,6 +212,12 @@ object VectorOps {
     * cache lifetime stays with the caller (Bench/Verify clearCache per query).
     */
   def lshNearDupPairsVec(vecs: DataFrame, threshold: Double = 0.85): DataFrame = {
+    // NOTE on local timings: the signature map runs at source parallelism
+    // (1-2 tasks on the tiny single-split sf files), but stage-profiling
+    // showed the wall time here is fixed stage/scheduling overhead, not
+    // compute — a re-split exchange made it WORSE (2×670 ms narrow stages
+    // → 2×1 s wide ones). A production corpus is many-split; leave the
+    // scan shape alone.
     val banded = lshBands(vecs)
     // distinct BEFORE the cosine: a pair colliding in several bands is
     // scored once, not once per collision

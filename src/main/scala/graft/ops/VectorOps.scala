@@ -890,6 +890,40 @@ object VectorOps {
     topKPerQuery(scoreProbes(index, queries, centArr, nprobe), k)
   }
 
+  /** IVFPQ served from an accumulated index carrying PQ codes (the
+    * `StreamingAnnIngest` table ingested with a fixed codebook): probe
+    * selection is the usual literal expression, the probed cells'
+    * (m + 8)-byte payloads are dequantized in the scan projection, and the
+    * ADC cosine ranks reconstructions — on the cell-partitioned layout the
+    * query reads ONLY its probed cells' directories, at the compressed
+    * width. The serving twin of `ivfPqTopK` for an index that already
+    * exists (assignment + encode happened at ingest).
+    */
+  def ivfPqTopKFromIndex(
+      index: DataFrame,
+      queries: DataFrame,
+      coarse: DataFrame,
+      book: graft.functions.PqBook,
+      k: Int = 10,
+      nprobe: Int = 1): DataFrame = {
+    val centArr: Array[(Int, Seq[Double])] = coarse.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val corpus = index.select(col("vec_id"), col("cell"),
+      round(col("cn"), 6).as("vnorm"),
+      graft.functions.PqReconstruct.reconstruct(col("codes"), book).as("rv"))
+    val qs = queries
+      .select(col("q_id"), col("q_emb").cast("array<double>").as("qv"))
+      .select(col("q_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("qn"))
+      .select(col("q_id"), col("qv"), col("qn"),
+        probeCellsCol(centArr, col("qv"), col("qn"), nprobe).as("p"))
+      .select(col("q_id"), col("qv"), col("qn"), (-col("p.negCell")).as("cell"))
+    val scored = broadcast(qs).join(corpus,
+        col("q_id") =!= col("vec_id") && qs("cell") === corpus("cell"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("rv")) / (col("qn") * col("vnorm")), 6).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
   /** (vec_id, cell, v, vn) cell assignment against a collected quantizer —
     * the same pure literal-argmax projection `ivfScored` uses for its corpus
     * side, exposed for operators that need the assignment itself (SemDeDup,

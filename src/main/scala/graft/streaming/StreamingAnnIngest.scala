@@ -52,6 +52,9 @@ object StreamingAnnIngest {
     StructField("cn", DoubleType),
     StructField("s", DoubleType),
     StructField("q", ArrayType(DoubleType)),
+    // PQ codes (null when ingest runs without a codebook) — the
+    // compressed tier `VectorOps.ivfPqTopKFromIndex` serves from
+    StructField("codes", ArrayType(IntegerType)),
     StructField(BatchCol, LongType)))
 
   /** The accumulated cell index, or an empty same-shaped frame before the
@@ -72,12 +75,22 @@ object StreamingAnnIngest {
       batch: DataFrame,
       batchId: Long,
       cents: DataFrame,
-      indexDir: String): Unit = {
-    VectorOps.assignCells(batch, cents)
+      indexDir: String,
+      book: Option[graft.functions.PqBook] = None): Unit = {
+    val quantized = VectorOps.assignCells(batch, cents)
       .select(col("vec_id"), col("cell"), col("v").as("cv"), col("vn").as("cn"),
         (lit(127.0) / array_max(transform(col("v"), x => abs(x)))).as("s"))
       .select(col("vec_id"), col("cell"), col("cv"), col("cn"), col("s"),
         transform(col("cv"), x => round(x * col("s")).cast("double")).as("q"))
+    // PQ codes ride the same batch write when a FIXED codebook is supplied
+    // (trained once offline, like the coarse quantizer — re-training
+    // mid-stream would silently stale every already-written code)
+    val coded = book match {
+      case Some(b) => quantized.withColumn("codes",
+        graft.functions.PqEncodeCodes.encode(col("cv"), b))
+      case None => quantized.withColumn("codes", lit(null).cast("array<int>"))
+    }
+    coded
       .withColumn(BatchCol, lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -89,12 +102,13 @@ object StreamingAnnIngest {
       vecStream: DataFrame,
       cents: DataFrame,
       indexDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      book: Option[graft.functions.PqBook] = None): StreamingQuery =
     vecStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, cents, indexDir)
+        processBatch(batch, batchId, cents, indexDir, book)
       }
       .start()
 }

@@ -107,5 +107,38 @@ class StreamingAnnIngestSpec extends AnyFunSpec with Matchers with SparkSessionT
       servedRr shouldBe batchRr
       servedRr.nonEmpty shouldBe true
     }
+
+    it("ingests PQ codes against a fixed codebook; compressed serving matches batch") {
+      // 2 subspaces × 2 codewords over dim 4 — a hand-built FIXED book
+      // (the ingest contract: codebooks train once offline, like cells)
+      val book = graft.functions.PqBook(Seq(
+        0 -> Array(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0)),
+        1 -> Array(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))), subDim = 2)
+      val dir = java.nio.file.Files.createTempDirectory("graft-sann-pq").toString
+      val indexDir = s"$dir/index"
+      StreamingAnnIngest.processBatch(embDf(batch0), 0L, quantizer, indexDir, Some(book))
+      StreamingAnnIngest.processBatch(embDf(batch1), 1L, quantizer, indexDir, Some(book))
+      // crash-after-commit retry stays exactly-once with the codes column
+      StreamingAnnIngest.processBatch(embDf(batch1), 1L, quantizer, indexDir, Some(book))
+
+      val idx = StreamingAnnIngest.readIndex(spark, indexDir)
+      idx.count() shouldBe 6
+      idx.filter(col("codes").isNull).count() shouldBe 0
+
+      val corpus = embDf(batch0 ++ batch1)
+      val queries = corpus.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      def ranked(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val served = ranked(VectorOps.ivfPqTopKFromIndex(
+        idx, queries, quantizer, book, k = 2))
+      // batch twin: same assignment + same encode, no stream in between
+      val batchIdx = VectorOps.assignCells(corpus, quantizer)
+        .select(col("vec_id"), col("cell"), col("vn").as("cn"),
+          graft.functions.PqEncodeCodes.encode(col("v"), book).as("codes"))
+      val batch = ranked(VectorOps.ivfPqTopKFromIndex(
+        batchIdx, queries, quantizer, book, k = 2))
+      served shouldBe batch
+      served.nonEmpty shouldBe true
+    }
   }
 }

@@ -1122,6 +1122,13 @@ object SparkEntry {
       VectorOps.ivfPqTopK(Tables.embeddings(s, dir))),
     "ivf_pq_recall_report" -> ((s, dir) =>
       VectorOps.ivfPqRecallReport(Tables.embeddings(s, dir))),
+    // Residual IVFPQ (the Jégou formulation): codes quantize v - centroid;
+    // same code budget, tighter distribution — the recall report pair
+    // (ivf_pq vs ivf_rpq) quantifies what residual encoding buys.
+    "ivf_rpq_topk" -> ((s, dir) =>
+      VectorOps.ivfRpqTopK(Tables.embeddings(s, dir))),
+    "ivf_rpq_recall_report" -> ((s, dir) =>
+      VectorOps.ivfRpqRecallReport(Tables.embeddings(s, dir))),
 
     // Hard-negative mining (contrastive training prep): per query the most
     // similar corpus vectors BELOW the positive ceiling — the IVF scored
@@ -1941,6 +1948,8 @@ object SparkEntry {
     "mrl_ivf_recall_report" -> DuckDbOracles.mrlIvfRecallReport(),
     "ivf_pq_topk" -> DuckDbOracles.ivfPqTopK(),
     "ivf_pq_recall_report" -> DuckDbOracles.ivfPqRecallReport(),
+    "ivf_rpq_topk" -> DuckDbOracles.ivfRpqTopK(),
+    "ivf_rpq_recall_report" -> DuckDbOracles.ivfRpqRecallReport(),
     "semantic_dedup" -> DuckDbOracles.semanticDedup(),
     "cluster_cohesion" -> DuckDbOracles.clusterCohesion(),
     "cluster_balanced_sample" -> DuckDbOracles.clusterBalancedSample(),

@@ -684,6 +684,79 @@ object VectorOps {
         round(col("n_hit").cast("double") / k, 6).as("recall_at_k"), col("rr"))
   }
 
+  /** RESIDUAL IVFPQ (Jégou et al.'s actual formulation): each vector's PQ
+    * codes quantize `v − centroid[cell]` rather than `v`. Residuals
+    * concentrate around the origin, so the same m×k codebook budget spends
+    * its codewords on a tighter distribution than raw-vector PQ — compare
+    * `ivf_pq_recall_report` vs `ivf_rpq_recall_report` to quantify it on a
+    * given corpus. (On THIS synthetic isotropic corpus the label-mean
+    * centroids are weak, so residuals ≈ raw vectors and the reports tie
+    * within noise — the same worst-case caveat as `mrlTopK`; clustered
+    * production embeddings are where residual encoding pays.) Scoring
+    * decomposes exactly: q·v̂ = q·centroid[cell] +
+    * q·rec(codes), and q·centroid is CONSTANT per (query, probed cell), so
+    * it is computed once per probe row — per candidate the scan still does
+    * ONE reconstructed dot. Same serving scale shape as `ivfPqTopK`
+    * (cell equi-join over (m+8)-byte payloads, codes-only exchange).
+    */
+  def ivfRpqTopK(emb: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    import graft.functions.ArraySubtract.sub
+    val cents = centroids(emb).select(col("label").as("cell"), col("centroid"))
+    val centArr: Array[(Int, Seq[Double])] = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(centArr.map(_._1).sameElements(centArr.indices),
+      "ivfRpqTopK: the centroid-literal lookup needs dense cell ids 0..C-1")
+    val centLit = array(centArr.map { case (_, m) => array(m.map(lit(_)): _*) }: _*)
+    // index build: assign, subtract the (6dp-rounded) assigned centroid,
+    // train + encode PQ on the residual frame with the standard recipe
+    val assigned = assignCells(emb, cents) // vec_id, cell, v, vn
+    val residuals = assigned.select(col("vec_id"),
+      sub(col("v"), element_at(centLit, col("cell") + 1)).as("embedding"))
+    val cbs = pqCodebooks(residuals)
+    val book = graft.functions.PqBook(cbs, PqSubDim)
+    val corpus = assigned
+      .select(col("vec_id"), col("cell"), round(col("vn"), 6).as("vnorm"),
+        graft.functions.PqEncodeCodes.encode(
+          sub(col("v"), element_at(centLit, col("cell") + 1)), book).as("codes"))
+      // codes-only exchange — see pqAdcTopK's parallelism note
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("cell"), col("vnorm"),
+        graft.functions.PqReconstruct.reconstruct(col("codes"), book).as("rv"))
+    val queries = querySet(emb)
+      .select(col("q_id"), col("q_emb").cast("array<double>").as("qv"))
+      .select(col("q_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("qn"))
+      .select(col("q_id"), col("qv"), col("qn"),
+        probeCellsCol(centArr, col("qv"), col("qn"), nprobe).as("p"))
+      .select(col("q_id"), col("qv"), col("qn"), (-col("p.negCell")).as("cell"))
+      // q·centroid[cell] is shared by every candidate of the probed cell
+      .withColumn("qdotc", dot(col("qv"), element_at(centLit, col("cell") + 1)))
+    val scored = broadcast(queries).join(corpus,
+        col("q_id") =!= col("vec_id") && queries("cell") === corpus("cell"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round((col("qdotc") + dot(col("qv"), col("rv")))
+          / (col("qn") * col("vnorm")), 6).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Residual-IVFPQ quality audit — recall@k + MRR vs brute truth; read
+    * beside `ivfPqRecallReport` to see what residual encoding buys at the
+    * same code budget.
+    */
+  def ivfRpqRecallReport(emb: DataFrame, k: Int = 10): DataFrame = {
+    val truth = bruteForceTopK(emb, k)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("t_rank"))
+    val approx = ivfRpqTopK(emb, k)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("a_rank"))
+    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when(col("a_rank").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        max(when(col("t_rank") === 1 && col("a_rank").isNotNull,
+          round(lit(1.0) / col("a_rank").cast("double"), 6)).otherwise(lit(0.0))).as("rr"))
+      .select(col("q_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, 6).as("recall_at_k"), col("rr"))
+  }
+
   /** IVF top-k: assign every corpus vector to its nearest coarse centroid
     * (broadcast join against the tiny centroid table); each query probes its
     * `nprobe` nearest cells. ~C/nprobe× less distance work than brute force;

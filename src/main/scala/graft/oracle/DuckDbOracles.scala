@@ -1732,7 +1732,7 @@ object DuckDbOracles {
     * and p${s}_asg (the per-vector code). Twin of
     * VectorOps.pqCodebooks/pqEncode applied to subspace `s`.
     */
-  private def pqSubCtes(s: Int, kmK: Int, iters: Int): String = {
+  private def pqSubCtes(s: Int, kmK: Int, iters: Int, src: String = "e"): String = {
     val lo = s * VectorOps.PqSubDim
     val hi = lo + VectorOps.PqSubDim
     val init =
@@ -1751,7 +1751,7 @@ object DuckDbOracles {
          |p${s}_it$n AS (SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid
          |  FROM p${s}_it${n}_comp GROUP BY cell)""".stripMargin
     }.mkString(",\n")
-    s"""es$s AS (SELECT vec_id, v[${lo + 1}:$hi] AS v FROM e),
+    s"""es$s AS (SELECT vec_id, v[${lo + 1}:$hi] AS v FROM $src),
        |$init,
        |$iterCtes,
        |p${s}_cb AS (SELECT cell, centroid FROM p${s}_it$iters),
@@ -1762,9 +1762,11 @@ object DuckDbOracles {
        |  FROM es$s e CROSS JOIN p${s}_cb c) WHERE r = 1)""".stripMargin
   }
 
-  private def pqAllCtes(kmK: Int = VectorOps.PqK, iters: Int = VectorOps.PqIters): String =
+  private def pqAllCtes(
+      kmK: Int = VectorOps.PqK, iters: Int = VectorOps.PqIters,
+      src: String = "e"): String =
     s"""sdims AS (SELECT unnest(range(1, ${VectorOps.PqSubDim + 1})) AS pos),
-       |${(0 until VectorOps.PqM).map(s => pqSubCtes(s, kmK, iters)).mkString(",\n")}""".stripMargin
+       |${(0 until VectorOps.PqM).map(s => pqSubCtes(s, kmK, iters, src)).mkString(",\n")}""".stripMargin
 
   /** Twin of VectorOps.pqCodebooksDf — scalar component rows read from the
     * final iteration's mean CTE (whose 6dp-rounded values ARE the codebook
@@ -1874,6 +1876,72 @@ object DuckDbOracles {
        |${annBruteTopK(k)})),
        |a AS (SELECT q_id, neighbor_id, rank AS a_rank FROM (
        |${ivfPqTopK(k)}))
+       |SELECT t.q_id,
+       |  CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / $k, 6) AS recall_at_k,
+       |  max(CASE WHEN t.t_rank = 1 AND a.a_rank IS NOT NULL
+       |    THEN round(1.0 / a.a_rank, 6) ELSE 0.0 END) AS rr
+       |FROM t LEFT JOIN a ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY 1""".stripMargin
+
+  /** Twin of VectorOps.ivfRpqTopK (residual IVFPQ): the coarse-assignment
+    * CTEs feed a residual CTE (v − assigned 6dp centroid, index-lambda
+    * subtraction), the standard PQ replay trains/encodes over `res`, and
+    * scoring decomposes as q·centroid[cell] (per probe row) + q·rec(codes)
+    * (per candidate) — token-for-token the Spark expression.
+    */
+  def ivfRpqTopK(k: Int = 10, nprobe: Int = 2): String = {
+    val dim = VectorOps.EmbeddingDim
+    val codeJoins = (0 until VectorOps.PqM)
+      .map(s => s"JOIN p${s}_asg a$s ON e.vec_id = a$s.vec_id").mkString(" ")
+    val codeCols = (0 until VectorOps.PqM).map(s => s"a$s.cell AS c$s").mkString(", ")
+    val cbJoins = (0 until VectorOps.PqM)
+      .map(s => s"JOIN p${s}_cb cb$s ON c.c$s = cb$s.cell").mkString(" ")
+    val rv = (0 until VectorOps.PqM).map(s => s"cb$s.centroid").mkString(" || ")
+    s"""WITH $embCte,
+       |dims AS (SELECT unnest(range(1, ${dim + 1})) AS pos),
+       |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
+       |cent AS (SELECT label AS cell, list(round(m, 6) ORDER BY pos) AS centroid
+       |  FROM comp GROUP BY label),
+       |cscore AS (SELECT e.vec_id, e.v, cent.cell,
+       |    round(${cosSql("e.v", "centroid")}, 6) AS ccos
+       |  FROM e CROSS JOIN cent),
+       |ranked_cells AS (SELECT vec_id, v, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
+       |  FROM cscore),
+       |casg AS (SELECT vec_id, cell FROM ranked_cells WHERE r = 1),
+       |res AS (SELECT rc.vec_id,
+       |    list_transform(range(1, ${dim + 1}), i -> rc.v[i] - c.centroid[i]) AS v
+       |  FROM ranked_cells rc JOIN cent c ON rc.cell = c.cell WHERE rc.r = 1),
+       |${pqAllCtes(src = "res")},
+       |codes AS (SELECT e.vec_id,
+       |    round(sqrt(list_dot_product(e.v, e.v)), 6) AS vnorm, $codeCols
+       |  FROM e $codeJoins),
+       |rec AS (SELECT c.vec_id AS neighbor_id, c.vnorm, $rv AS rv
+       |  FROM codes c $cbJoins),
+       |qasg AS (SELECT rc.vec_id, rc.v, rc.cell,
+       |    list_dot_product(rc.v, c.centroid) AS qdotc
+       |  FROM ranked_cells rc JOIN cent c ON rc.cell = c.cell
+       |  WHERE rc.r <= $nprobe AND rc.vec_id % 100 = 0),
+       |scored AS (SELECT qa.vec_id AS q_id, rec.neighbor_id,
+       |    round((qa.qdotc + list_dot_product(qa.v, rec.rv))
+       |      / (sqrt(list_dot_product(qa.v, qa.v)) * rec.vnorm), 6) AS cos
+       |  FROM qasg qa JOIN casg ca
+       |    ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id
+       |  JOIN rec ON rec.neighbor_id = ca.vec_id),
+       |ranked AS (SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** Twin of VectorOps.ivfRpqRecallReport. */
+  def ivfRpqRecallReport(k: Int = 10): String =
+    s"""WITH t AS (SELECT q_id, neighbor_id, rank AS t_rank FROM (
+       |${annBruteTopK(k)})),
+       |a AS (SELECT q_id, neighbor_id, rank AS a_rank FROM (
+       |${ivfRpqTopK(k)}))
        |SELECT t.q_id,
        |  CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        |  round(CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)

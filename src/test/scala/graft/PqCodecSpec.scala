@@ -28,6 +28,24 @@ class PqCodecSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("ArraySubtract") {
+    it("subtracts element-wise over the min length, with float→double casts") {
+      import spark.implicits._
+      import graft.functions.ArraySubtract.sub
+      val df = Seq((Seq(5.0f, 3.0f, 1.0f), Seq(1.0, 2.0))).toDF("a", "b")
+      df.select(sub(col("a"), col("b")).as("d"))
+        .collect()(0).getSeq[Double](0) shouldBe Seq(4.0, 1.0)
+      // interpreted eval agrees with the codegen'd path
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val e = graft.functions.ArraySubtract(
+        Literal.create(Seq(5.0, 3.0), ArrayType(DoubleType)),
+        Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType)))
+      e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray().toSeq shouldBe Seq(4.0, 1.0)
+    }
+  }
+
   describe("PqEncodeCodes / PqReconstruct") {
     // 2 subspaces × 2 cells over dim 4; cell ids {0, 2} in subspace 1
     // exercise the sparse (Lloyd-dropout) id space.

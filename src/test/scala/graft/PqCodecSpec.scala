@@ -28,6 +28,35 @@ class PqCodecSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("PqCodec.roundAt property (seeded trials — house idiom, no scalacheck bridge)") {
+    it("is bit-identical to Spark's round over 20k adversarial doubles") {
+      import spark.implicits._
+      val rng = new scala.util.Random(1234)
+      // mix magnitudes with values engineered to sit near .5e-6 boundaries
+      val vals = List.fill(20000) {
+        rng.nextInt(4) match {
+          case 0 => (rng.nextDouble() - 0.5) * 2.0 // cosine range
+          case 1 => (rng.nextInt(4000000) - 2000000 + 0.5) / 1000000.0 * (1 + rng.nextDouble() * 1e-12)
+          case 2 => (rng.nextDouble() - 0.5) * 2e-6
+          case _ => rng.nextGaussian() * math.pow(10, rng.nextInt(6) - 3)
+        }
+      }
+      val sparkSide = vals.toDF("x")
+        .select(round(col("x"), 6).as("r6"),
+          round(round(col("x"), 6) * 1000000.0, 0).as("packed"))
+        .collect()
+      vals.zip(sparkSide).foreach { case (x, row) =>
+        val r6 = PqCodec.roundAt(x, 6)
+        withClue(s"x=$x: ") {
+          java.lang.Double.doubleToLongBits(r6) shouldBe
+            java.lang.Double.doubleToLongBits(row.getDouble(0))
+          java.lang.Double.doubleToLongBits(PqCodec.roundAt(r6 * 1000000.0, 0)) shouldBe
+            java.lang.Double.doubleToLongBits(row.getDouble(1))
+        }
+      }
+    }
+  }
+
   describe("ArraySubtract") {
     it("subtracts element-wise over the min length, with float→double casts") {
       import spark.implicits._

@@ -1122,6 +1122,11 @@ object SparkEntry {
       VectorOps.ivfPqTopK(Tables.embeddings(s, dir))),
     "ivf_pq_recall_report" -> ((s, dir) =>
       VectorOps.ivfPqRecallReport(Tables.embeddings(s, dir))),
+    // Filtered ANN over the compressed index: metadata predicate prunes
+    // candidates before any per-row work; quantizers stay corpus-wide.
+    "ivf_pq_filtered_topk" -> ((s, dir) => VectorOps.ivfPqTopK(
+      Tables.embeddings(s, dir),
+      corpusPred = Some(pmod(col("label"), lit(2)) === 0))),
     // Residual IVFPQ (the Jégou formulation): codes quantize v - centroid;
     // same code budget, tighter distribution — the recall report pair
     // (ivf_pq vs ivf_rpq) quantifies what residual encoding buys.
@@ -1948,6 +1953,8 @@ object SparkEntry {
     "mrl_ivf_recall_report" -> DuckDbOracles.mrlIvfRecallReport(),
     "ivf_pq_topk" -> DuckDbOracles.ivfPqTopK(),
     "ivf_pq_recall_report" -> DuckDbOracles.ivfPqRecallReport(),
+    "ivf_pq_filtered_topk" ->
+      DuckDbOracles.ivfPqTopK(corpusFilter = "label % 2 = 0"),
     "ivf_rpq_topk" -> DuckDbOracles.ivfRpqTopK(),
     "ivf_rpq_recall_report" -> DuckDbOracles.ivfRpqRecallReport(),
     "semantic_dedup" -> DuckDbOracles.semanticDedup(),

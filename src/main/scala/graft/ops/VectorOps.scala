@@ -631,15 +631,20 @@ object VectorOps {
     * touched only if a rerank stage is layered on (as `ivfRerankTopK`
     * does over its int8 index).
     */
-  def ivfPqTopK(emb: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame = {
+  def ivfPqTopK(
+      emb: DataFrame, k: Int = 10, nprobe: Int = 2,
+      corpusPred: Option[Column] = None): DataFrame = {
     val cents = centroids(emb).select(col("label").as("cell"), col("centroid"))
     val centArr: Array[(Int, Seq[Double])] = cents.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
     val cbs = pqCodebooks(emb)
     val book = graft.functions.PqBook(cbs, PqSubDim)
     // index build (one corpus pass at write time): coarse cell + PQ codes
-    // + stored 6dp norm; serving dequantizes in the scan projection
-    val corpus = emb
+    // + stored 6dp norm; serving dequantizes in the scan projection.
+    // corpusPred = filtered ANN over the compressed index: the quantizers
+    // stay corpus-wide (same contract as ivfScored), the metadata
+    // predicate prunes CANDIDATE rows before any per-row work
+    val corpus = corpusPred.fold(emb)(emb.filter(_))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
       .select(col("vec_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
       .select(col("vec_id"),

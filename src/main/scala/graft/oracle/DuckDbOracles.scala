@@ -1829,7 +1829,8 @@ object DuckDbOracles {
     * pqAdcTopK's codebook-replay/reconstruction CTEs — ADC scoring
     * restricted to probed cells.
     */
-  def ivfPqTopK(k: Int = 10, nprobe: Int = 2): String = {
+  def ivfPqTopK(
+      k: Int = 10, nprobe: Int = 2, corpusFilter: String = "TRUE"): String = {
     val codeJoins = (0 until VectorOps.PqM)
       .map(s => s"JOIN p${s}_asg a$s ON e.vec_id = a$s.vec_id").mkString(" ")
     val codeCols = (0 until VectorOps.PqM).map(s => s"a$s.cell AS c$s").mkString(", ")
@@ -1841,13 +1842,14 @@ object DuckDbOracles {
        |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
        |cent AS (SELECT label AS cell, list(round(m, 6) ORDER BY pos) AS centroid
        |  FROM comp GROUP BY label),
-       |cscore AS (SELECT e.vec_id, e.v, cent.cell,
+       |cscore AS (SELECT e.vec_id, e.label, e.v, cent.cell,
        |    round(${cosSql("e.v", "centroid")}, 6) AS ccos
        |  FROM e CROSS JOIN cent),
-       |ranked_cells AS (SELECT vec_id, v, cell,
+       |ranked_cells AS (SELECT vec_id, label, v, cell,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
        |  FROM cscore),
-       |casg AS (SELECT vec_id, cell FROM ranked_cells WHERE r = 1),
+       |casg AS (SELECT vec_id, cell FROM ranked_cells
+       |  WHERE r = 1 AND ($corpusFilter)),
        |qasg AS (SELECT vec_id, v, cell FROM ranked_cells
        |  WHERE r <= $nprobe AND vec_id % 100 = 0),
        |${pqAllCtes()},

@@ -108,6 +108,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // fallbacks; the recall report adds the labeled brute-truth join
     "ivf_pq_topk" -> Set("codegen-fallback"),
     "ivf_pq_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
+    "ivf_pq_filtered_topk" -> Set("codegen-fallback"),
     "ivf_rpq_topk" -> Set("codegen-fallback"),
     "ivf_rpq_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     "ann_ivf_kmeans_topk" -> Set("nested-loop-join", "codegen-fallback"),

@@ -33,6 +33,33 @@ class TablesContractSpec extends AnyFunSpec with Matchers with SparkSessionTestW
         "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
     }
 
+    it("events nanos-as-long era files still normalize through the LongType branch") {
+      import spark.implicits._
+      // simulate the rounds-1..3 testdata generation: ts physically a long
+      // of epoch NANOS (what nanosAsLong surfaces for TIMESTAMP(NANOS))
+      val dir = java.nio.file.Files.createTempDirectory("graft-nanos").toString
+      Seq((1L, 1700000000123456789L, 7L, "click", 1.5, "{}"),
+          (2L, 1700000000987654321L, 8L, "view", 2.5, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val ev = Tables.events(spark, dir)
+      ev.schema("ts").dataType shouldBe TimestampType
+      // floor-truncation to micros, the same conversion DuckDB applies
+      val micros = ev.select(org.apache.spark.sql.functions
+          .unix_micros(org.apache.spark.sql.functions.col("ts")))
+        .collect().map(_.getLong(0)).sorted
+      micros shouldBe Array(1700000000123456L, 1700000000987654L)
+    }
+
+    it("an unsupported events.ts dtype fails loudly naming the table and column") {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-baddtype").toString
+      Seq((1L, "not-a-timestamp")).toDF("event_id", "ts")
+        .write.parquet(s"$dir/events.parquet")
+      val e = intercept[IllegalStateException] { Tables.events(spark, dir) }
+      e.getMessage should include("events.ts")
+    }
+
     it("lineitem / orders carry the date and measure columns the queries filter on") {
       val li = Tables.lineitem(spark, sfDir).schema
       assertCols("lineitem", li,

@@ -98,11 +98,12 @@ object Bench {
     // engine/plan regression (a real regression reproduces across reps; a
     // leak shows rising heap). Lets a reader separate noise from
     // regression without re-running.
-    val noise = reps.collect { case (n, rs) if rs.size >= 2 && {
-      val secs = rs.map(_.sec)
-      val heaps = rs.map(_.heapMb.toDouble.max(1.0))
-      secs.max / math.max(secs.min, 1e-9) > 3.0 && heaps.max / heaps.min < 1.3
-    } => jstr(n) }
+    val noise = reps.collect { case (n, rs)
+      if rs.size >= 2 && rs.forall(_.err.isEmpty) && {
+        val secs = rs.map(_.sec)
+        val heaps = rs.map(_.heapMb.toDouble.max(1.0))
+        secs.max / math.max(secs.min, 1e-9) > 3.0 && heaps.max / heaps.min < 1.3
+      } => jstr(n) }
     val total = best.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"heap_mb":$heap,"gc_ms":$gc,"errors":$errJson,"noise_queries":${noise.mkString("[", ",", "]")},"sf":${jstr(sfDir)}}""")
     spark.stop()

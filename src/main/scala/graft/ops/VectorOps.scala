@@ -503,14 +503,17 @@ object VectorOps {
   def pqCodebooks(
       emb: DataFrame, m: Int = PqM, k: Int = PqK,
       iters: Int = PqIters): Seq[(Int, Array[(Int, Seq[Double])])] = {
-    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val base = v.select(col("vec_id") +: col("v") +:
-      (0 until m).map(s => slice(col("v"), s * PqSubDim + 1, PqSubDim).as(s"v$s")): _*)
+    // cache ONLY (vec_id, v): the slices are cheap derivations the
+    // iteration projections re-emit, and persisting them beside v would
+    // double the cached vector bytes for the lifetime of the Lloyd loop
+    val base = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist()
+    def vs(s: Int) = slice(col("v"), s * PqSubDim + 1, PqSubDim)
     // one shared init: the k hashed-lowest rows seed EVERY subspace
     val initRows = base
       .select(pmod(col("vec_id") * 2654435761L, lit(2147483647L)).as("hk") +:
-        col("vec_id") +: (0 until m).map(s => col(s"v$s")): _*)
+        col("vec_id") +: (0 until m).map(s => vs(s).as(s"v$s")): _*)
       .orderBy(col("hk"), col("vec_id")).limit(k)
       .collect().sortBy(r => (r.getLong(0), r.getLong(1)))
     var cbs: Array[Array[(Int, Seq[Double])]] = Array.tabulate(m)(s =>
@@ -518,7 +521,7 @@ object VectorOps {
     for (_ <- 0 until iters) {
       val book = graft.functions.PqBook((0 until m).map(s => s -> cbs(s)), PqSubDim)
       val subStructs = (0 until m).map { s =>
-        struct(lit(s).as("s"), col(s"v$s").as("vs"),
+        struct(lit(s).as("s"), vs(s).as("vs"),
           element_at(col("codes"), s + 1).as("cell"))
       }
       val assigned = base
@@ -674,20 +677,8 @@ object VectorOps {
     * against the brute truth: the cell-pruning loss ON TOP of the
     * quantization loss (`pqRecallReport` isolates the latter).
     */
-  def ivfPqRecallReport(emb: DataFrame, k: Int = 10): DataFrame = {
-    val truth = bruteForceTopK(emb, k)
-      .select(col("q_id"), col("neighbor_id"), col("rank").as("t_rank"))
-    val approx = ivfPqTopK(emb, k)
-      .select(col("q_id"), col("neighbor_id"), col("rank").as("a_rank"))
-    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
-      .groupBy(col("q_id"))
-      .agg(
-        sum(when(col("a_rank").isNotNull, 1L).otherwise(0L)).as("n_hit"),
-        max(when(col("t_rank") === 1 && col("a_rank").isNotNull,
-          round(lit(1.0) / col("a_rank").cast("double"), 6)).otherwise(lit(0.0))).as("rr"))
-      .select(col("q_id"), col("n_hit"),
-        round(col("n_hit").cast("double") / k, 6).as("recall_at_k"), col("rr"))
-  }
+  def ivfPqRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
+    recallReport(emb, ivfPqTopK(emb, k), k)
 
   /** RESIDUAL IVFPQ (Jégou et al.'s actual formulation): each vector's PQ
     * codes quantize `v − centroid[cell]` rather than `v`. Residuals
@@ -747,20 +738,8 @@ object VectorOps {
     * beside `ivfPqRecallReport` to see what residual encoding buys at the
     * same code budget.
     */
-  def ivfRpqRecallReport(emb: DataFrame, k: Int = 10): DataFrame = {
-    val truth = bruteForceTopK(emb, k)
-      .select(col("q_id"), col("neighbor_id"), col("rank").as("t_rank"))
-    val approx = ivfRpqTopK(emb, k)
-      .select(col("q_id"), col("neighbor_id"), col("rank").as("a_rank"))
-    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
-      .groupBy(col("q_id"))
-      .agg(
-        sum(when(col("a_rank").isNotNull, 1L).otherwise(0L)).as("n_hit"),
-        max(when(col("t_rank") === 1 && col("a_rank").isNotNull,
-          round(lit(1.0) / col("a_rank").cast("double"), 6)).otherwise(lit(0.0))).as("rr"))
-      .select(col("q_id"), col("n_hit"),
-        round(col("n_hit").cast("double") / k, 6).as("recall_at_k"), col("rr"))
-  }
+  def ivfRpqRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
+    recallReport(emb, ivfRpqTopK(emb, k), k)
 
   /** IVF top-k: assign every corpus vector to its nearest coarse centroid
     * (broadcast join against the tiny centroid table); each query probes its
@@ -818,16 +797,24 @@ object VectorOps {
     * pays); the comparison itself is an equi-join on (q_id, neighbor_id)
     * plus one per-query aggregate.
     */
-  def annRecallReport(emb: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame = {
+  def annRecallReport(emb: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame =
+    recallReport(emb, ivfTopK(emb, k, nprobe), k)
+
+  /** Shared recall@k + MRR skeleton every *RecallReport audit uses: brute
+    * truth LEFT JOIN an approximate (q_id, rank, neighbor_id, …) ranking,
+    * per-query hit count, recall, and the reciprocal rank of the TRUE
+    * nearest neighbor — metrics from integer hits/ranks only, so the
+    * report is engine-exact whatever the underlying scorer did.
+    */
+  private def recallReport(emb: DataFrame, approx0: DataFrame, k: Int): DataFrame = {
     val truth = bruteForceTopK(emb, k)
       .select(col("q_id"), col("neighbor_id"), col("rank").as("t_rank"))
-    val approx = ivfTopK(emb, k, nprobe)
+    val approx = approx0
       .select(col("q_id"), col("neighbor_id"), col("rank").as("a_rank"))
     truth.join(approx, Seq("q_id", "neighbor_id"), "left")
       .groupBy(col("q_id"))
       .agg(
         sum(when(col("a_rank").isNotNull, 1L).otherwise(0L)).as("n_hit"),
-        // reciprocal rank of the TRUE nearest neighbor in the approx list
         max(when(col("t_rank") === 1 && col("a_rank").isNotNull,
           round(lit(1.0) / col("a_rank").cast("double"), 6)).otherwise(lit(0.0))).as("rr"))
       .select(col("q_id"), col("n_hit"),
@@ -840,20 +827,8 @@ object VectorOps {
     * number that says whether 8×16 codebooks are quantizing THIS corpus
     * finely enough before anyone serves from the compressed index.
     */
-  def pqRecallReport(emb: DataFrame, k: Int = 10): DataFrame = {
-    val truth = bruteForceTopK(emb, k)
-      .select(col("q_id"), col("neighbor_id"), col("rank").as("t_rank"))
-    val approx = pqAdcTopK(emb, k)
-      .select(col("q_id"), col("neighbor_id"), col("rank").as("a_rank"))
-    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
-      .groupBy(col("q_id"))
-      .agg(
-        sum(when(col("a_rank").isNotNull, 1L).otherwise(0L)).as("n_hit"),
-        max(when(col("t_rank") === 1 && col("a_rank").isNotNull,
-          round(lit(1.0) / col("a_rank").cast("double"), 6)).otherwise(lit(0.0))).as("rr"))
-      .select(col("q_id"), col("n_hit"),
-        round(col("n_hit").cast("double") / k, 6).as("recall_at_k"), col("rr"))
-  }
+  def pqRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
+    recallReport(emb, pqAdcTopK(emb, k), k)
 
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKAggregator(k),
@@ -986,9 +961,13 @@ object VectorOps {
       nprobe: Int = 1): DataFrame = {
     val centArr: Array[(Int, Seq[Double])] = coarse.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    val corpus = index.select(col("vec_id"), col("cell"),
-      round(col("cn"), 6).as("vnorm"),
-      graft.functions.PqReconstruct.reconstruct(col("codes"), book).as("rv"))
+    // ingest without a codebook writes codes = NULL (see indexSchema) — a
+    // mixed index must serve only its coded rows, not crash the top-k
+    // aggregator on a null cosine
+    val corpus = index.filter(col("codes").isNotNull)
+      .select(col("vec_id"), col("cell"),
+        round(col("cn"), 6).as("vnorm"),
+        graft.functions.PqReconstruct.reconstruct(col("codes"), book).as("rv"))
     val qs = queries
       .select(col("q_id"), col("q_emb").cast("array<double>").as("qv"))
       .select(col("q_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("qn"))
@@ -1209,39 +1188,15 @@ object VectorOps {
     * costs ON TOP of the prefix shortlist (compare with
     * `mrlRecallReport`'s all-pairs funnel numbers).
     */
-  def mrlIvfRecallReport(emb: DataFrame, k: Int = 10): DataFrame = {
-    val truth = bruteForceTopK(emb, k)
-      .select(col("q_id"), col("neighbor_id"), col("rank").as("t_rank"))
-    val approx = mrlIvfTopK(emb, k)
-      .select(col("q_id"), col("neighbor_id"), col("rank").as("a_rank"))
-    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
-      .groupBy(col("q_id"))
-      .agg(
-        sum(when(col("a_rank").isNotNull, 1L).otherwise(0L)).as("n_hit"),
-        max(when(col("t_rank") === 1 && col("a_rank").isNotNull,
-          round(lit(1.0) / col("a_rank").cast("double"), 6)).otherwise(lit(0.0))).as("rr"))
-      .select(col("q_id"), col("n_hit"),
-        round(col("n_hit").cast("double") / k, 6).as("recall_at_k"), col("rr"))
-  }
+  def mrlIvfRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
+    recallReport(emb, mrlIvfTopK(emb, k), k)
 
   /** Funnel-quality audit — recall@k + MRR of `mrlTopK` against the
     * brute-force truth, per query: how much the prefix shortlist loses at
     * this corpus's (worst-case, isotropic) energy profile.
     */
-  def mrlRecallReport(emb: DataFrame, k: Int = 10): DataFrame = {
-    val truth = bruteForceTopK(emb, k)
-      .select(col("q_id"), col("neighbor_id"), col("rank").as("t_rank"))
-    val approx = mrlTopK(emb, k)
-      .select(col("q_id"), col("neighbor_id"), col("rank").as("a_rank"))
-    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
-      .groupBy(col("q_id"))
-      .agg(
-        sum(when(col("a_rank").isNotNull, 1L).otherwise(0L)).as("n_hit"),
-        max(when(col("t_rank") === 1 && col("a_rank").isNotNull,
-          round(lit(1.0) / col("a_rank").cast("double"), 6)).otherwise(lit(0.0))).as("rr"))
-      .select(col("q_id"), col("n_hit"),
-        round(col("n_hit").cast("double") / k, 6).as("recall_at_k"), col("rr"))
-  }
+  def mrlRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
+    recallReport(emb, mrlTopK(emb, k), k)
 
   /** Two-stage re-rank served from an accumulated QUANTIZED cell index —
     * (vec_id, cell, cv, cn, s, q) rows as StreamingAnnIngest maintains

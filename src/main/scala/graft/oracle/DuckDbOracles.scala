@@ -1443,6 +1443,24 @@ object DuckDbOracles {
        |  FROM asg WHERE r = 1)
        |SELECT cell, rank, vec_id FROM rk WHERE rank <= $cap""".stripMargin
 
+  /** Shared recall@k + MRR SQL skeleton for every *RecallReport twin:
+    * brute truth LEFT JOIN the given approximate ranking subquery —
+    * metrics from integer hits/ranks only.
+    */
+  private def recallReportSql(approxSql: String, k: Int): String =
+    s"""WITH t AS (SELECT q_id, neighbor_id, rank AS t_rank FROM (
+       |${annBruteTopK(k)})),
+       |a AS (SELECT q_id, neighbor_id, rank AS a_rank FROM (
+       |$approxSql))
+       |SELECT t.q_id,
+       |  CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / $k, 6) AS recall_at_k,
+       |  max(CASE WHEN t.t_rank = 1 AND a.a_rank IS NOT NULL
+       |    THEN round(1.0 / a.a_rank, 6) ELSE 0.0 END) AS rr
+       |FROM t LEFT JOIN a ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY 1""".stripMargin
+
   def annBruteTopK(k: Int = 10): String =
     s"""WITH $embCte,
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
@@ -1490,22 +1508,8 @@ object DuckDbOracles {
     * (q_id, neighbor_id) — metrics from integer hits/ranks only.
     */
   def annRecallReport(k: Int = 10, nprobe: Int = 2): String =
-    s"""WITH t AS (SELECT q_id, neighbor_id, rank AS t_rank FROM (
-       |${annBruteTopK(k)})),
-       |a AS (SELECT q_id, neighbor_id, rank AS a_rank FROM (
-       |${annIvfTopK(k, nprobe)}))
-       |SELECT t.q_id,
-       |  CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       |  round(CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / $k, 6) AS recall_at_k,
-       |  max(CASE WHEN t.t_rank = 1 AND a.a_rank IS NOT NULL
-       |    THEN round(1.0 / a.a_rank, 6) ELSE 0.0 END) AS rr
-       |FROM t LEFT JOIN a ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
-       |GROUP BY 1""".stripMargin
+    recallReportSql(annIvfTopK(k, nprobe), k)
 
-  /** Twin of VectorOps.pqRecallReport: brute truth vs the PQ-ADC ranking,
-    * metrics from integer hits/ranks only (the annRecallReport shape).
-    */
   /** Twin of VectorOps.mrlIvfTopK: the annIvfTopK assignment CTEs (label
     * means, rounded-cos argmax, r ≤ nprobe query probes) with mrlTopK's
     * prefix-cosine stage-1 restricted to probed cells and the exact
@@ -1550,18 +1554,7 @@ object DuckDbOracles {
     * the composed MRL×IVF ranking.
     */
   def mrlIvfRecallReport(k: Int = 10): String =
-    s"""WITH t AS (SELECT q_id, neighbor_id, rank AS t_rank FROM (
-       |${annBruteTopK(k)})),
-       |a AS (SELECT q_id, neighbor_id, rank AS a_rank FROM (
-       |${mrlIvfTopK(k)}))
-       |SELECT t.q_id,
-       |  CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       |  round(CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / $k, 6) AS recall_at_k,
-       |  max(CASE WHEN t.t_rank = 1 AND a.a_rank IS NOT NULL
-       |    THEN round(1.0 / a.a_rank, 6) ELSE 0.0 END) AS rr
-       |FROM t LEFT JOIN a ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
-       |GROUP BY 1""".stripMargin
+    recallReportSql(mrlIvfTopK(k), k)
 
   /** Twin of VectorOps.mrlTopK: prefix-cosine shortlist (6dp + id
     * tie-break keeps the shortlist SET bit-identical), exact re-rank of
@@ -1591,32 +1584,13 @@ object DuckDbOracles {
     * pqRecallReport over the funnel ranking.
     */
   def mrlRecallReport(k: Int = 10): String =
-    s"""WITH t AS (SELECT q_id, neighbor_id, rank AS t_rank FROM (
-       |${annBruteTopK(k)})),
-       |a AS (SELECT q_id, neighbor_id, rank AS a_rank FROM (
-       |${mrlTopK(k)}))
-       |SELECT t.q_id,
-       |  CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       |  round(CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / $k, 6) AS recall_at_k,
-       |  max(CASE WHEN t.t_rank = 1 AND a.a_rank IS NOT NULL
-       |    THEN round(1.0 / a.a_rank, 6) ELSE 0.0 END) AS rr
-       |FROM t LEFT JOIN a ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
-       |GROUP BY 1""".stripMargin
+    recallReportSql(mrlTopK(k), k)
 
+  /** Twin of VectorOps.pqRecallReport: brute truth vs the PQ-ADC ranking,
+    * metrics from integer hits/ranks only (the annRecallReport shape).
+    */
   def pqRecallReport(k: Int = 10): String =
-    s"""WITH t AS (SELECT q_id, neighbor_id, rank AS t_rank FROM (
-       |${annBruteTopK(k)})),
-       |a AS (SELECT q_id, neighbor_id, rank AS a_rank FROM (
-       |${pqAdcTopK(k)}))
-       |SELECT t.q_id,
-       |  CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       |  round(CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / $k, 6) AS recall_at_k,
-       |  max(CASE WHEN t.t_rank = 1 AND a.a_rank IS NOT NULL
-       |    THEN round(1.0 / a.a_rank, 6) ELSE 0.0 END) AS rr
-       |FROM t LEFT JOIN a ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
-       |GROUP BY 1""".stripMargin
+    recallReportSql(pqAdcTopK(k), k)
 
   val mediaMeta: String =
     s"""SELECT doc_id AS media_id,
@@ -1874,18 +1848,7 @@ object DuckDbOracles {
     * the compressed cell-pruned ranking.
     */
   def ivfPqRecallReport(k: Int = 10): String =
-    s"""WITH t AS (SELECT q_id, neighbor_id, rank AS t_rank FROM (
-       |${annBruteTopK(k)})),
-       |a AS (SELECT q_id, neighbor_id, rank AS a_rank FROM (
-       |${ivfPqTopK(k)}))
-       |SELECT t.q_id,
-       |  CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       |  round(CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / $k, 6) AS recall_at_k,
-       |  max(CASE WHEN t.t_rank = 1 AND a.a_rank IS NOT NULL
-       |    THEN round(1.0 / a.a_rank, 6) ELSE 0.0 END) AS rr
-       |FROM t LEFT JOIN a ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
-       |GROUP BY 1""".stripMargin
+    recallReportSql(ivfPqTopK(k), k)
 
   /** Twin of VectorOps.ivfRpqTopK (residual IVFPQ): the coarse-assignment
     * CTEs feed a residual CTE (v − assigned 6dp centroid, index-lambda
@@ -1940,18 +1903,7 @@ object DuckDbOracles {
 
   /** Twin of VectorOps.ivfRpqRecallReport. */
   def ivfRpqRecallReport(k: Int = 10): String =
-    s"""WITH t AS (SELECT q_id, neighbor_id, rank AS t_rank FROM (
-       |${annBruteTopK(k)})),
-       |a AS (SELECT q_id, neighbor_id, rank AS a_rank FROM (
-       |${ivfRpqTopK(k)}))
-       |SELECT t.q_id,
-       |  CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       |  round(CAST(sum(CASE WHEN a.a_rank IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / $k, 6) AS recall_at_k,
-       |  max(CASE WHEN t.t_rank = 1 AND a.a_rank IS NOT NULL
-       |    THEN round(1.0 / a.a_rank, 6) ELSE 0.0 END) AS rr
-       |FROM t LEFT JOIN a ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
-       |GROUP BY 1""".stripMargin
+    recallReportSql(ivfRpqTopK(k), k)
 
   /** Twin of VectorOps.semanticDedup: unrolled-Lloyd assignment, then
     * within-cell near-dup pairs drop the higher vec_id.

@@ -441,6 +441,17 @@ object SparkEntry {
         base, ev.filter(col("ts") >= cutoff), Seq("user_id"), Seq("ts", "event_id"), "is_delete")
     }),
 
+    // SCD2 history: every non-tombstone change becomes a version row with
+    // a validity interval to the key's next change; the open interval is
+    // the current row — AS-OF-any-version reads over the same feed
+    // cdc_latest_state compacts.
+    "cdc_scd2_history" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .withColumn("is_delete", col("event_type") === "error")
+      graft.ops.Cdc.scd2History(ev, Seq("user_id"), Seq("ts", "event_id"), "is_delete")
+    }),
+
     // Statistical aggregates (Welford-merged moments, rounded for
     // cross-engine ulp stability).
     "value_stats" -> ((s, dir) =>
@@ -1522,6 +1533,17 @@ object SparkEntry {
              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            FROM events e)
          WHERE rn = 1 AND event_type <> 'error'""",
+    "cdc_scd2_history" ->
+      """SELECT event_id, ts, user_id, event_type, value,
+           valid_to_ts, valid_to_event_id,
+           valid_to_ts IS NULL AS is_current
+         FROM (
+           SELECT event_id, ts, user_id, event_type, value,
+             event_type = 'error' AS is_delete,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ts,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_event_id
+           FROM events)
+         WHERE NOT is_delete""",
     "resample_hourly" ->
       """WITH b AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
                 round(avg(value), 6) AS avg_v

@@ -78,6 +78,35 @@ object Cdc {
     * Guarding that case needs a tombstone-retention window (Kafka
     * compaction's delete.retention.ms) — orthogonal to this fold's shape.
     */
+  /** Type-2 slowly-changing-dimension history from a change feed: every
+    * non-tombstone change becomes a VERSION ROW whose validity interval
+    * runs from its own version to the NEXT change of the same key (any
+    * kind — a newer upsert supersedes, a tombstone closes); the open
+    * interval (no later change, not deleted) is the current row. The
+    * companion of `latestWins` for consumers that need AS-OF-any-version
+    * reads instead of only the latest snapshot: point-in-time dimension
+    * joins, training-data reproducibility audits.
+    *
+    * Scale: ONE per-key window over the change feed (all lead()s share the
+    * window spec, so Spark runs a single Window operator; sort cost
+    * follows |changes|), zero joins, no snapshot touched.
+    */
+  def scd2History(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      versionCols: Seq[String],
+      deleteCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(versionCols.map(c => col(c).asc): _*)
+    val withNext = versionCols.foldLeft(changes) { (df, c) =>
+      df.withColumn(s"valid_to_$c", lead(col(c), 1).over(w))
+    }
+    withNext
+      .filter(!col(deleteCol))
+      .withColumn("is_current", col(s"valid_to_${versionCols.head}").isNull)
+      .drop(deleteCol)
+  }
+
   def applyChanges(
       base: DataFrame,
       changes: DataFrame,

@@ -100,4 +100,34 @@ class CdcSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       Seq("k"), Seq("v"), "is_delete")
     out.count() shouldBe 0L
   }
+
+  describe("scd2History") {
+    it("chains validity intervals; tombstones close without opening; open row is current") {
+      val rows = Cdc.scd2History(feed(Seq(
+        // key 1: v1 → v3 → v5, still live: two closed intervals + one open
+        (1L, 1L, "one-a", false), (1L, 3L, "one-b", false), (1L, 5L, "one-c", false),
+        // key 2: upsert then tombstone: ONE interval closed BY the
+        // tombstone's version, no current row
+        (2L, 1L, "two-a", false), (2L, 2L, "", true),
+        // key 3: delete then re-create: the re-created row is current
+        (3L, 1L, "three-a", false), (3L, 2L, "", true), (3L, 3L, "three-b", false))),
+        Seq("k"), Seq("v"), "is_delete")
+        .collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"),
+          Option(r.getAs[java.lang.Long]("valid_to_v")).map(_.toLong),
+          r.getAs[Boolean]("is_current"))).toSet
+      rows shouldBe Set(
+        (1L, 1L, Some(3L), false), (1L, 3L, Some(5L), false), (1L, 5L, None, true),
+        (2L, 1L, Some(2L), false),
+        (3L, 1L, Some(2L), false), (3L, 3L, None, true))
+      // the current rows are exactly latestWins' snapshot
+      val snapKeys = Cdc.latestWins(feed(Seq(
+        (1L, 1L, "one-a", false), (1L, 3L, "one-b", false), (1L, 5L, "one-c", false),
+        (2L, 1L, "two-a", false), (2L, 2L, "", true),
+        (3L, 1L, "three-a", false), (3L, 2L, "", true), (3L, 3L, "three-b", false))),
+        Seq("k"), Seq("v"), "is_delete")
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"))).toSet
+      rows.collect { case (k, v, _, true) => (k, v) } shouldBe snapKeys
+    }
+  }
 }

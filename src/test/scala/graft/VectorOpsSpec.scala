@@ -369,6 +369,17 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
       full shouldBe brute
     }
+    it("mrlIvfTopK degenerates to mrlTopK when every cell is probed") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val nCells = emb.select("label").distinct().count().toInt
+      val funnel = VectorOps.mrlTopK(emb, k = 10).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      // nprobe = C → stage-1 candidates are every non-self pair, exactly
+      // the all-pairs funnel; shortlists and re-ranks must coincide
+      val composed = VectorOps.mrlIvfTopK(emb, k = 10, nprobe = nCells).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      composed shouldBe funnel
+    }
     it("ivfPqTopK degenerates to pqAdcTopK when every cell is probed") {
       val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
       val nCells = emb.select("label").distinct().count().toInt

@@ -67,6 +67,13 @@ object PqCodec {
   def encode(v: ArrayData, b: PqBook): ArrayData = {
     val m = b.m
     val sd = b.subDim
+    // loud contract failure instead of a bare AIOOBE from generated code:
+    // ivfRpqTopK feeds ArraySubtract output (min-length semantics) here, so
+    // a dim mismatch would otherwise surface as an unexplained index error
+    if (v.numElements() < m * sd)
+      throw new IllegalStateException(
+        s"PqCodec.encode: vector has ${v.numElements()} components but the " +
+          s"book needs m*subDim = $m*$sd = ${m * sd}")
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -99,10 +106,23 @@ object PqCodec {
   def reconstruct(codes: ArrayData, b: PqBook): ArrayData = {
     val m = b.m
     val sd = b.subDim
+    // codes can come from a PERSISTED index (ivfPqTopKFromIndex serves
+    // arbitrary parquet rows): validate shape and range against the
+    // supplied book so a stale/foreign index fails with the book named,
+    // not a bare AIOOBE from deep inside generated code
+    if (codes.numElements() != m)
+      throw new IllegalStateException(
+        s"PqCodec.reconstruct: ${codes.numElements()} codes for an m=$m book " +
+          "— index rows do not match this quantizer")
     val out = new Array[Double](m * sd)
     var s = 0
     while (s < m) {
-      System.arraycopy(b.dense(s)(codes.getInt(s)), 0, out, s * sd, sd)
+      val c = codes.getInt(s)
+      if (c < 0 || c >= b.dense(s).length)
+        throw new IllegalStateException(
+          s"PqCodec.reconstruct: code $c out of range [0, ${b.dense(s).length}) " +
+            s"in subspace $s — index rows were encoded with a different book")
+      System.arraycopy(b.dense(s)(c), 0, out, s * sd, sd)
       s += 1
     }
     new GenericArrayData(out)

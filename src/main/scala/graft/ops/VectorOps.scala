@@ -704,8 +704,13 @@ object VectorOps {
       "ivfRpqTopK: the centroid-literal lookup needs dense cell ids 0..C-1")
     val centLit = array(centArr.map { case (_, m) => array(m.map(lit(_)): _*) }: _*)
     // index build: assign, subtract the (6dp-rounded) assigned centroid,
-    // train + encode PQ on the residual frame with the standard recipe
-    val assigned = assignCells(emb, cents) // vec_id, cell, v, vn
+    // train + encode PQ on the residual frame with the standard recipe.
+    // persist: the C+1-dot assignment scan is read TWICE per query — once
+    // eagerly when pqCodebooks materializes its training base from the
+    // residual frame, once more when the final plan encodes the corpus —
+    // so cache it (cache lifetime stays with the caller, the documented
+    // Bench/Verify clearCache-per-query convention).
+    val assigned = assignCells(emb, cents).persist() // vec_id, cell, v, vn
     val residuals = assigned.select(col("vec_id"),
       sub(col("v"), element_at(centLit, col("cell") + 1)).as("embedding"))
     val cbs = pqCodebooks(residuals)
@@ -1030,7 +1035,18 @@ object VectorOps {
     val centArr: Array[(Int, Seq[Double])] =
       centroids(emb).select(col("label").as("cell"), col("centroid"))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    val corpus = quantizedView(emb, "vec_id", "vec_id", "embedding")
+    // Unlike the PQ siblings (codes-only exchange AFTER encode), the int8
+    // tier's heavy per-row pass is the quantization itself — two
+    // interpreted higher-order `transform`s + abs-max per row (HOFs are
+    // not codegen'd) — so the exchange goes BEFORE it: re-split the raw
+    // scan rows (float components, smaller than the quantized double
+    // payload) so quantize + cell assignment + stage-1 scoring all run
+    // executor-wide instead of serializing behind the single-split local
+    // file's one scan task. A real cell-partitioned index is many-split
+    // and skips this (stage-profiled: the corpus stage was the query's
+    // largest single-task stage).
+    val corpusSrc = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val corpus = quantizedView(corpusSrc, "vec_id", "vec_id", "embedding")
       .select(col("vec_id"), nearestCellExpr(centArr, col("v"), col("vn")).as("cell"),
         col("vn").as("cvn"), col("s").as("cs"), col("q").as("cq"))
     val full = withNorm(emb, "neighbor_id", "cv", "cn")

@@ -115,6 +115,29 @@ class PqCodecSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
       gap shouldBe Seq(1.0, 0.0, 0.0, 0.0)
     }
 
+    it("encode names the expected dim when the vector is too short") {
+      val v = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(1.0, 2.0, 3.0)) // book needs m*subDim = 4
+      val e = intercept[IllegalStateException] { PqCodec.encode(v, book) }
+      e.getMessage should include("m*subDim")
+      e.getMessage should include("3 components")
+    }
+
+    it("reconstruct rejects a code vector whose shape mismatches the book") {
+      val codes = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(0, 0, 0)) // 3 codes, m = 2 book
+      val e = intercept[IllegalStateException] { PqCodec.reconstruct(codes, book) }
+      e.getMessage should include("m=2")
+    }
+
+    it("reconstruct rejects an out-of-range code, naming book and subspace") {
+      // persisted-index scenario: rows encoded under a bigger codebook
+      val codes = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(0, 9))
+      val e = intercept[IllegalStateException] { PqCodec.reconstruct(codes, book) }
+      e.getMessage should include("subspace 1")
+      e.getMessage should include("different book")
+    }
+
     it("codegen and interpreted eval agree on a real corpus slice") {
       import spark.implicits._
       // dim 16 = 2 × PqSubDim, so pqCodebooks' fixed-width slices line up

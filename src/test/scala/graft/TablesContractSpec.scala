@@ -14,7 +14,11 @@ import graft.model.Tables
   */
 class TablesContractSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
 
-  private val sfDir = "/root/testdata/sf0.001"
+  // ALL generated sf dirs, not just one: the round-4 drift regenerated every
+  // dir at once, but a PARTIAL regeneration would leave the dirs disagreeing
+  // — pin each so the drifted dir is named in the failure.
+  private val sfDirs = Seq(
+    "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
   private def assertCols(table: String, got: StructType, want: (String, DataType)*): Unit = {
     val byName = got.fields.map(f => f.name -> f.dataType).toMap
@@ -26,11 +30,73 @@ class TablesContractSpec extends AnyFunSpec with Matchers with SparkSessionTestW
   }
 
   describe("testdata schema contract") {
-    it("events (through Tables.events) normalizes ts to TimestampType") {
-      val ev = Tables.events(spark, sfDir)
-      assertCols("events", ev.schema,
-        "event_id" -> LongType, "ts" -> TimestampType, "user_id" -> LongType,
-        "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
+    sfDirs.foreach { sfDir =>
+      val sf = sfDir.split('/').last
+
+      it(s"[$sf] events (through Tables.events) normalizes ts to TimestampType") {
+        val ev = Tables.events(spark, sfDir)
+        assertCols("events", ev.schema,
+          "event_id" -> LongType, "ts" -> TimestampType, "user_id" -> LongType,
+          "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
+      }
+
+      it(s"[$sf] lineitem / orders carry the date and measure columns the queries filter on") {
+        val li = Tables.lineitem(spark, sfDir).schema
+        assertCols("lineitem", li,
+          "l_orderkey" -> LongType, "l_partkey" -> LongType, "l_suppkey" -> LongType,
+          "l_linenumber" -> IntegerType, "l_quantity" -> DoubleType,
+          "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType,
+          "l_tax" -> DoubleType, "l_returnflag" -> StringType,
+          "l_linestatus" -> StringType)
+        withClue("lineitem.l_shipdate: ") {
+          Set[DataType](DateType, TimestampType, TimestampNTZType) should
+            contain(li("l_shipdate").dataType)
+        }
+        val o = Tables.orders(spark, sfDir).schema
+        assertCols("orders", o,
+          "o_orderkey" -> LongType, "o_custkey" -> LongType,
+          "o_totalprice" -> DoubleType, "o_orderpriority" -> StringType)
+        withClue("orders.o_orderdate: ") {
+          Set[DataType](DateType, TimestampType, TimestampNTZType) should
+            contain(o("o_orderdate").dataType)
+        }
+      }
+
+      it(s"[$sf] dimension tables keep their join keys") {
+        assertCols("customer", Tables.customer(spark, sfDir).schema,
+          "c_custkey" -> LongType, "c_nationkey" -> IntegerType,
+          "c_mktsegment" -> StringType, "c_acctbal" -> DoubleType)
+        assertCols("supplier", Tables.supplier(spark, sfDir).schema,
+          "s_suppkey" -> LongType, "s_name" -> StringType,
+          "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType)
+        assertCols("part", Tables.part(spark, sfDir).schema,
+          "p_partkey" -> LongType, "p_name" -> StringType, "p_brand" -> StringType,
+          "p_type" -> StringType, "p_size" -> IntegerType,
+          "p_retailprice" -> DoubleType)
+        assertCols("nation", Tables.nation(spark, sfDir).schema,
+          "n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType,
+          "n_name" -> StringType)
+        assertCols("region", Tables.region(spark, sfDir).schema,
+          "r_regionkey" -> IntegerType, "r_name" -> StringType)
+      }
+
+      it(s"[$sf] documents / embeddings match the text and ANN operators' assumptions") {
+        assertCols("documents", Tables.documents(spark, sfDir).schema,
+          "doc_id" -> LongType, "source" -> StringType, "lang" -> StringType,
+          "text" -> StringType, "n_chars" -> LongType)
+        val e = Tables.embeddings(spark, sfDir).schema
+        assertCols("embeddings", e, "vec_id" -> LongType, "label" -> IntegerType)
+        withClue("embeddings.embedding: ") {
+          e("embedding").dataType match {
+            case ArrayType(FloatType, _) => succeed
+            case other => fail(s"expected array<float>, got $other")
+          }
+        }
+        // the ANN family hard-codes EmbeddingDim-sized slices
+        val dim = Tables.embeddings(spark, sfDir)
+          .selectExpr("size(embedding) AS d").take(1)(0).getInt(0)
+        dim shouldBe graft.ops.VectorOps.EmbeddingDim
+      }
     }
 
     it("events nanos-as-long era files still normalize through the LongType branch") {
@@ -60,62 +126,5 @@ class TablesContractSpec extends AnyFunSpec with Matchers with SparkSessionTestW
       e.getMessage should include("events.ts")
     }
 
-    it("lineitem / orders carry the date and measure columns the queries filter on") {
-      val li = Tables.lineitem(spark, sfDir).schema
-      assertCols("lineitem", li,
-        "l_orderkey" -> LongType, "l_partkey" -> LongType, "l_suppkey" -> LongType,
-        "l_linenumber" -> IntegerType, "l_quantity" -> DoubleType,
-        "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType,
-        "l_tax" -> DoubleType, "l_returnflag" -> StringType,
-        "l_linestatus" -> StringType)
-      withClue("lineitem.l_shipdate: ") {
-        Set[DataType](DateType, TimestampType, TimestampNTZType) should
-          contain(li("l_shipdate").dataType)
-      }
-      val o = Tables.orders(spark, sfDir).schema
-      assertCols("orders", o,
-        "o_orderkey" -> LongType, "o_custkey" -> LongType,
-        "o_totalprice" -> DoubleType, "o_orderpriority" -> StringType)
-      withClue("orders.o_orderdate: ") {
-        Set[DataType](DateType, TimestampType, TimestampNTZType) should
-          contain(o("o_orderdate").dataType)
-      }
-    }
-
-    it("dimension tables keep their join keys") {
-      assertCols("customer", Tables.customer(spark, sfDir).schema,
-        "c_custkey" -> LongType, "c_nationkey" -> IntegerType,
-        "c_mktsegment" -> StringType, "c_acctbal" -> DoubleType)
-      assertCols("supplier", Tables.supplier(spark, sfDir).schema,
-        "s_suppkey" -> LongType, "s_name" -> StringType,
-        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType)
-      assertCols("part", Tables.part(spark, sfDir).schema,
-        "p_partkey" -> LongType, "p_name" -> StringType, "p_brand" -> StringType,
-        "p_type" -> StringType, "p_size" -> IntegerType,
-        "p_retailprice" -> DoubleType)
-      assertCols("nation", Tables.nation(spark, sfDir).schema,
-        "n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType,
-        "n_name" -> StringType)
-      assertCols("region", Tables.region(spark, sfDir).schema,
-        "r_regionkey" -> IntegerType, "r_name" -> StringType)
-    }
-
-    it("documents / embeddings match the text and ANN operators' assumptions") {
-      assertCols("documents", Tables.documents(spark, sfDir).schema,
-        "doc_id" -> LongType, "source" -> StringType, "lang" -> StringType,
-        "text" -> StringType, "n_chars" -> LongType)
-      val e = Tables.embeddings(spark, sfDir).schema
-      assertCols("embeddings", e, "vec_id" -> LongType, "label" -> IntegerType)
-      withClue("embeddings.embedding: ") {
-        e("embedding").dataType match {
-          case ArrayType(FloatType, _) => succeed
-          case other => fail(s"expected array<float>, got $other")
-        }
-      }
-      // the ANN family hard-codes EmbeddingDim-sized slices
-      val dim = Tables.embeddings(spark, sfDir)
-        .selectExpr("size(embedding) AS d").take(1)(0).getInt(0)
-      dim shouldBe graft.ops.VectorOps.EmbeddingDim
-    }
   }
 }

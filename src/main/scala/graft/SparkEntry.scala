@@ -1112,6 +1112,23 @@ object SparkEntry {
       VectorOps.mrlIvfTopK(Tables.embeddings(s, dir))),
     "mrl_ivf_recall_report" -> ((s, dir) =>
       VectorOps.mrlIvfRecallReport(Tables.embeddings(s, dir))),
+    // MRL funnel served FROM A PREBUILT prefix-carrying cell index (built
+    // inline here from the batch corpus, repartitioned to stand in for a
+    // many-split persisted index; StreamingAnnIngestSpec proves the
+    // streamed index serves identically). Shares mrlFunnelStages with
+    // mrl_ivf_topk, so the same oracle replays it.
+    "mrl_ivf_from_index_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val coarse = VectorOps.centroids(emb)
+        .select(col("label").as("cell"), col("centroid"))
+      val index = VectorOps.assignCells(emb, coarse)
+        .select(col("vec_id"), col("cell"), col("v").as("cv"), col("vn").as("cn"),
+          slice(col("v"), 1, VectorOps.MrlPrefixDim).as("mp"))
+        .withColumn("mpn",
+          sqrt(graft.functions.ArrayDotProduct.dot(col("mp"), col("mp"))))
+        .repartition(s.sparkContext.defaultParallelism)
+      VectorOps.mrlIvfTopKFromIndex(index, VectorOps.querySet(emb), coarse)
+    }),
     // SemDeDup: k-means clusters bound the near-dup comparison to
     // within-cluster pairs; higher vec_id of each pair at cos >= 0.35 drops.
     "semantic_dedup" -> ((s, dir) => VectorOps.semanticDedup(Tables.embeddings(s, dir))),
@@ -1973,6 +1990,9 @@ object SparkEntry {
     "mrl_recall_report" -> DuckDbOracles.mrlRecallReport(),
     "mrl_ivf_topk" -> DuckDbOracles.mrlIvfTopK(),
     "mrl_ivf_recall_report" -> DuckDbOracles.mrlIvfRecallReport(),
+    // index-served funnel ≡ inline funnel (same stages, same quantizer,
+    // same prefix), so the identical oracle replay hash-checks it
+    "mrl_ivf_from_index_topk" -> DuckDbOracles.mrlIvfTopK(),
     "ivf_pq_topk" -> DuckDbOracles.ivfPqTopK(),
     "ivf_pq_recall_report" -> DuckDbOracles.ivfPqRecallReport(),
     "ivf_pq_filtered_topk" ->

@@ -1158,7 +1158,7 @@ object VectorOps {
     * does), so serving pays probe selection + one cell equi-join.
     */
   def mrlIvfTopK(
-      emb: DataFrame, k: Int = 10, prefixDim: Int = 16,
+      emb: DataFrame, k: Int = 10, prefixDim: Int = MrlPrefixDim,
       shortlist: Int = RerankShortlist, nprobe: Int = 2): DataFrame = {
     val cents = centroids(emb).select(col("label").as("cell"), col("centroid"))
     val centArr: Array[(Int, Seq[Double])] = cents.collect()
@@ -1176,27 +1176,90 @@ object VectorOps {
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("cell"), col("cp"),
         sqrt(dot(col("cp"), col("cp"))).as("cpn"))
-    // query side: probe cells from the FULL query vector (queries are few
-    // and online), score stage 1 with the prefix only
-    val queries = querySet(emb)
-      .select(col("q_id"), col("q_emb").cast("array<double>").as("qv"))
+    val qSrc = emb.filter(col("vec_id") % 100 === 0)
+    mrlFunnelStages(corpus,
+      withNorm(emb, "neighbor_id", "cv2", "cn2"),
+      probedPrefixQueries(querySet(emb), "q_id", "q_emb", centArr, prefixDim, nprobe),
+      withNorm(qSrc, "q_id", "qv2", "qn2"), k, shortlist)
+  }
+
+  /** Default MRL prefix width (both the inline funnels and the streamed
+    * index's stored prefix column use it, so the serving tiers agree).
+    */
+  val MrlPrefixDim = 16
+
+  /** Prefix-scored query side with exploded probe cells: (q_id, qp, qpn,
+    * cell) — probe selection uses the FULL query vector (queries are few
+    * and online), stage-1 scoring reads only the prefix.
+    */
+  private def probedPrefixQueries(
+      queries: DataFrame, idFrom: String, vecCol: String,
+      centArr: Seq[(Int, Seq[Double])], prefixDim: Int, nprobe: Int): DataFrame =
+    queries.select(col(idFrom).as("q_id"), col(vecCol).cast("array<double>").as("qv"))
       .select(col("q_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("qn"))
       .select(col("q_id"), slice(col("qv"), 1, prefixDim).as("qp"),
         probeCellsCol(centArr, col("qv"), col("qn"), nprobe).as("p"))
       .select(col("q_id"), col("qp"), sqrt(dot(col("qp"), col("qp"))).as("qpn"),
         (-col("p.negCell")).as("cell"))
-    val approx = broadcast(queries).join(corpus,
-        col("q_id") =!= col("vec_id") && queries("cell") === corpus("cell"))
+
+  /** The two funnel stages over a pre-assigned prefix corpus — shared by
+    * the inline path (`mrlIvfTopK`) and the index-served path
+    * (`mrlIvfTopKFromIndex`) so the serving tiers cannot diverge (the
+    * same contract `rerankStages` pins for the int8 tier).
+    */
+  private def mrlFunnelStages(
+      corpus: DataFrame,   // vec_id, cell, cp, cpn (prefix payload only)
+      full: DataFrame,     // neighbor_id, cv2, cn2 (full-precision fetch side)
+      queriesP: DataFrame, // q_id, qp, qpn, cell (exploded probes)
+      qFull: DataFrame,    // q_id, qv2, qn2
+      k: Int,
+      shortlist: Int): DataFrame = {
+    // stage 1: prefix cosine over the probed cells only
+    val approx = broadcast(queriesP).join(corpus,
+        col("q_id") =!= col("vec_id") && queriesP("cell") === corpus("cell"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qp"), col("cp")) / (col("qpn") * col("cpn")), 6).as("cos"))
     val short = topKPerQuery(approx, shortlist).select(col("q_id"), col("neighbor_id"))
-    val qSrc = emb.filter(col("vec_id") % 100 === 0)
+    // stage 2: fetch full precision for the shortlist only, exact re-rank
     val exact = broadcast(short)
-      .join(withNorm(emb, "neighbor_id", "cv2", "cn2"), Seq("neighbor_id"))
-      .join(broadcast(withNorm(qSrc, "q_id", "qv2", "qn2")), Seq("q_id"))
+      .join(full, Seq("neighbor_id"))
+      .join(broadcast(qFull), Seq("q_id"))
       .select(col("q_id"), col("neighbor_id"),
         round(dot(col("qv2"), col("cv2")) / (col("qn2") * col("cn2")), 6).as("cos"))
     topKPerQuery(exact, k)
+  }
+
+  /** MRL funnel served from an accumulated cell index that stores the
+    * prefix slice as its own column (`StreamingAnnIngest`'s `mp`/`mpn`):
+    * stage 1 reads ONLY the probed cells' prefix columns — on a columnar
+    * cell-partitioned layout that is (nprobe/C)·N·prefixDim of the index
+    * bytes — and stage 2 fetches the shortlist's full-precision vectors
+    * from the same index. The serving twin of `mrlIvfTopK` for an index
+    * that already exists; both run the shared `mrlFunnelStages`.
+    */
+  def mrlIvfTopKFromIndex(
+      index: DataFrame,
+      queries: DataFrame,
+      coarse: DataFrame,
+      k: Int = 10,
+      prefixDim: Int = MrlPrefixDim,
+      shortlist: Int = RerankShortlist,
+      nprobe: Int = 2): DataFrame = {
+    val centArr: Array[(Int, Seq[Double])] = coarse.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    // ingest predating the prefix columns writes mp = NULL (see
+    // indexSchema) — a mixed index serves only its prefixed rows, same
+    // null-guard contract as the codes column
+    val corpus = index.filter(col("mp").isNotNull)
+      .select(col("vec_id"), col("cell"), col("mp").as("cp"), col("mpn").as("cpn"))
+    val full = index.select(col("vec_id").as("neighbor_id"),
+      col("cv").as("cv2"), col("cn").as("cn2"))
+    val qFull = queries
+      .select(col("q_id"), col("q_emb").cast("array<double>").as("qv2"))
+      .select(col("q_id"), col("qv2"), sqrt(dot(col("qv2"), col("qv2"))).as("qn2"))
+    mrlFunnelStages(corpus, full,
+      probedPrefixQueries(queries, "q_id", "q_emb", centArr, prefixDim, nprobe),
+      qFull, k, shortlist)
   }
 
   /** Funnel-quality audit for the composed path — recall@k + MRR of

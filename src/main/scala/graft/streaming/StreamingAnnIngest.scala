@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{abs, array_max, col, lit, round, transform}
+import org.apache.spark.sql.functions.{abs, array_max, col, lit, round, slice, sqrt, transform}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
@@ -55,6 +55,11 @@ object StreamingAnnIngest {
     // PQ codes (null when ingest runs without a codebook) — the
     // compressed tier `VectorOps.ivfPqTopKFromIndex` serves from
     StructField("codes", ArrayType(IntegerType)),
+    // MRL prefix slice + its norm, stored as their own columns so the
+    // funnel's stage 1 (`VectorOps.mrlIvfTopKFromIndex`) reads
+    // prefixDim/dim of the vector bytes off the columnar scan
+    StructField("mp", ArrayType(DoubleType)),
+    StructField("mpn", DoubleType),
     StructField(BatchCol, LongType)))
 
   /** The accumulated cell index, or an empty same-shaped frame before the
@@ -76,7 +81,9 @@ object StreamingAnnIngest {
       batchId: Long,
       cents: DataFrame,
       indexDir: String,
-      book: Option[graft.functions.PqBook] = None): Unit = {
+      book: Option[graft.functions.PqBook] = None,
+      prefixDim: Int = VectorOps.MrlPrefixDim): Unit = {
+    import graft.functions.ArrayDotProduct.dot
     val quantized = VectorOps.assignCells(batch, cents)
       .select(col("vec_id"), col("cell"), col("v").as("cv"), col("vn").as("cn"),
         (lit(127.0) / array_max(transform(col("v"), x => abs(x)))).as("s"))
@@ -91,6 +98,10 @@ object StreamingAnnIngest {
       case None => quantized.withColumn("codes", lit(null).cast("array<int>"))
     }
     coded
+      // MRL prefix payload (same slice + codegen'd-dot norm as the inline
+      // funnel computes, so index-served stage 1 is bit-identical)
+      .withColumn("mp", slice(col("cv"), 1, prefixDim))
+      .withColumn("mpn", sqrt(dot(col("mp"), col("mp"))))
       .withColumn(BatchCol, lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -103,12 +114,13 @@ object StreamingAnnIngest {
       cents: DataFrame,
       indexDir: String,
       checkpointDir: String,
-      book: Option[graft.functions.PqBook] = None): StreamingQuery =
+      book: Option[graft.functions.PqBook] = None,
+      prefixDim: Int = VectorOps.MrlPrefixDim): StreamingQuery =
     vecStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, cents, indexDir, book)
+        processBatch(batch, batchId, cents, indexDir, book, prefixDim)
       }
       .start()
 }

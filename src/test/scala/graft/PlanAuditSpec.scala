@@ -102,6 +102,10 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // ranking and the bounded-heap top-k UDAF; its recall report adds the
     // labeled all-pairs brute TRUTH join (the thing being audited against)
     "mrl_ivf_topk" -> Set("codegen-fallback"),
+    // index-served funnel shares mrlFunnelStages with mrl_ivf_topk — same
+    // intentional bounded-heap top-k UDAF fallback (and the index-build
+    // prefix slice's lambda); still an equi-join on cell, no BNLJ
+    "mrl_ivf_from_index_topk" -> Set("codegen-fallback"),
     "mrl_ivf_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     // IVFPQ serving: equi-join on cell (no BNLJ); the probe ranking's
     // interpreted k-row centroid sort and the top-k UDAF are the labeled

@@ -108,6 +108,38 @@ class StreamingAnnIngestSpec extends AnyFunSpec with Matchers with SparkSessionT
       servedRr.nonEmpty shouldBe true
     }
 
+    it("stores the MRL prefix payload; funnel serving from the streamed index matches batch") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sann-mrl").toString
+      val indexDir = s"$dir/index"
+      // dim-4 vectors → prefixDim 2 exercises a real (strict) prefix
+      StreamingAnnIngest.processBatch(embDf(batch0), 0L, quantizer, indexDir, prefixDim = 2)
+      StreamingAnnIngest.processBatch(embDf(batch1), 1L, quantizer, indexDir, prefixDim = 2)
+      // crash-after-commit retry stays exactly-once with the prefix columns
+      StreamingAnnIngest.processBatch(embDf(batch1), 1L, quantizer, indexDir, prefixDim = 2)
+
+      val idx = StreamingAnnIngest.readIndex(spark, indexDir)
+      idx.count() shouldBe 6
+      idx.filter(col("mp").isNull).count() shouldBe 0
+      // the stored prefix is a strict slice (scan-bandwidth tier contract)
+      idx.selectExpr("max(size(mp))").collect()(0).getInt(0) shouldBe 2
+
+      val corpus = embDf(batch0 ++ batch1)
+      val queries = corpus.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      def ranked(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val served = ranked(VectorOps.mrlIvfTopKFromIndex(
+        idx, queries, quantizer, k = 2, prefixDim = 2, shortlist = 3))
+      // batch twin: same assignment + same prefix slice, no stream between
+      val batchIdx = VectorOps.assignCells(corpus, quantizer)
+        .select(col("vec_id"), col("cell"), col("v").as("cv"), col("vn").as("cn"),
+          slice(col("v"), 1, 2).as("mp"))
+        .withColumn("mpn", sqrt(graft.functions.ArrayDotProduct.dot(col("mp"), col("mp"))))
+      val batch = ranked(VectorOps.mrlIvfTopKFromIndex(
+        batchIdx, queries, quantizer, k = 2, prefixDim = 2, shortlist = 3))
+      served shouldBe batch
+      served.nonEmpty shouldBe true
+    }
+
     it("ingests PQ codes against a fixed codebook; compressed serving matches batch") {
       // 2 subspaces × 2 codewords over dim 4 — a hand-built FIXED book
       // (the ingest contract: codebooks train once offline, like cells)

@@ -783,6 +783,11 @@ object SparkEntry {
     // ---- text analysis (north star) over `documents` ---------------------
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "text_subword_stats" -> ((s, dir) => TextOps.subwordStats(Tables.documents(s, dir))),
+    // TRUE corpus-trained BPE (not the regex estimate): one word-freq
+    // aggregation + a driver-side merge loop train the tokenizer; the
+    // merge table and the per-doc encode are both oracle-replayed
+    "text_bpe_merges" -> ((s, dir) => TextOps.bpeMerges(Tables.documents(s, dir))),
+    "text_bpe_tokens" -> ((s, dir) => TextOps.bpeTokenStats(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     // Per-language bottom-quantile drop via a bounded score histogram
     // (exact-percentile aggs buffer corpus-sized state; this doesn't).
@@ -1895,6 +1900,8 @@ object SparkEntry {
 
     "text_token_stats" -> DuckDbOracles.textTokenStats,
     "text_subword_stats" -> DuckDbOracles.textSubwordStats,
+    "text_bpe_merges" -> DuckDbOracles.textBpeMerges,
+    "text_bpe_tokens" -> DuckDbOracles.textBpeTokens,
     "text_quality" -> DuckDbOracles.textQuality,
     "quality_quantile_filter" -> DuckDbOracles.qualityQuantileFilter(),
     "text_unigram_logprob" -> DuckDbOracles.unigramLogprob(),

@@ -1144,4 +1144,88 @@ object TextOps {
       .withColumn("cond_entropy",
         round(col("bigram_entropy") - col("char_entropy"), 6))
   }
+
+  /** Number of BPE merge rules the corpus-trained tokenizer learns (the
+    * oracle unrolls exactly this many training iterations, so it must be
+    * a shared compile-time constant like the Lloyd iteration counts).
+    */
+  val BpeMergeCount = 24
+
+  /** Greedy-merge BPE training (Sennrich et al. ACL'16, word-frequency
+    * formulation): ONE corpus aggregation produces the (word, freq)
+    * table — the only distributed step, a single partial-agg shuffle whose
+    * result is vocabulary-sized, not corpus-sized (at 100 TB you cap it to
+    * the top-K words by frequency; the tail's singleton words contribute
+    * almost nothing to pair counts) — then the merge loop runs driver-side
+    * over that tiny table. Deterministic: pair counts weight every
+    * adjacent symbol occurrence by word frequency; ties break on the
+    * lexicographically smallest parenthesized pair string (the exact
+    * ORDER BY the oracle's unrolled iterations use); merges apply
+    * left-to-right non-overlapping (`BpeCodec.applyMerge` — the SQL
+    * `replace` scan order).
+    */
+  def bpeTrainMerges(
+      docs: DataFrame, numMerges: Int = BpeMergeCount): Seq[(String, String)] = {
+    val wf: Array[(Array[String], Long)] = docs
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0).toCharArray.map(String.valueOf(_)), r.getLong(1)))
+    var words = wf
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.minBy { case ((a, b), n) => (-n, s"($a)($b)") }._1
+        merges += best
+        words = words.map { case (syms, n) =>
+          (graft.functions.BpeCodec.applyMerge(syms, best._1, best._2), n)
+        }
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The learned merge table as a frame (step, lhs, rhs) — the persistable
+    * tokenizer artifact, hash-checked against the oracle's unrolled
+    * training replay.
+    */
+  def bpeMerges(docs: DataFrame, numMerges: Int = BpeMergeCount): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainMerges(docs, numMerges).zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b) }
+      .toDF("step", "lhs", "rhs")
+  }
+
+  /** Per-document BPE token statistics under the corpus-trained tokenizer
+    * — the sequence-length budget statistic every LLM-data pipeline
+    * reports. Training happens once (driver-side loop over the word-freq
+    * aggregate); encoding is a zero-shuffle narrow projection whose merge
+    * table rides the generated code as a reference object
+    * (`BpeTokenCount`), so the corpus pass is one codegen'd scan.
+    */
+  def bpeTokenStats(docs: DataFrame, numMerges: Int = BpeMergeCount): DataFrame = {
+    val table = new graft.functions.BpeTable(bpeTrainMerges(docs, numMerges).toArray)
+    docs.select(
+        col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .cast("long").as("n_words"),
+        graft.functions.BpeTokenCount.count(col("text"), table).as("n_tokens"))
+      .withColumn("tokens_per_word",
+        round(col("n_tokens").cast("double") /
+          nullif(col("n_words"), lit(0L)).cast("double"), 6))
+  }
 }

@@ -562,6 +562,77 @@ object DuckDbOracles {
        |FROM documents""".stripMargin
   }
 
+  /** The unrolled BPE-training CTE chain — twin of TextOps.bpeTrainMerges.
+    * `wf` = the word-frequency table (the one distributed aggregation);
+    * `m0` = each word as a parenthesized symbol string `(a)(b)(c)` (the
+    * form in which `replace` can apply a merge without crossing symbol
+    * boundaries); iteration i counts every adjacent symbol pair (the two
+    * shifted NON-OVERLAPPING extractions together cover even- and
+    * odd-offset pairs, i.e. all of them), picks the argmax with the
+    * (count DESC, pair ASC) tie-break, and applies it left-to-right via
+    * `replace` — exactly the kernel's scan order. Ends with b1..bV (the
+    * chosen merges) and m1..mV (the evolving word symbol strings).
+    */
+  private def bpeTrainCtes(v: Int): String = {
+    val pairPat = """\([a-z]+\)\([a-z]+\)"""
+    val headPat = """^\([a-z]+\)"""
+    // every iteration CTE is MATERIALIZED: m$i is referenced twice (by
+    // p${i+1} and m${i+1}); inlined, the reference tree doubles per
+    // iteration and the 2^v expansion exhausts file handles on the base
+    // scan before it exhausts memory
+    val iters = (1 to v).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT pr, sum(n) AS cnt FROM (
+         |  SELECT unnest(list_concat(
+         |    regexp_extract_all(s, '$pairPat'),
+         |    regexp_extract_all(regexp_replace(s, '$headPat', ''), '$pairPat'))) AS pr, n
+         |  FROM m${i - 1}) GROUP BY pr),
+         |b$i AS MATERIALIZED (SELECT pr,
+         |    regexp_extract(pr, '^\\(([a-z]+)\\)', 1) AS lhs,
+         |    regexp_extract(pr, '\\(([a-z]+)\\)$$', 1) AS rhs
+         |  FROM p$i ORDER BY cnt DESC, pr ASC LIMIT 1),
+         |m$i AS MATERIALIZED (SELECT replace(s, b.pr, '(' || b.lhs || b.rhs || ')') AS s, n
+         |  FROM m${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents) GROUP BY w),
+       |m0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS s, n FROM wf),
+       |$iters""".stripMargin
+  }
+
+  /** Twin of TextOps.bpeMerges — the learned merge table, step by step. */
+  def textBpeMerges: String = {
+    val v = TextOps.BpeMergeCount
+    val union = (1 to v)
+      .map(i => s"SELECT $i AS step, lhs, rhs FROM b$i").mkString(" UNION ALL ")
+    s"""WITH ${bpeTrainCtes(v)}
+       |$union""".stripMargin
+  }
+
+  /** Twin of TextOps.bpeTokenStats — the same training replay, then the
+    * encode chain e1..eV applies each learned merge to every document
+    * word; a word's token count is its surviving '(' count.
+    */
+  def textBpeTokens: String = {
+    val v = TextOps.BpeMergeCount
+    val encode = (1 to v).map { i =>
+      s"""e$i AS MATERIALIZED (SELECT doc_id, replace(s, b.pr, '(' || b.lhs || b.rhs || ')') AS s
+         |  FROM e${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainCtes(v)},
+       |docw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents),
+       |e0 AS (SELECT doc_id, regexp_replace(w, '(.)', '(\\1)', 'g') AS s FROM docw),
+       |$encode,
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(length(s) - length(replace(s, '(', ''))) AS BIGINT) AS n_tokens
+       |  FROM e$v GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(c.n_words, 0) AS n_words,
+       |  coalesce(c.n_tokens, 0) AS n_tokens,
+       |  round(CAST(c.n_tokens AS DOUBLE) / nullif(c.n_words, 0), 6) AS tokens_per_word
+       |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id""".stripMargin
+  }
+
   val textFingerprint: String =
     s"""WITH $tokCte, $shCte
        |SELECT DISTINCT doc_id, fp_hash FROM

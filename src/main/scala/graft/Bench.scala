@@ -105,7 +105,31 @@ object Bench {
         secs.max / math.max(secs.min, 1e-9) > 3.0 && heaps.max / heaps.min < 1.3
       } => jstr(n) }
     val total = best.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"heap_mb":$heap,"gc_ms":$gc,"errors":$errJson,"noise_queries":${noise.mkString("[", ",", "]")},"sf":${jstr(sfDir)}}"""
+    // Per-query regression budgets: bench_budget.json (committed) pins each
+    // query at its last recorded best ×2, turning the round-over-round "no
+    // query regressed >2×" judgment into an artifact the bench itself
+    // emits — `over_budget` lists queries whose MIN-of-reps (already
+    // noise-filtered) still exceeds the pin. Warn-only: a host-noise
+    // episode spanning every rep of one query must not fail the gate.
+    val budgetPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "bench_budget.json"))
+    val budgets: Map[String, Double] =
+      if (java.nio.file.Files.exists(budgetPath)) {
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(budgetPath))
+          node.fields().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] unreadable $budgetPath: $e"); Map.empty }
+      } else Map.empty
+    val bestMap = best.toMap
+    val overBudget = best.collect {
+      case (n, s) if budgets.get(n).exists(s > _) => n }.toSeq.sorted
+    if (overBudget.nonEmpty) System.err.println(
+      s"[bench] OVER BUDGET (best-of-reps > pinned 2x): " + overBudget.map(n =>
+        f"$n (${bestMap(n)}%.2f s > ${budgets(n)}%.2f s)").mkString(", "))
+    val obJson = overBudget.map(jstr).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"heap_mb":$heap,"gc_ms":$gc,"errors":$errJson,"noise_queries":${noise.mkString("[", ",", "]")},"over_budget":$obJson,"sf":${jstr(sfDir)}}"""
     println(line)
     // The one-line artifact (queries+raw+heap+gc for 175+ queries) outgrew
     // the round driver's stdout tail capture — three consecutive rounds of

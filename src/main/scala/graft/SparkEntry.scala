@@ -852,6 +852,9 @@ object SparkEntry {
     // Temperature-based source mixing: p_s ∝ sqrt(share_s), deterministic
     // ppm hash gate — the skew-flattening resampler in LLM data recipes.
     "temperature_mix" -> ((s, dir) => Sampling.temperatureMix(Tables.documents(s, dir))),
+    // the scheduling half of the data recipe: per-source epoch counts for
+    // a token budget under a temperature-flattened target with a repeat cap
+    "mixture_epoch_plan" -> ((s, dir) => Sampling.mixtureEpochPlan(Tables.documents(s, dir))),
     // Quality-weighted Bernoulli sampling: keep probability ∝ the 6dp
     // quality score — the soft gate between hard filtering and uniform
     // sampling; same deterministic ppm hash machinery.
@@ -1148,6 +1151,14 @@ object SparkEntry {
     // is-the-codebook-fine-enough gate for the compressed index.
     "pq_recall_report" -> ((s, dir) =>
       VectorOps.pqRecallReport(Tables.embeddings(s, dir))),
+    // Hadamard-rotated PQ (FAISS-style pretransform): closed-form
+    // orthogonal rotation via the O(d log d) FWHT kernel, then the full
+    // ADC pipeline in rotated space — equalizes per-subspace energy at
+    // zero stored-matrix cost; recall pair (pq vs pq_rot) quantifies it.
+    "pq_rot_adc_topk" -> ((s, dir) =>
+      VectorOps.pqRotAdcTopK(Tables.embeddings(s, dir))),
+    "pq_rot_recall_report" -> ((s, dir) =>
+      VectorOps.pqRotRecallReport(Tables.embeddings(s, dir))),
     // IVF × PQ (classic IVFPQ serving): coarse cells prune WHICH rows are
     // scanned, PQ codes compress WHAT each row costs — ADC over probed
     // cells only; completes the tier matrix with mrl_ivf's bandwidth axis.
@@ -1167,6 +1178,13 @@ object SparkEntry {
       VectorOps.ivfRpqTopK(Tables.embeddings(s, dir))),
     "ivf_rpq_recall_report" -> ((s, dir) =>
       VectorOps.ivfRpqRecallReport(Tables.embeddings(s, dir))),
+    // IVFPQ,refine (FAISS composition): ADC shortlist at rerankK, exact
+    // full-precision re-rank of the shortlist only — the codes tier's
+    // counterpart of ivf_rerank_topk's int8 two-stage serving.
+    "ivf_pq_refine_topk" -> ((s, dir) =>
+      VectorOps.ivfPqRefineTopK(Tables.embeddings(s, dir))),
+    "ivf_pq_refine_recall_report" -> ((s, dir) =>
+      VectorOps.ivfPqRefineRecallReport(Tables.embeddings(s, dir))),
 
     // Hard-negative mining (contrastive training prep): per query the most
     // similar corpus vectors BELOW the positive ceiling — the IVF scored
@@ -1926,6 +1944,7 @@ object SparkEntry {
     "stratified_sample" -> DuckDbOracles.stratifiedSample,
     "length_matched_sample" -> DuckDbOracles.histogramMatch(),
     "temperature_mix" -> DuckDbOracles.temperatureMix,
+    "mixture_epoch_plan" -> DuckDbOracles.mixtureEpochPlan,
     "weighted_sample" -> DuckDbOracles.weightedSample(),
     "capped_per_source" -> DuckDbOracles.cappedPerSource(),
     "leakage_safe_split" ->
@@ -2006,6 +2025,8 @@ object SparkEntry {
       DuckDbOracles.ivfPqTopK(corpusFilter = "label % 2 = 0"),
     "ivf_rpq_topk" -> DuckDbOracles.ivfRpqTopK(),
     "ivf_rpq_recall_report" -> DuckDbOracles.ivfRpqRecallReport(),
+    "ivf_pq_refine_topk" -> DuckDbOracles.ivfPqRefineTopK(),
+    "ivf_pq_refine_recall_report" -> DuckDbOracles.ivfPqRefineRecallReport(),
     "semantic_dedup" -> DuckDbOracles.semanticDedup(),
     "cluster_cohesion" -> DuckDbOracles.clusterCohesion(),
     "cluster_balanced_sample" -> DuckDbOracles.clusterBalancedSample(),
@@ -2013,6 +2034,8 @@ object SparkEntry {
       k = 10, nprobe = 2, scoreFilter = s"cos < ${VectorOps.HardNegCeiling}"),
     "ann_recall_report" -> DuckDbOracles.annRecallReport(),
     "pq_recall_report" -> DuckDbOracles.pqRecallReport(),
+    "pq_rot_adc_topk" -> DuckDbOracles.pqRotAdcTopK(),
+    "pq_rot_recall_report" -> DuckDbOracles.pqRotRecallReport(),
     "ann_ivf_rerank_topk" -> DuckDbOracles.annIvfRerankTopK(),
     "embedding_rproj" -> DuckDbOracles.randomProjection,
     "media_meta" -> DuckDbOracles.mediaMeta,

@@ -200,6 +200,63 @@ object Sampling {
       .filter(pmod(hash("wsamp", col("doc_id").cast("string")), lit(1000000L))
         < col("rate_ppm"))
 
+  /** Power-law exponent for mixture reweighting (the "unified scaling"
+    * α: n^0.7 flattens source sizes less aggressively than sqrt).
+    */
+  val MixAlpha: Double = 0.7
+  /** Token budget as a multiple of the corpus; per-source repeat ceiling
+    * (the >4-epoch degradation line from the data-constrained scaling
+    * literature).
+    */
+  val MixBudgetMultiple: Double = 2.0
+  val MixCapEpochs: Double = 4.0
+
+  /** Mixture EPOCH PLANNER — the artifact a training run compiles its data
+    * recipe into: given a token budget (a multiple of the corpus) and a
+    * temperature-flattened target distribution w_s ∝ tokens_s^α, emit per
+    * source how many EPOCHS (repeat passes, fractional) to take, capped at
+    * `capEpochs` so no small source is repeated past the degradation
+    * ceiling. `temperatureMix` SELECTS documents for one pass; this plans
+    * the pass COUNTS — together they are the sampling half and the
+    * scheduling half of a data recipe.
+    *
+    * Columns: n_docs/n_tokens (census), weight (normalized w_s), epochs
+    * (budget·w_s/tokens_s, capped, 6dp), planned_tokens (epochs·tokens_s,
+    * integer), capped (whether the ceiling bound). The cap means planned
+    * tokens can undershoot the budget — the report makes the shortfall
+    * visible rather than silently renormalizing (re-spreading it changes
+    * every downstream weight; that decision belongs to the recipe owner).
+    *
+    * Scale: one map-side-combined per-source aggregate over the corpus +
+    * a one-row broadcast of totals — no wide shuffle, no driver loop;
+    * the 100 TB cost is the single token-count pass.
+    */
+  def mixtureEpochPlan(
+      docs: DataFrame,
+      budgetMultiple: Double = MixBudgetMultiple,
+      alpha: Double = MixAlpha,
+      capEpochs: Double = MixCapEpochs): DataFrame = {
+    val perSource = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      // 6dp round after pow: Math.pow vs the oracle's libm can differ in
+      // the last ulp (~1e-13 relative); the grid absorbs it — the same
+      // cross-engine double convention as every emitted float
+      .withColumn("p", round(pow(col("n_tokens").cast("double"), lit(alpha)), 6))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("tot_tokens"), round(sum(col("p")), 6).as("p_sum"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("weight", round(col("p") / col("p_sum"), 6))
+      .withColumn("epochs_raw",
+        round(lit(budgetMultiple) * col("tot_tokens") * col("weight") / col("n_tokens"), 6))
+      .withColumn("epochs", least(lit(capEpochs), col("epochs_raw")))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("epochs"),
+        round(col("epochs") * col("n_tokens"), 0).cast("bigint").as("planned_tokens"),
+        (col("epochs_raw") > lit(capEpochs)).as("capped"))
+  }
+
   def temperatureMix(
       docs: DataFrame,
       targetFrac: Double = MixTargetFrac,

@@ -746,6 +746,81 @@ object VectorOps {
   def ivfRpqRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
     recallReport(emb, ivfRpqTopK(emb, k), k)
 
+  /** Hadamard-rotated corpus view: every vector through the normalized
+    * Walsh–Hadamard rotation (graft.functions.HadamardRotate — O(d log d)
+    * FWHT butterfly in a codegen'd kernel, closed-form orthogonal matrix,
+    * nothing trained or stored). Cosine is rotation-invariant, so any
+    * ranking computed in rotated space answers the ORIGINAL similarity
+    * question; what changes is how energy distributes across PQ's
+    * subspace slices — the pre-transform production PQ stacks apply
+    * before splitting (FAISS pretransform / fast random rotation).
+    * One narrow projection, zero shuffle, zero joins.
+    */
+  def rotatedEmbeddings(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      graft.functions.HadamardRotate.rotate(col("embedding")).as("embedding"))
+
+  /** PQ ADC serving over the Hadamard-rotated corpus — train, encode, and
+    * query all in rotated space (one rotation at the frame boundary, the
+    * same place a production index build applies its pretransform). On
+    * this isotropic synthetic corpus the recall delta vs raw `pqAdcTopK`
+    * is ~neutral (energy is already spread — the honest worst case, as
+    * with `mrlTopK`/`ivfRpqTopK`); on skewed production embeddings the
+    * rotation equalizes per-subspace energy and is the cheapest recall
+    * win in the PQ playbook. Scale shape identical to `pqAdcTopK`: the
+    * rotation rides the same single corpus pass that encodes.
+    */
+  def pqRotAdcTopK(emb: DataFrame, k: Int = 10): DataFrame =
+    pqAdcTopK(rotatedEmbeddings(emb), k)
+
+  /** Rotated-PQ quality audit — recall@k + MRR vs the RAW-corpus brute
+    * truth (rotation invariance makes the truth set identical), read
+    * beside `pqRecallReport` to isolate what the rotation buys at the
+    * same code budget.
+    */
+  def pqRotRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
+    recallReport(emb, pqRotAdcTopK(emb, k), k)
+
+  /** IVFPQ with exact refine (the FAISS `IVFPQ,refine` composition):
+    * stage 1 is `ivfPqTopK`'s compressed serving widened to a `rerankK`
+    * shortlist (ADC cosine over the probed cells' reconstructions), stage
+    * 2 fetches full-precision vectors for the shortlist rows ONLY and
+    * re-ranks them exactly — completing the tier matrix symmetrically
+    * with `ivfRerankTopK` (int8 first pass) but over the 8-byte-code
+    * first pass. True neighbors that ADC ranks 11..rerankK get promoted
+    * by the exact pass, so recall@k ≥ plain `ivfPqTopK` at equal nprobe
+    * (quantified by `ivfPqRefineRecallReport` vs `ivfPqRecallReport`).
+    *
+    * Scale shape: stage 1 reads (m+8)-byte codes for nprobe/C of the
+    * rows; stage 2 touches full precision for queries×rerankK rows via a
+    * broadcast-shortlist fetch against the (cell-partitioned, at scale)
+    * full-vector table — the scan never widens beyond the shortlist.
+    * Determinism for the oracle: ADC scores are 6dp-rounded with
+    * neighbor-id tie-break, so the shortlist SET replays bit-identically
+    * in DuckDB, and the exact stage reuses the brute-force scoring rule.
+    */
+  def ivfPqRefineTopK(
+      emb: DataFrame, k: Int = 10,
+      rerankK: Int = RerankShortlist, nprobe: Int = 2): DataFrame = {
+    val shortlist = ivfPqTopK(emb, rerankK, nprobe)
+      .select(col("q_id"), col("neighbor_id"))
+    val full = withNorm(emb, "neighbor_id", "cv", "cn")
+    val qFull = withNorm(emb.filter(col("vec_id") % 100 === 0), "q_id", "qv2", "qn2")
+    val exact = broadcast(shortlist)
+      .join(full, Seq("neighbor_id"))
+      .join(broadcast(qFull), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        round(dot(col("qv2"), col("cv")) / (col("qn2") * col("cn")), 6).as("cos"))
+    topKPerQuery(exact, k)
+  }
+
+  /** Refined-IVFPQ quality audit — recall@k + MRR vs brute truth; read
+    * beside `ivfPqRecallReport` to see what the exact refine stage buys
+    * over serving final rankings straight from reconstructions.
+    */
+  def ivfPqRefineRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
+    recallReport(emb, ivfPqRefineTopK(emb, k), k)
+
   /** IVF top-k: assign every corpus vector to its nearest coarse centroid
     * (broadcast join against the tiny centroid table); each query probes its
     * `nprobe` nearest cells. ~C/nprobe× less distance work than brute force;

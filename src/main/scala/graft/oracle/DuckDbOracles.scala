@@ -932,6 +932,32 @@ object DuckDbOracles {
        |FROM documents d JOIN r USING (source)
        |WHERE ${h("mix", "CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm""".stripMargin
 
+  /** Twin of Sampling.mixtureEpochPlan — same token rule (split on a
+    * single space), same rounding ladder: p = round₆(tokens^α), p_sum =
+    * round₆(Σp), weight = round₆(p/p_sum), epochs = min(cap,
+    * round₆(budget·tot·weight/tokens)), planned = round₀(epochs·tokens).
+    */
+  val mixtureEpochPlan: String = {
+    val a = Sampling.MixAlpha
+    val b = Sampling.MixBudgetMultiple
+    val cap = Sampling.MixCapEpochs
+    s"""WITH tk AS (SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+       |ps AS (SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       |    round(power(CAST(sum(n_tok) AS DOUBLE), $a), 6) AS p
+       |  FROM tk GROUP BY source),
+       |tot AS (SELECT sum(n_tokens) AS tot_tokens, round(sum(p), 6) AS p_sum FROM ps),
+       |w AS (SELECT source, n_docs, n_tokens,
+       |    round(p / p_sum, 6) AS weight,
+       |    round($b * tot_tokens * round(p / p_sum, 6) / n_tokens, 6) AS epochs_raw
+       |  FROM ps CROSS JOIN tot)
+       |SELECT source, n_docs, n_tokens, weight,
+       |  least($cap, epochs_raw) AS epochs,
+       |  CAST(round(least($cap, epochs_raw) * n_tokens, 0) AS BIGINT) AS planned_tokens,
+       |  epochs_raw > $cap AS capped
+       |FROM w""".stripMargin
+  }
+
   /** Twin of TimeSeries.psiDrift: same fixed-width bins, Laplace
     * smoothing, and ln-term sum rounded 6dp.
     */
@@ -1844,14 +1870,54 @@ object DuckDbOracles {
   /** Twin of VectorOps.pqAdcTopK: codes joined back to codebooks, list
     * concat = the reconstructed vector, exact-query / stored-norm cosine.
     */
-  def pqAdcTopK(k: Int = 10): String = {
+  def pqAdcTopK(k: Int = 10): String = pqAdcTopKFrom(embCte, k)
+
+  /** Leading CTE block that rebinds `e` to the Hadamard-rotated corpus:
+    * sign(i,j) = (−1)^bit_count(i AND j) replayed with DuckDB's bit_count,
+    * j-ascending sum per output coordinate, ×1/√d (exact 0.125 for d=64,
+    * the identical multiply the FWHT kernel applies), then the kernel's
+    * own ⌊x·2²⁰+½⌋/2²⁰ dyadic quantizer (see HadamardRotate scaladoc:
+    * binary-grid components keep the k-means replay's sums exact, where
+    * a decimal grid put centroid means on .5 rounding boundaries that the
+    * engines resolved apart). MATERIALIZED: every downstream PQ CTE
+    * references `e` — inlined, DuckDB re-executes the d² rotation per
+    * reference and runs out of memory.
+    */
+  private def rotEmbCte: String = {
+    val d = VectorOps.EmbeddingDim
+    val inv = 1.0 / math.sqrt(d.toDouble)
+    s"""e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |hd AS (SELECT unnest(range(0, $d)) AS i),
+       |hrot AS (SELECT a.vec_id, a.label, i.i AS i,
+       |    floor(sum(CASE WHEN bit_count(i.i & j.i) % 2 = 0
+       |                   THEN a.v[j.i + 1] ELSE -a.v[j.i + 1] END
+       |              ORDER BY j.i) * $inv * 1048576.0 + 0.5) / 1048576.0 AS r
+       |  FROM e0 a CROSS JOIN hd i CROSS JOIN hd j GROUP BY 1, 2, 3),
+       |e AS MATERIALIZED (SELECT vec_id, label, list(r ORDER BY i) AS v FROM hrot GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Twin of VectorOps.pqRotAdcTopK: the pqAdcTopK statement verbatim over
+    * the rotated `e` — rotation happens before training, encoding, and
+    * query projection alike, exactly as the Spark path rotates once at the
+    * frame boundary.
+    */
+  def pqRotAdcTopK(k: Int = 10): String = pqAdcTopKFrom(rotEmbCte, k)
+
+  /** Twin of VectorOps.pqRotRecallReport: brute truth stays on the RAW
+    * corpus (cosine is rotation-invariant, so the truth set is unchanged);
+    * only the approximate ranking runs in rotated space.
+    */
+  def pqRotRecallReport(k: Int = 10): String =
+    recallReportSql(pqRotAdcTopK(k), k)
+
+  private def pqAdcTopKFrom(lead: String, k: Int): String = {
     val codeJoins = (0 until VectorOps.PqM)
       .map(s => s"JOIN p${s}_asg a$s ON e.vec_id = a$s.vec_id").mkString(" ")
     val codeCols = (0 until VectorOps.PqM).map(s => s"a$s.cell AS c$s").mkString(", ")
     val cbJoins = (0 until VectorOps.PqM)
       .map(s => s"JOIN p${s}_cb cb$s ON c.c$s = cb$s.cell").mkString(" ")
     val rv = (0 until VectorOps.PqM).map(s => s"cb$s.centroid").mkString(" || ")
-    s"""WITH $embCte,
+    s"""WITH $lead,
        |${pqAllCtes()},
        |codes AS (SELECT e.vec_id,
        |    round(sqrt(list_dot_product(e.v, e.v)), 6) AS vnorm, $codeCols
@@ -1920,6 +1986,34 @@ object DuckDbOracles {
     */
   def ivfPqRecallReport(k: Int = 10): String =
     recallReportSql(ivfPqTopK(k), k)
+
+  /** Twin of VectorOps.ivfPqRefineTopK: the full ivfPqTopK statement at
+    * rerankK becomes the shortlist derived table (same 6dp-rounded ADC
+    * ranking, neighbor-id tie-break ⇒ identical shortlist SET), then the
+    * exact brute-force scoring rule re-ranks the fetched rows.
+    */
+  def ivfPqRefineTopK(
+      k: Int = 10,
+      rerankK: Int = VectorOps.RerankShortlist,
+      nprobe: Int = 2): String =
+    s"""WITH short AS (SELECT q_id, neighbor_id FROM (
+       |${ivfPqTopK(rerankK, nprobe)}
+       |) s),
+       |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ex AS (SELECT sh.q_id, sh.neighbor_id,
+       |    round(${cosSql("qe.v", "ce.v")}, 6) AS cos
+       |  FROM short sh
+       |  JOIN e2 ce ON sh.neighbor_id = ce.vec_id
+       |  JOIN e2 qe ON sh.q_id = qe.vec_id)
+       |SELECT q_id, rank, neighbor_id, cos FROM (
+       |  SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM ex) WHERE rank <= $k""".stripMargin
+
+  /** Twin of VectorOps.ivfPqRefineRecallReport. */
+  def ivfPqRefineRecallReport(k: Int = 10): String =
+    recallReportSql(ivfPqRefineTopK(k), k)
 
   /** Twin of VectorOps.ivfRpqTopK (residual IVFPQ): the coarse-assignment
     * CTEs feed a residual CTE (v − assigned 6dp centroid, index-lambda

@@ -35,6 +35,12 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // labeled brute-scan query join + the bounded-heap top-k UDAF (the
     // intentional typed-aggregator fallback, as in the IVF family)
     "pq_adc_topk" -> Set("nested-loop-join", "codegen-fallback"),
+    // the rotated twins share pq_adc_topk's labeled shape exactly — the
+    // Hadamard pretransform is a narrow codegen'd projection adding no
+    // join or fallback of its own; the recall report adds the labeled
+    // brute-truth join
+    "pq_rot_adc_topk" -> Set("nested-loop-join", "codegen-fallback"),
+    "pq_rot_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     // composes the labeled all-pairs semantic baseline (0.35 is below any
     // LSH-able threshold; at a real >=0.85 threshold the LSH path applies)
     "dedup_crossmodal" -> Set("nested-loop-join"),
@@ -49,6 +55,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // one-row totals aggregate broadcast-crossed onto the few-row
     // per-source counts (never the corpus)
     "temperature_mix" -> Set("nested-loop-join"),
+    // one-row (tot_tokens, p_sum) totals aggregate broadcast-crossed onto
+    // the per-source census (a handful of rows)
+    "mixture_epoch_plan" -> Set("nested-loop-join"),
     // one-row min-bucket-count aggregate broadcast-crossed onto the
     // few-row per-bucket counts (never the corpus)
     "length_matched_sample" -> Set("nested-loop-join"),
@@ -115,6 +124,11 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "ivf_pq_filtered_topk" -> Set("codegen-fallback"),
     "ivf_rpq_topk" -> Set("codegen-fallback"),
     "ivf_rpq_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
+    // IVFPQ,refine: stage 1 is ivf_pq_topk's audited shape (cell equi-join,
+    // no BNLJ); stage 2 is broadcast-shortlist equi-join fetch; the top-k
+    // UDAF and probe ranking keep the family's labeled fallbacks
+    "ivf_pq_refine_topk" -> Set("codegen-fallback"),
+    "ivf_pq_refine_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     "ann_ivf_kmeans_topk" -> Set("nested-loop-join", "codegen-fallback"),
     // planted near-dup copies use transform() on the every-20th slice —
     // interpreted on 5% of rows by design (exact ±1/64 double nudges)

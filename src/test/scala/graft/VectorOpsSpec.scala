@@ -360,6 +360,41 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     }
   }
 
+  describe("ivfPqRefineTopK") {
+    it("degenerates to exact brute force when every cell is probed and the shortlist covers the corpus") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val nCells = emb.select("label").distinct().count().toInt
+      val n = emb.count().toInt
+      // nprobe = C ⇒ stage 1 scores every non-self pair; rerankK ≥ n ⇒ the
+      // shortlist is the whole candidate set; the exact re-rank is then
+      // brute force — the quantization loss must cancel out entirely
+      val refined = VectorOps.ivfPqRefineTopK(emb, k = 10, rerankK = n, nprobe = nCells)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val brute = VectorOps.bruteForceTopK(emb, k = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      refined shouldBe brute
+    }
+    it("exact refine never loses recall vs serving straight from reconstructions") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      def meanRecall(df: org.apache.spark.sql.DataFrame) = {
+        val rows = df.collect(); rows.map(_.getAs[Double]("recall_at_k")).sum / rows.length
+      }
+      // same nprobe, same codes — the refine stage can only promote true
+      // neighbors ADC ranked 11..rerankK, never demote ones it ranked 1..k
+      // into oblivion (they stay in the shortlist and re-rank exactly)
+      meanRecall(VectorOps.ivfPqRefineRecallReport(emb)) should be >=
+        meanRecall(VectorOps.ivfPqRecallReport(emb))
+    }
+    it("final ranking is a reordering of the ADC shortlist") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val shortlist = VectorOps.ivfPqTopK(emb, k = VectorOps.RerankShortlist, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val refined = VectorOps.ivfPqRefineTopK(emb, k = 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      refined.subsetOf(shortlist) shouldBe true
+    }
+  }
+
   describe("mrlTopK") {
     it("degenerates to exact brute force when the prefix is the full dim") {
       val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -525,6 +525,20 @@ object SparkEntry {
     "moments_rollup" -> ((s, dir) =>
       Sketches.momentsRollup(Sketches.momentPartials(Tables.events(s, dir)))),
 
+    // Count-min sketch in table form: depth×width=2048 integer counters —
+    // the bounded-state heavy-hitter primitive. The groupBy cardinality is
+    // the GEOMETRY, not the key domain, so map-side combine collapses any
+    // partition to ≤2048 rows before the only exchange; cells merge by
+    // exact addition across days/shards/streams.
+    "cms_sketch" -> ((s, dir) => Sketches.cmsSketch(Tables.events(s, dir))),
+
+    // Heavy hitters from the CMS: est(x) = min over hash rows, threshold
+    // as exact integer cross-multiplication; exact counts reported beside
+    // the estimates make the query its own accuracy audit
+    // (overestimate ≥ 0 always — CMS never undercounts).
+    "cms_heavy_hitters" -> ((s, dir) =>
+      Sketches.cmsHeavyHitters(Tables.events(s, dir))),
+
     // Column-profiling audit: one row per column (nulls, exact distincts,
     // typed min/max) in a single Expand-based scan.
     "profile_events" -> ((s, dir) =>
@@ -801,6 +815,14 @@ object SparkEntry {
     "text_bigram_logprob" -> ((s, dir) =>
       TextOps.bigramLogprob(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    // Supervised hashed-feature multinomial NB (the CCNet/fastText-style
+    // curation classifier) with fixed-point log terms so the argmax is
+    // exactly reproducible across engines and cluster sizes — see
+    // graft.ops.Classify.
+    "nb_lang_classify" -> ((s, dir) =>
+      graft.ops.Classify.nbLangClassify(Tables.documents(s, dir))),
+    "nb_lang_confusion" -> ((s, dir) =>
+      graft.ops.Classify.nbLangConfusion(Tables.documents(s, dir))),
     // Classifier-quality audit: language-ID prediction vs the labeled lang
     // column as a confusion matrix — the accuracy panel read before
     // trusting langId gates in a curation run.
@@ -1642,6 +1664,8 @@ object SparkEntry {
 
     "quantile_rollup" -> DuckDbOracles.quantileRollup(),
     "moments_rollup" -> DuckDbOracles.momentsRollup,
+    "cms_sketch" -> DuckDbOracles.cmsSketch,
+    "cms_heavy_hitters" -> DuckDbOracles.cmsHeavyHitters(),
     "winsorize_values" -> DuckDbOracles.winsorizeValues(),
     "profile_events" -> DuckDbOracles.profileEvents(ProfileCols),
     "contract_report" -> DuckDbOracles.contractReport,
@@ -1925,6 +1949,8 @@ object SparkEntry {
     "text_unigram_logprob" -> DuckDbOracles.unigramLogprob(),
     "text_bigram_logprob" -> DuckDbOracles.bigramLogprob(),
     "text_langid" -> DuckDbOracles.textLangId,
+    "nb_lang_classify" -> DuckDbOracles.nbLangClassify,
+    "nb_lang_confusion" -> DuckDbOracles.nbLangConfusion,
     "langid_confusion" ->
       s"""SELECT d.lang, p.lang_pred, count(*) AS n
          FROM (${DuckDbOracles.textLangId}) p JOIN documents d USING (doc_id)

@@ -145,4 +145,92 @@ object Sketches {
       round((s2 - s1 * s1 / nd) / (nd - lit(1.0)), 6).as("var_samp"),
       round(when(m2 > 0, m3 / (m2 * sqrt(m2))).otherwise(lit(0.0)), 6).as("skew_pop"))
   }
+
+  /** Count-min sketch geometry: depth × width counters of state no matter
+    * how many distinct keys flow through — the heavy-hitter primitive when
+    * the key domain itself (user ids, URLs, n-grams) is too large to
+    * groupBy-count exactly in one pass at 100 TB. The overestimate is
+    * ~stream-mass/width per probe (min over depth rows), so width must
+    * dominate the live key count for a mean-rate threshold to separate:
+    * 8192 columns × 4 rows = 32k counters (≤ a few hundred KB broadcast)
+    * keeps the error well under the mean rate up to ~10⁴ keys; production
+    * sizing scales width with the key budget, not the data volume.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 8192L
+
+  /** 2³¹−1 (Mersenne prime) for the universal hash family
+    * h_i(x) = ((a_i·x + b_i) mod p) mod w. a_i < p and x < 2³¹ keep
+    * a_i·x < 2⁶² — no BIGINT overflow in either engine; the arithmetic is
+    * pure integer ops, so DuckDB replays every counter bit-exactly.
+    */
+  val CmsPrime = 2147483647L
+  val CmsA: Seq[Long] = Seq(1103515245L, 12345701L, 998244353L, 69069L)
+  val CmsB: Seq[Long] = Seq(12345L, 54321L, 7L, 1000003L)
+
+  private def cmsCell(row: Int, key: org.apache.spark.sql.Column) =
+    pmod(pmod(lit(CmsA(row)) * key + lit(CmsB(row)), lit(CmsPrime)), lit(CmsWidth))
+
+  /** The sketch in table form: (row_idx, col_idx, cnt) over `user_id`.
+    * Each event lands in `CmsDepth` cells (a narrow array-explode — no
+    * pre-shuffle); the groupBy has BOUNDED cardinality depth×width = 2048,
+    * so map-side combine collapses every 100 TB partition to ≤2048 rows
+    * before the only exchange. Sketches merge by per-cell ADDITION —
+    * associative, commutative, exact — across days, shards, or streams.
+    */
+  def cmsSketch(events: DataFrame): DataFrame = {
+    val cells = array((0 until CmsDepth).map(i =>
+      struct(lit(i).as("row_idx"), cmsCell(i, col("user_id")).as("col_idx"))): _*)
+    events.select(explode(cells).as("cell"))
+      .select(col("cell.row_idx"), col("cell.col_idx"))
+      .groupBy(col("row_idx"), col("col_idx"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate the frequency of each candidate key from the sketch:
+    * est(x) = min over rows of cnt[i, h_i(x)] — never under the true
+    * count. The sketch is a ≤2048-row broadcast; candidates probe it with
+    * a map-side join (at scale the candidate set is whatever keyed stream
+    * you route past the sketch — here the distinct keys themselves).
+    */
+  def cmsEstimates(events: DataFrame): DataFrame = {
+    val sketch = cmsSketch(events)
+    val cells = array((0 until CmsDepth).map(i =>
+      struct(lit(i).as("row_idx"), cmsCell(i, col("user_id")).as("col_idx"))): _*)
+    events.select(col("user_id")).distinct()
+      .select(col("user_id"), explode(cells).as("cell"))
+      .select(col("user_id"), col("cell.row_idx"), col("cell.col_idx"))
+      .join(broadcast(sketch), Seq("row_idx", "col_idx"))
+      .groupBy(col("user_id"))
+      .agg(min(col("cnt")).as("est_cnt"))
+  }
+
+  /** Heavy-hitter threshold as a ratio over the MEAN per-key rate
+    * (est ≥ 12/10 × total/keys): a fixed share-of-stream cut is
+    * scale-dependent (half the keys at 10× the data and nothing crosses
+    * 1%), while "X× the mean rate" flags the same skew shape at every sf.
+    */
+  val CmsHeavyNum = 12L
+  val CmsHeavyDen = 10L
+
+  /** Keys whose CMS estimate exceeds `num/den` × the mean per-key rate —
+    * the decision is an exact integer cross-multiplication
+    * (est·keys·den ≥ total·num), no division for an engine to round.
+    * Emits the exact count beside the estimate so the report doubles as
+    * the sketch's accuracy audit (overestimate = est − exact ≥ 0 always).
+    */
+  def cmsHeavyHitters(
+      events: DataFrame,
+      num: Long = CmsHeavyNum,
+      den: Long = CmsHeavyDen): DataFrame = {
+    val exact = events.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+    val total = events.agg(count(lit(1)).as("n_total"),
+      count_distinct(col("user_id")).as("n_keys"))
+    cmsEstimates(events)
+      .join(exact, Seq("user_id"))
+      .crossJoin(broadcast(total))
+      .filter(col("est_cnt") * col("n_keys") * lit(den) >= col("n_total") * lit(num))
+      .select(col("user_id"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("overestimate"))
+  }
 }

@@ -2164,4 +2164,91 @@ object DuckDbOracles {
        |  ${h("fr", "substr(text, 1 + 64 * j.frame_idx, 64)")} AS frame_hash
        |FROM documents, (SELECT unnest(range(0, 8)) AS frame_idx) j
        |WHERE doc_id % 3 = 2 AND j.frame_idx <= (length(text) - 1) // 64""".stripMargin
+
+  /** Shared CTE chain replaying Classify.nbLangScores: hashed-feature
+    * multinomial NB with fixed-point (micro-nat) log terms — the integer
+    * quantization is what makes the sum and argmax engine-independent.
+    */
+  private def nbScoreCtes: String = {
+    val f = graft.ops.Classify.NbFeatures
+    val fp = graft.ops.Classify.FpScale
+    val feat = s"CAST(${h(graft.ops.Classify.NbSeed, "tok")} % $f AS BIGINT)"
+    s"""ltok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |inst AS (SELECT doc_id, lang, unnest(t) AS tok FROM ltok),
+       |fi AS (SELECT doc_id, lang, $feat AS feat FROM inst),
+       |cnt AS (SELECT lang AS cls, feat, count(*) AS c FROM fi GROUP BY 1, 2),
+       |ctot AS (SELECT lang AS cls, count(*) AS tot FROM fi GROUP BY 1),
+       |cdocs AS (SELECT lang AS cls, count(*) AS nd FROM documents GROUP BY 1),
+       |tdocs AS (SELECT count(*) AS n_total FROM documents),
+       |pri AS (SELECT cls, CAST(round(ln(CAST(nd AS DOUBLE) / CAST(n_total AS DOUBLE)) * $fp, 0) AS BIGINT) AS prior_fp
+       |  FROM cdocs CROSS JOIN tdocs),
+       |terms AS (SELECT fi.doc_id, fi.lang, cl.cls,
+       |    CAST(round(ln(CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE) / CAST(ctot.tot + $f AS DOUBLE)) * $fp, 0) AS BIGINT) AS t_fp
+       |  FROM fi CROSS JOIN (SELECT cls FROM cdocs) cl
+       |  JOIN ctot ON cl.cls = ctot.cls
+       |  LEFT JOIN cnt ON cl.cls = cnt.cls AND fi.feat = cnt.feat),
+       |ds AS (SELECT doc_id, lang, cls, sum(t_fp) AS s_fp FROM terms GROUP BY 1, 2, 3),
+       |sc AS (SELECT doc_id, lang, ds.cls, s_fp + prior_fp AS score_fp
+       |  FROM ds JOIN pri ON ds.cls = pri.cls),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, cls ASC) AS rn FROM sc)""".stripMargin
+  }
+
+  /** Twin of Classify.nbLangClassify. */
+  def nbLangClassify: String =
+    s"""WITH $nbScoreCtes
+       |SELECT doc_id, lang, cls AS pred_lang,
+       |  round(CAST(score_fp AS DOUBLE) / ${graft.ops.Classify.FpScale}.0, 6) AS score,
+       |  CAST(CASE WHEN cls = lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+       |FROM rk WHERE rn = 1""".stripMargin
+
+  /** VALUES table of the CMS universal-hash constants, rendered from the
+    * shared Sketches geometry so the two engines can never disagree on a
+    * hash row.
+    */
+  private def cmsHashRows: String = {
+    val sk = graft.ops.Sketches
+    (0 until sk.CmsDepth)
+      .map(i => s"(${i}, ${sk.CmsA(i)}, ${sk.CmsB(i)})").mkString(", ")
+  }
+
+  /** Shared CTEs replaying Sketches.cmsSketch / cmsEstimates: pure integer
+    * universal hashing, per-cell counts, min-over-rows estimates.
+    */
+  private def cmsCtes: String = {
+    val sk = graft.ops.Sketches
+    val cell = s"((h.a * user_id + h.b) % ${sk.CmsPrime}) % ${sk.CmsWidth}"
+    s"""hh(row_idx, a, b) AS (VALUES $cmsHashRows),
+       |cells AS (SELECT CAST(h.row_idx AS INT) AS row_idx,
+       |    CAST($cell AS BIGINT) AS col_idx
+       |  FROM events CROSS JOIN hh h),
+       |sk AS (SELECT row_idx, col_idx, count(*) AS cnt FROM cells GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT user_id FROM events),
+       |probe AS (SELECT user_id, CAST(h.row_idx AS INT) AS row_idx,
+       |    CAST($cell AS BIGINT) AS col_idx
+       |  FROM cand CROSS JOIN hh h),
+       |est AS (SELECT user_id, min(cnt) AS est_cnt
+       |  FROM probe JOIN sk USING (row_idx, col_idx) GROUP BY 1)""".stripMargin
+  }
+
+  /** Twin of Sketches.cmsSketch. */
+  def cmsSketch: String =
+    s"""WITH $cmsCtes
+       |SELECT row_idx, col_idx, cnt FROM sk""".stripMargin
+
+  /** Twin of Sketches.cmsHeavyHitters. */
+  def cmsHeavyHitters(
+      num: Long = graft.ops.Sketches.CmsHeavyNum,
+      den: Long = graft.ops.Sketches.CmsHeavyDen): String =
+    s"""WITH $cmsCtes,
+       |exact AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_total, count(DISTINCT user_id) AS n_keys FROM events)
+       |SELECT user_id, exact_cnt, est_cnt, est_cnt - exact_cnt AS overestimate
+       |FROM est JOIN exact USING (user_id) CROSS JOIN tot
+       |WHERE est_cnt * n_keys * $den >= n_total * $num""".stripMargin
+
+  /** Twin of Classify.nbLangConfusion. */
+  def nbLangConfusion: String =
+    s"""WITH $nbScoreCtes
+       |SELECT lang, cls AS pred_lang, count(*) AS n
+       |FROM rk WHERE rn = 1 GROUP BY 1, 2""".stripMargin
 }

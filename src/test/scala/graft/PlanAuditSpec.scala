@@ -55,6 +55,14 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // one-row totals aggregate broadcast-crossed onto the few-row
     // per-source counts (never the corpus)
     "temperature_mix" -> Set("nested-loop-join"),
+    // one-row (n_total, n_keys) totals aggregate broadcast-crossed onto
+    // the per-key estimate table (the mean-rate threshold)
+    "cms_heavy_hitters" -> Set("nested-loop-join"),
+    // C-row class-list broadcast deliberately fanning every token
+    // instance out to all |classes| candidates (bounded ×C blowup — the
+    // NB scoring shape), plus the one-row doc-total prior cross
+    "nb_lang_classify" -> Set("nested-loop-join"),
+    "nb_lang_confusion" -> Set("nested-loop-join"),
     // one-row (tot_tokens, p_sum) totals aggregate broadcast-crossed onto
     // the per-source census (a handful of rows)
     "mixture_epoch_plan" -> Set("nested-loop-join"),

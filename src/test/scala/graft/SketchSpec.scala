@@ -161,4 +161,52 @@ class SketchSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       r.getAs[Double]("skew_pop") shouldBe 0.0
     }
   }
+
+  describe("count-min sketch") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    // 1 heavy key (600 events = 60%), 40 light keys (10 each)
+    def cmsEvents = ((1 to 600).map(_ => 7L) ++
+      (1 to 40).flatMap(k => (1 to 10).map(_ => 100L + k))).toDF("user_id")
+
+    it("preserves total mass per hash row and never undercounts") {
+      val sk = Sketches.cmsSketch(cmsEvents)
+      val perRow = sk.groupBy(col("row_idx")).agg(sum(col("cnt")).as("m"))
+        .collect().map(_.getLong(1)).toSeq
+      perRow shouldBe Seq.fill(Sketches.CmsDepth)(1000L)
+
+      val est = Sketches.cmsEstimates(cmsEvents).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      est(7L) should be >= 600L
+      (101L to 140L).foreach(k => est(k) should be >= 10L)
+      // 41 keys into 512 columns × 4 rows: min-over-rows should be exact here
+      est(7L) shouldBe 600L
+    }
+
+    it("sketches merge by per-cell addition (split == whole)") {
+      val ids = (1 to 600).map(_ => 7L) ++
+        (1 to 40).flatMap(k => (1 to 10).map(_ => 100L + k))
+      val (s1, s2) = ids.splitAt(500)
+      val (a, b) = (s1.toDF("user_id"), s2.toDF("user_id"))
+      val merged = Sketches.cmsSketch(a).union(Sketches.cmsSketch(b))
+        .groupBy(col("row_idx"), col("col_idx")).agg(sum(col("cnt")).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val whole = Sketches.cmsSketch(cmsEvents)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      merged shouldBe whole
+    }
+
+    it("flags exactly the planted heavy hitter at the 1.2×-mean-rate threshold") {
+      // mean rate = 1000/41 ≈ 24.4; threshold ≈ 29.3: heavy (600) passes,
+      // light keys (10 each) need a 4-row full collision to sneak over
+      val hh = Sketches.cmsHeavyHitters(cmsEvents)
+      val rows = hh.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      rows.map(_._1).toSet shouldBe Set(7L)
+      val (_, exact, est, over) = rows(0)
+      exact shouldBe 600L
+      over shouldBe (est - exact)
+      over should be >= 0L
+    }
+  }
 }

@@ -187,23 +187,30 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Point-estimate the frequency of each candidate key from the sketch:
+  /** Point-estimate each candidate key's frequency from a sketch table:
     * est(x) = min over rows of cnt[i, h_i(x)] — never under the true
-    * count. The sketch is a ≤2048-row broadcast; candidates probe it with
-    * a map-side join (at scale the candidate set is whatever keyed stream
-    * you route past the sketch — here the distinct keys themselves).
+    * count. The sketch is a ≤depth×width-row broadcast; candidates probe
+    * it with a map-side join (at scale the candidate set is whatever keyed
+    * stream you route past the sketch). Works identically over a batch
+    * sketch or the streamed fold's state snapshot — the sketch TABLE is
+    * the interface.
     */
-  def cmsEstimates(events: DataFrame): DataFrame = {
-    val sketch = cmsSketch(events)
+  def cmsEstimatesFrom(sketch: DataFrame, candidates: DataFrame): DataFrame = {
     val cells = array((0 until CmsDepth).map(i =>
       struct(lit(i).as("row_idx"), cmsCell(i, col("user_id")).as("col_idx"))): _*)
-    events.select(col("user_id")).distinct()
+    candidates
       .select(col("user_id"), explode(cells).as("cell"))
       .select(col("user_id"), col("cell.row_idx"), col("cell.col_idx"))
       .join(broadcast(sketch), Seq("row_idx", "col_idx"))
       .groupBy(col("user_id"))
       .agg(min(col("cnt")).as("est_cnt"))
   }
+
+  /** Batch convenience: sketch the events and probe with their own
+    * distinct keys.
+    */
+  def cmsEstimates(events: DataFrame): DataFrame =
+    cmsEstimatesFrom(cmsSketch(events), events.select(col("user_id")).distinct())
 
   /** Heavy-hitter threshold as a ratio over the MEAN per-key rate
     * (est ≥ 12/10 × total/keys): a fixed share-of-stream cut is

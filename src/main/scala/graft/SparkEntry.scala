@@ -1021,6 +1021,13 @@ object SparkEntry {
     "neardup_triangles" -> ((s, dir) =>
       graft.ops.Graph.triangleStats(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
 
+    // Synchronous label-propagation communities over the near-dup graph:
+    // finer than connected components (a template hub welds unrelated
+    // cliques into one component; LPA keeps the cliques apart) — the
+    // granularity "keep one representative per group" should operate at.
+    "neardup_communities" -> ((s, dir) =>
+      graft.ops.Graph.labelPropagation(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
+
     // Dedup-cluster audit: component-size distribution over the near-dup
     // graph — the sanity panel read before applying a drop policy (one
     // giant component = a boilerplate artifact, not real duplication).
@@ -1995,6 +2002,7 @@ object SparkEntry {
     "curation_pipeline" -> DuckDbOracles.curationPipeline(),
     "dedup_components" -> DuckDbOracles.dedupComponents(),
     "pagerank_neardup" -> DuckDbOracles.pagerankNeardup(),
+    "neardup_communities" -> DuckDbOracles.neardupCommunities(),
     "neardup_triangles" -> DuckDbOracles.neardupTriangles,
     "dedup_components_exact" -> DuckDbOracles.dedupComponentsExact,
     "dedup_cluster_stats" ->

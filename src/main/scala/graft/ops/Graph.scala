@@ -117,4 +117,50 @@ object Graph {
           lit(2.0) * coalesce(col("n_tri"), lit(0L)) / (col("deg") * (col("deg") - 1)))
           .otherwise(lit(0.0)), 6).as("clustering_coef"))
   }
+
+  /** Synchronous label-propagation rounds — fixed and unrollable so the
+    * oracle can replay each round as a CTE (same convention as PrIters).
+    */
+  val LpIters = 3
+
+  /** Label-propagation community detection over an undirected pair graph
+    * (doc_a, doc_b): every node starts labeled with its own id; each
+    * SYNCHRONOUS round relabels v with the most frequent label among its
+    * neighbors, ties broken by the smallest label — both rules integer-
+    * exact, so the result is deterministic across engines, partitionings,
+    * and cluster sizes (asynchronous LPA, the textbook default, is
+    * schedule-dependent and unreproducible — useless for an
+    * oracle-checked pipeline).
+    *
+    * Communities refine what connected components cannot: a component is
+    * everything transitively touching, so one template hub welds
+    * unrelated duplicate cliques into a single giant component, while
+    * label propagation keeps densely-linked cliques as separate
+    * communities — the granularity at which "keep one representative per
+    * group" should actually operate.
+    *
+    * Scale: each round is one equi-join of the edge list against the
+    * label table, one bounded hash agg on (node, label), and one size-
+    * |labels-per-node| window — everything keyed on the PAIR graph, never
+    * corpus-sized; `iters` is a constant, so the plan depth is fixed.
+    */
+  def labelPropagation(pairs: DataFrame, iters: Int = LpIters): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (_ <- 0 until iters) {
+      val cnt = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("c").desc, col("lab").asc)
+      labels = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("node"), col("lab"))
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
 }

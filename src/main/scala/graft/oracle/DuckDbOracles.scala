@@ -1084,6 +1084,26 @@ object DuckDbOracles {
        |FROM nd JOIN r$iters r ON nd.node = r.node""".stripMargin
   }
 
+  /** Twin of Graph.labelPropagation: the synchronous rounds unroll to one
+    * CTE pair (neighbor-label counts, argmax with min-label tie-break)
+    * per iteration — all integer decisions, so the replay is exact.
+    */
+  def neardupCommunities(iters: Int = graft.ops.Graph.LpIters): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst AS node, l.lab, count(*) AS c
+         |  FROM edges e JOIN l${k - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |l$k AS (SELECT node, lab FROM (
+         |  SELECT node, lab, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+         |  FROM c$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($minhashLshPairs) p),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+       |$iterCtes
+       |SELECT node, lab AS community FROM l$iters""".stripMargin
+  }
+
   /** Twin of Graph.triangleStats. The Spark side enumerates with degree
     * orientation (the O(m^1.5) bound); the triangle SET is
     * orientation-independent, so the oracle uses the simple a<b<c

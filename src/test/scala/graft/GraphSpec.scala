@@ -107,5 +107,31 @@ class GraphSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("labelPropagation") {
+    it("separates two cliques welded by a bridge (hand-simulated 3 rounds)") {
+      // cliques {1,2,3} and {10,11,12}, bridge 3-10: a single connected
+      // component, but LPA converges to communities 1 and 3 — replayed by
+      // hand: round 1 {1→2,2→1,3→1,10→3,11→10,12→10}, round 2
+      // {1→1,2→1,3→1,10→10,11→3,12→3}, round 3 {…,10→3,11→3,12→3}.
+      val pairs = pairsDf(Seq(1L -> 2L, 1L -> 3L, 2L -> 3L,
+        10L -> 11L, 10L -> 12L, 11L -> 12L, 3L -> 10L))
+      val got = Graph.labelPropagation(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 3L, 11L -> 3L, 12L -> 3L)
+    }
+
+    it("is partitioning-invariant (integer counts + min-label tie-break)") {
+      val edges = (for (a <- 1L to 24L; b <- 1L to 24L
+        if a < b && (a * 11 + b * 17) % 7 == 0) yield a -> b).toSeq
+      val df = pairsDf(edges)
+      val a = Graph.labelPropagation(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = Graph.labelPropagation(df.repartition(13)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      a shouldBe b
+    }
+  }
+
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 }

@@ -918,6 +918,11 @@ object SparkEntry {
     // Reciprocal-rank fusion of the BM25 and QL pools — hybrid retrieval's
     // calibration-free rank combiner.
     "rrf_fusion" -> ((s, dir) => TextOps.rrfFusion(Tables.documents(s, dir))),
+    // nDCG@k of all three retrieval systems against deterministic
+    // term-coverage qrels — the self-contained ranking-quality panel
+    // (fixed-point DCG terms; see TextOps.retrievalNdcgReport).
+    "retrieval_ndcg_report" -> ((s, dir) =>
+      TextOps.retrievalNdcgReport(Tables.documents(s, dir))),
     // DSIR importance resampling: hashed-bigram target/raw log-ratio
     // weights + deterministic hash-Gumbel top-k selection.
     "dsir_resample" -> ((s, dir) => TextOps.dsirResample(Tables.documents(s, dir))),
@@ -1997,6 +2002,7 @@ object SparkEntry {
     "pmi_collocations" -> DuckDbOracles.pmiCollocations(),
     "ql_topk" -> DuckDbOracles.qlTopK(),
     "rrf_fusion" -> DuckDbOracles.rrfFusion(),
+    "retrieval_ndcg_report" -> DuckDbOracles.retrievalNdcgReport(),
     "heaps_law_fit" -> DuckDbOracles.heapsLawFit,
     "corpus_retention" -> DuckDbOracles.corpusRetention(),
     "curation_pipeline" -> DuckDbOracles.curationPipeline(),

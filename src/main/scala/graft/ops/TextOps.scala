@@ -1099,6 +1099,69 @@ object TextOps {
       .select(col("q_id"), col("rank"), col("doc_id"), col("rrf"))
   }
 
+  /** nDCG@k evaluation of the three retrieval systems (BM25, Dirichlet
+    * QL, RRF fusion) against a DETERMINISTIC graded ground truth:
+    * rel(q, d) = number of distinct query terms present in d (0..|q|) —
+    * the term-coverage qrels a self-contained eval can define without
+    * human judgments, and exactly the signal the rankers are supposed to
+    * recover (so a broken ranker scores visibly below its peers).
+    *
+    * DCG = Σ (2^rel − 1) / log2(rank + 1). 2^rel − 1 is an exact small
+    * integer (rel is bounded by the query length, rendered as a CASE so
+    * both engines evaluate the same integer table — no cross-engine
+    * pow()); each rank term is quantized to integer micro-units before
+    * summation (the Classify fixed-point convention), so per-query DCG
+    * and ideal DCG are exact integers and their final ratio is the only
+    * float — deterministic at any cluster size.
+    *
+    * Scale: qrels is one distinct-(doc, tok) ⋈ broadcast-query-terms agg;
+    * the ideal ranking is a per-query top-k window over qrels; each
+    * system's ranked list is ≤ |queries|·k rows. Nothing here touches
+    * corpus-sized data beyond the posting scans the systems already do.
+    */
+  def retrievalNdcgReport(
+      docs: DataFrame,
+      queries: Seq[(Int, Seq[String])] = Bm25Queries,
+      k: Int = RrfK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "qtok")
+    val maxRel = queries.map(_._2.size).max
+
+    // exact 2^rel − 1 as a CASE over the bounded rel domain
+    def gainInt(rel: Column): Column =
+      (0 to maxRel).foldLeft(lit(0L)) { (acc, r) =>
+        when(rel === r, lit((1L << r) - 1L)).otherwise(acc)
+      }
+    def termFp(rel: Column, rank: Column): Column =
+      round(lit(1e6) * gainInt(rel).cast("double") /
+        log2(rank.cast("double") + lit(1.0)), 0).cast("long")
+
+    val dt = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok")).distinct()
+    val qrels = dt.join(broadcast(qterms), col("tok") === col("qtok"))
+      .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("rel"))
+
+    val iw = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("doc_id").asc)
+    val idcg = qrels.withColumn("rank", row_number().over(iw)).filter(col("rank") <= k)
+      .groupBy(col("q_id")).agg(sum(termFp(col("rel"), col("rank"))).as("idcg_fp"))
+
+    val ranked = Seq(
+      "bm25" -> bm25TopK(docs, queries, k),
+      "ql" -> qlTopK(docs, queries, k),
+      "rrf" -> rrfFusion(docs, queries, RrfPoolK, k))
+      .map { case (m, df) =>
+        df.select(lit(m).as("method"), col("q_id"), col("rank"), col("doc_id"))
+      }.reduce(_.unionByName(_))
+
+    val dcg = ranked.join(qrels, Seq("q_id", "doc_id"), "left")
+      .groupBy(col("method"), col("q_id"))
+      .agg(sum(termFp(coalesce(col("rel"), lit(0L)), col("rank"))).as("dcg_fp"))
+    dcg.join(idcg, Seq("q_id"))
+      .select(col("q_id"), col("method"),
+        round(col("dcg_fp").cast("double") / col("idcg_fp").cast("double"), 6).as("ndcg"))
+  }
+
   /** Shannon entropy (bits) of a character-level symbol array, as a pure
     * projection expression: H = log2(n) - (Σ c·log2 c)/n over the
     * per-symbol occurrence counts c. The count list is sorted ascending

@@ -2221,6 +2221,40 @@ object DuckDbOracles {
        |  CAST(CASE WHEN cls = lang THEN 1 ELSE 0 END AS BIGINT) AS correct
        |FROM rk WHERE rn = 1""".stripMargin
 
+  /** Twin of TextOps.retrievalNdcgReport: term-coverage qrels, exact
+    * CASE-rendered 2^rel − 1 gains, per-rank terms quantized to integer
+    * micro-units before summation (the fixed-point convention), the three
+    * system rankings nested as subqueries of their own oracle SQL.
+    */
+  def retrievalNdcgReport(k: Int = TextOps.RrfK): String = {
+    val maxRel = TextOps.Bm25Queries.map(_._2.size).max
+    val qtVals = TextOps.Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    def gain(rel: String) =
+      s"(CASE ${(0 to maxRel).map(r => s"WHEN $rel = $r THEN ${(1L << r) - 1L}").mkString(" ")} END)"
+    def term(rel: String, rank: String) =
+      s"CAST(round(1000000.0 * CAST(${gain(rel)} AS DOUBLE) / log2(CAST($rank AS DOUBLE) + 1.0), 0) AS BIGINT)"
+    s"""WITH qt2(q_id, qtok) AS (VALUES $qtVals),
+       |dt AS (SELECT DISTINCT doc_id, tok FROM
+       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u),
+       |qr AS (SELECT qt2.q_id, dt.doc_id, count(*) AS rel
+       |  FROM dt JOIN qt2 ON dt.tok = qt2.qtok GROUP BY 1, 2),
+       |irk AS (SELECT q_id, doc_id, rel,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, doc_id ASC) AS rank FROM qr),
+       |idcg AS (SELECT q_id, sum(${term("rel", "rank")}) AS idcg_fp
+       |  FROM irk WHERE rank <= $k GROUP BY 1),
+       |sysr AS (
+       |  SELECT 'bm25' AS method, q_id, rank, doc_id FROM (${bm25TopK(k)}) b
+       |  UNION ALL SELECT 'ql' AS method, q_id, rank, doc_id FROM (${qlTopK(k)}) q
+       |  UNION ALL SELECT 'rrf' AS method, q_id, rank, doc_id FROM (${rrfFusion()}) r),
+       |dcg AS (SELECT method, s.q_id, sum(${term("coalesce(qr.rel, 0)", "s.rank")}) AS dcg_fp
+       |  FROM sysr s LEFT JOIN qr ON s.q_id = qr.q_id AND s.doc_id = qr.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d.q_id, d.method,
+       |  round(CAST(dcg_fp AS DOUBLE) / CAST(idcg_fp AS DOUBLE), 6) AS ndcg
+       |FROM dcg d JOIN idcg i ON d.q_id = i.q_id""".stripMargin
+  }
+
   /** VALUES table of the CMS universal-hash constants, rendered from the
     * shared Sketches geometry so the two engines can never disagree on a
     * hash row.

@@ -76,6 +76,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "ql_topk" -> Set("nested-loop-join"),
     // rrf composes the BM25 and QL chains, inheriting both stats crosses
     "rrf_fusion" -> Set("nested-loop-join"),
+    // the nDCG eval runs all three systems, inheriting the same labeled
+    // one-row corpus-stats crosses
+    "retrieval_ndcg_report" -> Set("nested-loop-join"),
     // one-row (nr, nt) feature-total aggregate broadcast-crossed onto the
     // doc×bucket counts (the DSIR Laplace denominators)
     "dsir_resample" -> Set("nested-loop-join"),

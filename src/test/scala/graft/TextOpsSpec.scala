@@ -609,4 +609,30 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
       out.getLong(2) shouldBe 1L // only "c" is OOV
     }
   }
+
+  describe("retrievalNdcgReport") {
+    it("scores 1.0 for every system when the ideal order is forced") {
+      // qrels: d1 rel=2, d2 rel=1, d3 rel=0 — every ranker puts d1 first
+      val docs = docsDf(Seq(1L -> "cat dog", 2L -> "cat filler", 3L -> "bird"))
+      val got = TextOps.retrievalNdcgReport(docs, Seq(1 -> Seq("cat", "dog")))
+        .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+      got.keySet shouldBe Set("bm25", "ql", "rrf")
+      got.values.foreach(_ shouldBe 1.0 +- 1e-9)
+    }
+
+    it("emits |queries|x3 bounded scores on a term-bearing corpus") {
+      val terms = TextOps.Bm25Queries.flatMap(_._2).distinct
+      val docs = docsDf((1L to 12L).map(i =>
+        i -> (terms.zipWithIndex.collect {
+          case (t, j) if (i + j) % 3 == 0 => t
+        } :+ "filler").mkString(" ")))
+      val rows = TextOps.retrievalNdcgReport(docs).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+      rows.length shouldBe TextOps.Bm25Queries.length * 3
+      rows.foreach { case (_, _, ndcg) =>
+        ndcg should be > 0.0
+        ndcg should be <= 1.0
+      }
+    }
+  }
 }

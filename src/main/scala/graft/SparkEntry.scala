@@ -864,6 +864,11 @@ object SparkEntry {
     "dedup_normalized" -> ((s, dir) => TextOps.normalizedDedup(Tables.documents(s, dir))),
     "text_scrub_pii" -> ((s, dir) => TextOps.scrubPii(Tables.documents(s, dir))),
     "pack_training_shards" -> ((s, dir) => TextOps.packShards(Tables.documents(s, dir))),
+    // Per-shard packing audit: window fill ratio (padding waste) and
+    // boundary-straddling doc count (truncation / cross-window masking) —
+    // the two numbers read before committing a packed shard layout.
+    "pack_efficiency_report" -> ((s, dir) =>
+      TextOps.packEfficiencyReport(Tables.documents(s, dir))),
     // Deterministic hash-based stratified sampling + train/val split: the
     // reproducible-subset op a training pipeline runs before tokenization.
     "stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
@@ -1978,6 +1983,7 @@ object SparkEntry {
     "dedup_normalized" -> DuckDbOracles.dedupNormalized,
     "text_scrub_pii" -> DuckDbOracles.textScrubPii,
     "pack_training_shards" -> DuckDbOracles.packShards,
+    "pack_efficiency_report" -> DuckDbOracles.packEfficiencyReport,
     "custom_sessions" -> DuckDbOracles.customSessions(SessionGapMs, SessionCapMs),
     "stratified_sample" -> DuckDbOracles.stratifiedSample,
     "length_matched_sample" -> DuckDbOracles.histogramMatch(),

@@ -448,6 +448,59 @@ object TextOps {
           .cast("bigint").as("bin"))
   }
 
+  /** Packing-efficiency audit over the packShards layout: per shard, how
+    * many budget windows the greedy fill used, how full they are
+    * (`fill_ratio` — the fraction of window capacity carrying real
+    * tokens; the complement is padding waste the training loop pays for),
+    * and how many documents STRADDLE a window boundary (`split_docs` —
+    * each one either truncates or costs a cross-window attention mask).
+    * These are the two numbers every sequence-packing pipeline reports
+    * before committing a shard layout.
+    *
+    * All decisions are integer arithmetic on the same prefix sums
+    * packShards computes (a doc splits iff strt mod budget + n_tokens >
+    * budget), so the oracle replays the report exactly. Scale: the same
+    * two-level windowed prefix sum as packShards, then two bounded hash
+    * aggs (shard×bin, then shard).
+    */
+  def packEfficiencyReport(
+      docs: DataFrame,
+      nShards: Int = 8,
+      tokenBudget: Int = 1000,
+      blockSpan: Long = 1024L,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      (hash("shard", col("doc_id").cast("string")) % nShards).as("shard"),
+      floor(col("doc_id") / blockSpan).cast("bigint").as("block"))
+    val wLocal = Window.partitionBy(col("shard"), col("block")).orderBy(col("doc_id"))
+    val local = base.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+    val wOff = Window.partitionBy(col("shard")).orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("shard"), col("block"))
+      .agg(sum(col("n_tokens")).as("block_total"))
+      .select(col("shard"), col("block"),
+        coalesce(sum(col("block_total")).over(wOff), lit(0L)).as("block_offset"))
+    val placed = local.join(offsets, Seq("shard", "block"))
+      .select(col("shard"), col("n_tokens"),
+        (col("block_offset") + col("local_cum") - col("n_tokens")).as("strt"))
+      .select(col("shard"), col("n_tokens"), col("strt"),
+        floor(col("strt").cast("double") / tokenBudget).cast("bigint").as("bin"),
+        when(pmod(col("strt"), lit(tokenBudget.toLong)) + col("n_tokens") > tokenBudget, 1L)
+          .otherwise(0L).as("split"))
+    placed.groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        sum(col("split")).as("split_docs"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        sum(col("split_docs")).as("split_docs"),
+        sum(col("bin_tokens")).as("total_tokens"),
+        round(sum(col("bin_tokens")).cast("double") /
+          (count(lit(1)) * lit(tokenBudget)).cast("double"), 6).as("fill_ratio"))
+  }
+
   /** Tokens per boilerplate-removal segment (the "line" unit — the synthetic
     * corpus has no newlines, so segmentation is fixed-width in tokens; a
     * production corpus would split on newline/sentence boundaries instead,

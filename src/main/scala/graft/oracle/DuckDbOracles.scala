@@ -845,6 +845,29 @@ object DuckDbOracles {
        |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 1000) AS BIGINT) AS bin
        |FROM c""".stripMargin
 
+  /** Twin of TextOps.packEfficiencyReport(nShards=8, tokenBudget=1000):
+    * same prefix sums, integer split test, per-shard occupancy rollup.
+    */
+  val packEfficiencyReport: String =
+    s"""WITH base AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |    ${h("shard", "CAST(doc_id AS VARCHAR)")} % 8 AS shard
+       |  FROM documents),
+       |c AS (SELECT doc_id, shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+       |  FROM base),
+       |p AS (SELECT shard, n_tokens, cum - n_tokens AS strt,
+       |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 1000) AS BIGINT) AS bin,
+       |    CASE WHEN (cum - n_tokens) % 1000 + n_tokens > 1000 THEN 1 ELSE 0 END AS split
+       |  FROM c),
+       |pb AS (SELECT shard, bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+       |    sum(split) AS split_docs
+       |  FROM p GROUP BY 1, 2)
+       |SELECT shard, count(*) AS n_bins, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(split_docs) AS BIGINT) AS split_docs,
+       |  CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+       |  round(CAST(sum(bin_tokens) AS DOUBLE) / CAST(count(*) * 1000 AS DOUBLE), 6) AS fill_ratio
+       |FROM pb GROUP BY 1""".stripMargin
+
   /** Twin of Sampling.histogramMatch — same integer bucket ids (floor
     * division), same 64-bit integer ppm quotient, same md5-bridge gate.
     */

@@ -610,6 +610,30 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("packEfficiencyReport") {
+    it("matches the hand-computed fill and split counts across a block boundary") {
+      // 5 docs × 4 tokens, budget 10, blockSpan 4 (docs 4-5 in block 1):
+      // starts 0,4,8,12,16 → bins 0,0,0,1,1; only the start-8 doc
+      // straddles (8%10+4 > 10); fill = 20/(2·10) = 1.0
+      val docs = docsDf((1L to 5L).map(_ -> "a b c d"))
+      val r = TextOps.packEfficiencyReport(
+        docs, nShards = 1, tokenBudget = 10, blockSpan = 4).collect()(0)
+      r.getLong(1) shouldBe 2L // n_bins
+      r.getLong(2) shouldBe 5L // n_docs
+      r.getLong(3) shouldBe 1L // split_docs
+      r.getLong(4) shouldBe 20L // total_tokens
+      r.getDouble(5) shouldBe 1.0 +- 1e-9
+    }
+
+    it("is invariant to the block span (the two-level prefix sum is exact)") {
+      val docs = docsDf((1L to 40L).map(i => i -> ("t " * (i % 7 + 1).toInt).trim))
+      def rows(span: Long) = TextOps.packEfficiencyReport(
+        docs, nShards = 4, tokenBudget = 25, blockSpan = span)
+        .collect().map(_.toSeq).toSet
+      rows(4L) shouldBe rows(1024L)
+    }
+  }
+
   describe("retrievalNdcgReport") {
     it("scores 1.0 for every system when the ideal order is forced") {
       // qrels: d1 rel=2, d2 rel=1, d3 rel=0 — every ranker puts d1 first

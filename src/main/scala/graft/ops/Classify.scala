@@ -64,33 +64,46 @@ object Classify {
 
   /** Per-(doc, class) fixed-point NB scores: doc_id, lang (true label),
     * cls (candidate class), score_fp (integer micro-nats, prior included).
+    *
+    * One hashed token scan: the corpus is aggregated to per-(doc, feat)
+    * counts FIRST, so the (expensive, oracle-portable) feature hash runs
+    * exactly once per token instance, training counts derive from the
+    * same aggregate (cnt = Σ over docs, ctot = Σ over cnt — never a
+    * second scan), and the ×C class fanout multiplies the much smaller
+    * distinct-(doc, feat) frame. Scoring weights each (feat, cls) term by
+    * the in-doc count — an integer × the quantized term, so the result is
+    * EXACTLY the per-instance sum the oracle replays.
     */
   def nbLangScores(docs: DataFrame): DataFrame = {
-    val inst = docs
+    val docFeat = docs
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("lang"),
         pmod(PortableHash.h31(NbSeed, col("tok")), lit(NbFeatures.toLong)).as("feat"))
+      .groupBy(col("doc_id"), col("lang"), col("feat"))
+      .agg(count(lit(1)).as("n"))
 
-    // Model: bounded (class × bucket) counts + per-class totals + doc priors.
-    val cnt = inst.groupBy(col("lang").as("cls"), col("feat"))
-      .agg(count(lit(1)).as("c"))
-    val ctot = inst.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("tot"))
+    // Model: bounded (class × bucket) counts + per-class totals + doc
+    // priors — all derived from docFeat, no second corpus scan.
+    val cnt = docFeat.groupBy(col("lang").as("cls"), col("feat"))
+      .agg(sum(col("n")).as("c"))
+    val ctot = cnt.groupBy(col("cls")).agg(sum(col("c")).as("tot"))
     val cdocs = docs.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("nd"))
     val tdocs = docs.agg(count(lit(1)).as("n_total"))
     val prior = cdocs.crossJoin(broadcast(tdocs)).select(
       col("cls"),
       fp(log(col("nd").cast("double") / col("n_total").cast("double"))).as("prior_fp"))
 
-    // Score every instance against every class: C-row broadcast cross, then
-    // the broadcast model join (≤ C·F rows); unseen (cls,feat) smooths to c=0.
+    // Score every (doc, feat) against every class: C-row broadcast cross,
+    // then the broadcast model join (≤ C·F rows); unseen (cls, feat)
+    // smooths to c=0.
     val classes = cdocs.select(col("cls"))
-    val terms = inst
+    val terms = docFeat
       .crossJoin(broadcast(classes))
       .join(broadcast(cnt), Seq("cls", "feat"), "left")
       .join(broadcast(ctot), Seq("cls"))
       .select(col("doc_id"), col("lang"), col("cls"),
-        fp(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
-          (col("tot") + lit(NbFeatures.toLong)).cast("double"))).as("t_fp"))
+        (col("n") * fp(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("tot") + lit(NbFeatures.toLong)).cast("double")))).as("t_fp"))
 
     terms.groupBy(col("doc_id"), col("lang"), col("cls"))
       .agg(sum(col("t_fp")).as("s_fp"))

@@ -549,6 +549,18 @@ object SparkEntry {
     "contract_report" -> ((s, dir) =>
       graft.ops.Profile.contractReport(Tables.events(s, dir))),
 
+    // k-anonymity audit: per event_type, equivalence-class stats over the
+    // (type, day, value-bucket) quasi-identifier and the exact integer-ppm
+    // share of re-identifiable rows (class < k) — the governance panel
+    // after PII scrubbing.
+    "k_anonymity_report" -> ((s, dir) =>
+      graft.ops.Privacy.kAnonymityReport(Tables.events(s, dir))),
+
+    // Suppression-based k-anonymization: quasi columns NULLed for rows in
+    // classes below k, with the suppression flag emitted.
+    "k_anonymize" -> ((s, dir) =>
+      graft.ops.Privacy.kAnonymize(Tables.events(s, dir))),
+
     // Winsorization: clip values to the per-type [p01, p99] cutoffs from
     // the same granularity-bounded histogram as quantile_rollup — the
     // robust-cleaning TRANSFORM the outlier report motivates. The clipped
@@ -1681,6 +1693,8 @@ object SparkEntry {
 
     "quantile_rollup" -> DuckDbOracles.quantileRollup(),
     "moments_rollup" -> DuckDbOracles.momentsRollup,
+    "k_anonymity_report" -> DuckDbOracles.kAnonymityReport(),
+    "k_anonymize" -> DuckDbOracles.kAnonymize(),
     "cms_sketch" -> DuckDbOracles.cmsSketch,
     "cms_heavy_hitters" -> DuckDbOracles.cmsHeavyHitters(),
     "winsorize_values" -> DuckDbOracles.winsorizeValues(),

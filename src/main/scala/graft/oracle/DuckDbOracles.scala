@@ -2278,6 +2278,31 @@ object DuckDbOracles {
        |FROM dcg d JOIN idcg i ON d.q_id = i.q_id""".stripMargin
   }
 
+  /** Shared CTEs replaying Privacy.quasi/classSizes. */
+  private def kAnonCtes: String =
+    s"""q AS (SELECT event_id, event_type, CAST(ts AS DATE) AS day,
+       |    CAST(floor(value / ${graft.ops.Privacy.ValueBucket}) AS BIGINT) AS vb
+       |  FROM events),
+       |cs AS (SELECT event_type, day, vb, count(*) AS cls_n FROM q GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Twin of Privacy.kAnonymityReport. */
+  def kAnonymityReport(k: Long = graft.ops.Privacy.KAnon): String =
+    s"""WITH $kAnonCtes
+       |SELECT event_type, count(*) AS n_classes, CAST(sum(cls_n) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN cls_n < $k THEN cls_n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       |  CAST(min(cls_n) AS BIGINT) AS min_class,
+       |  CAST((sum(CASE WHEN cls_n < $k THEN cls_n ELSE 0 END) * 1000000) // sum(cls_n) AS BIGINT) AS risk_ppm
+       |FROM cs GROUP BY 1""".stripMargin
+
+  /** Twin of Privacy.kAnonymize. */
+  def kAnonymize(k: Long = graft.ops.Privacy.KAnon): String =
+    s"""WITH $kAnonCtes
+       |SELECT q.event_id, q.event_type,
+       |  CASE WHEN cls_n >= $k THEN q.day END AS day,
+       |  CASE WHEN cls_n >= $k THEN q.vb END AS vb,
+       |  CAST(CASE WHEN cls_n < $k THEN 1 ELSE 0 END AS BIGINT) AS suppressed
+       |FROM q JOIN cs ON q.event_type = cs.event_type AND q.day = cs.day AND q.vb = cs.vb""".stripMargin
+
   /** VALUES table of the CMS universal-hash constants, rendered from the
     * shared Sketches geometry so the two engines can never disagree on a
     * hash row.

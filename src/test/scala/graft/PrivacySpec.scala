@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.Privacy
+
+class PrivacySpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  // one day, one event_type: 6 rows in value-bucket 0 (safe at k=5),
+  // 2 rows in bucket 9 (at risk)
+  private def ev = ((1L to 6L).map(i => (i, "click", 1700000000000L, 3.0)) ++
+    Seq((7L, "click", 1700000000000L, 95.0), (8L, "click", 1700000000000L, 97.5)))
+    .map { case (id, t, ms, v) => (id, t, new java.sql.Timestamp(ms), v) }
+    .toDF("event_id", "event_type", "ts", "value")
+
+  describe("kAnonymityReport") {
+    it("counts classes, at-risk rows, and the exact integer-ppm risk share") {
+      val r = Privacy.kAnonymityReport(ev).collect()(0)
+      r.getString(0) shouldBe "click"
+      r.getLong(1) shouldBe 2L // n_classes
+      r.getLong(2) shouldBe 8L // n_rows
+      r.getLong(3) shouldBe 2L // rows_at_risk
+      r.getLong(4) shouldBe 2L // min_class
+      r.getLong(5) shouldBe 250000L // 2/8 exactly
+    }
+  }
+
+  describe("kAnonymize") {
+    it("suppresses quasi columns only for rows in small classes") {
+      val rows = Privacy.kAnonymize(ev).collect()
+        .map(r => r.getLong(0) -> ((r.isNullAt(2), r.isNullAt(3), r.getLong(4)))).toMap
+      (1L to 6L).foreach(id => rows(id) shouldBe ((false, false, 0L)))
+      Seq(7L, 8L).foreach(id => rows(id) shouldBe ((true, true, 1L)))
+    }
+
+    it("after suppression every visible class is >= k") {
+      val out = Privacy.kAnonymize(ev)
+      val sizes = out.filter(org.apache.spark.sql.functions.col("suppressed") === 0L)
+        .groupBy("event_type", "day", "vb").count()
+        .collect().map(_.getLong(3))
+      sizes.foreach(_ should be >= Privacy.KAnon)
+    }
+  }
+}

@@ -835,6 +835,10 @@ object SparkEntry {
       graft.ops.Classify.nbLangClassify(Tables.documents(s, dir))),
     "nb_lang_confusion" -> ((s, dir) =>
       graft.ops.Classify.nbLangConfusion(Tables.documents(s, dir))),
+    // Calibration by decision margin: per margin-bucket accuracy as exact
+    // integer ppm — the audit behind "keep only confident docs" gates.
+    "nb_margin_calibration" -> ((s, dir) =>
+      graft.ops.Classify.nbMarginCalibration(Tables.documents(s, dir))),
     // Classifier-quality audit: language-ID prediction vs the labeled lang
     // column as a confusion matrix — the accuracy panel read before
     // trusting langId gates in a curation run.
@@ -1982,6 +1986,7 @@ object SparkEntry {
     "text_langid" -> DuckDbOracles.textLangId,
     "nb_lang_classify" -> DuckDbOracles.nbLangClassify,
     "nb_lang_confusion" -> DuckDbOracles.nbLangConfusion,
+    "nb_margin_calibration" -> DuckDbOracles.nbMarginCalibration,
     "langid_confusion" ->
       s"""SELECT d.lang, p.lang_pred, count(*) AS n
          FROM (${DuckDbOracles.textLangId}) p JOIN documents d USING (doc_id)

@@ -139,4 +139,43 @@ object Classify {
     nbLangClassify(docs)
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
+
+  /** Margin-bucket width in micro-nats (0.1 nat) and the top bucket cap. */
+  val MarginBucketFp = 100000L
+  val MarginBucketMax = 9L
+
+  /** Calibration-by-margin report: bucket documents by the DECISION
+    * MARGIN (top score − runner-up score, an exact integer in micro-nats)
+    * and report per-bucket accuracy as an integer-ppm quotient. The
+    * margin is the confidence signal a curation gate thresholds on
+    * ("keep only confidently-classified docs"); this report is the audit
+    * that says whether that confidence is EARNED — accuracy should rise
+    * monotonically with margin, and a flat curve means the gate is
+    * filtering noise. Every number is integer arithmetic over the same
+    * fixed-point scores the classifier ranks by, so the oracle replays it
+    * exactly. Scale: one size-C window per doc (shared with classify) +
+    * one ≤10-bucket hash agg.
+    */
+  def nbMarginCalibration(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_fp").desc, col("cls").asc)
+    val top2 = nbLangScores(docs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        max(when(col("rn") === 1, col("cls"))).as("pred"),
+        max(when(col("rn") === 1, col("score_fp"))).as("s1"),
+        max(when(col("rn") === 2, col("score_fp"))).as("s2"))
+    top2.select(col("lang"), col("pred"),
+        // a single-class corpus has no runner-up: maximal confidence
+        when(col("s2").isNull, lit(MarginBucketMax)).otherwise(
+          least(expr(s"CAST((s1 - s2) div $MarginBucketFp AS BIGINT)"),
+            lit(MarginBucketMax))).as("margin_bucket"))
+      .groupBy(col("margin_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("margin_bucket"), col("n_docs"), col("n_correct"),
+        expr("CAST((n_correct * 1000000) div n_docs AS BIGINT)").as("acc_ppm"))
+  }
 }

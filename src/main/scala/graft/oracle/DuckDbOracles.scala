@@ -2353,4 +2353,23 @@ object DuckDbOracles {
     s"""WITH $nbScoreCtes
        |SELECT lang, cls AS pred_lang, count(*) AS n
        |FROM rk WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+
+  /** Twin of Classify.nbMarginCalibration. */
+  def nbMarginCalibration: String = {
+    val (bw, cap) = (graft.ops.Classify.MarginBucketFp, graft.ops.Classify.MarginBucketMax)
+    s"""WITH $nbScoreCtes,
+       |t2 AS (SELECT doc_id, lang,
+       |    max(CASE WHEN rn = 1 THEN cls END) AS pred,
+       |    max(CASE WHEN rn = 1 THEN score_fp END) AS s1,
+       |    max(CASE WHEN rn = 2 THEN score_fp END) AS s2
+       |  FROM rk WHERE rn <= 2 GROUP BY 1, 2),
+       |mb AS (SELECT lang, pred,
+       |    CAST(CASE WHEN s2 IS NULL THEN $cap
+       |      ELSE least((s1 - s2) // $bw, $cap) END AS BIGINT) AS margin_bucket
+       |  FROM t2)
+       |SELECT margin_bucket, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST((sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS acc_ppm
+       |FROM mb GROUP BY 1""".stripMargin
+  }
 }

@@ -48,6 +48,35 @@ class ClassifySpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper
     }
   }
 
+  describe("nbMarginCalibration") {
+    it("puts exact ties in bucket 0 and a one-class corpus at the cap") {
+      val tied = docsDf(Seq((1L, "z z", "bb"), (2L, "z z", "aa")))
+      val t = Classify.nbMarginCalibration(tied).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+      t.keySet shouldBe Set(0L)
+      t(0L)._1 shouldBe 2L
+      t(0L)._2 shouldBe 500000L // one of the two tied docs is labeled aa
+
+      val mono = docsDf(Seq((1L, "x x", "aa")))
+      val m = Classify.nbMarginCalibration(mono).collect()(0)
+      m.getLong(0) shouldBe Classify.MarginBucketMax
+      m.getLong(3) shouldBe 1000000L
+    }
+
+    it("separable corpus: every doc lands in one bucket with accuracy 1") {
+      val docs = docsDf(Seq(
+        (1L, "x x x", "aa"), (2L, "x x x", "aa"),
+        (3L, "y y y", "bb"), (4L, "y y y", "bb")))
+      val rows = Classify.nbMarginCalibration(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      rows.map(_._2).sum shouldBe 4L
+      rows.foreach { case (_, n, correct, ppm) =>
+        correct shouldBe n
+        ppm shouldBe 1000000L
+      }
+    }
+  }
+
   describe("nbLangConfusion") {
     it("is diagonal on the separable corpus") {
       val docs = docsDf(Seq(

@@ -63,6 +63,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // NB scoring shape), plus the one-row doc-total prior cross
     "nb_lang_classify" -> Set("nested-loop-join"),
     "nb_lang_confusion" -> Set("nested-loop-join"),
+    "nb_margin_calibration" -> Set("nested-loop-join"),
     // one-row (tot_tokens, p_sum) totals aggregate broadcast-crossed onto
     // the per-source census (a handful of rows)
     "mixture_epoch_plan" -> Set("nested-loop-join"),

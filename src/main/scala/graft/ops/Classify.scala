@@ -159,14 +159,15 @@ object Classify {
   def nbMarginCalibration(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_fp").desc, col("cls").asc)
+    // one window pass: the winner row carries the runner-up score via
+    // lead() — no string-pivot aggregate (max(string) would fall back to
+    // SortAggregate), no second join
     val top2 = nbLangScores(docs)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2)
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(
-        max(when(col("rn") === 1, col("cls"))).as("pred"),
-        max(when(col("rn") === 1, col("score_fp"))).as("s1"),
-        max(when(col("rn") === 2, col("score_fp"))).as("s2"))
+      .withColumn("s2", lead(col("score_fp"), 1).over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("cls").as("pred"),
+        col("score_fp").as("s1"), col("s2"))
     top2.select(col("lang"), col("pred"),
         // a single-class corpus has no runner-up: maximal confidence
         when(col("s2").isNull, lit(MarginBucketMax)).otherwise(

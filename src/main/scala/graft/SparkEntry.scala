@@ -549,6 +549,12 @@ object SparkEntry {
     "contract_report" -> ((s, dir) =>
       graft.ops.Profile.contractReport(Tables.events(s, dir))),
 
+    // Storage-encoding advisor: per column, exact distinct and run-count
+    // stats with integer-ppm quotients and the rle/dict/plain advice — the
+    // layout decision a 100 TB table pays for on every scan.
+    "storage_profile" -> ((s, dir) =>
+      graft.ops.Profile.storageProfile(Tables.events(s, dir))),
+
     // k-anonymity audit: per event_type, equivalence-class stats over the
     // (type, day, value-bucket) quasi-identifier and the exact integer-ppm
     // share of re-identifiable rows (class < k) — the governance panel
@@ -1697,6 +1703,7 @@ object SparkEntry {
 
     "quantile_rollup" -> DuckDbOracles.quantileRollup(),
     "moments_rollup" -> DuckDbOracles.momentsRollup,
+    "storage_profile" -> DuckDbOracles.storageProfile,
     "k_anonymity_report" -> DuckDbOracles.kAnonymityReport(),
     "k_anonymize" -> DuckDbOracles.kAnonymize(),
     "cms_sketch" -> DuckDbOracles.cmsSketch,

@@ -45,6 +45,50 @@ object Profile {
     * the emitted integers (no avg() aggregator crosses the engine
     * boundary).
     */
+  /** Columns the storage advisor profiles and the day-run thresholds
+    * (integer ppm) deciding its encoding advice.
+    */
+  val StorageCols: Seq[String] = Seq("event_type", "user_id", "value", "props")
+  val RlePpmMax = 200000L
+  val DictPpmMax = 10000L
+
+  /** Storage-encoding advisor — the layout decision a 100 TB table pays
+    * for on every scan: per column, exact distinct count, and the number
+    * of RUNS (adjacent-value change points within each day partition, in
+    * event_id order — the write order). Low runs/rows ⇒ run-length
+    * encoding wins; low distinct/rows ⇒ dictionary encoding wins;
+    * otherwise plain. Both quotients are exact integer ppm, and the
+    * advice is a CASE over them, so the oracle replays the whole report.
+    *
+    * Counts are invariant to value REPRESENTATION (any injective cast
+    * preserves distinct counts and run boundaries), so both engines
+    * profile through a string cast without a cross-engine format
+    * contract. Scale: one unpivoted scan (|cols| × rows, narrow), windows
+    * partitioned by (col, day) — write-partition-sized, never global —
+    * then a |cols|-row rollup.
+    */
+  def storageProfile(events: DataFrame, cols: Seq[String] = StorageCols): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val long = cols.map { c =>
+      events.select(lit(c).as("col"), to_date(col("ts")).as("day"),
+        col("event_id"), col(c).cast("string").as("v"))
+    }.reduce(_.unionByName(_))
+    val w = Window.partitionBy(col("col"), col("day")).orderBy(col("event_id"))
+    val runs = long
+      .withColumn("chg",
+        when(lag(col("v"), 1).over(w) <=> col("v"), 0L).otherwise(1L))
+      .groupBy(col("col"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("v")).as("n_distinct"),
+        sum(col("chg")).as("n_runs"))
+    runs.select(col("col"), col("n_rows"), col("n_distinct"), col("n_runs"),
+      expr("CAST((n_distinct * 1000000) div n_rows AS BIGINT)").as("distinct_ppm"),
+      expr("CAST((n_runs * 1000000) div n_rows AS BIGINT)").as("runs_ppm"),
+      expr(s"""CASE WHEN (n_runs * 1000000) div n_rows <= $RlePpmMax THEN 'rle'
+              WHEN (n_distinct * 1000000) div n_rows <= $DictPpmMax THEN 'dict'
+              ELSE 'plain' END""").as("advice"))
+  }
+
   def keySkew(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
     val per = df.groupBy(col(groupCol), col(keyCol)).agg(count(lit(1)).as("c"))
     per.groupBy(col(groupCol))

@@ -2278,6 +2278,31 @@ object DuckDbOracles {
        |FROM dcg d JOIN idcg i ON d.q_id = i.q_id""".stripMargin
   }
 
+  /** Twin of Profile.storageProfile: same unpivot, day-partitioned run
+    * counting (null-safe change points), integer-ppm quotients, CASE
+    * advice — columns and thresholds rendered from the shared constants.
+    */
+  def storageProfile: String = {
+    val p = graft.ops.Profile
+    val branches = p.StorageCols.map(c =>
+      s"SELECT '$c' AS col, CAST(ts AS DATE) AS day, event_id, CAST($c AS VARCHAR) AS v FROM events")
+      .mkString("\n  UNION ALL ")
+    s"""WITH lng AS ($branches),
+       |r AS (SELECT col, v,
+       |    CASE WHEN lag(v) OVER (PARTITION BY col, day ORDER BY event_id)
+       |      IS NOT DISTINCT FROM v THEN 0 ELSE 1 END AS chg
+       |  FROM lng),
+       |a AS (SELECT col, count(*) AS n_rows, count(DISTINCT v) AS n_distinct,
+       |    CAST(sum(chg) AS BIGINT) AS n_runs FROM r GROUP BY 1)
+       |SELECT col, n_rows, n_distinct, n_runs,
+       |  CAST((n_distinct * 1000000) // n_rows AS BIGINT) AS distinct_ppm,
+       |  CAST((n_runs * 1000000) // n_rows AS BIGINT) AS runs_ppm,
+       |  CASE WHEN (n_runs * 1000000) // n_rows <= ${p.RlePpmMax} THEN 'rle'
+       |    WHEN (n_distinct * 1000000) // n_rows <= ${p.DictPpmMax} THEN 'dict'
+       |    ELSE 'plain' END AS advice
+       |FROM a""".stripMargin
+  }
+
   /** Shared CTEs replaying Privacy.quasi/classSizes. */
   private def kAnonCtes: String =
     s"""q AS (SELECT event_id, event_type, CAST(ts AS DATE) AS day,

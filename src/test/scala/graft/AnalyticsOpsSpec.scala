@@ -208,6 +208,41 @@ class AnalyticsOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWra
     }
   }
 
+  describe("Profile.storageProfile") {
+    it("counts runs and distincts per column with null-safe change points") {
+      val ts0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      val rows = Seq(
+        (1L, "a", 1L, 1.0, null.asInstanceOf[String]),
+        (2L, "a", 2L, 1.0, null.asInstanceOf[String]),
+        (3L, "a", 1L, 1.0, "x"),
+        (4L, "b", 2L, 1.0, "x"),
+        (5L, "b", 1L, 1.0, null.asInstanceOf[String]),
+        (6L, "b", 2L, 1.0, null.asInstanceOf[String]))
+        .map { case (id, t, u, v, p) => (id, ts0, t, u, v, p) }
+        .toDF("event_id", "ts", "event_type", "user_id", "value", "props")
+      val got = Profile.storageProfile(rows).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(6)))).toMap
+      got("event_type") shouldBe ((6L, 2L, 2L, "plain"))
+      got("user_id") shouldBe ((6L, 2L, 6L, "plain"))
+      got("value") shouldBe ((6L, 1L, 1L, "rle")) // 1 run / 6 rows
+      // leading nulls: NULL IS-NOT-DISTINCT NULL opens no run; x→null does
+      got("props") shouldBe ((6L, 1L, 2L, "plain"))
+    }
+
+    it("advises dict for low-cardinality high-churn columns") {
+      val ts0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      val rows = (1L to 1000L).map(i =>
+        (i, ts0, s"t${i % 5}", i, i.toDouble, "p"))
+        .toDF("event_id", "ts", "event_type", "user_id", "value", "props")
+      val got = Profile.storageProfile(rows).collect()
+        .map(r => r.getString(0) -> r.getString(6)).toMap
+      got("event_type") shouldBe "dict" // 5 distinct, alternating (no runs)
+      got("props") shouldBe "rle"       // constant column
+      got("user_id") shouldBe "plain"   // unique, always-changing
+    }
+  }
+
   describe("Profile.contractReport") {
     it("counts violations per rule exactly, with NULL predicates non-violating") {
       val ts0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")

@@ -372,6 +372,25 @@ object SparkEntry {
           round(avg(col("value")).over(w), 6).as("mavg3"))
     }),
 
+    // Rolling 7-row EXACT median per user — the robust smoother beside
+    // rolling_avg_3 (a single spike moves the mean, not the median). The
+    // window collects ≤7 values, sorts, and takes the type-2 median
+    // ((a+b)/2 on even counts — exact at 3dp over 2dp inputs); both
+    // engines evaluate the identical sorted-array arithmetic.
+    "rolling_median_7" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      val arr = array_sort(collect_list(col("value")).over(w))
+      val n = size(arr)
+      val med = when(n % 2 === 1, element_at(arr, ((n + 1) / 2).cast("int")))
+        .otherwise((element_at(arr, (n / 2).cast("int")) +
+          element_at(arr, (n / 2).cast("int") + 1)) / 2)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), round(med, 6).as("rmed7"))
+    }),
+
     // Corpus-level top-20 bigrams (text analysis).
     "top_bigrams" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1597,6 +1616,16 @@ object SparkEntry {
          round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
          FROM events""",
+
+    "rolling_median_7" ->
+      """WITH r AS (SELECT event_id, user_id,
+           list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS a
+         FROM events)
+         SELECT event_id, user_id,
+           round(CASE WHEN len(a) % 2 = 1 THEN a[(len(a) + 1) // 2]
+             ELSE (a[len(a) // 2] + a[len(a) // 2 + 1]) / 2 END, 6) AS rmed7
+         FROM r""",
 
     // the unnest bound derives from the longest document — a literal cap
     // would silently drop bigrams if a larger sf ships longer docs

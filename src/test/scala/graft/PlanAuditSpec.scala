@@ -64,6 +64,10 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "nb_lang_classify" -> Set("nested-loop-join"),
     "nb_lang_confusion" -> Set("nested-loop-join"),
     "nb_margin_calibration" -> Set("nested-loop-join"),
+    // ≤7-element per-row arrays: collect_list window aggs and
+    // comparator array_sort are interpreted by design; the work per row
+    // is a constant-size sort, not a codegen hot path
+    "rolling_median_7" -> Set("codegen-fallback"),
     // one-row (tot_tokens, p_sum) totals aggregate broadcast-crossed onto
     // the per-source census (a handful of rows)
     "mixture_epoch_plan" -> Set("nested-loop-join"),

@@ -955,6 +955,19 @@ object SparkEntry {
     // BM25 lexical retrieval: inverted-index posting join, broadcast
     // df/query/stats sides, per-query ranking window.
     "bm25_topk" -> ((s, dir) => TextOps.bm25TopK(Tables.documents(s, dir))),
+    // BM25 served from the inverted-index tables (full postings + doc
+    // lengths, the frames StreamingTextIngest maintains): df/corpus stats
+    // derive from the index at query time, term selection is a pushdown
+    // filter on the postings scan — result ≡ the inline build (same
+    // oracle).
+    "bm25_from_index_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = split(col("text"), " ")
+      val postings = docs.select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val doclens = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+      TextOps.bm25TopKFromIndex(postings, doclens)
+    }),
     // Heaps'-law vocabulary-growth fit across sources — the
     // tokenizer-vocab-sizing / dedup-sanity diagnostic.
     "heaps_law_fit" -> ((s, dir) => TextOps.heapsLawFit(Tables.documents(s, dir))),
@@ -2059,6 +2072,7 @@ object SparkEntry {
     "text_repetition" -> DuckDbOracles.textRepetition(),
     "text_entropy" -> DuckDbOracles.charEntropy,
     "bm25_topk" -> DuckDbOracles.bm25TopK(),
+    "bm25_from_index_topk" -> DuckDbOracles.bm25TopK(),
     "dsir_resample" -> DuckDbOracles.dsirResample(),
     "pmi_collocations" -> DuckDbOracles.pmiCollocations(),
     "ql_topk" -> DuckDbOracles.qlTopK(),

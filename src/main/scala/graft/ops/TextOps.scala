@@ -1001,16 +1001,49 @@ object TextOps {
       docs: DataFrame,
       queries: Seq[(Int, Seq[String])] = Bm25Queries,
       k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
-    import spark.implicits._
     val terms = queries.flatMap(_._2).distinct
-    val qterms = queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "qtok")
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    bm25Score(tf, dl, queries, k)
+  }
+
+  /** BM25 ranking from an inverted-index pair of tables — postings
+    * (doc_id, tok, tf) and doc lengths (doc_id, dl) — the serving path
+    * over a PERSISTED index (e.g. the streamed fold in
+    * StreamingTextIngest). Query-term selection is a pushdown-able filter
+    * on the postings scan (at 100 TB the postings table is bucketed by
+    * tok, so each query term reads its own buckets); document-frequency
+    * and corpus stats derive from the index itself, so serving equals the
+    * inline build exactly — proven in StreamingTextIngestSpec.
+    */
+  def bm25TopKFromIndex(
+      postings: DataFrame,
+      doclens: DataFrame,
+      queries: Seq[(Int, Seq[String])] = Bm25Queries,
+      k: Int = 10): DataFrame = {
+    val terms = queries.flatMap(_._2).distinct
+    bm25Score(postings.filter(col("tok").isin(terms: _*))
+        .select(col("doc_id"), col("tok"), col("tf")),
+      doclens.select(col("doc_id"), col("dl")), queries, k)
+  }
+
+  /** The shared BM25 scoring plan over query-term postings + doc lengths:
+    * broadcast query terms and df table, posting ⋈ doclen join, the
+    * per-(term, doc) contribution expression shared verbatim with the
+    * oracle SQL, per-query top-k window.
+    */
+  private def bm25Score(
+      tf: DataFrame,
+      dl: DataFrame,
+      queries: Seq[(Int, Seq[String])],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "qtok")
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val scored = tf
       .join(broadcast(qterms), col("tok") === col("qtok"))

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.ops.TextOps
+import graft.streaming.StreamingTextIngest
+
+/** The streamed inverted index end to end: BM25 served from the
+  * accumulated postings/doclen tables equals the inline batch build over
+  * everything ingested, crash-retries are exactly-once, and cold start
+  * needs no seed.
+  */
+class StreamingTextIngestSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  private val queries = Seq(1 -> Seq("hash", "join"), 2 -> Seq("scan"))
+
+  private def docsDf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  private def ranked(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+  private val b0 = Seq(1L -> "hash join scan table", 2L -> "join join filter")
+  private val b1 = Seq(3L -> "scan scan hash", 4L -> "window agg")
+  private val b2 = Seq(5L -> "hash hash join scan scan scan")
+
+  it("from-index serving equals the inline batch build over the full stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sti").toString
+    val (idxDir, ckpt) = (s"$dir/index", s"$dir/ckpt")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingTextIngest.start(mem.toDS().toDF("doc_id", "text"), idxDir, ckpt)
+    try {
+      Seq(b0, b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val fromIndex = TextOps.bm25TopKFromIndex(
+      StreamingTextIngest.readPostings(spark, idxDir),
+      StreamingTextIngest.readDoclens(spark, idxDir), queries)
+    val inline = TextOps.bm25TopK(docsDf(b0 ++ b1 ++ b2), queries)
+    ranked(fromIndex) shouldBe ranked(inline)
+    ranked(fromIndex).nonEmpty shouldBe true
+  }
+
+  it("a replayed batch is exactly-once: postings are not duplicated") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sti-retry").toString
+    StreamingTextIngest.processBatch(docsDf(b0), 0L, dir)
+    StreamingTextIngest.processBatch(docsDf(b1), 1L, dir)
+    val once = ranked(TextOps.bm25TopKFromIndex(
+      StreamingTextIngest.readPostings(spark, dir),
+      StreamingTextIngest.readDoclens(spark, dir), queries))
+    StreamingTextIngest.processBatch(docsDf(b1), 1L, dir) // crash-retry
+    ranked(TextOps.bm25TopKFromIndex(
+      StreamingTextIngest.readPostings(spark, dir),
+      StreamingTextIngest.readDoclens(spark, dir), queries)) shouldBe once
+    StreamingTextIngest.readDoclens(spark, dir).count() shouldBe 4L // not 6
+  }
+
+  it("cold start serves empty without a seeded index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sti-cold").toString
+    TextOps.bm25TopKFromIndex(
+      StreamingTextIngest.readPostings(spark, dir),
+      StreamingTextIngest.readDoclens(spark, dir), queries).count() shouldBe 0L
+  }
+}

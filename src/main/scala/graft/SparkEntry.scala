@@ -961,12 +961,8 @@ object SparkEntry {
     // filter on the postings scan — result ≡ the inline build (same
     // oracle).
     "bm25_from_index_topk" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val toks = split(col("text"), " ")
-      val postings = docs.select(col("doc_id"), explode(toks).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val doclens = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
-      TextOps.bm25TopKFromIndex(postings, doclens)
+      val (p, d) = SparkEntry.invertedIndexOf(Tables.documents(s, dir))
+      TextOps.bm25TopKFromIndex(p, d)
     }),
     // Heaps'-law vocabulary-growth fit across sources — the
     // tokenizer-vocab-sizing / dedup-sanity diagnostic.
@@ -974,6 +970,16 @@ object SparkEntry {
     // Dirichlet query-likelihood retrieval — the probabilistic LM ranker
     // that pairs with BM25 in fusion baselines.
     "ql_topk" -> ((s, dir) => TextOps.qlTopK(Tables.documents(s, dir))),
+    // QL and the full RRF hybrid stack served from the same inverted
+    // index tables as bm25_from_index_topk (cf = sum tf per term).
+    "ql_from_index_topk" -> ((s, dir) => {
+      val (p, d) = SparkEntry.invertedIndexOf(Tables.documents(s, dir))
+      TextOps.qlTopKFromIndex(p, d)
+    }),
+    "rrf_from_index" -> ((s, dir) => {
+      val (p, d) = SparkEntry.invertedIndexOf(Tables.documents(s, dir))
+      TextOps.rrfFusionFromIndex(p, d)
+    }),
     // Reciprocal-rank fusion of the BM25 and QL pools — hybrid retrieval's
     // calibration-free rank combiner.
     "rrf_fusion" -> ((s, dir) => TextOps.rrfFusion(Tables.documents(s, dir))),
@@ -1307,6 +1313,19 @@ object SparkEntry {
     "media_features" -> ((s, dir) =>
       Multimodal.decodeFeaturesArrow(Multimodal.mediaTable(Tables.documents(s, dir)))),
   )
+
+  /** The inverted-index pair (postings, doclens) exactly as
+    * StreamingTextIngest materializes it — shared by the three from-index
+    * retrieval queries.
+    */
+  private def invertedIndexOf(
+      docs: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val toks = split(col("text"), " ")
+    val postings = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val doclens = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    (postings, doclens)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "windowed_count" ->
@@ -2073,6 +2092,8 @@ object SparkEntry {
     "text_entropy" -> DuckDbOracles.charEntropy,
     "bm25_topk" -> DuckDbOracles.bm25TopK(),
     "bm25_from_index_topk" -> DuckDbOracles.bm25TopK(),
+    "ql_from_index_topk" -> DuckDbOracles.qlTopK(),
+    "rrf_from_index" -> DuckDbOracles.rrfFusion(),
     "dsir_resample" -> DuckDbOracles.dsirResample(),
     "pmi_collocations" -> DuckDbOracles.pmiCollocations(),
     "ql_topk" -> DuckDbOracles.qlTopK(),

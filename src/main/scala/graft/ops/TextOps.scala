@@ -1119,16 +1119,40 @@ object TextOps {
       docs: DataFrame,
       queries: Seq[(Int, Seq[String])] = Bm25Queries,
       k: Int = RrfPoolK): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
-    import spark.implicits._
     val terms = queries.flatMap(_._2).distinct
-    val qterms = queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "qtok")
-    val inst = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .filter(col("tok").isin(terms: _*))
-    val tf = inst.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val cf = inst.groupBy(col("tok").as("qtok")).agg(count(lit(1)).as("cf"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    qlScore(tf, dl, queries, k)
+  }
+
+  /** Dirichlet-QL from the inverted-index tables (see bm25TopKFromIndex):
+    * collection frequencies derive from the postings themselves
+    * (cf = Σ tf per term), so the one streamed index serves both rankers.
+    */
+  def qlTopKFromIndex(
+      postings: DataFrame,
+      doclens: DataFrame,
+      queries: Seq[(Int, Seq[String])] = Bm25Queries,
+      k: Int = RrfPoolK): DataFrame = {
+    val terms = queries.flatMap(_._2).distinct
+    qlScore(postings.filter(col("tok").isin(terms: _*))
+        .select(col("doc_id"), col("tok"), col("tf")),
+      doclens.select(col("doc_id"), col("dl")), queries, k)
+  }
+
+  private def qlScore(
+      tf: DataFrame,
+      dl: DataFrame,
+      queries: Seq[(Int, Seq[String])],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "qtok")
+    // collection frequency = Σ tf — identical to counting instances
+    val cf = tf.groupBy(col("tok").as("qtok")).agg(sum(col("tf")).as("cf"))
     val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val cand = tf.join(broadcast(qterms), col("tok") === col("qtok"))
       .select(col("q_id"), col("doc_id")).distinct()
@@ -1166,11 +1190,29 @@ object TextOps {
       docs: DataFrame,
       queries: Seq[(Int, Seq[String])] = Bm25Queries,
       poolK: Int = RrfPoolK,
-      k: Int = RrfK): DataFrame = {
+      k: Int = RrfK): DataFrame =
+    rrfFuse(bm25TopK(docs, queries, poolK), qlTopK(docs, queries, poolK), k)
+
+  /** RRF over the two from-index rankers — the whole hybrid-retrieval
+    * stack served from the one streamed inverted index.
+    */
+  def rrfFusionFromIndex(
+      postings: DataFrame,
+      doclens: DataFrame,
+      queries: Seq[(Int, Seq[String])] = Bm25Queries,
+      poolK: Int = RrfPoolK,
+      k: Int = RrfK): DataFrame =
+    rrfFuse(bm25TopKFromIndex(postings, doclens, queries, poolK),
+      qlTopKFromIndex(postings, doclens, queries, poolK), k)
+
+  private def rrfFuse(
+      bm25Ranked: DataFrame,
+      qlRanked: DataFrame,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val a = bm25TopK(docs, queries, poolK)
+    val a = bm25Ranked
       .select(col("q_id"), col("doc_id"), col("rank").as("ra"))
-    val b = qlTopK(docs, queries, poolK)
+    val b = qlRanked
       .select(col("q_id").as("qb"), col("doc_id").as("db"), col("rank").as("rb"))
     val fused = a.join(b, col("q_id") === col("qb") && col("doc_id") === col("db"), "full_outer")
       .select(

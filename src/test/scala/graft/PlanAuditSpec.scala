@@ -77,9 +77,11 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // one-row (n_docs, sum_dl) corpus-stats aggregate broadcast-crossed
     // onto the posting join (the BM25 avgdl/idf denominators)
     "bm25_topk" -> Set("nested-loop-join"),
-    // the from-index serving path shares bm25_topk's scoring plan and its
-    // labeled one-row corpus-stats cross
+    // the from-index serving paths share the inline rankers' scoring
+    // plans and their labeled one-row corpus-stats crosses
     "bm25_from_index_topk" -> Set("nested-loop-join"),
+    "ql_from_index_topk" -> Set("nested-loop-join"),
+    "rrf_from_index" -> Set("nested-loop-join"),
     // same one-row corpus-stats cross in the QL smoothing denominator
     "ql_topk" -> Set("nested-loop-join"),
     // rrf composes the BM25 and QL chains, inheriting both stats crosses

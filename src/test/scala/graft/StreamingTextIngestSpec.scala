@@ -37,12 +37,17 @@ class StreamingTextIngestSpec extends AnyFunSpec with Matchers with SparkSession
       Seq(b0, b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
     } finally q.stop()
 
-    val fromIndex = TextOps.bm25TopKFromIndex(
-      StreamingTextIngest.readPostings(spark, idxDir),
-      StreamingTextIngest.readDoclens(spark, idxDir), queries)
-    val inline = TextOps.bm25TopK(docsDf(b0 ++ b1 ++ b2), queries)
-    ranked(fromIndex) shouldBe ranked(inline)
-    ranked(fromIndex).nonEmpty shouldBe true
+    val p = StreamingTextIngest.readPostings(spark, idxDir)
+    val d = StreamingTextIngest.readDoclens(spark, idxDir)
+    val all = docsDf(b0 ++ b1 ++ b2)
+    // the one streamed index serves the whole hybrid stack
+    ranked(TextOps.bm25TopKFromIndex(p, d, queries)) shouldBe
+      ranked(TextOps.bm25TopK(all, queries))
+    ranked(TextOps.qlTopKFromIndex(p, d, queries)) shouldBe
+      ranked(TextOps.qlTopK(all, queries))
+    ranked(TextOps.rrfFusionFromIndex(p, d, queries)) shouldBe
+      ranked(TextOps.rrfFusion(all, queries))
+    ranked(TextOps.bm25TopKFromIndex(p, d, queries)).nonEmpty shouldBe true
   }
 
   it("a replayed batch is exactly-once: postings are not duplicated") {

@@ -980,6 +980,12 @@ object SparkEntry {
       val (p, d) = SparkEntry.invertedIndexOf(Tables.documents(s, dir))
       TextOps.rrfFusionFromIndex(p, d)
     }),
+    // Exact phrase search from the positional index: n-way positional
+    // self-join at consecutive positions, exact per-doc occurrence
+    // counts — the query class bag-of-words postings cannot answer.
+    "phrase_search" -> ((s, dir) =>
+      TextOps.phraseSearch(
+        TextOps.positionalIndexOf(Tables.documents(s, dir)))),
     // Reciprocal-rank fusion of the BM25 and QL pools — hybrid retrieval's
     // calibration-free rank combiner.
     "rrf_fusion" -> ((s, dir) => TextOps.rrfFusion(Tables.documents(s, dir))),
@@ -2094,6 +2100,7 @@ object SparkEntry {
     "bm25_from_index_topk" -> DuckDbOracles.bm25TopK(),
     "ql_from_index_topk" -> DuckDbOracles.qlTopK(),
     "rrf_from_index" -> DuckDbOracles.rrfFusion(),
+    "phrase_search" -> DuckDbOracles.phraseSearch(),
     "dsir_resample" -> DuckDbOracles.dsirResample(),
     "pmi_collocations" -> DuckDbOracles.pmiCollocations(),
     "ql_topk" -> DuckDbOracles.qlTopK(),

@@ -1173,6 +1173,51 @@ object TextOps {
       .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Exact-phrase queries evaluated by the positional index (1-based
+    * token positions; shared with the oracle SQL).
+    */
+  val PhraseQueries: Seq[(Int, String)] = Seq(
+    1 -> "hash join", 2 -> "slow query", 3 -> "customer order merge")
+
+  /** Exact phrase search over a positional index (doc_id, pos, tok):
+    * a phrase of n words matches where the n postings line up at
+    * consecutive positions in one document — the n-way self-equi-join on
+    * (doc_id, pos+i) that a positional inverted index exists to answer
+    * (substring LIKE cannot count overlapping/adjacent repeats and scans
+    * full text; the join reads only the phrase words' postings). Emits
+    * exact per-document occurrence counts.
+    *
+    * Scale: each arm of the join is the postings of ONE word (selective
+    * scans — bucketed by tok at 100 TB), all joins keyed on doc_id; the
+    * phrase length is a plan-time constant, so the join depth is fixed.
+    */
+  def phraseSearch(
+      positions: DataFrame,
+      phrases: Seq[(Int, String)] = PhraseQueries): DataFrame = {
+    val matches = phrases.map { case (qid, phrase) =>
+      val words = phrase.split(" ").toSeq
+      val base = positions.filter(col("tok") === words.head)
+        .select(col("doc_id"), col("pos").as("p0"))
+      val lined = words.zipWithIndex.drop(1).foldLeft(base) { case (acc, (w, i)) =>
+        acc.join(positions.filter(col("tok") === w)
+            .select(col("doc_id"), (col("pos") - lit(i)).as("p0")),
+          Seq("doc_id", "p0"))
+      }
+      lined.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"))
+        .select(lit(qid).as("q_id"), col("doc_id"), col("n_matches"))
+    }
+    matches.reduce(_.unionByName(_))
+  }
+
+  /** The positional index of a docs frame — (doc_id, pos, tok), 1-based
+    * positions; exactly what StreamingTextIngest persists.
+    */
+  def positionalIndexOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+
   /** Reciprocal-rank fusion (Cormack et al. SIGIR'09) of the BM25 and
     * Dirichlet-QL rankers: rrf(d) = Σ_r 1/(C + rank_r(d)) over the two
     * top-`poolK` lists, C=60 — the standard hybrid-retrieval combiner

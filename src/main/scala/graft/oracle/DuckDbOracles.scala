@@ -2278,6 +2278,26 @@ object DuckDbOracles {
        |FROM dcg d JOIN idcg i ON d.q_id = i.q_id""".stripMargin
   }
 
+  /** Twin of TextOps.phraseSearch: per phrase, the n-way positional
+    * self-join at consecutive 1-based positions, unioned across phrases —
+    * words and ids rendered from the shared PhraseQueries constant.
+    */
+  def phraseSearch(phrases: Seq[(Int, String)] = TextOps.PhraseQueries): String = {
+    val parts = phrases.map { case (qid, phrase) =>
+      val ws = phrase.split(" ")
+      val joins = ws.zipWithIndex.drop(1).map { case (w, i) =>
+        s"JOIN inst a$i ON a0.doc_id = a$i.doc_id AND a$i.pos = a0.pos + $i AND a$i.tok = '$w'"
+      }.mkString(" ")
+      s"""SELECT $qid AS q_id, a0.doc_id, count(*) AS n_matches
+         |FROM inst a0 $joins
+         |WHERE a0.tok = '${ws.head}'
+         |GROUP BY 2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $tokCte,
+       |inst AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok FROM tok)
+       |$parts""".stripMargin
+  }
+
   /** Twin of Profile.storageProfile: same unpivot, day-partitioned run
     * counting (null-safe change points), integer-ppm quotients, CASE
     * advice — columns and thresholds rendered from the shared constants.

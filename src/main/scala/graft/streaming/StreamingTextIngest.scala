@@ -43,6 +43,12 @@ object StreamingTextIngest {
     StructField("dl", LongType),
     StructField(BatchCol, LongType)))
 
+  private val positionsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("pos", IntegerType),
+    StructField("tok", StringType),
+    StructField(BatchCol, LongType)))
+
   private def readOr(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     try spark.read.schema(schema).parquet(dir)
     catch {
@@ -58,6 +64,12 @@ object StreamingTextIngest {
   def readDoclens(spark: SparkSession, indexDir: String): DataFrame =
     readOr(spark, s"$indexDir/doclens", doclenSchema).drop(BatchCol)
 
+  /** The accumulated positional index (doc_id, pos, tok; 1-based) —
+    * what `TextOps.phraseSearch` answers exact-phrase queries from.
+    */
+  def readPositions(spark: SparkSession, indexDir: String): DataFrame =
+    readOr(spark, s"$indexDir/positions", positionsSchema).drop(BatchCol)
+
   /** One micro-batch: tokenize (doc_id, text) rows into this batch's
     * postings + doc lengths, write under batch_id partitions. Idempotent
     * in `batchId`.
@@ -72,6 +84,10 @@ object StreamingTextIngest {
     val doclens = batch
       .select(col("doc_id"), size(toks).cast("long").as("dl"))
       .withColumn(BatchCol, lit(batchId))
+    val positions = batch
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"), col("tok"))
+      .withColumn(BatchCol, lit(batchId))
     def write(df: DataFrame, sub: String): Unit =
       df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -79,6 +95,7 @@ object StreamingTextIngest {
         .parquet(s"$indexDir/$sub")
     write(postings, "postings")
     write(doclens, "doclens")
+    write(positions, "positions")
   }
 
   def start(

@@ -48,6 +48,17 @@ class StreamingTextIngestSpec extends AnyFunSpec with Matchers with SparkSession
     ranked(TextOps.rrfFusionFromIndex(p, d, queries)) shouldBe
       ranked(TextOps.rrfFusion(all, queries))
     ranked(TextOps.bm25TopKFromIndex(p, d, queries)).nonEmpty shouldBe true
+
+    // phrase queries answer from the streamed positional table too
+    val phrases = Seq(1 -> "hash join")
+    val fromStream = TextOps.phraseSearch(
+        StreamingTextIngest.readPositions(spark, idxDir), phrases)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toSet
+    val inlinePhrase = TextOps.phraseSearch(
+        TextOps.positionalIndexOf(all), phrases)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toSet
+    fromStream shouldBe inlinePhrase
+    fromStream.nonEmpty shouldBe true
   }
 
   it("a replayed batch is exactly-once: postings are not duplicated") {

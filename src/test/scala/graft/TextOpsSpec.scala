@@ -610,6 +610,30 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("phraseSearch") {
+    it("counts adjacent repeats and ignores split words") {
+      val docs = docsDf(Seq(
+        1L -> "hash join hash join x", // two occurrences
+        2L -> "hash q join",           // split — no match
+        3L -> "join hash",             // wrong order — no match
+        4L -> "y hash join"))          // one occurrence
+      val got = TextOps.phraseSearch(
+        TextOps.positionalIndexOf(docs), Seq(1 -> "hash join")).collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      got shouldBe Map(1L -> 2L, 4L -> 1L)
+    }
+
+    it("matches a 3-word phrase only at full consecutive runs") {
+      val docs = docsDf(Seq(
+        1L -> "customer order merge done",
+        2L -> "customer order x merge"))
+      val got = TextOps.phraseSearch(
+        TextOps.positionalIndexOf(docs), Seq(3 -> "customer order merge"))
+        .collect().map(r => r.getLong(1)).toSeq
+      got shouldBe Seq(1L)
+    }
+  }
+
   describe("packEfficiencyReport") {
     it("matches the hand-computed fill and split counts across a block boundary") {
       // 5 docs × 4 tokens, budget 10, blockSpan 4 (docs 4-5 in block 1):

@@ -568,6 +568,12 @@ object SparkEntry {
     "contract_report" -> ((s, dir) =>
       graft.ops.Profile.contractReport(Tables.events(s, dir))),
 
+    // Robust outliers: exact histogram median + MAD per type, rows beyond
+    // k·MAD counted with an integer-ppm share — the estimator a cleaning
+    // pipeline trusts where a contaminated tail masks the z-score gate.
+    "mad_outliers" -> ((s, dir) =>
+      Sketches.madOutliers(Tables.events(s, dir))),
+
     // Storage-encoding advisor: per column, exact distinct and run-count
     // stats with integer-ppm quotients and the rle/dict/plain advice — the
     // layout decision a 100 TB table pays for on every scan.
@@ -1770,6 +1776,7 @@ object SparkEntry {
 
     "quantile_rollup" -> DuckDbOracles.quantileRollup(),
     "moments_rollup" -> DuckDbOracles.momentsRollup,
+    "mad_outliers" -> DuckDbOracles.madOutliers(),
     "storage_profile" -> DuckDbOracles.storageProfile,
     "k_anonymity_report" -> DuckDbOracles.kAnonymityReport(),
     "k_anonymize" -> DuckDbOracles.kAnonymize(),

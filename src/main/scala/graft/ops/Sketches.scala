@@ -98,6 +98,58 @@ object Sketches {
       .agg(max(col("n")).as("n"), qCols: _*)
   }
 
+  /** MAD outlier multiplier: flag |v − median| > k·MAD. An integer k
+    * keeps the threshold arithmetic exact (the textbook 1.4826·σ
+    * normalization is a non-binary constant; at a fixed k the flag set
+    * is identical either way, just at a different nominal sigma level).
+    */
+  val MadK = 3
+
+  /** Robust outlier report per event_type: exact type-1 median and
+    * median-absolute-deviation from the same granularity-bounded
+    * histograms quantileRollup uses, plus the count (and integer-ppm
+    * share) of rows beyond k·MAD. The robust twin of the z-score gate:
+    * one contaminated heavy tail moves mean/σ and masks itself, while
+    * median/MAD stay put — the estimator a cleaning pipeline trusts on
+    * raw data.
+    *
+    * Exactness: values are 2dp, so every histogram bucket, cumulative
+    * rank cut, |v − med| deviation (re-rounded 2dp), and the k·MAD
+    * comparison is the identical IEEE arithmetic in both engines.
+    * Scale: two histogram aggs (value domain-sized), two broadcast
+    * joins of the per-type cut table against the scan.
+    */
+  def madOutliers(events: DataFrame, k: Int = MadK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def median(df: DataFrame, vCol: String): DataFrame = {
+      val h = df.groupBy(col("event_type"), col(vCol).as("vb"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("vb"))
+      val wAll = Window.partitionBy(col("event_type"))
+      h.select(col("event_type"), col("vb"),
+          sum(col("c")).over(w).as("cum"), sum(col("c")).over(wAll).as("n"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") * lit(1000000L) >= col("n") * lit(500000L), col("vb")))
+            .as("m"))
+    }
+    val vals = events.select(col("event_type"), round(col("value"), 2).as("vb"))
+    val med = median(vals, "vb")
+      .select(col("event_type"), col("n"), col("m").as("med"))
+    val dev = vals.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("med"),
+        round(abs(col("vb") - col("med")), 2).as("d"))
+    val mad = median(dev.select(col("event_type"), col("d")), "d")
+      .select(col("event_type"), col("m").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("d") > lit(k.toDouble) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med"), col("mad"), col("n_outliers"),
+        expr("CAST((n_outliers * 1000000) div n AS BIGINT)").as("outlier_ppm"))
+  }
+
   /** Per-(event_type, day) moment partials: row count + EXACT decimal
     * power sums Σv, Σv², Σv³ of the 2dp value column — the
     * mean/variance/skewness twin of `quantilePartials`. DECIMAL power sums

@@ -2323,6 +2323,34 @@ object DuckDbOracles {
        |FROM a""".stripMargin
   }
 
+  /** Twin of Sketches.madOutliers: the same two histogram/cumulative-rank
+    * medians, 2dp re-rounded deviations, and integer k·MAD flag.
+    */
+  def madOutliers(k: Int = graft.ops.Sketches.MadK): String =
+    s"""WITH vals AS (SELECT event_type, round(value, 2) AS vb FROM events),
+       |h1 AS (SELECT event_type, vb, count(*) AS c FROM vals GROUP BY 1, 2),
+       |c1 AS (SELECT event_type, vb,
+       |    sum(c) OVER (PARTITION BY event_type ORDER BY vb) AS cum,
+       |    sum(c) OVER (PARTITION BY event_type) AS n FROM h1),
+       |med AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       |    min(CASE WHEN cum * 1000000 >= n * 500000 THEN vb END) AS med
+       |  FROM c1 GROUP BY 1),
+       |dev AS (SELECT v.event_type, med.n, med.med, round(abs(v.vb - med.med), 2) AS d
+       |  FROM vals v JOIN med USING (event_type)),
+       |h2 AS (SELECT event_type, d, count(*) AS c FROM dev GROUP BY 1, 2),
+       |c2 AS (SELECT event_type, d,
+       |    sum(c) OVER (PARTITION BY event_type ORDER BY d) AS cum,
+       |    sum(c) OVER (PARTITION BY event_type) AS n FROM h2),
+       |mad AS (SELECT event_type,
+       |    min(CASE WHEN cum * 1000000 >= n * 500000 THEN d END) AS mad
+       |  FROM c2 GROUP BY 1)
+       |SELECT dev.event_type, max(dev.n) AS n, max(dev.med) AS med,
+       |  max(mad.mad) AS mad,
+       |  CAST(sum(CASE WHEN dev.d > $k * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  CAST((sum(CASE WHEN dev.d > $k * mad.mad THEN 1 ELSE 0 END) * 1000000) // max(dev.n) AS BIGINT) AS outlier_ppm
+       |FROM dev JOIN mad USING (event_type)
+       |GROUP BY 1""".stripMargin
+
   /** Shared CTEs replaying Privacy.quasi/classSizes. */
   private def kAnonCtes: String =
     s"""q AS (SELECT event_id, event_type, CAST(ts AS DATE) AS day,

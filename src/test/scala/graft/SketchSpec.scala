@@ -162,6 +162,33 @@ class SketchSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("madOutliers") {
+    import graft.ops.Sketches
+    it("flags only the contaminating tail (hand-computed median and MAD)") {
+      import spark.implicits._
+      // values {0.8,0.9,1.0,1.1,1.2,100}: med=1.0 (type-1 at n=6),
+      // deviations {0,0.1,0.1,0.2,0.2,99} → MAD=0.1; only 99 > 3·MAD
+      val ev = Seq(1.0, 1.1, 0.9, 1.2, 0.8, 100.0).map(("a", _))
+        .toDF("event_type", "value")
+      val r = Sketches.madOutliers(ev).collect()(0)
+      r.getLong(1) shouldBe 6L
+      r.getDouble(2) shouldBe 1.0 +- 1e-9
+      r.getDouble(3) shouldBe 0.1 +- 1e-9
+      r.getLong(4) shouldBe 1L
+      r.getLong(5) shouldBe 166666L
+    }
+
+    it("stays put where the mean/sigma gate is masked") {
+      import spark.implicits._
+      // 20% contamination at 1000: σ inflates so much that z > 3 may
+      // catch nothing, while MAD still flags every contaminated row
+      val ev = ((1 to 40).map(i => 10.0 + (i % 5) * 0.1) ++
+        Seq.fill(10)(1000.0)).map(("a", _)).toDF("event_type", "value")
+      val r = Sketches.madOutliers(ev).collect()(0)
+      r.getLong(4) shouldBe 10L
+    }
+  }
+
   describe("count-min sketch") {
     import spark.implicits._
     import graft.ops.Sketches

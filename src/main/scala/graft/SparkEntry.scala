@@ -574,6 +574,11 @@ object SparkEntry {
     "mad_outliers" -> ((s, dir) =>
       Sketches.madOutliers(Tables.events(s, dir))),
 
+    // Percentile time series: per-(type, day) exact p10/p50/p90 bands —
+    // the envelope plot that shows variance drift the daily mean hides.
+    "daily_value_bands" -> ((s, dir) =>
+      Sketches.dailyValueBands(Tables.events(s, dir))),
+
     // Storage-encoding advisor: per column, exact distinct and run-count
     // stats with integer-ppm quotients and the rle/dict/plain advice — the
     // layout decision a 100 TB table pays for on every scan.
@@ -1109,6 +1114,16 @@ object SparkEntry {
     // granularity "keep one representative per group" should operate at.
     "neardup_communities" -> ((s, dir) =>
       graft.ops.Graph.labelPropagation(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
+
+    // LPA over the positive-PMI collocation graph: tokens that habitually
+    // co-occur propagate to shared labels — topic-ish vocabulary clusters
+    // from two existing operators composed (PMI pair graph → communities).
+    "token_communities" -> ((s, dir) =>
+      graft.ops.Graph.labelPropagation(
+        TextOps.pmiCollocations(
+            TextOps.withPlantedBoilerplate(Tables.documents(s, dir)))
+          .filter(col("pmi") > 0)
+          .select(col("tok").as("doc_a"), col("tok1").as("doc_b")))),
 
     // Dedup-cluster audit: component-size distribution over the near-dup
     // graph — the sanity panel read before applying a drop policy (one
@@ -1777,6 +1792,7 @@ object SparkEntry {
     "quantile_rollup" -> DuckDbOracles.quantileRollup(),
     "moments_rollup" -> DuckDbOracles.momentsRollup,
     "mad_outliers" -> DuckDbOracles.madOutliers(),
+    "daily_value_bands" -> DuckDbOracles.dailyValueBands(),
     "storage_profile" -> DuckDbOracles.storageProfile,
     "k_anonymity_report" -> DuckDbOracles.kAnonymityReport(),
     "k_anonymize" -> DuckDbOracles.kAnonymize(),
@@ -2119,6 +2135,7 @@ object SparkEntry {
     "dedup_components" -> DuckDbOracles.dedupComponents(),
     "pagerank_neardup" -> DuckDbOracles.pagerankNeardup(),
     "neardup_communities" -> DuckDbOracles.neardupCommunities(),
+    "token_communities" -> DuckDbOracles.tokenCommunities(),
     "neardup_triangles" -> DuckDbOracles.neardupTriangles,
     "dedup_components_exact" -> DuckDbOracles.dedupComponentsExact,
     "dedup_cluster_stats" ->

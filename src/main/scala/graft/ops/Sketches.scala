@@ -98,6 +98,35 @@ object Sketches {
       .agg(max(col("n")).as("n"), qCols: _*)
   }
 
+  /** The band positions (integer ppm) `dailyValueBands` reports. */
+  val BandPpm: Seq[(String, Long)] =
+    Seq("p10" -> 100000L, "p50" -> 500000L, "p90" -> 900000L)
+
+  /** Per-(event_type, day) exact value bands (p10/p50/p90) — the
+    * percentile time series a drift dashboard plots (a widening
+    * p10..p90 envelope is variance drift the daily mean hides). Same
+    * exact type-1 histogram machinery as quantileRollup, with the day in
+    * the partition key; one domain-sized histogram agg + one window.
+    */
+  def dailyValueBands(
+      events: DataFrame,
+      ps: Seq[(String, Long)] = BandPpm): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value"), 2).as("vb"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("vb"))
+    val wAll = Window.partitionBy(col("event_type"), col("day"))
+    val cum = h.select(col("event_type"), col("day"), col("vb"),
+      sum(col("c")).over(w).as("cum"), sum(col("c")).over(wAll).as("n"))
+    val qCols = ps.map { case (name, ppm) =>
+      min(when(col("cum") * lit(1000000L) >= col("n") * lit(ppm), col("vb"))).as(name)
+    }
+    cum.groupBy(col("event_type"), col("day"))
+      .agg(max(col("n")).as("n"), qCols: _*)
+  }
+
   /** MAD outlier multiplier: flag |v − median| > k·MAD. An integer k
     * keeps the threshold arithmetic exact (the textbook 1.4826·σ
     * normalization is a non-binary constant; at a fixed k the flag set

@@ -1111,7 +1111,11 @@ object DuckDbOracles {
     * CTE pair (neighbor-label counts, argmax with min-label tie-break)
     * per iteration — all integer decisions, so the replay is exact.
     */
-  def neardupCommunities(iters: Int = graft.ops.Graph.LpIters): String = {
+  def neardupCommunities(iters: Int = graft.ops.Graph.LpIters): String =
+    lpaSql(s"SELECT doc_a, doc_b FROM ($minhashLshPairs) p", iters)
+
+  /** Label propagation unrolled over any (doc_a, doc_b) pair subquery. */
+  private def lpaSql(pairsSql: String, iters: Int): String = {
     val iterCtes = (1 to iters).map { k =>
       s"""c$k AS (SELECT e.dst AS node, l.lab, count(*) AS c
          |  FROM edges e JOIN l${k - 1} l ON e.src = l.node GROUP BY 1, 2),
@@ -1119,13 +1123,21 @@ object DuckDbOracles {
          |  SELECT node, lab, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
          |  FROM c$k) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($minhashLshPairs) p),
+    s"""WITH pairs AS ($pairsSql),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
        |$iterCtes
        |SELECT node, lab AS community FROM l$iters""".stripMargin
   }
+
+  /** Twin of the token_communities composition: LPA over the
+    * positive-PMI collocation graph.
+    */
+  def tokenCommunities(iters: Int = graft.ops.Graph.LpIters): String =
+    lpaSql(
+      s"SELECT tok AS doc_a, tok1 AS doc_b FROM (${pmiCollocations()}) p WHERE pmi > 0",
+      iters)
 
   /** Twin of Graph.triangleStats. The Spark side enumerates with degree
     * orientation (the O(m^1.5) bound); the triangle SET is
@@ -2321,6 +2333,24 @@ object DuckDbOracles {
        |    WHEN (n_distinct * 1000000) // n_rows <= ${p.DictPpmMax} THEN 'dict'
        |    ELSE 'plain' END AS advice
        |FROM a""".stripMargin
+  }
+
+  /** Twin of Sketches.dailyValueBands: per-(type, day) type-1 band cuts
+    * from the same histogram/cumulative-rank arithmetic.
+    */
+  def dailyValueBands(ps: Seq[(String, Long)] = graft.ops.Sketches.BandPpm): String = {
+    val cuts = ps.map { case (name, ppm) =>
+      s"min(CASE WHEN cum * 1000000 >= n * $ppm THEN vb END) AS $name"
+    }.mkString(",\n  ")
+    s"""WITH h AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    round(value, 2) AS vb, count(*) AS c
+       |  FROM events GROUP BY 1, 2, 3),
+       |cum AS (SELECT event_type, day, vb,
+       |    sum(c) OVER (PARTITION BY event_type, day ORDER BY vb) AS cum,
+       |    sum(c) OVER (PARTITION BY event_type, day) AS n FROM h)
+       |SELECT event_type, day, CAST(max(n) AS BIGINT) AS n,
+       |  $cuts
+       |FROM cum GROUP BY 1, 2""".stripMargin
   }
 
   /** Twin of Sketches.madOutliers: the same two histogram/cumulative-rank

@@ -991,6 +991,14 @@ object SparkEntry {
       val (p, d) = SparkEntry.invertedIndexOf(Tables.documents(s, dir))
       TextOps.rrfFusionFromIndex(p, d)
     }),
+    // Lexical→vector hybrid with pseudo-relevance feedback (Rocchio):
+    // per-query PRF vector = mean embedding of its BM25 top-3 docs; the
+    // RRF pool reranked by cosine to it — the RAG bridge step composed
+    // from existing operators.
+    "prf_hybrid_rerank" -> ((s, dir) =>
+      VectorOps.prfHybridRerank(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
     // Exact phrase search from the positional index: n-way positional
     // self-join at consecutive positions, exact per-doc occurrence
     // counts — the query class bag-of-words postings cannot answer.
@@ -2124,6 +2132,7 @@ object SparkEntry {
     "ql_from_index_topk" -> DuckDbOracles.qlTopK(),
     "rrf_from_index" -> DuckDbOracles.rrfFusion(),
     "phrase_search" -> DuckDbOracles.phraseSearch(),
+    "prf_hybrid_rerank" -> DuckDbOracles.prfHybridRerank(),
     "dsir_resample" -> DuckDbOracles.dsirResample(),
     "pmi_collocations" -> DuckDbOracles.pmiCollocations(),
     "ql_topk" -> DuckDbOracles.qlTopK(),

@@ -418,6 +418,46 @@ object VectorOps {
         array((0 until dim).map(i => round(col(s"m$i"), 6)): _*).as("mean"))
   }
 
+  /** Pseudo-relevance-feedback expansion depth (Rocchio's top-k). */
+  val PrfExpandK = 3
+
+  /** Lexical→vector hybrid retrieval with pseudo-relevance feedback
+    * (Rocchio): the term queries have no embedding, so each query's
+    * vector is the element-wise mean (6dp, the centroid convention) of
+    * its BM25 top-`expandK` documents' embeddings; the RRF-fused hybrid
+    * pool is then reranked by cosine to that PRF vector. This is the RAG
+    * stack's bridge step — lexical recall, vector precision — composed
+    * entirely from existing operators (BM25 seeds, RRF pool, centroid
+    * mean, broadcast cosine rerank).
+    *
+    * Scale: the seed and pool frames are ≤ |queries|·k rows; the only
+    * corpus-scale work is inside the rankers themselves; the PRF table is
+    * a |queries|-row broadcast and the rerank a pool-sized projection.
+    */
+  def prfHybridRerank(
+      docs: DataFrame,
+      emb: DataFrame,
+      queries: Seq[(Int, Seq[String])] = TextOps.Bm25Queries,
+      expandK: Int = PrfExpandK,
+      k: Int = TextOps.RrfK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id").as("doc_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val seed = TextOps.bm25TopK(docs, queries, expandK)
+      .select(col("q_id"), col("doc_id")).join(e, Seq("doc_id"))
+    val dim = emb.select(size(col("embedding")).as("d")).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(EmbeddingDim)
+    val prf = meanVector(seed.select(col("q_id"), col("v")), "q_id", "v", dim)
+      .select(col("key").as("q_id"), col("centroid").as("qv"))
+    val pool = TextOps.rrfFusion(docs, queries)
+      .select(col("q_id"), col("doc_id")).join(e, Seq("doc_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("doc_id").asc)
+    pool.join(broadcast(prf), Seq("q_id"))
+      .select(col("q_id"), col("doc_id"), round(cosine(col("qv"), col("v")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("cos"))
+  }
+
   private def meanVector(df: DataFrame, keyCol: String, vecCol: String, dim: Int): DataFrame = {
     val aggs = (0 until dim).map(i =>
       avg(element_at(col(vecCol), i + 1)).as(s"m$i"))

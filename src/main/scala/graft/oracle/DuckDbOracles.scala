@@ -1131,6 +1131,28 @@ object DuckDbOracles {
        |SELECT node, lab AS community FROM l$iters""".stripMargin
   }
 
+  /** Twin of VectorOps.prfHybridRerank: BM25 seeds joined to embeddings,
+    * 6dp per-dimension PRF means (the centroid convention), the RRF pool
+    * reranked by the shared cosine expression.
+    */
+  def prfHybridRerank(
+      expandK: Int = VectorOps.PrfExpandK,
+      k: Int = TextOps.RrfK): String =
+    s"""WITH $embCte,
+       |seed AS (SELECT b.q_id, e.v FROM (${bm25TopK(expandK)}) b
+       |  JOIN e ON b.doc_id = e.vec_id),
+       |dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
+       |comp AS (SELECT q_id, pos, avg(v[pos]) AS m FROM seed, dims GROUP BY 1, 2),
+       |prf AS (SELECT q_id, list(round(m, 6) ORDER BY pos) AS qv FROM comp GROUP BY 1),
+       |pool AS (SELECT r.q_id, r.doc_id, e.v FROM (${rrfFusion()}) r
+       |  JOIN e ON r.doc_id = e.vec_id),
+       |scored AS (SELECT p.q_id, p.doc_id, round(${cosSql("prf.qv", "p.v")}, 6) AS cos
+       |  FROM pool p JOIN prf ON p.q_id = prf.q_id),
+       |ranked AS (SELECT q_id, doc_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, doc_id, cos FROM ranked WHERE rank <= $k""".stripMargin
+
   /** Twin of the token_communities composition: LPA over the
     * positive-PMI collocation graph.
     */

@@ -82,6 +82,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "bm25_from_index_topk" -> Set("nested-loop-join"),
     "ql_from_index_topk" -> Set("nested-loop-join"),
     "rrf_from_index" -> Set("nested-loop-join"),
+    // PRF composes the BM25/RRF chains, inheriting their labeled one-row
+    // corpus-stats crosses
+    "prf_hybrid_rerank" -> Set("nested-loop-join"),
     // same one-row corpus-stats cross in the QL smoothing denominator
     "ql_topk" -> Set("nested-loop-join"),
     // rrf composes the BM25 and QL chains, inheriting both stats crosses

@@ -991,6 +991,12 @@ object SparkEntry {
       val (p, d) = SparkEntry.invertedIndexOf(Tables.documents(s, dir))
       TextOps.rrfFusionFromIndex(p, d)
     }),
+    // Content-addressable corpus manifest: per source, an
+    // order-independent content digest — the dataset-versioning check
+    // that says two runs produced the same corpus without sorting it.
+    "corpus_manifest" -> ((s, dir) =>
+      TextOps.corpusManifest(Tables.documents(s, dir))),
+
     // Lexical→vector hybrid with pseudo-relevance feedback (Rocchio):
     // per-query PRF vector = mean embedding of its BM25 top-3 docs; the
     // RRF pool reranked by cosine to it — the RAG bridge step composed
@@ -2133,6 +2139,7 @@ object SparkEntry {
     "rrf_from_index" -> DuckDbOracles.rrfFusion(),
     "phrase_search" -> DuckDbOracles.phraseSearch(),
     "prf_hybrid_rerank" -> DuckDbOracles.prfHybridRerank(),
+    "corpus_manifest" -> DuckDbOracles.corpusManifest,
     "dsir_resample" -> DuckDbOracles.dsirResample(),
     "pmi_collocations" -> DuckDbOracles.pmiCollocations(),
     "ql_topk" -> DuckDbOracles.qlTopK(),

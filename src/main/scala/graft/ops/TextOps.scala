@@ -1173,6 +1173,29 @@ object TextOps {
       .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Content-addressable corpus manifest: per source, the document
+    * count, total characters, and an ORDER-INDEPENDENT content hash
+    * (sum of per-doc (id, text) fingerprints mod 2³¹−1 — commutative, so
+    * any partitioning/arrival order yields the same digest). This is the
+    * dataset-versioning primitive: two pipelines (or two runs at
+    * different cluster sizes) produced the same corpus iff the manifests
+    * match, without any canonical-order sort of 100 TB. The Mersenne
+    * modulus bounds per-doc fingerprints so the running BIGINT sum is
+    * safe to ~2³² docs per source (beyond, widen the sum to DECIMAL —
+    * the digest definition is unchanged).
+    */
+  def corpusManifest(docs: DataFrame): DataFrame = {
+    val m = 2147483647L // 2^31 - 1
+    val fp = pmod(
+      PortableHash.h31("manifest", concat_ws(":", col("doc_id"), col("text"))) *
+        lit(65537L) + col("doc_id"), lit(m))
+    docs.select(col("source"), col("n_chars"), fp.as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        pmod(sum(col("fp")), lit(m)).as("content_hash"))
+  }
+
   /** Exact-phrase queries evaluated by the positional index (1-based
     * token positions; shared with the oracle SQL).
     */

@@ -2312,6 +2312,17 @@ object DuckDbOracles {
        |FROM dcg d JOIN idcg i ON d.q_id = i.q_id""".stripMargin
   }
 
+  /** Twin of TextOps.corpusManifest: same per-doc fingerprint mod 2³¹−1
+    * and commutative digest sum.
+    */
+  def corpusManifest: String = {
+    val fp = h("manifest", "CAST(doc_id AS VARCHAR) || ':' || text")
+    s"""SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(($fp * 65537 + doc_id) % 2147483647) % 2147483647 AS BIGINT) AS content_hash
+       |FROM documents GROUP BY 1""".stripMargin
+  }
+
   /** Twin of TextOps.phraseSearch: per phrase, the n-way positional
     * self-join at consecutive 1-based positions, unioned across phrases —
     * words and ids rendered from the shared PhraseQueries constant.

@@ -610,6 +610,29 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("corpusManifest") {
+    import spark.implicits._
+    def md(rows: Seq[(Long, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "source", "n_chars")
+    val base = Seq((1L, "aa bb", "s1", 5L), (2L, "cc", "s1", 2L), (3L, "dd", "s2", 2L))
+
+    it("digest is partitioning- and order-independent") {
+      val a = TextOps.corpusManifest(md(base)).collect().map(_.toSeq).toSet
+      val b = TextOps.corpusManifest(md(base.reverse).repartition(7))
+        .collect().map(_.toSeq).toSet
+      a shouldBe b
+    }
+
+    it("a one-character change moves the digest, nothing else") {
+      val a = TextOps.corpusManifest(md(base)).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+      val b = TextOps.corpusManifest(md(base.updated(0, (1L, "aa bc", "s1", 5L))))
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      a("s1") should not be b("s1")
+      a("s2") shouldBe b("s2")
+    }
+  }
+
   describe("phraseSearch") {
     it("counts adjacent repeats and ignores split words") {
       val docs = docsDf(Seq(

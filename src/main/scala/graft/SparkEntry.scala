@@ -568,6 +568,13 @@ object SparkEntry {
     "contract_report" -> ((s, dir) =>
       graft.ops.Profile.contractReport(Tables.events(s, dir))),
 
+    // Bucketized interval join: events ⋈ [error, error+30 min) incident
+    // windows as an EQUI join on time buckets + residual range filter —
+    // the technique that keeps a range-only join off the nested-loop
+    // path at scale. Oracle replays the plain range join (same result).
+    "incident_window_hits" -> ((s, dir) =>
+      graft.ops.TimeSeries.incidentWindowHits(Tables.events(s, dir))),
+
     // Robust outliers: exact histogram median + MAD per type, rows beyond
     // k·MAD counted with an integer-ppm share — the estimator a cleaning
     // pipeline trusts where a contaminated tail masks the z-score gate.
@@ -1807,6 +1814,7 @@ object SparkEntry {
     "moments_rollup" -> DuckDbOracles.momentsRollup,
     "mad_outliers" -> DuckDbOracles.madOutliers(),
     "daily_value_bands" -> DuckDbOracles.dailyValueBands(),
+    "incident_window_hits" -> DuckDbOracles.incidentWindowHits,
     "storage_profile" -> DuckDbOracles.storageProfile,
     "k_anonymity_report" -> DuckDbOracles.kAnonymityReport(),
     "k_anonymize" -> DuckDbOracles.kAnonymize(),

@@ -457,4 +457,43 @@ object TimeSeries {
     df.select(col(keyCol),
         least(lit(nBins - 1), floor(col(valueCol) / binWidth)).cast("int").as("b"))
       .groupBy(col(keyCol), col("b")).agg(count(lit(1)).as("c_ref"))
+
+  /** Incident-window length (and the interval-join bucket width). */
+  val IncidentWindowMs = 1800000L // 30 minutes
+
+  /** BUCKETIZED interval join: which events fall inside any [error,
+    * error+30 min) incident window? A pure range-condition join has no
+    * equi key, so Spark plans a broadcast nested loop — quadratic blowup
+    * the moment the window table outgrows a broadcast. The scale
+    * technique: quantize time into buckets the width of the longest
+    * interval, explode each window to the (≤2) buckets it covers, and
+    * join on the BUCKET as an equi key with the exact range as a
+    * residual filter. The join is now shuffle/broadcast-hash on an
+    * integer key; each event meets only the windows sharing its bucket,
+    * and correctness is restored by the residual predicate + distinct
+    * (an event in two overlapping windows counts once).
+    *
+    * Report: per event_type, total events, events inside ≥1 incident
+    * window, and the integer-ppm hit share — the blast-radius panel for
+    * an incident review.
+    */
+  def incidentWindowHits(events: DataFrame): DataFrame = {
+    val bucket = (c: Column) => floor(unix_millis(c) / lit(IncidentWindowMs)).cast("long")
+    val win = events.filter(col("event_type") === "error")
+      .select(col("ts").as("ws"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("we"))
+    val wb = win.select(col("ws"), col("we"),
+      explode(array(bucket(col("ws")), bucket(col("ws")) + 1)).as("b"))
+    val eb = events.select(col("event_id"), col("event_type"), col("ts"),
+      bucket(col("ts")).as("b"))
+    val hits = eb.join(wb, Seq("b"))
+      .filter(col("ts") >= col("ws") && col("ts") < col("we"))
+      .select(col("event_id"), col("event_type")).distinct()
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+      .join(hits.groupBy(col("event_type")).agg(count(lit(1)).as("n_hits")),
+        Seq("event_type"), "left")
+      .select(col("event_type"), col("n_events"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("CAST((coalesce(n_hits, 0) * 1000000) div n_events AS BIGINT)").as("hit_ppm"))
+  }
 }

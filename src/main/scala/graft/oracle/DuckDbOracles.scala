@@ -2312,6 +2312,22 @@ object DuckDbOracles {
        |FROM dcg d JOIN idcg i ON d.q_id = i.q_id""".stripMargin
   }
 
+  /** Twin of TimeSeries.incidentWindowHits: the plain range join (the
+    * bucketization is a Spark-side execution strategy; the result set is
+    * identical by construction).
+    */
+  def incidentWindowHits: String =
+    s"""WITH win AS (SELECT ts AS ws, ts + INTERVAL 30 MINUTE AS we
+       |  FROM events WHERE event_type = 'error'),
+       |hits AS (SELECT DISTINCT e.event_id, e.event_type
+       |  FROM events e JOIN win ON e.ts >= win.ws AND e.ts < win.we),
+       |tot AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1),
+       |hc AS (SELECT event_type, count(*) AS n_hits FROM hits GROUP BY 1)
+       |SELECT t.event_type, t.n_events,
+       |  CAST(coalesce(hc.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST((coalesce(hc.n_hits, 0) * 1000000) // t.n_events AS BIGINT) AS hit_ppm
+       |FROM tot t LEFT JOIN hc ON t.event_type = hc.event_type""".stripMargin
+
   /** Twin of TextOps.corpusManifest: same per-doc fingerprint mod 2³¹−1
     * and commutative digest sum.
     */

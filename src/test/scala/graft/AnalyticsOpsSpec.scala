@@ -208,6 +208,26 @@ class AnalyticsOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWra
     }
   }
 
+  describe("TimeSeries.incidentWindowHits") {
+    it("matches the hand-computed hit sets across a bucket boundary") {
+      // errors at 0 and 25 min open windows [0,30m) and [25m,55m); the
+      // 40-min click is reachable only through the +1 bucket explode
+      val rows = Seq(
+        (1L, "error", 0L), (2L, "click", 600000L), (3L, "click", 1799999L),
+        (4L, "click", 1800000L), (5L, "error", 1500000L),
+        (6L, "click", 2400000L), (7L, "purchase", 3300000L),
+        (8L, "purchase", 3600000L))
+        .map { case (id, t, ms) => (id, t, new java.sql.Timestamp(ms)) }
+        .toDF("event_id", "event_type", "ts")
+      val got = graft.ops.TimeSeries.incidentWindowHits(rows).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      got("error") shouldBe ((2L, 2L, 1000000L))
+      got("click") shouldBe ((4L, 4L, 1000000L))
+      got("purchase") shouldBe ((2L, 0L, 0L))
+    }
+  }
+
   describe("Profile.storageProfile") {
     it("counts runs and distincts per column with null-safe change points") {
       val ts0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")

@@ -1116,6 +1116,12 @@ object SparkEntry {
     "dedup_components_exact" -> ((s, dir) =>
       Dedup.nearDupComponentsExact(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
 
+    // Survivorship-policy comparison: keep-min-id vs keep-best-quality
+    // per component (+ singletons) — same n_kept by construction; the
+    // report quantifies the quality mass each policy retains.
+    "dedup_policy_report" -> ((s, dir) =>
+      Dedup.dedupPolicyReport(Tables.documents(s, dir))),
+
     // PageRank over the near-dup pair graph: hub documents entangled with
     // many near-duplicates (template centers) — centrality the component
     // SIZE distribution cannot distinguish (chain vs star).
@@ -2162,6 +2168,7 @@ object SparkEntry {
     "token_communities" -> DuckDbOracles.tokenCommunities(),
     "neardup_triangles" -> DuckDbOracles.neardupTriangles,
     "dedup_components_exact" -> DuckDbOracles.dedupComponentsExact,
+    "dedup_policy_report" -> DuckDbOracles.dedupPolicyReport,
     "dedup_cluster_stats" ->
       s"""SELECT count(*) AS n_components,
          CAST(sum(sz) AS BIGINT) AS n_nodes,

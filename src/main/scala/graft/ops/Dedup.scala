@@ -474,4 +474,43 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Retention-policy comparison for near-dup cluster survivorship: the
+    * standard "keep the smallest id" policy (deterministic, metadata-only)
+    * vs "keep the highest-quality member" (argmax of the quality score,
+    * ties by id) — the decision a curation run actually faces. Both keep
+    * exactly one doc per component plus every unpaired singleton, so
+    * `n_kept` is identical BY CONSTRUCTION; what moves is the quality
+    * mass retained, which this report quantifies (decimal-exact sums of
+    * the 6dp scores, so the comparison is reproducible at any
+    * partitioning).
+    *
+    * Scale: components + quality are the existing operators; each policy
+    * adds one component-keyed agg/window over the PAIRED docs only and an
+    * anti-join for singletons — never a corpus-sized sort.
+    */
+  def dedupPolicyReport(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = nearDupComponentsExact(minhashLshPairs(docs))
+    val q = TextOps.qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val cq = comp.join(q, Seq("doc_id"))
+    val minKeep = cq.groupBy(col("rep")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val wq = Window.partitionBy(col("rep"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val qKeep = cq.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === 1).select(col("doc_id"))
+    val singles = q.select(col("doc_id"))
+      .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    def roll(policy: String, kept: DataFrame) =
+      kept.union(singles).join(q, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("quality_score").cast("decimal(18,6)"))
+            .cast("decimal(18,6)").as("tq"))
+        .select(lit(policy).as("policy"), col("n_kept"),
+          col("tq").cast("double").as("total_quality"),
+          round(col("tq").cast("double") / col("n_kept").cast("double"), 6)
+            .as("mean_quality"))
+    roll("min_id", minKeep).unionByName(roll("best_quality", qKeep))
+  }
 }

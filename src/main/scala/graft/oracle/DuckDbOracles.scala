@@ -1197,6 +1197,31 @@ object DuckDbOracles {
        |  SELECT e.src, rch.r FROM edges e JOIN reach rch ON e.dst = rch.node)
        |SELECT node AS doc_id, min(r) AS rep FROM reach GROUP BY 1""".stripMargin
 
+  /** Twin of Dedup.dedupPolicyReport: exact-component winners under both
+    * policies plus singletons, decimal-exact quality sums.
+    */
+  def dedupPolicyReport: String = {
+    def roll(policy: String, keepCte: String) =
+      s"""SELECT '$policy' AS policy, count(*) AS n_kept,
+         |  CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) AS total_quality,
+         |  round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_quality
+         |FROM (SELECT doc_id FROM $keepCte UNION ALL SELECT doc_id FROM singles) k
+         |JOIN q USING (doc_id)""".stripMargin
+    s"""WITH comp AS ($dedupComponentsExact),
+       |q AS (SELECT doc_id, quality_score FROM ($textQuality) t),
+       |cq AS (SELECT comp.doc_id, comp.rep, q.quality_score
+       |  FROM comp JOIN q USING (doc_id)),
+       |mk AS (SELECT min(doc_id) AS doc_id FROM cq GROUP BY rep),
+       |qk AS (SELECT doc_id FROM (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY rep ORDER BY quality_score DESC, doc_id ASC) AS rn
+       |  FROM cq) WHERE rn = 1),
+       |singles AS (SELECT doc_id FROM q
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM comp))
+       |${roll("min_id", "mk")}
+       |UNION ALL
+       |${roll("best_quality", "qk")}""".stripMargin
+  }
+
   def dedupComponents(iters: Int = 3): String = {
     val iterCtes = (1 to iters).map { n =>
       s"""l$n AS (SELECT l.doc_id, least(l.rep, coalesce(m.nmin, l.rep)) AS rep

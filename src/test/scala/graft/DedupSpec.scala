@@ -284,4 +284,22 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       jac should not contain ((1L, 2L))
     }
   }
+
+  describe("dedupPolicyReport") {
+    it("keeps equal counts but best_quality retains >= the quality mass") {
+      // cluster {1, 2}: doc 2 repeats a token (lower TTR → lower quality),
+      // so min_id keeps the BETTER doc 1 here; flip the ids in cluster
+      // {4, 5} so min_id keeps the WORSE doc and the policies diverge
+      val lowQ = ((1 to 58).map(i => s"b$i") ++ Seq("b1", "b1")).mkString(" ")
+      val docs = docsDf(Seq(
+        1L -> base, 2L -> ((1 to 59).map(i => s"tok$i") :+ "tok1").mkString(" "),
+        4L -> lowQ, 5L -> ((1 to 58).map(i => s"b$i") ++ Seq("b1", "b59")).mkString(" "),
+        9L -> unrelated))
+      val r = graft.ops.Dedup.dedupPolicyReport(docs).collect()
+        .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+      r("min_id")._1 shouldBe r("best_quality")._1 // same survivor count
+      r("best_quality")._2 should be >= r("min_id")._2
+      r("best_quality")._2 should be > r("min_id")._2 // cluster {4,5} diverges
+    }
+  }
 }

@@ -183,6 +183,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "langid_confusion" -> Set("codegen-fallback"), // composes text_langid
     "corpus_retention" -> Set("codegen-fallback"), // composes text_quality
     "weighted_sample" -> Set("codegen-fallback"), // composes text_quality's score expr
+    "dedup_policy_report" -> Set("codegen-fallback"), // composes text_quality's score expr
     "curation_pipeline" -> Set("codegen-fallback"), // composes corpus_retention
     // our own typed bounded-heap UDAF — imperative by design
     "topk_agg_per_segment" -> Set("codegen-fallback"),

@@ -223,6 +223,32 @@ class SketchSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       merged shouldBe whole
     }
 
+    it("never undercounts and merges exactly on randomized streams (seeded trials)") {
+      import spark.implicits._
+      val rng = new scala.util.Random(4242)
+      (1 to 3).foreach { trial =>
+        // Zipf-ish stream over a random key universe incl. negative-free ids
+        val ids = (1 to 800).map(_ => (rng.nextInt(1 << rng.nextInt(20)) + 1).toLong)
+        val exact = ids.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val est = Sketches.cmsEstimates(ids.toDF("user_id")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        withClue(s"trial $trial: ") {
+          est.keySet shouldBe exact.keySet
+          exact.foreach { case (k, n) => est(k) should be >= n }
+        }
+        // split-merge exactness at a random split point
+        val cut = rng.nextInt(ids.size - 1) + 1
+        val (a, b) = ids.splitAt(cut)
+        val merged = Sketches.cmsSketch(a.toDF("user_id"))
+          .union(Sketches.cmsSketch(b.toDF("user_id")))
+          .groupBy(col("row_idx"), col("col_idx")).agg(sum(col("cnt")).as("cnt"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val whole = Sketches.cmsSketch(ids.toDF("user_id"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+        withClue(s"trial $trial merge: ") { merged shouldBe whole }
+      }
+    }
+
     it("flags exactly the planted heavy hitter at the 1.2×-mean-rate threshold") {
       // mean rate = 1000/41 ≈ 24.4; threshold ≈ 29.3: heavy (600) passes,
       // light keys (10 each) need a 4-row full collision to sneak over

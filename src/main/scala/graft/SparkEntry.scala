@@ -928,6 +928,13 @@ object SparkEntry {
     // the two numbers read before committing a packed shard layout.
     "pack_efficiency_report" -> ((s, dir) =>
       TextOps.packEfficiencyReport(Tables.documents(s, dir))),
+
+    // Composed: quality-aware survivorship → shard packing. The packing
+    // audit of the corpus a best-quality dedup pass actually ships —
+    // fill ratios shift as clusters collapse to single survivors.
+    "curation_pack_report" -> ((s, dir) =>
+      TextOps.packEfficiencyReport(
+        Dedup.bestQualitySurvivors(Tables.documents(s, dir)))),
     // Deterministic hash-based stratified sampling + train/val split: the
     // reproducible-subset op a training pipeline runs before tokenization.
     "stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir))),
@@ -2127,7 +2134,9 @@ object SparkEntry {
     "dedup_normalized" -> DuckDbOracles.dedupNormalized,
     "text_scrub_pii" -> DuckDbOracles.textScrubPii,
     "pack_training_shards" -> DuckDbOracles.packShards,
-    "pack_efficiency_report" -> DuckDbOracles.packEfficiencyReport,
+    "pack_efficiency_report" -> DuckDbOracles.packEfficiencyReportFrom("documents"),
+    "curation_pack_report" ->
+      DuckDbOracles.packEfficiencyReportFrom(s"(${DuckDbOracles.bestQualitySurvivors}) surv"),
     "custom_sessions" -> DuckDbOracles.customSessions(SessionGapMs, SessionCapMs),
     "stratified_sample" -> DuckDbOracles.stratifiedSample,
     "length_matched_sample" -> DuckDbOracles.histogramMatch(),

@@ -489,7 +489,12 @@ object Dedup {
     * adds one component-keyed agg/window over the PAIRED docs only and an
     * anti-join for singletons — never a corpus-sized sort.
     */
-  def dedupPolicyReport(docs: DataFrame): DataFrame = {
+  /** The three survivor building blocks shared by the policy report and
+    * the survivor extractor: (min-id winners, best-quality winners,
+    * unpaired singletons, quality table).
+    */
+  private def policyKeeps(
+      docs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val comp = nearDupComponentsExact(minhashLshPairs(docs))
     val q = TextOps.qualityScore(docs).select(col("doc_id"), col("quality_score"))
@@ -502,6 +507,20 @@ object Dedup {
       .filter(col("rn") === 1).select(col("doc_id"))
     val singles = q.select(col("doc_id"))
       .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    (minKeep, qKeep, singles, q)
+  }
+
+  /** The corpus after best-quality survivorship: one top-quality doc per
+    * near-dup component plus every singleton, with all document columns —
+    * the frame downstream stages (packing, mixture, export) consume.
+    */
+  def bestQualitySurvivors(docs: DataFrame): DataFrame = {
+    val (_, qKeep, singles, _) = policyKeeps(docs)
+    docs.join(qKeep.union(singles), Seq("doc_id"))
+  }
+
+  def dedupPolicyReport(docs: DataFrame): DataFrame = {
+    val (minKeep, qKeep, singles, q) = policyKeeps(docs)
     def roll(policy: String, kept: DataFrame) =
       kept.union(singles).join(q, Seq("doc_id"))
         .agg(count(lit(1)).as("n_kept"),

@@ -846,12 +846,13 @@ object DuckDbOracles {
        |FROM c""".stripMargin
 
   /** Twin of TextOps.packEfficiencyReport(nShards=8, tokenBudget=1000):
-    * same prefix sums, integer split test, per-shard occupancy rollup.
+    * same prefix sums, integer split test, per-shard occupancy rollup —
+    * over any docs relation (`source`).
     */
-  val packEfficiencyReport: String =
+  def packEfficiencyReportFrom(source: String): String =
     s"""WITH base AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
        |    ${h("shard", "CAST(doc_id AS VARCHAR)")} % 8 AS shard
-       |  FROM documents),
+       |  FROM $source),
        |c AS (SELECT doc_id, shard, n_tokens,
        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
        |  FROM base),
@@ -1221,6 +1222,23 @@ object DuckDbOracles {
        |UNION ALL
        |${roll("best_quality", "qk")}""".stripMargin
   }
+
+  /** The best-quality survivor corpus (all document columns) — the
+    * relation the composed pipelines consume; shares its CTEs with
+    * dedupPolicyReport's oracle.
+    */
+  def bestQualitySurvivors: String =
+    s"""WITH comp AS ($dedupComponentsExact),
+       |q AS (SELECT doc_id, quality_score FROM ($textQuality) t),
+       |cq AS (SELECT comp.doc_id, comp.rep, q.quality_score
+       |  FROM comp JOIN q USING (doc_id)),
+       |qk AS (SELECT doc_id FROM (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY rep ORDER BY quality_score DESC, doc_id ASC) AS rn
+       |  FROM cq) WHERE rn = 1),
+       |singles AS (SELECT doc_id FROM q
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM comp))
+       |SELECT d.* FROM documents d
+       |JOIN (SELECT doc_id FROM qk UNION ALL SELECT doc_id FROM singles) k USING (doc_id)""".stripMargin
 
   def dedupComponents(iters: Int = 3): String = {
     val iterCtes = (1 to iters).map { n =>

@@ -184,6 +184,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "corpus_retention" -> Set("codegen-fallback"), // composes text_quality
     "weighted_sample" -> Set("codegen-fallback"), // composes text_quality's score expr
     "dedup_policy_report" -> Set("codegen-fallback"), // composes text_quality's score expr
+    "curation_pack_report" -> Set("codegen-fallback"), // survivorship composes the same score expr
     "curation_pipeline" -> Set("codegen-fallback"), // composes corpus_retention
     // our own typed bounded-heap UDAF — imperative by design
     "topk_agg_per_segment" -> Set("codegen-fallback"),

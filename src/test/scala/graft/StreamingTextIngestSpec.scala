@@ -61,6 +61,30 @@ class StreamingTextIngestSpec extends AnyFunSpec with Matchers with SparkSession
     fromStream.nonEmpty shouldBe true
   }
 
+  it("a tok-bucketed postings layout prunes term lookups to their buckets") {
+    // the 100 TB layout the scaladoc promises: postings bucketed by tok
+    // mean each query term reads ONLY its own buckets — pruning visible
+    // in the scan node — and term-keyed joins read postings pre-shuffled
+    val p = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sti-bkt").toString
+      StreamingTextIngest.processBatch(docsDf(b0 ++ b1 ++ b2), 0L, dir)
+      StreamingTextIngest.readPostings(spark, dir)
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_postings_b")
+    p.write.bucketBy(8, "tok").sortBy("tok").saveAsTable("graft_postings_b")
+    // autoBucketedScan drops the bucketed layout for filter-only scans
+    // (no join wants the partitioning); disable it to exercise pruning
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val plan = spark.table("graft_postings_b")
+        .filter(org.apache.spark.sql.functions.col("tok") === "hash")
+        .queryExecution.executedPlan.toString
+      plan should include regex "SelectedBucketsCount: [1-7] out of 8"
+    } finally spark.conf.set(conf, prev)
+  }
+
   it("a replayed batch is exactly-once: postings are not duplicated") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sti-retry").toString
     StreamingTextIngest.processBatch(docsDf(b0), 0L, dir)

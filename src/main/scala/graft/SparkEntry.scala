@@ -1149,6 +1149,14 @@ object SparkEntry {
     "neardup_communities" -> ((s, dir) =>
       graft.ops.Graph.labelPropagation(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
 
+    // Weighted LPA: similarity MASS (estimated Jaccard in integer
+    // micro-units), not edge count, decides the community — a borderline
+    // band collision can't out-vote a genuinely-similar neighborhood.
+    "neardup_communities_weighted" -> ((s, dir) =>
+      graft.ops.Graph.labelPropagationWeighted(
+        Dedup.minhashLshPairs(Tables.documents(s, dir))
+          .withColumnRenamed("est_jaccard", "weight"))),
+
     // LPA over the positive-PMI collocation graph: tokens that habitually
     // co-occur propagate to shared labels — topic-ish vocabulary clusters
     // from two existing operators composed (PMI pair graph → communities).
@@ -2175,6 +2183,7 @@ object SparkEntry {
     "pagerank_neardup" -> DuckDbOracles.pagerankNeardup(),
     "neardup_communities" -> DuckDbOracles.neardupCommunities(),
     "token_communities" -> DuckDbOracles.tokenCommunities(),
+    "neardup_communities_weighted" -> DuckDbOracles.neardupCommunitiesWeighted(),
     "neardup_triangles" -> DuckDbOracles.neardupTriangles,
     "dedup_components_exact" -> DuckDbOracles.dedupComponentsExact,
     "dedup_policy_report" -> DuckDbOracles.dedupPolicyReport,

@@ -144,6 +144,41 @@ object Graph {
     * |labels-per-node| window — everything keyed on the PAIR graph, never
     * corpus-sized; `iters` is a constant, so the plan depth is fixed.
     */
+  /** Weighted synchronous label propagation: each round relabels v with
+    * the label carrying the largest incident EDGE-WEIGHT mass (ties by
+    * smallest label). Weights (e.g. estimated Jaccard, cosine) are
+    * quantized to integer micro-units before summation — the fixed-point
+    * convention (see Classify) — so weighted majorities are exact
+    * integer comparisons, reproducible at any partitioning. On near-dup
+    * graphs this stops one borderline band-collision edge from
+    * out-voting a genuinely-similar neighborhood: similarity mass, not
+    * edge count, decides the community.
+    *
+    * Same plan shape per round as the unweighted variant: one edge ⋈
+    * label equi-join, one bounded (node, label) hash agg, one
+    * per-node window.
+    */
+  def labelPropagationWeighted(pairs: DataFrame, iters: Int = LpIters): DataFrame = {
+    val wfp = round(col("weight") * lit(1e6), 0).cast("long")
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"), wfp.as("w"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"), wfp.as("w")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (_ <- 0 until iters) {
+      val cnt = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(sum(col("w")).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("c").desc, col("lab").asc)
+      labels = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("node"), col("lab"))
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
+
   def labelPropagation(pairs: DataFrame, iters: Int = LpIters): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -1115,22 +1115,36 @@ object DuckDbOracles {
   def neardupCommunities(iters: Int = graft.ops.Graph.LpIters): String =
     lpaSql(s"SELECT doc_a, doc_b FROM ($minhashLshPairs) p", iters)
 
-  /** Label propagation unrolled over any (doc_a, doc_b) pair subquery. */
-  private def lpaSql(pairsSql: String, iters: Int): String = {
+  /** Label propagation unrolled over any (doc_a, doc_b[, weight]) pair
+    * subquery; `weighted` sums integer micro-unit weights instead of
+    * counting edges.
+    */
+  private def lpaSql(pairsSql: String, iters: Int, weighted: Boolean = false): String = {
+    val mass = if (weighted) "CAST(sum(e.w) AS BIGINT)" else "count(*)"
     val iterCtes = (1 to iters).map { k =>
-      s"""c$k AS (SELECT e.dst AS node, l.lab, count(*) AS c
+      s"""c$k AS (SELECT e.dst AS node, l.lab, $mass AS c
          |  FROM edges e JOIN l${k - 1} l ON e.src = l.node GROUP BY 1, 2),
          |l$k AS (SELECT node, lab FROM (
          |  SELECT node, lab, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
          |  FROM c$k) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+    val wSel = if (weighted)
+      ", CAST(round(weight * 1000000, 0) AS BIGINT) AS w" else ""
     s"""WITH pairs AS ($pairsSql),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst$wSel FROM pairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst$wSel FROM pairs),
        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
        |$iterCtes
        |SELECT node, lab AS community FROM l$iters""".stripMargin
   }
+
+  /** Twin of the weighted-LPA query: communities by estimated-Jaccard
+    * mass over the near-dup pair graph.
+    */
+  def neardupCommunitiesWeighted(iters: Int = graft.ops.Graph.LpIters): String =
+    lpaSql(
+      s"SELECT doc_a, doc_b, est_jaccard AS weight FROM ($minhashLshPairs) p",
+      iters, weighted = true)
 
   /** Twin of VectorOps.prfHybridRerank: BM25 seeds joined to embeddings,
     * 6dp per-dimension PRF means (the centroid convention), the RRF pool

@@ -121,6 +121,25 @@ class GraphSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
         10L -> 3L, 11L -> 3L, 12L -> 3L)
     }
 
+    it("weighted variant: similarity mass outvotes edge count") {
+      // node 1: two light edges to {2, 3} (label mass 2×0.1 after round 1:
+      // both relabel toward their own neighborhoods) vs one heavy edge to
+      // node 9 (0.9). Unweighted LPA sides with the pair; weighted sides
+      // with the heavy edge.
+      import spark.implicits._
+      val pairs = Seq((1L, 2L, 0.1), (1L, 3L, 0.1), (1L, 9L, 0.9),
+        (2L, 3L, 0.1)).toDF("doc_a", "doc_b", "weight")
+      val weighted = Graph.labelPropagationWeighted(pairs, iters = 1).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val unweighted = Graph.labelPropagation(
+        pairs.drop("weight"), iters = 1).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // round 1 for node 1: labels {2:0.1, 3:0.1, 9:0.9} weighted → 9;
+      // counts {2:1, 3:1, 9:1} tie → min label 2
+      weighted(1L) shouldBe 9L
+      unweighted(1L) shouldBe 2L
+    }
+
     it("is partitioning-invariant (integer counts + min-label tie-break)") {
       val edges = (for (a <- 1L to 24L; b <- 1L to 24L
         if a < b && (a * 11 + b * 17) % 7 == 0) yield a -> b).toSeq

@@ -1149,6 +1149,13 @@ object SparkEntry {
     "neardup_communities" -> ((s, dir) =>
       graft.ops.Graph.labelPropagation(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
 
+    // Weighted PageRank: hub rank follows similarity MASS — a hub of
+    // borderline collisions ranks below a tightly-duplicated center.
+    "pagerank_neardup_weighted" -> ((s, dir) =>
+      graft.ops.Graph.pageRankWeighted(
+        Dedup.minhashLshPairs(Tables.documents(s, dir))
+          .withColumnRenamed("est_jaccard", "weight"))),
+
     // Weighted LPA: similarity MASS (estimated Jaccard in integer
     // micro-units), not edge count, decides the community — a borderline
     // band collision can't out-vote a genuinely-similar neighborhood.
@@ -2184,6 +2191,7 @@ object SparkEntry {
     "neardup_communities" -> DuckDbOracles.neardupCommunities(),
     "token_communities" -> DuckDbOracles.tokenCommunities(),
     "neardup_communities_weighted" -> DuckDbOracles.neardupCommunitiesWeighted(),
+    "pagerank_neardup_weighted" -> DuckDbOracles.pagerankNeardupWeighted(),
     "neardup_triangles" -> DuckDbOracles.neardupTriangles,
     "dedup_components_exact" -> DuckDbOracles.dedupComponentsExact,
     "dedup_policy_report" -> DuckDbOracles.dedupPolicyReport,

@@ -67,6 +67,51 @@ object Graph {
       .select(col("node"), col("deg"), col("rank"))
   }
 
+  /** Weighted PageRank over an undirected weighted pair graph
+    * (doc_a, doc_b, weight): contributions split proportionally to edge
+    * weight — rank'(v) = (1−d)/N + d·Σ rank(u)·w(u,v)/W(u), with W(u)
+    * the node's total incident weight. On the near-dup graph this makes
+    * hub rank follow similarity MASS: a template hub whose edges are all
+    * borderline collisions ranks below a smaller but tightly-duplicated
+    * center. Weights are quantized to integer micro-units (exact sums
+    * for W(u)); each per-edge term divides two engine-identical values
+    * and every iteration rounds to 6dp (the pageRank convention), so the
+    * replay is exact.
+    *
+    * Scale: identical plan shape to pageRank — one edge ⋈ rank equi-join
+    * plus one hash agg per iteration, all keyed on the pair graph.
+    */
+  def pageRankWeighted(
+      pairs: DataFrame,
+      iters: Int = PrIters,
+      damping: Double = Damping): DataFrame = {
+    val wfp = round(col("weight") * lit(1e6), 0).cast("long")
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"), wfp.as("w"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"), wfp.as("w")))
+      .persist()
+    val nodeW = edges.groupBy(col("src")).agg(sum(col("w")).as("tw"))
+      .select(col("src").as("node"), col("tw"))
+      .persist()
+    val n = nodeW.count()
+    require(n > 0, "pageRankWeighted: empty pair graph — nothing to rank")
+    var ranks = nodeW.select(col("node"), (lit(1.0) / lit(n.toDouble)).as("rank"))
+    for (_ <- 0 until iters) {
+      val contrib = edges
+        .join(ranks.join(nodeW, Seq("node")).withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") * col("w").cast("double") / col("tw").cast("double"))
+          .as("in_sum"))
+      ranks = nodeW.select(col("node"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(lit(1.0 - damping) / lit(n.toDouble) +
+            lit(damping) * coalesce(col("in_sum"), lit(0.0)), 6).as("rank"))
+    }
+    nodeW.join(ranks, Seq("node"))
+      .select(col("node"), col("tw").as("weight_fp"), col("rank"))
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * undirected pair graph (doc_a, doc_b; doc_a < doc_b canonical).
     *

@@ -1108,6 +1108,31 @@ object DuckDbOracles {
        |FROM nd JOIN r$iters r ON nd.node = r.node""".stripMargin
   }
 
+  /** Twin of Graph.pageRankWeighted over the near-dup pair graph. */
+  def pagerankNeardupWeighted(
+      iters: Int = graft.ops.Graph.PrIters,
+      damping: Double = graft.ops.Graph.Damping): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""r$k AS (SELECT nw.node,
+         |    round((1.0 - $damping) / nn.n + $damping * coalesce(s.in_sum, 0.0), 6) AS rank
+         |  FROM nw CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst, sum(r.rank * CAST(e.w AS DOUBLE) / CAST(t.tw AS DOUBLE)) AS in_sum
+         |    FROM edges e JOIN r${k - 1} r ON e.src = r.node JOIN nw t ON e.src = t.node
+         |    GROUP BY 1) s ON nw.node = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT doc_a, doc_b,
+       |    CAST(round(est_jaccard * 1000000, 0) AS BIGINT) AS w
+       |  FROM ($minhashLshPairs) p),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst, w FROM pairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst, w FROM pairs),
+       |nw AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS tw FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM nw),
+       |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nw CROSS JOIN nn),
+       |$iterCtes
+       |SELECT nw.node, nw.tw AS weight_fp, r.rank
+       |FROM nw JOIN r$iters r ON nw.node = r.node""".stripMargin
+  }
+
   /** Twin of Graph.labelPropagation: the synchronous rounds unroll to one
     * CTE pair (neighbor-label counts, argmax with min-label tie-break)
     * per iteration — all integer decisions, so the replay is exact.

@@ -107,6 +107,27 @@ class GraphSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("pageRankWeighted") {
+    it("equal weights reduce to plain PageRank; mass shifts rank") {
+      import spark.implicits._
+      val sym = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+      val eq = sym.map { case (a, b) => (a, b, 0.5) }.toDF("doc_a", "doc_b", "weight")
+      val w = Graph.pageRankWeighted(eq).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val u = Graph.pageRank(sym.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getAs[Double]("rank")).toMap
+      w.keySet.foreach(k => w(k) shouldBe u(k) +- 1e-9)
+
+      // skew mass toward node 9: its rank must exceed the uniform case
+      val skew = Seq((1L, 2L, 0.1), (1L, 9L, 0.9), (2L, 9L, 0.9))
+        .toDF("doc_a", "doc_b", "weight")
+      val s = Graph.pageRankWeighted(skew).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      s(9L) should be > s(1L)
+      s(9L) should be > s(2L)
+    }
+  }
+
   describe("labelPropagation") {
     it("separates two cliques welded by a bridge (hand-simulated 3 rounds)") {
       // cliques {1,2,3} and {10,11,12}, bridge 3-10: a single connected

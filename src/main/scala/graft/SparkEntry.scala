@@ -1164,6 +1164,14 @@ object SparkEntry {
         Dedup.minhashLshPairs(Tables.documents(s, dir))
           .withColumnRenamed("est_jaccard", "weight"))),
 
+    // Per-community modularity of the weighted partition: the
+    // structure-vs-noise audit before a survivorship policy trusts the
+    // communities (Σ q_contrib = Newman modularity).
+    "neardup_modularity" -> ((s, dir) =>
+      graft.ops.Graph.modularityReport(
+        Dedup.minhashLshPairs(Tables.documents(s, dir))
+          .withColumnRenamed("est_jaccard", "weight"))),
+
     // LPA over the positive-PMI collocation graph: tokens that habitually
     // co-occur propagate to shared labels — topic-ish vocabulary clusters
     // from two existing operators composed (PMI pair graph → communities).
@@ -2192,6 +2200,7 @@ object SparkEntry {
     "token_communities" -> DuckDbOracles.tokenCommunities(),
     "neardup_communities_weighted" -> DuckDbOracles.neardupCommunitiesWeighted(),
     "pagerank_neardup_weighted" -> DuckDbOracles.pagerankNeardupWeighted(),
+    "neardup_modularity" -> DuckDbOracles.neardupModularity(),
     "neardup_triangles" -> DuckDbOracles.neardupTriangles,
     "dedup_components_exact" -> DuckDbOracles.dedupComponentsExact,
     "dedup_policy_report" -> DuckDbOracles.dedupPolicyReport,

@@ -224,6 +224,39 @@ object Graph {
     labels.select(col("node"), col("lab").as("community"))
   }
 
+  /** Per-community modularity contributions of the weighted-LPA
+    * partition: q_c = s_in/2m − (s_tot/2m)², where s_in is the
+    * intra-community weight (symmetrized, so each undirected edge counts
+    * twice — the 2m convention), s_tot the community's total strength,
+    * and 2m the graph's total strength — all EXACT integer micro-unit
+    * sums, so only the final two divisions are floats (rounded 6dp).
+    * Σ q_c is Newman modularity: the one-number answer to "are these
+    * communities real structure or partition noise" before a
+    * survivorship policy trusts them. Scale: the LPA rounds plus two
+    * label-keyed joins of the edge list and a |communities|-row agg.
+    */
+  def modularityReport(pairs: DataFrame, iters: Int = LpIters): DataFrame = {
+    val wfp = round(col("weight") * lit(1e6), 0).cast("long")
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"), wfp.as("w"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"), wfp.as("w")))
+    val labels = labelPropagationWeighted(pairs, iters)
+    val e2 = edges
+      .join(labels.select(col("node").as("src"), col("community").as("ca")), Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("community").as("cb")), Seq("dst"))
+    val twoM = e2.agg(sum(col("w")).as("two_m"))
+    val st = e2.groupBy(col("ca").as("community"))
+      .agg(countDistinct(col("src")).as("n_nodes"),
+        sum(col("w")).as("s_tot"),
+        sum(when(col("ca") === col("cb"), col("w")).otherwise(0L)).as("s_in"))
+    val tm = col("two_m").cast("double")
+    st.crossJoin(broadcast(twoM))
+      .select(col("community"), col("n_nodes"), col("s_in"), col("s_tot"),
+        round(col("s_in").cast("double") / tm -
+          (col("s_tot").cast("double") / tm) * (col("s_tot").cast("double") / tm), 6)
+          .as("q_contrib"))
+  }
+
   def labelPropagation(pairs: DataFrame, iters: Int = LpIters): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -1193,6 +1193,34 @@ object DuckDbOracles {
        |  FROM scored)
        |SELECT q_id, rank, doc_id, cos FROM ranked WHERE rank <= $k""".stripMargin
 
+  /** Twin of Graph.modularityReport over the weighted near-dup LPA
+    * partition: integer strength sums, the two final divisions mirrored
+    * operation for operation.
+    */
+  def neardupModularity(iters: Int = graft.ops.Graph.LpIters): String = {
+    val lab = lpaSql(
+      s"SELECT doc_a, doc_b, est_jaccard AS weight FROM ($minhashLshPairs) p",
+      iters, weighted = true)
+    s"""WITH wp AS (SELECT doc_a, doc_b,
+       |    CAST(round(est_jaccard * 1000000, 0) AS BIGINT) AS w
+       |  FROM ($minhashLshPairs) p),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst, w FROM wp
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst, w FROM wp),
+       |lab AS (SELECT node, community FROM ($lab) l),
+       |e2 AS (SELECT e.src, e.dst, e.w, la.community AS ca, lb.community AS cb
+       |  FROM edges e JOIN lab la ON e.src = la.node JOIN lab lb ON e.dst = lb.node),
+       |tm AS (SELECT CAST(sum(w) AS BIGINT) AS two_m FROM e2),
+       |st AS (SELECT ca AS community, count(DISTINCT src) AS n_nodes,
+       |    CAST(sum(w) AS BIGINT) AS s_tot,
+       |    CAST(sum(CASE WHEN ca = cb THEN w ELSE 0 END) AS BIGINT) AS s_in
+       |  FROM e2 GROUP BY 1)
+       |SELECT community, n_nodes, s_in, s_tot,
+       |  round(CAST(s_in AS DOUBLE) / CAST(two_m AS DOUBLE)
+       |    - (CAST(s_tot AS DOUBLE) / CAST(two_m AS DOUBLE))
+       |      * (CAST(s_tot AS DOUBLE) / CAST(two_m AS DOUBLE)), 6) AS q_contrib
+       |FROM st CROSS JOIN tm""".stripMargin
+  }
+
   /** Twin of the token_communities composition: LPA over the
     * positive-PMI collocation graph.
     */

@@ -128,6 +128,24 @@ class GraphSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("modularityReport") {
+    it("matches the hand-computed contributions for two separated triangles") {
+      import spark.implicits._
+      // two isolated triangles, all weight 1.0 (an isolated PAIR would
+      // 2-cycle under synchronous LPA; triangles converge): 2m = 12e6,
+      // q = 6/12 − (6/12)² = 0.25 each
+      val pairs = Seq((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0),
+        (7L, 8L, 1.0), (7L, 9L, 1.0), (8L, 9L, 1.0))
+        .toDF("doc_a", "doc_b", "weight")
+      val got = Graph.modularityReport(pairs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))).toMap
+      got.keySet shouldBe Set(1L, 7L)
+      got(1L) shouldBe ((3L, 6000000L, 6000000L, 0.25))
+      got(7L) shouldBe ((3L, 6000000L, 6000000L, 0.25))
+    }
+  }
+
   describe("labelPropagation") {
     it("separates two cliques welded by a bridge (hand-simulated 3 rounds)") {
       // cliques {1,2,3} and {10,11,12}, bridge 3-10: a single connected

@@ -185,6 +185,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "weighted_sample" -> Set("codegen-fallback"), // composes text_quality's score expr
     "dedup_policy_report" -> Set("codegen-fallback"), // composes text_quality's score expr
     "curation_pack_report" -> Set("codegen-fallback"), // survivorship composes the same score expr
+    // one-row total-strength (2m) aggregate broadcast-crossed onto the
+    // |communities|-row strength table
+    "neardup_modularity" -> Set("nested-loop-join"),
     "curation_pipeline" -> Set("codegen-fallback"), // composes corpus_retention
     // our own typed bounded-heap UDAF — imperative by design
     "topk_agg_per_segment" -> Set("codegen-fallback"),

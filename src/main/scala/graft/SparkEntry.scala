@@ -1123,6 +1123,12 @@ object SparkEntry {
     "dedup_components_exact" -> ((s, dir) =>
       Dedup.nearDupComponentsExact(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
 
+    // Survivorship GRANULARITY comparison: one best-quality keeper per
+    // component vs per weighted community — quantifies the over-dropping
+    // a hub-welded giant component causes.
+    "dedup_granularity_report" -> ((s, dir) =>
+      Dedup.dedupGranularityReport(Tables.documents(s, dir))),
+
     // Survivorship-policy comparison: keep-min-id vs keep-best-quality
     // per component (+ singletons) — same n_kept by construction; the
     // report quantifies the quality mass each policy retains.
@@ -2204,6 +2210,7 @@ object SparkEntry {
     "neardup_triangles" -> DuckDbOracles.neardupTriangles,
     "dedup_components_exact" -> DuckDbOracles.dedupComponentsExact,
     "dedup_policy_report" -> DuckDbOracles.dedupPolicyReport,
+    "dedup_granularity_report" -> DuckDbOracles.dedupGranularityReport,
     "dedup_cluster_stats" ->
       s"""SELECT count(*) AS n_components,
          CAST(sum(sz) AS BIGINT) AS n_nodes,

@@ -519,6 +519,50 @@ object Dedup {
     docs.join(qKeep.union(singles), Seq("doc_id"))
   }
 
+  /** Survivorship GRANULARITY comparison: keep one best-quality doc per
+    * connected COMPONENT vs per weighted-LPA COMMUNITY. A template hub
+    * welds unrelated cliques into one component, so component-granular
+    * dedup over-drops (one survivor for what are really several
+    * distinct groups); community granularity keeps one per clique. The
+    * report quantifies the difference — docs kept and decimal-exact
+    * quality mass retained under each granularity (community ≥ component
+    * by construction, since communities refine the partition of paired
+    * docs). Caveat pinned in spec: synchronous LPA 2-cycles on isolated
+    * PAIRS (labels swap each round), so pair-clusters surface as
+    * singleton communities — the two granularities are the upper and
+    * lower bounds of the survivorship band, not two equally-final
+    * answers.
+    *
+    * Scale: the pair graph is computed once; each granularity adds its
+    * label pass plus one window over the PAIRED docs.
+    */
+  def dedupGranularityReport(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashLshPairs(docs).persist()
+    val q = TextOps.qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val comp = nearDupComponentsExact(pairs)
+      .select(col("doc_id"), col("rep").as("grp"))
+    val comm = graft.ops.Graph.labelPropagationWeighted(
+        pairs.withColumnRenamed("est_jaccard", "weight"))
+      .select(col("node").as("doc_id"), col("community").as("grp"))
+    val paired = comp.select(col("doc_id"))
+    val singles = q.select(col("doc_id")).join(paired, Seq("doc_id"), "left_anti")
+    def roll(granularity: String, labels: DataFrame) = {
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      val kept = labels.join(q, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("doc_id"))
+      kept.union(singles).join(q, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("quality_score").cast("decimal(18,6)"))
+            .cast("decimal(18,6)").as("tq"))
+        .select(lit(granularity).as("granularity"), col("n_kept"),
+          col("tq").cast("double").as("total_quality"))
+    }
+    roll("component", comp).unionByName(roll("community", comm))
+  }
+
   def dedupPolicyReport(docs: DataFrame): DataFrame = {
     val (minKeep, qKeep, singles, q) = policyKeeps(docs)
     def roll(policy: String, kept: DataFrame) =

@@ -1290,6 +1290,34 @@ object DuckDbOracles {
        |${roll("best_quality", "qk")}""".stripMargin
   }
 
+  /** Twin of Dedup.dedupGranularityReport: component vs weighted-LPA
+    * community survivorship, one best-quality keeper per group plus
+    * singletons, decimal-exact quality sums.
+    */
+  def dedupGranularityReport: String = {
+    val commSql = lpaSql(
+      s"SELECT doc_a, doc_b, est_jaccard AS weight FROM ($minhashLshPairs) p",
+      graft.ops.Graph.LpIters, weighted = true)
+    def roll(granularity: String, labCte: String) =
+      s"""SELECT '$granularity' AS granularity, count(*) AS n_kept,
+         |  CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) AS total_quality
+         |FROM (
+         |  SELECT doc_id FROM (
+         |    SELECT l.doc_id, row_number() OVER (PARTITION BY l.grp
+         |      ORDER BY q.quality_score DESC, l.doc_id ASC) AS rn
+         |    FROM $labCte l JOIN q ON l.doc_id = q.doc_id) r WHERE rn = 1
+         |  UNION ALL SELECT doc_id FROM singles) k
+         |JOIN q ON k.doc_id = q.doc_id""".stripMargin
+    s"""WITH comp AS (SELECT doc_id, rep AS grp FROM ($dedupComponentsExact) c),
+       |comm AS (SELECT node AS doc_id, community AS grp FROM ($commSql) l2),
+       |q AS (SELECT doc_id, quality_score FROM ($textQuality) t),
+       |singles AS (SELECT doc_id FROM q
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM comp))
+       |${roll("component", "comp")}
+       |UNION ALL
+       |${roll("community", "comm")}""".stripMargin
+  }
+
   /** The best-quality survivor corpus (all document columns) — the
     * relation the composed pipelines consume; shares its CTEs with
     * dedupPolicyReport's oracle.

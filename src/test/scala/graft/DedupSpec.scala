@@ -285,6 +285,27 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("dedupGranularityReport") {
+    it("community granularity never keeps fewer docs than component") {
+      val lowQ = ((1 to 58).map(i => s"b$i") ++ Seq("b1", "b1")).mkString(" ")
+      val docs = docsDf(Seq(
+        1L -> base, 2L -> ((1 to 59).map(i => s"tok$i") :+ "tok1").mkString(" "),
+        4L -> lowQ, 5L -> ((1 to 58).map(i => s"b$i") ++ Seq("b1", "b59")).mkString(" "),
+        9L -> unrelated))
+      val r = graft.ops.Dedup.dedupGranularityReport(docs).collect()
+        .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+      // refinement bound: communities partition no coarser than components
+      r("community")._1 should be >= r("component")._1
+      r("community")._2 should be >= r("component")._2
+      // isolated PAIRS 2-cycle under synchronous LPA (labels swap each
+      // round), so both 2-doc clusters degenerate to singleton
+      // communities here — the documented caveat: community granularity
+      // is the uppper bound, components the lower
+      r("component")._1 shouldBe 3L // one per pair + the singleton
+      r("community")._1 shouldBe 5L // oscillating pairs keep both docs
+    }
+  }
+
   describe("dedupPolicyReport") {
     it("keeps equal counts but best_quality retains >= the quality mass") {
       // cluster {1, 2}: doc 2 repeats a token (lower TTR → lower quality),

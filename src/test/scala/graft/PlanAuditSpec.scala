@@ -188,6 +188,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // one-row total-strength (2m) aggregate broadcast-crossed onto the
     // |communities|-row strength table
     "neardup_modularity" -> Set("nested-loop-join"),
+    "dedup_granularity_report" -> Set("codegen-fallback"), // composes text_quality's score expr
     "curation_pipeline" -> Set("codegen-fallback"), // composes corpus_retention
     // our own typed bounded-heap UDAF — imperative by design
     "topk_agg_per_segment" -> Set("codegen-fallback"),

@@ -544,10 +544,10 @@ object SparkEntry {
     "moments_rollup" -> ((s, dir) =>
       Sketches.momentsRollup(Sketches.momentPartials(Tables.events(s, dir)))),
 
-    // Count-min sketch in table form: depth×width=2048 integer counters —
-    // the bounded-state heavy-hitter primitive. The groupBy cardinality is
-    // the GEOMETRY, not the key domain, so map-side combine collapses any
-    // partition to ≤2048 rows before the only exchange; cells merge by
+    // Count-min sketch in table form: depth×width = 4×8192 = 32768 integer
+    // counters — the bounded-state heavy-hitter primitive. The groupBy
+    // cardinality is the GEOMETRY, not the key domain, so map-side combine
+    // collapses any partition to ≤32768 rows before the only exchange; cells merge by
     // exact addition across days/shards/streams.
     "cms_sketch" -> ((s, dir) => Sketches.cmsSketch(Tables.events(s, dir))),
 

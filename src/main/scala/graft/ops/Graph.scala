@@ -244,11 +244,16 @@ object Graph {
     val e2 = edges
       .join(labels.select(col("node").as("src"), col("community").as("ca")), Seq("src"))
       .join(labels.select(col("node").as("dst"), col("community").as("cb")), Seq("dst"))
-    val twoM = e2.agg(sum(col("w")).as("two_m"))
+    // |communities|-row frame; persisted so the 2m derivation below reads
+    // the cached agg instead of re-running the whole LPA + join subtree.
     val st = e2.groupBy(col("ca").as("community"))
       .agg(countDistinct(col("src")).as("n_nodes"),
         sum(col("w")).as("s_tot"),
         sum(when(col("ca") === col("cb"), col("w")).otherwise(0L)).as("s_in"))
+      .persist()
+    // Σ s_tot = 2m exactly: each symmetrized edge lands in precisely one
+    // src community's strength, so summing strengths re-sums every w once.
+    val twoM = st.agg(sum(col("s_tot")).as("two_m"))
     val tm = col("two_m").cast("double")
     st.crossJoin(broadcast(twoM))
       .select(col("community"), col("n_nodes"), col("s_in"), col("s_tot"),

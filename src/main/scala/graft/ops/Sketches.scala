@@ -254,7 +254,8 @@ object Sketches {
 
   /** The sketch in table form: (row_idx, col_idx, cnt) over `user_id`.
     * Each event lands in `CmsDepth` cells (a narrow array-explode — no
-    * pre-shuffle); the groupBy has BOUNDED cardinality depth×width = 2048,
+    * pre-shuffle); the groupBy has BOUNDED cardinality depth×width =
+    * 4×8192 = 32768,
     * so map-side combine collapses every 100 TB partition to ≤2048 rows
     * before the only exchange. Sketches merge by per-cell ADDITION —
     * associative, commutative, exact — across days, shards, or streams.
@@ -274,7 +275,12 @@ object Sketches {
     * it with a map-side join (at scale the candidate set is whatever keyed
     * stream you route past the sketch). Works identically over a batch
     * sketch or the streamed fold's state snapshot — the sketch TABLE is
-    * the interface.
+    * the interface. The probe is a LEFT join with absent cells counted as
+    * zero: the sketch table stores only touched cells, so a candidate the
+    * stream never hashed into some (or any) cell must read that cell as 0
+    * — an inner join would silently drop unseen keys and report min over
+    * only the populated cells (an estimate ABOVE the true CMS minimum)
+    * for partially-colliding ones.
     */
   def cmsEstimatesFrom(sketch: DataFrame, candidates: DataFrame): DataFrame = {
     val cells = array((0 until CmsDepth).map(i =>
@@ -282,9 +288,9 @@ object Sketches {
     candidates
       .select(col("user_id"), explode(cells).as("cell"))
       .select(col("user_id"), col("cell.row_idx"), col("cell.col_idx"))
-      .join(broadcast(sketch), Seq("row_idx", "col_idx"))
+      .join(broadcast(sketch), Seq("row_idx", "col_idx"), "left")
       .groupBy(col("user_id"))
-      .agg(min(col("cnt")).as("est_cnt"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
   /** Batch convenience: sketch the events and probe with their own

@@ -459,9 +459,13 @@ object TextOps {
     *
     * All decisions are integer arithmetic on the same prefix sums
     * packShards computes (a doc splits iff strt mod budget + n_tokens >
-    * budget), so the oracle replays the report exactly. Scale: the same
-    * two-level windowed prefix sum as packShards, then two bounded hash
-    * aggs (shard×bin, then shard).
+    * budget), so the oracle replays the report exactly. The window count
+    * is derived from the shard's token TOTAL — n_bins = ceil(total /
+    * budget) — not from counting distinct start-bins: a document longer
+    * than the budget spans whole windows in which no doc starts, and a
+    * start-bin count would omit those, undercounting n_bins and letting
+    * fill_ratio exceed 1.0. Scale: the same two-level windowed prefix sum
+    * as packShards, then one bounded per-shard hash agg.
     */
   def packEfficiencyReport(
       docs: DataFrame,
@@ -486,19 +490,20 @@ object TextOps {
     val placed = local.join(offsets, Seq("shard", "block"))
       .select(col("shard"), col("n_tokens"),
         (col("block_offset") + col("local_cum") - col("n_tokens")).as("strt"))
-      .select(col("shard"), col("n_tokens"), col("strt"),
-        floor(col("strt").cast("double") / tokenBudget).cast("bigint").as("bin"),
+      .select(col("shard"), col("n_tokens"),
         when(pmod(col("strt"), lit(tokenBudget.toLong)) + col("n_tokens") > tokenBudget, 1L)
           .otherwise(0L).as("split"))
-    placed.groupBy(col("shard"), col("bin"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
-        sum(col("split")).as("split_docs"))
-      .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
-        sum(col("split_docs")).as("split_docs"),
-        sum(col("bin_tokens")).as("total_tokens"),
-        round(sum(col("bin_tokens")).cast("double") /
-          (count(lit(1)) * lit(tokenBudget)).cast("double"), 6).as("fill_ratio"))
+    placed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("split")).as("split_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("shard"),
+        // exact integer ceil — DIV keeps the oracle replay bit-identical
+        expr(s"CAST((total_tokens + ${tokenBudget - 1}) DIV $tokenBudget AS BIGINT)")
+          .as("n_bins"),
+        col("n_docs"), col("split_docs"), col("total_tokens"),
+        round(col("total_tokens").cast("double") /
+          (expr(s"(total_tokens + ${tokenBudget - 1}) DIV $tokenBudget") * lit(tokenBudget))
+            .cast("double"), 6).as("fill_ratio"))
   }
 
   /** Tokens per boilerplate-removal segment (the "line" unit — the synthetic

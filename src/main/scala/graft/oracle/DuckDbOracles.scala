@@ -846,7 +846,8 @@ object DuckDbOracles {
        |FROM c""".stripMargin
 
   /** Twin of TextOps.packEfficiencyReport(nShards=8, tokenBudget=1000):
-    * same prefix sums, integer split test, per-shard occupancy rollup —
+    * same prefix sums, integer split test, per-shard occupancy rollup with
+    * n_bins = ceil(total_tokens / budget) by exact integer division —
     * over any docs relation (`source`).
     */
   def packEfficiencyReportFrom(source: String): String =
@@ -856,18 +857,17 @@ object DuckDbOracles {
        |c AS (SELECT doc_id, shard, n_tokens,
        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
        |  FROM base),
-       |p AS (SELECT shard, n_tokens, cum - n_tokens AS strt,
-       |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 1000) AS BIGINT) AS bin,
+       |p AS (SELECT shard, n_tokens,
        |    CASE WHEN (cum - n_tokens) % 1000 + n_tokens > 1000 THEN 1 ELSE 0 END AS split
-       |  FROM c),
-       |pb AS (SELECT shard, bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
-       |    sum(split) AS split_docs
-       |  FROM p GROUP BY 1, 2)
-       |SELECT shard, count(*) AS n_bins, CAST(sum(n_docs) AS BIGINT) AS n_docs,
-       |  CAST(sum(split_docs) AS BIGINT) AS split_docs,
-       |  CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
-       |  round(CAST(sum(bin_tokens) AS DOUBLE) / CAST(count(*) * 1000 AS DOUBLE), 6) AS fill_ratio
-       |FROM pb GROUP BY 1""".stripMargin
+       |  FROM c)
+       |SELECT shard,
+       |  CAST((sum(n_tokens) + 999) // 1000 AS BIGINT) AS n_bins,
+       |  count(*) AS n_docs,
+       |  CAST(sum(split) AS BIGINT) AS split_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  round(CAST(sum(n_tokens) AS DOUBLE)
+       |    / CAST(((sum(n_tokens) + 999) // 1000) * 1000 AS DOUBLE), 6) AS fill_ratio
+       |FROM p GROUP BY 1""".stripMargin
 
   /** Twin of Sampling.histogramMatch — same integer bucket ids (floor
     * division), same 64-bit integer ppm quotient, same md5-bridge gate.
@@ -967,7 +967,7 @@ object DuckDbOracles {
     val cap = Sampling.MixCapEpochs
     s"""WITH tk AS (SELECT source,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
-       |ps AS (SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       |ps AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |    round(power(CAST(sum(n_tok) AS DOUBLE), $a), 6) AS p
        |  FROM tk GROUP BY source),
        |tot AS (SELECT sum(n_tokens) AS tot_tokens, round(sum(p), 6) AS p_sum FROM ps),

@@ -97,11 +97,20 @@ object StreamingIvm {
     val prev = StreamingCdc.latestSnapshot(spark, snapshotDir, snapSchema, batchId)
 
     val touched = batch.select(keyCols.map(col): _*).distinct()
-    val retract = aggregateSnapshot(prev.join(touched, keyCols), groupCol, valueCol)
+    val prevTouched = prev.join(touched, keyCols, "left_semi")
+    val retract = aggregateSnapshot(prevTouched, groupCol, valueCol)
       .select(col("grp"), (-col("n_keys")).as("n_keys"),
         (-col("sum_value")).cast("decimal(18,2)").as("sum_value"))
+    // Additions must apply the SAME latest-wins reconciliation the base
+    // table does (Cdc.applyChanges: version-wise latest of {snapshot row,
+    // batch}), not the batch alone — otherwise a stale/out-of-order batch
+    // row (older version than the snapshot's, or a stale tombstone) leaves
+    // the snapshot unchanged but swaps the view's contribution to the
+    // stale value, permanently diverging view from snapshot. Restricting
+    // the base side to touched keys keeps the fold batch-sized.
     val add = aggregateSnapshot(
-      Cdc.latestWins(batch, keyCols, versionCols, deleteCol), groupCol, valueCol)
+      Cdc.applyChanges(prevTouched, batch, keyCols, versionCols, deleteCol),
+      groupCol, valueCol)
 
     val prior = readView(spark, viewDir, batchId)
     val merged = prior.unionByName(retract).unionByName(add)

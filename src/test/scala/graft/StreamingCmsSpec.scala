@@ -51,6 +51,25 @@ class StreamingCmsSpec extends AnyFunSpec with Matchers with SparkSessionTestWra
     fromState(7L) should be >= 120L // the planted heavy key's true count
   }
 
+  it("probing keys the sketch never saw returns 0 (or the true collision min)") {
+    // keys 1..5 seen; 1000001..1000003 never streamed: their cells are
+    // either absent from the sketch table (must read as 0) or colliding
+    // with seen keys' cells — the estimate is min over ALL 4 cells with
+    // absent := 0, so an unseen key can NEVER exceed the smallest
+    // collision mass, and with zero collisions must report exactly 0.
+    val seen = Seq(1L, 2L, 3L, 4L, 5L).flatMap(k => Seq.fill(10)(k))
+    val sk = Sketches.cmsSketch(seen.toDF("user_id"))
+    val cand = Seq(1L, 5L, 1000001L, 1000002L, 1000003L).toDF("user_id")
+    val est = Sketches.cmsEstimatesFrom(sk, cand)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    est(1L) should be >= 10L
+    est(5L) should be >= 10L
+    // unseen keys: estimate bounded by total stream mass but must include
+    // absent cells as zero — with 50 events over 32k cells a 4-way
+    // all-cell collision is essentially impossible, so expect 0
+    Seq(1000001L, 1000002L, 1000003L).foreach { k => est(k) shouldBe 0L }
+  }
+
   it("a replayed batch is exactly-once: cells are not double-counted") {
     val dir = java.nio.file.Files.createTempDirectory("graft-scms-retry").toString
     val b0 = batchIds(1, 30).toDF("user_id")

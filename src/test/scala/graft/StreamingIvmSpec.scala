@@ -93,6 +93,17 @@ class StreamingIvmSpec extends AnyFunSpec with Matchers with SparkSessionTestWra
         .count() shouldBe 2L // keys 1 and 3
     }
 
+    it("out-of-order batches (stale upsert, stale tombstone) cannot diverge the view") {
+      // b1 advances key 1 to v=5 (group b); the next batch replays STALE
+      // changes: an old upsert for key 1 (v=2, group c) and an old
+      // tombstone for key 3 (v=0). The snapshot ignores both
+      // (version-wise latest wins), so the view must too — the retract/add
+      // fold has to reconcile against the snapshot, not trust the batch.
+      val late = Seq((1L, 2L, "c", 99.0, false), (3L, 0L, "b", 0.0, true))
+      run(Seq(b0, Seq((1L, 5L, "b", 7.75, false)), late),
+        (viewDir, seen) => viewSet(viewDir) shouldBe recompute(seen))
+    }
+
     it("cold start needs no pre-seeded state") {
       val dir = java.nio.file.Files.createTempDirectory("graft-sivm-cold").toString
       StreamingIvm.readView(spark, s"$dir/view", Long.MaxValue).count() shouldBe 0L

@@ -672,6 +672,19 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
       r.getDouble(5) shouldBe 1.0 +- 1e-9
     }
 
+    it("a document longer than the budget still counts the windows it spans") {
+      // one 25-token doc then one 5-token doc, budget 10: the long doc
+      // spans windows 0-2 with no doc STARTING in window 1, so a
+      // start-bin count would report n_bins=2 and fill_ratio=1.5; the
+      // token-total ceil reports 3 full windows, fill exactly 1.0
+      val docs = docsDf(Seq(1L -> ("t " * 25).trim, 2L -> ("u " * 5).trim))
+      val r = TextOps.packEfficiencyReport(
+        docs, nShards = 1, tokenBudget = 10, blockSpan = 4).collect()(0)
+      r.getLong(1) shouldBe 3L // n_bins
+      r.getLong(4) shouldBe 30L // total_tokens
+      r.getDouble(5) shouldBe 1.0 +- 1e-9
+    }
+
     it("is invariant to the block span (the two-level prefix sum is exact)") {
       val docs = docsDf((1L to 40L).map(i => i -> ("t " * (i % 7 + 1).toInt).trim))
       def rows(span: Long) = TextOps.packEfficiencyReport(

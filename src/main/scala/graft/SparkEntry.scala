@@ -1232,6 +1232,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // Dedup applied at weighted-COMMUNITY granularity: one best-quality
+    // survivor per weighted-LPA community plus singletons — the APPLY path
+    // for the granularity dedup_granularity_report recommends (a template
+    // hub welds unrelated cliques into one component; similarity-mass LPA
+    // keeps the cliques apart, so this keeps one doc per genuine group
+    // where the component policy would keep one for all of them).
+    "dedup_apply_communities" -> ((s, dir) =>
+      Dedup.bestQualitySurvivorsCommunities(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     // Dedup applied end-to-end: survivors = docs never appearing as the
     // higher id of a MinHash-LSH near-dup pair (greedy keep-lowest policy).
     "dedup_apply_minhash" -> ((s, dir) => {
@@ -2211,6 +2221,7 @@ object SparkEntry {
     "dedup_components_exact" -> DuckDbOracles.dedupComponentsExact,
     "dedup_policy_report" -> DuckDbOracles.dedupPolicyReport,
     "dedup_granularity_report" -> DuckDbOracles.dedupGranularityReport,
+    "dedup_apply_communities" -> DuckDbOracles.dedupApplyCommunities,
     "dedup_cluster_stats" ->
       s"""SELECT count(*) AS n_components,
          CAST(sum(sz) AS BIGINT) AS n_nodes,

@@ -519,6 +519,40 @@ object Dedup {
     docs.join(qKeep.union(singles), Seq("doc_id"))
   }
 
+  /** The corpus after best-quality survivorship at weighted-COMMUNITY
+    * granularity: one top-quality doc per weighted-LPA community plus
+    * every unpaired singleton. This is the APPLY path for the granularity
+    * dedupGranularityReport recommends — a template hub welds unrelated
+    * cliques into one connected component (bestQualitySurvivors then keeps
+    * ONE doc for what are really several distinct groups), while
+    * similarity-mass label propagation keeps the cliques apart, so this
+    * survivor set retains one representative per genuine duplicate group.
+    * Caveat (shared with the report, spec-pinned): synchronous LPA
+    * 2-cycles on isolated PAIRS, so pair-clusters keep both docs —
+    * community granularity is the conservative upper bound of the
+    * survivorship band.
+    *
+    * Scale: one LSH pair graph (the persisted band-index artifact), one
+    * bounded label-propagation pass over it, one window partitioned by
+    * community over the PAIRED docs only, and an anti-join for
+    * singletons — never a corpus-wide sort.
+    */
+  def bestQualitySurvivorsCommunities(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comm = graft.ops.Graph.labelPropagationWeighted(
+        minhashLshPairs(docs).withColumnRenamed("est_jaccard", "weight"))
+      .select(col("node").as("doc_id"), col("community").as("grp"))
+    val q = TextOps.qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val kept = comm.join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("doc_id"))
+    val singles = q.select(col("doc_id"))
+      .join(comm.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    docs.join(kept.union(singles), Seq("doc_id"))
+  }
+
   /** Survivorship GRANULARITY comparison: keep one best-quality doc per
     * connected COMPONENT vs per weighted-LPA COMMUNITY. A template hub
     * welds unrelated cliques into one component, so component-granular

@@ -1318,6 +1318,26 @@ object DuckDbOracles {
        |${roll("community", "comm")}""".stripMargin
   }
 
+  /** Twin of Dedup.bestQualitySurvivorsCommunities (projected to
+    * doc_id/lang/source): the unrolled weighted-LPA labels replace the
+    * component CTE, then the identical ranking window + singleton union.
+    */
+  def dedupApplyCommunities: String = {
+    val commSql = lpaSql(
+      s"SELECT doc_a, doc_b, est_jaccard AS weight FROM ($minhashLshPairs) p",
+      graft.ops.Graph.LpIters, weighted = true)
+    s"""WITH comm AS (SELECT node AS doc_id, community AS grp FROM ($commSql) l2),
+       |q AS (SELECT doc_id, quality_score FROM ($textQuality) t),
+       |qk AS (SELECT doc_id FROM (
+       |  SELECT c.doc_id, row_number() OVER (PARTITION BY c.grp
+       |    ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+       |  FROM comm c JOIN q ON c.doc_id = q.doc_id) r WHERE rn = 1),
+       |singles AS (SELECT doc_id FROM q
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM comm))
+       |SELECT d.doc_id, d.lang, d.source FROM documents d
+       |JOIN (SELECT doc_id FROM qk UNION ALL SELECT doc_id FROM singles) k USING (doc_id)""".stripMargin
+  }
+
   /** The best-quality survivor corpus (all document columns) — the
     * relation the composed pipelines consume; shares its CTEs with
     * dedupPolicyReport's oracle.

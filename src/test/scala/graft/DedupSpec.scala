@@ -306,6 +306,47 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("bestQualitySurvivorsCommunities") {
+    it("keeps one doc per clique where a hub-weld collapses the component to one survivor") {
+      // two disjoint-vocab near-dup cliques {1,2,3} and {6,7,8}; doc 5 is a
+      // template hub (concatenation of both vocabularies) that LSH-pairs
+      // into BOTH cliques, welding them into one connected component
+      val aTok = (1 to 60).map(i => s"qa$i")
+      val bTok = (1 to 60).map(i => s"qb$i")
+      def tweak(ts: Seq[String], i: Int) = ts.updated(i, ts(i) + "x")
+      val docs = docsDf(Seq(
+        1L -> aTok.mkString(" "),
+        2L -> tweak(aTok, 5).mkString(" "),
+        3L -> tweak(aTok, 20).mkString(" "),
+        // repeated filler depresses the hub's TTR so it can't win the
+        // quality window in whichever community it lands in (the filler
+        // adds only a couple of shingles, so the LSH banding is unchanged)
+        5L -> (aTok ++ bTok ++ Seq.fill(80)("qa1")).mkString(" "),
+        6L -> bTok.mkString(" "),
+        7L -> tweak(bTok, 5).mkString(" "),
+        8L -> tweak(bTok, 20).mkString(" "),
+        9L -> unrelated))
+      // precondition: the hub actually welds — every paired doc shares ONE
+      // exact component, so component-granular survivorship keeps a single
+      // doc for what are really two distinct groups (+ the singleton 9)
+      val pairs = Dedup.minhashLshPairs(docs)
+      val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      edges.exists { case (a, b) => Set(a, b).contains(5L) && Set(1L, 2L, 3L).intersect(Set(a, b)).nonEmpty } shouldBe true
+      edges.exists { case (a, b) => Set(a, b).contains(5L) && Set(6L, 7L, 8L).intersect(Set(a, b)).nonEmpty } shouldBe true
+      val compSurv = Dedup.bestQualitySurvivors(docs)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      compSurv.intersect(Set(1L, 2L, 3L, 5L, 6L, 7L, 8L)).size shouldBe 1
+      // community granularity un-welds: at least one survivor per clique
+      val commSurv = Dedup.bestQualitySurvivorsCommunities(docs)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      commSurv.intersect(Set(1L, 2L, 3L)) should not be empty
+      commSurv.intersect(Set(6L, 7L, 8L)) should not be empty
+      commSurv should contain(9L) // singleton always survives
+      // and never keeps fewer than the component policy
+      commSurv.size should be >= compSurv.size
+    }
+  }
+
   describe("dedupPolicyReport") {
     it("keeps equal counts but best_quality retains >= the quality mass") {
       // cluster {1, 2}: doc 2 repeats a token (lower TTR → lower quality),

@@ -189,6 +189,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // |communities|-row strength table
     "neardup_modularity" -> Set("nested-loop-join"),
     "dedup_granularity_report" -> Set("codegen-fallback"), // composes text_quality's score expr
+    "dedup_apply_communities" -> Set("codegen-fallback"), // composes text_quality's score expr
     "curation_pipeline" -> Set("codegen-fallback"), // composes corpus_retention
     // our own typed bounded-heap UDAF — imperative by design
     "topk_agg_per_segment" -> Set("codegen-fallback"),

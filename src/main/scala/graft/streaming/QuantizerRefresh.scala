@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, countDistinct, count, lit, max}
+import org.apache.spark.sql.types._
+
+import graft.ops.VectorOps
+
+/** Quantizer-refresh CUTOVER — the composition StreamingKmeans (drift
+  * repair: refreshed centroids) and StreamingAnnIngest (serving index
+  * against a FIXED quantizer) deliberately leave open. The ingest contract
+  * says the quantizer must never change under a live index (every indexed
+  * vector would silently sit in a stale cell); this module is the only
+  * sanctioned way a refreshed quantizer reaches serving:
+  *
+  *   1. the index root holds VERSIONED full indexes, `root/qv=N/…` (each
+  *      an ordinary StreamingAnnIngest layout, cell-partitioned);
+  *   2. `rebuild(newQv)` re-assigns + re-encodes the ACTIVE version's
+  *      corpus against the refreshed centroids into `qv=newQv` — the old
+  *      version keeps serving untouched while the rebuild runs;
+  *   3. `commit(newQv)` appends one row to the commit log (`root/_commits`,
+  *      dynamically overwritten on its qv partition) — the SWAP is this
+  *      single metadata write: readers resolve max committed qv, so they
+  *      serve entirely-old until the commit lands and entirely-new after.
+  *      A probe can never mix versions because `readActiveIndex` reads
+  *      exactly one version directory.
+  *
+  * Exactly-once by the same snapshot-log argument as StreamingCdc: a
+  * crashed/retried rebuild rewrites `qv=newQv` from identical inputs
+  * (dynamic partition overwrite keyed by (cell, batch_id) — the first
+  * attempt's partial files are fully covered); a retried commit rewrites
+  * the same qv partition of the log; and an UNCOMMITTED rebuild is
+  * invisible to every reader. Rebuild reads the index's own full-precision
+  * `cv` column, so no re-read of the source corpus is needed.
+  *
+  * Scale: the rebuild is the expensive step and is embarrassingly
+  * parallel — one zero-shuffle assign/encode projection over the corpus
+  * plus a cell-partitioned write (at 100 TB you shard it by the old
+  * index's batch_id ranges; each shard is independently idempotent). The
+  * cutover itself moves one commit-log row no matter the corpus size, and
+  * old versions stay on disk for instant rollback (drop = delete the
+  * commit row, then vacuum the directory).
+  */
+object QuantizerRefresh {
+
+  val QvCol = "qv"
+
+  def versionDir(root: String, qv: Long): String = s"$root/qv=$qv"
+  private def commitsDir(root: String) = s"$root/_commits"
+
+  private val commitSchema = StructType(Seq(
+    StructField("n_rows", LongType),
+    StructField("n_cells", LongType),
+    StructField(QvCol, LongType)))
+
+  /** Highest committed index version, or None before the first commit.
+    * Only COMMITTED versions exist here — an in-flight rebuild has no row.
+    */
+  def activeVersion(spark: SparkSession, root: String): Option[Long] = {
+    val log =
+      try spark.read.schema(commitSchema).parquet(commitsDir(root))
+      catch { case _: AnalysisException => return None }
+    val maxV = log.agg(max(col(QvCol))).head()
+    if (maxV.isNullAt(0)) None else Some(maxV.getLong(0))
+  }
+
+  /** The serving index: the single directory of the active version (the
+    * empty StreamingAnnIngest frame before any commit). Single-directory
+    * read = no probe can ever observe two quantizer versions at once.
+    */
+  def readActiveIndex(spark: SparkSession, root: String): DataFrame =
+    activeVersion(spark, root) match {
+      case Some(qv) => StreamingAnnIngest.readIndex(spark, versionDir(root, qv))
+      case None => StreamingAnnIngest.readIndex(spark, versionDir(root, -1L))
+    }
+
+  /** Re-assign + re-encode the active version's corpus against refreshed
+    * centroids into `qv=newQv` — the identical quantized projection ingest
+    * runs (shared processBatch), so a served row is bit-compatible whether
+    * it arrived by stream or by rebuild. Does NOT swap serving; the old
+    * version remains active until `commit`. Idempotent in `newQv`.
+    */
+  def rebuild(
+      spark: SparkSession,
+      root: String,
+      newQv: Long,
+      cents: DataFrame,
+      book: Option[graft.functions.PqBook] = None,
+      prefixDim: Int = VectorOps.MrlPrefixDim): Unit = {
+    val src = readActiveIndex(spark, root)
+      .select(col("vec_id"), col("cv").as("embedding"))
+    StreamingAnnIngest.processBatch(
+      src, batchId = 0L, cents, versionDir(root, newQv), book, prefixDim)
+  }
+
+  /** The cutover: publish `newQv` as the active version with one
+    * commit-log row (row count + cell count of the rebuilt index, audited
+    * at commit time). Idempotent — a retry overwrites the same qv
+    * partition of the log.
+    */
+  def commit(spark: SparkSession, root: String, newQv: Long): Unit = {
+    val idx = StreamingAnnIngest.readIndex(spark, versionDir(root, newQv))
+    val stats = idx.agg(
+      count(lit(1)).as("n_rows"), countDistinct(col("cell")).as("n_cells")).head()
+    val row = Row(stats.getLong(0), stats.getLong(1), newQv)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(row), 1), commitSchema)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(QvCol)
+      .parquet(commitsDir(root))
+  }
+
+  /** rebuild + commit in sequence — the full refresh handoff. Serving
+    * reads see the old version during the rebuild and the new version
+    * only after the commit row lands.
+    */
+  def cutover(
+      spark: SparkSession,
+      root: String,
+      newQv: Long,
+      cents: DataFrame,
+      book: Option[graft.functions.PqBook] = None,
+      prefixDim: Int = VectorOps.MrlPrefixDim): Unit = {
+    rebuild(spark, root, newQv, cents, book, prefixDim)
+    commit(spark, root, newQv)
+  }
+}

@@ -85,6 +85,43 @@ class StreamingTextIngestSpec extends AnyFunSpec with Matchers with SparkSession
     } finally spark.conf.set(conf, prev)
   }
 
+  it("multi-term phrase search reads only the phrase words' buckets, every arm") {
+    // the scale path for phraseSearch: the POSITIONAL table bucketed by
+    // tok means each arm of the n-way consecutive-position self-join
+    // scans only its own word's bucket files — the n scans in the plan
+    // must each carry a proper SelectedBucketsCount subset, and results
+    // must equal the unbucketed path bit for bit
+    val docs = docsDf(Seq(
+      6L -> "customer order merge runs the customer order merge path",
+      7L -> "customer count order by merge", 8L -> "unrelated text entirely"))
+    val pos = TextOps.positionalIndexOf(docs)
+    spark.sql("DROP TABLE IF EXISTS graft_positions_b")
+    pos.write.bucketBy(8, "tok").sortBy("tok").saveAsTable("graft_positions_b")
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val phrases = Seq(3 -> "customer order merge")
+      val served = TextOps.phraseSearch(spark.table("graft_positions_b"), phrases)
+      val plan = served.queryExecution.executedPlan.toString
+      // one pruned scan per phrase word: every bucketed scan in the plan
+      // selects a strict subset, and there are exactly 3 of them
+      val pruned = "SelectedBucketsCount: ([0-9]+) out of 8".r
+        .findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+      pruned.length shouldBe 3
+      all(pruned) should be <= 7
+      served.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet shouldBe
+        TextOps.phraseSearch(pos, phrases)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      // overlapping-adjacent repeats counted exactly (the LIKE-can't class)
+      TextOps.phraseSearch(pos, phrases).filter("doc_id = 6").collect()
+        .head.getLong(2) shouldBe 2L
+    } finally {
+      spark.conf.set(conf, prev)
+      spark.sql("DROP TABLE IF EXISTS graft_positions_b")
+    }
+  }
+
   it("a replayed batch is exactly-once: postings are not duplicated") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sti-retry").toString
     StreamingTextIngest.processBatch(docsDf(b0), 0L, dir)

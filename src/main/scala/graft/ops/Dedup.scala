@@ -539,9 +539,12 @@ object Dedup {
     */
   def bestQualitySurvivorsCommunities(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: the label table feeds both the keeper window and the
+    // singleton anti-join — unpersisted, the LPA rounds would run twice
     val comm = graft.ops.Graph.labelPropagationWeighted(
         minhashLshPairs(docs).withColumnRenamed("est_jaccard", "weight"))
       .select(col("node").as("doc_id"), col("community").as("grp"))
+      .persist()
     val q = TextOps.qualityScore(docs).select(col("doc_id"), col("quality_score"))
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("quality_score").desc, col("doc_id").asc)

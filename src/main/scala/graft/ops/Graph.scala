@@ -203,12 +203,21 @@ object Graph {
     * label equi-join, one bounded (node, label) hash agg, one
     * per-node window.
     */
-  def labelPropagationWeighted(pairs: DataFrame, iters: Int = LpIters): DataFrame = {
+  def labelPropagationWeighted(pairs: DataFrame, iters: Int = LpIters): DataFrame =
+    lpaWeightedLoop(symmetrizedWeighted(pairs).persist(), iters)
+
+  /** Integer micro-unit symmetrized weighted edge list — shared by the
+    * weighted LPA and the modularity report so composed queries build
+    * (and persist) the band-join subtree exactly once.
+    */
+  private def symmetrizedWeighted(pairs: DataFrame): DataFrame = {
     val wfp = round(col("weight") * lit(1e6), 0).cast("long")
-    val edges = pairs
+    pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"), wfp.as("w"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"), wfp.as("w")))
-      .persist()
+  }
+
+  private def lpaWeightedLoop(edges: DataFrame, iters: Int): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
     for (_ <- 0 until iters) {
@@ -236,20 +245,29 @@ object Graph {
     * label-keyed joins of the edge list and a |communities|-row agg.
     */
   def modularityReport(pairs: DataFrame, iters: Int = LpIters): DataFrame = {
-    val wfp = round(col("weight") * lit(1e6), 0).cast("long")
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"), wfp.as("w"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"), wfp.as("w")))
-    val labels = labelPropagationWeighted(pairs, iters)
+    // ONE persisted symmetrized edge frame feeds both the LPA rounds and
+    // the e2 label joins (previously the report re-derived its own edge
+    // list, recomputing the band join beside the LPA's cached copy), and
+    // the finished |nodes|-row label table is persisted because it
+    // appears TWICE in e2 — unpersisted, the whole iterative LPA chain
+    // would execute once per join arm.
+    val edges = symmetrizedWeighted(pairs).persist()
+    val labels = lpaWeightedLoop(edges, iters).persist()
     val e2 = edges
       .join(labels.select(col("node").as("src"), col("community").as("ca")), Seq("src"))
       .join(labels.select(col("node").as("dst"), col("community").as("cb")), Seq("dst"))
+    // community sizes from the |nodes|-row LABEL table, not
+    // countDistinct(src) over the edge rows: every symmetrized node
+    // appears as a src, so the two counts are identical — but the label
+    // agg avoids the Expand/two-phase distinct over the (much larger)
+    // edge join output
+    val sizes = labels.groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
     // |communities|-row frame; persisted so the 2m derivation below reads
     // the cached agg instead of re-running the whole LPA + join subtree.
     val st = e2.groupBy(col("ca").as("community"))
-      .agg(countDistinct(col("src")).as("n_nodes"),
-        sum(col("w")).as("s_tot"),
+      .agg(sum(col("w")).as("s_tot"),
         sum(when(col("ca") === col("cb"), col("w")).otherwise(0L)).as("s_in"))
+      .join(sizes, Seq("community"))
       .persist()
     // Σ s_tot = 2m exactly: each symmetrized edge lands in precisely one
     // src community's strength, so summing strengths re-sums every w once.

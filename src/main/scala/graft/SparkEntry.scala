@@ -1232,6 +1232,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // Modularity-GATED survivorship: communities the modularity audit
+    // trusts (q_contrib > 0) keep one best-quality doc each; docs in
+    // untrusted communities (e.g. the synchronous-LPA pair 2-cycle's
+    // singleton communities, q < 0 by construction) fall back to exact
+    // component granularity — the audit signal actually steering the
+    // drop policy instead of just describing it.
+    "dedup_modularity_gated" -> ((s, dir) =>
+      Dedup.modularityGatedReport(Tables.documents(s, dir))),
+
     // Dedup applied at weighted-COMMUNITY granularity: one best-quality
     // survivor per weighted-LPA community plus singletons — the APPLY path
     // for the granularity dedup_granularity_report recommends (a template
@@ -2222,6 +2231,7 @@ object SparkEntry {
     "dedup_policy_report" -> DuckDbOracles.dedupPolicyReport,
     "dedup_granularity_report" -> DuckDbOracles.dedupGranularityReport,
     "dedup_apply_communities" -> DuckDbOracles.dedupApplyCommunities,
+    "dedup_modularity_gated" -> DuckDbOracles.dedupModularityGatedReport,
     "dedup_cluster_stats" ->
       s"""SELECT count(*) AS n_components,
          CAST(sum(sz) AS BIGINT) AS n_nodes,

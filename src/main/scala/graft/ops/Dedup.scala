@@ -600,6 +600,71 @@ object Dedup {
     roll("component", comp).unionByName(roll("community", comm))
   }
 
+  /** Modularity threshold above which a community is trusted as a real
+    * duplicate group (q_contrib > 0: more intra-community similarity
+    * mass than the null model expects). Shared with the oracle SQL.
+    */
+  val ModularityTrustMin = 0.0
+
+  /** Modularity-GATED survivorship report: communities the modularity
+    * audit trusts (q_contrib > ModularityTrustMin) keep one best-quality
+    * doc per community; docs in untrusted communities fall back to
+    * connected-COMPONENT granularity. This closes the survivorship band
+    * dedupGranularityReport leaves open — in particular the synchronous-
+    * LPA pair 2-cycle (an isolated near-dup pair oscillates into two
+    * singleton communities, so pure community granularity keeps BOTH
+    * docs): a singleton community has s_in = 0, hence q_contrib < 0,
+    * hence untrusted — the pair collapses to its component and keeps one
+    * doc, while hub-welded trusted cliques still keep one doc each.
+    *
+    * Output: one row per final grouping kind — `community` (trusted),
+    * `component` (fallback), `singleton` (never-paired docs) — with
+    * group, member, and keeper counts plus decimal-exact keeper quality.
+    *
+    * Scale: ONE persisted pair graph feeds the LPA rounds, the
+    * modularity audit, and the exact-CC fixpoint; everything downstream
+    * is keyed windows/aggs over the PAIRED docs only.
+    */
+  def modularityGatedReport(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashLshPairs(docs).persist()
+    val wp = pairs.withColumnRenamed("est_jaccard", "weight")
+    val edges = graft.ops.Graph.symmetrizedWeighted(wp).persist()
+    val labels = graft.ops.Graph.lpaWeightedLoop(edges, graft.ops.Graph.LpIters).persist()
+    val mod = graft.ops.Graph.modularityFrom(edges, labels)
+    val comp = nearDupComponentsExact(pairs)
+    val q = TextOps.qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val trusted = mod.select(col("community"),
+      (col("q_contrib") > lit(ModularityTrustMin)).as("trusted"))
+    val grouped = labels.select(col("node").as("doc_id"), col("community"))
+      .join(trusted, Seq("community"))
+      .join(comp, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("trusted"), concat(lit("c"), col("community")))
+          .otherwise(concat(lit("k"), col("rep"))).as("grp"),
+        when(col("trusted"), lit("community")).otherwise(lit("component")).as("kind"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val ranked = grouped.join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+    val pairedRoll = ranked.groupBy(col("kind"))
+      .agg(countDistinct(col("grp")).as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rn") === 1, col("quality_score").cast("decimal(18,6)"))
+            .otherwise(lit(0).cast("decimal(18,6)")))
+          .cast("decimal(18,6)").as("tq"))
+      .select(col("kind"), col("n_groups"), col("n_docs"),
+        col("tq").cast("double").as("kept_quality"))
+    val singles = q
+      .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_groups"), count(lit(1)).as("n_docs"),
+        sum(col("quality_score").cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("tq"))
+      .select(lit("singleton").as("kind"), col("n_groups"), col("n_docs"),
+        col("tq").cast("double").as("kept_quality"))
+    pairedRoll.unionByName(singles)
+  }
+
   def dedupPolicyReport(docs: DataFrame): DataFrame = {
     val (minKeep, qKeep, singles, q) = policyKeeps(docs)
     def roll(policy: String, kept: DataFrame) =

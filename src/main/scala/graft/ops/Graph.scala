@@ -210,14 +210,14 @@ object Graph {
     * weighted LPA and the modularity report so composed queries build
     * (and persist) the band-join subtree exactly once.
     */
-  private def symmetrizedWeighted(pairs: DataFrame): DataFrame = {
+  private[ops] def symmetrizedWeighted(pairs: DataFrame): DataFrame = {
     val wfp = round(col("weight") * lit(1e6), 0).cast("long")
     pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"), wfp.as("w"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"), wfp.as("w")))
   }
 
-  private def lpaWeightedLoop(edges: DataFrame, iters: Int): DataFrame = {
+  private[ops] def lpaWeightedLoop(edges: DataFrame, iters: Int): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
     for (_ <- 0 until iters) {
@@ -253,6 +253,15 @@ object Graph {
     // would execute once per join arm.
     val edges = symmetrizedWeighted(pairs).persist()
     val labels = lpaWeightedLoop(edges, iters).persist()
+    modularityFrom(edges, labels)
+  }
+
+  /** Modularity contributions from PREBUILT (and caller-persisted)
+    * symmetrized-edge and label frames — the composition point for
+    * queries that also need the labels themselves (e.g. gated
+    * survivorship), so the LPA rounds run exactly once.
+    */
+  private[ops] def modularityFrom(edges: DataFrame, labels: DataFrame): DataFrame = {
     val e2 = edges
       .join(labels.select(col("node").as("src"), col("community").as("ca")), Seq("src"))
       .join(labels.select(col("node").as("dst"), col("community").as("cb")), Seq("dst"))

@@ -1318,6 +1318,40 @@ object DuckDbOracles {
        |${roll("community", "comm")}""".stripMargin
   }
 
+  /** Twin of Dedup.modularityGatedReport: unrolled weighted-LPA labels,
+    * the modularity CTE's per-community q_contrib as the trust gate,
+    * recursive-CTE exact components as the fallback granularity, the
+    * identical ranking window and decimal-exact keeper-quality sums.
+    */
+  def dedupModularityGatedReport: String = {
+    val commSql = lpaSql(
+      s"SELECT doc_a, doc_b, est_jaccard AS weight FROM ($minhashLshPairs) p",
+      graft.ops.Graph.LpIters, weighted = true)
+    val qmin = graft.ops.Dedup.ModularityTrustMin
+    s"""WITH lab AS (SELECT node AS doc_id, community FROM ($commSql) l),
+       |md AS (SELECT community, q_contrib FROM (${neardupModularity()}) m),
+       |comp AS (SELECT doc_id, rep FROM ($dedupComponentsExact) c),
+       |q AS (SELECT doc_id, quality_score FROM ($textQuality) t),
+       |g AS (SELECT lab.doc_id,
+       |    CASE WHEN md.q_contrib > $qmin THEN 'c' || CAST(lab.community AS VARCHAR)
+       |         ELSE 'k' || CAST(comp.rep AS VARCHAR) END AS grp,
+       |    CASE WHEN md.q_contrib > $qmin THEN 'community' ELSE 'component' END AS kind
+       |  FROM lab JOIN md ON lab.community = md.community
+       |  JOIN comp ON lab.doc_id = comp.doc_id),
+       |r AS (SELECT g.doc_id, g.grp, g.kind, q.quality_score,
+       |    row_number() OVER (PARTITION BY g.grp
+       |      ORDER BY q.quality_score DESC, g.doc_id ASC) AS rn
+       |  FROM g JOIN q ON g.doc_id = q.doc_id),
+       |paired AS (SELECT kind, count(DISTINCT grp) AS n_groups, count(*) AS n_docs,
+       |    CAST(CAST(sum(CASE WHEN rn = 1 THEN CAST(quality_score AS DECIMAL(18,6))
+       |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS DOUBLE) AS kept_quality
+       |  FROM r GROUP BY 1),
+       |singles AS (SELECT 'singleton' AS kind, count(*) AS n_groups, count(*) AS n_docs,
+       |    CAST(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS kept_quality
+       |  FROM q WHERE doc_id NOT IN (SELECT doc_id FROM comp))
+       |SELECT * FROM paired UNION ALL SELECT * FROM singles""".stripMargin
+  }
+
   /** Twin of Dedup.bestQualitySurvivorsCommunities (projected to
     * doc_id/lang/source): the unrolled weighted-LPA labels replace the
     * component CTE, then the identical ranking window + singleton union.

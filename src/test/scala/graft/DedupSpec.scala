@@ -347,6 +347,37 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("modularityGatedReport") {
+    it("trusts the clique community, demotes the 2-cycle pair to component granularity") {
+      // clique {1,2,3}: a genuine duplicate group — one community with
+      // positive q_contrib → trusted, keeps 1 best-quality doc.
+      // pair {4,5}: the planted NOISE partition — synchronous LPA
+      // oscillates an isolated pair into two singleton communities, each
+      // with s_in = 0 hence q_contrib < 0 → untrusted, both docs fall
+      // back to their shared component and keep 1 (pure community
+      // granularity would keep BOTH).
+      val aTok = (1 to 60).map(i => s"qa$i")
+      def tweak(ts: Seq[String], i: Int) = ts.updated(i, ts(i) + "x")
+      val docs = docsDf(Seq(
+        1L -> aTok.mkString(" "),
+        2L -> tweak(aTok, 5).mkString(" "),
+        3L -> tweak(aTok, 20).mkString(" "),
+        4L -> base, 5L -> nearDup,
+        9L -> unrelated))
+      val r = Dedup.modularityGatedReport(docs).collect()
+        .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+      r("community") shouldBe ((1L, 3L)) // clique: one trusted group of 3
+      r("component") shouldBe ((1L, 2L)) // pair: one fallback group of 2
+      r("singleton") shouldBe ((1L, 1L))
+      // the gate repairs the granularity band's upper bound: 3 keepers
+      // total (1 clique + 1 pair + 1 singleton) vs community granularity
+      // keeping both oscillating pair docs (4 keepers)
+      val commKept = Dedup.bestQualitySurvivorsCommunities(docs).count()
+      (r("community")._1 + r("component")._1 + r("singleton")._1) shouldBe 3L
+      commKept shouldBe 4L
+    }
+  }
+
   describe("dedupPolicyReport") {
     it("keeps equal counts but best_quality retains >= the quality mass") {
       // cluster {1, 2}: doc 2 repeats a token (lower TTR → lower quality),

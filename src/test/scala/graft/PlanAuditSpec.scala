@@ -190,6 +190,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "neardup_modularity" -> Set("nested-loop-join"),
     "dedup_granularity_report" -> Set("codegen-fallback"), // composes text_quality's score expr
     "dedup_apply_communities" -> Set("codegen-fallback"), // composes text_quality's score expr
+    // text_quality's score expr + the modularity audit's labeled one-row
+    // total-strength (2m) broadcast cross
+    "dedup_modularity_gated" -> Set("codegen-fallback", "nested-loop-join"),
     "curation_pipeline" -> Set("codegen-fallback"), // composes corpus_retention
     // our own typed bounded-heap UDAF — imperative by design
     "topk_agg_per_segment" -> Set("codegen-fallback"),

@@ -918,6 +918,13 @@ object SparkEntry {
     "dup_span_stats" -> ((s, dir) =>
       TextOps.dupSpanStats(TextOps.withPlantedBoilerplate(Tables.documents(s, dir)))),
 
+    // The APPLY path for the signal above: excise every cross-doc
+    // duplicated span occurrence except its canonical (min-doc_id) copy
+    // and rebuild the text — fixed-width substring dedup with keep-first
+    // semantics; dup_span_stats' per-doc numbers predict the removal.
+    "strip_dup_spans" -> ((s, dir) =>
+      TextOps.stripDupSpans(TextOps.withPlantedBoilerplate(Tables.documents(s, dir)))),
+
     // ---- deduplication (north star) --------------------------------------
     "dedup_exact_docs" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_normalized" -> ((s, dir) => TextOps.normalizedDedup(Tables.documents(s, dir))),
@@ -2176,6 +2183,7 @@ object SparkEntry {
     "tfidf_top_terms" -> DuckDbOracles.tfidfTopTerms(),
     "strip_boilerplate" -> DuckDbOracles.stripBoilerplate(),
     "dup_span_stats" -> DuckDbOracles.dupSpanStats(),
+    "strip_dup_spans" -> DuckDbOracles.stripDupSpans(),
     "chunk_documents" -> DuckDbOracles.chunkDocuments(),
     "frequent_bigrams" -> DuckDbOracles.frequentBigrams(),
     "dedup_exact_docs" -> DuckDbOracles.dedupExactDocs,

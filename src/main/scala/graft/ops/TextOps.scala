@@ -678,6 +678,67 @@ object TextOps {
           col("n_tokens").cast("double"), 6).as("dup_token_frac"))
   }
 
+  /** The APPLY path for cross-document span duplication (the
+    * substring-dedup treatment of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499 — keep ONE
+    * occurrence of each duplicated span, excise the rest): a token is
+    * removed iff it is covered by some `spanTokens`-token window that
+    * also occurs in another document AND this document is not the span's
+    * canonical (minimum-doc_id) holder. Keep-first semantics: canonical
+    * docs keep their copy, so every span's content survives somewhere;
+    * within-doc repeats are NOT touched (same cross-doc-only convention
+    * as dupSpanStats, whose per-doc numbers predict exactly what this
+    * removes). Emits the rebuilt text plus before/after token counts.
+    *
+    * Scale: the same single exploded-token pass as dupSpanStats (spans
+    * are a window projection, the dup table a span-hash groupBy), a
+    * bounded ×spanTokens coverage explode on the DUP spans only, one
+    * anti-join keyed (doc_id, pos), and a per-doc rebuild agg. No
+    * suffix array needed: fixed-width windows give the same excision
+    * set as a suffix automaton for matches ≥ spanTokens, at hash-join
+    * cost.
+    */
+  def stripDupSpans(
+      docs: DataFrame,
+      spanTokens: Int = SpanTokens,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(spanTokens >= 2, s"stripDupSpans: spanTokens=$spanTokens must be >= 2")
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .persist() // feeds the span pass AND the final rebuild anti-join
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until spanTokens).map(i => lead(col("tok"), i).over(w))
+    val spans = toks
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (col("tok") +: leads): _*).as("span"),
+        leads.last.isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("doc_id"), col("pos"), hash("ds", col("span")).as("span_h"))
+    val canon = spans.select(col("span_h"), col("doc_id")).distinct()
+      .groupBy(col("span_h"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("span_h"), col("canonical_id"))
+    val drop = spans.join(canon, Seq("span_h"))
+      .filter(col("doc_id") > col("canonical_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(spanTokens - 1))).as("pos"))
+      .distinct()
+    val rebuilt = toks.join(drop, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens_after"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("text_clean"))
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_tokens_after"), lit(0L)).as("n_tokens_after"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Misra-Gries sketch capacity for frequent-bigram mining. */
   val FreqSketchK = 400
 

@@ -738,6 +738,38 @@ object DuckDbOracles {
        |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
+  /** Twin of TextOps.stripDupSpans over withPlantedBoilerplate: same
+    * fixed-width span hashes, keep-first (minimum doc_id canonical)
+    * excision, ×spanTokens coverage expansion on dup spans only, and
+    * in-order token reassembly ('' when everything was excised).
+    */
+  def stripDupSpans(spanTokens: Int = TextOps.SpanTokens): String = {
+    val spanExpr = (0 until spanTokens).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH $plantedDocsCte,
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs2),
+       |inst AS (SELECT doc_id, i AS pos, t[i] AS tk
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tok)),
+       |sp AS (SELECT doc_id, i AS pos, ${h("ds", spanExpr)} AS span_h
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${spanTokens - 2})) AS i
+       |        FROM tok WHERE len(t) >= $spanTokens)),
+       |canon AS (SELECT span_h, min(doc_id) AS canonical_id
+       |  FROM (SELECT DISTINCT span_h, doc_id FROM sp) GROUP BY 1
+       |  HAVING count(*) >= 2),
+       |drp AS (SELECT DISTINCT doc_id, pos FROM (
+       |  SELECT s.doc_id, unnest(range(s.pos, s.pos + $spanTokens)) AS pos
+       |  FROM sp s JOIN canon c ON s.span_h = c.span_h AND s.doc_id > c.canonical_id)),
+       |kept AS (SELECT doc_id, pos, tk FROM inst i
+       |  WHERE NOT EXISTS (SELECT 1 FROM drp d
+       |    WHERE d.doc_id = i.doc_id AND d.pos = i.pos)),
+       |reb AS (SELECT doc_id, count(*) AS n_tokens_after,
+       |    string_agg(tk, ' ' ORDER BY pos) AS text_clean
+       |  FROM kept GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       |  coalesce(r.n_tokens_after, CAST(0 AS BIGINT)) AS n_tokens_after,
+       |  coalesce(r.text_clean, '') AS text_clean
+       |FROM tok t LEFT JOIN reb r USING (doc_id)""".stripMargin
+  }
+
   /** Twin of Entity.resolvePairs over Entity.withPlantedDirty: same planted
     * single-character substitution at (c_custkey % 8) + 1 (both engines'
     * substring is 1-based), same (nationkey, exact-decimal-balance) block,

@@ -214,6 +214,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // ≤ segment-/doc-sized buffers AFTER the hash agg — interpreted eval on
     // bounded post-agg groups, not the corpus scan path
     "strip_boilerplate" -> Set("codegen-fallback"),
+    // same doc-rebuild shape (collect_list + transform + array_sort over
+    // bounded post-agg per-doc groups) for the span-excision apply path
+    "strip_dup_spans" -> Set("codegen-fallback"),
     // SAX word assembly: collect_list + transform + array_sort over the
     // 6-row per-user segment groups AFTER the hash agg (same bounded
     // post-agg shape as strip_boilerplate)

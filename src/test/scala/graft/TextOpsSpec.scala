@@ -540,6 +540,41 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("stripDupSpans") {
+    it("excises every non-canonical occurrence, keeps the canonical copy intact") {
+      // docs 1 and 2 share the 8-token run A..H; doc 1 (lower id) is the
+      // canonical holder for every one of those width-5 windows, so doc 1
+      // survives UNTOUCHED and doc 2 loses exactly the covered 8 tokens
+      // (interval union, not span-count × width); doc 3 is untouched
+      val docs = docsDf(Seq(
+        1L -> "x1 x2 A B C D E F G H y1 y2",
+        2L -> "A B C D E F G H z1 z2 z3 z4",
+        3L -> "q1 q2 q3 q4 q5 q6"))
+      val r = TextOps.stripDupSpans(docs).collect()
+        .map(x => x.getLong(0) -> x).toMap
+      r(1L).getAs[Long]("n_tokens_after") shouldBe 12L
+      r(1L).getAs[String]("text_clean") shouldBe "x1 x2 A B C D E F G H y1 y2"
+      r(2L).getAs[Long]("n_tokens_after") shouldBe 4L
+      r(2L).getAs[String]("text_clean") shouldBe "z1 z2 z3 z4"
+      r(3L).getAs[String]("text_clean") shouldBe "q1 q2 q3 q4 q5 q6"
+      // conservation: every duplicated span's content still exists once
+      r(1L).getAs[String]("text_clean") should include("A B C D E F G H")
+    }
+
+    it("leaves intra-doc repeats alone and empties a doc that is all duplicate") {
+      val docs = docsDf(Seq(
+        1L -> "A B C D E w A B C D E", // intra-doc repeat: not cross-doc
+        2L -> "m n o p q r",
+        5L -> "m n o p q r")) // doc 5 is entirely doc 2's content
+      val r = TextOps.stripDupSpans(docs).collect()
+        .map(x => x.getLong(0) -> x).toMap
+      r(1L).getAs[String]("text_clean") shouldBe "A B C D E w A B C D E"
+      r(2L).getAs[String]("text_clean") shouldBe "m n o p q r"
+      r(5L).getAs[Long]("n_tokens_after") shouldBe 0L
+      r(5L).getAs[String]("text_clean") shouldBe ""
+    }
+  }
+
   describe("frequentBigrams") {
     it("returns exactly the planted boilerplate bigrams with exact counts") {
       import org.apache.spark.sql.{functions => F}

@@ -1248,6 +1248,13 @@ object SparkEntry {
     "dedup_modularity_gated" -> ((s, dir) =>
       Dedup.modularityGatedReport(Tables.documents(s, dir))),
 
+    // The consumable survivor corpus at the GATED granularity the report
+    // above audits — trusted communities keep their best doc, untrusted
+    // ones collapse to component keepers, singletons always survive.
+    "dedup_apply_gated" -> ((s, dir) =>
+      Dedup.modularityGatedSurvivors(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     // Dedup applied at weighted-COMMUNITY granularity: one best-quality
     // survivor per weighted-LPA community plus singletons — the APPLY path
     // for the granularity dedup_granularity_report recommends (a template
@@ -2240,6 +2247,7 @@ object SparkEntry {
     "dedup_granularity_report" -> DuckDbOracles.dedupGranularityReport,
     "dedup_apply_communities" -> DuckDbOracles.dedupApplyCommunities,
     "dedup_modularity_gated" -> DuckDbOracles.dedupModularityGatedReport,
+    "dedup_apply_gated" -> DuckDbOracles.dedupApplyGated,
     "dedup_cluster_stats" ->
       s"""SELECT count(*) AS n_components,
          CAST(sum(sz) AS BIGINT) AS n_nodes,

@@ -1384,6 +1384,34 @@ object DuckDbOracles {
        |SELECT * FROM paired UNION ALL SELECT * FROM singles""".stripMargin
   }
 
+  /** Twin of Dedup.modularityGatedSurvivors (projected to
+    * doc_id/lang/source): the same gated grouping CTEs, final relation =
+    * rn=1 keepers plus unpaired singletons joined back to documents.
+    */
+  def dedupApplyGated: String = {
+    val commSql = lpaSql(
+      s"SELECT doc_a, doc_b, est_jaccard AS weight FROM ($minhashLshPairs) p",
+      graft.ops.Graph.LpIters, weighted = true)
+    val qmin = graft.ops.Dedup.ModularityTrustMin
+    s"""WITH lab AS (SELECT node AS doc_id, community FROM ($commSql) l),
+       |md AS (SELECT community, q_contrib FROM (${neardupModularity()}) m),
+       |comp AS (SELECT doc_id, rep FROM ($dedupComponentsExact) c),
+       |q AS (SELECT doc_id, quality_score FROM ($textQuality) t),
+       |g AS (SELECT lab.doc_id,
+       |    CASE WHEN md.q_contrib > $qmin THEN 'c' || CAST(lab.community AS VARCHAR)
+       |         ELSE 'k' || CAST(comp.rep AS VARCHAR) END AS grp
+       |  FROM lab JOIN md ON lab.community = md.community
+       |  JOIN comp ON lab.doc_id = comp.doc_id),
+       |qk AS (SELECT doc_id FROM (
+       |  SELECT g.doc_id, row_number() OVER (PARTITION BY g.grp
+       |    ORDER BY q.quality_score DESC, g.doc_id ASC) AS rn
+       |  FROM g JOIN q ON g.doc_id = q.doc_id) r WHERE rn = 1),
+       |singles AS (SELECT doc_id FROM q
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM comp))
+       |SELECT d.doc_id, d.lang, d.source FROM documents d
+       |JOIN (SELECT doc_id FROM qk UNION ALL SELECT doc_id FROM singles) k USING (doc_id)""".stripMargin
+  }
+
   /** Twin of Dedup.bestQualitySurvivorsCommunities (projected to
     * doc_id/lang/source): the unrolled weighted-LPA labels replace the
     * component CTE, then the identical ranking window + singleton union.

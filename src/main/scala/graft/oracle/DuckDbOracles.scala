@@ -1869,6 +1869,36 @@ object DuckDbOracles {
        |  FROM asg WHERE r = 1)
        |SELECT cell, rank, vec_id FROM rk WHERE rank <= $cap""".stripMargin
 
+  /** Twin of VectorOps.binaryHammingTopK: per-dimension sign disagreement
+    * count (list_filter — the same integer Hamming the packed-word
+    * bit_count computes), (hd ASC, id ASC) shortlist window, exact-cosine
+    * re-rank of the shortlist only.
+    */
+  def bqTopK(
+      k: Int = 10,
+      shortlist: Int = VectorOps.RerankShortlist): String =
+    s"""WITH $embCte,
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |ham AS (SELECT q_id, vec_id AS neighbor_id,
+       |    len(list_filter(range(1, ${VectorOps.EmbeddingDim + 1}),
+       |      i -> (qv[i] > 0) <> (v[i] > 0))) AS hd
+       |  FROM q JOIN e ON q_id <> vec_id),
+       |short AS (SELECT q_id, neighbor_id FROM (
+       |  SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY hd ASC, neighbor_id ASC) AS rn FROM ham) WHERE rn <= $shortlist),
+       |exact AS (SELECT s.q_id, s.neighbor_id, round(${cosSql("q.qv", "e.v")}, 6) AS cos
+       |  FROM short s JOIN e ON s.neighbor_id = e.vec_id JOIN q ON s.q_id = q.q_id),
+       |ranked AS (SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM exact)
+       |SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** Twin of VectorOps.bqRecallReport — the shared recall skeleton over
+    * the binary-Hamming funnel ranking.
+    */
+  def bqRecallReport(k: Int = 10): String = recallReportSql(bqTopK(k), k)
+
   /** Shared recall@k + MRR SQL skeleton for every *RecallReport twin:
     * brute truth LEFT JOIN the given approximate ranking subquery —
     * metrics from integer hits/ranks only.

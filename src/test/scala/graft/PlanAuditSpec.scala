@@ -131,6 +131,11 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // bounded-heap top-k UDAF is the intentional typed-aggregator fallback
     "mrl_topk" -> Set("nested-loop-join", "codegen-fallback"),
     "mrl_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
+    // the 1-bit tier's stage-1 Hamming scan is the same labeled all-pairs
+    // baseline shape (scale path: packed words ride the IVF cell index);
+    // the bounded-heap top-k UDAF is the intentional typed fallback
+    "bq_topk" -> Set("nested-loop-join", "codegen-fallback"),
+    "bq_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     // the composed path keeps the IVF probe's interpreted k-row centroid
     // ranking and the bounded-heap top-k UDAF; its recall report adds the
     // labeled all-pairs brute TRUTH join (the thing being audited against)

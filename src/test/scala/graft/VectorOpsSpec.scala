@@ -585,4 +585,33 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
       recall should be >= 0.25
     }
   }
+
+  describe("binaryHammingTopK") {
+    it("ranks by sign-pattern agreement, re-ranks the shortlist by exact cosine") {
+      // query 100 = (1,1,1,1); the SCALED copy shares every sign bit
+      // (hamming 0) and reranks to cosine 1; one flipped sign = hamming 1;
+      // the antipode disagrees on every bit and must rank behind both
+      val emb = embDf(Seq(
+        (100L, Seq(1.0f, 1.0f, 1.0f, 1.0f), 0),
+        (1L, Seq(2.0f, 2.0f, 2.0f, 2.0f), 0),   // same signs, scaled
+        (2L, Seq(1.0f, 1.0f, 1.0f, -1.0f), 0),  // one sign flip
+        (3L, Seq(-1.0f, -1.0f, -1.0f, -1.0f), 0))) // antipode: hamming 4
+      val got = VectorOps.binaryHammingTopK(emb, k = 2, shortlist = 2, dim = 4)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      got shouldBe Array((1, 1L, 1.0), (2, 2L, 0.5))
+    }
+
+    it("a Hamming near-tie is settled by the exact re-rank, not bit counts") {
+      // neighbors 1 and 2 both differ from the query in ONE sign bit, but
+      // 2's disagreeing component is tiny — exact cosine must put 2 first
+      // even though stage 1 cannot distinguish them
+      val emb = embDf(Seq(
+        (100L, Seq(1.0f, 1.0f, 1.0f, 1.0f), 0),
+        (1L, Seq(1.0f, 1.0f, 1.0f, -1.0f), 0),
+        (2L, Seq(1.0f, 1.0f, 1.0f, -0.01f), 0)))
+      val got = VectorOps.binaryHammingTopK(emb, k = 2, shortlist = 2, dim = 4)
+        .collect().map(r => (r.getInt(1), r.getLong(2)))
+      got shouldBe Array((1, 2L), (2, 1L))
+    }
+  }
 }

@@ -1381,6 +1381,11 @@ object SparkEntry {
     // The 1-bit tier's recall entry in the compression-quality panel.
     "bq_recall_report" -> ((s, dir) =>
       VectorOps.bqRecallReport(Tables.embeddings(s, dir))),
+    // BQ x IVF: cells pruned first, then one xor+popcount per candidate
+    // in the probed cells only (8 bytes/row), exact re-rank on top — the
+    // composed scale path the all-pairs bq_topk baseline stands in for.
+    "bq_ivf_topk" -> ((s, dir) =>
+      VectorOps.bqIvfTopK(Tables.embeddings(s, dir))),
     // Hadamard-rotated PQ (FAISS-style pretransform): closed-form
     // orthogonal rotation via the O(d log d) FWHT kernel, then the full
     // ADC pipeline in rotated space — equalizes per-subspace energy at
@@ -2321,6 +2326,7 @@ object SparkEntry {
     "pq_recall_report" -> DuckDbOracles.pqRecallReport(),
     "bq_topk" -> DuckDbOracles.bqTopK(),
     "bq_recall_report" -> DuckDbOracles.bqRecallReport(),
+    "bq_ivf_topk" -> DuckDbOracles.bqIvfTopK(),
     "pq_rot_adc_topk" -> DuckDbOracles.pqRotAdcTopK(),
     "pq_rot_recall_report" -> DuckDbOracles.pqRotRecallReport(),
     "ann_ivf_rerank_topk" -> DuckDbOracles.annIvfRerankTopK(),

@@ -1179,6 +1179,49 @@ object VectorOps {
   def bqRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
     recallReport(emb, binaryHammingTopK(emb, k), k)
 
+  /** BQ × IVF composition — the scale path `binaryHammingTopK`'s
+    * baseline stands in for: cells are pruned FIRST, stage 1 xor+popcounts
+    * ONLY the probed cells' packed words (8 bytes/row — per query the
+    * stage-1 byte traffic drops from N·dim·4 to (nprobe/C)·N·8), and
+    * stage 2 fetches full precision for the shortlist alone. All three
+    * pruning axes compose: IVF chooses WHICH rows, the sign word is the
+    * cheapest possible read PER row, the re-rank bounds how many full
+    * vectors are ever fetched.
+    */
+  def bqIvfTopK(
+      emb: DataFrame, k: Int = 10,
+      shortlist: Int = RerankShortlist, nprobe: Int = 2,
+      dim: Int = EmbeddingDim): DataFrame = {
+    val cents = centroids(emb).select(col("label").as("cell"), col("centroid"))
+    val centArr: Array[(Int, Seq[Double])] = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    // index-build side: full-vector cell assignment, word-only payload
+    val corpus = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+      .select(col("vec_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
+      .select(col("vec_id"), nearestCellExpr(centArr, col("cv"), col("cn")).as("cell"),
+        packSignBits(col("cv"), dim).as("cw"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val qSrc = emb.filter(col("vec_id") % 100 === 0)
+    val queriesQ = querySet(emb)
+      .select(col("q_id"), col("q_emb").cast("array<double>").as("qv"))
+      .select(col("q_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("qn"))
+      .select(col("q_id"), packSignBits(col("qv"), dim).as("qw"),
+        probeCellsCol(centArr, col("qv"), col("qn"), nprobe).as("p"))
+      .select(col("q_id"), col("qw"), (-col("p.negCell")).as("cell"))
+    val approx = broadcast(queriesQ).join(corpus,
+        col("q_id") =!= col("vec_id") && queriesQ("cell") === corpus("cell"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (-bit_count(col("qw").bitwiseXOR(col("cw"))).cast("double")).as("cos"))
+    val short = topKPerQuery(approx, shortlist).select(col("q_id"), col("neighbor_id"))
+    val exact = broadcast(short)
+      .join(withNorm(emb, "neighbor_id", "cv2", "cn2"), Seq("neighbor_id"))
+      .join(broadcast(withNorm(qSrc, "q_id", "qv2", "qn2")), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        round(dot(col("qv2"), col("cv2")) / (col("qn2") * col("cn2")), 6).as("cos"))
+    topKPerQuery(exact, k)
+  }
+
   /** Two-stage IVF serving with an int8-quantized first pass — the
     * memory-compression pattern production ANN stores use (FAISS
     * IVF+SQ8): the index holds 1-byte components (4× smaller than f32,

@@ -1899,6 +1899,46 @@ object DuckDbOracles {
     */
   def bqRecallReport(k: Int = 10): String = recallReportSql(bqTopK(k), k)
 
+  /** Twin of VectorOps.bqIvfTopK: the annIvfTopK assignment CTEs with the
+    * sign-disagreement Hamming stage-1 restricted to probed cells and the
+    * exact full-dim re-rank of the shortlist only.
+    */
+  def bqIvfTopK(
+      k: Int = 10,
+      shortlist: Int = VectorOps.RerankShortlist,
+      nprobe: Int = 2): String =
+    s"""WITH $embCte,
+       |dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
+       |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
+       |cent AS (SELECT label AS cell, list(round(m, 6) ORDER BY pos) AS centroid
+       |  FROM comp GROUP BY label),
+       |cscore AS (SELECT e.vec_id, e.v, cent.cell,
+       |    round(${cosSql("e.v", "centroid")}, 6) AS ccos
+       |  FROM e CROSS JOIN cent),
+       |ranked_cells AS (SELECT vec_id, v, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
+       |  FROM cscore),
+       |asg AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r = 1),
+       |qasg AS (SELECT vec_id, v, cell FROM ranked_cells
+       |  WHERE r <= $nprobe AND vec_id % 100 = 0),
+       |ham AS (SELECT qa.vec_id AS q_id, ca.vec_id AS neighbor_id,
+       |    len(list_filter(range(1, ${VectorOps.EmbeddingDim + 1}),
+       |      i -> (qa.v[i] > 0) <> (ca.v[i] > 0))) AS hd
+       |  FROM qasg qa JOIN asg ca
+       |    ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id),
+       |short AS (SELECT q_id, neighbor_id FROM (
+       |  SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY hd ASC, neighbor_id ASC) AS rn FROM ham) WHERE rn <= $shortlist),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |exact AS (SELECT s.q_id, s.neighbor_id, round(${cosSql("q.qv", "c2.v")}, 6) AS cos
+       |  FROM short s JOIN e c2 ON s.neighbor_id = c2.vec_id
+       |  JOIN q ON s.q_id = q.q_id)
+       |SELECT q_id, rank, neighbor_id, cos FROM (
+       |  SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM exact) WHERE rank <= $k""".stripMargin
+
   /** Shared recall@k + MRR SQL skeleton for every *RecallReport twin:
     * brute truth LEFT JOIN the given approximate ranking subquery —
     * metrics from integer hits/ranks only.

@@ -136,6 +136,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // the bounded-heap top-k UDAF is the intentional typed fallback
     "bq_topk" -> Set("nested-loop-join", "codegen-fallback"),
     "bq_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
+    // the composed path is a pure cell equi-join — no all-pairs shape
+    // left; just the centroid collect_list build + bounded-heap UDAF
+    "bq_ivf_topk" -> Set("codegen-fallback"),
     // the composed path keeps the IVF probe's interpreted k-row centroid
     // ranking and the bounded-heap top-k UDAF; its recall report adds the
     // labeled all-pairs brute TRUTH join (the thing being audited against)

@@ -1125,10 +1125,12 @@ object VectorOps {
     * codebook bytes). Pure codegen'd column arithmetic: 64 when-terms
     * OR-folded, no lambda, no UDF.
     */
-  private def packSignBits(v: Column, dim: Int): Column = {
+  private[graft] def packSignBits(v: Column, dim: Int): Column = {
     require(dim <= 64, s"packSignBits: dim=$dim exceeds one 64-bit word")
+    // `get` (0-based) returns NULL past the array's end — shorter vectors
+    // simply contribute 0 bits, where ANSI element_at would throw
     (0 until dim).map(i =>
-      when(element_at(v, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      when(get(v, lit(i)) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
   }
 
@@ -1203,23 +1205,75 @@ object VectorOps {
         packSignBits(col("cv"), dim).as("cw"))
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
     val qSrc = emb.filter(col("vec_id") % 100 === 0)
-    val queriesQ = querySet(emb)
-      .select(col("q_id"), col("q_emb").cast("array<double>").as("qv"))
+    bqStages(corpus,
+      withNorm(emb, "neighbor_id", "cv2", "cn2"),
+      probedWordQueries(querySet(emb), centArr, nprobe, dim),
+      withNorm(qSrc, "q_id", "qv2", "qn2"), k, shortlist)
+  }
+
+  /** Packed-word query side with exploded probe cells: (q_id, qw, cell) —
+    * probe selection uses the FULL query vector, stage-1 scoring reads
+    * only the sign word (the probedPrefixQueries convention).
+    */
+  private def probedWordQueries(
+      queries: DataFrame, centArr: Seq[(Int, Seq[Double])],
+      nprobe: Int, dim: Int): DataFrame =
+    queries.select(col("q_id"), col("q_emb").cast("array<double>").as("qv"))
       .select(col("q_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("qn"))
       .select(col("q_id"), packSignBits(col("qv"), dim).as("qw"),
         probeCellsCol(centArr, col("qv"), col("qn"), nprobe).as("p"))
       .select(col("q_id"), col("qw"), (-col("p.negCell")).as("cell"))
+
+  /** The two 1-bit funnel stages over a pre-assigned packed-word corpus —
+    * shared by the inline path (`bqIvfTopK`) and the index-served path
+    * (`bqIvfTopKFromIndex`) so the serving tiers cannot diverge.
+    */
+  private def bqStages(
+      corpus: DataFrame,   // vec_id, cell, cw
+      full: DataFrame,     // neighbor_id, cv2, cn2
+      queriesQ: DataFrame, // q_id, qw, cell (exploded probes)
+      qFull: DataFrame,    // q_id, qv2, qn2
+      k: Int, shortlist: Int): DataFrame = {
     val approx = broadcast(queriesQ).join(corpus,
         col("q_id") =!= col("vec_id") && queriesQ("cell") === corpus("cell"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         (-bit_count(col("qw").bitwiseXOR(col("cw"))).cast("double")).as("cos"))
     val short = topKPerQuery(approx, shortlist).select(col("q_id"), col("neighbor_id"))
     val exact = broadcast(short)
-      .join(withNorm(emb, "neighbor_id", "cv2", "cn2"), Seq("neighbor_id"))
-      .join(broadcast(withNorm(qSrc, "q_id", "qv2", "qn2")), Seq("q_id"))
+      .join(full, Seq("neighbor_id"))
+      .join(broadcast(qFull), Seq("q_id"))
       .select(col("q_id"), col("neighbor_id"),
         round(dot(col("qv2"), col("cv2")) / (col("qn2") * col("cn2")), 6).as("cos"))
     topKPerQuery(exact, k)
+  }
+
+  /** The 1-bit funnel served from an accumulated cell INDEX carrying the
+    * packed sign word (`bw` — StreamingAnnIngest's cheapest payload
+    * column): stage 1 reads 8 bytes per row of the probed cells'
+    * partitions, stage 2 fetches the shortlist's full-precision vectors
+    * from the same index. Ingest predating the `bw` column writes NULL —
+    * a mixed index serves only its packed rows, the codes/mp null-guard
+    * contract.
+    */
+  def bqIvfTopKFromIndex(
+      index: DataFrame,
+      queries: DataFrame,
+      coarse: DataFrame,
+      k: Int = 10,
+      shortlist: Int = RerankShortlist,
+      nprobe: Int = 2,
+      dim: Int = EmbeddingDim): DataFrame = {
+    val centArr: Array[(Int, Seq[Double])] = coarse.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val corpus = index.filter(col("bw").isNotNull)
+      .select(col("vec_id"), col("cell"), col("bw").as("cw"))
+    val full = index.select(col("vec_id").as("neighbor_id"),
+      col("cv").as("cv2"), col("cn").as("cn2"))
+    val qFull = queries
+      .select(col("q_id"), col("q_emb").cast("array<double>").as("qv2"))
+      .select(col("q_id"), col("qv2"), sqrt(dot(col("qv2"), col("qv2"))).as("qn2"))
+    bqStages(corpus, full,
+      probedWordQueries(queries, centArr, nprobe, dim), qFull, k, shortlist)
   }
 
   /** Two-stage IVF serving with an int8-quantized first pass — the

@@ -60,6 +60,9 @@ object StreamingAnnIngest {
     // prefixDim/dim of the vector bytes off the columnar scan
     StructField("mp", ArrayType(DoubleType)),
     StructField("mpn", DoubleType),
+    // packed sign word (1 bit/dim) — the cheapest stage-1 payload,
+    // served by `VectorOps.bqIvfTopKFromIndex`; pre-bw ingest reads NULL
+    StructField("bw", LongType),
     StructField(BatchCol, LongType)))
 
   /** The accumulated cell index, or an empty same-shaped frame before the
@@ -102,6 +105,9 @@ object StreamingAnnIngest {
       // funnel computes, so index-served stage 1 is bit-identical)
       .withColumn("mp", slice(col("cv"), 1, prefixDim))
       .withColumn("mpn", sqrt(dot(col("mp"), col("mp"))))
+      // packed sign word (same 64-term OR fold as the inline bq tier;
+      // components beyond the vector's length contribute 0 bits)
+      .withColumn("bw", VectorOps.packSignBits(col("cv"), VectorOps.EmbeddingDim))
       .withColumn(BatchCol, lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

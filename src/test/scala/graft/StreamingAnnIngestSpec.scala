@@ -140,6 +140,30 @@ class StreamingAnnIngestSpec extends AnyFunSpec with Matchers with SparkSessionT
       served.nonEmpty shouldBe true
     }
 
+    it("stores the packed sign word; 1-bit serving from the streamed index is exact here") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sann-bq").toString
+      val indexDir = s"$dir/index"
+      StreamingAnnIngest.processBatch(embDf(batch0), 0L, quantizer, indexDir)
+      StreamingAnnIngest.processBatch(embDf(batch1), 1L, quantizer, indexDir)
+      val idx = StreamingAnnIngest.readIndex(spark, indexDir)
+      idx.filter(col("bw").isNull).count() shouldBe 0L
+      // vec 1 = (1, 0.01, 0, 0): positive components at dims 1-2 → word 3
+      idx.filter(col("vec_id") === 1L).select("bw").collect()(0).getLong(0) shouldBe 3L
+
+      // with a shortlist covering the whole probed cell, the 1-bit funnel
+      // must return EXACTLY the full-precision IVF answer (stage 2 is the
+      // same exact cosine; stage 1 can only have pruned, and didn't)
+      val corpus = embDf(batch0 ++ batch1)
+      val queries = corpus.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      def ranked(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val bq = ranked(VectorOps.bqIvfTopKFromIndex(
+        idx, queries, quantizer, k = 2, shortlist = 10, nprobe = 1, dim = 4))
+      val exact = ranked(VectorOps.ivfTopKFromIndex(idx, queries, quantizer, k = 2, nprobe = 1))
+      bq shouldBe exact
+      bq.nonEmpty shouldBe true
+    }
+
     it("ingests PQ codes against a fixed codebook; compressed serving matches batch") {
       // 2 subspaces × 2 codewords over dim 4 — a hand-built FIXED book
       // (the ingest contract: codebooks train once offline, like cells)

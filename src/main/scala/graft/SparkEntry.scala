@@ -925,6 +925,15 @@ object SparkEntry {
     "strip_dup_spans" -> ((s, dir) =>
       TextOps.stripDupSpans(TextOps.withPlantedBoilerplate(Tables.documents(s, dir)))),
 
+    // Composed: span excision → shard-packing occupancy. Quantifies what
+    // substring dedup does to the packed-corpus shape (shorter docs, less
+    // splitting, lower fill) — the downstream readout a curator checks
+    // before re-tokenizing the cleaned corpus.
+    "span_clean_pack_report" -> ((s, dir) =>
+      TextOps.packEfficiencyReport(
+        TextOps.stripDupSpans(TextOps.withPlantedBoilerplate(Tables.documents(s, dir)))
+          .select(col("doc_id"), col("text_clean").as("text")))),
+
     // ---- deduplication (north star) --------------------------------------
     "dedup_exact_docs" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_normalized" -> ((s, dir) => TextOps.normalizedDedup(Tables.documents(s, dir))),
@@ -2204,6 +2213,8 @@ object SparkEntry {
     "strip_boilerplate" -> DuckDbOracles.stripBoilerplate(),
     "dup_span_stats" -> DuckDbOracles.dupSpanStats(),
     "strip_dup_spans" -> DuckDbOracles.stripDupSpans(),
+    "span_clean_pack_report" -> DuckDbOracles.packEfficiencyReportFrom(
+      s"(SELECT doc_id, text_clean AS text FROM (${DuckDbOracles.stripDupSpans()}) x) y"),
     "chunk_documents" -> DuckDbOracles.chunkDocuments(),
     "frequent_bigrams" -> DuckDbOracles.frequentBigrams(),
     "dedup_exact_docs" -> DuckDbOracles.dedupExactDocs,

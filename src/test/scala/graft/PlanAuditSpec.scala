@@ -226,6 +226,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // same doc-rebuild shape (collect_list + transform + array_sort over
     // bounded post-agg per-doc groups) for the span-excision apply path
     "strip_dup_spans" -> Set("codegen-fallback"),
+    "span_clean_pack_report" -> Set("codegen-fallback"), // composes strip_dup_spans' rebuild
     // SAX word assembly: collect_list + transform + array_sort over the
     // 6-row per-user segment groups AFTER the hash agg (same bounded
     // post-agg shape as strip_boilerplate)

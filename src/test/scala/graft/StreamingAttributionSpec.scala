@@ -108,6 +108,36 @@ class StreamingAttributionSpec extends AnyFunSpec with Matchers with SparkSessio
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS attr_outer") }
   }
 
+  it("join state is EVICTED at watermark minus window — bounded by rate x window, not stream length") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cMem = MemoryStream[(Long, java.sql.Timestamp)]
+    val pMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = StreamingAttribution.attribute(
+      cMem.toDS().toDF("user_id", "click_ts"),
+      pMem.toDS().toDF("event_id", "p_user", "purchase_ts"),
+      windowSec = 60L, watermarkDelay = "5 seconds", joinType = "inner")
+    val q = out.writeStream.format("memory").queryName("attr_state")
+      .outputMode("append").start()
+    try {
+      // 40 clicks buffered around t=100
+      cMem.addData((1L to 40L).map(i => (i, ts(100 + i % 10))): _*)
+      pMem.addData((700L, 1L, ts(105)))
+      q.processAllAvailable()
+      val loaded = q.lastProgress.stateOperators(0).numRowsTotal
+      loaded should be >= 40L
+      // advance BOTH watermarks far past eviction (wm - window > 110):
+      // the 40 buffered clicks can no longer match any future purchase
+      cMem.addData((99L, ts(1000)))
+      pMem.addData((701L, 99L, ts(1000)))
+      q.processAllAvailable()
+      cMem.addData((98L, ts(1100)))
+      pMem.addData((702L, 98L, ts(1100)))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators(0).numRowsTotal
+      after should be < 10L // the old window's 41+ rows are gone
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS attr_state") }
+  }
+
   it("streamed inner attribution equals the batch binned-range join") {
     val clicks = Seq((7L, ts(100)), (7L, ts(20)), (8L, ts(105)), (9L, ts(126)))
     val purchases = Seq((500L, 7L, ts(130)), (501L, 9L, ts(131)))

@@ -1368,6 +1368,20 @@ object SparkEntry {
         .repartition(s.sparkContext.defaultParallelism)
       VectorOps.mrlIvfTopKFromIndex(index, VectorOps.querySet(emb), coarse)
     }),
+    // The 1-bit tier served from a materialized index frame (the shape
+    // StreamingAnnIngest persists, with the packed sign word as its own
+    // column): same oracle as the inline composition because assignment
+    // and word are deterministic projections of the same corpus.
+    "bq_ivf_from_index_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val coarse = VectorOps.centroids(emb)
+        .select(col("label").as("cell"), col("centroid"))
+      val index = VectorOps.assignCells(emb, coarse)
+        .select(col("vec_id"), col("cell"), col("v").as("cv"), col("vn").as("cn"))
+        .withColumn("bw", VectorOps.packSignBits(col("cv"), VectorOps.EmbeddingDim))
+        .repartition(s.sparkContext.defaultParallelism)
+      VectorOps.bqIvfTopKFromIndex(index, VectorOps.querySet(emb), coarse)
+    }),
     // SemDeDup: k-means clusters bound the near-dup comparison to
     // within-cluster pairs; higher vec_id of each pair at cos >= 0.35 drops.
     "semantic_dedup" -> ((s, dir) => VectorOps.semanticDedup(Tables.embeddings(s, dir))),
@@ -2338,6 +2352,7 @@ object SparkEntry {
     "bq_topk" -> DuckDbOracles.bqTopK(),
     "bq_recall_report" -> DuckDbOracles.bqRecallReport(),
     "bq_ivf_topk" -> DuckDbOracles.bqIvfTopK(),
+    "bq_ivf_from_index_topk" -> DuckDbOracles.bqIvfTopK(),
     "pq_rot_adc_topk" -> DuckDbOracles.pqRotAdcTopK(),
     "pq_rot_recall_report" -> DuckDbOracles.pqRotRecallReport(),
     "ann_ivf_rerank_topk" -> DuckDbOracles.annIvfRerankTopK(),

@@ -139,6 +139,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // the composed path is a pure cell equi-join — no all-pairs shape
     // left; just the centroid collect_list build + bounded-heap UDAF
     "bq_ivf_topk" -> Set("codegen-fallback"),
+    "bq_ivf_from_index_topk" -> Set("codegen-fallback"), // same stages over the index frame
     // the composed path keeps the IVF probe's interpreted k-row centroid
     // ranking and the bounded-heap top-k UDAF; its recall report adds the
     // labeled all-pairs brute TRUTH join (the thing being audited against)

@@ -130,6 +130,115 @@ object StreamingIvm {
     StreamingCdc.processBatch(batch, batchId, snapshotDir, keyCols, versionCols, deleteCol)
   }
 
+  private val mmViewSchema = StructType(Seq(
+    StructField("grp", StringType),
+    StructField("n_keys", LongType),
+    StructField("min_value", DecimalType(18, 2)),
+    StructField("max_value", DecimalType(18, 2)),
+    StructField(VersionCol, LongType)))
+
+  /** Latest committed min/max view strictly below `beforeVersion`. */
+  def readMinMaxView(spark: SparkSession, dir: String, beforeVersion: Long): DataFrame = {
+    val all =
+      try spark.read.schema(mmViewSchema).parquet(dir)
+        .filter(col(VersionCol) < beforeVersion)
+      catch {
+        case _: AnalysisException =>
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], mmViewSchema).drop(VersionCol)
+      }
+    val maxV = all.agg(max(col(VersionCol))).head()
+    if (maxV.isNullAt(0)) all.limit(0).drop(VersionCol)
+    else all.filter(col(VersionCol) === maxV.getLong(0)).drop(VersionCol)
+  }
+
+  /** The reference aggregation the min/max view maintains. */
+  def aggregateSnapshotMinMax(
+      snapshot: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    snapshot.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_keys"),
+        min(col(valueCol).cast("decimal(18,2)")).as("min_value"),
+        max(col(valueCol).cast("decimal(18,2)")).as("max_value"))
+
+  /** MIN/MAX view maintenance — the NON-INVERTIBLE aggregates the
+    * retract/add delta fold above cannot express (deleting the row that
+    * held the minimum reveals a new minimum only the group's remaining
+    * rows know). The standard IVM answer is RECOMPUTE-AFFECTED-GROUPS:
+    *
+    *   1. touched groups = groups named by the batch ∪ the PRIOR groups
+    *      of every batched key (a key can move groups or die — both its
+    *      old and new group must refresh);
+    *   2. re-derive the next-snapshot rows of exactly those groups
+    *      (latest-wins reconciliation restricted to the touched-group
+    *      slice of the prior snapshot — the same Cdc.applyChanges the
+    *      base table folds with, so view and snapshot cannot diverge on
+    *      out-of-order batches);
+    *   3. aggregate that slice from scratch, and splice it over the
+    *      prior view's untouched rows (groups with no live keys simply
+    *      drop out).
+    *
+    * Cost follows |touched groups' rows|, never |snapshot|'s group
+    * count — on a group-partitioned snapshot store the slice read is
+    * partition-pruned. Exactly-once by the same versioned-snapshot
+    * argument as the delta view.
+    */
+  def processBatchMinMax(
+      batch: DataFrame,
+      batchId: Long,
+      snapshotDir: String,
+      viewDir: String,
+      keyCols: Seq[String],
+      versionCols: Seq[String],
+      deleteCol: String,
+      groupCol: String,
+      valueCol: String): Unit = {
+    val spark = batch.sparkSession
+    val snapSchema = StructType(batch.schema.filterNot(_.name == deleteCol))
+    val prev = StreamingCdc.latestSnapshot(spark, snapshotDir, snapSchema, batchId)
+
+    val touchedKeys = batch.select(keyCols.map(col): _*).distinct()
+    val tg = batch.select(col(groupCol).as("grp"))
+      .unionByName(prev.join(touchedKeys, keyCols, "left_semi")
+        .select(col(groupCol).as("grp")))
+      .distinct()
+    val prevTg = prev.join(tg, prev(groupCol) === tg("grp"), "left_semi")
+    val nextTg = Cdc.applyChanges(prevTg, batch, keyCols, versionCols, deleteCol)
+    val recomputed = aggregateSnapshotMinMax(nextTg, groupCol, valueCol)
+
+    val prior = readMinMaxView(spark, viewDir, batchId)
+    prior.join(tg, Seq("grp"), "left_anti")
+      .unionByName(recomputed)
+      .select(col("grp"), col("n_keys").cast("long").as("n_keys"),
+        col("min_value").cast("decimal(18,2)").as("min_value"),
+        col("max_value").cast("decimal(18,2)").as("max_value"))
+      .withColumn(VersionCol, lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(VersionCol)
+      .parquet(viewDir)
+
+    StreamingCdc.processBatch(batch, batchId, snapshotDir, keyCols, versionCols, deleteCol)
+  }
+
+  def startMinMax(
+      changeStream: DataFrame,
+      snapshotDir: String,
+      viewDir: String,
+      checkpointDir: String,
+      keyCols: Seq[String],
+      versionCols: Seq[String],
+      deleteCol: String,
+      groupCol: String,
+      valueCol: String): StreamingQuery =
+    changeStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchMinMax(batch, batchId, snapshotDir, viewDir,
+          keyCols, versionCols, deleteCol, groupCol, valueCol)
+      }
+      .start()
+
   def start(
       changeStream: DataFrame,
       snapshotDir: String,

@@ -77,6 +77,63 @@ class StreamingIvmSpec extends AnyFunSpec with Matchers with SparkSessionTestWra
         })
     }
 
+    it("min/max view: deleting the extremum reveals the runner-up (the non-invertible case)") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val dir = java.nio.file.Files.createTempDirectory("graft-sivm-mm").toString
+      val (snapDir, viewDir, ckptDir) = (s"$dir/snap", s"$dir/view", s"$dir/ckpt")
+      def mmView(): Map[String, (Long, BigDecimal, BigDecimal)] =
+        StreamingIvm.readMinMaxView(spark, viewDir, Long.MaxValue)
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3))))).toMap
+      def mmRecompute(rows: Seq[(Long, Long, String, Double, Boolean)]) =
+        StreamingIvm.aggregateSnapshotMinMax(
+          Cdc.latestWins(feed(rows), Seq("k"), Seq("v"), "is_delete"), "g", "value")
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3))))).toMap
+
+      val mem = MemoryStream[(Long, Long, String, Double, Boolean)]
+      val q = StreamingIvm.startMinMax(
+        mem.toDS().toDF("k", "v", "g", "value", "is_delete"),
+        snapDir, viewDir, ckptDir, Seq("k"), Seq("v"), "is_delete", "g", "value")
+      try {
+        var seen = Seq.empty[(Long, Long, String, Double, Boolean)]
+        // m0: group a holds max 10.25 (k1) and min 5.50 (k2), group b k3
+        // m1: DELETE k1 — a's max must fall back to 5.50, which no delta
+        //     fold can know; move k3 a→... no: update k3's value in b
+        // m2: stale out-of-order replay for k2 (v=0) must change nothing
+        val m0 = b0
+        val m1 = Seq((1L, 2L, "a", 0.0, true), (3L, 2L, "b", 9.00, false))
+        val m2 = Seq((2L, 0L, "a", 999.99, false))
+        Seq(m0, m1, m2).foreach { b =>
+          mem.addData(b: _*)
+          q.processAllAvailable()
+          seen = seen ++ b
+          mmView() shouldBe mmRecompute(seen)
+        }
+        // the headline assertions, explicitly
+        mmView()("a") shouldBe ((1L, BigDecimal("5.50"), BigDecimal("5.50")))
+        mmView()("b") shouldBe ((1L, BigDecimal("9.00"), BigDecimal("9.00")))
+      } finally q.stop()
+    }
+
+    it("min/max view: group moves and emptied groups, exactly-once on retry") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sivm-mm-retry").toString
+      val (snapDir, viewDir) = (s"$dir/snap", s"$dir/view")
+      def pb(rows: Seq[(Long, Long, String, Double, Boolean)], id: Long): Unit =
+        StreamingIvm.processBatchMinMax(feed(rows), id, snapDir, viewDir,
+          Seq("k"), Seq("v"), "is_delete", "g", "value")
+      def mm(): Map[String, (Long, BigDecimal, BigDecimal)] =
+        StreamingIvm.readMinMaxView(spark, viewDir, Long.MaxValue)
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3))))).toMap
+      pb(b0, 0L); pb(b1, 1L) // k1 moves a→b, k2 dies: group a EMPTIES
+      mm().keySet shouldBe Set("b")
+      mm()("b") shouldBe ((2L, BigDecimal("2.00"), BigDecimal("7.75")))
+      val once = mm()
+      pb(b1, 1L) // crash-retry refolds identical inputs
+      mm() shouldBe once
+    }
+
     it("a replayed batch is exactly-once for both view and snapshot") {
       val dir = java.nio.file.Files.createTempDirectory("graft-sivm-retry").toString
       val (snapDir, viewDir) = (s"$dir/snap", s"$dir/view")

@@ -967,6 +967,13 @@ object SparkEntry {
     // Quality-weighted Bernoulli sampling: keep probability ∝ the 6dp
     // quality score — the soft gate between hard filtering and uniform
     // sampling; same deterministic ppm hash machinery.
+    // Fixed-size weighted sampling WITHOUT replacement per source
+    // (Efraimidis-Spirakis A-Res): hash-drawn u, ln(u)/w race key,
+    // bounded-heap per-source top-k — fixed-size AND quality-weighted,
+    // completing the spectrum beside Bernoulli weighting and uniform caps.
+    "weighted_reservoir_sample" -> ((s, dir) =>
+      Sampling.weightedReservoirPerSource(Tables.documents(s, dir))),
+
     "weighted_sample" -> ((s, dir) =>
       Sampling.weightedSample(
         TextOps.qualityScore(Tables.documents(s, dir))
@@ -2244,6 +2251,7 @@ object SparkEntry {
     "temperature_mix" -> DuckDbOracles.temperatureMix,
     "mixture_epoch_plan" -> DuckDbOracles.mixtureEpochPlan,
     "weighted_sample" -> DuckDbOracles.weightedSample(),
+    "weighted_reservoir_sample" -> DuckDbOracles.weightedReservoirPerSource(),
     "capped_per_source" -> DuckDbOracles.cappedPerSource(),
     "leakage_safe_split" ->
       s"""WITH comp AS (${DuckDbOracles.dedupComponents()})

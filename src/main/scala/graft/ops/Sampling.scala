@@ -200,6 +200,46 @@ object Sampling {
       .filter(pmod(hash("wsamp", col("doc_id").cast("string")), lit(1000000L))
         < col("rate_ppm"))
 
+  /** Reservoir size per source for `weightedReservoirPerSource`. */
+  val ReservoirK = 8
+
+  /** Deterministic weighted sampling WITHOUT replacement, fixed size per
+    * source — Efraimidis-Spirakis A-Res (IPL 2006): each doc draws
+    * u ∈ (0,1] from its portable hash and competes with race key
+    * ln(u)/w (monotone in the classic u^(1/w)); the k largest keys per
+    * source win, giving inclusion probability proportional to the doc's
+    * quality score. The missing point on the sampling spectrum:
+    * `weightedSample` is weight-proportional but variable-size
+    * (Bernoulli), `cappedPerSource` is fixed-size but uniform — this is
+    * fixed-size AND weighted. Deterministic and replayable like every
+    * sampling decision here: u is a hash, not an RNG.
+    *
+    * Scale shape: same bounded-heap aggregator as cappedPerSource — ≤ k
+    * rows per (source, partition) ship map-side, no per-source sort ever
+    * materializes. ln runs on engine-identical doubles (u's divisor is a
+    * power of two, so the quotient is exact) — the unigramLogprob
+    * determinism argument; keys round to 6dp with doc_id tie-breaks.
+    */
+  def weightedReservoirPerSource(
+      docs: DataFrame,
+      k: Int = ReservoirK,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val q = TextOps.qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    docs.select(col("source"), col("doc_id")).join(q, Seq("doc_id"))
+      .select(col("source"), col("doc_id"),
+        round(
+          log((hash("res", col("doc_id").cast("string")) + 1).cast("double") /
+            lit(2147483648.0)) / col("quality_score"), 6).as("key"))
+      .groupBy(col("source"))
+      .agg(topk(col("key"), col("doc_id")).as("topk"))
+      .select(col("source"), posexplode(col("topk")).as(Seq("i", "t")))
+      .select(col("source"), (col("i") + 1).cast("int").as("rank"),
+        col("t._2").as("doc_id"), col("t._1").as("race_key"))
+  }
+
   /** Power-law exponent for mixture reweighting (the "unified scaling"
     * α: n^0.7 flattens source sizes less aggressively than sqrt).
     */

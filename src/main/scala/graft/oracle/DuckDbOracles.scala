@@ -941,6 +941,22 @@ object DuckDbOracles {
     * textQuality, the rate is floor()ed from the identical IEEE product,
     * and the keep gate replays the portable hash.
     */
+  /** Twin of Sampling.weightedReservoirPerSource: same hash-drawn u
+    * (exact power-of-two divisor), same ln(u)/w race key rounded 6dp,
+    * ranked row_number over (key DESC, doc_id ASC) per source.
+    */
+  def weightedReservoirPerSource(k: Int = Sampling.ReservoirK): String =
+    s"""WITH q AS (SELECT doc_id, quality_score FROM ($textQuality) t),
+       |r AS (SELECT d.source, d.doc_id,
+       |    round(ln(CAST(${h("res", "CAST(d.doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+       |      / 2147483648.0) / q.quality_score, 6) AS key
+       |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+       |rk AS (SELECT source, doc_id, key,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY key DESC, doc_id ASC) AS INT) AS rank
+       |  FROM r)
+       |SELECT source, rank, doc_id, key AS race_key FROM rk WHERE rank <= $k""".stripMargin
+
   def weightedSample(basePpm: Long = Sampling.WeightBasePpm): String = {
     val stop = inList(TextOps.stopwords)
     s"""WITH $tokCte,

@@ -192,6 +192,8 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "langid_confusion" -> Set("codegen-fallback"), // composes text_langid
     "corpus_retention" -> Set("codegen-fallback"), // composes text_quality
     "weighted_sample" -> Set("codegen-fallback"), // composes text_quality's score expr
+    // text_quality's score expr + the bounded-heap per-source reservoir UDAF
+    "weighted_reservoir_sample" -> Set("codegen-fallback"),
     "dedup_policy_report" -> Set("codegen-fallback"), // composes text_quality's score expr
     "curation_pack_report" -> Set("codegen-fallback"), // survivorship composes the same score expr
     // one-row total-strength (2m) aggregate broadcast-crossed onto the

@@ -179,4 +179,51 @@ class SamplingSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper
       kept(300) shouldBe small
     }
   }
+
+  describe("weightedReservoirPerSource") {
+    import spark.implicits._
+
+    // two quality tiers realized through TEXT (the operator derives its
+    // weights from qualityScore): distinct-token docs score ~0.92, docs
+    // of one repeated token score ~0.50 — race odds ~0.65 : 0.35
+    def twoTier(nSources: Int) = {
+      val hi = (1 to 60).map(i => s"w$i").mkString(" ")
+      val lo = Seq.fill(60)("rep").mkString(" ")
+      (0 until nSources).flatMap { s =>
+        Seq((s * 2L, hi, "en", s"src$s"), (s * 2L + 1L, lo, "en", s"src$s"))
+      }.toDF("doc_id", "text", "lang", "source")
+    }
+
+    it("fixed size per source, keys match the explicit E-S formula") {
+      val d = twoTier(20)
+      val out = Sampling.weightedReservoirPerSource(d, k = 1).collect()
+      out.length shouldBe 20 // exactly one winner per source
+      // replay one winner's race key by hand
+      val r0 = out.head
+      val h = d.filter(col("doc_id") === r0.getLong(2))
+        .select(graft.functions.PortableHash.h31("res", col("doc_id").cast("string")))
+        .collect()(0).getLong(0)
+      val q = graft.ops.TextOps.qualityScore(d)
+        .filter(col("doc_id") === r0.getLong(2))
+        .select("quality_score").collect()(0).getDouble(0)
+      val expect = math.rint(math.log((h + 1).toDouble / 2147483648.0) / q * 1e6) / 1e6
+      r0.getDouble(3) shouldBe expect
+    }
+
+    it("inclusion tracks the weight: high-quality docs win most single-slot races") {
+      val wins = Sampling.weightedReservoirPerSource(twoTier(50), k = 1)
+        .collect().map(_.getLong(2)).count(_ % 2 == 0) // even ids = high tier
+      // p(high wins) = w_hi/(w_hi+w_lo) ~ 0.65 over 50 independent races;
+      // the draw is a fixed hash, so this count is DETERMINISTIC - the
+      // range just documents the statistical reading
+      wins should be >= 25
+      wins should be <= 45
+    }
+
+    it("fills from the remaining pool when k exceeds a tier") {
+      val out = Sampling.weightedReservoirPerSource(twoTier(5), k = 2).collect()
+      out.length shouldBe 10 // both docs of every source, ranked
+      out.map(r => (r.getString(0), r.getInt(1))).toSet.size shouldBe 10
+    }
+  }
 }

@@ -432,6 +432,12 @@ object SparkEntry {
     // Rolling z-score anomaly detection: each value vs its user's trailing
     // window (current row excluded), 6dp-rounded moments before the flag
     // comparison (cross-engine window-summation order differs).
+    // Per-user CUSUM change points (Page's test) via the prefix-scan
+    // closed form of the clamped folds — running sum + running extremum
+    // per user, decimal-exact, no recursion, no UDF.
+    "cusum_changepoints" -> ((s, dir) =>
+      graft.ops.TimeSeries.cusumChangepoints(Tables.events(s, dir))),
+
     "rolling_zscore_anomalies" -> ((s, dir) =>
       graft.ops.TimeSeries.rollingZscore(Tables.events(s, dir))),
 
@@ -1841,6 +1847,7 @@ object SparkEntry {
 
     "ts_similarity_pairs" -> DuckDbOracles.saxSimilarPairs(),
 
+    "cusum_changepoints" -> DuckDbOracles.cusumChangepoints,
     "rolling_zscore_anomalies" ->
       """SELECT event_id, user_id, value, n_hist, mu, sd,
          (n_hist >= 5 AND sd IS NOT NULL AND sd > 0

@@ -477,6 +477,60 @@ object TimeSeries {
     * window, and the integer-ppm hit share — the blast-radius panel for
     * an incident review.
     */
+  /** CUSUM drift constants: target mean, slack (half the shift worth
+    * detecting), and the alarm threshold — exact decimals shared with the
+    * oracle SQL.
+    */
+  val CusumTarget = "50.00"
+  val CusumSlack = "10.00"
+  val CusumThreshold = "300.00"
+
+  /** Per-user CUSUM change-point detection (Page 1954) over the event
+    * value stream: upward statistic S⁺ᵢ = max(0, S⁺ᵢ₋₁ + xᵢ − (μ₀+s)),
+    * downward S⁻ᵢ = max(0, S⁻ᵢ₋₁ + (μ₀−s) − xᵢ), alarms where either
+    * exceeds h. The recurrence looks inherently sequential, but the
+    * clamped fold has a PREFIX-SCAN closed form: with Aᵢ = Pᵢ − i·c
+    * (running value sum minus drift line), S⁺ᵢ = Aᵢ − min(0, min_{j≤i} Aⱼ)
+    * — two stock window functions (running sum + running min), no UDF,
+    * no recursion, whole-stage codegen throughout. All arithmetic is
+    * DECIMAL(18,2)-exact, so alarm counts and peak excursions replay
+    * bit-identically in the oracle.
+    *
+    * Scale: two keyed windows over (user, time) — the same partitioning
+    * every sessionizer here uses; no global window, no driver loop, and
+    * a 100-TB event log fans out by user exactly like windowed_count.
+    */
+  def cusumChangepoints(
+      events: DataFrame,
+      target: String = CusumTarget,
+      slack: String = CusumSlack,
+      threshold: String = CusumThreshold): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dec = (s: String) => lit(s).cast("decimal(18,2)")
+    val cUp = dec(target) + dec(slack)
+    val cDn = dec(target) - dec(slack)
+    val h = dec(threshold)
+    val base = events.select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .withColumn("p", sum(col("v")).over(w))
+      .withColumn("i", row_number().over(w))
+      .withColumn("a_up", (col("p") - col("i") * cUp).cast("decimal(28,2)"))
+      .withColumn("a_dn", (col("p") - col("i") * cDn).cast("decimal(28,2)"))
+    val zero = lit("0.00").cast("decimal(28,2)")
+    val scored = base
+      .withColumn("s_plus",
+        (col("a_up") - least(zero, min(col("a_up")).over(w))).cast("decimal(28,2)"))
+      .withColumn("s_minus",
+        (greatest(zero, max(col("a_dn")).over(w)) - col("a_dn")).cast("decimal(28,2)"))
+    scored.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("s_plus") > h, 1L).otherwise(0L)).as("n_up_alarms"),
+        sum(when(col("s_minus") > h, 1L).otherwise(0L)).as("n_down_alarms"),
+        max(col("s_plus")).cast("decimal(18,2)").cast("double").as("peak_up"),
+        max(col("s_minus")).cast("decimal(18,2)").cast("double").as("peak_down"))
+  }
+
   def incidentWindowHits(events: DataFrame): DataFrame = {
     val bucket = (c: Column) => floor(unix_millis(c) / lit(IncidentWindowMs)).cast("long")
     val win = events.filter(col("event_type") === "error")

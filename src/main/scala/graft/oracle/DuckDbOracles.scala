@@ -941,6 +941,37 @@ object DuckDbOracles {
     * textQuality, the rate is floor()ed from the identical IEEE product,
     * and the keep gate replays the portable hash.
     */
+  /** Twin of TimeSeries.cusumChangepoints: the same prefix-scan closed
+    * form of the clamped CUSUM folds (running sum + running extremum per
+    * user), decimal-exact end to end.
+    */
+  def cusumChangepoints: String = {
+    val cUp = s"CAST(${graft.ops.TimeSeries.CusumTarget} AS DECIMAL(18,2)) + CAST(${graft.ops.TimeSeries.CusumSlack} AS DECIMAL(18,2))"
+    val cDn = s"CAST(${graft.ops.TimeSeries.CusumTarget} AS DECIMAL(18,2)) - CAST(${graft.ops.TimeSeries.CusumSlack} AS DECIMAL(18,2))"
+    val h = s"CAST(${graft.ops.TimeSeries.CusumThreshold} AS DECIMAL(18,2))"
+    s"""WITH b AS (SELECT user_id, ts, event_id,
+       |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+       |s AS (SELECT user_id, ts, event_id,
+       |    CAST(sum(v) OVER wnd AS DECIMAL(28,2)) AS p,
+       |    row_number() OVER wnd AS i
+       |  FROM b WINDOW wnd AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |a AS (SELECT user_id, ts, event_id,
+       |    CAST(p - i * ($cUp) AS DECIMAL(28,2)) AS a_up,
+       |    CAST(p - i * ($cDn) AS DECIMAL(28,2)) AS a_dn FROM s),
+       |sc AS (SELECT user_id,
+       |    CAST(a_up - least(CAST(0 AS DECIMAL(28,2)), min(a_up) OVER wnd)
+       |      AS DECIMAL(28,2)) AS s_plus,
+       |    CAST(greatest(CAST(0 AS DECIMAL(28,2)), max(a_dn) OVER wnd) - a_dn
+       |      AS DECIMAL(28,2)) AS s_minus
+       |  FROM a WINDOW wnd AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, count(*) AS n_events,
+       |  CAST(sum(CASE WHEN s_plus > $h THEN 1 ELSE 0 END) AS BIGINT) AS n_up_alarms,
+       |  CAST(sum(CASE WHEN s_minus > $h THEN 1 ELSE 0 END) AS BIGINT) AS n_down_alarms,
+       |  CAST(CAST(max(s_plus) AS DECIMAL(18,2)) AS DOUBLE) AS peak_up,
+       |  CAST(CAST(max(s_minus) AS DECIMAL(18,2)) AS DOUBLE) AS peak_down
+       |FROM sc GROUP BY 1""".stripMargin
+  }
+
   /** Twin of Sampling.weightedReservoirPerSource: same hash-drawn u
     * (exact power-of-two divisor), same ln(u)/w race key rounded 6dp,
     * ranked row_number over (key DESC, doc_id ASC) per source.

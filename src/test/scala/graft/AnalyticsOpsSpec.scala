@@ -282,4 +282,48 @@ class AnalyticsOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWra
       got("ts_in_window") shouldBe ((1L, 250000L))
     }
   }
+
+  describe("TimeSeries.cusumChangepoints") {
+    it("matches the hand-run clamped folds, both directions") {
+      // target 10, slack 2 (c_up=12, c_dn=8), threshold 5.
+      // user 1: 10,10,10,20,20 -> S+ = 0,0,0,8,16 (2 alarms, peak 16);
+      //         S- stays 0.
+      // user 2: 10,2,2,2 -> S- = 0,6,12,18 (3 alarms, peak 18); S+ = 0.
+      def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+      val ev = Seq(
+        (1L, t(1), 101L, 10.0), (1L, t(2), 102L, 10.0), (1L, t(3), 103L, 10.0),
+        (1L, t(4), 104L, 20.0), (1L, t(5), 105L, 20.0),
+        (2L, t(1), 201L, 10.0), (2L, t(2), 202L, 2.0),
+        (2L, t(3), 203L, 2.0), (2L, t(4), 204L, 2.0))
+        .toDF("user_id", "ts", "event_id", "value")
+      val r = graft.ops.TimeSeries
+        .cusumChangepoints(ev, target = "10.00", slack = "2.00", threshold = "5.00")
+        .collect().map(x => x.getLong(0) -> x).toMap
+      r(1L).getAs[Long]("n_up_alarms") shouldBe 2L
+      r(1L).getAs[Long]("n_down_alarms") shouldBe 0L
+      r(1L).getAs[Double]("peak_up") shouldBe 16.0
+      r(1L).getAs[Double]("peak_down") shouldBe 0.0
+      r(2L).getAs[Long]("n_up_alarms") shouldBe 0L
+      r(2L).getAs[Long]("n_down_alarms") shouldBe 3L
+      r(2L).getAs[Double]("peak_down") shouldBe 18.0
+    }
+
+    it("the statistic RESETS after an excursion ends (the clamp at zero)") {
+      // one high burst then a long return to target: S+ starts at 18
+      // (alarming twice while > 15), decays by c_up - x = 2 per step
+      // down to an exact 0 CLAMP, so the second burst starts a FRESH
+      // excursion at exactly 18 - without the clamp it would ride the
+      // old excursion's residue and read 16
+      def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+      val vals = Seq(30.0) ++ Seq.fill(10)(10.0) ++ Seq(30.0)
+      val ev = vals.zipWithIndex.map { case (v, i) => (1L, t(i + 1), (i + 1).toLong, v) }
+        .toDF("user_id", "ts", "event_id", "value")
+      val r = graft.ops.TimeSeries
+        .cusumChangepoints(ev, target = "10.00", slack = "2.00", threshold = "15.00")
+        .collect().head
+      // S+ trace: 18,16,14,12,10,8,6,4,2,0,0,18 -> alarms at 18,16,18
+      r.getAs[Long]("n_up_alarms") shouldBe 3L
+      r.getAs[Double]("peak_up") shouldBe 18.0
+    }
+  }
 }

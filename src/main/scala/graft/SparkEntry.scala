@@ -1174,6 +1174,13 @@ object SparkEntry {
     // high-degree/low-coefficient nodes are template hubs bridging
     // unrelated docs; coefficient ≈ 1 marks a genuine duplicate clique —
     // the signal deciding "drop the hub" vs "drop the cluster".
+    // k-core of the near-dup graph: the bounded peel leaves the DENSE
+    // heart of duplication (template farms, mirror clusters) — chains and
+    // star leaves peel away; the set-level density certificate beside
+    // triangleStats' per-node coefficient.
+    "neardup_kcore" -> ((s, dir) =>
+      graft.ops.Graph.kCore(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
+
     "neardup_triangles" -> ((s, dir) =>
       graft.ops.Graph.triangleStats(Dedup.minhashLshPairs(Tables.documents(s, dir)))),
 
@@ -2295,6 +2302,7 @@ object SparkEntry {
     "pagerank_neardup_weighted" -> DuckDbOracles.pagerankNeardupWeighted(),
     "neardup_modularity" -> DuckDbOracles.neardupModularity(),
     "neardup_triangles" -> DuckDbOracles.neardupTriangles,
+    "neardup_kcore" -> DuckDbOracles.neardupKcore(),
     "dedup_components_exact" -> DuckDbOracles.dedupComponentsExact,
     "dedup_policy_report" -> DuckDbOracles.dedupPolicyReport,
     "dedup_granularity_report" -> DuckDbOracles.dedupGranularityReport,

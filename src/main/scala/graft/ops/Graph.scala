@@ -308,4 +308,51 @@ object Graph {
     }
     labels.select(col("node"), col("lab").as("community"))
   }
+
+  /** k-core threshold and peel-round budget for `kCore` (fixed rounds so
+    * the oracle unrolls the identical computation).
+    */
+  val KCoreK = 2
+  val KCoreRounds = 6
+
+  /** Bounded k-core peel over an undirected pair graph: `rounds`
+    * synchronous rounds of "drop every node with fewer than k neighbors
+    * among the still-alive nodes", then the surviving nodes with their
+    * final within-core degree. On the near-dup graph the k-core is the
+    * DENSE heart of duplication — template farms and tight mirror
+    * clusters survive, while chains, stars' leaves, and isolated pairs
+    * peel away (a chain dies entirely at k=3; a hub survives only if its
+    * neighbors also interconnect). The complement lens to
+    * triangleStats' per-node coefficient: coreness is a set-level
+    * density certificate.
+    *
+    * Semantics are exactly "rounds-round peel" — no early exit — so the
+    * unrolled oracle replays it term for term; the spec pins that the
+    * budget converges (one extra round is a fixpoint no-op) on graphs
+    * whose peel depth is the documented bound. Scale: per round one
+    * alive-filtered edge count (two semi-joins + a hash agg on the PAIR
+    * graph), lineage truncated per round like the CC fixpoint.
+    */
+  def kCore(
+      pairs: DataFrame,
+      k: Int = KCoreK,
+      rounds: Int = KCoreRounds): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var alive = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
+    for (_ <- 0 until rounds) {
+      alive = edges
+        .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k).select(col("node"))
+        .localCheckpoint(true)
+    }
+    edges
+      .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
 }

@@ -1328,6 +1328,32 @@ object DuckDbOracles {
        |    AS clustering_coef
        |FROM deg d LEFT JOIN cnt c ON d.node = c.node""".stripMargin
 
+  /** Twin of Graph.kCore over the near-dup pair graph: the fixed-round
+    * peel unrolls to one alive-filtered degree CTE per round, then the
+    * final within-core recount.
+    */
+  def neardupKcore(
+      k: Int = graft.ops.Graph.KCoreK,
+      rounds: Int = graft.ops.Graph.KCoreRounds): String = {
+    // MATERIALIZED throughout: each a_i references a_{i-1} twice, so
+    // DuckDB's default CTE inlining would expand the whole LSH chain
+    // 2^rounds times — materialization keeps the unrolled peel linear
+    val iter = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT src AS node FROM (
+         |  SELECT e.src, count(*) AS c FROM edges e
+         |  JOIN a${i - 1} x ON e.src = x.node JOIN a${i - 1} y ON e.dst = y.node
+         |  GROUP BY 1) WHERE c >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ($minhashLshPairs) p),
+       |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |$iter
+       |SELECT e.src AS node, count(*) AS core_deg FROM edges e
+       |JOIN a$rounds x ON e.src = x.node JOIN a$rounds y ON e.dst = y.node
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Twin of Dedup.nearDupComponentsExact: the fixpoint needs no unrolling
     * in SQL — a RECURSIVE transitive-closure CTE (set semantics, so it
     * terminates) reaches every node of the component and min() picks the

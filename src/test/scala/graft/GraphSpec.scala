@@ -192,4 +192,32 @@ class GraphSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
   }
 
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  describe("kCore") {
+    it("keeps the dense core, peels chains and star leaves entirely") {
+      // clique {1,2,3,4} (everyone has 3 in-core neighbors), a chain
+      // 4-5-6-7 hanging off it, and a star 10-{11,12,13}: at k=2 the
+      // clique survives with core_deg 3, the chain peels back from its
+      // tip (5 loses its only alive neighbor once 6,7 die), the star
+      // dies wholesale (leaves have degree 1, then the hub is alone)
+      val pairs = pairsDf(Seq(
+        1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
+        4L -> 5L, 5L -> 6L, 6L -> 7L,
+        10L -> 11L, 10L -> 12L, 10L -> 13L))
+      val core = Graph.kCore(pairs, k = 2, rounds = 6).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      core.keySet shouldBe Set(1L, 2L, 3L, 4L)
+      core.values.toSet shouldBe Set(3L)
+    }
+
+    it("the round budget is a converged fixpoint (one more round is a no-op)") {
+      val pairs = pairsDf(Seq(
+        1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L,
+        6L -> 7L, 7L -> 8L, 8L -> 9L))
+      def run(rounds: Int) = Graph.kCore(pairs, k = 2, rounds = rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      run(Graph.KCoreRounds) shouldBe run(Graph.KCoreRounds + 1)
+      run(Graph.KCoreRounds) shouldBe Set((1L, 2L), (2L, 2L), (3L, 2L))
+    }
+  }
 }

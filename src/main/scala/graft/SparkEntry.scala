@@ -921,6 +921,12 @@ object SparkEntry {
     // Cross-doc duplicate-span coverage (fixed-width exact-substring dedup
     // signal, Lee et al. ACL'22) on the planted corpus — the boilerplate
     // prefix is the provable duplicated span source.
+    // Zipf rank-frequency fit: the "is this natural language" corpus
+    // diagnostic — slope ~ -1 organic, flattened = templated, with r2 as
+    // the power-law goodness gate; head taken by a bounded heap, never a
+    // vocabulary sort.
+    "zipf_fit" -> ((s, dir) => TextOps.zipfFit(Tables.documents(s, dir))),
+
     "dup_span_stats" -> ((s, dir) =>
       TextOps.dupSpanStats(TextOps.withPlantedBoilerplate(Tables.documents(s, dir)))),
 
@@ -2247,6 +2253,7 @@ object SparkEntry {
     "tfidf_top_terms" -> DuckDbOracles.tfidfTopTerms(),
     "strip_boilerplate" -> DuckDbOracles.stripBoilerplate(),
     "dup_span_stats" -> DuckDbOracles.dupSpanStats(),
+    "zipf_fit" -> DuckDbOracles.zipfFit(),
     "strip_dup_spans" -> DuckDbOracles.stripDupSpans(),
     "span_clean_pack_report" -> DuckDbOracles.packEfficiencyReportFrom(
       s"(SELECT doc_id, text_clean AS text FROM (${DuckDbOracles.stripDupSpans()}) x) y"),

@@ -739,6 +739,55 @@ object TextOps {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Head size for the Zipf rank-frequency fit. */
+  val ZipfTopN = 200
+
+  /** Zipf rank-frequency fit over the corpus vocabulary: OLS of
+    * ln(frequency) on ln(rank) for the top-`n` terms — the classic
+    * "is this natural language" corpus diagnostic (slope ≈ −1 for
+    * organic text; synthetic/templated corpora flatten, log-spam
+    * steepens), plus r² as the power-law goodness gate.
+    *
+    * The ranking never needs a global sort: the vocabulary count agg is
+    * map-side-combinable, and the head is taken by the bounded-heap
+    * TopKAggregator keyed (count, portable token hash) — ties rank by
+    * hash, replayed by the oracle's identical window order. Only the
+    * head's (rank, count) pairs feed the fit, so the token strings
+    * themselves never leave the aggregation.
+    *
+    * Scale: one vocab hash agg + a ≤n-row heap + one n-row closed-form
+    * OLS — no window over the vocabulary, nothing corpus-sized moves.
+    */
+  def zipfFit(
+      docs: DataFrame,
+      n: Int = ZipfTopN,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(n),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    val counts = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .select(col("c"), hash("zipf", col("tok")).as("tid"))
+    val pts = counts
+      .agg(topk(col("c").cast("double"), col("tid")).as("topk"))
+      .select(posexplode(col("topk")).as(Seq("i", "t")))
+      .select(log((col("i") + 1).cast("double")).as("x"), log(col("t._1")).as("y"))
+    val sums = pts.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val vx = nD * col("sxx") - col("sx") * col("sx")
+    val vy = nD * col("syy") - col("sy") * col("sy")
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    sums.select(col("n").as("n_terms"),
+      round(when(vx > 0, cov / vx).otherwise(lit(0.0)), 6).as("slope"),
+      round(when(vx > 0, (col("sy") * col("sxx") - col("sx") * col("sxy")) / vx)
+        .otherwise(lit(0.0)), 6).as("intercept"),
+      round(when(vx > 0 && vy > 0, cov * cov / (vx * vy)).otherwise(lit(0.0)), 6)
+        .as("r2"))
+  }
+
   /** Misra-Gries sketch capacity for frequent-bigram mining. */
   val FreqSketchK = 400
 

@@ -738,6 +738,28 @@ object DuckDbOracles {
        |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
+  /** Twin of TextOps.zipfFit: identical (count DESC, token-hash ASC)
+    * head ranking via a window, identical closed-form OLS in ln space.
+    */
+  def zipfFit(n: Int = TextOps.ZipfTopN): String =
+    s"""WITH cnt AS (SELECT tok, count(*) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1),
+       |hd AS (SELECT rnk, c FROM (
+       |  SELECT c, row_number() OVER (ORDER BY c DESC,
+       |    ${h("zipf", "tok")} ASC) AS rnk FROM cnt) WHERE rnk <= $n),
+       |p AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM hd),
+       |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM p)
+       |SELECT n AS n_terms,
+       |  round(CASE WHEN n * sxx - sx * sx > 0
+       |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) ELSE 0.0 END, 6) AS slope,
+       |  round(CASE WHEN n * sxx - sx * sx > 0
+       |    THEN (sy * sxx - sx * sxy) / (n * sxx - sx * sx) ELSE 0.0 END, 6) AS intercept,
+       |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       |    THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+       |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) ELSE 0.0 END, 6) AS r2
+       |FROM s""".stripMargin
+
   /** Twin of TextOps.stripDupSpans over withPlantedBoilerplate: same
     * fixed-width span hashes, keep-first (minimum doc_id canonical)
     * excision, ×spanTokens coverage expansion on dup spans only, and

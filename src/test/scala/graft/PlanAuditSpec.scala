@@ -208,6 +208,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "curation_pipeline" -> Set("codegen-fallback"), // composes corpus_retention
     // our own typed bounded-heap UDAF — imperative by design
     "topk_agg_per_segment" -> Set("codegen-fallback"),
+    "zipf_fit" -> Set("codegen-fallback"), // bounded-heap vocabulary head
     "capped_per_source" -> Set("codegen-fallback"), // same bounded-heap UDAF
     // bounded-heap UDAF over the literal-argmax cell assignment; the
     // k-row centroid aggregate is the same interpreted collect_list path

@@ -575,6 +575,24 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("zipfFit") {
+    it("recovers a planted power law and flags a flat vocabulary") {
+      // token i appears floor(2000 / i) times, i = 1..40: a textbook
+      // Zipf curve - the ln-ln fit must find slope near -1 with high r2
+      val zipfText = (1 to 40).flatMap(i => Seq.fill(2000 / i)(s"z$i")).mkString(" ")
+      val z = TextOps.zipfFit(docsDf(Seq(1L -> zipfText)), n = 40).collect()(0)
+      z.getLong(0) shouldBe 40L
+      z.getDouble(1) shouldBe -1.0 +- 0.05
+      z.getDouble(3) should be >= 0.99
+      // a uniform vocabulary (every token once) is maximally non-Zipfian:
+      // zero variance in y, r2 = 0, slope 0
+      val flatText = (1 to 40).map(i => s"f$i").mkString(" ")
+      val f = TextOps.zipfFit(docsDf(Seq(1L -> flatText)), n = 40).collect()(0)
+      f.getDouble(1) shouldBe 0.0
+      f.getDouble(3) shouldBe 0.0
+    }
+  }
+
   describe("frequentBigrams") {
     it("returns exactly the planted boilerplate bigrams with exact counts") {
       import org.apache.spark.sql.{functions => F}

@@ -629,7 +629,7 @@ object Dedup {
     * (ranked paired docs with rn=1 marking keepers, quality table) — one
     * pair graph, one LPA pass, one modularity audit, one CC fixpoint.
     */
-  private def gatedRanked(docs: DataFrame): (DataFrame, DataFrame) = {
+  private def gatedRanked(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val pairs = minhashLshPairs(docs).persist()
     val wp = pairs.withColumnRenamed("est_jaccard", "weight")
@@ -649,7 +649,11 @@ object Dedup {
         when(col("trusted"), lit("community")).otherwise(lit("component")).as("kind"))
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("quality_score").desc, col("doc_id").asc)
-    (grouped.join(q, Seq("doc_id")).withColumn("rn", row_number().over(w)), q)
+    // comp rides along for the singleton anti-join: it is the CHEAP
+    // (localCheckpoint-materialized) paired-doc set — anti-joining
+    // against `ranked` instead would re-run the whole LPA + modularity
+    // chain a second time just to enumerate paired ids
+    (grouped.join(q, Seq("doc_id")).withColumn("rn", row_number().over(w)), q, comp)
   }
 
   /** The gated survivor CORPUS — the consumable relation the report
@@ -657,15 +661,15 @@ object Dedup {
     * unpaired singleton, with all document columns.
     */
   def modularityGatedSurvivors(docs: DataFrame): DataFrame = {
-    val (ranked, q) = gatedRanked(docs)
+    val (ranked, q, comp) = gatedRanked(docs)
     val keep = ranked.filter(col("rn") === 1).select(col("doc_id"))
     val singles = q.select(col("doc_id"))
-      .join(ranked.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
     docs.join(keep.union(singles), Seq("doc_id"))
   }
 
   def modularityGatedReport(docs: DataFrame): DataFrame = {
-    val (ranked, q) = gatedRanked(docs)
+    val (ranked, q, comp) = gatedRanked(docs)
     val pairedRoll = ranked.groupBy(col("kind"))
       .agg(countDistinct(col("grp")).as("n_groups"),
         count(lit(1)).as("n_docs"),
@@ -675,7 +679,7 @@ object Dedup {
       .select(col("kind"), col("n_groups"), col("n_docs"),
         col("tq").cast("double").as("kept_quality"))
     val singles = q
-      .join(ranked.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .agg(count(lit(1)).as("n_groups"), count(lit(1)).as("n_docs"),
         sum(col("quality_score").cast("decimal(18,6)"))
           .cast("decimal(18,6)").as("tq"))

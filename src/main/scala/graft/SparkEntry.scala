@@ -1180,6 +1180,19 @@ object SparkEntry {
     // high-degree/low-coefficient nodes are template hubs bridging
     // unrelated docs; coefficient ≈ 1 marks a genuine duplicate clique —
     // the signal deciding "drop the hub" vs "drop the cluster".
+    // Chunk-granular near-dup: the LSH pipeline over 32-token sliding
+    // chunks as pseudo-docs (id = doc_id*100000 + chunk_idx), keeping
+    // only CROSS-document collisions — catches partially-copied passages
+    // whole-document MinHash dilutes below its threshold (the paragraph
+    // tier between doc-level LSH and exact span excision).
+    "chunk_neardup_pairs" -> ((s, dir) => {
+      val chunks = TextOps.chunkDocuments(Tables.documents(s, dir))
+        .select((col("doc_id") * 100000L + col("chunk_idx")).as("doc_id"),
+          col("chunk_text").as("text"))
+      Dedup.minhashLshPairs(chunks)
+        .filter(expr("doc_a DIV 100000") =!= expr("doc_b DIV 100000"))
+    }),
+
     // k-core of the near-dup graph: the bounded peel leaves the DENSE
     // heart of duplication (template farms, mirror clusters) — chains and
     // star leaves peel away; the set-level density certificate beside
@@ -2310,6 +2323,7 @@ object SparkEntry {
     "neardup_modularity" -> DuckDbOracles.neardupModularity(),
     "neardup_triangles" -> DuckDbOracles.neardupTriangles,
     "neardup_kcore" -> DuckDbOracles.neardupKcore(),
+    "chunk_neardup_pairs" -> DuckDbOracles.chunkNeardupPairs,
     "dedup_components_exact" -> DuckDbOracles.dedupComponentsExact,
     "dedup_policy_report" -> DuckDbOracles.dedupPolicyReport,
     "dedup_granularity_report" -> DuckDbOracles.dedupGranularityReport,

@@ -1608,6 +1608,30 @@ object DuckDbOracles {
        |)
        |$pairsFromBands""".stripMargin
 
+  /** The same MinHash-LSH pair pipeline over an arbitrary
+    * (doc_id, text) relation — only the tok CTE's source changes; the
+    * shingle/signature/band fragments are shared verbatim.
+    */
+  def minhashLshPairsFrom(docsSql: String): String =
+    s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t
+       |  FROM ($docsSql) zz), $shCte, $sigCte,
+       |bands AS (
+       |  $bandsCteBody
+       |)
+       |$pairsFromBands""".stripMargin
+
+  /** Twin of the chunk_neardup_pairs composition: chunks as pseudo-docs
+    * (id = doc_id·100000 + chunk_idx) through the shared LSH pipeline,
+    * keeping only CROSS-document collisions (same-doc chunks overlap by
+    * construction at stride < width).
+    */
+  def chunkNeardupPairs: String = {
+    val src = s"SELECT doc_id * 100000 + chunk_idx AS doc_id, chunk_text AS text " +
+      s"FROM (${chunkDocuments()}) c"
+    s"""SELECT doc_a, doc_b, est_jaccard FROM (${minhashLshPairsFrom(src)}) p
+       |WHERE doc_a // 100000 <> doc_b // 100000""".stripMargin
+  }
+
   /** Twin of Dedup.sourceContamination: the shared band-pair fragments
     * labeled with each side's source, canonicalized least/greatest, one
     * matrix aggregate.

@@ -347,6 +347,28 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("chunk-level near-dup (composition)") {
+    it("finds a copied passage that whole-document similarity dilutes") {
+      import org.apache.spark.sql.functions._
+      // a 32-token passage copied verbatim from doc 1 into doc 2, each
+      // doc padded with its own unrelated tail — document-level Jaccard
+      // sits far below the LSH threshold, but the chunk tier pairs the
+      // aligned copies
+      val passage = (1 to 32).map(i => s"pp$i")
+      val docs = docsDf(Seq(
+        1L -> (passage ++ (1 to 28).map(i => s"qa$i")).mkString(" "),
+        2L -> (passage ++ (1 to 40).map(i => s"zb$i")).mkString(" "),
+        3L -> (1 to 60).map(i => s"uu$i").mkString(" ")))
+      val chunks = graft.ops.TextOps.chunkDocuments(docs)
+        .select((col("doc_id") * 100000L + col("chunk_idx")).as("doc_id"),
+          col("chunk_text").as("text"))
+      val cross = Dedup.minhashLshPairs(chunks)
+        .filter(expr("doc_a DIV 100000") =!= expr("doc_b DIV 100000"))
+        .collect().map(r => (r.getLong(0) / 100000L, r.getLong(1) / 100000L)).toSet
+      cross shouldBe Set((1L, 2L)) // the copied passage, nothing else
+    }
+  }
+
   describe("modularityGatedReport") {
     it("trusts the clique community, demotes the 2-cycle pair to component granularity") {
       // clique {1,2,3}: a genuine duplicate group — one community with

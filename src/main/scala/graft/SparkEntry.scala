@@ -605,6 +605,12 @@ object SparkEntry {
     "k_anonymity_report" -> ((s, dir) =>
       graft.ops.Privacy.kAnonymityReport(Tables.events(s, dir))),
 
+    // l-diversity audit: the homogeneity attack k-anonymity misses — a
+    // k-sized class owned by ONE user is fully re-identifying; classes
+    // must mix >= l distinct users.
+    "l_diversity_report" -> ((s, dir) =>
+      graft.ops.Privacy.lDiversityReport(Tables.events(s, dir))),
+
     // Suppression-based k-anonymization: quasi columns NULLed for rows in
     // classes below k, with the suppression flag emitted.
     "k_anonymize" -> ((s, dir) =>
@@ -1968,6 +1974,7 @@ object SparkEntry {
     "incident_window_hits" -> DuckDbOracles.incidentWindowHits,
     "storage_profile" -> DuckDbOracles.storageProfile,
     "k_anonymity_report" -> DuckDbOracles.kAnonymityReport(),
+    "l_diversity_report" -> DuckDbOracles.lDiversityReport(),
     "k_anonymize" -> DuckDbOracles.kAnonymize(),
     "cms_sketch" -> DuckDbOracles.cmsSketch,
     "cms_heavy_hitters" -> DuckDbOracles.cmsHeavyHitters(),

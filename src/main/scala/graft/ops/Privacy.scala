@@ -56,6 +56,39 @@ object Privacy {
         col("rows_at_risk"), col("min_class"),
         expr("CAST((rows_at_risk * 1000000) div n_rows AS BIGINT)").as("risk_ppm"))
 
+  /** Minimum distinct-sensitive-value count per class (the "l" of
+    * l-diversity).
+    */
+  val LDiv = 3L
+
+  /** Per-event_type l-DIVERSITY audit — the attack k-anonymity misses:
+    * a class of k rows that all belong to ONE user is k-anonymous yet
+    * fully re-identifying (homogeneity attack, Machanavajjhala et al.
+    * ICDE'06). Sensitive attribute here = user_id; a class is diverse
+    * iff it mixes ≥ l distinct users. Reports, per event_type, the
+    * class census, rows in under-diverse classes, the worst class's
+    * diversity, and the exact integer-ppm risk share.
+    *
+    * Scale: the same quasi hash agg as the k-report with one extra
+    * distinct-count (quasi-domain-sized, never corpus-sized), then a
+    * domain rollup.
+    */
+  def lDiversityReport(events: DataFrame, l: Long = LDiv): DataFrame =
+    events.select(col("user_id"), col("event_type"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") / lit(ValueBucket)).cast("long").as("vb"))
+      .groupBy(col("event_type"), col("day"), col("vb"))
+      .agg(count(lit(1)).as("cls_n"), countDistinct(col("user_id")).as("n_sens"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("cls_n")).as("n_rows"),
+        sum(when(col("n_sens") < l, 1L).otherwise(0L)).as("low_classes"),
+        sum(when(col("n_sens") < l, col("cls_n")).otherwise(lit(0L))).as("rows_at_risk"),
+        min(col("n_sens")).as("min_diversity"))
+      .select(col("event_type"), col("n_classes"), col("n_rows"),
+        col("low_classes"), col("rows_at_risk"), col("min_diversity"),
+        expr("CAST((rows_at_risk * 1000000) div n_rows AS BIGINT)").as("risk_ppm"))
+
   /** Suppression-based k-anonymization: rows whose equivalence class is
     * smaller than k get their quasi columns (day, value bucket)
     * suppressed to NULL — the suppressed rows then share one

@@ -2887,6 +2887,23 @@ object DuckDbOracles {
        |  CAST((sum(CASE WHEN cls_n < $k THEN cls_n ELSE 0 END) * 1000000) // sum(cls_n) AS BIGINT) AS risk_ppm
        |FROM cs GROUP BY 1""".stripMargin
 
+  /** Twin of Privacy.lDiversityReport: the quasi classes with a
+    * distinct-user count, rolled up per event_type.
+    */
+  def lDiversityReport(l: Long = graft.ops.Privacy.LDiv): String =
+    s"""WITH q AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+       |    CAST(floor(value / ${graft.ops.Privacy.ValueBucket}) AS BIGINT) AS vb
+       |  FROM events),
+       |cs AS (SELECT event_type, day, vb, count(*) AS cls_n,
+       |    count(DISTINCT user_id) AS n_sens FROM q GROUP BY 1, 2, 3)
+       |SELECT event_type, count(*) AS n_classes, CAST(sum(cls_n) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN n_sens < $l THEN 1 ELSE 0 END) AS BIGINT) AS low_classes,
+       |  CAST(sum(CASE WHEN n_sens < $l THEN cls_n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       |  CAST(min(n_sens) AS BIGINT) AS min_diversity,
+       |  CAST((sum(CASE WHEN n_sens < $l THEN cls_n ELSE 0 END) * 1000000)
+       |    // sum(cls_n) AS BIGINT) AS risk_ppm
+       |FROM cs GROUP BY 1""".stripMargin
+
   /** Twin of Privacy.kAnonymize. */
   def kAnonymize(k: Long = graft.ops.Privacy.KAnon): String =
     s"""WITH $kAnonCtes

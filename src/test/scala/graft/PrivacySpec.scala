@@ -44,4 +44,24 @@ class PrivacySpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
       sizes.foreach(_ should be >= Privacy.KAnon)
     }
   }
+
+  describe("lDiversityReport") {
+    it("flags the k-anonymous-but-homogeneous class") {
+      // bucket 0: 6 rows from 4 distinct users (diverse at l=3, and safe
+      // under k=5); bucket 9: 5 rows ALL from user 42 - k-anonymous at
+      // k=5 yet fully re-identifying, which only the diversity audit sees
+      val rows = ((1L to 6L).map(i => (i, (i % 4) + 1, "click", 1700000000000L, 3.0)) ++
+        (7L to 11L).map(i => (i, 42L, "click", 1700000000000L, 95.0)))
+        .map { case (id, u, t, ms, v) => (id, u, t, new java.sql.Timestamp(ms), v) }
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+      val k = Privacy.kAnonymityReport(rows).collect()(0)
+      k.getLong(3) shouldBe 0L // no class below k=5: k-anonymity is happy
+      val r = Privacy.lDiversityReport(rows).collect()(0)
+      r.getLong(1) shouldBe 2L  // n_classes
+      r.getLong(3) shouldBe 1L  // low_classes: the homogeneous bucket
+      r.getLong(4) shouldBe 5L  // its 5 rows are at risk
+      r.getLong(5) shouldBe 1L  // min_diversity: one user
+      r.getLong(6) shouldBe 454545L // 5/11 in integer ppm
+    }
+  }
 }

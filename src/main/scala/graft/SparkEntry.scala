@@ -1199,6 +1199,25 @@ object SparkEntry {
         .filter(expr("doc_a DIV 100000") =!= expr("doc_b DIV 100000"))
     }),
 
+    // Doc-pair rollup of the chunk collisions: per cross-document pair,
+    // how many chunks collide and how strongly — the "how much of B is
+    // copied from A" panel a curator reads before choosing between
+    // doc-level drop and span-level excision.
+    "chunk_share_report" -> ((s, dir) => {
+      val chunks = TextOps.chunkDocuments(Tables.documents(s, dir))
+        .select((col("doc_id") * 100000L + col("chunk_idx")).as("doc_id"),
+          col("chunk_text").as("text"))
+      Dedup.minhashLshPairs(chunks)
+        .filter(expr("doc_a DIV 100000") =!= expr("doc_b DIV 100000"))
+        // chunk ids order by (doc, idx), so doc_a < doc_b already
+        // canonicalizes the DOC pair
+        .groupBy(expr("doc_a DIV 100000").as("doc_a"),
+          expr("doc_b DIV 100000").as("doc_b"))
+        .agg(count(lit(1)).as("shared_chunks"),
+          round(avg(col("est_jaccard")), 6).as("mean_est_jaccard"),
+          round(max(col("est_jaccard")), 6).as("max_est_jaccard"))
+    }),
+
     // k-core of the near-dup graph: the bounded peel leaves the DENSE
     // heart of duplication (template farms, mirror clusters) — chains and
     // star leaves peel away; the set-level density certificate beside
@@ -2331,6 +2350,12 @@ object SparkEntry {
     "neardup_triangles" -> DuckDbOracles.neardupTriangles,
     "neardup_kcore" -> DuckDbOracles.neardupKcore(),
     "chunk_neardup_pairs" -> DuckDbOracles.chunkNeardupPairs,
+    "chunk_share_report" ->
+      s"""SELECT doc_a // 100000 AS doc_a, doc_b // 100000 AS doc_b,
+         |  count(*) AS shared_chunks,
+         |  round(avg(est_jaccard), 6) AS mean_est_jaccard,
+         |  round(max(est_jaccard), 6) AS max_est_jaccard
+         |FROM (${DuckDbOracles.chunkNeardupPairs}) p GROUP BY 1, 2""".stripMargin,
     "dedup_components_exact" -> DuckDbOracles.dedupComponentsExact,
     "dedup_policy_report" -> DuckDbOracles.dedupPolicyReport,
     "dedup_granularity_report" -> DuckDbOracles.dedupGranularityReport,

@@ -376,6 +376,11 @@ object Dedup {
     require(converged,
       s"nearDupComponentsExact: no fixpoint after $maxIters rounds — raise maxIters " +
         "(pointer jumping makes the bound logarithmic in component diameter)")
+    // The result is localCheckpoint-materialized, so it no longer depends on
+    // the cached edge frame — release it here. A long-running caller (the
+    // per-micro-batch StreamingComponents fold) would otherwise accumulate
+    // one orphaned cached edge frame per batch until LRU eviction.
+    edges.unpersist()
     labels
   }
 

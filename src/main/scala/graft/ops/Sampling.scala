@@ -219,6 +219,14 @@ object Sampling {
     * materializes. ln runs on engine-identical doubles (u's divisor is a
     * power of two, so the quotient is exact) — the unigramLogprob
     * determinism argument; keys round to 6dp with doc_id tie-breaks.
+    * ACCEPTED RISK (the documented exception to the "no transcendental
+    * functions" module convention): JVM Math.log and DuckDB's libm log may
+    * differ in the final ulp for identical inputs, so a key landing
+    * EXACTLY on a 6dp rounding boundary could round apart and flip a race
+    * outcome between engines. With 52 mantissa bits a boundary hit needs
+    * the quotient's last ~32 bits to spell .xxxxx5000…, ~2⁻³² per row —
+    * the oracle has stayed hash-green across every SF; if a corpus ever
+    * trips it, widen the rounding or compare keys with a tolerance.
     */
   def weightedReservoirPerSource(
       docs: DataFrame,

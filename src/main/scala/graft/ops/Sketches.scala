@@ -256,7 +256,7 @@ object Sketches {
     * Each event lands in `CmsDepth` cells (a narrow array-explode — no
     * pre-shuffle); the groupBy has BOUNDED cardinality depth×width =
     * 4×8192 = 32768,
-    * so map-side combine collapses every 100 TB partition to ≤2048 rows
+    * so map-side combine collapses every 100 TB partition to ≤32768 rows
     * before the only exchange. Sketches merge by per-cell ADDITION —
     * associative, commutative, exact — across days, shards, or streams.
     */

@@ -127,6 +127,17 @@ object ActivityStream {
     * The target table needs a `graft_batch_id BIGINT` column; the DELETE
     * is an indexed single-key statement, so at scale it prunes to the
     * replayed batch's rows, never a table scan of history.
+    *
+    * CAVEAT — the guarantee is per-BATCH, and it requires that no writer
+    * task commits twice WITHIN a successful batch: the scrub runs once on
+    * the driver before the distributed append, so a task re-execution
+    * after its partition already committed (speculative execution, or a
+    * retry after a post-commit failure) duplicates rows that no later
+    * scrub removes, because a successful batch id never replays. This
+    * writer therefore REFUSES to run with `spark.speculation=true`; for
+    * task-retry safety beyond that, give the table a unique key over
+    * (graft_batch_id, row id) so the store itself rejects the second
+    * commit, or stage into a per-attempt table and swap transactionally.
     */
   def jdbcIdempotentForeachBatch(
       url: String,
@@ -137,6 +148,11 @@ object ActivityStream {
       driver: String = "org.postgresql.Driver",
       log: String => Unit = _ => ()): (DataFrame, Long) => Unit = { (batch, batchId) =>
     import org.apache.spark.sql.functions.lit
+    require(!batch.sparkSession.conf.get("spark.speculation", "false").toBoolean,
+      "jdbcIdempotentForeachBatch: spark.speculation must be false — a " +
+        "speculative duplicate of an already-committed partition would " +
+        "double rows inside a successful batch, and that batch id never " +
+        "replays, so nothing scrubs them (see the scaladoc caveat)")
     batch.persist()
     try {
       log(s"Processing batch $batchId with ${batch.count()} rows")

@@ -127,8 +127,13 @@ object Dedup {
     */
   def sourceContamination(
       docs: DataFrame,
-      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
-    val pairs = minhashLshPairs(docs, hash)
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame =
+    sourceContaminationFrom(minhashLshPairs(docs, hash), docs)
+
+  /** `sourceContamination` served from a PREBUILT pair graph (the
+    * DedupIndex artifact) — the report body without the signature pass.
+    */
+  def sourceContaminationFrom(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
@@ -220,8 +225,18 @@ object Dedup {
   def minhashQualityReport(
       docs: DataFrame,
       trueThreshold: Double = EstAuditThreshold,
-      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
-    val pairs = minhashLshPairs(docs, hash)
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame =
+    minhashQualityReportFrom(minhashLshPairs(docs, hash), docs, trueThreshold)
+
+  /** `minhashQualityReport` over a PREBUILT pair graph (the DedupIndex
+    * artifact): only the exact-Jaccard truth side still reads the corpus
+    * (gated to candidate docs by the semi-join), the estimate side comes
+    * from the artifact.
+    */
+  def minhashQualityReportFrom(
+      pairs: DataFrame,
+      docs: DataFrame,
+      trueThreshold: Double = EstAuditThreshold): DataFrame = {
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val shp = shingles(docs).join(nodes, Seq("doc_id"), "left_semi").persist()
@@ -499,9 +514,12 @@ object Dedup {
     * unpaired singletons, quality table).
     */
   private def policyKeeps(
-      docs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      docs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    policyKeepsFrom(docs, nearDupComponentsExact(minhashLshPairs(docs)))
+
+  private def policyKeepsFrom(
+      docs: DataFrame, comp: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val comp = nearDupComponentsExact(minhashLshPairs(docs))
     val q = TextOps.qualityScore(docs).select(col("doc_id"), col("quality_score"))
     val cq = comp.join(q, Seq("doc_id"))
     val minKeep = cq.groupBy(col("rep")).agg(min(col("doc_id")).as("doc_id"))
@@ -524,6 +542,14 @@ object Dedup {
     docs.join(qKeep.union(singles), Seq("doc_id"))
   }
 
+  /** Best-quality survivor corpus from the PREBUILT exact-component table
+    * (the DedupIndex artifact) — keeper window + singleton anti-join only.
+    */
+  def bestQualitySurvivorsFrom(docs: DataFrame, components: DataFrame): DataFrame = {
+    val (_, qKeep, singles, _) = policyKeepsFrom(docs, components)
+    docs.join(qKeep.union(singles), Seq("doc_id"))
+  }
+
   /** The corpus after best-quality survivorship at weighted-COMMUNITY
     * granularity: one top-quality doc per weighted-LPA community plus
     * every unpaired singleton. This is the APPLY path for the granularity
@@ -542,14 +568,23 @@ object Dedup {
     * community over the PAIRED docs only, and an anti-join for
     * singletons — never a corpus-wide sort.
     */
-  def bestQualitySurvivorsCommunities(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def bestQualitySurvivorsCommunities(docs: DataFrame): DataFrame =
     // persisted: the label table feeds both the keeper window and the
     // singleton anti-join — unpersisted, the LPA rounds would run twice
-    val comm = graft.ops.Graph.labelPropagationWeighted(
-        minhashLshPairs(docs).withColumnRenamed("est_jaccard", "weight"))
-      .select(col("node").as("doc_id"), col("community").as("grp"))
-      .persist()
+    bestQualitySurvivorsCommunitiesFrom(docs,
+      graft.ops.Graph.labelPropagationWeighted(
+          minhashLshPairs(docs).withColumnRenamed("est_jaccard", "weight"))
+        .persist())
+
+  /** Community-granularity survivorship from a PREBUILT label table
+    * (node, community) — the DedupIndex artifact path: no LSH, no LPA
+    * rounds, just one keeper window + one singleton anti-join against
+    * the label table.
+    */
+  def bestQualitySurvivorsCommunitiesFrom(
+      docs: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comm = labels.select(col("node").as("doc_id"), col("community").as("grp"))
     val q = TextOps.qualityScore(docs).select(col("doc_id"), col("quality_score"))
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("quality_score").desc, col("doc_id").asc)
@@ -579,14 +614,23 @@ object Dedup {
     * label pass plus one window over the PAIRED docs.
     */
   def dedupGranularityReport(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = minhashLshPairs(docs).persist()
+    dedupGranularityReportFrom(docs,
+      graft.ops.Graph.labelPropagationWeighted(
+        pairs.withColumnRenamed("est_jaccard", "weight")),
+      nearDupComponentsExact(pairs))
+  }
+
+  /** Granularity report from PREBUILT label + component tables (the
+    * DedupIndex artifact): both label passes come from the artifact, so
+    * the report is two keeper windows over the paired docs.
+    */
+  def dedupGranularityReportFrom(
+      docs: DataFrame, labels: DataFrame, components: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = TextOps.qualityScore(docs).select(col("doc_id"), col("quality_score"))
-    val comp = nearDupComponentsExact(pairs)
-      .select(col("doc_id"), col("rep").as("grp"))
-    val comm = graft.ops.Graph.labelPropagationWeighted(
-        pairs.withColumnRenamed("est_jaccard", "weight"))
-      .select(col("node").as("doc_id"), col("community").as("grp"))
+    val comp = components.select(col("doc_id"), col("rep").as("grp"))
+    val comm = labels.select(col("node").as("doc_id"), col("community").as("grp"))
     val paired = comp.select(col("doc_id"))
     val singles = q.select(col("doc_id")).join(paired, Seq("doc_id"), "left_anti")
     def roll(granularity: String, labels: DataFrame) = {
@@ -635,13 +679,25 @@ object Dedup {
     * pair graph, one LPA pass, one modularity audit, one CC fixpoint.
     */
   private def gatedRanked(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = minhashLshPairs(docs).persist()
     val wp = pairs.withColumnRenamed("est_jaccard", "weight")
     val edges = graft.ops.Graph.symmetrizedWeighted(wp).persist()
     val labels = graft.ops.Graph.lpaWeightedLoop(edges, graft.ops.Graph.LpIters).persist()
+    gatedRankedFrom(docs, edges, labels, nearDupComponentsExact(pairs))
+  }
+
+  /** The gated grouping from PREBUILT artifact frames: symmetrized
+    * weighted edges (derived cheaply from the artifact's pair table),
+    * LPA labels, and exact components — only the modularity audit and the
+    * keyed windows/aggs still run; no signature pass, no iterative loops.
+    */
+  private def gatedRankedFrom(
+      docs: DataFrame,
+      edges: DataFrame,
+      labels: DataFrame,
+      comp: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val mod = graft.ops.Graph.modularityFrom(edges, labels)
-    val comp = nearDupComponentsExact(pairs)
     val q = TextOps.qualityScore(docs).select(col("doc_id"), col("quality_score"))
     val trusted = mod.select(col("community"),
       (col("q_contrib") > lit(ModularityTrustMin)).as("trusted"))
@@ -665,8 +721,31 @@ object Dedup {
     * above describes: rn=1 keepers at the gated granularity plus every
     * unpaired singleton, with all document columns.
     */
+  /** Derive the symmetrized weighted edge frame a gated computation needs
+    * from an artifact pair table (two projections + a union — cheap
+    * against a parquet read, no signature work).
+    */
+  private def gatedEdgesOf(pairs: DataFrame): DataFrame =
+    graft.ops.Graph.symmetrizedWeighted(
+      pairs.withColumnRenamed("est_jaccard", "weight"))
+
   def modularityGatedSurvivors(docs: DataFrame): DataFrame = {
     val (ranked, q, comp) = gatedRanked(docs)
+    gatedSurvivorsOf(docs, ranked, q, comp)
+  }
+
+  /** Gated survivor corpus served from the DedupIndex artifact frames. */
+  def modularityGatedSurvivorsFrom(
+      docs: DataFrame, pairs: DataFrame,
+      labels: DataFrame, components: DataFrame): DataFrame = {
+    val (ranked, q, comp) =
+      gatedRankedFrom(docs, gatedEdgesOf(pairs), labels, components)
+    gatedSurvivorsOf(docs, ranked, q, comp)
+  }
+
+  private def gatedSurvivorsOf(
+      docs: DataFrame, ranked: DataFrame,
+      q: DataFrame, comp: DataFrame): DataFrame = {
     val keep = ranked.filter(col("rn") === 1).select(col("doc_id"))
     val singles = q.select(col("doc_id"))
       .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -675,6 +754,20 @@ object Dedup {
 
   def modularityGatedReport(docs: DataFrame): DataFrame = {
     val (ranked, q, comp) = gatedRanked(docs)
+    gatedReportOf(ranked, q, comp)
+  }
+
+  /** Gated survivorship report served from the DedupIndex artifact frames. */
+  def modularityGatedReportFrom(
+      docs: DataFrame, pairs: DataFrame,
+      labels: DataFrame, components: DataFrame): DataFrame = {
+    val (ranked, q, comp) =
+      gatedRankedFrom(docs, gatedEdgesOf(pairs), labels, components)
+    gatedReportOf(ranked, q, comp)
+  }
+
+  private def gatedReportOf(
+      ranked: DataFrame, q: DataFrame, comp: DataFrame): DataFrame = {
     val pairedRoll = ranked.groupBy(col("kind"))
       .agg(countDistinct(col("grp")).as("n_groups"),
         count(lit(1)).as("n_docs"),
@@ -693,8 +786,18 @@ object Dedup {
     pairedRoll.unionByName(singles)
   }
 
-  def dedupPolicyReport(docs: DataFrame): DataFrame = {
-    val (minKeep, qKeep, singles, q) = policyKeeps(docs)
+  def dedupPolicyReport(docs: DataFrame): DataFrame =
+    policyReportOf(policyKeeps(docs))
+
+  /** Policy report from the PREBUILT exact-component table (the DedupIndex
+    * artifact) — two keeper selections + the singleton anti-join, no LSH.
+    */
+  def dedupPolicyReportFrom(docs: DataFrame, components: DataFrame): DataFrame =
+    policyReportOf(policyKeepsFrom(docs, components))
+
+  private def policyReportOf(
+      keeps: (DataFrame, DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (minKeep, qKeep, singles, q) = keeps
     def roll(policy: String, kept: DataFrame) =
       kept.union(singles).join(q, Seq("doc_id"))
         .agg(count(lit(1)).as("n_kept"),

@@ -256,6 +256,14 @@ object Graph {
     modularityFrom(edges, labels)
   }
 
+  /** Modularity report served from a PREBUILT weighted pair graph AND its
+    * PREBUILT label table (the DedupIndex artifact): no LPA rounds run —
+    * only the two label-keyed edge joins and the |communities|-row
+    * aggregate. `pairs` carries (doc_a, doc_b, weight).
+    */
+  def modularityReportFrom(pairs: DataFrame, labels: DataFrame): DataFrame =
+    modularityFrom(symmetrizedWeighted(pairs).persist(), labels)
+
   /** Modularity contributions from PREBUILT (and caller-persisted)
     * symmetrized-edge and label frames — the composition point for
     * queries that also need the labels themselves (e.g. gated

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.{Dedup, DedupIndex, Graph}
+
+/** The persisted near-dup graph artifact: one build writes pairs + labels +
+  * components; every report served FROM the artifact must equal its inline
+  * derivation row-for-row (the from-index ≡ inline contract
+  * StreamingTextIngestSpec pins for retrieval, applied to the dedup graph).
+  */
+class DedupIndexSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // the gated-report corpus: a genuine clique {1,2,3}, an isolated pair
+  // {4,5} (the LPA 2-cycle), and a singleton — exercises every grouping
+  // kind the survivorship family distinguishes
+  private val aTok = (1 to 60).map(i => s"qa$i")
+  private def tweak(ts: Seq[String], i: Int) = ts.updated(i, ts(i) + "x")
+  private val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+  private val nearDup = ((1 to 59).map(i => s"tok$i") :+ "changed").mkString(" ")
+  private val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+  private val docs = docsDf(Seq(
+    1L -> aTok.mkString(" "),
+    2L -> tweak(aTok, 5).mkString(" "),
+    3L -> tweak(aTok, 20).mkString(" "),
+    4L -> base, 5L -> nearDup,
+    9L -> unrelated))
+
+  private def rowsOf(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  describe("DedupIndex") {
+    it("serves pairs, labels, components, and every survivorship report identically to the inline build") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
+      val f = DedupIndex.buildAndRead(docs, dir)
+
+      // the three artifact tables ≡ their inline derivations
+      val inlinePairs = Dedup.minhashLshPairs(docs).persist()
+      rowsOf(f.pairs) shouldBe rowsOf(inlinePairs)
+      rowsOf(f.labels) shouldBe rowsOf(
+        Graph.labelPropagationWeighted(
+          inlinePairs.withColumnRenamed("est_jaccard", "weight")))
+      rowsOf(f.components) shouldBe rowsOf(Dedup.nearDupComponentsExact(inlinePairs))
+      f.pairs.count() should be > 0L
+
+      // reports served FROM the artifact ≡ inline reports
+      rowsOf(Graph.modularityReportFrom(
+        f.pairs.withColumnRenamed("est_jaccard", "weight"), f.labels)) shouldBe
+        rowsOf(Graph.modularityReport(
+          inlinePairs.withColumnRenamed("est_jaccard", "weight")))
+      rowsOf(Dedup.dedupGranularityReportFrom(docs, f.labels, f.components)) shouldBe
+        rowsOf(Dedup.dedupGranularityReport(docs))
+      rowsOf(Dedup.dedupPolicyReportFrom(docs, f.components)) shouldBe
+        rowsOf(Dedup.dedupPolicyReport(docs))
+      rowsOf(Dedup.modularityGatedReportFrom(docs, f.pairs, f.labels, f.components)) shouldBe
+        rowsOf(Dedup.modularityGatedReport(docs))
+      rowsOf(Dedup.modularityGatedSurvivorsFrom(docs, f.pairs, f.labels, f.components)) shouldBe
+        rowsOf(Dedup.modularityGatedSurvivors(docs))
+      rowsOf(Dedup.bestQualitySurvivorsCommunitiesFrom(docs, f.labels)) shouldBe
+        rowsOf(Dedup.bestQualitySurvivorsCommunities(docs))
+      rowsOf(Dedup.bestQualitySurvivorsFrom(docs, f.components)) shouldBe
+        rowsOf(Dedup.bestQualitySurvivors(docs))
+      rowsOf(Dedup.sourceContaminationFrom(f.pairs,
+        docs.withColumn("source",
+          org.apache.spark.sql.functions.lit("web")))) shouldBe
+        rowsOf(Dedup.sourceContamination(
+          docs.withColumn("source",
+            org.apache.spark.sql.functions.lit("web"))))
+      inlinePairs.unpersist()
+    }
+
+    it("a rebuild overwrites the prior artifact rather than accumulating") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dedup-idx2").toString
+      DedupIndex.build(docs, dir)
+      val first = DedupIndex.read(spark, dir).pairs.count()
+      DedupIndex.build(docs, dir) // second build over the same corpus
+      DedupIndex.read(spark, dir).pairs.count() shouldBe first
+    }
+
+    it("an unbuilt index reads as empty frames, not an error") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dedup-idx3").toString
+      val f = DedupIndex.read(spark, s"$dir/never_built")
+      f.pairs.count() shouldBe 0L
+      f.labels.count() shouldBe 0L
+      f.components.count() shouldBe 0L
+    }
+  }
+}

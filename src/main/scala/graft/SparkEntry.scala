@@ -1227,10 +1227,11 @@ object SparkEntry {
           round(max(col("est_jaccard")), 6).as("max_est_jaccard"))
     }),
 
-    // k-core of the near-dup graph: the bounded peel leaves the DENSE
-    // heart of duplication (template farms, mirror clusters) — chains and
-    // star leaves peel away; the set-level density certificate beside
-    // triangleStats' per-node coefficient.
+    // k-core of the near-dup graph: the EXACT fixpoint peel (backstop
+    // throws, never truncates) leaves the DENSE heart of duplication
+    // (template farms, mirror clusters) — chains and star leaves peel
+    // away; the set-level density certificate beside triangleStats'
+    // per-node coefficient.
     "neardup_kcore" -> ((s, dir) =>
       graft.ops.Graph.kCore(dedupIndexOf(s, dir).pairs)),
 

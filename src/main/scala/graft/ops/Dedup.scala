@@ -90,7 +90,18 @@ object Dedup {
     // persist it so the band self-join reads it once instead of recomputing
     // the whole shingle+hash pipeline on both sides. At 100 TB the
     // signature table is the thing you'd write to storage anyway.
-    val sig = minhashSignatures(docs, hash).persist()
+    minhashLshPairsFromSignatures(minhashSignatures(docs, hash).persist(), hash)
+  }
+
+  /** The banding + candidate self-join over a PREBUILT signature table
+    * (mh0..mh{k-1} per doc) — the serving half of the LSH pipeline, split
+    * out so an accumulated signature index (StreamingChunkDedup) can
+    * derive pairs without recomputing history signatures. The caller owns
+    * persistence of `sig` (a parquet-backed index needs none).
+    */
+  def minhashLshPairsFromSignatures(
+      sig: DataFrame,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
     val bandStructs = (0 until MinhashBands).map { j =>
       val cols = (j * MinhashRows until (j + 1) * MinhashRows)
         .map(i => col(s"mh$i").cast("string"))

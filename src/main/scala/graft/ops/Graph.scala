@@ -317,47 +317,67 @@ object Graph {
     labels.select(col("node"), col("lab").as("community"))
   }
 
-  /** k-core threshold and peel-round budget for `kCore` (fixed rounds so
-    * the oracle unrolls the identical computation).
+  /** k-core threshold and the hard peel-round backstop for `kCore`. The
+    * backstop THROWS rather than silently returning a superset of the
+    * true core (the nearDupComponentsExact convention); the oracle
+    * unrolls exactly `KCoreMaxRounds` rounds, which equals the fixpoint
+    * whenever the fixpoint is reachable within the bound — i.e. whenever
+    * the Spark side doesn't throw — so the engines stay in lockstep.
     */
   val KCoreK = 2
-  val KCoreRounds = 6
+  val KCoreMaxRounds = 12
 
-  /** Bounded k-core peel over an undirected pair graph: `rounds`
-    * synchronous rounds of "drop every node with fewer than k neighbors
-    * among the still-alive nodes", then the surviving nodes with their
-    * final within-core degree. On the near-dup graph the k-core is the
-    * DENSE heart of duplication — template farms and tight mirror
-    * clusters survive, while chains, stars' leaves, and isolated pairs
-    * peel away (a chain dies entirely at k=3; a hub survives only if its
-    * neighbors also interconnect). The complement lens to
-    * triangleStats' per-node coefficient: coreness is a set-level
-    * density certificate.
+  /** EXACT k-core over an undirected pair graph: synchronous rounds of
+    * "drop every node with fewer than k neighbors among the still-alive
+    * nodes", iterated to FIXPOINT — the alive set only shrinks, so one
+    * survivor-count scalar per round detects convergence (count unchanged
+    * ⟺ set unchanged ⟺ fixpoint) — then the surviving nodes with their
+    * final within-core degree. `maxRounds` is a hard backstop that
+    * throws on a deeper-than-expected peel instead of silently returning
+    * a superset of the true core (the fixed-round variant's failure
+    * shape; exact CC set the precedent).
     *
-    * Semantics are exactly "rounds-round peel" — no early exit — so the
-    * unrolled oracle replays it term for term; the spec pins that the
-    * budget converges (one extra round is a fixpoint no-op) on graphs
-    * whose peel depth is the documented bound. Scale: per round one
-    * alive-filtered edge count (two semi-joins + a hash agg on the PAIR
-    * graph), lineage truncated per round like the CC fixpoint.
+    * On the near-dup graph the k-core is the DENSE heart of duplication —
+    * template farms and tight mirror clusters survive, while chains,
+    * stars' leaves, and isolated pairs peel away (a chain dies entirely
+    * at k=3; a hub survives only if its neighbors also interconnect).
+    * The complement lens to triangleStats' per-node coefficient:
+    * coreness is a set-level density certificate.
+    *
+    * Scale: per round one alive-filtered edge count (two semi-joins + a
+    * hash agg on the PAIR graph) plus one driver scalar, lineage
+    * truncated per round like the CC fixpoint; early exit means shallow
+    * graphs pay their actual peel depth, not the worst-case budget.
     */
   def kCore(
       pairs: DataFrame,
       k: Int = KCoreK,
-      rounds: Int = KCoreRounds): DataFrame = {
+      maxRounds: Int = KCoreMaxRounds): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     var alive = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
-    for (_ <- 0 until rounds) {
-      alive = edges
+    var aliveCount = alive.count()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxRounds) {
+      val next = edges
         .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= k).select(col("node"))
         .localCheckpoint(true)
+      val nextCount = next.count()
+      converged = nextCount == aliveCount
+      alive = next
+      aliveCount = nextCount
+      it += 1
     }
+    require(converged,
+      s"kCore: no fixpoint after $maxRounds peel rounds — raise maxRounds " +
+        "(each round peels at least one node, so the bound is the graph's " +
+        "degeneracy-ordering depth, not its size)")
     edges
       .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")

@@ -702,24 +702,50 @@ object TextOps {
       docs: DataFrame,
       spanTokens: Int = SpanTokens,
       hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(spanTokens >= 2, s"stripDupSpans: spanTokens=$spanTokens must be >= 2")
-    val toks = docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val toks = tokenPositions(docs)
       .persist() // feeds the span pass AND the final rebuild anti-join
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until spanTokens).map(i => lead(col("tok"), i).over(w))
-    val spans = toks
-      .select(col("doc_id"), col("pos"),
-        concat_ws(" ", (col("tok") +: leads): _*).as("span"),
-        leads.last.isNotNull.as("full"))
-      .filter(col("full"))
-      .select(col("doc_id"), col("pos"), hash("ds", col("span")).as("span_h"))
+    val spans = spanHashesOf(toks, spanTokens, hash)
     val canon = spans.select(col("span_h"), col("doc_id")).distinct()
       .groupBy(col("span_h"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("span_h"), col("canonical_id"))
+    excisedRebuild(docs, toks, spans, canon, spanTokens)
+  }
+
+  /** (doc_id, pos, tok) exploded token positions — the spine both the
+    * batch span pass and the streamed excision fold consume.
+    */
+  private[graft] def tokenPositions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+
+  /** Full-width span hashes (doc_id, pos, span_h) from a token-position
+    * table: span at `pos` covers tokens [pos, pos+spanTokens).
+    */
+  private[graft] def spanHashesOf(
+      toks: DataFrame, spanTokens: Int,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until spanTokens).map(i => lead(col("tok"), i).over(w))
+    toks
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (col("tok") +: leads): _*).as("span"),
+        leads.last.isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("doc_id"), col("pos"), hash("ds", col("span")).as("span_h"))
+  }
+
+  /** Excise every span position whose canonical holder is a LOWER doc id
+    * (`canon`: span_h → canonical_id; a doc matching its own canonical
+    * row keeps its copy) and rebuild the surviving text in position
+    * order — the shared apply step of batch `stripDupSpans` and the
+    * streamed span-excision fold (where `canon` also carries history).
+    */
+  private[graft] def excisedRebuild(
+      docs: DataFrame, toks: DataFrame, spans: DataFrame,
+      canon: DataFrame, spanTokens: Int): DataFrame = {
     val drop = spans.join(canon, Seq("span_h"))
       .filter(col("doc_id") > col("canonical_id"))
       .select(col("doc_id"),

@@ -1356,7 +1356,7 @@ object DuckDbOracles {
     */
   def neardupKcore(
       k: Int = graft.ops.Graph.KCoreK,
-      rounds: Int = graft.ops.Graph.KCoreRounds): String = {
+      rounds: Int = graft.ops.Graph.KCoreMaxRounds): String = {
     // MATERIALIZED throughout: each a_i references a_{i-1} twice, so
     // DuckDB's default CTE inlining would expand the whole LSH chain
     // 2^rounds times — materialization keeps the unrolled peel linear

@@ -71,6 +71,31 @@ object StreamingCuration {
     } finally report.unpersist()
   }
 
+  /** Curation composed with duplicate-SPAN excision — the streaming twin
+    * of the batch `span_clean_pack_report` chain (gates → stripDupSpans):
+    * after the gate pass, THIS batch's kept (scrubbed) documents run
+    * through StreamingSpanExcise against the accumulated span index, so
+    * the clean sink carries gate-retained text with every
+    * already-seen-elsewhere span excised. Exactly-once end to end: each
+    * stage is idempotent in `batchId`, and the excision input is read
+    * back from the kept sink's just-committed batch partition (a retry
+    * re-reads the identical overwrite).
+    */
+  def processBatchWithSpanExcision(
+      batch: DataFrame,
+      batchId: Long,
+      keptDir: String,
+      rejectsDir: String,
+      spanIndexDir: String,
+      cleanDir: String): Map[String, Any] = {
+    val metrics = processBatch(batch, batchId, keptDir, rejectsDir)
+    val keptDocs = batch.sparkSession.read.parquet(keptDir)
+      .filter(col(BatchCol) === batchId)
+      .select(col("doc_id"), col("text_scrubbed").as("text"))
+    StreamingSpanExcise.processBatch(keptDocs, batchId, spanIndexDir, cleanDir)
+    metrics
+  }
+
   def start(
       docsStream: DataFrame,
       keptDir: String,

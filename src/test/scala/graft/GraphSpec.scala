@@ -204,20 +204,36 @@ class GraphSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
         1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
         4L -> 5L, 5L -> 6L, 6L -> 7L,
         10L -> 11L, 10L -> 12L, 10L -> 13L))
-      val core = Graph.kCore(pairs, k = 2, rounds = 6).collect()
+      val core = Graph.kCore(pairs, k = 2).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       core.keySet shouldBe Set(1L, 2L, 3L, 4L)
       core.values.toSet shouldBe Set(3L)
     }
 
-    it("the round budget is a converged fixpoint (one more round is a no-op)") {
+    it("converges exactly on a fixpoint (extra budget changes nothing)") {
       val pairs = pairsDf(Seq(
         1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L,
         6L -> 7L, 7L -> 8L, 8L -> 9L))
-      def run(rounds: Int) = Graph.kCore(pairs, k = 2, rounds = rounds)
+      def run(maxRounds: Int) = Graph.kCore(pairs, k = 2, maxRounds = maxRounds)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      run(Graph.KCoreRounds) shouldBe run(Graph.KCoreRounds + 1)
-      run(Graph.KCoreRounds) shouldBe Set((1L, 2L), (2L, 2L), (3L, 2L))
+      run(Graph.KCoreMaxRounds) shouldBe run(Graph.KCoreMaxRounds + 5)
+      run(Graph.KCoreMaxRounds) shouldBe Set((1L, 2L), (2L, 2L), (3L, 2L))
+    }
+
+    it("peels a chain DEEPER than the old fixed 6-round bound to the true (empty) core") {
+      // an 18-node chain at k=2 peels two endpoints per round → 9 peel
+      // rounds + 1 confirming round; the retired fixed-6-round variant
+      // silently returned the 6-round superset here
+      val chain = pairsDf((1L to 17L).map(i => i -> (i + 1)))
+      Graph.kCore(chain, k = 2).count() shouldBe 0L
+    }
+
+    it("throws on the backstop instead of returning an unconverged superset") {
+      val chain = pairsDf((1L to 17L).map(i => i -> (i + 1)))
+      val e = intercept[IllegalArgumentException] {
+        Graph.kCore(chain, k = 2, maxRounds = 3).count()
+      }
+      e.getMessage should include("no fixpoint")
     }
   }
 }

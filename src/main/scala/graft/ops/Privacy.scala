@@ -41,12 +41,32 @@ object Privacy {
     q.groupBy(col("event_type"), col("day"), col("vb"))
       .agg(count(lit(1)).as("cls_n"))
 
+  /** Per-class census (event_type, day, vb → row count + distinct
+    * sensitive users) — the table BOTH audits roll up from, and exactly
+    * what StreamingGovernance maintains incrementally: cls_n and n_sens
+    * are per-class recomputable from a class-sized snapshot slice, so
+    * the recompute-affected-classes fold keeps the view equal to this
+    * aggregation of the latest snapshot.
+    */
+  def classStats(events: DataFrame): DataFrame =
+    events.select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") / lit(ValueBucket)).cast("long").as("vb"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("day"), col("vb"))
+      .agg(count(lit(1)).as("cls_n"), countDistinct(col("user_id")).as("n_sens"))
+
   /** Per-event_type k-anonymity audit: equivalence-class count, total
     * rows, rows at risk (class < k), the smallest class, and the risk
     * share as an exact integer-ppm quotient.
     */
   def kAnonymityReport(events: DataFrame, k: Long = KAnon): DataFrame =
-    classSizes(quasi(events))
+    kAnonymityReportFromClasses(classSizes(quasi(events)), k)
+
+  /** The k-anonymity rollup from a prebuilt class table (needs cls_n;
+    * the maintained class view or the inline census both qualify).
+    */
+  def kAnonymityReportFromClasses(classes: DataFrame, k: Long = KAnon): DataFrame =
+    classes
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_classes"),
         sum(col("cls_n")).as("n_rows"),
@@ -74,11 +94,11 @@ object Privacy {
     * domain rollup.
     */
   def lDiversityReport(events: DataFrame, l: Long = LDiv): DataFrame =
-    events.select(col("user_id"), col("event_type"),
-        to_date(col("ts")).as("day"),
-        floor(col("value") / lit(ValueBucket)).cast("long").as("vb"))
-      .groupBy(col("event_type"), col("day"), col("vb"))
-      .agg(count(lit(1)).as("cls_n"), countDistinct(col("user_id")).as("n_sens"))
+    lDiversityReportFromClasses(classStats(events), l)
+
+  /** The l-diversity rollup from a prebuilt class table (cls_n + n_sens). */
+  def lDiversityReportFromClasses(classes: DataFrame, l: Long = LDiv): DataFrame =
+    classes
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_classes"),
         sum(col("cls_n")).as("n_rows"),

@@ -67,7 +67,11 @@ object Bench {
     // inflates different queries in each pass and the per-query min stays
     // clean. Pass 3 re-times only queries whose two samples still disagree
     // >1.5× (both hit noise) or whose best is >5 s (episode dominates).
+    // optional args = time only these queries (local pin calibration; the
+    // driver passes no args so its run stays exhaustive)
+    val only = args.toSet
     val qlist = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
     val pass1 = qlist.map { case (name, fn) => name -> time1(fn) }.toMap
     val pass2 = qlist.flatMap { case (name, fn) =>
       if (pass1(name).err.isEmpty) Some(name -> time1(fn)) else None

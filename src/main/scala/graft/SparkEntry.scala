@@ -1496,6 +1496,16 @@ object SparkEntry {
       VectorOps.pqRotAdcTopK(Tables.embeddings(s, dir))),
     "pq_rot_recall_report" -> ((s, dir) =>
       VectorOps.pqRotRecallReport(Tables.embeddings(s, dir))),
+    // OPQ-lite DATA-OPTIMIZED pretransform: variance-balanced snake
+    // allocation of dimensions to subspaces (the parametric-OPQ move a
+    // SQL oracle can replay — rank + snake windows over integer
+    // micro-unit variances), then the full ADC pipeline in allocated
+    // space; the data-driven counterpart the static Hadamard rotation
+    // caveat points at.
+    "pq_opq_topk" -> ((s, dir) =>
+      VectorOps.pqOpqAdcTopK(Tables.embeddings(s, dir))),
+    "pq_opq_recall_report" -> ((s, dir) =>
+      VectorOps.pqOpqRecallReport(Tables.embeddings(s, dir))),
     // IVF × PQ (classic IVFPQ serving): coarse cells prune WHICH rows are
     // scanned, PQ codes compress WHAT each row costs — ADC over probed
     // cells only; completes the tier matrix with mrl_ivf's bandwidth axis.
@@ -2473,6 +2483,8 @@ object SparkEntry {
     "bq_ivf_from_index_topk" -> DuckDbOracles.bqIvfTopK(),
     "pq_rot_adc_topk" -> DuckDbOracles.pqRotAdcTopK(),
     "pq_rot_recall_report" -> DuckDbOracles.pqRotRecallReport(),
+    "pq_opq_topk" -> DuckDbOracles.pqOpqAdcTopK(),
+    "pq_opq_recall_report" -> DuckDbOracles.pqOpqRecallReport(),
     "ann_ivf_rerank_topk" -> DuckDbOracles.annIvfRerankTopK(),
     "embedding_rproj" -> DuckDbOracles.randomProjection,
     "media_meta" -> DuckDbOracles.mediaMeta,

@@ -821,6 +821,89 @@ object VectorOps {
   def pqRotRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
     recallReport(emb, pqRotAdcTopK(emb, k), k)
 
+  /** Per-dimension corpus variance in integer MICRO-UNITS: both moments
+    * 6dp-rounded (the meanVector convention the k-means oracles already
+    * prove cross-engine), variance from the rounded moments, then ×1e6 to
+    * long — so ordering and running sums downstream are exact integer
+    * comparisons in both engines. One group-less 2d-column aggregate; the
+    * d pairs of doubles are the only thing the driver sees.
+    */
+  def dimVarianceMicro(emb: DataFrame): Seq[Long] = {
+    val v = emb.select(col("embedding").cast("array<double>").as("v"))
+    val aggs = (0 until EmbeddingDim).flatMap(j => Seq(
+      round(avg(element_at(col("v"), j + 1)), 6).as(s"m$j"),
+      round(avg(element_at(col("v"), j + 1) * element_at(col("v"), j + 1)), 6).as(s"q$j")))
+    val r = v.agg(aggs.head, aggs.tail: _*).head()
+    (0 until EmbeddingDim).map { j =>
+      val m1 = r.getDouble(2 * j)
+      val q = r.getDouble(2 * j + 1)
+      BigDecimal((q - m1 * m1) * 1e6)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+  }
+
+  /** OPQ-lite DATA-OPTIMIZED dimension allocation: a variance-balanced
+    * permutation of the coordinates before PQ's consecutive-slice split —
+    * the closed-form stand-in for OPQ's learned rotation (Ge et al.,
+    * CVPR'13: their non-parametric solver alternates encode/Procrustes
+    * via an SVD no SQL oracle can replay; their PARAMETRIC variant
+    * reduces to balancing per-subspace energy, which a permutation
+    * already achieves for diagonal-dominant covariance). Dimensions are
+    * ranked by variance (descending, id tie-break) and dealt to the m
+    * subspaces in SNAKE order (pass 0: s=0..m−1, pass 1: s=m−1..0, …) —
+    * the boustrophedon balanced-partition heuristic — so no subspace
+    * hoards the high-energy coordinates the way the natural order does
+    * when embeddings carry skewed per-dim scales. Returns the permuted
+    * position → original dim map (subspace-major).
+    *
+    * Everything is integer arithmetic over the micro-unit variances:
+    * rank, snake target, within-subspace order — the DuckDB oracle
+    * replays the allocation as two window functions.
+    */
+  def opqPermutation(emb: DataFrame): Seq[Int] = {
+    val micro = dimVarianceMicro(emb)
+    val ranked = micro.zipWithIndex.sortBy { case (mv, d) => (-mv, d) }
+    val subs = Array.fill(PqM)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    ranked.zipWithIndex.foreach { case ((_, d), r) =>
+      val pos = r % PqM
+      val s = if ((r / PqM) % 2 == 0) pos else PqM - 1 - pos
+      subs(s) += d
+    }
+    subs.toSeq.flatten
+  }
+
+  /** The corpus re-expressed in OPQ-allocated coordinates — one narrow
+    * permutation projection at the frame boundary (the pretransform
+    * slot), zero shuffle. Cosine is permutation-invariant, so rankings
+    * computed here answer the original similarity question.
+    */
+  def opqEmbeddings(emb: DataFrame): DataFrame = {
+    val perm = opqPermutation(emb)
+    val v = col("embedding").cast("array<double>")
+    emb.select(col("vec_id"), col("label"),
+      array(perm.map(d => element_at(v, d + 1)): _*).as("embedding"))
+  }
+
+  /** PQ ADC serving over the OPQ-allocated corpus — train, encode, and
+    * query all in permuted space. On this isotropic synthetic corpus the
+    * delta vs raw `pqAdcTopK` is ~neutral (per-dim variances are already
+    * level — the honest worst case, as with the Hadamard rotation); on
+    * skewed production embeddings the allocation levels per-subspace
+    * energy USING the data (what the static Hadamard rotation cannot),
+    * closing the gap the `pqRotAdcTopK` caveat documents. Scale shape
+    * identical to `pqAdcTopK` plus one 2d-column moment aggregate.
+    */
+  def pqOpqAdcTopK(emb: DataFrame, k: Int = 10): DataFrame =
+    pqAdcTopK(opqEmbeddings(emb), k)
+
+  /** OPQ-PQ quality audit — recall@k + MRR vs the RAW-corpus brute truth
+    * (permutation invariance keeps the truth set identical), read beside
+    * `pqRecallReport` and `pqRotRecallReport` to compare the three
+    * pretransforms at the same code budget.
+    */
+  def pqOpqRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
+    recallReport(emb, pqOpqAdcTopK(emb, k), k)
+
   /** IVFPQ with exact refine (the FAISS `IVFPQ,refine` composition):
     * stage 1 is `ivfPqTopK`'s compressed serving widened to a `rerankK`
     * shortlist (ADC cosine over the probed cells' reconstructions), stage

@@ -2428,6 +2428,48 @@ object DuckDbOracles {
   def pqRotRecallReport(k: Int = 10): String =
     recallReportSql(pqRotAdcTopK(k), k)
 
+  /** Leading CTE block that rebinds `e` to the OPQ-allocated corpus —
+    * the variance-balanced snake permutation replayed as pure SQL: both
+    * moments 6dp-rounded (the meanVector convention), variance to exact
+    * integer micro-units, one rank window (variance DESC, dim ASC), the
+    * closed-form snake target, and one within-subspace order window;
+    * the permuted vector is a list() re-gather ordered by the new
+    * position. MATERIALIZED like the Hadamard twin — every downstream PQ
+    * CTE references `e`.
+    */
+  private def opqEmbCte: String = {
+    val d = VectorOps.EmbeddingDim
+    val m = VectorOps.PqM
+    s"""e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |odims AS (SELECT unnest(range(1, ${d + 1})) AS j),
+       |dvar AS (SELECT j, CAST(round(
+       |    (round(avg(v[j] * v[j]), 6) - round(avg(v[j]), 6) * round(avg(v[j]), 6))
+       |    * 1000000, 0) AS BIGINT) AS micro
+       |  FROM e0 CROSS JOIN odims GROUP BY j),
+       |drank AS (SELECT j, row_number() OVER (ORDER BY micro DESC, j ASC) - 1 AS r
+       |  FROM dvar),
+       |dsnake AS (SELECT j, r,
+       |    CASE WHEN ((r // $m) % 2) = 0 THEN r % $m ELSE $m - 1 - (r % $m) END AS s
+       |  FROM drank),
+       |operm AS (SELECT j, s * ${VectorOps.PqSubDim} +
+       |    row_number() OVER (PARTITION BY s ORDER BY r ASC) AS p FROM dsnake),
+       |e AS MATERIALIZED (SELECT vec_id, label, list(v[j] ORDER BY p) AS v
+       |  FROM e0 CROSS JOIN operm GROUP BY vec_id, label)""".stripMargin
+  }
+
+  /** Twin of VectorOps.pqOpqAdcTopK: the pqAdcTopK statement verbatim
+    * over the OPQ-permuted `e` — allocation happens before training,
+    * encoding, and query projection alike.
+    */
+  def pqOpqAdcTopK(k: Int = 10): String = pqAdcTopKFrom(opqEmbCte, k)
+
+  /** Twin of VectorOps.pqOpqRecallReport: brute truth on the RAW corpus
+    * (permutation-invariant cosine), approximate ranking in allocated
+    * space.
+    */
+  def pqOpqRecallReport(k: Int = 10): String =
+    recallReportSql(pqOpqAdcTopK(k), k)
+
   private def pqAdcTopKFrom(lead: String, k: Int): String = {
     val codeJoins = (0 until VectorOps.PqM)
       .map(s => s"JOIN p${s}_asg a$s ON e.vec_id = a$s.vec_id").mkString(" ")

@@ -102,23 +102,69 @@ object Dedup {
   def minhashLshPairsFromSignatures(
       sig: DataFrame,
       hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val banded = bandedSignatures(sig, hash)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        sigAgreementEst.as("est_jaccard"))
+      .distinct()
+  }
+
+  /** One row per (doc, band): the banded projection of a signature table —
+    * doc_id, the k signature columns (carried through so the join can
+    * compute est_jaccard), band, bh. Shared by the self-join
+    * (`minhashLshPairsFromSignatures`) and the incremental probe
+    * (`minhashLshPairsIncremental`).
+    */
+  private def bandedSignatures(
+      sig: DataFrame, hash: (String, Column) => Column): DataFrame = {
     val bandStructs = (0 until MinhashBands).map { j =>
       val cols = (j * MinhashRows until (j + 1) * MinhashRows)
         .map(i => col(s"mh$i").cast("string"))
       struct(lit(j).as("band"), hash(s"band$j", concat_ws(",", cols: _*)).as("bh"))
     }
-    val banded = sig.withColumn("b", explode(array(bandStructs: _*)))
+    sig.withColumn("b", explode(array(bandStructs: _*)))
       .select(col("doc_id") +: (0 until MinhashK).map(i => col(s"mh$i")) :+
         col("b.band").as("band") :+ col("b.bh").as("bh"): _*)
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val est = (0 until MinhashK)
+  }
+
+  /** The unbiased MinHash estimator over a joined (a, b) signature pair:
+    * fraction of the k positions that agree, 6dp-rounded. Symmetric in the
+    * two sides, so canonicalizing doc order after the join is safe.
+    */
+  private def sigAgreementEst: Column =
+    round((0 until MinhashK)
       .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
+      .reduce(_ + _).cast("double") / lit(MinhashK.toDouble), 6)
+
+  /** INCREMENTAL candidate pairs: collisions of the NEW signatures against
+    * an accumulated signature table (which should already include the new
+    * rows, so within-batch collisions fall out of the same join). This is
+    * the maintenance half of the LSH pipeline: when documents arrive in
+    * batches with unique doc_ids, every pair (a, b) is generated exactly
+    * once — in the batch of its LATER endpoint — so appending each batch's
+    * output reconstructs `minhashLshPairsFromSignatures(allSig)` exactly
+    * (StreamingDedupIndexSpec pins the equivalence).
+    *
+    * Scale: per batch one banded equi-join of |batch|·bands rows against
+    * the band index — O(new collisions), never history × history. In
+    * production the accumulated side is bucketed by (band, bh) so the
+    * probe ships no history-side exchange (the StreamingDedup contract).
+    */
+  def minhashLshPairsIncremental(
+      newSig: DataFrame,
+      allSig: DataFrame,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val a = bandedSignatures(newSig, hash).as("a")
+    val b = bandedSignatures(allSig, hash).as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(est.cast("double") / lit(MinhashK.toDouble), 6).as("est_jaccard"))
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        sigAgreementEst.as("est_jaccard"))
       .distinct()
   }
 

@@ -206,6 +206,20 @@ object Graph {
   def labelPropagationWeighted(pairs: DataFrame, iters: Int = LpIters): DataFrame =
     lpaWeightedLoop(symmetrizedWeighted(pairs).persist(), iters)
 
+  /** `labelPropagationWeighted` with eager materialization and cache
+    * release — the per-micro-batch form: the returned frame is
+    * localCheckpoint-truncated so it no longer references the cached edge
+    * frame, which is unpersisted before returning (a long-running caller
+    * like StreamingDedupIndex would otherwise leak one cached edge frame
+    * per batch — the nearDupComponentsExact convention).
+    */
+  def labelPropagationWeightedEager(pairs: DataFrame, iters: Int = LpIters): DataFrame = {
+    val edges = symmetrizedWeighted(pairs).persist()
+    val out = lpaWeightedLoop(edges, iters).localCheckpoint(true)
+    edges.unpersist()
+    out
+  }
+
   /** Integer micro-unit symmetrized weighted edge list — shared by the
     * weighted LPA and the modularity report so composed queries build
     * (and persist) the band-join subtree exactly once.

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.ops.{Dedup, DedupIndex, Graph}
+import graft.streaming.StreamingDedupIndex
+
+/** The maintained near-dup graph artifact: after EVERY micro-batch the
+  * streamed (pairs, labels, components) tables equal the batch
+  * `DedupIndex.build` over every document ever ingested — including a
+  * cross-batch COMMUNITY MERGE where a later document chain-bridges two
+  * communities built in earlier batches — a replayed batch is
+  * exactly-once, and a report served from the streamed index matches the
+  * inline derivation.
+  */
+class StreamingDedupIndexSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  private val baseA = (1 to 40).map(i => s"alpha$i")
+  private val baseB = (1 to 40).map(i => s"beta$i")
+  private def mut(ts: Seq[String], n: Int): String =
+    (ts.dropRight(n) ++ (1 to n).map(i => s"x$i")).mkString(" ")
+
+  // hybrids chosen (deterministic hash, probed offline) so that:
+  //   hybNearA band-collides with the A family and with hybNearB,
+  //   hybNearB band-collides with the B family but NOT with A —
+  // so ingesting hybNearA then hybNearB merges the two communities
+  // through a genuine 2-hop bridge, across batches.
+  private val hybNearA = (baseA.take(34) ++ baseB).mkString(" ")
+  private val hybNearB = (baseA.take(18) ++ baseB).mkString(" ")
+
+  private val b0 = Seq(
+    1L -> baseA.mkString(" "), 2L -> mut(baseA, 2),
+    5L -> baseB.mkString(" "), 6L -> mut(baseB, 2),
+    3L -> (1 to 50).map(i => s"uu$i").mkString(" "))  // no collisions
+  private val b1 = Seq(9L -> hybNearA)
+  private val b2 = Seq(10L -> hybNearB)
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  private def batchFrames(docs: Seq[(Long, String)]): DedupIndex.Frames = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdix-ref").toString
+    DedupIndex.buildAndRead(docs.toDF("doc_id", "text"), dir)
+  }
+
+  private def assertEqualsBatch(idxDir: String, docs: Seq[(Long, String)]): Unit = {
+    val streamed = StreamingDedupIndex.readIndex(spark, idxDir)
+    val ref = batchFrames(docs)
+    rowSet(streamed.pairs) shouldBe rowSet(ref.pairs)
+    rowSet(streamed.labels) shouldBe rowSet(ref.labels)
+    rowSet(streamed.components) shouldBe rowSet(ref.components)
+  }
+
+  describe("StreamingDedupIndex") {
+    it("maintained artifact == batch DedupIndex build over full history, every batch") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val dir = java.nio.file.Files.createTempDirectory("graft-sdix").toString
+      val (idxDir, ckpt) = (s"$dir/idx", s"$dir/ckpt")
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingDedupIndex.start(mem.toDS().toDF("doc_id", "text"), idxDir, ckpt)
+      try {
+        var seen = Seq.empty[(Long, String)]
+        Seq(b0, b1, b2).foreach { b =>
+          mem.addData(b: _*)
+          q.processAllAvailable()
+          seen = seen ++ b
+          assertEqualsBatch(idxDir, seen)
+        }
+      } finally q.stop()
+
+      val frames = StreamingDedupIndex.readIndex(spark, idxDir)
+      val comp = frames.components.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // the cross-batch merge: after batch 2, both families and both
+      // hybrids share one component (min id 1)
+      Seq(1L, 2L, 5L, 6L, 9L, 10L).foreach(n => comp(n) shouldBe 1L)
+      // the collision-free doc never enters the graph
+      comp.keySet should not contain 3L
+      frames.labels.filter($"node" === 3L).count() shouldBe 0L
+      // before batch 2 the families were SEPARATE communities: re-check
+      // against the batch build at the b0+b1 prefix (A-side holds 1,2,9;
+      // B-side holds 5,6)
+      val prefix = batchFrames(b0 ++ b1)
+      val pcomp = prefix.components.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      pcomp(9L) shouldBe 1L
+      pcomp(5L) shouldBe 5L
+    }
+
+    it("a replayed batch is exactly-once: artifact unchanged") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sdix-retry").toString
+      val idxDir = s"$dir/idx"
+      StreamingDedupIndex.processBatch(b0.toDF("doc_id", "text"), 0L, idxDir)
+      StreamingDedupIndex.processBatch(b1.toDF("doc_id", "text"), 1L, idxDir)
+      val before = StreamingDedupIndex.readIndex(spark, idxDir)
+      // snapshot BEFORE the replay: a frame read pre-rewrite pins the old
+      // file listing, so post-replay evaluation of it would be invalid
+      val snap = (rowSet(before.pairs), rowSet(before.labels), rowSet(before.components))
+      val beforeCount = before.pairs.count()
+      // crash-after-commit retry replays batch 1 with identical contents
+      StreamingDedupIndex.processBatch(b1.toDF("doc_id", "text"), 1L, idxDir)
+      val after = StreamingDedupIndex.readIndex(spark, idxDir)
+      (rowSet(after.pairs), rowSet(after.labels), rowSet(after.components)) shouldBe snap
+      // and the underlying pair partition holds exactly one copy
+      after.pairs.count() shouldBe beforeCount
+    }
+
+    it("a report served from the streamed index matches the inline derivation") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sdix-serve").toString
+      val idxDir = s"$dir/idx"
+      val all = b0 ++ b1 ++ b2
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        StreamingDedupIndex.processBatch(b.toDF("doc_id", "text"), i.toLong, idxDir)
+      }
+      val frames = StreamingDedupIndex.readIndex(spark, idxDir)
+      val served = Graph.modularityReportFrom(
+        frames.pairs.withColumnRenamed("est_jaccard", "weight"), frames.labels)
+      val inline = Graph.modularityReport(
+        Dedup.minhashLshPairs(all.toDF("doc_id", "text"))
+          .withColumnRenamed("est_jaccard", "weight"))
+      rowSet(served) shouldBe rowSet(inline)
+    }
+  }
+}

@@ -1388,6 +1388,15 @@ object SparkEntry {
       VectorOps.lshNearDupPairsVec(VectorOps.plantedCorpus(Tables.embeddings(s, dir)))),
     "ann_brute_topk" -> ((s, dir) => VectorOps.bruteForceTopK(Tables.embeddings(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir))),
+    // SPANN-style closure multi-assignment: boundary vectors posted to
+    // every cell within eps of their best centroid, so SINGLE-probe
+    // queries stop missing across-the-Voronoi-edge neighbors; recall
+    // rises via storage replication instead of probe fan-out.
+    "ann_spann_topk" -> ((s, dir) => VectorOps.spannTopK(Tables.embeddings(s, dir))),
+    "spann_recall_report" -> ((s, dir) =>
+      VectorOps.spannRecallReport(Tables.embeddings(s, dir))),
+    "spann_cell_stats" -> ((s, dir) =>
+      VectorOps.spannCellStats(Tables.embeddings(s, dir))),
     "ann_ivf_topk_np2" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir), nprobe = 2)),
     // Filtered ANN (hybrid search): candidates restricted by a metadata
     // predicate applied before cell assignment; quantizer stays corpus-wide.
@@ -2448,6 +2457,9 @@ object SparkEntry {
     "embedding_lsh_pairs" -> DuckDbOracles.embeddingLshPairs(),
     "ann_brute_topk" -> DuckDbOracles.annBruteTopK(),
     "ann_ivf_topk" -> DuckDbOracles.annIvfTopK(),
+    "ann_spann_topk" -> DuckDbOracles.annSpannTopK(),
+    "spann_recall_report" -> DuckDbOracles.spannRecallReport(),
+    "spann_cell_stats" -> DuckDbOracles.spannCellStats(),
     "ann_ivf_topk_np2" -> DuckDbOracles.annIvfTopK(nprobe = 2),
     "ann_ivf_filtered_topk" ->
       DuckDbOracles.annIvfTopK(nprobe = 2, corpusFilter = "label % 2 = 0"),

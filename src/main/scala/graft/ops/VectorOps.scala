@@ -1102,13 +1102,22 @@ object VectorOps {
     * re-ranked serving paths).
     */
   private def probeCellsCol(
-      centArr: Seq[(Int, Seq[Double])], qv: Column, qn: Column, nprobe: Int): Column = {
+      centArr: Seq[(Int, Seq[Double])], qv: Column, qn: Column, nprobe: Int): Column =
+    explode(slice(rankedCellStructs(centArr, qv, qn), 1, nprobe))
+
+  /** All cells ranked for one vector as a sorted struct array — element i
+    * is struct(ccos, negCell) of the (i+1)-th nearest centroid
+    * (lexicographic struct order reversed = ccos DESC, cell ASC on ties).
+    * Shared by the probe-cell generator and the SPANN closure assignment.
+    */
+  private def rankedCellStructs(
+      centArr: Seq[(Int, Seq[Double])], qv: Column, qn: Column): Column = {
     val probeStructs = centArr.map { case (c, m) =>
       val cn = math.sqrt(m.foldLeft(0.0)((s, x) => s + x * x))
       struct(round(dot(qv, array(m.map(lit(_)): _*)) / (qn * lit(cn)), 6)
         .as("ccos"), lit(-c).as("negCell"))
     }
-    explode(slice(reverse(array_sort(array(probeStructs: _*))), 1, nprobe))
+    reverse(array_sort(array(probeStructs: _*)))
   }
 
   private def scoreProbes(
@@ -1144,6 +1153,103 @@ object VectorOps {
     val centArr: Array[(Int, Seq[Double])] = coarse.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
     topKPerQuery(scoreProbes(index, queries, centArr, nprobe), k)
+  }
+
+  /** SPANN-style closure multi-assignment knobs (Chen et al., NeurIPS'21
+    * "SPANN: Highly-efficient Billion-scale Approximate Nearest Neighbor
+    * Search" §3.2): a corpus vector is posted not only to its nearest
+    * cell but to every cell whose centroid similarity is within `eps` of
+    * the best, capped at `maxReplicas` postings — boundary vectors live
+    * in all the cells a nearby query might probe, so single-cell probes
+    * stop missing exactly the neighbors that sit across a Voronoi edge
+    * (IVF-nprobe=1's systematic failure mode). Storage grows by the
+    * replication factor (≤ maxReplicas, eps-controlled), query cost does
+    * NOT — the probe still scans one posting list.
+    */
+  val SpannEps = 0.05
+  val SpannMaxReplicas = 2
+
+  /** The closure-assigned corpus: (vec_id, cell, cv, cn) with one row per
+    * POSTING — nearest cell always, plus boundary replicas within `eps`
+    * of the best centroid similarity (≤ `maxReplicas` total, closest
+    * first). A pure projection like the single-cell argmax: the ranked
+    * struct array is built once per row, sliced, filtered against the
+    * head's similarity, and exploded — no shuffle, and the whole chain
+    * stays in codegen'd array intrinsics.
+    */
+  def spannAssign(
+      emb: DataFrame,
+      centArr: Seq[(Int, Seq[Double])],
+      eps: Double = SpannEps,
+      maxReplicas: Int = SpannMaxReplicas): DataFrame = {
+    val base = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+      .select(col("vec_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
+      .select(col("vec_id"), col("cv"), col("cn"),
+        rankedCellStructs(centArr, col("cv"), col("cn")).as("rc"))
+    // closure: keep ranked cells [0, maxReplicas) whose ccos is within
+    // eps of the best; both sides of the comparison are 6dp-rounded
+    // doubles minus an exact constant, so the cut is engine-exact
+    val kept = filter(slice(col("rc"), 1, maxReplicas),
+      s => s.getField("ccos") >= element_at(col("rc"), 1).getField("ccos") - lit(eps))
+    base.select(col("vec_id"), col("cv"), col("cn"), explode(kept).as("p"))
+      .select(col("vec_id"), (-col("p.negCell")).as("cell"), col("cv"), col("cn"))
+  }
+
+  /** SPANN serving: queries probe their `nprobe` nearest cells (default 1
+    * — the SPANN operating point) over the closure-assigned corpus. A
+    * boundary vector posted to several probed cells would surface once
+    * per posting, so candidates are de-duplicated before the top-k heap
+    * (same (q_id, neighbor_id, cos) triple — cos is posting-invariant).
+    */
+  def spannTopK(
+      emb: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 1,
+      eps: Double = SpannEps,
+      maxReplicas: Int = SpannMaxReplicas): DataFrame = {
+    val cents = centroids(emb).select(col("label").as("cell"), col("centroid"))
+    val centArr: Array[(Int, Seq[Double])] = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val corpus = spannAssign(emb, centArr, eps, maxReplicas)
+    topKPerQuery(
+      scoreProbes(corpus, querySet(emb), centArr, nprobe).distinct(), k)
+  }
+
+  /** SPANN quality audit — recall@k + MRR vs brute truth at the same
+    * single-probe budget as `annRecallReport`'s nprobe knob; read beside
+    * it to see what boundary replication buys per byte of posting-list
+    * growth (spec pins spann@1-probe ≥ ivf@1-probe on this corpus).
+    */
+  def spannRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
+    recallReport(emb, spannTopK(emb, k), k)
+
+  /** Posting-list audit of the closure assignment: per cell, total
+    * postings, how many are primary (nearest-cell) vs boundary replicas —
+    * the storage-cost side of the eps/maxReplicas knob, read beside
+    * `spannRecallReport`'s recall side. One groupBy over the posting
+    * frame; a |cells|-row result.
+    */
+  def spannCellStats(
+      emb: DataFrame,
+      eps: Double = SpannEps,
+      maxReplicas: Int = SpannMaxReplicas): DataFrame = {
+    val cents = centroids(emb).select(col("label").as("cell"), col("centroid"))
+    val centArr: Array[(Int, Seq[Double])] = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val base = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+      .select(col("vec_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
+      .select(col("vec_id"), rankedCellStructs(centArr, col("cv"), col("cn")).as("rc"))
+    val kept = filter(slice(col("rc"), 1, maxReplicas),
+      s => s.getField("ccos") >= element_at(col("rc"), 1).getField("ccos") - lit(eps))
+    // the closure filter preserves rank order and always keeps the head,
+    // so kept-position 0 IS the primary posting — one pass, no join
+    base.select(posexplode(kept).as(Seq("i", "p")))
+      .groupBy((-col("p.negCell")).as("cell"))
+      .agg(count(lit(1)).as("n_postings"),
+        sum(when(col("i") === 0, 1L).otherwise(0L)).as("n_primary"),
+        sum(when(col("i") > 0, 1L).otherwise(0L)).as("n_boundary"))
   }
 
   /** IVFPQ served from an accumulated index carrying PQ codes (the

@@ -2470,6 +2470,66 @@ object DuckDbOracles {
   def pqOpqRecallReport(k: Int = 10): String =
     recallReportSql(pqOpqAdcTopK(k), k)
 
+  /** Shared leading CTE block for the SPANN twins: label-mean centroids,
+    * the per-(vec, cell) rounded centroid cosine with its (ccos DESC,
+    * cell ASC) rank, and the CLOSURE posting table — rank ≤ maxReplicas
+    * AND ccos within eps of the vector's best (both sides 6dp-rounded
+    * doubles minus an exact constant, the engine-exact cut the Spark
+    * projection makes).
+    */
+  private def spannCtes(eps: Double, maxReplicas: Int): String =
+    s"""$embCte,
+       |dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
+       |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
+       |cent AS (SELECT label AS cell, list(round(m, 6) ORDER BY pos) AS centroid
+       |  FROM comp GROUP BY label),
+       |cscore AS (SELECT e.vec_id, e.v, cent.cell,
+       |    round(${cosSql("e.v", "centroid")}, 6) AS ccos
+       |  FROM e CROSS JOIN cent),
+       |ranked_cells AS (SELECT vec_id, v, cell, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r,
+       |    max(ccos) OVER (PARTITION BY vec_id) AS best
+       |  FROM cscore),
+       |posted AS (SELECT vec_id, v, cell, r FROM ranked_cells
+       |  WHERE r <= $maxReplicas AND ccos >= best - $eps)""".stripMargin
+
+  /** Twin of VectorOps.spannTopK: single-probe queries over the closure
+    * postings, candidates de-duplicated (a boundary vector posted to
+    * several probed cells surfaces once).
+    */
+  def annSpannTopK(
+      k: Int = 10, nprobe: Int = 1,
+      eps: Double = VectorOps.SpannEps,
+      maxReplicas: Int = VectorOps.SpannMaxReplicas): String =
+    s"""WITH ${spannCtes(eps, maxReplicas)},
+       |qasg AS (SELECT vec_id, v, cell FROM ranked_cells
+       |  WHERE r <= $nprobe AND vec_id % 100 = 0),
+       |scored AS (SELECT DISTINCT qa.vec_id AS q_id, ca.vec_id AS neighbor_id,
+       |    round(${cosSql("qa.v", "ca.v")}, 6) AS cos
+       |  FROM qasg qa JOIN posted ca
+       |    ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id),
+       |ranked AS (SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** Twin of VectorOps.spannRecallReport. */
+  def spannRecallReport(k: Int = 10): String =
+    recallReportSql(annSpannTopK(k), k)
+
+  /** Twin of VectorOps.spannCellStats: postings per cell split into
+    * primary (r = 1) vs boundary replicas.
+    */
+  def spannCellStats(
+      eps: Double = VectorOps.SpannEps,
+      maxReplicas: Int = VectorOps.SpannMaxReplicas): String =
+    s"""WITH ${spannCtes(eps, maxReplicas)}
+       |SELECT cell,
+       |  CAST(count(*) AS BIGINT) AS n_postings,
+       |  CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_primary,
+       |  CAST(sum(CASE WHEN r > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary
+       |FROM posted GROUP BY 1""".stripMargin
+
   private def pqAdcTopKFrom(lead: String, k: Int): String = {
     val codeJoins = (0 until VectorOps.PqM)
       .map(s => s"JOIN p${s}_asg a$s ON e.vec_id = a$s.vec_id").mkString(" ")

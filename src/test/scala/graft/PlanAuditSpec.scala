@@ -41,6 +41,20 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // brute-truth join
     "pq_rot_adc_topk" -> Set("nested-loop-join", "codegen-fallback"),
     "pq_rot_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
+    // the OPQ-allocation twins share pq_adc_topk's labeled shape exactly —
+    // the variance-balanced permutation is a narrow codegen'd projection
+    // (moments collected driver-side) adding no join or fallback of its
+    // own; the recall report adds the labeled brute-truth join
+    "pq_opq_topk" -> Set("nested-loop-join", "codegen-fallback"),
+    "pq_opq_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
+    // SPANN closure assignment: the ranked-cell struct array is sorted,
+    // sliced, and filtered per row by interpreted higher-order ops over
+    // C=10 constant-size elements (not a hot path), plus the bounded-heap
+    // top-k UDAF; the candidate join stays a cell equi-join (no BNLJ);
+    // the recall report adds the labeled brute-truth join
+    "ann_spann_topk" -> Set("codegen-fallback"),
+    "spann_cell_stats" -> Set("codegen-fallback"),
+    "spann_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     // composes the labeled all-pairs semantic baseline (0.35 is below any
     // LSH-able threshold; at a real >=0.85 threshold the LSH path applies)
     "dedup_crossmodal" -> Set("nested-loop-join"),

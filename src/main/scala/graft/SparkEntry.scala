@@ -556,6 +556,14 @@ object SparkEntry {
     // collapses any partition to ≤32768 rows before the only exchange; cells merge by
     // exact addition across days/shards/streams.
     "cms_sketch" -> ((s, dir) => Sketches.cmsSketch(Tables.events(s, dir))),
+    // Bloom membership filter: 2048 bit_or-merged words answer "seen
+    // before?" for any key with zero false negatives — the idempotent
+    // sketch (a replayed shard cannot corrupt it); the probe report is
+    // its accuracy audit (present hit rate must be exactly 1.0, the
+    // anti-joined absent cohort's hit rate IS the measured FP rate).
+    "bloom_sketch" -> ((s, dir) => Sketches.bloomSketch(Tables.events(s, dir))),
+    "bloom_probe_report" -> ((s, dir) =>
+      Sketches.bloomProbeReport(Tables.events(s, dir))),
 
     // Heavy hitters from the CMS: est(x) = min over hash rows, threshold
     // as exact integer cross-multiplication; exact counts reported beside
@@ -2057,6 +2065,8 @@ object SparkEntry {
     "l_diversity_report" -> DuckDbOracles.lDiversityReport(),
     "k_anonymize" -> DuckDbOracles.kAnonymize(),
     "cms_sketch" -> DuckDbOracles.cmsSketch,
+    "bloom_sketch" -> DuckDbOracles.bloomSketch,
+    "bloom_probe_report" -> DuckDbOracles.bloomProbeReport,
     "cms_heavy_hitters" -> DuckDbOracles.cmsHeavyHitters(),
     "winsorize_values" -> DuckDbOracles.winsorizeValues(),
     "profile_events" -> DuckDbOracles.profileEvents(ProfileCols),

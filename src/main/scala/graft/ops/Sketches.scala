@@ -327,4 +327,87 @@ object Sketches {
       .select(col("user_id"), col("exact_cnt"), col("est_cnt"),
         (col("est_cnt") - col("exact_cnt")).as("overestimate"))
   }
+
+  /** Bloom filter geometry: m = 65536 bits stored as 32-bit words (a set
+    * mask never reaches the sign bit of either engine's BIGINT carrier),
+    * k = 4 probes from the same universal-hash family as the CMS cells
+    * with its own constants (independent probes, no correlation with the
+    * CMS geometry). a_i < p and key < 2³¹ keep a_i·key < 2⁵⁹ — pure
+    * integer arithmetic, replayed bit-exactly by the oracle.
+    */
+  val BloomBits = 65536L
+  val BloomWordBits = 32L
+  val BloomK = 4
+  val BloomA: Seq[Long] = Seq(1664525L, 22695477L, 134775813L, 214013L)
+  val BloomB: Seq[Long] = Seq(1013904223L, 1L, 69069L, 2531011L)
+
+  /** Shifted-key cohort guaranteed absent from the stream (anti-joined
+    * against the present keys, so the guarantee is checked, not assumed).
+    */
+  val BloomAbsentOffset = 1000000000L
+
+  private def bloomPos(i: Int, key: org.apache.spark.sql.Column) =
+    pmod(pmod(lit(BloomA(i)) * key + lit(BloomB(i)), lit(CmsPrime)), lit(BloomBits))
+
+  private def bloomPositions(key: org.apache.spark.sql.Column) =
+    array((0 until BloomK).map(i => bloomPos(i, key)): _*)
+
+  /** The filter in table form: (word_idx, bits) over `user_id` — each
+    * event sets k bits (a narrow array-explode, no pre-shuffle), the
+    * groupBy has BOUNDED cardinality m/32 = 2048 words so map-side
+    * combine collapses every 100 TB partition to ≤2048 rows before the
+    * only exchange. Sketches merge by per-word BITWISE OR — associative,
+    * commutative, IDEMPOTENT (a replayed shard cannot corrupt the
+    * filter, unlike additive sketches) — across days, shards, or
+    * streams. No distinct pass is needed: setting a bit twice is the
+    * same bit.
+    */
+  def bloomSketch(events: DataFrame): DataFrame =
+    events.select(explode(bloomPositions(col("user_id"))).as("pos"))
+      .select(expr(s"pos DIV $BloomWordBits").as("word_idx"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $BloomWordBits AS INT))").as("mask"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(mask)").as("bits"))
+
+  /** Membership probe of (cohort, user_id) candidates against a sketch
+    * table: a key is reported present iff ALL k probed bits are set. The
+    * sketch is a ≤2048-row broadcast; absent WORDS read as bits=0 via the
+    * left join (the sketch stores only touched words — an inner join
+    * would report a never-hashed key as present-by-vacuity). Works
+    * identically over a batch sketch or the streamed fold's state
+    * snapshot — the sketch TABLE is the interface.
+    */
+  def bloomProbeFrom(sketch: DataFrame, candidates: DataFrame): DataFrame =
+    candidates
+      .select(col("cohort"), col("user_id"),
+        explode(bloomPositions(col("user_id"))).as("pos"))
+      .select(col("cohort"), col("user_id"),
+        expr(s"pos DIV $BloomWordBits").as("word_idx"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $BloomWordBits AS INT))").as("mask"))
+      .join(broadcast(sketch), Seq("word_idx"), "left")
+      .groupBy(col("cohort"), col("user_id"))
+      .agg(min(when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0, 1L)
+        .otherwise(0L)).as("all_set"))
+
+  /** The filter's accuracy audit in one table: hit rate per cohort —
+    * `present` (every key the stream contains; the Bloom guarantee is a
+    * hit rate of EXACTLY 1.0, no false negatives) vs `absent` (shifted
+    * keys proven absent by anti-join; the hit rate IS the measured
+    * false-positive rate, to be read against (set_bits/m)^k). Counts and
+    * rates are exact integers/ratios — no transcendental bound is
+    * computed in-engine.
+    */
+  def bloomProbeReport(events: DataFrame): DataFrame = {
+    val present = events.select(col("user_id")).distinct()
+    val absent = present
+      .select((col("user_id") + lit(BloomAbsentOffset)).as("user_id"))
+      .join(present, Seq("user_id"), "left_anti")
+    val cand = present.withColumn("cohort", lit("present"))
+      .unionByName(absent.withColumn("cohort", lit("absent")))
+    bloomProbeFrom(bloomSketch(events), cand)
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("all_set")).as("n_found"))
+      .select(col("cohort"), col("n_keys"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_keys"), 6).as("hit_rate"))
+  }
 }

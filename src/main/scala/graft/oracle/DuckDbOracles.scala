@@ -3060,6 +3060,57 @@ object DuckDbOracles {
        |FROM est JOIN exact USING (user_id) CROSS JOIN tot
        |WHERE est_cnt * n_keys * $den >= n_total * $num""".stripMargin
 
+  /** Shared CTEs for the Bloom twins: the k probe positions from the
+    * universal-hash VALUES table, folded into (word_idx, bits) words by
+    * bit_or — the same pure integer arithmetic as the Spark side.
+    */
+  private def bloomCtes: String = {
+    val sk = graft.ops.Sketches
+    val hashRows = (0 until sk.BloomK)
+      .map(i => s"(${sk.BloomA(i)}, ${sk.BloomB(i)})").mkString(", ")
+    def pos(key: String) =
+      s"CAST(((h.a * $key + h.b) % ${sk.CmsPrime}) % ${sk.BloomBits} AS BIGINT)"
+    s"""bh(a, b) AS (VALUES $hashRows),
+       |bpos AS (SELECT ${pos("user_id")} AS pos FROM events CROSS JOIN bh h),
+       |bsk AS (SELECT pos // ${sk.BloomWordBits} AS word_idx,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(pos % ${sk.BloomWordBits} AS INT)) AS bits
+       |  FROM bpos GROUP BY 1)""".stripMargin
+  }
+
+  /** Twin of Sketches.bloomSketch. */
+  def bloomSketch: String =
+    s"""WITH $bloomCtes
+       |SELECT word_idx, bits FROM bsk""".stripMargin
+
+  /** Twin of Sketches.bloomProbeReport: present keys must all hit (no
+    * false negatives); the anti-joined shifted cohort's hit rate is the
+    * measured false-positive rate. Absent WORDS read as bits = 0 through
+    * the left join, as on the Spark side.
+    */
+  def bloomProbeReport: String = {
+    val sk = graft.ops.Sketches
+    val posC =
+      s"CAST(((h.a * c.user_id + h.b) % ${sk.CmsPrime}) % ${sk.BloomBits} AS BIGINT)"
+    s"""WITH $bloomCtes,
+       |present AS (SELECT DISTINCT user_id FROM events),
+       |absent AS (SELECT p.user_id + ${sk.BloomAbsentOffset} AS user_id FROM present p
+       |  WHERE NOT EXISTS (SELECT 1 FROM present q
+       |    WHERE q.user_id = p.user_id + ${sk.BloomAbsentOffset})),
+       |cand AS (SELECT 'present' AS cohort, user_id FROM present
+       |  UNION ALL SELECT 'absent' AS cohort, user_id FROM absent),
+       |probes AS (SELECT c.cohort, c.user_id, $posC AS pos
+       |  FROM cand c CROSS JOIN bh h),
+       |hit AS (SELECT cohort, user_id,
+       |    min(CASE WHEN (coalesce(s.bits, 0)
+       |      & (CAST(1 AS BIGINT) << CAST(pos % ${sk.BloomWordBits} AS INT))) <> 0
+       |      THEN 1 ELSE 0 END) AS all_set
+       |  FROM probes p LEFT JOIN bsk s ON p.pos // ${sk.BloomWordBits} = s.word_idx
+       |  GROUP BY 1, 2)
+       |SELECT cohort, count(*) AS n_keys, CAST(sum(all_set) AS BIGINT) AS n_found,
+       |  round(CAST(sum(all_set) AS DOUBLE) / count(*), 6) AS hit_rate
+       |FROM hit GROUP BY 1""".stripMargin
+  }
+
   /** Twin of Classify.nbLangConfusion. */
   def nbLangConfusion: String =
     s"""WITH $nbScoreCtes

@@ -1401,6 +1401,21 @@ object SparkEntry {
     // queries stop missing across-the-Voronoi-edge neighbors; recall
     // rises via storage replication instead of probe fan-out.
     "ann_spann_topk" -> ((s, dir) => VectorOps.spannTopK(Tables.embeddings(s, dir))),
+    // SPANN served FROM A PREBUILT posting index (built inline here from
+    // the batch corpus, repartitioned to stand in for a many-split
+    // persisted index; StreamingSpannIngestSpec proves the streamed
+    // postings serve identically). Same oracle as the inline query:
+    // closure assignment is a deterministic projection of the corpus.
+    "spann_from_index_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val coarse = VectorOps.centroids(emb)
+        .select(col("label").as("cell"), col("centroid"))
+      val centArr = coarse.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      val index = VectorOps.spannAssign(emb, centArr)
+        .repartition(s.sparkContext.defaultParallelism)
+      VectorOps.spannTopKFromIndex(index, VectorOps.querySet(emb), coarse)
+    }),
     "spann_recall_report" -> ((s, dir) =>
       VectorOps.spannRecallReport(Tables.embeddings(s, dir))),
     "spann_cell_stats" -> ((s, dir) =>
@@ -2468,6 +2483,7 @@ object SparkEntry {
     "ann_brute_topk" -> DuckDbOracles.annBruteTopK(),
     "ann_ivf_topk" -> DuckDbOracles.annIvfTopK(),
     "ann_spann_topk" -> DuckDbOracles.annSpannTopK(),
+    "spann_from_index_topk" -> DuckDbOracles.annSpannTopK(),
     "spann_recall_report" -> DuckDbOracles.spannRecallReport(),
     "spann_cell_stats" -> DuckDbOracles.spannCellStats(),
     "ann_ivf_topk_np2" -> DuckDbOracles.annIvfTopK(nprobe = 2),

@@ -1224,6 +1224,24 @@ object VectorOps {
   def spannRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
     recallReport(emb, spannTopK(emb, k), k)
 
+  /** SPANN serving from an accumulated POSTING index (vec_id, cell, cv,
+    * cn — one row per posting, replicas included; what
+    * StreamingSpannIngest maintains): closure assignment already happened
+    * at ingest, so serving pays only probe-cell selection, the cell
+    * equi-join over probed postings (a cell-partitioned index reads only
+    * those partitions), and the posting de-dup before the top-k heap.
+    */
+  def spannTopKFromIndex(
+      index: DataFrame,
+      queries: DataFrame,
+      coarse: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 1): DataFrame = {
+    val centArr: Array[(Int, Seq[Double])] = coarse.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    topKPerQuery(scoreProbes(index, queries, centArr, nprobe).distinct(), k)
+  }
+
   /** Posting-list audit of the closure assignment: per cell, total
     * postings, how many are primary (nearest-cell) vs boundary replicas —
     * the storage-cost side of the eps/maxReplicas knob, read beside

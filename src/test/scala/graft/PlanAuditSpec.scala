@@ -53,6 +53,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // top-k UDAF; the candidate join stays a cell equi-join (no BNLJ);
     // the recall report adds the labeled brute-truth join
     "ann_spann_topk" -> Set("codegen-fallback"),
+    "spann_from_index_topk" -> Set("codegen-fallback"), // same stages over the posting frame
     "spann_cell_stats" -> Set("codegen-fallback"),
     "spann_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     // composes the labeled all-pairs semantic baseline (0.35 is below any

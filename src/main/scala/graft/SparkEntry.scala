@@ -535,6 +535,13 @@ object SparkEntry {
             .as("union_within_budget"))
     }),
 
+    // Pairwise audience overlap via HLL inclusion–exclusion (the
+    // set-intersection question sketches can't answer directly), audited
+    // against the exact overlap — exact values + a budget boolean, the
+    // sketch-family oracle contract.
+    "hll_overlap_report" -> ((s, dir) =>
+      Sketches.hllOverlapReport(Tables.events(s, dir))),
+
     // Mergeable quantile partials: per-(type, day) value histograms at a
     // declared 2dp granularity, merged by addition and answered with the
     // integer-exact type-1 cutoff — EXACT quantiles of rounded values from
@@ -750,6 +757,13 @@ object SparkEntry {
     // integer normal-equation sums — the growth probe beside hourly_acf.
     "hourly_trend" -> ((s, dir) =>
       graft.ops.TimeSeries.hourlyTrend(Tables.events(s, dir))),
+
+    // Dyadic EWMA (α = 1/2) over the same grid: every weight and the
+    // head-normalization denominator are exact powers of two, so the
+    // smoothing is integer arithmetic + one IEEE division — the smoothed
+    // baseline the anomaly read compares current counts against.
+    "ewma_hourly" -> ((s, dir) =>
+      graft.ops.TimeSeries.ewmaHourly(Tables.events(s, dir))),
 
     // Theil-Sen robust daily trend: exact median of pairwise slopes —
     // spike-immune where the OLS slope chases outliers quadratically.
@@ -2070,6 +2084,7 @@ object SparkEntry {
          TRUE AS union_within_budget
          FROM events GROUP BY 1""",
 
+    "hll_overlap_report" -> DuckDbOracles.hllOverlapReport,
     "quantile_rollup" -> DuckDbOracles.quantileRollup(),
     "moments_rollup" -> DuckDbOracles.momentsRollup,
     "mad_outliers" -> DuckDbOracles.madOutliers(),
@@ -2197,6 +2212,7 @@ object SparkEntry {
 
     "hourly_acf" -> DuckDbOracles.hourlyAcf(),
     "hourly_trend" -> DuckDbOracles.hourlyTrend,
+    "ewma_hourly" -> DuckDbOracles.ewmaHourly(),
     "theilsen_trend" -> DuckDbOracles.theilSenDaily,
     "ks_drift" -> DuckDbOracles.ksDrift(),
 

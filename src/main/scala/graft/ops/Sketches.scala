@@ -44,6 +44,57 @@ object Sketches {
       .agg(count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_users"))
 
+  /** Relative error budget for the inclusion–exclusion overlap estimate,
+    * scaled by the exact UNION size: |A∩B| = |A| + |B| − |A∪B| composes
+    * THREE ±1.6%-RSE estimates whose errors do not cancel, so the band is
+    * materially wider than a single estimate's — ~5σ of the composed
+    * error over the union. A small overlap of two large sets is exactly
+    * where sketch intersection degrades; the audit boolean is the signal
+    * a dashboard needs before trusting it.
+    */
+  val OverlapBudget = 0.15
+
+  /** Pairwise audience-overlap audit from HLL sketches: per unordered
+    * event-type pair, the exact overlap/union beside a boolean asserting
+    * the sketch-side inclusion–exclusion estimate (est_A + est_B −
+    * est_union, the union being the register-wise max merge) lands within
+    * `OverlapBudget` × exact-union. The set-INTERSECTION question HLL
+    * cannot answer directly, answered the standard way and audited
+    * against truth — at 100 TB the per-type sketches come from the
+    * partials table and the exact side is the one-off validation run.
+    *
+    * Scale: one sketch per type (map-side-combinable agg), a |types|²
+    * pair cross of ≤4 KiB sketches, and the exact side's distinct
+    * (type, user) self-join — the only corpus-sized work, shared with
+    * every other exact-audit query.
+    */
+  def hllOverlapReport(events: DataFrame, lgK: Int = LgK): DataFrame = {
+    val sk = events.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"),
+        count_distinct(col("user_id")).as("n"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"), col("n").as("n_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"), col("n").as("n_b"))
+    val tu = events.select(col("event_type"), col("user_id")).distinct()
+    val ov = tu.as("x").join(tu.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("ov_cnt"))
+    val est = hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb")) -
+      hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+    a.join(b, col("type_a") < col("type_b"))
+      .join(ov, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        coalesce(col("ov_cnt"), lit(0L)).as("exact_overlap"),
+        (col("n_a") + col("n_b") - coalesce(col("ov_cnt"), lit(0L))).as("exact_union"),
+        est.as("est"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("exact_overlap"), col("exact_union"),
+        (abs(col("est") - col("exact_overlap").cast("double")) <=
+          lit(OverlapBudget) * col("exact_union").cast("double"))
+          .as("overlap_within_budget"))
+  }
+
   /** Decimal places kept for quantile-partial value buckets: the declared
     * GRANULARITY of every quantile answered from the partials table. 2dp
     * over this value domain (~[0, 500]) bounds the histogram at ~5·10⁴

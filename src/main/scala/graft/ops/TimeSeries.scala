@@ -362,6 +362,49 @@ object TimeSeries {
     * shared by `hourlyAcf` and `hourlyTrend`. The sequence() explode is
     * series-length-sized, never event-sized.
     */
+  /** EWMA horizon: terms beyond `EwmaWindow` hours back are dropped —
+    * their combined weight is < 2⁻³², below the 6dp output rounding, so
+    * the truncation is invisible in the result while bounding per-row
+    * work (and streaming state) at a CONSTANT `EwmaWindow` lags instead
+    * of the unbounded recursion s_t = α·x_t + (1−α)·s_{t−1}.
+    */
+  val EwmaWindow = 32
+
+  /** Exponentially-weighted moving average of the gap-filled hourly count
+    * series per event_type, smoothing factor α = 1/2 — the DYADIC
+    * operating point: every weight 2⁻⁽ʲ⁺¹⁾ and the head-normalization
+    * denominator are exact powers of two, so the whole computation is
+    * integer arithmetic + one final IEEE division and both engines agree
+    * bit-for-bit (the module's no-transcendentals convention; a general α
+    * would put powᵏ in the hot path and libm in the replay gap).
+    *
+    * Head normalization: the first m < W rows renormalize by the
+    * available weight mass Σ_{j<m} 2⁻⁽ʲ⁺¹⁾ = (2^W − 2^(W−m))/2^W, so the
+    * series starts unbiased (row 0's EWMA is exactly its own value)
+    * instead of decaying in from zero.
+    *
+    * Scale: W lag expressions over one keyed window — codegen'd, no
+    * self-join, one shuffle on event_type; the anomaly read is
+    * "current count vs its own smoothed baseline" (pair with
+    * rollingZscoreAnomalies' variance-aware flag).
+    */
+  def ewmaHourly(events: DataFrame, w: Int = EwmaWindow): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 1 && w <= 62, s"ewmaHourly: window $w must fit a long power of two")
+    val win = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    // numerator Σ_j c_{t−j} · 2^(W−1−j): integer weights, largest first
+    val num = (0 until w).map(j =>
+      coalesce(lag(col("c"), j).over(win), lit(0L)) * lit(1L << (w - 1 - j)))
+      .reduce(_ + _)
+    hourlyFilled(events)
+      .select(col("event_type"), col("h"), col("c"),
+        least(row_number().over(win), lit(w)).as("m"), num.as("num"))
+      .select(col("event_type"), col("h"), col("c"),
+        round(col("num").cast("double") /
+          (lit(1L << w) - expr(s"shiftleft(CAST(1 AS BIGINT), $w - m)"))
+            .cast("double"), 6).as("ewma"))
+  }
+
   private def hourlyFilled(events: DataFrame): DataFrame = {
     val hc = events
       .select(col("event_type"),

@@ -394,6 +394,26 @@ object DuckDbOracles {
        |  FROM grid g LEFT JOIN hc ON g.event_type = hc.event_type AND g.h = hc.h)"""
       .stripMargin
 
+  /** Twin of TimeSeries.ewmaHourly: the same gap-filled grid, the same
+    * integer power-of-two weights (largest first) and head-normalization
+    * denominator — one window block, one final IEEE division.
+    */
+  def ewmaHourly(w: Int = graft.ops.TimeSeries.EwmaWindow): String = {
+    val num = (0 until w)
+      .map(j => s"coalesce(lag(c, $j) OVER win, 0) * ${1L << (w - 1 - j)}")
+      .mkString(" + ")
+    s"""WITH $hourlyFilledCtes,
+       |l AS (SELECT event_type, h, c,
+       |    least(row_number() OVER win, $w) AS m,
+       |    $num AS num
+       |  FROM filled WINDOW win AS (PARTITION BY event_type ORDER BY h))
+       |SELECT event_type, h, c,
+       |  round(CAST(num AS DOUBLE) /
+       |    CAST(${1L << w} - (CAST(1 AS BIGINT) << CAST($w - m AS INT)) AS DOUBLE), 6)
+       |    AS ewma
+       |FROM l""".stripMargin
+  }
+
   /** Twin of TimeSeries.theilSenDaily: same gap-filled daily grid, same
     * exact-IEEE pairwise slope ordering (no pre-rounding needed), same
     * integer lower-median pick.
@@ -3059,6 +3079,27 @@ object DuckDbOracles {
        |SELECT user_id, exact_cnt, est_cnt, est_cnt - exact_cnt AS overestimate
        |FROM est JOIN exact USING (user_id) CROSS JOIN tot
        |WHERE est_cnt * n_keys * $den >= n_total * $num""".stripMargin
+
+  /** Twin of Sketches.hllOverlapReport: exact pairwise overlap/union from
+    * the distinct (type, user) self-join; the budget boolean asserted
+    * TRUE — a sketch drifting outside the band hash-mismatches here.
+    */
+  def hllOverlapReport: String =
+    s"""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+       |n AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+       |ov AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+       |    count(*) AS ov_cnt
+       |  FROM tu x JOIN tu y
+       |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    a.n AS n_a, b.n AS n_b
+       |  FROM n a JOIN n b ON a.event_type < b.event_type)
+       |SELECT type_a, type_b, n_a, n_b,
+       |  coalesce(ov_cnt, 0) AS exact_overlap,
+       |  n_a + n_b - coalesce(ov_cnt, 0) AS exact_union,
+       |  TRUE AS overlap_within_budget
+       |FROM pairs LEFT JOIN ov USING (type_a, type_b)""".stripMargin
 
   /** Shared CTEs for the Bloom twins: the k probe positions from the
     * universal-hash VALUES table, folded into (word_idx, bits) words by

@@ -73,6 +73,10 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // one-row (n_total, n_keys) totals aggregate broadcast-crossed onto
     // the per-key estimate table (the mean-rate threshold)
     "cms_heavy_hitters" -> Set("nested-loop-join"),
+    // |types|²-row sketch pair cross (≤4 KiB sketches, a handful of
+    // types — never the corpus); the DataSketches HLL expressions are
+    // intrinsically interpreted built-ins (CodegenFallback in Spark)
+    "hll_overlap_report" -> Set("nested-loop-join", "codegen-fallback"),
     // C-row class-list broadcast deliberately fanning every token
     // instance out to all |classes| candidates (bounded ×C blowup — the
     // NB scoring shape), plus the one-row doc-total prior cross

@@ -262,4 +262,23 @@ class SketchSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       over should be >= 0L
     }
   }
+
+  describe("hllOverlapReport") {
+    import spark.implicits._
+    it("audits pairwise overlap: exact values, in-budget estimates, disjoint pairs kept") {
+      // a: users 1-600; b: 401-1000 (overlap 200 with a); c: 2001-2100 (disjoint)
+      val ev = ((1 to 600).map(u => ("a", u.toLong)) ++
+        (401 to 1000).map(u => ("b", u.toLong)) ++
+        (2001 to 2100).map(u => ("c", u.toLong)))
+        .toDF("event_type", "user_id")
+      val rows = graft.ops.Sketches.hllOverlapReport(ev).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+      rows should have size 3
+      rows(("a", "b")) shouldBe ((600L, 600L, 200L, 1000L, true))
+      // zero-overlap pairs stay in the report (left join, not inner)
+      rows(("a", "c")) shouldBe ((600L, 100L, 0L, 700L, true))
+      rows(("b", "c")) shouldBe ((600L, 100L, 0L, 700L, true))
+    }
+  }
 }

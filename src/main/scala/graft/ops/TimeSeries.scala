@@ -388,15 +388,22 @@ object TimeSeries {
     * "current count vs its own smoothed baseline" (pair with
     * rollingZscoreAnomalies' variance-aware flag).
     */
-  def ewmaHourly(events: DataFrame, w: Int = EwmaWindow): DataFrame = {
+  def ewmaHourly(events: DataFrame, w: Int = EwmaWindow): DataFrame =
+    ewmaFromCounts(fillGrid(hourlyCounts(events)), w)
+
+  /** The EWMA window block over a prebuilt dense (event_type, h, c) grid
+    * — the serving half, split out so the maintained count table
+    * (StreamingEwma) smooths identically to the raw-event path.
+    */
+  def ewmaFromCounts(filled: DataFrame, w: Int = EwmaWindow): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(w >= 1 && w <= 62, s"ewmaHourly: window $w must fit a long power of two")
+    require(w >= 1 && w <= 62, s"ewmaFromCounts: window $w must fit a long power of two")
     val win = Window.partitionBy(col("event_type")).orderBy(col("h"))
     // numerator Σ_j c_{t−j} · 2^(W−1−j): integer weights, largest first
     val num = (0 until w).map(j =>
       coalesce(lag(col("c"), j).over(win), lit(0L)) * lit(1L << (w - 1 - j)))
       .reduce(_ + _)
-    hourlyFilled(events)
+    filled
       .select(col("event_type"), col("h"), col("c"),
         least(row_number().over(win), lit(w)).as("m"), num.as("num"))
       .select(col("event_type"), col("h"), col("c"),
@@ -405,11 +412,20 @@ object TimeSeries {
             .cast("double"), 6).as("ewma"))
   }
 
-  private def hourlyFilled(events: DataFrame): DataFrame = {
-    val hc = events
+  /** Raw per-(type, hour) event counts — the domain-sized table the
+    * streaming fold maintains additively (StreamingEwma).
+    */
+  private[graft] def hourlyCounts(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"),
         floor(unix_millis(col("ts")) / lit(3600000L)).cast("bigint").as("h"))
       .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+
+  /** Gap-fill a sparse (event_type, h, c) count table onto the dense
+    * per-type [min h, max h] grid, absent hours as zero — shared by the
+    * raw-event path and serving from a maintained count table.
+    */
+  private[graft] def fillGrid(hc: DataFrame): DataFrame = {
     val bounds = hc.groupBy(col("event_type"))
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     bounds
@@ -417,6 +433,9 @@ object TimeSeries {
       .join(hc, Seq("event_type", "h"), "left")
       .select(col("event_type"), col("h"), coalesce(col("c"), lit(0L)).as("c"))
   }
+
+  private def hourlyFilled(events: DataFrame): DataFrame =
+    fillGrid(hourlyCounts(events))
 
   def hourlyAcf(events: DataFrame, lags: Seq[Int] = AcfLags): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -932,6 +932,11 @@ object SparkEntry {
     "vocab_coverage" -> ((s, dir) => TextOps.vocabCoverage(Tables.documents(s, dir))),
     // Per-doc top-5 TF-IDF terms (smooth IDF) — salient-term extraction.
     "tfidf_top_terms" -> ((s, dir) => TextOps.tfidfTopTerms(Tables.documents(s, dir))),
+    // TextRank corpus keywords: weighted PageRank over the window-2
+    // token co-occurrence graph (stopwords break the link) — the
+    // graph-centrality keyword lens beside tfidf's frequency lens.
+    "textrank_keywords" -> ((s, dir) =>
+      TextOps.textRankKeywords(Tables.documents(s, dir))),
     // Cross-document boilerplate removal over fixed-width token segments
     // (RefinedWeb line-dedup shape), on the deterministically-planted
     // corpus — the raw synthetic docs share no segments.
@@ -2392,6 +2397,7 @@ object SparkEntry {
     "text_fingerprint" -> DuckDbOracles.textFingerprint,
     "vocab_coverage" -> DuckDbOracles.vocabCoverage(),
     "tfidf_top_terms" -> DuckDbOracles.tfidfTopTerms(),
+    "textrank_keywords" -> DuckDbOracles.textrankKeywords(),
     "strip_boilerplate" -> DuckDbOracles.stripBoilerplate(),
     "dup_span_stats" -> DuckDbOracles.dupSpanStats(),
     "zipf_fit" -> DuckDbOracles.zipfFit(),

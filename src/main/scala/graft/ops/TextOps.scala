@@ -1628,4 +1628,54 @@ object TextOps {
         round(col("n_tokens").cast("double") /
           nullif(col("n_words"), lit(0L)).cast("double"), 6))
   }
+
+  /** TextRank keyword budget (top-k corpus keywords emitted). */
+  val TextRankK = 20
+
+  /** Adjacent-token co-occurrence pairs over the corpus — TextRank's
+    * window-2 graph (Mihalcea & Tarau, EMNLP'04): undirected, weighted
+    * by co-occurrence count, stopwords break the link (a function word
+    * between two content words contributes no edge). One posexplode +
+    * one keyed lag window + a bounded groupBy (≤ vocab² pairs, in
+    * practice vocab-sized) — the corpus is scanned once, nothing
+    * corpus-sized shuffles twice.
+    */
+  def textRankCooc(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    t.withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("tok") &&
+        !col("tok").isin(stopwords: _*) && !col("prev").isin(stopwords: _*))
+      .select(least(col("prev"), col("tok")).as("tok_a"),
+        greatest(col("prev"), col("tok")).as("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("cooc"))
+  }
+
+  /** TextRank corpus keywords: weighted PageRank over the co-occurrence
+    * graph, top-k tokens by rank (token tie-break). Tokens become graph
+    * node ids through the portable hash — the SAME mapping the oracle
+    * applies, so even a (vanishingly unlikely) collision merges the same
+    * two tokens in both engines. The whole computation after the one
+    * corpus scan is vocabulary-sized: the co-occurrence agg, the
+    * PrIters rank joins, and a TakeOrdered top-k — no global sort of
+    * anything corpus-scale.
+    */
+  def textRankKeywords(docs: DataFrame, k: Int = TextRankK): DataFrame = {
+    val pairs = textRankCooc(docs)
+    val idp = pairs.select(
+      PortableHash.h31("tr", col("tok_a")).as("doc_a"),
+      PortableHash.h31("tr", col("tok_b")).as("doc_b"),
+      col("cooc").cast("double").as("weight"))
+    val vocab = pairs.select(col("tok_a").as("token"))
+      .unionByName(pairs.select(col("tok_b").as("token")))
+      .distinct()
+      .select(col("token"), PortableHash.h31("tr", col("token")).as("node"))
+    Graph.pageRankWeighted(idp)
+      .join(vocab, Seq("node"))
+      .orderBy(col("rank").desc, col("token").asc)
+      .limit(k)
+      .select(col("token"), col("weight_fp"), col("rank"))
+  }
 }

@@ -1254,6 +1254,55 @@ object DuckDbOracles {
        |FROM nw JOIN r$iters r ON nw.node = r.node""".stripMargin
   }
 
+  /** Twin of TextOps.textRankKeywords: the window-2 co-occurrence graph
+    * (lag over token positions, stopwords break the link), token ids
+    * through the same portable hash, and the weighted-PageRank rounds
+    * unrolled exactly as in pagerankNeardupWeighted — then the top-k by
+    * (rank DESC, token ASC).
+    */
+  def textrankKeywords(
+      k: Int = graft.ops.TextOps.TextRankK,
+      iters: Int = graft.ops.Graph.PrIters,
+      damping: Double = graft.ops.Graph.Damping): String = {
+    val stopList = graft.ops.TextOps.stopwords.map(s => s"'$s'").mkString(", ")
+    def h(e: String) = graft.functions.PortableHash.h31Sql("tr", e)
+    val iterCtes = (1 to iters).map { kk =>
+      s"""r$kk AS (SELECT nw.node,
+         |    round((1.0 - $damping) / nn.n + $damping * coalesce(s.in_sum, 0.0), 6) AS rank
+         |  FROM nw CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst, sum(r.rank * CAST(e.w AS DOUBLE) / CAST(t.tw AS DOUBLE)) AS in_sum
+         |    FROM edges e JOIN r${kk - 1} r ON e.src = r.node JOIN nw t ON e.src = t.node
+         |    GROUP BY 1) s ON nw.node = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tokl AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |inst AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+       |  FROM tokl),
+       |adj AS (SELECT tok,
+       |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM inst),
+       |cpair AS (SELECT least(prev, tok) AS tok_a, greatest(prev, tok) AS tok_b,
+       |    count(*) AS cooc
+       |  FROM adj
+       |  WHERE prev IS NOT NULL AND prev <> tok
+       |    AND prev NOT IN ($stopList) AND tok NOT IN ($stopList)
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT ${h("tok_a")} AS doc_a, ${h("tok_b")} AS doc_b,
+       |    CAST(round(CAST(cooc AS DOUBLE) * 1000000, 0) AS BIGINT) AS w
+       |  FROM cpair),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst, w FROM pairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst, w FROM pairs),
+       |nw AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS tw FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM nw),
+       |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nw CROSS JOIN nn),
+       |$iterCtes,
+       |vocab AS (SELECT token, ${h("token")} AS node FROM (
+       |  SELECT DISTINCT tok_a AS token FROM cpair
+       |  UNION SELECT DISTINCT tok_b AS token FROM cpair))
+       |SELECT v.token, nw.tw AS weight_fp, r.rank
+       |FROM nw JOIN r$iters r ON nw.node = r.node JOIN vocab v ON nw.node = v.node
+       |ORDER BY r.rank DESC, v.token ASC LIMIT $k""".stripMargin
+  }
+
   /** Twin of Graph.labelPropagation: the synchronous rounds unroll to one
     * CTE pair (neighbor-label counts, argmax with min-label tie-break)
     * per iteration — all integer decisions, so the replay is exact.

@@ -563,6 +563,12 @@ object SparkEntry {
     // collapses any partition to ≤32768 rows before the only exchange; cells merge by
     // exact addition across days/shards/streams.
     "cms_sketch" -> ((s, dir) => Sketches.cmsSketch(Tables.events(s, dir))),
+    // AMS/CMS join-size estimation: the clicks x purchases per-user join
+    // sized from two sketch inner products (min over hash rows) without
+    // touching either input — the optimizer's cardinality question,
+    // integer-exact in the oracle, overestimate >= 0 by construction.
+    "cms_join_size" -> ((s, dir) =>
+      Sketches.cmsJoinSizeEstimate(Tables.events(s, dir))),
     // Bloom membership filter: 2048 bit_or-merged words answer "seen
     // before?" for any key with zero false negatives — the idempotent
     // sketch (a replayed shard cannot corrupt it); the probe report is
@@ -2100,6 +2106,7 @@ object SparkEntry {
     "l_diversity_report" -> DuckDbOracles.lDiversityReport(),
     "k_anonymize" -> DuckDbOracles.kAnonymize(),
     "cms_sketch" -> DuckDbOracles.cmsSketch,
+    "cms_join_size" -> DuckDbOracles.cmsJoinSizeEstimate,
     "bloom_sketch" -> DuckDbOracles.bloomSketch,
     "bloom_probe_report" -> DuckDbOracles.bloomProbeReport,
     "cms_heavy_hitters" -> DuckDbOracles.cmsHeavyHitters(),

@@ -379,6 +379,48 @@ object Sketches {
         (col("est_cnt") - col("exact_cnt")).as("overestimate"))
   }
 
+  /** Join-size estimation from CMS inner products (Alon-Matias-Szegedy
+    * by way of Cormode-Muthukrishnan §4.2): |A ⋈_k B| = Σ_k f_A(k)·f_B(k)
+    * is estimated by min over hash rows of the row-wise sketch dot
+    * product Σ_col cntA·cntB — never an underestimate, overestimate
+    * bounded by (e/w)·|A|·|B| w.h.p. The cardinality-estimation question
+    * a cost-based optimizer asks BEFORE committing to a join strategy,
+    * answered from two ≤depth×width sketch tables without touching
+    * either input — at 100 TB the sketches come from the maintained
+    * StreamingCms states (additive folds, so the estimate composes over
+    * shards/days for free) and the planner never scans a fact table to
+    * size its join.
+    *
+    * The report pairs clicks × purchases per user (the attribution join)
+    * and emits the exact pair count beside the estimate — all integer
+    * arithmetic, so the oracle replays every value bit-exactly (no
+    * error-budget boolean needed) and `overestimate ≥ 0` is a checked
+    * invariant, not a comment.
+    */
+  def cmsJoinSizeEstimate(events: DataFrame): DataFrame = {
+    val a = events.filter(col("event_type") === "click")
+    val b = events.filter(col("event_type") === "purchase")
+    val dots = cmsSketch(a).withColumnRenamed("cnt", "ca")
+      .join(cmsSketch(b).withColumnRenamed("cnt", "cb"),
+        Seq("row_idx", "col_idx"))
+      .groupBy(col("row_idx"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+    // a hash row with NO shared cells has dot = 0 and must participate
+    // in the min (disjoint key sets estimate 0, not null / not the min
+    // of only the colliding rows) — left-join the full row spine
+    import events.sparkSession.implicits._
+    val est = (0 until CmsDepth).toDF("row_idx")
+      .join(dots, Seq("row_idx"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("est_pairs"))
+    val fa = a.groupBy(col("user_id")).agg(count(lit(1)).as("ca"))
+    val fb = b.groupBy(col("user_id")).agg(count(lit(1)).as("cb"))
+    val exact = fa.join(fb, Seq("user_id"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_pairs"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_pairs"), col("est_pairs"),
+        (col("est_pairs") - col("exact_pairs")).as("overestimate"))
+  }
+
   /** Bloom filter geometry: m = 65536 bits stored as 32-bit words (a set
     * mask never reaches the sign bit of either engine's BIGINT carrier),
     * k = 4 probes from the same universal-hash family as the CMS cells

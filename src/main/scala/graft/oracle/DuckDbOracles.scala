@@ -3129,6 +3129,35 @@ object DuckDbOracles {
        |FROM est JOIN exact USING (user_id) CROSS JOIN tot
        |WHERE est_cnt * n_keys * $den >= n_total * $num""".stripMargin
 
+  /** Twin of Sketches.cmsJoinSizeEstimate: both sides' sketch tables from
+    * the shared hash family, row-wise inner products, min over rows —
+    * pure integer arithmetic, replayed bit-exactly.
+    */
+  def cmsJoinSizeEstimate: String = {
+    val sk = graft.ops.Sketches
+    val cell = s"((h.a * user_id + h.b) % ${sk.CmsPrime}) % ${sk.CmsWidth}"
+    s"""WITH hh(row_idx, a, b) AS (VALUES $cmsHashRows),
+       |ska AS (SELECT CAST(h.row_idx AS INT) AS row_idx,
+       |    CAST($cell AS BIGINT) AS col_idx, count(*) AS ca
+       |  FROM events CROSS JOIN hh h WHERE event_type = 'click' GROUP BY 1, 2),
+       |skb AS (SELECT CAST(h.row_idx AS INT) AS row_idx,
+       |    CAST($cell AS BIGINT) AS col_idx, count(*) AS cb
+       |  FROM events CROSS JOIN hh h WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |est AS (SELECT CAST(min(coalesce(dot, 0)) AS BIGINT) AS est_pairs
+       |  FROM (SELECT DISTINCT CAST(row_idx AS INT) AS row_idx FROM hh) r
+       |  LEFT JOIN (SELECT ska.row_idx, sum(ca * cb) AS dot
+       |    FROM ska JOIN skb USING (row_idx, col_idx) GROUP BY 1) d
+       |  USING (row_idx)),
+       |fa AS (SELECT user_id, count(*) AS ca FROM events
+       |  WHERE event_type = 'click' GROUP BY 1),
+       |fb AS (SELECT user_id, count(*) AS cb FROM events
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |ex AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS exact_pairs
+       |  FROM fa JOIN fb USING (user_id))
+       |SELECT exact_pairs, est_pairs, est_pairs - exact_pairs AS overestimate
+       |FROM ex CROSS JOIN est""".stripMargin
+  }
+
   /** Twin of Sketches.hllOverlapReport: exact pairwise overlap/union from
     * the distinct (type, user) self-join; the budget boolean asserted
     * TRUE — a sketch drifting outside the band hash-mismatches here.

@@ -77,6 +77,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // types — never the corpus); the DataSketches HLL expressions are
     // intrinsically interpreted built-ins (CodegenFallback in Spark)
     "hll_overlap_report" -> Set("nested-loop-join", "codegen-fallback"),
+    // two one-row aggregates (exact total, sketch-min estimate) crossed
+    // into the single report row — never the corpus
+    "cms_join_size" -> Set("nested-loop-join"),
     // C-row class-list broadcast deliberately fanning every token
     // instance out to all |classes| candidates (bounded ×C blowup — the
     // NB scoring shape), plus the one-row doc-total prior cross

@@ -281,4 +281,30 @@ class SketchSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       rows(("b", "c")) shouldBe ((600L, 100L, 0L, 700L, true))
     }
   }
+
+  describe("cmsJoinSizeEstimate") {
+    import spark.implicits._
+    it("never underestimates and is exact when the sketch is collision-free") {
+      // 3 users with clicks x purchases: 4*2 + 1*5 + 3*1 = 16 pairs
+      val ev = ((1 to 4).map(_ => ("click", 1L)) ++ (1 to 2).map(_ => ("purchase", 1L)) ++
+        (1 to 1).map(_ => ("click", 2L)) ++ (1 to 5).map(_ => ("purchase", 2L)) ++
+        (1 to 3).map(_ => ("click", 3L)) ++ (1 to 1).map(_ => ("purchase", 3L)) ++
+        (1 to 7).map(_ => ("view", 9L))) // other types are ignored
+        .toDF("event_type", "user_id")
+      val r = graft.ops.Sketches.cmsJoinSizeEstimate(ev).collect().head
+      r.getLong(0) shouldBe 16L
+      r.getLong(1) should be >= 16L
+      r.getLong(2) shouldBe (r.getLong(1) - 16L)
+      // 3 keys into 8192 columns: no collisions, the estimate is exact
+      r.getLong(1) shouldBe 16L
+    }
+
+    it("reports zero pairs when the sides share no keys") {
+      val ev = (Seq(("click", 1L), ("click", 2L), ("purchase", 50L)))
+        .toDF("event_type", "user_id")
+      val r = graft.ops.Sketches.cmsJoinSizeEstimate(ev).collect().head
+      r.getLong(0) shouldBe 0L
+      r.getLong(2) should be >= 0L
+    }
+  }
 }

@@ -397,21 +397,28 @@ object Sketches {
     * error-budget boolean needed) and `overestimate ≥ 0` is a checked
     * invariant, not a comment.
     */
-  def cmsJoinSizeEstimate(events: DataFrame): DataFrame = {
-    val a = events.filter(col("event_type") === "click")
-    val b = events.filter(col("event_type") === "purchase")
-    val dots = cmsSketch(a).withColumnRenamed("cnt", "ca")
-      .join(cmsSketch(b).withColumnRenamed("cnt", "cb"),
-        Seq("row_idx", "col_idx"))
+  /** The serving half: the inner-product estimate from two PREBUILT
+    * sketch tables — e.g. two maintained StreamingCms states, so a
+    * planner sizes the join of two live streams from their folds alone.
+    */
+  def cmsJoinSizeFromSketches(skA: DataFrame, skB: DataFrame): DataFrame = {
+    val dots = skA.withColumnRenamed("cnt", "ca")
+      .join(skB.withColumnRenamed("cnt", "cb"), Seq("row_idx", "col_idx"))
       .groupBy(col("row_idx"))
       .agg(sum(col("ca") * col("cb")).as("dot"))
     // a hash row with NO shared cells has dot = 0 and must participate
     // in the min (disjoint key sets estimate 0, not null / not the min
     // of only the colliding rows) — left-join the full row spine
-    import events.sparkSession.implicits._
-    val est = (0 until CmsDepth).toDF("row_idx")
+    import skA.sparkSession.implicits._
+    (0 until CmsDepth).toDF("row_idx")
       .join(dots, Seq("row_idx"), "left")
       .agg(min(coalesce(col("dot"), lit(0L))).as("est_pairs"))
+  }
+
+  def cmsJoinSizeEstimate(events: DataFrame): DataFrame = {
+    val a = events.filter(col("event_type") === "click")
+    val b = events.filter(col("event_type") === "purchase")
+    val est = cmsJoinSizeFromSketches(cmsSketch(a), cmsSketch(b))
     val fa = a.groupBy(col("user_id")).agg(count(lit(1)).as("ca"))
     val fb = b.groupBy(col("user_id")).agg(count(lit(1)).as("cb"))
     val exact = fa.join(fb, Seq("user_id"))

@@ -90,4 +90,29 @@ class StreamingCmsSpec extends AnyFunSpec with Matchers with SparkSessionTestWra
     StreamingCms.readSketch(spark, dir, Long.MaxValue)
       .agg(sum(col("cnt"))).head().getLong(0) shouldBe 3L * Sketches.CmsDepth
   }
+
+  it("join size of two live streams is served from their maintained folds alone") {
+    // two independently-maintained sketches (click stream, purchase
+    // stream); the inner-product estimate from the two STATE snapshots
+    // equals the batch estimate over both full histories
+    val dir = java.nio.file.Files.createTempDirectory("graft-scms-join").toString
+    val (clickDir, purchDir) = (s"$dir/click", s"$dir/purch")
+    val clicks = Seq(Seq(1L, 1L, 2L, 3L), Seq(1L, 1L, 3L, 3L))
+    val purchases = Seq(Seq(1L, 2L), Seq(2L, 9L))
+    clicks.zipWithIndex.foreach { case (b, i) =>
+      StreamingCms.processBatch(b.toDF("user_id"), i.toLong, clickDir) }
+    purchases.zipWithIndex.foreach { case (b, i) =>
+      StreamingCms.processBatch(b.toDF("user_id"), i.toLong, purchDir) }
+    val served = Sketches.cmsJoinSizeFromSketches(
+      StreamingCms.readSketch(spark, clickDir, Long.MaxValue),
+      StreamingCms.readSketch(spark, purchDir, Long.MaxValue))
+      .collect().head.getLong(0)
+    val inline = Sketches.cmsJoinSizeFromSketches(
+      Sketches.cmsSketch(clicks.flatten.toDF("user_id")),
+      Sketches.cmsSketch(purchases.flatten.toDF("user_id")))
+      .collect().head.getLong(0)
+    served shouldBe inline
+    // exact pairs: user 1 = 4 clicks x 1 purchase, user 2 = 1 x 2 → 6
+    served should be >= 6L
+  }
 }

@@ -1662,8 +1662,16 @@ object TextOps {
     * PrIters rank joins, and a TakeOrdered top-k — no global sort of
     * anything corpus-scale.
     */
-  def textRankKeywords(docs: DataFrame, k: Int = TextRankK): DataFrame = {
-    val pairs = textRankCooc(docs)
+  def textRankKeywords(docs: DataFrame, k: Int = TextRankK): DataFrame =
+    textRankKeywordsFromCooc(textRankCooc(docs), k)
+
+  /** The ranking half over a PREBUILT (tok_a, tok_b, cooc) table — e.g.
+    * the maintained StreamingTextRank state: co-occurrence counts fold
+    * additively across batches (documents arrive whole, so adjacency
+    * never crosses a batch boundary), and serving from the folded table
+    * equals the batch keywords over every document ever streamed.
+    */
+  def textRankKeywordsFromCooc(pairs: DataFrame, k: Int = TextRankK): DataFrame = {
     val idp = pairs.select(
       PortableHash.h31("tr", col("tok_a")).as("doc_a"),
       PortableHash.h31("tr", col("tok_b")).as("doc_b"),

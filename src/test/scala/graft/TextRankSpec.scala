@@ -46,4 +46,36 @@ class TextRankSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper
       out.map(_._1) should not contain "the"
     }
   }
+
+  describe("StreamingTextRank") {
+    it("keywords served from the maintained graph == batch over full history") {
+      import graft.streaming.StreamingTextRank
+      val dir = java.nio.file.Files.createTempDirectory("graft-strk").toString
+      val stateDir = s"$dir/state"
+      val all = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      all.grouped(2).zipWithIndex.foreach { case (b, i) =>
+        StreamingTextRank.processBatch(b.toDF("doc_id", "text"), i.toLong, stateDir)
+      }
+      val served = StreamingTextRank.serveKeywords(spark, stateDir)
+        .collect().map(_.mkString("|")).toSet
+      val inline = TextOps.textRankKeywords(docs)
+        .collect().map(_.mkString("|")).toSet
+      served shouldBe inline
+    }
+
+    it("a replayed batch is exactly-once: co-occurrence not double-counted") {
+      import graft.streaming.StreamingTextRank
+      val dir = java.nio.file.Files.createTempDirectory("graft-strk-retry").toString
+      val stateDir = s"$dir/state"
+      val all = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val (b0, b1) = all.splitAt(2)
+      StreamingTextRank.processBatch(b0.toDF("doc_id", "text"), 0L, stateDir)
+      StreamingTextRank.processBatch(b1.toDF("doc_id", "text"), 1L, stateDir)
+      val snap = StreamingTextRank.readCooc(spark, stateDir, Long.MaxValue)
+        .collect().map(_.mkString("|")).toSet
+      StreamingTextRank.processBatch(b1.toDF("doc_id", "text"), 1L, stateDir)
+      StreamingTextRank.readCooc(spark, stateDir, Long.MaxValue)
+        .collect().map(_.mkString("|")).toSet shouldBe snap
+    }
+  }
 }

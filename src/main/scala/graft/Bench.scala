@@ -70,6 +70,10 @@ object Bench {
     // optional args = time only these queries (local pin calibration; the
     // driver passes no args so its run stays exhaustive)
     val only = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"Bench: unknown query name(s) ${unknown.mkString(", ")} — a typo here " +
+        "would silently time nothing and skip the calibration it was asked for")
     val qlist = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
     val pass1 = qlist.map { case (name, fn) => name -> time1(fn) }.toMap

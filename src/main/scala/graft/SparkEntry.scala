@@ -1229,16 +1229,18 @@ object SparkEntry {
     // unrelated docs; coefficient ≈ 1 marks a genuine duplicate clique —
     // the signal deciding "drop the hub" vs "drop the cluster".
     // Chunk-granular near-dup: the LSH pipeline over 32-token sliding
-    // chunks as pseudo-docs (id = doc_id*100000 + chunk_idx), keeping
-    // only CROSS-document collisions — catches partially-copied passages
-    // whole-document MinHash dilutes below its threshold (the paragraph
-    // tier between doc-level LSH and exact span excision).
+    // chunks as pseudo-docs (StreamingChunkDedup.chunkPseudoDocs — the
+    // SAME id encoding the streamed chunk index writes, via the shared
+    // ChunkIdFactor constant), keeping only CROSS-document collisions —
+    // catches partially-copied passages whole-document MinHash dilutes
+    // below its threshold (the paragraph tier between doc-level LSH and
+    // exact span excision).
     "chunk_neardup_pairs" -> ((s, dir) => {
-      val chunks = TextOps.chunkDocuments(Tables.documents(s, dir))
-        .select((col("doc_id") * 100000L + col("chunk_idx")).as("doc_id"),
-          col("chunk_text").as("text"))
+      val f = graft.streaming.StreamingChunkDedup.ChunkIdFactor
+      val chunks = graft.streaming.StreamingChunkDedup
+        .chunkPseudoDocs(Tables.documents(s, dir))
       Dedup.minhashLshPairs(chunks)
-        .filter(expr("doc_a DIV 100000") =!= expr("doc_b DIV 100000"))
+        .filter(expr(s"doc_a DIV $f") =!= expr(s"doc_b DIV $f"))
     }),
 
     // Doc-pair rollup of the chunk collisions: per cross-document pair,
@@ -1246,15 +1248,15 @@ object SparkEntry {
     // copied from A" panel a curator reads before choosing between
     // doc-level drop and span-level excision.
     "chunk_share_report" -> ((s, dir) => {
-      val chunks = TextOps.chunkDocuments(Tables.documents(s, dir))
-        .select((col("doc_id") * 100000L + col("chunk_idx")).as("doc_id"),
-          col("chunk_text").as("text"))
+      val f = graft.streaming.StreamingChunkDedup.ChunkIdFactor
+      val chunks = graft.streaming.StreamingChunkDedup
+        .chunkPseudoDocs(Tables.documents(s, dir))
       Dedup.minhashLshPairs(chunks)
-        .filter(expr("doc_a DIV 100000") =!= expr("doc_b DIV 100000"))
+        .filter(expr(s"doc_a DIV $f") =!= expr(s"doc_b DIV $f"))
         // chunk ids order by (doc, idx), so doc_a < doc_b already
         // canonicalizes the DOC pair
-        .groupBy(expr("doc_a DIV 100000").as("doc_a"),
-          expr("doc_b DIV 100000").as("doc_b"))
+        .groupBy(expr(s"doc_a DIV ${graft.streaming.StreamingChunkDedup.ChunkIdFactor}").as("doc_a"),
+          expr(s"doc_b DIV ${graft.streaming.StreamingChunkDedup.ChunkIdFactor}").as("doc_b"))
         .agg(count(lit(1)).as("shared_chunks"),
           round(avg(col("est_jaccard")), 6).as("mean_est_jaccard"),
           round(max(col("est_jaccard")), 6).as("max_est_jaccard"))
@@ -1639,14 +1641,32 @@ object SparkEntry {
     * it would in production storage.
     */
   private val dedupIndexDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  // one-time JVM-exit sweep of the temp artifact dirs: bench/driver
+  // processes on a shared machine must not accumulate pair/label/
+  // component parquet under /tmp across invocations
+  private lazy val dedupIndexCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dedupIndexDirs.values.foreach { d =>
+        def rec(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(): Unit
+        }
+        rec(new java.io.File(d))
+      }))
   private[graft] def dedupIndexOf(
       s: org.apache.spark.sql.SparkSession, dir: String): graft.ops.DedupIndex.Frames = {
     val key = s.sparkContext.applicationId + "|" + dir
-    val idxDir = dedupIndexDirs.getOrElseUpdate(key, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-index").toString
-      graft.ops.DedupIndex.build(Tables.documents(s, dir), tmp)
-      tmp
-    })
+    // synchronized: TrieMap.getOrElseUpdate does NOT guarantee a single
+    // evaluation of the thunk under contention, and this thunk runs the
+    // multi-second LSH+LPA+CC build — two concurrent first-touch queries
+    // must not both build (and orphan the loser's directory)
+    val idxDir = dedupIndexDirs.synchronized {
+      dedupIndexDirs.getOrElseUpdate(key, {
+        dedupIndexCleanupHook
+        val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-index").toString
+        graft.ops.DedupIndex.build(Tables.documents(s, dir), tmp)
+        tmp
+      })
+    }
     graft.ops.DedupIndex.read(s, idxDir)
   }
 
@@ -2466,7 +2486,7 @@ object SparkEntry {
     "neardup_kcore" -> DuckDbOracles.neardupKcore(),
     "chunk_neardup_pairs" -> DuckDbOracles.chunkNeardupPairs,
     "chunk_share_report" ->
-      s"""SELECT doc_a // 100000 AS doc_a, doc_b // 100000 AS doc_b,
+      s"""SELECT doc_a // ${graft.streaming.StreamingChunkDedup.ChunkIdFactor} AS doc_a, doc_b // ${graft.streaming.StreamingChunkDedup.ChunkIdFactor} AS doc_b,
          |  count(*) AS shared_chunks,
          |  round(avg(est_jaccard), 6) AS mean_est_jaccard,
          |  round(max(est_jaccard), 6) AS max_est_jaccard

@@ -445,14 +445,16 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    // Release the cached edge frame BEFORE the backstop check: the result
+    // is localCheckpoint-materialized so it no longer depends on the
+    // cache, and a caller catching the non-convergence throw to retry
+    // with a larger bound must not strand one cached frame per attempt.
+    // A long-running caller (the per-micro-batch StreamingComponents
+    // fold) would otherwise accumulate one orphaned cache per batch.
+    edges.unpersist()
     require(converged,
       s"nearDupComponentsExact: no fixpoint after $maxIters rounds — raise maxIters " +
         "(pointer jumping makes the bound logarithmic in component diameter)")
-    // The result is localCheckpoint-materialized, so it no longer depends on
-    // the cached edge frame — release it here. A long-running caller (the
-    // per-micro-batch StreamingComponents fold) would otherwise accumulate
-    // one orphaned cached edge frame per batch until LRU eviction.
-    edges.unpersist()
     labels
   }
 

@@ -67,13 +67,23 @@ object DedupIndex {
       docs: DataFrame,
       dir: String,
       hash: (String, Column) => Column = PortableHash.h31): Unit = {
-    val pairs = Dedup.minhashLshPairs(docs, hash).persist()
-    pairs.write.mode("overwrite").parquet(s"$dir/pairs")
-    Graph.labelPropagationWeighted(pairs.withColumnRenamed("est_jaccard", "weight"))
-      .write.mode("overwrite").parquet(s"$dir/labels")
-    Dedup.nearDupComponentsExact(pairs)
-      .write.mode("overwrite").parquet(s"$dir/components")
-    pairs.unpersist()
+    // own the signature cache: minhashLshPairs persists its internal
+    // signature table and never releases it — fine for a one-shot query
+    // whose session ends, but the artifact build runs inside long-lived
+    // bench/driver processes where a corpus-sized cache with zero future
+    // readers (every report serves from parquet afterwards) would stay
+    // pinned until LRU eviction
+    val sig = Dedup.minhashSignatures(docs, hash).persist()
+    try {
+      val pairs = Dedup.minhashLshPairsFromSignatures(sig, hash).persist()
+      try {
+        pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+        Graph.labelPropagationWeighted(pairs.withColumnRenamed("est_jaccard", "weight"))
+          .write.mode("overwrite").parquet(s"$dir/labels")
+        Dedup.nearDupComponentsExact(pairs)
+          .write.mode("overwrite").parquet(s"$dir/components")
+      } finally pairs.unpersist()
+    } finally sig.unpersist()
   }
 
   private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame =

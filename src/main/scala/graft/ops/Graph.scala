@@ -371,30 +371,37 @@ object Graph {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var alive = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
-    var aliveCount = alive.count()
-    var converged = false
-    var it = 0
-    while (!converged && it < maxRounds) {
-      val next = edges
+    // try/finally: the backstop throw below (and the caller catching it
+    // to retry with a larger bound) must not strand the cached edge
+    // frame; the result is localCheckpoint-materialized before the
+    // release so it no longer references the cache
+    try {
+      var alive = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
+      var aliveCount = alive.count()
+      var converged = false
+      var it = 0
+      while (!converged && it < maxRounds) {
+        val next = edges
+          .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .groupBy(col("src").as("node")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= k).select(col("node"))
+          .localCheckpoint(true)
+        val nextCount = next.count()
+        converged = nextCount == aliveCount
+        alive = next
+        aliveCount = nextCount
+        it += 1
+      }
+      require(converged,
+        s"kCore: no fixpoint after $maxRounds peel rounds — raise maxRounds " +
+          "(each round peels at least one node, so the bound is the graph's " +
+          "degeneracy-ordering depth, not its size)")
+      edges
         .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-        .groupBy(col("src").as("node")).agg(count(lit(1)).as("c"))
-        .filter(col("c") >= k).select(col("node"))
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
         .localCheckpoint(true)
-      val nextCount = next.count()
-      converged = nextCount == aliveCount
-      alive = next
-      aliveCount = nextCount
-      it += 1
-    }
-    require(converged,
-      s"kCore: no fixpoint after $maxRounds peel rounds — raise maxRounds " +
-        "(each round peels at least one node, so the bound is the graph's " +
-        "degeneracy-ordering depth, not its size)")
-    edges
-      .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-      .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-      .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+    } finally edges.unpersist()
   }
 }

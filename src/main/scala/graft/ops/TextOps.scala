@@ -1672,6 +1672,13 @@ object TextOps {
     * equals the batch keywords over every document ever streamed.
     */
   def textRankKeywordsFromCooc(pairs: DataFrame, k: Int = TextRankK): DataFrame = {
+    // not-yet-built state (or an all-stopword corpus) degrades to the
+    // empty keyword set — pageRankWeighted requires a non-empty graph,
+    // and the module convention is empty-answer, never serve-time throw
+    if (pairs.limit(1).isEmpty) {
+      import pairs.sparkSession.implicits._
+      return Seq.empty[(String, Long, Double)].toDF("token", "weight_fp", "rank")
+    }
     val idp = pairs.select(
       PortableHash.h31("tr", col("tok_a")).as("doc_a"),
       PortableHash.h31("tr", col("tok_b")).as("doc_b"),

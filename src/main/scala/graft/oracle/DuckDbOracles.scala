@@ -1690,15 +1690,17 @@ object DuckDbOracles {
        |$pairsFromBands""".stripMargin
 
   /** Twin of the chunk_neardup_pairs composition: chunks as pseudo-docs
-    * (id = doc_id·100000 + chunk_idx) through the shared LSH pipeline,
+    * (id = doc_id·ChunkIdFactor + chunk_idx — the shared constant the
+    * streamed chunk index also writes) through the shared LSH pipeline,
     * keeping only CROSS-document collisions (same-doc chunks overlap by
     * construction at stride < width).
     */
   def chunkNeardupPairs: String = {
-    val src = s"SELECT doc_id * 100000 + chunk_idx AS doc_id, chunk_text AS text " +
+    val f = graft.streaming.StreamingChunkDedup.ChunkIdFactor
+    val src = s"SELECT doc_id * $f + chunk_idx AS doc_id, chunk_text AS text " +
       s"FROM (${chunkDocuments()}) c"
     s"""SELECT doc_a, doc_b, est_jaccard FROM (${minhashLshPairsFrom(src)}) p
-       |WHERE doc_a // 100000 <> doc_b // 100000""".stripMargin
+       |WHERE doc_a // $f <> doc_b // $f""".stripMargin
   }
 
   /** Twin of Dedup.sourceContamination: the shared band-pair fragments

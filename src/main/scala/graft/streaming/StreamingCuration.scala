@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions.{col, count, lit, not, sum, when}
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
 
 import graft.ops.TextOps
 
@@ -89,9 +90,31 @@ object StreamingCuration {
       spanIndexDir: String,
       cleanDir: String): Map[String, Any] = {
     val metrics = processBatch(batch, batchId, keptDir, rejectsDir)
-    val keptDocs = batch.sparkSession.read.parquet(keptDir)
-      .filter(col(BatchCol) === batchId)
-      .select(col("doc_id"), col("text_scrubbed").as("text"))
+    val spark = batch.sparkSession
+    // a retry in this JVM rewrites the partition an earlier attempt (or
+    // an earlier read here) already listed — drop the shared file-status
+    // cache entries so the read-back sees the overwrite, not the first
+    // attempt's vanished files (the StreamingDedupIndex guard)
+    spark.catalog.refreshByPath(keptDir)
+    // declared schema: an all-rejected batch 0 leaves keptDir absent (or
+    // schema-less), and the excision stage must see an empty frame — not
+    // an inference AnalysisException that kills the query on every retry
+    val keptSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_tokens", LongType),
+      StructField("quality_score", DoubleType),
+      StructField("had_pii", BooleanType),
+      StructField("text_scrubbed", StringType),
+      StructField(BatchCol, LongType)))
+    val keptDocs =
+      (try spark.read.schema(keptSchema).parquet(keptDir)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], keptSchema)
+      })
+        .filter(col(BatchCol) === batchId)
+        .select(col("doc_id"), col("text_scrubbed").as("text"))
     StreamingSpanExcise.processBatch(keptDocs, batchId, spanIndexDir, cleanDir)
     metrics
   }

@@ -90,4 +90,26 @@ class StreamingCurationSpec extends AnyFunSpec with Matchers with SparkSessionTe
       (kept ++ rej).toSet shouldBe Set(1L, 2L, 3L, 4L)
     }
   }
+
+  describe("processBatchWithSpanExcision edge cases") {
+    it("survives an all-rejected batch 0 (empty kept sink, no schema to infer)") {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-scur-empty").toString
+      val (keptDir, rejDir, spanDir, cleanDir) =
+        (s"$dir/kept", s"$dir/rej", s"$dir/span", s"$dir/clean")
+      // batch 0: every doc fails the token gate — the kept sink commits
+      // zero rows and the excision read-back must see an empty frame,
+      // not an inference crash that permanently kills the query
+      val allSpam = Seq((1L, short), (2L, "also short")).toDF("doc_id", "text")
+      noException should be thrownBy
+        StreamingCuration.processBatchWithSpanExcision(
+          allSpam, 0L, keptDir, rejDir, spanDir, cleanDir)
+      // a later good batch still flows through to the clean sink
+      val ok = Seq((3L, good)).toDF("doc_id", "text")
+      StreamingCuration.processBatchWithSpanExcision(
+        ok, 1L, keptDir, rejDir, spanDir, cleanDir)
+      spark.read.parquet(cleanDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet shouldBe Set(3L)
+    }
+  }
 }

@@ -77,5 +77,13 @@ class TextRankSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper
       StreamingTextRank.readCooc(spark, stateDir, Long.MaxValue)
         .collect().map(_.mkString("|")).toSet shouldBe snap
     }
+
+    it("serving from never-built state degrades to the empty keyword set") {
+      import graft.streaming.StreamingTextRank
+      val dir = java.nio.file.Files.createTempDirectory("graft-strk-empty").toString
+      val out = StreamingTextRank.serveKeywords(spark, s"$dir/state")
+      out.count() shouldBe 0L
+      out.columns.toSeq shouldBe Seq("token", "weight_fp", "rank")
+    }
   }
 }

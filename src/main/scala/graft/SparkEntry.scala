@@ -632,6 +632,12 @@ object SparkEntry {
     "l_diversity_report" -> ((s, dir) =>
       graft.ops.Privacy.lDiversityReport(Tables.events(s, dir))),
 
+    // t-closeness: the attack l-diversity misses — a class can mix l
+    // users yet have a distribution wildly different from the table's;
+    // TVD per class is an exact integer ppm (no float accumulation).
+    "t_closeness_report" -> ((s, dir) =>
+      graft.ops.Privacy.tClosenessReport(Tables.events(s, dir))),
+
     // Suppression-based k-anonymization: quasi columns NULLed for rows in
     // classes below k, with the suppression flag emitted.
     "k_anonymize" -> ((s, dir) =>
@@ -2124,6 +2130,7 @@ object SparkEntry {
     "storage_profile" -> DuckDbOracles.storageProfile,
     "k_anonymity_report" -> DuckDbOracles.kAnonymityReport(),
     "l_diversity_report" -> DuckDbOracles.lDiversityReport(),
+    "t_closeness_report" -> DuckDbOracles.tClosenessReport(),
     "k_anonymize" -> DuckDbOracles.kAnonymize(),
     "cms_sketch" -> DuckDbOracles.cmsSketch,
     "cms_join_size" -> DuckDbOracles.cmsJoinSizeEstimate,

@@ -123,4 +123,63 @@ object Privacy {
         when(col("cls_n") >= k, col("vb")).otherwise(lit(null)).as("vb"),
         when(col("cls_n") < k, 1L).otherwise(0L).as("suppressed"))
   }
+
+  /** t-closeness threshold in integer ppm (t = 0.5 over the [0, 1] TVD
+    * scale — generous on purpose: small synthetic classes are sparse,
+    * and the audit's job is flagging the OUTLIER classes, not failing
+    * every small one).
+    */
+  val TCloseTPpm = 500000L
+
+  /** Per-event_type t-CLOSENESS audit — the attack l-diversity misses
+    * (Li, Li & Venkatasubramanian, ICDE'07): a class can mix l distinct
+    * sensitive values yet have a DISTRIBUTION wildly different from the
+    * table's (e.g. 9-of-10 rows one user where that user is 1% of the
+    * table) — the skew itself leaks. For a categorical sensitive
+    * attribute the prescribed distance is total variation
+    * TVD = ½ Σ_u |p_u − q_u| between the class distribution p and the
+    * event_type-wide distribution q.
+    *
+    * Every class TVD is an EXACT integer ppm: with class counts c_u,
+    * class size n_c, global counts g_u, total N,
+    *   TVD·(2·n_c·N) = Σ_{u∈class} |c_u·N − g_u·n_c| + (N − Σ_{u∈class} g_u)·n_c
+    * (the second term folds every user absent from the class), so the
+    * quotient is one integer division — no float accumulation order for
+    * the engines to disagree on.
+    *
+    * Scale: one (class, user) hash agg (map-side combinable, cardinality
+    * = classes × users-per-class, never corpus-sized), two broadcast-
+    * sized per-type totals, a class rollup.
+    */
+  def tClosenessReport(events: DataFrame, tPpm: Long = TCloseTPpm): DataFrame = {
+    val base = events.select(col("event_type"), to_date(col("ts")).as("day"),
+      floor(col("value") / lit(ValueBucket)).cast("long").as("vb"), col("user_id"))
+    val cu = base.groupBy(col("event_type"), col("day"), col("vb"), col("user_id"))
+      .agg(count(lit(1)).as("c_u"))
+    val cls = cu.groupBy(col("event_type"), col("day"), col("vb"))
+      .agg(sum(col("c_u")).as("cls_n"))
+    val gu = base.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("g_u"))
+    val gn = gu.groupBy(col("event_type")).agg(sum(col("g_u")).as("n_tot"))
+    val perClass = cu
+      .join(cls, Seq("event_type", "day", "vb"))
+      .join(gu, Seq("event_type", "user_id"))
+      .join(broadcast(gn), Seq("event_type"))
+      .groupBy(col("event_type"), col("day"), col("vb"),
+        col("cls_n"), col("n_tot"))
+      .agg(sum(abs(col("c_u") * col("n_tot") - col("g_u") * col("cls_n"))).as("num_in"),
+        sum(col("g_u")).as("g_in"))
+      .select(col("event_type"), col("cls_n"),
+        expr("CAST(((num_in + (n_tot - g_in) * cls_n) * 1000000) div (2 * cls_n * n_tot) AS BIGINT)")
+          .as("tvd_ppm"))
+    perClass.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("cls_n")).as("n_rows"),
+        sum(when(col("tvd_ppm") > tPpm, 1L).otherwise(0L)).as("far_classes"),
+        sum(when(col("tvd_ppm") > tPpm, col("cls_n")).otherwise(lit(0L))).as("rows_at_risk"),
+        max(col("tvd_ppm")).as("max_tvd_ppm"))
+      .select(col("event_type"), col("n_classes"), col("n_rows"),
+        col("far_classes"), col("rows_at_risk"), col("max_tvd_ppm"),
+        expr("CAST((rows_at_risk * 1000000) div n_rows AS BIGINT)").as("risk_ppm"))
+  }
 }

@@ -3077,6 +3077,43 @@ object DuckDbOracles {
        |    // sum(cls_n) AS BIGINT) AS risk_ppm
        |FROM cs GROUP BY 1""".stripMargin
 
+  /** Twin of Privacy.tClosenessReport: the same exact-integer TVD ppm
+    * per class (in-class |c_u·N − g_u·n_c| sum plus the folded
+    * absent-user term), one integer division, the same rollup.
+    */
+  def tClosenessReport(tPpm: Long = graft.ops.Privacy.TCloseTPpm): String =
+    s"""WITH base AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(floor(value / ${graft.ops.Privacy.ValueBucket}) AS BIGINT) AS vb,
+       |    user_id
+       |  FROM events),
+       |cu AS (SELECT event_type, day, vb, user_id, count(*) AS c_u
+       |  FROM base GROUP BY 1, 2, 3, 4),
+       |cls AS (SELECT event_type, day, vb, CAST(sum(c_u) AS BIGINT) AS cls_n
+       |  FROM cu GROUP BY 1, 2, 3),
+       |gu AS (SELECT event_type, user_id, count(*) AS g_u
+       |  FROM base GROUP BY 1, 2),
+       |gn AS (SELECT event_type, CAST(sum(g_u) AS BIGINT) AS n_tot
+       |  FROM gu GROUP BY 1),
+       |pc AS (SELECT cu.event_type, cu.day, cu.vb, cls.cls_n, gn.n_tot,
+       |    CAST(sum(abs(cu.c_u * gn.n_tot - gu.g_u * cls.cls_n)) AS BIGINT) AS num_in,
+       |    CAST(sum(gu.g_u) AS BIGINT) AS g_in
+       |  FROM cu
+       |  JOIN cls ON cu.event_type = cls.event_type AND cu.day = cls.day AND cu.vb = cls.vb
+       |  JOIN gu ON cu.event_type = gu.event_type AND cu.user_id = gu.user_id
+       |  JOIN gn ON cu.event_type = gn.event_type
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |tvd AS (SELECT event_type, cls_n,
+       |    CAST(((num_in + (n_tot - g_in) * cls_n) * 1000000)
+       |      // (2 * cls_n * n_tot) AS BIGINT) AS tvd_ppm
+       |  FROM pc)
+       |SELECT event_type, count(*) AS n_classes, CAST(sum(cls_n) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN tvd_ppm > $tPpm THEN 1 ELSE 0 END) AS BIGINT) AS far_classes,
+       |  CAST(sum(CASE WHEN tvd_ppm > $tPpm THEN cls_n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       |  CAST(max(tvd_ppm) AS BIGINT) AS max_tvd_ppm,
+       |  CAST((sum(CASE WHEN tvd_ppm > $tPpm THEN cls_n ELSE 0 END) * 1000000)
+       |    // sum(cls_n) AS BIGINT) AS risk_ppm
+       |FROM tvd GROUP BY 1""".stripMargin
+
   /** Twin of Privacy.kAnonymize. */
   def kAnonymize(k: Long = graft.ops.Privacy.KAnon): String =
     s"""WITH $kAnonCtes

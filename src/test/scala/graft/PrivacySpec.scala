@@ -64,4 +64,42 @@ class PrivacySpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
       r.getLong(6) shouldBe 454545L // 5/11 in integer ppm
     }
   }
+
+  describe("tClosenessReport") {
+    it("flags the diverse-but-skewed class that l-diversity passes") {
+      // global (incl. the skewed class): u1=7, u2=7, u3=10 over N=24.
+      // bucket 0 (18 rows, 6/6/6) sits near the global mix (TVD = 1/12);
+      // bucket 9 (6 rows) is DIVERSE at l=3 (users 1,2,3 all present)
+      // but skewed toward user 3 (1,1,4): TVD = (18+18+36)/(2*6*24)
+      // = 1/4 -> 250000 ppm exactly
+      val rows = (
+        (1 to 6).map(i => (i.toLong, 1L, 3.0)) ++
+        (7 to 12).map(i => (i.toLong, 2L, 3.0)) ++
+        (13 to 18).map(i => (i.toLong, 3L, 3.0)) ++
+        Seq((19L, 1L, 95.0), (20L, 2L, 95.0)) ++
+        (21 to 24).map(i => (i.toLong, 3L, 95.0)))
+        .map { case (id, u, v) =>
+          (id, u, "click", new java.sql.Timestamp(1700000000000L), v) }
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+      val ld = Privacy.lDiversityReport(rows).collect()(0)
+      ld.getLong(3) shouldBe 0L // both classes diverse: l-diversity is happy
+      val t = Privacy.tClosenessReport(rows, tPpm = 200000L).collect()(0)
+      t.getLong(1) shouldBe 2L      // n_classes
+      t.getLong(3) shouldBe 1L      // far_classes: the skewed bucket
+      t.getLong(4) shouldBe 6L      // its 6 rows at risk
+      t.getLong(5) shouldBe 250000L // exact integer-ppm TVD of the skew
+      t.getLong(6) shouldBe 250000L // 6/24 risk share in ppm
+    }
+
+    it("a class mirroring the global distribution has TVD exactly zero") {
+      val rows = ((1 to 4).map(i => (i.toLong, (i % 2).toLong + 1, 3.0)) ++
+        (5 to 8).map(i => (i.toLong, (i % 2).toLong + 1, 95.0)))
+        .map { case (id, u, v) =>
+          (id, u, "click", new java.sql.Timestamp(1700000000000L), v) }
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+      val t = Privacy.tClosenessReport(rows).collect()(0)
+      t.getLong(5) shouldBe 0L // max_tvd_ppm: both classes mirror global
+      t.getLong(3) shouldBe 0L
+    }
+  }
 }

@@ -151,15 +151,30 @@ object Privacy {
     * = classes × users-per-class, never corpus-sized), two broadcast-
     * sized per-type totals, a class rollup.
     */
-  def tClosenessReport(events: DataFrame, tPpm: Long = TCloseTPpm): DataFrame = {
-    val base = events.select(col("event_type"), to_date(col("ts")).as("day"),
-      floor(col("value") / lit(ValueBucket)).cast("long").as("vb"), col("user_id"))
-    val cu = base.groupBy(col("event_type"), col("day"), col("vb"), col("user_id"))
+  def tClosenessReport(events: DataFrame, tPpm: Long = TCloseTPpm): DataFrame =
+    tClosenessFromCounts(classUserCounts(events), tPpm)
+
+  /** Per-(class, user) census (quasi tuple, user → row count) — the ONE
+    * table the t-closeness audit needs: class sizes, global per-user
+    * counts, and per-type totals all derive from it by rollup, so the
+    * streamed fold (StreamingGovernance) maintains only this census and
+    * the audit serves from the state snapshot.
+    */
+  def classUserCounts(events: DataFrame): DataFrame =
+    events.select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") / lit(ValueBucket)).cast("long").as("vb"), col("user_id"))
+      .groupBy(col("event_type"), col("day"), col("vb"), col("user_id"))
       .agg(count(lit(1)).as("c_u"))
+
+  /** The t-closeness rollup from a prebuilt (class, user) census —
+    * identical to the inline audit because every derived table (class
+    * sizes, global counts, totals) is a rollup of the census itself.
+    */
+  def tClosenessFromCounts(cu: DataFrame, tPpm: Long = TCloseTPpm): DataFrame = {
     val cls = cu.groupBy(col("event_type"), col("day"), col("vb"))
       .agg(sum(col("c_u")).as("cls_n"))
-    val gu = base.groupBy(col("event_type"), col("user_id"))
-      .agg(count(lit(1)).as("g_u"))
+    val gu = cu.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("c_u")).as("g_u"))
     val gn = gu.groupBy(col("event_type")).agg(sum(col("g_u")).as("n_tot"))
     val perClass = cu
       .join(cls, Seq("event_type", "day", "vb"))

@@ -115,6 +115,97 @@ object StreamingGovernance {
     StreamingCdc.processBatch(batch, batchId, snapshotDir, keyCols, versionCols, deleteCol)
   }
 
+  private val cuViewSchema = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("day", DateType),
+    StructField("vb", LongType),
+    StructField("user_id", LongType),
+    StructField("c_u", LongType),
+    StructField(VersionCol, LongType)))
+
+  /** Latest committed (class, user) census strictly below `beforeVersion`. */
+  def readCuView(spark: SparkSession, dir: String, beforeVersion: Long): DataFrame = {
+    val all =
+      try spark.read.schema(cuViewSchema).parquet(dir)
+        .filter(col(VersionCol) < beforeVersion)
+      catch {
+        case _: AnalysisException =>
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], cuViewSchema).drop(VersionCol)
+      }
+    val maxV = all.agg(max(col(VersionCol))).head()
+    if (maxV.isNullAt(0)) all.limit(0).drop(VersionCol)
+    else all.filter(col(VersionCol) === maxV.getLong(0)).drop(VersionCol)
+  }
+
+  /** t-closeness served from the maintained census — identical to the
+    * batch audit over the latest snapshot: global counts and totals are
+    * rollups OF the census, so maintaining the one (class, user) table
+    * by touched-class recompute keeps the whole audit current (a class's
+    * TVD depends on the global distribution, but that dependence lives
+    * entirely in the read-time rollup, not in state).
+    */
+  def serveTCloseness(
+      spark: SparkSession, cuViewDir: String,
+      tPpm: Long = Privacy.TCloseTPpm): DataFrame =
+    Privacy.tClosenessFromCounts(
+      readCuView(spark, cuViewDir, Long.MaxValue), tPpm)
+
+  /** The combined fold: the class census (k-anon/l-div view) AND the
+    * (class, user) census (t-closeness view) advance from the same
+    * reconciled touched-class slice, then the base snapshot commits —
+    * one batch, three exactly-once state writes. Idempotent in
+    * `batchId`.
+    */
+  def processBatchWithTCloseness(
+      batch: DataFrame,
+      batchId: Long,
+      snapshotDir: String,
+      viewDir: String,
+      cuViewDir: String,
+      keyCols: Seq[String],
+      versionCols: Seq[String],
+      deleteCol: String): Unit = {
+    val spark = batch.sparkSession
+    val snapSchema = StructType(batch.schema.filterNot(_.name == deleteCol))
+    val prev = StreamingCdc.latestSnapshot(spark, snapshotDir, snapSchema, batchId)
+
+    val touchedKeys = batch.select(keyCols.map(col): _*).distinct()
+    val prevQ = withQuasi(prev)
+    val tq = withQuasi(batch).select(quasiCols.map(col): _*)
+      .unionByName(prevQ.join(touchedKeys, keyCols, "left_semi")
+        .select(quasiCols.map(col): _*))
+      .distinct()
+    val prevSlice = prevQ.join(tq, quasiCols, "left_semi").drop("day", "vb")
+    val nextSlice =
+      Cdc.applyChanges(prevSlice, batch, keyCols, versionCols, deleteCol).persist()
+    try {
+      val prior = readClassView(spark, viewDir, batchId)
+      prior.join(tq, quasiCols, "left_anti")
+        .unionByName(Privacy.classStats(nextSlice))
+        .select(col("event_type"), col("day"), col("vb"),
+          col("cls_n").cast("long").as("cls_n"), col("n_sens").cast("long").as("n_sens"))
+        .withColumn(VersionCol, lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(VersionCol)
+        .parquet(viewDir)
+
+      val priorCu = readCuView(spark, cuViewDir, batchId)
+      priorCu.join(tq, quasiCols, "left_anti")
+        .unionByName(Privacy.classUserCounts(nextSlice))
+        .select(col("event_type"), col("day"), col("vb"),
+          col("user_id").cast("long").as("user_id"), col("c_u").cast("long").as("c_u"))
+        .withColumn(VersionCol, lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(VersionCol)
+        .parquet(cuViewDir)
+    } finally nextSlice.unpersist()
+
+    StreamingCdc.processBatch(batch, batchId, snapshotDir, keyCols, versionCols, deleteCol)
+  }
+
   def start(
       changeStream: DataFrame,
       snapshotDir: String,

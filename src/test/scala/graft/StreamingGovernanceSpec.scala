@@ -104,4 +104,35 @@ class StreamingGovernanceSpec extends AnyFunSpec with Matchers with SparkSession
         .collect().map(_.mkString("|")).toSet
     }
   }
+
+  describe("t-closeness maintenance (processBatchWithTCloseness)") {
+    it("census view == classUserCounts(latest snapshot) after every batch; audit matches") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sgov-tc").toString
+      val (snapDir, viewDir, cuDir) = (s"$dir/snap", s"$dir/view", s"$dir/cu")
+      var seen = Seq.empty[Chg]
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        StreamingGovernance.processBatchWithTCloseness(
+          feed(b), i.toLong, snapDir, viewDir, cuDir,
+          Seq("event_id"), Seq("v"), "is_delete")
+        seen = seen ++ b
+        val snap = snapshotOf(seen)
+        StreamingGovernance.readCuView(spark, cuDir, Long.MaxValue)
+          .collect().map(_.mkString("|")).toSet shouldBe
+          Privacy.classUserCounts(snap).collect().map(_.mkString("|")).toSet
+        StreamingGovernance.serveTCloseness(spark, cuDir)
+          .collect().map(_.mkString("|")).toSet shouldBe
+          Privacy.tClosenessReport(snap).collect().map(_.mkString("|")).toSet
+        // the class view advanced in the same fold
+        viewSet(viewDir) shouldBe
+          Privacy.classStats(snap).collect().map(_.mkString("|")).toSet
+      }
+      // replay: a crash-after-commit retry leaves every view unchanged
+      val cuSnap = StreamingGovernance.readCuView(spark, cuDir, Long.MaxValue)
+        .collect().map(_.mkString("|")).toSet
+      StreamingGovernance.processBatchWithTCloseness(
+        feed(b2), 2L, snapDir, viewDir, cuDir, Seq("event_id"), Seq("v"), "is_delete")
+      StreamingGovernance.readCuView(spark, cuDir, Long.MaxValue)
+        .collect().map(_.mkString("|")).toSet shouldBe cuSnap
+    }
+  }
 }

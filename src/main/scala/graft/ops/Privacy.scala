@@ -176,16 +176,23 @@ object Privacy {
     val gu = cu.groupBy(col("event_type"), col("user_id"))
       .agg(sum(col("c_u")).as("g_u"))
     val gn = gu.groupBy(col("event_type")).agg(sum(col("g_u")).as("n_tot"))
+    // DECIMAL(38,0) arithmetic throughout the quotient: the numerator
+    // reaches ~2·cls_n·n_tot·10⁶, which blows through BIGINT once
+    // cls_n·n_tot > ~4.6·10¹² (a 10M-row type with a 1M-row class) —
+    // exactly the scale this audit exists for. Still exact integers;
+    // the `div` is one integral divide, no float enters
     val perClass = cu
       .join(cls, Seq("event_type", "day", "vb"))
       .join(gu, Seq("event_type", "user_id"))
       .join(broadcast(gn), Seq("event_type"))
       .groupBy(col("event_type"), col("day"), col("vb"),
         col("cls_n"), col("n_tot"))
-      .agg(sum(abs(col("c_u") * col("n_tot") - col("g_u") * col("cls_n"))).as("num_in"),
+      .agg(sum(abs(col("c_u").cast("decimal(38,0)") * col("n_tot") -
+          col("g_u").cast("decimal(38,0)") * col("cls_n"))).as("num_in"),
         sum(col("g_u")).as("g_in"))
       .select(col("event_type"), col("cls_n"),
-        expr("CAST(((num_in + (n_tot - g_in) * cls_n) * 1000000) div (2 * cls_n * n_tot) AS BIGINT)")
+        expr("""CAST(((num_in + (CAST(n_tot AS DECIMAL(38,0)) - g_in) * cls_n)
+                 * 1000000) div (CAST(2 AS DECIMAL(38,0)) * cls_n * n_tot) AS BIGINT)""")
           .as("tvd_ppm"))
     perClass.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_classes"),

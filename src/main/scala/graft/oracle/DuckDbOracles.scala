@@ -3095,7 +3095,8 @@ object DuckDbOracles {
        |gn AS (SELECT event_type, CAST(sum(g_u) AS BIGINT) AS n_tot
        |  FROM gu GROUP BY 1),
        |pc AS (SELECT cu.event_type, cu.day, cu.vb, cls.cls_n, gn.n_tot,
-       |    CAST(sum(abs(cu.c_u * gn.n_tot - gu.g_u * cls.cls_n)) AS BIGINT) AS num_in,
+       |    sum(abs(CAST(cu.c_u AS HUGEINT) * gn.n_tot
+       |      - CAST(gu.g_u AS HUGEINT) * cls.cls_n)) AS num_in,
        |    CAST(sum(gu.g_u) AS BIGINT) AS g_in
        |  FROM cu
        |  JOIN cls ON cu.event_type = cls.event_type AND cu.day = cls.day AND cu.vb = cls.vb
@@ -3103,8 +3104,8 @@ object DuckDbOracles {
        |  JOIN gn ON cu.event_type = gn.event_type
        |  GROUP BY 1, 2, 3, 4, 5),
        |tvd AS (SELECT event_type, cls_n,
-       |    CAST(((num_in + (n_tot - g_in) * cls_n) * 1000000)
-       |      // (2 * cls_n * n_tot) AS BIGINT) AS tvd_ppm
+       |    CAST(((num_in + (CAST(n_tot AS HUGEINT) - g_in) * cls_n) * 1000000)
+       |      // (CAST(2 AS HUGEINT) * cls_n * n_tot) AS BIGINT) AS tvd_ppm
        |  FROM pc)
        |SELECT event_type, count(*) AS n_classes, CAST(sum(cls_n) AS BIGINT) AS n_rows,
        |  CAST(sum(CASE WHEN tvd_ppm > $tPpm THEN 1 ELSE 0 END) AS BIGINT) AS far_classes,

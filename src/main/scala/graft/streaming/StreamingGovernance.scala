@@ -55,20 +55,29 @@ object StreamingGovernance {
     StructField("n_sens", LongType),
     StructField(VersionCol, LongType)))
 
-  /** Latest committed class view strictly below `beforeVersion`. */
-  def readClassView(spark: SparkSession, dir: String, beforeVersion: Long): DataFrame = {
+  /** Shared versioned-view reader (the readCounts/readSketch shape):
+    * latest committed rows strictly below `beforeVersion`, empty frame
+    * before the first commit.
+    */
+  private def readVersionedView(
+      spark: SparkSession, dir: String, schema: StructType,
+      beforeVersion: Long): DataFrame = {
     val all =
-      try spark.read.schema(viewSchema).parquet(dir)
+      try spark.read.schema(schema).parquet(dir)
         .filter(col(VersionCol) < beforeVersion)
       catch {
         case _: AnalysisException =>
           return spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], viewSchema).drop(VersionCol)
+            spark.sparkContext.emptyRDD[Row], schema).drop(VersionCol)
       }
     val maxV = all.agg(max(col(VersionCol))).head()
     if (maxV.isNullAt(0)) all.limit(0).drop(VersionCol)
     else all.filter(col(VersionCol) === maxV.getLong(0)).drop(VersionCol)
   }
+
+  /** Latest committed class view strictly below `beforeVersion`. */
+  def readClassView(spark: SparkSession, dir: String, beforeVersion: Long): DataFrame =
+    readVersionedView(spark, dir, viewSchema, beforeVersion)
 
   private def withQuasi(df: DataFrame): DataFrame =
     df.withColumn("day", to_date(col("ts")))
@@ -86,6 +95,24 @@ object StreamingGovernance {
       viewDir: String,
       keyCols: Seq[String],
       versionCols: Seq[String],
+      deleteCol: String): Unit =
+    foldViews(batch, batchId, snapshotDir, viewDir, None,
+      keyCols, versionCols, deleteCol)
+
+  /** The ONE touched-class fold both public entry points share — the
+    * subtle exactly-once logic (touched-quasi set, latest-wins
+    * reconciliation, splice-over-untouched) lives here exactly once;
+    * `cuViewDir = Some(...)` additionally advances the (class, user)
+    * census the t-closeness audit serves from.
+    */
+  private def foldViews(
+      batch: DataFrame,
+      batchId: Long,
+      snapshotDir: String,
+      viewDir: String,
+      cuViewDir: Option[String],
+      keyCols: Seq[String],
+      versionCols: Seq[String],
       deleteCol: String): Unit = {
     val spark = batch.sparkSession
     val snapSchema = StructType(batch.schema.filterNot(_.name == deleteCol))
@@ -93,24 +120,40 @@ object StreamingGovernance {
 
     val touchedKeys = batch.select(keyCols.map(col): _*).distinct()
     val prevQ = withQuasi(prev)
+    // tq and the reconciled slice feed up to two write jobs each —
+    // persist both so neither job re-scans the base snapshot
     val tq = withQuasi(batch).select(quasiCols.map(col): _*)
       .unionByName(prevQ.join(touchedKeys, keyCols, "left_semi")
         .select(quasiCols.map(col): _*))
-      .distinct()
+      .distinct().persist()
     val prevSlice = prevQ.join(tq, quasiCols, "left_semi").drop("day", "vb")
-    val nextSlice = Cdc.applyChanges(prevSlice, batch, keyCols, versionCols, deleteCol)
-    val recomputed = Privacy.classStats(nextSlice)
+    val nextSlice =
+      Cdc.applyChanges(prevSlice, batch, keyCols, versionCols, deleteCol).persist()
+    try {
+      readClassView(spark, viewDir, batchId)
+        .join(tq, quasiCols, "left_anti")
+        .unionByName(Privacy.classStats(nextSlice))
+        .select(col("event_type"), col("day"), col("vb"),
+          col("cls_n").cast("long").as("cls_n"), col("n_sens").cast("long").as("n_sens"))
+        .withColumn(VersionCol, lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(VersionCol)
+        .parquet(viewDir)
 
-    val prior = readClassView(spark, viewDir, batchId)
-    prior.join(tq, quasiCols, "left_anti")
-      .unionByName(recomputed)
-      .select(col("event_type"), col("day"), col("vb"),
-        col("cls_n").cast("long").as("cls_n"), col("n_sens").cast("long").as("n_sens"))
-      .withColumn(VersionCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(VersionCol)
-      .parquet(viewDir)
+      cuViewDir.foreach { cuDir =>
+        readCuView(spark, cuDir, batchId)
+          .join(tq, quasiCols, "left_anti")
+          .unionByName(Privacy.classUserCounts(nextSlice))
+          .select(col("event_type"), col("day"), col("vb"),
+            col("user_id").cast("long").as("user_id"), col("c_u").cast("long").as("c_u"))
+          .withColumn(VersionCol, lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(VersionCol)
+          .parquet(cuDir)
+      }
+    } finally { nextSlice.unpersist(); tq.unpersist(): Unit }
 
     StreamingCdc.processBatch(batch, batchId, snapshotDir, keyCols, versionCols, deleteCol)
   }
@@ -124,19 +167,8 @@ object StreamingGovernance {
     StructField(VersionCol, LongType)))
 
   /** Latest committed (class, user) census strictly below `beforeVersion`. */
-  def readCuView(spark: SparkSession, dir: String, beforeVersion: Long): DataFrame = {
-    val all =
-      try spark.read.schema(cuViewSchema).parquet(dir)
-        .filter(col(VersionCol) < beforeVersion)
-      catch {
-        case _: AnalysisException =>
-          return spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], cuViewSchema).drop(VersionCol)
-      }
-    val maxV = all.agg(max(col(VersionCol))).head()
-    if (maxV.isNullAt(0)) all.limit(0).drop(VersionCol)
-    else all.filter(col(VersionCol) === maxV.getLong(0)).drop(VersionCol)
-  }
+  def readCuView(spark: SparkSession, dir: String, beforeVersion: Long): DataFrame =
+    readVersionedView(spark, dir, cuViewSchema, beforeVersion)
 
   /** t-closeness served from the maintained census — identical to the
     * batch audit over the latest snapshot: global counts and totals are
@@ -165,47 +197,14 @@ object StreamingGovernance {
       cuViewDir: String,
       keyCols: Seq[String],
       versionCols: Seq[String],
-      deleteCol: String): Unit = {
-    val spark = batch.sparkSession
-    val snapSchema = StructType(batch.schema.filterNot(_.name == deleteCol))
-    val prev = StreamingCdc.latestSnapshot(spark, snapshotDir, snapSchema, batchId)
+      deleteCol: String): Unit =
+    foldViews(batch, batchId, snapshotDir, viewDir, Some(cuViewDir),
+      keyCols, versionCols, deleteCol)
 
-    val touchedKeys = batch.select(keyCols.map(col): _*).distinct()
-    val prevQ = withQuasi(prev)
-    val tq = withQuasi(batch).select(quasiCols.map(col): _*)
-      .unionByName(prevQ.join(touchedKeys, keyCols, "left_semi")
-        .select(quasiCols.map(col): _*))
-      .distinct()
-    val prevSlice = prevQ.join(tq, quasiCols, "left_semi").drop("day", "vb")
-    val nextSlice =
-      Cdc.applyChanges(prevSlice, batch, keyCols, versionCols, deleteCol).persist()
-    try {
-      val prior = readClassView(spark, viewDir, batchId)
-      prior.join(tq, quasiCols, "left_anti")
-        .unionByName(Privacy.classStats(nextSlice))
-        .select(col("event_type"), col("day"), col("vb"),
-          col("cls_n").cast("long").as("cls_n"), col("n_sens").cast("long").as("n_sens"))
-        .withColumn(VersionCol, lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(VersionCol)
-        .parquet(viewDir)
-
-      val priorCu = readCuView(spark, cuViewDir, batchId)
-      priorCu.join(tq, quasiCols, "left_anti")
-        .unionByName(Privacy.classUserCounts(nextSlice))
-        .select(col("event_type"), col("day"), col("vb"),
-          col("user_id").cast("long").as("user_id"), col("c_u").cast("long").as("c_u"))
-        .withColumn(VersionCol, lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(VersionCol)
-        .parquet(cuViewDir)
-    } finally nextSlice.unpersist()
-
-    StreamingCdc.processBatch(batch, batchId, snapshotDir, keyCols, versionCols, deleteCol)
-  }
-
+  /** `cuViewDir = Some(...)` also maintains the t-closeness census from
+    * the module's own streaming entry point (no hand-rolled foreachBatch
+    * needed for the third view).
+    */
   def start(
       changeStream: DataFrame,
       snapshotDir: String,
@@ -213,12 +212,13 @@ object StreamingGovernance {
       checkpointDir: String,
       keyCols: Seq[String],
       versionCols: Seq[String],
-      deleteCol: String): StreamingQuery =
+      deleteCol: String,
+      cuViewDir: Option[String] = None): StreamingQuery =
     changeStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, snapshotDir, viewDir,
+        foldViews(batch, batchId, snapshotDir, viewDir, cuViewDir,
           keyCols, versionCols, deleteCol)
       }
       .start()

@@ -91,6 +91,24 @@ class PrivacySpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
       t.getLong(6) shouldBe 250000L // 6/24 risk share in ppm
     }
 
+
+    it("survives billion-scale counts (the DECIMAL path; BIGINT would overflow)") {
+      // two classes of 4e9 rows each, mirrored skews: per-row products
+      // reach |3e9*8e9 - 4e9*4e9| = 8e18 and the scaled numerator ~1.6e25
+      // - far beyond BIGINT; exact TVD is still 1/4 = 250000 ppm
+      val b = 1000000000L
+      val ts0 = new java.sql.Timestamp(1700000000000L)
+      val cu = Seq(
+        ("click", new java.sql.Date(ts0.getTime), 0L, 1L, 3 * b),
+        ("click", new java.sql.Date(ts0.getTime), 0L, 2L, 1 * b),
+        ("click", new java.sql.Date(ts0.getTime), 9L, 1L, 1 * b),
+        ("click", new java.sql.Date(ts0.getTime), 9L, 2L, 3 * b))
+        .toDF("event_type", "day", "vb", "user_id", "c_u")
+      val t = Privacy.tClosenessFromCounts(cu, tPpm = 200000L).collect()(0)
+      t.getLong(5) shouldBe 250000L // max_tvd_ppm, exact
+      t.getLong(3) shouldBe 2L      // both mirrored skews are far
+    }
+
     it("a class mirroring the global distribution has TVD exactly zero") {
       val rows = ((1 to 4).map(i => (i.toLong, (i % 2).toLong + 1, 3.0)) ++
         (5 to 8).map(i => (i.toLong, (i % 2).toLong + 1, 95.0)))

@@ -90,7 +90,16 @@ object Dedup {
     // persist it so the band self-join reads it once instead of recomputing
     // the whole shingle+hash pipeline on both sides. At 100 TB the
     // signature table is the thing you'd write to storage anyway.
-    minhashLshPairsFromSignatures(minhashSignatures(docs, hash).persist(), hash)
+    // This helper OWNS that cache (the DedupIndex.build convention): the
+    // pair frame is materialized eagerly via localCheckpoint — truncating
+    // its lineage off the cached signatures — and the signature cache is
+    // released before returning, so a long-lived driver hitting the inline
+    // path repeatedly (chunk pairs, leakage splits) never accumulates
+    // pinned corpus-sized signature caches. The checkpointed pair blocks
+    // themselves are GC-managed (ContextCleaner frees them with the frame).
+    val sig = minhashSignatures(docs, hash).persist()
+    try minhashLshPairsFromSignatures(sig, hash).localCheckpoint(true)
+    finally sig.unpersist()
   }
 
   /** The banding + candidate self-join over a PREBUILT signature table

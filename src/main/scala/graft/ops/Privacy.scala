@@ -166,22 +166,23 @@ object Privacy {
       .groupBy(col("event_type"), col("day"), col("vb"), col("user_id"))
       .agg(count(lit(1)).as("c_u"))
 
-  /** The t-closeness rollup from a prebuilt (class, user) census —
-    * identical to the inline audit because every derived table (class
-    * sizes, global counts, totals) is a rollup of the census itself.
+  /** Per-class TVD from a (class, user) census: (event_type, day, vb,
+    * cls_n, tvd_ppm) — the shared core of the audit rollup and the apply
+    * operator's per-round far-class detection.
+    *
+    * DECIMAL(38,0) arithmetic throughout the quotient: the numerator
+    * reaches ~2·cls_n·n_tot·10⁶, which blows through BIGINT once
+    * cls_n·n_tot > ~4.6·10¹² (a 10M-row type with a 1M-row class) —
+    * exactly the scale this audit exists for. Still exact integers;
+    * the `div` is one integral divide, no float enters.
     */
-  def tClosenessFromCounts(cu: DataFrame, tPpm: Long = TCloseTPpm): DataFrame = {
+  private[graft] def perClassTvd(cu: DataFrame): DataFrame = {
     val cls = cu.groupBy(col("event_type"), col("day"), col("vb"))
       .agg(sum(col("c_u")).as("cls_n"))
     val gu = cu.groupBy(col("event_type"), col("user_id"))
       .agg(sum(col("c_u")).as("g_u"))
     val gn = gu.groupBy(col("event_type")).agg(sum(col("g_u")).as("n_tot"))
-    // DECIMAL(38,0) arithmetic throughout the quotient: the numerator
-    // reaches ~2·cls_n·n_tot·10⁶, which blows through BIGINT once
-    // cls_n·n_tot > ~4.6·10¹² (a 10M-row type with a 1M-row class) —
-    // exactly the scale this audit exists for. Still exact integers;
-    // the `div` is one integral divide, no float enters
-    val perClass = cu
+    cu
       .join(cls, Seq("event_type", "day", "vb"))
       .join(gu, Seq("event_type", "user_id"))
       .join(broadcast(gn), Seq("event_type"))
@@ -190,11 +191,18 @@ object Privacy {
       .agg(sum(abs(col("c_u").cast("decimal(38,0)") * col("n_tot") -
           col("g_u").cast("decimal(38,0)") * col("cls_n"))).as("num_in"),
         sum(col("g_u")).as("g_in"))
-      .select(col("event_type"), col("cls_n"),
+      .select(col("event_type"), col("day"), col("vb"), col("cls_n"),
         expr("""CAST(((num_in + (CAST(n_tot AS DECIMAL(38,0)) - g_in) * cls_n)
                  * 1000000) div (CAST(2 AS DECIMAL(38,0)) * cls_n * n_tot) AS BIGINT)""")
           .as("tvd_ppm"))
-    perClass.groupBy(col("event_type"))
+  }
+
+  /** The t-closeness rollup from a prebuilt (class, user) census —
+    * identical to the inline audit because every derived table (class
+    * sizes, global counts, totals) is a rollup of the census itself.
+    */
+  def tClosenessFromCounts(cu: DataFrame, tPpm: Long = TCloseTPpm): DataFrame =
+    perClassTvd(cu).groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_classes"),
         sum(col("cls_n")).as("n_rows"),
         sum(when(col("tvd_ppm") > tPpm, 1L).otherwise(0L)).as("far_classes"),
@@ -203,5 +211,65 @@ object Privacy {
       .select(col("event_type"), col("n_classes"), col("n_rows"),
         col("far_classes"), col("rows_at_risk"), col("max_tvd_ppm"),
         expr("CAST((rows_at_risk * 1000000) div n_rows AS BIGINT)").as("risk_ppm"))
+
+  /** Rounds of far-class suppression `tClosenessApply` runs. Fixed (not
+    * a convergence loop) so the DuckDB oracle can unroll it verbatim; a
+    * round after the fixpoint is a no-op, so extra rounds are free of
+    * semantic effect. 4 cascade levels is far beyond what real skew
+    * needs — each round only triggers when dropping a far class shifted
+    * the GLOBAL distribution enough to push a previously-close class
+    * over t.
+    */
+  val TCloseApplyRounds = 4
+
+  /** Default remediation threshold (integer ppm). Deliberately LOOSER
+    * than the audit's flagging threshold: on a census whose classes are
+    * sparse relative to the user population (every small class has TVD
+    * near 1 − its user coverage — the measured testdata range is
+    * 0.80-0.9997), remediating at the audit's t would suppress the whole
+    * table. The apply knob targets the far TAIL (worst ~quarter of
+    * classes) while the audit keeps flagging everything over its own t;
+    * production tunes both to the corpus.
+    */
+  val TCloseApplyTPpm = 980000L
+
+  /** t-closeness REMEDIATION — the apply path the audit lacked: suppress
+    * (drop) every equivalence class whose TVD to the event_type-wide
+    * sensitive distribution exceeds t, and ITERATE, because removing a
+    * far class changes the global distribution every other class is
+    * measured against (the cascade one-shot filtering misses: a class
+    * can be t-close only thanks to the skew a dropped neighbor
+    * contributed). Record suppression rather than value suppression —
+    * NULLing the quasi columns (the kAnonymize treatment) would pool the
+    * far classes into one residual class whose skew is the very leak
+    * t-closeness measures, with nothing further to generalize.
+    *
+    * Returns the surviving events with their original columns, so
+    * `tClosenessReport(tClosenessApply(df, t), t)` is directly the
+    * output's own audit — far_classes = 0 after the cascade settles
+    * (spec-pinned, including a planted second-round cascade).
+    *
+    * Scale: the events table is scanned twice (census once, final
+    * semi-join once); every round iterates on the DOMAIN-sized census
+    * only (classes × users-per-class rows), localCheckpoint-truncated so
+    * the lineage never nests across rounds.
+    */
+  def tClosenessApply(
+      events: DataFrame,
+      tPpm: Long = TCloseApplyTPpm,
+      rounds: Int = TCloseApplyRounds): DataFrame = {
+    var cu = classUserCounts(events).localCheckpoint(true)
+    for (_ <- 0 until rounds) {
+      val far = perClassTvd(cu).filter(col("tvd_ppm") > tPpm)
+        .select(col("event_type"), col("day"), col("vb"))
+      cu = cu.join(far, Seq("event_type", "day", "vb"), "left_anti")
+        .localCheckpoint(true)
+    }
+    val kept = cu.select(col("event_type"), col("day"), col("vb")).distinct()
+    events
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("vb", floor(col("value") / lit(ValueBucket)).cast("long"))
+      .join(kept, Seq("event_type", "day", "vb"), "left_semi")
+      .drop("day", "vb")
   }
 }

@@ -399,9 +399,13 @@ object TimeSeries {
     import org.apache.spark.sql.expressions.Window
     require(w >= 1 && w <= 62, s"ewmaFromCounts: window $w must fit a long power of two")
     val win = Window.partitionBy(col("event_type")).orderBy(col("h"))
-    // numerator Σ_j c_{t−j} · 2^(W−1−j): integer weights, largest first
+    // numerator Σ_j c_{t−j} · 2^(W−1−j) in DECIMAL(38,0): with the default
+    // w=32 the largest weight is 2³¹, so a per-(type,hour) count near 2³²
+    // would silently wrap a BIGINT term — the same scale-overflow class the
+    // t-closeness audit hit. 38 digits hold counts to ~10²⁸ at any w ≤ 62.
     val num = (0 until w).map(j =>
-      coalesce(lag(col("c"), j).over(win), lit(0L)) * lit(1L << (w - 1 - j)))
+      coalesce(lag(col("c"), j).over(win), lit(0L)).cast("decimal(38,0)") *
+        lit(1L << (w - 1 - j)))
       .reduce(_ + _)
     filled
       .select(col("event_type"), col("h"), col("c"),

@@ -399,8 +399,11 @@ object DuckDbOracles {
     * denominator — one window block, one final IEEE division.
     */
   def ewmaHourly(w: Int = graft.ops.TimeSeries.EwmaWindow): String = {
+    // DECIMAL(38,0) numerator terms mirror the operator's overflow guard
+    // (a count near 2³² times the 2³¹ head weight wraps a BIGINT)
     val num = (0 until w)
-      .map(j => s"coalesce(lag(c, $j) OVER win, 0) * ${1L << (w - 1 - j)}")
+      .map(j =>
+        s"CAST(coalesce(lag(c, $j) OVER win, 0) AS DECIMAL(38,0)) * ${1L << (w - 1 - j)}")
       .mkString(" + ")
     s"""WITH $hourlyFilledCtes,
        |l AS (SELECT event_type, h, c,
@@ -3114,6 +3117,55 @@ object DuckDbOracles {
        |  CAST((sum(CASE WHEN tvd_ppm > $tPpm THEN cls_n ELSE 0 END) * 1000000)
        |    // sum(cls_n) AS BIGINT) AS risk_ppm
        |FROM tvd GROUP BY 1""".stripMargin
+
+  /** Twin of Privacy.tClosenessApply: the fixed number of far-class
+    * suppression rounds unrolled verbatim — per round the class/global/
+    * total rollups of the SURVIVING census, the same exact-integer TVD
+    * quotient, and a NOT EXISTS anti-join dropping far classes. Every
+    * round's census is MATERIALIZED: it feeds four derived tables, and
+    * DuckDB's CTE inlining would otherwise re-expand the chain
+    * exponentially (the k-core lesson).
+    */
+  def tClosenessApply(
+      tPpm: Long = graft.ops.Privacy.TCloseApplyTPpm,
+      rounds: Int = graft.ops.Privacy.TCloseApplyRounds): String = {
+    val roundCtes = (0 until rounds).map { i =>
+      s"""cls$i AS MATERIALIZED (SELECT event_type, day, vb, CAST(sum(c_u) AS BIGINT) AS cls_n
+         |  FROM cu$i GROUP BY 1, 2, 3),
+         |gu$i AS MATERIALIZED (SELECT event_type, user_id, CAST(sum(c_u) AS BIGINT) AS g_u
+         |  FROM cu$i GROUP BY 1, 2),
+         |gn$i AS MATERIALIZED (SELECT event_type, CAST(sum(g_u) AS BIGINT) AS n_tot
+         |  FROM gu$i GROUP BY 1),
+         |far$i AS MATERIALIZED (SELECT event_type, day, vb FROM (
+         |  SELECT cu.event_type, cu.day, cu.vb, cls.cls_n, gn.n_tot,
+         |      sum(abs(CAST(cu.c_u AS HUGEINT) * gn.n_tot
+         |        - CAST(gu.g_u AS HUGEINT) * cls.cls_n)) AS num_in,
+         |      CAST(sum(gu.g_u) AS BIGINT) AS g_in
+         |    FROM cu$i cu
+         |    JOIN cls$i cls ON cu.event_type = cls.event_type AND cu.day = cls.day AND cu.vb = cls.vb
+         |    JOIN gu$i gu ON cu.event_type = gu.event_type AND cu.user_id = gu.user_id
+         |    JOIN gn$i gn ON cu.event_type = gn.event_type
+         |    GROUP BY 1, 2, 3, 4, 5)
+         |  WHERE CAST(((num_in + (CAST(n_tot AS HUGEINT) - g_in) * cls_n) * 1000000)
+         |    // (CAST(2 AS HUGEINT) * cls_n * n_tot) AS BIGINT) > $tPpm),
+         |cu${i + 1} AS MATERIALIZED (SELECT cu.* FROM cu$i cu
+         |  WHERE NOT EXISTS (SELECT 1 FROM far$i f
+         |    WHERE f.event_type = cu.event_type AND f.day = cu.day AND f.vb = cu.vb))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT event_id, event_type, CAST(ts AS DATE) AS day,
+       |    CAST(floor(value / ${graft.ops.Privacy.ValueBucket}) AS BIGINT) AS vb,
+       |    user_id
+       |  FROM events),
+       |cu0 AS MATERIALIZED (SELECT event_type, day, vb, user_id, count(*) AS c_u
+       |  FROM base GROUP BY 1, 2, 3, 4),
+       |$roundCtes
+       |SELECT b.event_id, b.event_type, b.user_id
+       |FROM base b
+       |WHERE EXISTS (SELECT 1 FROM cu$rounds k
+       |  WHERE k.event_type = b.event_type AND k.day = b.day AND k.vb = b.vb)"""
+      .stripMargin
+  }
 
   /** Twin of Privacy.kAnonymize. */
   def kAnonymize(k: Long = graft.ops.Privacy.KAnon): String =

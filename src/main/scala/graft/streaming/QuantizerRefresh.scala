@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions.{col, countDistinct, count, lit, max}
 import org.apache.spark.sql.types._
 
 import graft.ops.VectorOps
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Quantizer-refresh CUTOVER — the composition StreamingKmeans (drift
   * repair: refreshed centroids) and StreamingAnnIngest (serving index
@@ -105,10 +106,7 @@ object QuantizerRefresh {
     val row = Row(stats.getLong(0), stats.getLong(1), newQv)
     spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(row), 1), commitSchema)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(QvCol)
-      .parquet(commitsDir(root))
+      .overwritePartitions(commitsDir(root), QvCol)
   }
 
   /** File-count COMPACTION as a same-quantizer cutover: rebuild the

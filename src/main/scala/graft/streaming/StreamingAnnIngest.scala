@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.ops.VectorOps
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Structured-Streaming maintenance of the IVF cell index: every
   * micro-batch of arriving vectors is assigned to its nearest coarse cell
@@ -109,10 +110,54 @@ object StreamingAnnIngest {
       // components beyond the vector's length contribute 0 bits)
       .withColumn("bw", VectorOps.packSignBits(col("cv"), VectorOps.EmbeddingDim))
       .withColumn(BatchCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell", BatchCol)
-      .parquet(indexDir)
+      .overwritePartitions(indexDir, "cell", BatchCol)
+  }
+
+  /** TOMBSTONE propagation into the serving tier: physically remove every
+    * index row of the given vec_ids (`tombs`: one `vec_id` column) from
+    * the accumulated cell index — the right-to-be-forgotten path the
+    * governance audits demand; a delete reaches every serving tier (IVF /
+    * re-rank / PQ / MRL / BQ all read this one table) without a rebuild.
+    * Affected (cell, batch_id) partitions are rewritten copy-on-write
+    * (IndexTombstones); idempotent, so replays are exactly-once.
+    * `excludeBatch` keeps a CDC batch's scrub off its OWN partition so a
+    * crash-retry of the combined upsert+delete batch is deterministic.
+    */
+  def processDeletes(
+      tombs: DataFrame, indexDir: String, excludeBatch: Option[Long] = None): Unit = {
+    val spark = tombs.sparkSession
+    val idx = excludeBatch.foldLeft(
+      (try spark.read.schema(indexSchema).parquet(indexDir)
+      catch { case _: AnalysisException => return })) {
+      (d, b) => d.filter(col(BatchCol) =!= b)
+    }
+    IndexTombstones.scrub(
+      idx, tombs.select(col("vec_id")).distinct(), Seq("vec_id"),
+      indexDir, Seq("cell", BatchCol))
+  }
+
+  /** One micro-batch of a MIXED change feed (vector rows plus a boolean
+    * `deleteCol`): scrub the tombstoned vec_ids out of PRIOR partitions,
+    * then ingest the upserts under this batch's partitions. Idempotent in
+    * `batchId` (scrub is idempotent; the insert overwrites its own
+    * partitions). Within one batch a delete+insert of the same vec_id
+    * resolves insert-wins — compact upstream with `Cdc.latestWins` when
+    * strict per-key version order matters.
+    */
+  def processCdcBatch(
+      batch: DataFrame,
+      batchId: Long,
+      cents: DataFrame,
+      indexDir: String,
+      deleteCol: String = "is_delete",
+      book: Option[graft.functions.PqBook] = None,
+      prefixDim: Int = VectorOps.MrlPrefixDim): Unit = {
+    processDeletes(
+      batch.filter(col(deleteCol)).select(col("vec_id")),
+      indexDir, excludeBatch = Some(batchId))
+    processBatch(
+      batch.filter(!col(deleteCol)).drop(deleteCol),
+      batchId, cents, indexDir, book, prefixDim)
   }
 
   def start(
@@ -127,6 +172,23 @@ object StreamingAnnIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, cents, indexDir, book, prefixDim)
+      }
+      .start()
+
+  /** The change-feed twin of `start`: rows carry `deleteCol`. */
+  def startCdc(
+      cdcStream: DataFrame,
+      cents: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      deleteCol: String = "is_delete",
+      book: Option[graft.functions.PqBook] = None,
+      prefixDim: Int = VectorOps.MrlPrefixDim): StreamingQuery =
+    cdcStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processCdcBatch(batch, batchId, cents, indexDir, deleteCol, book, prefixDim)
       }
       .start()
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.ops.Sketches
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Incremental membership-filter maintenance: each micro-batch's Bloom
   * words (Sketches.bloomSketch over the BATCH) fold into the running
@@ -71,10 +72,7 @@ object StreamingBloom {
       .select(col("word_idx").cast("long").as("word_idx"),
         col("bits").cast("long").as("bits"))
       .withColumn(VersionCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(VersionCol)
-      .parquet(stateDir)
+      .overwritePartitions(stateDir, VersionCol)
   }
 
   def start(

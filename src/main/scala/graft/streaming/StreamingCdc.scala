@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StructType}
 
 import graft.ops.Cdc
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Structured-Streaming lift of the batch MERGE fold (Cdc.applyChanges): a
   * keyed+versioned change stream continuously maintains a materialized
@@ -108,10 +109,7 @@ object StreamingCdc {
     val prev = latestSnapshot(spark, snapshotDir, snapSchema, batchId)
     Cdc.applyChanges(prev, batch, keyCols, versionCols, deleteCol)
       .withColumn(VersionCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(VersionCol)
-      .parquet(snapshotDir)
+      .overwritePartitions(snapshotDir, VersionCol)
   }
 
   def start(

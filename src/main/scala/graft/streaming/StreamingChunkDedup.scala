@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.ops.{Dedup, TextOps}
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Structured-Streaming maintenance of the CHUNK-granularity near-dup
   * index — the ingest story for the paragraph tier (`chunk_neardup_pairs`
@@ -87,10 +88,7 @@ object StreamingChunkDedup {
     val chunks = chunkPseudoDocs(batch)
     Dedup.minhashSignatures(chunks)
       .withColumn(BatchCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BatchCol)
-      .parquet(indexDir)
+      .overwritePartitions(indexDir, BatchCol)
   }
 
   def start(

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.ops.Sketches
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Incremental heavy-hitter maintenance: each micro-batch's count-min
   * cells (Sketches.cmsSketch over the BATCH) fold into the running sketch
@@ -71,10 +72,7 @@ object StreamingCms {
         col("col_idx").cast("long").as("col_idx"),
         col("cnt").cast("long").as("cnt"))
       .withColumn(VersionCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(VersionCol)
-      .parquet(stateDir)
+      .overwritePartitions(stateDir, VersionCol)
   }
 
   def start(

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.ops.Dedup
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Incremental EXACT connected components over a streaming edge feed —
   * the maintenance story for the near-dup component table that batch
@@ -79,10 +80,7 @@ object StreamingComponents {
       .select(col("doc_id"), col("rep"))
     untouched.unionByName(rebuilt.select(col("doc_id"), col("rep")))
       .withColumn(VersionCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(VersionCol)
-      .parquet(stateDir)
+      .overwritePartitions(stateDir, VersionCol)
   }
 
   def start(

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.ops.TextOps
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Structured-Streaming lift of the batch curation report
   * (TextOps.retentionReport): every micro-batch of arriving documents runs
@@ -57,17 +58,11 @@ object StreamingCuration {
         .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("had_pii"))
         .join(scrubbed, Seq("doc_id"))
         .withColumn(BatchCol, lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BatchCol)
-        .parquet(keptDir)
+        .overwritePartitions(keptDir, BatchCol)
       report.filter(not(col("retained")))
         .select(col("doc_id"), col("reject_reason"))
         .withColumn(BatchCol, lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BatchCol)
-        .parquet(rejectsDir)
+        .overwritePartitions(rejectsDir, BatchCol)
       obs.get
     } finally report.unpersist()
   }
@@ -91,11 +86,9 @@ object StreamingCuration {
       cleanDir: String): Map[String, Any] = {
     val metrics = processBatch(batch, batchId, keptDir, rejectsDir)
     val spark = batch.sparkSession
-    // a retry in this JVM rewrites the partition an earlier attempt (or
-    // an earlier read here) already listed — drop the shared file-status
-    // cache entries so the read-back sees the overwrite, not the first
-    // attempt's vanished files (the StreamingDedupIndex guard)
-    spark.catalog.refreshByPath(keptDir)
+    // the guarded write in processBatch already refreshed keptDir's cached
+    // file listing, so this read-back sees the overwrite, not a first
+    // attempt's vanished files
     // declared schema: an all-rejected batch 0 leaves keptDir absent (or
     // schema-less), and the excision stage must see an empty frame — not
     // an inference AnalysisException that kills the query on every retry

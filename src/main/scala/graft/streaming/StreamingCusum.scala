@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.ops.TimeSeries
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Streaming CUSUM — an incremental PREFIX SCAN, one step past the
   * abelian folds (CMS/HLL/moments merge by addition; a scan has ORDER).
@@ -132,10 +133,7 @@ object StreamingCusum {
       Seq("user_id"), "left_anti")
     untouched.unionByName(perUser)
       .withColumn(VersionCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(VersionCol)
-      .parquet(stateDir)
+      .overwritePartitions(stateDir, VersionCol)
   }
 
   def start(

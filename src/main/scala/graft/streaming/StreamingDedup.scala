@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 import graft.ops.Dedup
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Structured-Streaming lift of the batch-incremental dedup
   * (Dedup.incrementalDedup): every micro-batch of arriving documents is
@@ -82,16 +83,10 @@ object StreamingDedup {
     survivors.persist()
     try {
       survivors.withColumn(BatchCol, lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BatchCol)
-        .parquet(corpusDir)
+        .overwritePartitions(corpusDir, BatchCol)
       Dedup.minhashBands(Dedup.minhashSignatures(survivors))
         .withColumn(BatchCol, lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BatchCol)
-        .parquet(historyDir)
+        .overwritePartitions(historyDir, BatchCol)
     } finally survivors.unpersist()
   }
 

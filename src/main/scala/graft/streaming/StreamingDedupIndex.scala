@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.ops.{Dedup, DedupIndex, Graph}
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Structured-Streaming MAINTENANCE of the full near-dup graph artifact —
   * the batch `DedupIndex.build` kept current as documents arrive, so the
@@ -113,16 +114,11 @@ object StreamingDedupIndex {
     // 1. signatures: computed once, used by the write AND the probe
     val newSig = Dedup.minhashSignatures(batch).persist()
     try {
+      // every guarded write below also drops the shared file-status cache
+      // entries for its directory (StreamingWrites), so a retry's reads see
+      // the rewrite instead of the first attempt's vanished files
       newSig.withColumn(BatchCol, lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BatchCol)
-        .parquet(s"$indexDir/signatures")
-      // a RETRY of this batch rewrites partitions an earlier attempt (or an
-      // earlier read in this JVM) already listed — drop the shared
-      // file-status cache entries so every read below sees the rewrite
-      // instead of failing on the first attempt's vanished files
-      spark.catalog.refreshByPath(s"$indexDir/signatures")
+        .overwritePartitions(s"$indexDir/signatures", BatchCol)
       // 2. pairs: batch bands vs history ∪ batch (history read EXCLUDES
       // this batch's own partition so a retry probes the same index its
       // first attempt saw)
@@ -132,15 +128,10 @@ object StreamingDedupIndex {
         .persist()
       try {
         newPairs.withColumn(BatchCol, lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(BatchCol)
-          .parquet(s"$indexDir/pairs")
-        spark.catalog.refreshByPath(s"$indexDir/pairs")
+          .overwritePartitions(s"$indexDir/pairs", BatchCol)
         // 3. components: the star-certificate incremental fold
         StreamingComponents.processBatch(
           newPairs, batchId, s"$indexDir/components")
-        spark.catalog.refreshByPath(s"$indexDir/components")
         // 4. labels: recompute LPA over the touched components only.
         // Touched = components (POST-fold, so merges are already joint)
         // containing any endpoint of this batch's new pairs.
@@ -163,14 +154,119 @@ object StreamingDedupIndex {
           .join(members.withColumnRenamed("doc_id", "node"), Seq("node"), "left_anti")
         untouched.unionByName(recomputed)
           .withColumn(VersionCol, lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(VersionCol)
-          .parquet(s"$indexDir/labels")
-        spark.catalog.refreshByPath(s"$indexDir/labels")
+          .overwritePartitions(s"$indexDir/labels", VersionCol)
       } finally newPairs.unpersist()
     } finally newSig.unpersist()
   }
+
+  /** One micro-batch of a MIXED change feed — document rows plus a boolean
+    * `deleteCol` — folding upserts AND takedowns into the maintained
+    * artifact in one version write. The delete side is what the insert-only
+    * fold cannot express: removing a doc can SPLIT a component (the doc
+    * was the bridge), so the star certificate is insufficient and the
+    * touched components re-enter the fixpoint over their SURVIVING edges:
+    *
+    *   1. SCRUB — the tombstoned docs' signature rows and every pair
+    *      naming them are physically removed from prior partitions
+    *      (IndexTombstones copy-on-write; both pair endpoints scrubbed).
+    *      Post-scrub, signatures ≡ survivors' signatures and pairs ≡ the
+    *      banded candidates over survivors — pair generation is pairwise
+    *      in the two endpoint signatures, so no other row changes.
+    *   2. INGEST — the upserts' signatures append under this batch's
+    *      partition; new pairs come from the incremental banded probe
+    *      against the scrubbed history (each pair generated exactly once).
+    *   3. REBUILD TOUCHED — touched components = prior components of any
+    *      tombstoned doc or new-pair endpoint. Their surviving prior edges
+    *      (every pair is intra-component, so a doc_a membership semi-join
+    *      selects them all) union the new pairs re-enter the exact-CC
+    *      fixpoint and weighted LPA; splits (bridge removed), merges (new
+    *      pair spans components), and vanishing nodes (no surviving edges)
+    *      all fall out, untouched components pass through — EXACTLY the
+    *      batch `DedupIndex.build` over the surviving corpus (spec-pinned).
+    *
+    * Delivery: exactly-once by the family argument — the scrub is
+    * idempotent (it excludes this batch's own partitions, so a retry
+    * cannot eat the first attempt's upserts), every read excludes the
+    * current batch/version, every write overwrites its own partition.
+    * Within one batch, delete+insert of the same doc_id resolves
+    * insert-wins (compact upstream with `Cdc.latestWins` for strict
+    * per-key version order).
+    */
+  def processCdcBatch(
+      batch: DataFrame, batchId: Long, indexDir: String,
+      deleteCol: String = "is_delete"): Unit = {
+    val spark = batch.sparkSession
+    val dels = batch.filter(col(deleteCol)).select(col("doc_id")).distinct().persist()
+    val adds = batch.filter(!col(deleteCol)).drop(deleteCol)
+    try {
+      // 1. scrub: signatures, then pairs on both endpoints
+      IndexTombstones.scrub(
+        readOr(spark, s"$indexDir/signatures", sigSchema)
+          .filter(col(BatchCol) =!= batchId),
+        dels, Seq("doc_id"), s"$indexDir/signatures", Seq(BatchCol))
+      Seq("doc_a", "doc_b").foreach { end =>
+        IndexTombstones.scrub(
+          readOr(spark, s"$indexDir/pairs", pairsSchema)
+            .filter(col(BatchCol) =!= batchId),
+          dels.withColumnRenamed("doc_id", end), Seq(end),
+          s"$indexDir/pairs", Seq(BatchCol))
+      }
+      // 2. ingest the upserts (the insert fold's steps 1-2 verbatim)
+      val newSig = Dedup.minhashSignatures(adds).persist()
+      try {
+        newSig.withColumn(BatchCol, lit(batchId))
+          .overwritePartitions(s"$indexDir/signatures", BatchCol)
+        val history = readSignatures(spark, indexDir, batchId)
+        val newPairs = Dedup
+          .minhashLshPairsIncremental(newSig, history.unionByName(newSig))
+          .persist()
+        try {
+          newPairs.withColumn(BatchCol, lit(batchId))
+            .overwritePartitions(s"$indexDir/pairs", BatchCol)
+          // 3. one exact rebuild over the touched components' surviving
+          // edges ∪ the new pairs (disjoint by exactly-once generation,
+          // so no weighted edge is double-counted)
+          val prior = StreamingComponents.readComponents(
+            spark, s"$indexDir/components", batchId)
+          val priorLabels = readLabels(spark, indexDir, batchId)
+          val touchNodes = newPairs.select(col("doc_a").as("doc_id"))
+            .unionByName(newPairs.select(col("doc_b").as("doc_id")))
+            .unionByName(dels).distinct()
+          val touchedReps = prior.join(touchNodes, Seq("doc_id"), "left_semi")
+            .select(col("rep")).distinct()
+          val members = prior.join(touchedReps, Seq("rep"), "left_semi")
+            .select(col("doc_id"))
+          val oldEdges = readPairs(spark, indexDir, batchId - 1)
+            .join(members.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+          val edges = oldEdges.unionByName(newPairs).persist()
+          try {
+            val rebuilt = Dedup.nearDupComponentsExact(edges)
+            prior.join(touchedReps, Seq("rep"), "left_anti")
+              .select(col("doc_id"), col("rep"))
+              .unionByName(rebuilt.select(col("doc_id"), col("rep")))
+              .withColumn(VersionCol, lit(batchId))
+              .overwritePartitions(s"$indexDir/components", VersionCol)
+            val recomputed = Graph.labelPropagationWeightedEager(
+              edges.withColumnRenamed("est_jaccard", "weight"))
+            priorLabels
+              .join(members.withColumnRenamed("doc_id", "node"), Seq("node"), "left_anti")
+              .unionByName(recomputed)
+              .withColumn(VersionCol, lit(batchId))
+              .overwritePartitions(s"$indexDir/labels", VersionCol)
+          } finally edges.unpersist()
+        } finally newPairs.unpersist()
+      } finally newSig.unpersist()
+    } finally dels.unpersist()
+  }
+
+  /** Takedown-only batch: fold a frame of tombstoned doc_ids through the
+    * CDC path (empty upsert side).
+    */
+  def processDeletes(tombs: DataFrame, batchId: Long, indexDir: String): Unit =
+    processCdcBatch(
+      tombs.select(col("doc_id")).distinct()
+        .withColumn("text", lit("")).withColumn("is_delete", lit(true)),
+      batchId, indexDir)
 
   def start(
       docStream: DataFrame, indexDir: String,
@@ -180,6 +276,18 @@ object StreamingDedupIndex {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexDir)
+      }
+      .start()
+
+  /** The change-feed twin of `start`: rows carry `deleteCol`. */
+  def startCdc(
+      cdcStream: DataFrame, indexDir: String, checkpointDir: String,
+      deleteCol: String = "is_delete"): StreamingQuery =
+    cdcStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processCdcBatch(batch, batchId, indexDir, deleteCol)
       }
       .start()
 }

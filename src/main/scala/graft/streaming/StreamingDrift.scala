@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.ops.TimeSeries
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Streaming distribution-drift monitor: every micro-batch's value
   * histogram is compared (PSI) against a STATIC reference histogram — a
@@ -52,10 +53,7 @@ object StreamingDrift {
         coalesce(col("c_cur"), lit(0L)).as("c_cur"))
     TimeSeries.psiOfCounts(filled, keyCol, nBins)
       .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(metricsDir)
+      .overwritePartitions(metricsDir, "batch_id")
   }
 
   def start(

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.ops.TimeSeries
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Incremental smoothed-baseline maintenance: each micro-batch's hourly
   * event counts (TimeSeries.hourlyCounts over the BATCH) fold into the
@@ -75,10 +76,7 @@ object StreamingEwma {
       .select(col("event_type"), col("h").cast("long").as("h"),
         col("c").cast("long").as("c"))
       .withColumn(VersionCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(VersionCol)
-      .parquet(stateDir)
+      .overwritePartitions(stateDir, VersionCol)
   }
 
   def start(

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.ops.{Cdc, Privacy}
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Incrementally-maintained GOVERNANCE audits over the CDC event feed —
   * k-anonymity and l-diversity as continuously-current views instead of
@@ -136,10 +137,7 @@ object StreamingGovernance {
         .select(col("event_type"), col("day"), col("vb"),
           col("cls_n").cast("long").as("cls_n"), col("n_sens").cast("long").as("n_sens"))
         .withColumn(VersionCol, lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(VersionCol)
-        .parquet(viewDir)
+        .overwritePartitions(viewDir, VersionCol)
 
       cuViewDir.foreach { cuDir =>
         readCuView(spark, cuDir, batchId)
@@ -148,10 +146,7 @@ object StreamingGovernance {
           .select(col("event_type"), col("day"), col("vb"),
             col("user_id").cast("long").as("user_id"), col("c_u").cast("long").as("c_u"))
           .withColumn(VersionCol, lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(VersionCol)
-          .parquet(cuDir)
+          .overwritePartitions(cuDir, VersionCol)
       }
     } finally { nextSlice.unpersist(); tq.unpersist(): Unit }
 

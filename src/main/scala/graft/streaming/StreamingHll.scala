@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.ops.Sketches
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Incremental cardinality maintenance — the third streamed sketch fold
   * beside StreamingMoments (exact decimal sums) and StreamingCms (integer
@@ -71,10 +72,7 @@ object StreamingHll {
       .select(col("event_type"), col("day"), col("sk"),
         col("n_events").cast("long").as("n_events"))
       .withColumn(VersionCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(VersionCol)
-      .parquet(stateDir)
+      .overwritePartitions(stateDir, VersionCol)
   }
 
   def start(

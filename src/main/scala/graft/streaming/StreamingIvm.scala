@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.ops.Cdc
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Incremental view maintenance (IVM) over a keyed+versioned change
   * stream: continuously maintain a per-group aggregate (live-key count +
@@ -122,10 +123,7 @@ object StreamingIvm {
       .select(col("grp"), col("n_keys").cast("long").as("n_keys"),
         col("sum_value").cast("decimal(18,2)").as("sum_value"))
       .withColumn(VersionCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(VersionCol)
-      .parquet(viewDir)
+      .overwritePartitions(viewDir, VersionCol)
 
     StreamingCdc.processBatch(batch, batchId, snapshotDir, keyCols, versionCols, deleteCol)
   }
@@ -212,10 +210,7 @@ object StreamingIvm {
         col("min_value").cast("decimal(18,2)").as("min_value"),
         col("max_value").cast("decimal(18,2)").as("max_value"))
       .withColumn(VersionCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(VersionCol)
-      .parquet(viewDir)
+      .overwritePartitions(viewDir, VersionCol)
 
     StreamingCdc.processBatch(batch, batchId, snapshotDir, keyCols, versionCols, deleteCol)
   }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.Cdc
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** JOIN-view IVM: continuously maintain an aggregate over a STAR JOIN —
   * fact CDC feed ⋈ dimension table, grouped by a DIMENSION attribute
@@ -108,10 +109,7 @@ object StreamingJoinIvm {
       .select(col("grp"), col("n_keys").cast("long").as("n_keys"),
         col("sum_value").cast("decimal(18,2)").as("sum_value"))
       .withColumn(VersionCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(VersionCol)
-      .parquet(viewDir)
+      .overwritePartitions(viewDir, VersionCol)
 
     StreamingCdc.processBatch(batch, batchId, snapshotDir, keyCols, versionCols, deleteCol)
   }

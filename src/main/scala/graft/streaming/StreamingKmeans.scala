@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.ops.VectorOps
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Mini-batch streaming k-means — the quantizer-DRIFT repair tier between
   * `StreamingDrift` (detects a shifted distribution) and
@@ -92,10 +93,7 @@ object StreamingKmeans {
     }
     updated.toSeq.toDF("cell", "centroid", "n_hist")
       .withColumn(VersionCol, org.apache.spark.sql.functions.lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(VersionCol)
-      .parquet(stateDir)
+      .overwritePartitions(stateDir, VersionCol)
   }
 
   def start(

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.ops.TextOps
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Continuous dataset versioning: every micro-batch's per-source corpus
   * manifest (TextOps.corpusManifest — doc counts, char totals, and the
@@ -72,10 +73,7 @@ object StreamingManifest {
         col("total_chars").cast("long").as("total_chars"),
         col("content_hash").cast("long").as("content_hash"))
       .withColumn(VersionCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(VersionCol)
-      .parquet(stateDir)
+      .overwritePartitions(stateDir, VersionCol)
   }
 
   def start(

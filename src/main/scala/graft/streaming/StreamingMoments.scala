@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.ops.Sketches
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Incremental corpus-statistics maintenance: each micro-batch's moment
   * partials (n, Σv, Σv², Σv³ per (event_type, day) — Sketches
@@ -78,10 +79,7 @@ object StreamingMoments {
         sum(col("s2")).as("s2"), sum(col("s3")).as("s3"))
     normalize(merged)
       .withColumn(VersionCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(VersionCol)
-      .parquet(stateDir)
+      .overwritePartitions(stateDir, VersionCol)
   }
 
   def start(

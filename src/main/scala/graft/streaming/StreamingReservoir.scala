@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.ops.Sampling
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Streaming weighted reservoir — the online twin of
   * Sampling.weightedReservoirPerSource, and the property that makes A-Res
@@ -80,10 +81,7 @@ object StreamingReservoir {
         col("t._2").as("doc_id"), col("t._1").as("race_key"))
     merged
       .withColumn(VersionCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(VersionCol)
-      .parquet(stateDir)
+      .overwritePartitions(stateDir, VersionCol)
   }
 
   def start(

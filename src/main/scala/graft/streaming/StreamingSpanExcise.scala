@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.ops.TextOps
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Structured-Streaming lift of duplicate-SPAN excision
   * (TextOps.stripDupSpans — the substring-dedup treatment of Lee et al.,
@@ -87,16 +88,10 @@ object StreamingSpanExcise {
       val canon = history.unionByName(batchCanon)
       TextOps.excisedRebuild(batch, toks, spans, canon, spanTokens)
         .withColumn(BatchCol, lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BatchCol)
-        .parquet(cleanDir)
+        .overwritePartitions(cleanDir, BatchCol)
       batchCanon
         .withColumn(BatchCol, lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BatchCol)
-        .parquet(indexDir)
+        .overwritePartitions(indexDir, BatchCol)
     } finally {
       spans.unpersist()
       toks.unpersist()

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.ops.VectorOps
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Structured-Streaming maintenance of the SPANN POSTING index — the
   * closure-replicated sibling of StreamingAnnIngest's one-row-per-vector
@@ -70,10 +71,26 @@ object StreamingSpannIngest {
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
     VectorOps.spannAssign(batch, centArr, eps, maxReplicas)
       .withColumn(BatchCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell", BatchCol)
-      .parquet(indexDir)
+      .overwritePartitions(indexDir, "cell", BatchCol)
+  }
+
+  /** TOMBSTONE propagation: remove EVERY posting of the given vec_ids —
+    * closure replication means one vector owns rows in several cells, and
+    * the copy-on-write scrub (IndexTombstones) finds them all through the
+    * vec_id semi-join, so a forgotten vector disappears from every probe
+    * path at once. Idempotent, hence exactly-once on replay.
+    */
+  def processDeletes(
+      tombs: DataFrame, indexDir: String, excludeBatch: Option[Long] = None): Unit = {
+    val spark = tombs.sparkSession
+    val idx = excludeBatch.foldLeft(
+      (try spark.read.schema(indexSchema).parquet(indexDir)
+      catch { case _: AnalysisException => return })) {
+      (d, b) => d.filter(col(BatchCol) =!= b)
+    }
+    IndexTombstones.scrub(
+      idx, tombs.select(col("vec_id")).distinct(), Seq("vec_id"),
+      indexDir, Seq("cell", BatchCol))
   }
 
   def start(

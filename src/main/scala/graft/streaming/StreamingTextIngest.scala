@@ -4,6 +4,7 @@ import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Structured-Streaming maintenance of the INVERTED text index — the
   * retrieval twin of StreamingAnnIngest: every micro-batch of arriving
@@ -89,13 +90,48 @@ object StreamingTextIngest {
       .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"), col("tok"))
       .withColumn(BatchCol, lit(batchId))
     def write(df: DataFrame, sub: String): Unit =
-      df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BatchCol)
-        .parquet(s"$indexDir/$sub")
+      df.overwritePartitions(s"$indexDir/$sub", BatchCol)
     write(postings, "postings")
     write(doclens, "doclens")
     write(positions, "positions")
+  }
+
+  /** TOMBSTONE propagation into the retrieval tier: physically remove a
+    * doc's postings, length row, and positions (`tombs`: one `doc_id`
+    * column) from the accumulated index. Because document frequencies and
+    * corpus statistics are DERIVED from the postings at query time (never
+    * stored), every from-index ranker — BM25, Dirichlet-QL, RRF, phrase
+    * search — reflects the deletion on its next serve with no rebuild and
+    * no stale-stats window. Copy-on-write over affected batch partitions
+    * (IndexTombstones); idempotent, so replays are exactly-once.
+    */
+  def processDeletes(
+      tombs: DataFrame, indexDir: String, excludeBatch: Option[Long] = None): Unit = {
+    val spark = tombs.sparkSession
+    val t = tombs.select(col("doc_id")).distinct()
+    Seq("postings" -> postingsSchema, "doclens" -> doclenSchema,
+      "positions" -> positionsSchema).foreach { case (sub, schema) =>
+      val dir = s"$indexDir/$sub"
+      val idx = excludeBatch.foldLeft(readOr(spark, dir, schema)) {
+        (d, b) => d.filter(col(BatchCol) =!= b)
+      }
+      IndexTombstones.scrub(idx, t, Seq("doc_id"), dir, Seq(BatchCol))
+    }
+  }
+
+  /** One micro-batch of a MIXED change feed (document rows plus a boolean
+    * `deleteCol`): scrub tombstoned doc_ids out of PRIOR partitions, then
+    * ingest the upserts. Idempotent in `batchId`; within-batch
+    * delete+insert of one doc_id resolves insert-wins (compact upstream
+    * with `Cdc.latestWins` for strict version order).
+    */
+  def processCdcBatch(
+      batch: DataFrame, batchId: Long, indexDir: String,
+      deleteCol: String = "is_delete"): Unit = {
+    processDeletes(
+      batch.filter(col(deleteCol)).select(col("doc_id")),
+      indexDir, excludeBatch = Some(batchId))
+    processBatch(batch.filter(!col(deleteCol)).drop(deleteCol), batchId, indexDir)
   }
 
   def start(
@@ -106,6 +142,18 @@ object StreamingTextIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexDir)
+      }
+      .start()
+
+  /** The change-feed twin of `start`: rows carry `deleteCol`. */
+  def startCdc(
+      cdcStream: DataFrame, indexDir: String, checkpointDir: String,
+      deleteCol: String = "is_delete"): StreamingQuery =
+    cdcStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processCdcBatch(batch, batchId, indexDir, deleteCol)
       }
       .start()
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.ops.TextOps
+import graft.streaming.StreamingWrites.GuardedWrites
 
 /** Incremental corpus-keyword maintenance: each micro-batch of arriving
   * documents contributes its window-2 co-occurrence pairs
@@ -69,10 +70,7 @@ object StreamingTextRank {
       .agg(sum(col("cooc")).as("cooc"))
       .select(col("tok_a"), col("tok_b"), col("cooc").cast("long").as("cooc"))
       .withColumn(VersionCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(VersionCol)
-      .parquet(stateDir)
+      .overwritePartitions(stateDir, VersionCol)
   }
 
   def start(

@@ -120,4 +120,55 @@ class PrivacySpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
       t.getLong(3) shouldBe 0L
     }
   }
+
+  describe("tClosenessApply") {
+    // the CASCADE fixture: class A (bucket 0) = 10 rows all u1;
+    // class B (bucket 1) = 10 rows 5 u1 / 5 u2; class C (bucket 2) =
+    // 80 rows 10 u1 / 70 u2. Global: u1=25, u2=75 over N=100.
+    //   round 1: TVD(A)=750000, TVD(B)=250000, TVD(C)=125000 ppm
+    //            -> at t=300000 only A is far (the one-shot answer)
+    //   round 2: with A gone the global shifts to u1=15/u2=75, and
+    //            TVD(B)=333333 ppm -> B is NOW far; C settles at 0
+    // so apply must drop A *and* B where one-shot filtering keeps B.
+    def cascade = (
+      (1 to 10).map(i => (i.toLong, 1L, 3.0)) ++
+      (11 to 15).map(i => (i.toLong, 1L, 13.0)) ++
+      (16 to 20).map(i => (i.toLong, 2L, 13.0)) ++
+      (21 to 30).map(i => (i.toLong, 1L, 23.0)) ++
+      (31 to 100).map(i => (i.toLong, 2L, 23.0)))
+      .map { case (id, u, v) =>
+        (id, u, "click", new java.sql.Timestamp(1700000000000L), v) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+
+    it("iterated suppression catches the cascade one-shot filtering misses") {
+      // the one-shot view: exactly ONE far class on the original table
+      Privacy.tClosenessReport(cascade, tPpm = 300000L)
+        .collect()(0).getLong(3) shouldBe 1L
+      val out = Privacy.tClosenessApply(cascade, tPpm = 300000L)
+      out.select("event_id").collect().map(_.getLong(0)).toSet shouldBe
+        (21L to 100L).toSet
+    }
+
+    it("the output table's own audit passes at t") {
+      val out = Privacy.tClosenessApply(cascade, tPpm = 300000L)
+      val audit = Privacy.tClosenessReport(out, tPpm = 300000L).collect()(0)
+      audit.getLong(3) shouldBe 0L // far_classes
+      audit.getLong(5) should be <= 300000L // max_tvd_ppm
+    }
+
+    it("is idempotent, and a fully-close table passes through whole") {
+      val once = Privacy.tClosenessApply(cascade, tPpm = 300000L)
+      Privacy.tClosenessApply(once, tPpm = 300000L)
+        .select("event_id").collect().map(_.getLong(0)).toSet shouldBe
+        once.select("event_id").collect().map(_.getLong(0)).toSet
+      // the mirror fixture from the report spec: TVD 0 everywhere
+      val mirror = ((1 to 4).map(i => (i.toLong, (i % 2).toLong + 1, 3.0)) ++
+        (5 to 8).map(i => (i.toLong, (i % 2).toLong + 1, 95.0)))
+        .map { case (id, u, v) =>
+          (id, u, "click", new java.sql.Timestamp(1700000000000L), v) }
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+      Privacy.tClosenessApply(mirror).count() shouldBe 8L
+    }
+  }
+
 }

@@ -108,6 +108,51 @@ class StreamingDedupIndexSpec extends AnyFunSpec with Matchers with SparkSession
       after.pairs.count() shouldBe beforeCount
     }
 
+    it("a tombstone batch SPLITS bridged components: post-delete == batch build over survivors") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sdix-del").toString
+      val idxDir = s"$dir/idx"
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        StreamingDedupIndex.processBatch(b.toDF("doc_id", "text"), i.toLong, idxDir)
+      }
+      // forgetting both hybrid bridges must split the merged A∪B component
+      // back into the two families — the case the star certificate cannot
+      // express and the touched-component rebuild exists for
+      StreamingDedupIndex.processDeletes(Seq(9L, 10L).toDF("doc_id"), 3L, idxDir)
+      assertEqualsBatch(idxDir, b0)
+      val comp = StreamingDedupIndex.readIndex(spark, idxDir).components
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      comp(1L) shouldBe 1L; comp(2L) shouldBe 1L
+      comp(5L) shouldBe 5L; comp(6L) shouldBe 5L
+      comp.keySet.intersect(Set(9L, 10L)) shouldBe Set.empty
+      // signature rows are physically gone too (right-to-be-forgotten)
+      spark.read.parquet(s"$idxDir/signatures")
+        .filter($"doc_id".isin(9L, 10L)).count() shouldBe 0L
+
+      // a pair-less doc's takedown touches only its signature row
+      StreamingDedupIndex.processDeletes(Seq(3L).toDF("doc_id"), 4L, idxDir)
+      assertEqualsBatch(idxDir, b0.filterNot(_._1 == 3L))
+      spark.read.parquet(s"$idxDir/signatures")
+        .filter($"doc_id" === 3L).count() shouldBe 0L
+
+      // replay of the takedown batch: exactly-once
+      StreamingDedupIndex.processDeletes(Seq(3L).toDF("doc_id"), 4L, idxDir)
+      assertEqualsBatch(idxDir, b0.filterNot(_._1 == 3L))
+    }
+
+    it("a mixed CDC batch (takedown + upsert in one micro-batch) == batch build over the merged corpus") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sdix-cdc").toString
+      val idxDir = s"$dir/idx"
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        StreamingDedupIndex.processBatch(b.toDF("doc_id", "text"), i.toLong, idxDir)
+      }
+      // one batch: forget bridge 9, ingest doc 11 (an A-family near-dup)
+      val cdc = Seq((9L, "", true), (11L, mut(baseA, 1), false))
+        .toDF("doc_id", "text", "is_delete")
+      StreamingDedupIndex.processCdcBatch(cdc, 3L, idxDir)
+      StreamingDedupIndex.processCdcBatch(cdc, 3L, idxDir) // crash-retry
+      assertEqualsBatch(idxDir, (b0 ++ b2) :+ (11L -> mut(baseA, 1)))
+    }
+
     it("a report served from the streamed index matches the inline derivation") {
       val dir = java.nio.file.Files.createTempDirectory("graft-sdix-serve").toString
       val idxDir = s"$dir/idx"

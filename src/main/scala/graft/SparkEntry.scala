@@ -1632,6 +1632,16 @@ object SparkEntry {
     // features come out as scalar f0..f7 and are fully oracle-checked.
     "media_features" -> ((s, dir) =>
       Multimodal.decodeFeaturesArrow(Multimodal.mediaTable(Tables.documents(s, dir)))),
+    // Byte-level perceptual fingerprint (blockhash through the stub-codec
+    // boundary) over the planted corpus — the persistable artifact.
+    "media_phash" -> ((s, dir) =>
+      Multimodal.perceptualHash(Multimodal.mediaTable(
+        Multimodal.withPlantedMediaDups(Tables.documents(s, dir))))),
+    // Perceptual media near-dup pairs: banded 16-bit-word candidates +
+    // exact Hamming verify; planted near-identical twins must pair.
+    "media_neardup_pairs" -> ((s, dir) =>
+      Multimodal.mediaNearDupPairs(Multimodal.mediaTable(
+        Multimodal.withPlantedMediaDups(Tables.documents(s, dir))))),
   )
 
   /** The inverted-index pair (postings, doclens) exactly as
@@ -2642,5 +2652,7 @@ object SparkEntry {
     "media_frame_sample" -> DuckDbOracles.mediaFrameSample,
     "media_resize" -> DuckDbOracles.mediaResize(),
     "media_features" -> DuckDbOracles.mediaFeatures,
+    "media_phash" -> DuckDbOracles.mediaPhash,
+    "media_neardup_pairs" -> DuckDbOracles.mediaNearDupPairs(),
   )
 }

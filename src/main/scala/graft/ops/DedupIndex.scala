@@ -110,4 +110,127 @@ object DedupIndex {
     build(docs, dir, hash)
     read(docs.sparkSession, dir)
   }
+
+  // ---- versioned production layout --------------------------------------
+  //
+  // The "Production layout notes" above, implemented: corpus versions live
+  // in `root/v=N/{pairs,labels,components}`, each table BUCKETED by its
+  // report-join key (pairs by doc_a, components by doc_id, labels by node)
+  // through the catalog so report joins co-locate with no artifact-side
+  // Exchange, and a rebuild becomes visible to readers through ONE
+  // commit-marker row (the QuantizerRefresh cutover pattern): readers
+  // resolve max committed v and read exactly one version directory, so a
+  // half-written rebuild is invisible until its commit lands and a probe
+  // can never mix versions. Exactly-once: a retried build overwrites its
+  // own version's tables from identical inputs; a retried commit rewrites
+  // the same v partition of the marker log; an uncommitted build has no
+  // marker row.
+
+  val VCol = "v"
+
+  /** Bucket count for the versioned tables — small because the artifact is
+    * pair-graph-sized; production sizes it to the cluster.
+    */
+  val Buckets = 8
+
+  def versionDir(root: String, v: Long): String = s"$root/v=$v"
+  private def commitsDir(root: String) = s"$root/_commits"
+
+  private val commitSchema = StructType(Seq(
+    StructField("n_pairs", LongType),
+    StructField("n_components", LongType),
+    StructField(VCol, LongType)))
+
+  private def tableName(prefix: String, table: String, v: Long) =
+    s"${prefix}_${table}_v$v"
+
+  /** Build the three artifact tables for version `v` under `root` as
+    * BUCKETED catalog tables (external, pathed into the version dir).
+    * Does NOT publish: the old version keeps serving until `commit(v)`.
+    * Idempotent in `v` — a crashed build's retry overwrites its own
+    * tables.
+    */
+  def buildVersioned(
+      docs: DataFrame,
+      root: String,
+      v: Long,
+      tablePrefix: String = "graft_dedup",
+      hash: (String, Column) => Column = PortableHash.h31): Unit = {
+    val spark = docs.sparkSession
+    def writeBucketed(df: DataFrame, table: String, key: String): Unit = {
+      val name = tableName(tablePrefix, table, v)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      df.write.mode("overwrite")
+        .bucketBy(Buckets, key).sortBy(key)
+        .option("path", s"${versionDir(root, v)}/$table")
+        .saveAsTable(name)
+    }
+    val sig = Dedup.minhashSignatures(docs, hash).persist()
+    try {
+      val pairs = Dedup.minhashLshPairsFromSignatures(sig, hash).persist()
+      try {
+        writeBucketed(pairs, "pairs", "doc_a")
+        writeBucketed(
+          Graph.labelPropagationWeighted(pairs.withColumnRenamed("est_jaccard", "weight")),
+          "labels", "node")
+        writeBucketed(Dedup.nearDupComponentsExact(pairs), "components", "doc_id")
+      } finally pairs.unpersist()
+    } finally sig.unpersist()
+  }
+
+  /** Publish version `v`: ONE marker row (with build-time audit counts)
+    * dynamically overwritten on its own v partition. After this returns,
+    * `readActive` serves v; before it, v is invisible.
+    */
+  def commit(spark: SparkSession, root: String, v: Long,
+      tablePrefix: String = "graft_dedup"): Unit = {
+    val f = readVersion(spark, root, v, tablePrefix)
+    val row = Row(f.pairs.count(), f.components.count(), v)
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(row), 1), commitSchema)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(VCol)
+      .parquet(commitsDir(root))
+    spark.catalog.refreshByPath(commitsDir(root))
+  }
+
+  /** Highest committed version, or None before the first commit — an
+    * in-flight build has no marker row, so it cannot be observed.
+    */
+  def activeVersion(spark: SparkSession, root: String): Option[Long] = {
+    val log =
+      try spark.read.schema(commitSchema).parquet(commitsDir(root))
+      catch { case _: AnalysisException => return None }
+    val maxV = log.agg(max(col(VCol))).head()
+    if (maxV.isNullAt(0)) None else Some(maxV.getLong(0))
+  }
+
+  /** One version's frames — through the catalog when the bucketed tables
+    * are registered (report joins then co-locate, no artifact-side
+    * Exchange), by path with declared schemas otherwise (a fresh session
+    * reading an existing layout: correct, merely unbucketed).
+    */
+  def readVersion(spark: SparkSession, root: String, v: Long,
+      tablePrefix: String = "graft_dedup"): Frames = {
+    def tableOr(table: String, schema: StructType): DataFrame = {
+      val name = tableName(tablePrefix, table, v)
+      if (spark.catalog.tableExists(name)) spark.table(name)
+      else readOr(spark, s"${versionDir(root, v)}/$table", schema)
+    }
+    Frames(
+      pairs = tableOr("pairs", pairsSchema),
+      labels = tableOr("labels", labelsSchema),
+      components = tableOr("components", componentsSchema))
+  }
+
+  /** The serving artifact: exactly the latest COMMITTED version's
+    * directory (empty frames before the first commit) — readers never see
+    * a half-written rebuild, and never mix versions.
+    */
+  def readActive(spark: SparkSession, root: String,
+      tablePrefix: String = "graft_dedup"): Frames =
+    activeVersion(spark, root) match {
+      case Some(v) => readVersion(spark, root, v, tablePrefix)
+      case None => read(spark, versionDir(root, -1L))
+    }
 }

@@ -177,6 +177,134 @@ object Multimodal {
       .select(Seq(col("media_id"), col("media_type"), col("n_bytes")) ++ scalars: _*)
   }
 
+  // ======= PERCEPTUAL MEDIA DEDUP (byte-level blockhash tier) =======
+  //
+  // The multimodal × dedup composition: a PERCEPTUAL fingerprint over the
+  // media BYTES themselves (text dedup covers the text modality, embedding
+  // cosine covers the semantic one — nothing previously fingerprinted the
+  // payload). Algorithm = blockhash: split the payload into `PhashBlocks`
+  // EQUAL-FRACTION blocks (length-normalized, so a trailing edit never
+  // shifts earlier block boundaries), bit_b = 1 iff block b's mean byte
+  // exceeds the payload's mean byte — compared as the all-integer cross
+  // product blocksum·n > total·width, so both engines agree exactly. The
+  // 64 bits pack into 4 sixteen-bit band words; near-dup candidates are a
+  // banded equi-join (any identical band word), verified by exact Hamming
+  // distance over the 4 words. A real image/audio pHash would hash decoded
+  // pixels/samples — this runs at the same stub-codec boundary as
+  // `stubDecode`, and swapping in a decoder changes only the byte source.
+  //
+  // Scale: fingerprinting is one partition-local byte pass (no shuffle);
+  // candidates are O(band collisions), never all-pairs; 16-bit bands keep
+  // the random-pair collision floor at 4/65536 of all-pairs (the SimHash
+  // byte-band convention, widened one word — at 100 TB you widen again).
+  // Integer bound: blocksum·n ≤ 255·n² stays inside a long for payloads
+  // up to ~100 MB; larger media needs the DECIMAL treatment.
+
+  val PhashBlocks = 64
+  val PhashBands = 4
+  val PhashBandBits = 16
+  val PhashMaxHam = 8
+
+  /** ======= STUB PERCEPTUAL HASH =======
+    * One byte pass → 4 sixteen-bit band words of the 64-block blockhash.
+    * Production replaces the byte source with decoded pixels/samples at
+    * this exact signature.
+    */
+  def stubPerceptual(content: Array[Byte]): Array[Int] = {
+    val bands = new Array[Int](PhashBands)
+    if (content == null || content.isEmpty) return bands
+    val n = content.length
+    val sums = new Array[Long](PhashBlocks)
+    val widths = new Array[Long](PhashBlocks)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val blk = (i.toLong * PhashBlocks / n).toInt
+      val b = content(i) & 0xff
+      sums(blk) += b; widths(blk) += 1; total += b
+      i += 1
+    }
+    var blk = 0
+    while (blk < PhashBlocks) {
+      if (sums(blk) * n > total * widths(blk))
+        bands(blk / PhashBandBits) |= (1 << (blk % PhashBandBits))
+      blk += 1
+    }
+    bands
+  }
+
+  private val phashSchema = StructType(
+    StructField("media_id", LongType, nullable = false) +:
+      StructField("media_type", StringType, nullable = true) +:
+      (0 until PhashBands).map(j => StructField(s"pb$j", IntegerType, nullable = false)))
+
+  /** Per-media perceptual fingerprint through the batched mapPartitions
+    * plumbing (`decodeFeatures`' shape): (media_id, media_type,
+    * pb0..pb3) — the persistable artifact the near-dup tier joins on.
+    */
+  def perceptualHash(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "media_type", "content").rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val bands = stubPerceptual(r.getAs[Array[Byte]]("content"))
+            Row.fromSeq(r.getLong(0) +: r.getString(1) +: bands.toSeq)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, phashSchema)
+  }
+
+  /** Perceptual near-dup pairs over the media bytes: banded candidate
+    * equi-join on any identical 16-bit fingerprint band, exact-Hamming
+    * verify at ≤ `maxHam` of 64 bits (random pairs sit near 32). Output
+    * (media_a, media_b, hamming). Owns its fingerprint cache (the
+    * minhashLshPairs convention: eager pairs, release before return).
+    */
+  def mediaNearDupPairs(media: DataFrame, maxHam: Int = PhashMaxHam): DataFrame = {
+    val ph = perceptualHash(media).persist()
+    try {
+      val bandStructs = (0 until PhashBands).map(j =>
+        struct(lit(j).as("band"), col(s"pb$j").as("bw")))
+      val banded = ph.withColumn("b", explode(array(bandStructs: _*)))
+        .select(col("media_id") +: (0 until PhashBands).map(i => col(s"pb$i")) :+
+          col("b.band").as("band") :+ col("b.bw").as("bw"): _*)
+      val a = banded.as("a")
+      val b = banded.as("b")
+      val ham = (0 until PhashBands).map(j =>
+          bit_count(col(s"a.pb$j").cast("long").bitwiseXOR(col(s"b.pb$j").cast("long"))))
+        .reduce(_ + _)
+      a.join(b, col("a.band") === col("b.band") && col("a.bw") === col("b.bw") &&
+          col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+          ham.cast("long").as("hamming"))
+        .filter(col("hamming") <= maxHam)
+        .distinct()
+        .localCheckpoint(true)
+    } finally ph.unpersist()
+  }
+
+  /** Deterministic near-identical media planting (the plantedCorpus /
+    * withPlantedBoilerplate convention): every `PlantEvery`-th doc gains a
+    * twin whose bytes 10-12 are overwritten — a small LOCAL edit the
+    * perceptual tier must still pair. Both engines apply the identical
+    * string surgery, so the planted corpus is oracle-replayable.
+    */
+  val PlantEvery = 97
+  val PlantOffset = 9000000L
+
+  def withPlantedMediaDups(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val twins = base
+      .filter(col("doc_id") % PlantEvery === 0 && length(col("text")) >= 64)
+      .select((col("doc_id") + PlantOffset).as("doc_id"),
+        concat(substring(col("text"), 1, 9), lit("zzz"),
+          expr("substring(text, 13)")).as("text"),
+        col("lang"), col("source"))
+    base.unionByName(twins)
+  }
+
   // ======= ARROW-BATCH DECODE (the 100 TB production codec contract) =======
 
   /** Arrow schema of one decode input batch: exactly the columns a native

@@ -2836,6 +2836,78 @@ object DuckDbOracles {
        |  CASE WHEN m.n = 0 THEN 0.0 ELSE round(CAST(ord(substr(m.text, CAST(m.n // 2 AS INT) + 1, 1)) AS DOUBLE), 6) END AS f7
        |FROM m LEFT JOIN agg ON m.media_id = agg.media_id""".stripMargin
 
+  /** Shared CTE chain replaying the perceptual blockhash over the PLANTED
+    * media corpus (Multimodal.withPlantedMediaDups + stubPerceptual):
+    * equal-fraction 64-block byte means vs the payload mean as all-integer
+    * cross products, packed into four 16-bit band words. `phx` densifies
+    * to exactly 4 band rows per media (short payloads leave bands unset =
+    * 0, matching the Scala zero-init). MATERIALIZED: each CTE feeds
+    * several consumers.
+    */
+  private def mediaPhashCtes: String = {
+    val (blocks, bandBits) =
+      (graft.ops.Multimodal.PhashBlocks, graft.ops.Multimodal.PhashBandBits)
+    val bands = graft.ops.Multimodal.PhashBands
+    s"""pd AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${graft.ops.Multimodal.PlantOffset},
+       |    substr(text, 1, 9) || 'zzz' || substr(text, 13)
+       |  FROM documents
+       |  WHERE doc_id % ${graft.ops.Multimodal.PlantEvery} = 0 AND length(text) >= 64),
+       |m AS (SELECT doc_id AS media_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio'
+       |         ELSE 'video' END AS media_type,
+       |    text, length(text) AS n FROM pd),
+       |u AS (SELECT media_id, text, n, unnest(range(0, n)) AS i FROM m),
+       |bs AS MATERIALIZED (SELECT media_id, n, (i * $blocks) // n AS blk,
+       |    CAST(sum(ord(substr(text, CAST(i + 1 AS INT), 1))) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM u GROUP BY 1, 2, 3),
+       |tot AS (SELECT media_id, CAST(sum(s) AS BIGINT) AS t FROM bs GROUP BY 1),
+       |phr AS MATERIALIZED (SELECT bs.media_id, CAST(blk // $bandBits AS INT) AS band,
+       |    CAST(sum(CASE WHEN s * n > t * w
+       |      THEN (1 << CAST(blk % $bandBits AS INT)) ELSE 0 END) AS INT) AS bw
+       |  FROM bs JOIN tot USING (media_id) GROUP BY 1, 2),
+       |phx AS MATERIALIZED (SELECT g.media_id, g.band, CAST(coalesce(phr.bw, 0) AS INT) AS bw
+       |  FROM (SELECT m.media_id, j.band FROM m,
+       |    (SELECT CAST(unnest(range(0, $bands)) AS INT) AS band) j) g
+       |  LEFT JOIN phr ON g.media_id = phr.media_id AND g.band = phr.band)"""
+      .stripMargin
+  }
+
+  /** Twin of Multimodal.perceptualHash over the planted corpus. */
+  val mediaPhash: String = {
+    val pivots = (0 until graft.ops.Multimodal.PhashBands)
+      .map(j => s"CAST(max(CASE WHEN band = $j THEN bw END) AS INT) AS pb$j")
+      .mkString(",\n  ")
+    s"""WITH $mediaPhashCtes
+       |SELECT m.media_id, m.media_type,
+       |  $pivots
+       |FROM phx JOIN m USING (media_id)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Twin of Multimodal.mediaNearDupPairs: banded candidates (any
+    * identical 16-bit band word) + exact-Hamming verify.
+    */
+  def mediaNearDupPairs(maxHam: Int = graft.ops.Multimodal.PhashMaxHam): String =
+    s"""WITH $mediaPhashCtes,
+       |cand AS (SELECT a.media_id AS ma, b.media_id AS mb
+       |  FROM phx a JOIN phx b
+       |    ON a.band = b.band AND a.bw = b.bw AND a.media_id < b.media_id
+       |  GROUP BY 1, 2),
+       |hams AS (SELECT c.ma, c.mb,
+       |    CAST(sum(bit_count(xor(CAST(pa.bw AS BIGINT), CAST(pb.bw AS BIGINT)))) AS BIGINT)
+       |      AS hamming
+       |  FROM cand c
+       |  JOIN phx pa ON pa.media_id = c.ma
+       |  JOIN phx pb ON pb.media_id = c.mb AND pb.band = pa.band
+       |  GROUP BY 1, 2)
+       |SELECT ma AS media_a, mb AS media_b, hamming
+       |FROM hams WHERE hamming <= $maxHam""".stripMargin
+
   /** Twin of Multimodal.resizePlan over the image subset of mediaMeta. */
   def mediaResize(boxW: Int = 256, boxH: Int = 256): String = {
     val scale = s"least($boxW.0 / width, $boxH.0 / height)"

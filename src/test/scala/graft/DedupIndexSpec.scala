@@ -92,4 +92,69 @@ class DedupIndexSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapp
       f.components.count() shouldBe 0L
     }
   }
+
+  describe("DedupIndex versioned layout") {
+    // a second corpus version: doc 3 re-crawled out of the clique
+    val docsV2 = docsDf(Seq(
+      1L -> aTok.mkString(" "),
+      2L -> tweak(aTok, 5).mkString(" "),
+      3L -> unrelated,
+      4L -> base, 5L -> nearDup))
+
+    it("readers never observe a half-built version: the commit row IS the cutover") {
+      val root = java.nio.file.Files.createTempDirectory("graft-dedup-v").toString
+      // before any commit: empty frames, no error
+      DedupIndex.readActive(spark, root, "graft_tvix").pairs.count() shouldBe 0L
+
+      DedupIndex.buildVersioned(docs, root, 1L, "graft_tvix")
+      // BUILT but UNCOMMITTED: still invisible
+      DedupIndex.readActive(spark, root, "graft_tvix").pairs.count() shouldBe 0L
+      DedupIndex.commit(spark, root, 1L, "graft_tvix")
+      val v1 = DedupIndex.readActive(spark, root, "graft_tvix")
+      rowsOf(v1.pairs) shouldBe rowsOf(Dedup.minhashLshPairs(docs))
+      rowsOf(v1.components) shouldBe
+        rowsOf(Dedup.nearDupComponentsExact(Dedup.minhashLshPairs(docs)))
+
+      // v2 builds while v1 keeps serving — the reader sees entirely-old
+      // until the one-row commit lands, entirely-new after
+      DedupIndex.buildVersioned(docsV2, root, 2L, "graft_tvix")
+      rowsOf(DedupIndex.readActive(spark, root, "graft_tvix").pairs) shouldBe
+        rowsOf(v1.pairs)
+      DedupIndex.commit(spark, root, 2L, "graft_tvix")
+      rowsOf(DedupIndex.readActive(spark, root, "graft_tvix").pairs) shouldBe
+        rowsOf(Dedup.minhashLshPairs(docsV2))
+      DedupIndex.activeVersion(spark, root) shouldBe Some(2L)
+
+      // a retried build + commit of the same version is exactly-once
+      DedupIndex.buildVersioned(docsV2, root, 2L, "graft_tvix")
+      DedupIndex.commit(spark, root, 2L, "graft_tvix")
+      rowsOf(DedupIndex.readActive(spark, root, "graft_tvix").pairs) shouldBe
+        rowsOf(Dedup.minhashLshPairs(docsV2))
+    }
+
+    it("report joins over the bucketed artifact ship no artifact-side Exchange") {
+      val root = java.nio.file.Files.createTempDirectory("graft-dedup-vb").toString
+      DedupIndex.buildVersioned(docs, root, 1L, "graft_tvbx")
+      DedupIndex.commit(spark, root, 1L, "graft_tvbx")
+      val f = DedupIndex.readActive(spark, root, "graft_tvbx")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // the survivorship-report shape: pairs ⋈ components on the bucket
+        // keys (pairs.doc_a = components.doc_id), both sides bucketed 8 —
+        // co-located SortMergeJoin, zero Exchange anywhere in the plan
+        val joined = f.pairs.join(
+          f.components.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+        val plan = joined.queryExecution.executedPlan.toString
+        plan should include("SortMergeJoin")
+        plan should not include "Exchange"
+        joined.count() should be > 0L
+        // and the values are exactly the unbucketed join's
+        val plainIdx = java.nio.file.Files.createTempDirectory("graft-dedup-vbp").toString
+        val plain = DedupIndex.buildAndRead(docs, plainIdx)
+        rowsOf(joined) shouldBe rowsOf(plain.pairs.join(
+          plain.components.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a")))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }

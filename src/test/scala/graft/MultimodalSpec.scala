@@ -86,4 +86,75 @@ class MultimodalSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapp
       out(2).getDouble(3) shouldBe 0.0 // null payload → zero features
     }
   }
+
+  describe("perceptual media dedup") {
+    // block-structured payloads: 64 blocks × 8 chars, alternating low '!'
+    // (33) and high '~' (126) blocks — every block mean sits FAR from the
+    // payload mean, so the fingerprint is exactly the alternation pattern
+    // and single-byte edits can never flip an unrelated bit
+    val lowBlk = "!" * 8
+    val highBlk = "~" * 8
+    val structured =
+      (0 until 64).map(b => if (b % 2 == 0) lowBlk else highBlk).mkString
+    // twin: the first (low) block inverted to high — exactly one bit flips
+    val oneBlockOff = highBlk + structured.substring(8)
+    // anti-doc: the inverted alternation — Hamming 64, shares no band
+    val inverted =
+      (0 until 64).map(b => if (b % 2 == 0) highBlk else lowBlk).mkString
+    def hashChars(n: Int, seed: Long): String =
+      (0 until n).map { p =>
+        (33 + (((p * 2654435761L + seed * 40503L) >>> 7) % 94).toInt).toChar
+      }.mkString
+
+    it("stubPerceptual packs the blockwise sign pattern into 4 band words") {
+      val bands = Multimodal.stubPerceptual(structured.getBytes("UTF-8"))
+      // odd blocks high → bits 1,3,5,... set in every 16-bit word = 0xAAAA
+      bands.toSeq shouldBe Seq.fill(4)(0xAAAA)
+      Multimodal.stubPerceptual(inverted.getBytes("UTF-8")).toSeq shouldBe
+        Seq.fill(4)(0x5555)
+      Multimodal.stubPerceptual(Array.emptyByteArray).toSeq shouldBe Seq.fill(4)(0)
+      Multimodal.stubPerceptual(null).toSeq shouldBe Seq.fill(4)(0)
+    }
+
+    it("pairs the local-edit twins, rejects the structural opposite, candidates ≪ all-pairs") {
+      // 40 unrelated fillers with DISTINCT random-ish band patterns (hash
+      // chars) so the candidate-ratio pin is meaningful
+      val fillers = (100L until 140L).map(i => (i, hashChars(512, i), "en", "s1"))
+      val docs = docsDf(Seq(
+        (1L, structured, "en", "s1"),
+        (2L, oneBlockOff, "en", "s1"),
+        (3L, inverted, "en", "s1")) ++ fillers)
+      val pairs = Multimodal.mediaNearDupPairs(Multimodal.mediaTable(docs))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // the one-block twin pairs at Hamming exactly 1; the structural
+      // opposite must NOT appear in any pair with doc 1
+      pairs should contain((1L, 2L, 1L))
+      pairs.filter(p => Set(p._1, p._2) == Set(1L, 3L)) shouldBe empty
+
+      // candidate-ratio pin: banded collisions ≪ all-pairs
+      val ph = Multimodal.perceptualHash(Multimodal.mediaTable(docs))
+      import org.apache.spark.sql.functions._
+      val banded = ph.select(col("media_id"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"), col(s"pb$j").as("bw"))): _*)).as("b"))
+        .select(col("media_id"), col("b.band"), col("b.bw"))
+      val a = banded.as("a"); val b = banded.as("b")
+      val nCand = a.join(b, col("a.band") === col("b.band") &&
+          col("a.bw") === col("b.bw") && col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id"), col("b.media_id")).distinct().count()
+      val n = docs.count()
+      nCand.toDouble should be < (n * (n - 1) / 2).toDouble * 0.05
+    }
+
+    it("withPlantedMediaDups twins pair through the full operator at small Hamming") {
+      // real-ish base docs (hash-char payloads), one divisible by 97
+      val base = Seq(0L, 97L, 101L, 202L).map(i => (i, hashChars(300, i + 7), "en", "s1"))
+      val planted = Multimodal.withPlantedMediaDups(docsDf(base))
+      planted.count() shouldBe 6 // ids 0 and 97 gained twins
+      val pairs = Multimodal.mediaNearDupPairs(Multimodal.mediaTable(planted))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs should contain(0L -> (0L + Multimodal.PlantOffset))
+      pairs should contain(97L -> (97L + Multimodal.PlantOffset))
+    }
+  }
 }

@@ -1642,6 +1642,21 @@ object SparkEntry {
     "media_neardup_pairs" -> ((s, dir) =>
       Multimodal.mediaNearDupPairs(Multimodal.mediaTable(
         Multimodal.withPlantedMediaDups(Tables.documents(s, dir))))),
+    // The APPLY path: exact CC over the perceptual pair graph, one min-id
+    // keeper per component, singletons pass through — the media twin of
+    // dedup_apply_components.
+    "media_dedup_apply" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(
+        Multimodal.withPlantedMediaDups(Tables.documents(s, dir)))
+      val comps = graft.ops.Dedup.nearDupComponentsExact(
+        Multimodal.mediaNearDupPairs(media)
+          .withColumnRenamed("media_a", "doc_a")
+          .withColumnRenamed("media_b", "doc_b"))
+      media.select(col("media_id")).join(
+        comps.filter(col("doc_id") =!= col("rep"))
+          .select(col("doc_id").as("media_id")),
+        Seq("media_id"), "left_anti")
+    }),
   )
 
   /** The inverted-index pair (postings, doclens) exactly as
@@ -2654,5 +2669,6 @@ object SparkEntry {
     "media_features" -> DuckDbOracles.mediaFeatures,
     "media_phash" -> DuckDbOracles.mediaPhash,
     "media_neardup_pairs" -> DuckDbOracles.mediaNearDupPairs(),
+    "media_dedup_apply" -> DuckDbOracles.mediaDedupApply(),
   )
 }

@@ -274,7 +274,17 @@ object TimeSeries {
       events: DataFrame,
       start: String = SaxStart,
       threshold: Double = SaxDistThreshold): DataFrame = {
+    // cache ownership (the minhashLshPairs convention): the z table feeds
+    // the word derivation AND both verify arms; the result is materialized
+    // eagerly so the cache can be released before returning instead of
+    // pinning a users×segments frame per call in a long-lived driver
     val z = saxZ(events, start).persist()
+    try saxSimilarPairsFromZ(z, threshold).localCheckpoint(true)
+    finally z.unpersist()
+  }
+
+  private def saxSimilarPairsFromZ(
+      z: DataFrame, threshold: Double): DataFrame = {
     val sym = z.select(col("user_id"), col("seg"),
       when(col("zv") < -SaxBreak, "a")
         .when(col("zv") < 0, "b")

@@ -2889,24 +2889,47 @@ object DuckDbOracles {
        |GROUP BY 1, 2""".stripMargin
   }
 
-  /** Twin of Multimodal.mediaNearDupPairs: banded candidates (any
-    * identical 16-bit band word) + exact-Hamming verify.
-    */
-  def mediaNearDupPairs(maxHam: Int = graft.ops.Multimodal.PhashMaxHam): String =
-    s"""WITH $mediaPhashCtes,
-       |cand AS (SELECT a.media_id AS ma, b.media_id AS mb
+  private def mediaPairCtes: String =
+    s"""cand AS (SELECT a.media_id AS ma, b.media_id AS mb
        |  FROM phx a JOIN phx b
        |    ON a.band = b.band AND a.bw = b.bw AND a.media_id < b.media_id
        |  GROUP BY 1, 2),
-       |hams AS (SELECT c.ma, c.mb,
+       |hams AS MATERIALIZED (SELECT c.ma, c.mb,
        |    CAST(sum(bit_count(xor(CAST(pa.bw AS BIGINT), CAST(pb.bw AS BIGINT)))) AS BIGINT)
        |      AS hamming
        |  FROM cand c
        |  JOIN phx pa ON pa.media_id = c.ma
        |  JOIN phx pb ON pb.media_id = c.mb AND pb.band = pa.band
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Twin of Multimodal.mediaNearDupPairs: banded candidates (any
+    * identical 16-bit band word) + exact-Hamming verify.
+    */
+  def mediaNearDupPairs(maxHam: Int = graft.ops.Multimodal.PhashMaxHam): String =
+    s"""WITH $mediaPhashCtes,
+       |$mediaPairCtes
        |SELECT ma AS media_a, mb AS media_b, hamming
        |FROM hams WHERE hamming <= $maxHam""".stripMargin
+
+  /** Twin of the media survivorship query: exact connected components over
+    * the perceptual pair graph (the dedupComponentsExact recursive CTE on
+    * a different pair subquery), min-id keeper per component, everything
+    * else passes through.
+    */
+  def mediaDedupApply(maxHam: Int = graft.ops.Multimodal.PhashMaxHam): String =
+    s"""WITH RECURSIVE $mediaPhashCtes,
+       |$mediaPairCtes,
+       |medges AS (SELECT ma AS src, mb AS dst FROM hams WHERE hamming <= $maxHam
+       |  UNION ALL SELECT mb AS src, ma AS dst FROM hams WHERE hamming <= $maxHam),
+       |mnodes AS (SELECT DISTINCT src AS node FROM medges),
+       |mreach(node, r) AS (
+       |  SELECT node, node FROM mnodes
+       |  UNION
+       |  SELECT e.src, rch.r FROM medges e JOIN mreach rch ON e.dst = rch.node),
+       |mcomp AS (SELECT node AS doc_id, min(r) AS rep FROM mreach GROUP BY 1)
+       |SELECT m.media_id FROM m
+       |WHERE m.media_id NOT IN (SELECT doc_id FROM mcomp WHERE doc_id <> rep)"""
+      .stripMargin
 
   /** Twin of Multimodal.resizePlan over the image subset of mediaMeta. */
   def mediaResize(boxW: Int = 256, boxH: Int = 256): String = {

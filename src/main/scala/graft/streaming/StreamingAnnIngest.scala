@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{abs, array_max, col, lit, round, slice, sqrt, transform}
+import org.apache.spark.sql.functions.{abs, array_max, broadcast, col, lit, round, slice, sqrt, transform}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
@@ -111,6 +111,67 @@ object StreamingAnnIngest {
       .withColumn("bw", VectorOps.packSignBits(col("cv"), VectorOps.EmbeddingDim))
       .withColumn(BatchCol, lit(batchId))
       .overwritePartitions(indexDir, "cell", BatchCol)
+  }
+
+  // ---- deletion-vector tier (merge-on-read) ------------------------------
+  //
+  // The two-tier delete story real table formats use (Iceberg/Delta
+  // deletion vectors), for the case where copy-on-write per takedown batch
+  // is too eager at 100 TB: a LOGICAL delete appends only the tombstoned
+  // keys (O(|tombstones|), no index partition touched); serving reads the
+  // index through an anti-join against the accumulated delete vector, so
+  // the deletion is visible immediately; a deferred COMPACTION folds the
+  // vector into the physical files (the processDeletes copy-on-write) and
+  // truncates it. The `_deletes` subdirectory is underscore-prefixed, so
+  // the plain index scan never sees it.
+  //
+  // Single-writer assumption (the family contract): appends and compaction
+  // don't race — compaction runs from the same maintenance loop.
+
+  private val DeletesSub = "_deletes"
+
+  private val deleteSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField(BatchCol, LongType)))
+
+  /** Logical delete: append this batch's tombstoned vec_ids to the delete
+    * vector. Idempotent in `batchId` (partition overwrite). O(batch) —
+    * touches no index partition.
+    */
+  def appendDeletes(tombs: DataFrame, batchId: Long, indexDir: String): Unit =
+    tombs.select(col("vec_id")).distinct()
+      .withColumn(BatchCol, lit(batchId))
+      .overwritePartitions(s"$indexDir/$DeletesSub", BatchCol)
+
+  /** The accumulated delete vector (empty before any logical delete). */
+  def readDeletes(spark: SparkSession, indexDir: String): DataFrame =
+    (try spark.read.schema(deleteSchema).parquet(s"$indexDir/$DeletesSub")
+    catch {
+      case _: AnalysisException =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], deleteSchema)
+    }).select(col("vec_id")).distinct()
+
+  /** The LIVE index view: physical rows minus the delete vector — what
+    * every serving tier should read between compactions. The anti-join is
+    * broadcast (tombstones are tiny next to the corpus), so the read adds
+    * no shuffle.
+    */
+  def readIndexLive(spark: SparkSession, indexDir: String): DataFrame =
+    readIndex(spark, indexDir)
+      .join(broadcast(readDeletes(spark, indexDir)), Seq("vec_id"), "left_anti")
+
+  /** Fold the delete vector into the physical files (the copy-on-write
+    * scrub) and truncate it. Exactly-once under crash-retry: the scrub is
+    * idempotent, and a retry that finds rows already scrubbed simply drops
+    * the remaining vector directory; between the two steps the anti-join
+    * view stays correct (removing absent keys is a no-op).
+    */
+  def compactDeletes(spark: SparkSession, indexDir: String): Unit = {
+    processDeletes(readDeletes(spark, indexDir), indexDir)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$DeletesSub"), true): Unit
+    spark.catalog.refreshByPath(indexDir)
   }
 
   /** TOMBSTONE propagation into the serving tier: physically remove every

@@ -81,6 +81,50 @@ class IndexTombstoneSpec extends AnyFunSpec with Matchers with SparkSessionTestW
       StreamingAnnIngest.readIndex(spark, indexDir).count() shouldBe survivors.size.toLong
     }
 
+    it("deletion-vector tier: logical delete serves immediately, compaction folds it physically") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-tomb-dv").toString
+      val indexDir = s"$dir/index"
+      StreamingAnnIngest.processBatch(embDf(batch0), 0L, quantizer, indexDir)
+      StreamingAnnIngest.processBatch(embDf(batch1), 1L, quantizer, indexDir)
+
+      // LOGICAL delete of vec 3 and 10: O(batch) append, no index rewrite
+      StreamingAnnIngest.appendDeletes(Seq(3L, 10L).toDF("vec_id"), 0L, indexDir)
+      val survivors = (batch0 ++ batch1).filterNot(r => Set(3L, 10L)(r._1))
+      // live view reflects the delete immediately...
+      StreamingAnnIngest.readIndexLive(spark, indexDir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet shouldBe
+        survivors.map(_._1).toSet
+      // ...while the physical rows are still on disk (deferred)
+      StreamingAnnIngest.readIndex(spark, indexDir).count() shouldBe 6L
+      // serving through the live view == batch over survivors
+      val queries = embDf(survivors)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val batchIdx = VectorOps.assignCells(embDf(survivors), quantizer)
+        .select(col("vec_id"), col("cell"), col("v").as("cv"), col("vn").as("cn"))
+      ranked3(VectorOps.ivfTopKFromIndex(
+        StreamingAnnIngest.readIndexLive(spark, indexDir), queries, quantizer, k = 2)) shouldBe
+        ranked3(VectorOps.ivfTopKFromIndex(batchIdx, queries, quantizer, k = 2))
+
+      // a replayed logical-delete batch is exactly-once (partition overwrite)
+      StreamingAnnIngest.appendDeletes(Seq(3L, 10L).toDF("vec_id"), 0L, indexDir)
+      StreamingAnnIngest.readDeletes(spark, indexDir).count() shouldBe 2L
+
+      // COMPACTION folds the vector into the files and truncates it
+      StreamingAnnIngest.compactDeletes(spark, indexDir)
+      StreamingAnnIngest.readIndex(spark, indexDir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet shouldBe
+        survivors.map(_._1).toSet
+      StreamingAnnIngest.readDeletes(spark, indexDir).count() shouldBe 0L
+      new java.io.File(s"$indexDir/_deletes").exists() shouldBe false
+      // serving unchanged across the physical fold
+      ranked3(VectorOps.ivfTopKFromIndex(
+        StreamingAnnIngest.readIndexLive(spark, indexDir), queries, quantizer, k = 2)) shouldBe
+        ranked3(VectorOps.ivfTopKFromIndex(batchIdx, queries, quantizer, k = 2))
+      // compaction replay: idempotent
+      StreamingAnnIngest.compactDeletes(spark, indexDir)
+      StreamingAnnIngest.readIndex(spark, indexDir).count() shouldBe 4L
+    }
+
     it("a mixed CDC batch folds deletes + upserts deterministically, exactly-once on retry") {
       val dir = java.nio.file.Files.createTempDirectory("graft-tomb-ann-cdc").toString
       val indexDir = s"$dir/index"

@@ -43,14 +43,18 @@ object IndexTombstones {
 
   /** Remove from the index under `dir` (partitioned by `partCols`, read
     * back WITH those columns as `index`) every row whose `keyCols` match a
-    * row of `tombs`. No-op when nothing matches.
+    * row of `tombs`. No-op when nothing matches. `auxCols` names derived
+    * helper columns the caller added to `index` for the key match (e.g. a
+    * chunk id's parent document) — they are dropped before the rewrite so
+    * the on-disk schema never changes.
     */
   def scrub(
       index: DataFrame,
       tombs: DataFrame,
       keyCols: Seq[String],
       dir: String,
-      partCols: Seq[String]): Unit = {
+      partCols: Seq[String],
+      auxCols: Seq[String] = Nil): Unit = {
     val spark = index.sparkSession
     val affected = index.join(tombs, keyCols, "left_semi")
       .select(partCols.map(col): _*).distinct()
@@ -61,6 +65,7 @@ object IndexTombstones {
       StructType(partCols.map(c => index.schema(c))))
     val survivors = index.join(affectedDf, partCols, "left_semi")
       .join(tombs, keyCols, "left_anti")
+      .drop(auxCols: _*)
       .localCheckpoint(true)
     if (!survivors.isEmpty) survivors.overwritePartitions(dir, partCols: _*)
     val survived = survivors

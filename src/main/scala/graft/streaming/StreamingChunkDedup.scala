@@ -91,6 +91,27 @@ object StreamingChunkDedup {
       .overwritePartitions(indexDir, BatchCol)
   }
 
+  /** TOMBSTONE propagation: remove EVERY chunk signature of the given
+    * documents (`tombs`: one `doc_id` column — DOCUMENT ids, not chunk
+    * pseudo-ids; the encoding is inverted inside). Copy-on-write over
+    * affected batch partitions; idempotent, so replays are exactly-once.
+    * After the scrub, `crossDocPairsFrom` over the index equals the batch
+    * chunk-pair derivation over the surviving corpus (spec-pinned).
+    */
+  def processDeletes(
+      tombs: DataFrame, indexDir: String, excludeBatch: Option[Long] = None): Unit = {
+    val spark = tombs.sparkSession
+    val idx =
+      try spark.read.schema(sigSchema).parquet(indexDir)
+      catch { case _: AnalysisException => return }
+    val scoped = excludeBatch.foldLeft(idx)((d, b) => d.filter(col(BatchCol) =!= b))
+      .withColumn("graft_parent", expr(s"doc_id DIV $ChunkIdFactor"))
+    IndexTombstones.scrub(
+      scoped,
+      tombs.select(col("doc_id").as("graft_parent")).distinct(),
+      Seq("graft_parent"), indexDir, Seq(BatchCol), auxCols = Seq("graft_parent"))
+  }
+
   def start(
       docStream: DataFrame, indexDir: String,
       checkpointDir: String): StreamingQuery =

@@ -90,6 +90,35 @@ object StreamingDedup {
     } finally survivors.unpersist()
   }
 
+  /** TOMBSTONE propagation: remove the given doc_ids from BOTH sinks —
+    * the survivor corpus and the band history. Scrubbing the bands is the
+    * semantically load-bearing half: right-to-be-forgotten means the
+    * dedup index must not REMEMBER the deleted content, so a later
+    * re-submission of the same text (under a new id) must survive the
+    * probe instead of being dropped against a ghost (spec-pinned).
+    * Copy-on-write over affected batch partitions; idempotent.
+    */
+  def processDeletes(
+      tombs: DataFrame,
+      historyDir: String,
+      corpusDir: String,
+      excludeBatch: Option[Long] = None): Unit = {
+    val spark = tombs.sparkSession
+    val t = tombs.select(col("doc_id")).distinct()
+    def scoped(df: DataFrame): DataFrame =
+      excludeBatch.foldLeft(df)((d, b) => d.filter(col(BatchCol) =!= b))
+    IndexTombstones.scrub(
+      scoped(readHistory(spark, historyDir)), t, Seq("doc_id"),
+      historyDir, Seq(BatchCol))
+    // the corpus sink carries the caller's document schema — read by
+    // inference (it exists iff any batch committed)
+    val corpus =
+      try Some(spark.read.parquet(corpusDir))
+      catch { case _: AnalysisException => None }
+    corpus.foreach(c =>
+      IndexTombstones.scrub(scoped(c), t, Seq("doc_id"), corpusDir, Seq(BatchCol)))
+  }
+
   def start(
       docsStream: DataFrame,
       historyDir: String,

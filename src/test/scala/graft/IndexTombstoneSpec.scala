@@ -209,6 +209,67 @@ class IndexTombstoneSpec extends AnyFunSpec with Matchers with SparkSessionTestW
     }
   }
 
+  describe("StreamingChunkDedup tombstones") {
+    it("forgetting a document removes its chunk signatures; served pairs == batch over survivors") {
+      import graft.streaming.StreamingChunkDedup
+      import graft.ops.Dedup
+      val passage = (1 to 64).map(i => s"pp$i").mkString(" ")
+      val d1 = passage + " " + (1 to 40).map(i => s"ua$i").mkString(" ")
+      val d2 = (1 to 90).map(i => s"ub$i").mkString(" ")
+      val d5 = passage + " " + (1 to 40).map(i => s"uc$i").mkString(" ")
+      val dir = java.nio.file.Files.createTempDirectory("graft-tomb-chunk").toString
+      StreamingChunkDedup.processBatch(Seq(1L -> d1, 2L -> d2).toDF("doc_id", "text"), 0L, dir)
+      StreamingChunkDedup.processBatch(Seq(5L -> d5).toDF("doc_id", "text"), 1L, dir)
+      // the copied passage pairs at chunk granularity across docs 1 and 5
+      val before = StreamingChunkDedup.crossDocPairsFrom(
+        StreamingChunkDedup.readSignatures(spark, dir)).collect()
+      before.length should be > 0
+
+      StreamingChunkDedup.processDeletes(Seq(1L).toDF("doc_id"), dir)
+      val sig = StreamingChunkDedup.readSignatures(spark, dir)
+      sig.filter(expr(s"doc_id DIV ${StreamingChunkDedup.ChunkIdFactor}") === 1L)
+        .count() shouldBe 0L
+      // served pairs == the batch derivation over the surviving corpus
+      def rowSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.mkString("|")).toSet
+      val survivorSig = Dedup.minhashSignatures(
+        StreamingChunkDedup.chunkPseudoDocs(Seq(2L -> d2, 5L -> d5).toDF("doc_id", "text")))
+      rowSet(StreamingChunkDedup.crossDocPairsFrom(sig)) shouldBe
+        rowSet(StreamingChunkDedup.crossDocPairsFrom(survivorSig))
+      // replay: idempotent
+      StreamingChunkDedup.processDeletes(Seq(1L).toDF("doc_id"), dir)
+      StreamingChunkDedup.readSignatures(spark, dir).count() shouldBe survivorSig.count()
+    }
+  }
+
+  describe("StreamingDedup tombstones") {
+    it("a forgotten document stops shadowing re-submissions of the same text") {
+      import graft.streaming.StreamingDedup
+      val textX = (1 to 60).map(i => s"xx$i").mkString(" ")
+      val textY = (1 to 60).map(i => s"yy$i").mkString(" ")
+      val dir = java.nio.file.Files.createTempDirectory("graft-tomb-sd").toString
+      val (hist, corpus) = (s"$dir/hist", s"$dir/corpus")
+      StreamingDedup.processBatch(
+        Seq(1L -> textX, 2L -> textY).toDF("doc_id", "text"), 0L, hist, corpus)
+      // the same text under a new id is dropped against history
+      StreamingDedup.processBatch(Seq(3L -> textX).toDF("doc_id", "text"), 1L, hist, corpus)
+      spark.read.parquet(corpus).filter($"doc_id" === 3L).count() shouldBe 0L
+
+      // right-to-be-forgotten: doc 1 leaves BOTH sinks...
+      StreamingDedup.processDeletes(Seq(1L).toDF("doc_id"), hist, corpus)
+      spark.read.parquet(corpus).filter($"doc_id" === 1L).count() shouldBe 0L
+      StreamingDedup.readHistory(spark, hist).filter($"doc_id" === 1L).count() shouldBe 0L
+      // ...so the index no longer REMEMBERS the content: a later
+      // re-submission survives instead of being dropped against a ghost
+      StreamingDedup.processBatch(Seq(4L -> textX).toDF("doc_id", "text"), 2L, hist, corpus)
+      spark.read.parquet(corpus).filter($"doc_id" === 4L).count() shouldBe 1L
+      // replay of the takedown: exactly-once
+      StreamingDedup.processDeletes(Seq(1L).toDF("doc_id"), hist, corpus)
+      spark.read.parquet(corpus).select("doc_id").collect()
+        .map(_.getLong(0)).toSet shouldBe Set(2L, 4L)
+    }
+  }
+
   describe("StreamingSpannIngest tombstones") {
     it("every posting of a forgotten vector disappears; serving == inline over survivors") {
       val dim = VectorOps.EmbeddingDim

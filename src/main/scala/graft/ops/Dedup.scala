@@ -240,14 +240,19 @@ object Dedup {
       historyBands: DataFrame,
       hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
     val newBands = minhashBands(minhashSignatures(newDocs, hash), hash).persist()
-    val vsHistory = newBands.join(historyBands,
-      Seq("band", "bh"), "left_semi").select(col("doc_id"))
-    val withinBatch = newBands.as("a").join(newBands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.doc_id") > col("b.doc_id"))
-      .select(col("a.doc_id")) // the higher id of any colliding pair drops
-    val dropIds = vsHistory.union(withinBatch).distinct()
-    newDocs.join(dropIds, Seq("doc_id"), "left_anti")
+    try {
+      val vsHistory = newBands.join(historyBands,
+        Seq("band", "bh"), "left_semi").select(col("doc_id"))
+      val withinBatch = newBands.as("a").join(newBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") > col("b.doc_id"))
+        .select(col("a.doc_id")) // the higher id of any colliding pair drops
+      val dropIds = vsHistory.union(withinBatch).distinct()
+      // own the band cache: a streaming caller runs this per micro-batch,
+      // so an unreleased persist would pin one batch-sized cache per batch
+      // for the life of the stream
+      newDocs.join(dropIds, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    } finally newBands.unpersist()
   }
 
   /** SimHash fingerprint (Charikar, STOC'02): each shingle votes ±1 on each
@@ -306,30 +311,34 @@ object Dedup {
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val shp = shingles(docs).join(nodes, Seq("doc_id"), "left_semi").persist()
-    val sz = shp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = shp.as("a").join(shp.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    val err = col("est_jaccard") - col("exact_jaccard")
-    pairs
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .select(col("est_jaccard"),
-        round(coalesce(col("i"), lit(0L)).cast("double")
-          / (col("na") + col("nb") - coalesce(col("i"), lit(0L))).cast("double"), 6)
-          .as("exact_jaccard"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("exact_jaccard") >= lit(trueThreshold), 1L).otherwise(0L))
-          .as("n_true"),
-        round(avg(abs(err)), 6).as("mae"),
-        round(avg(err), 6).as("bias"),
-        round(max(abs(err)), 6).as("max_abs_err"))
-      .select(col("n_pairs"), col("n_true"),
-        floor(col("n_true") * lit(1000000L) / col("n_pairs"))
-          .cast("bigint").as("precision_ppm"),
-        col("mae"), col("bias"), col("max_abs_err"))
+    try {
+      val sz = shp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = shp.as("a").join(shp.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      val err = col("est_jaccard") - col("exact_jaccard")
+      pairs
+        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .select(col("est_jaccard"),
+          round(coalesce(col("i"), lit(0L)).cast("double")
+            / (col("na") + col("nb") - coalesce(col("i"), lit(0L))).cast("double"), 6)
+            .as("exact_jaccard"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("exact_jaccard") >= lit(trueThreshold), 1L).otherwise(0L))
+            .as("n_true"),
+          round(avg(abs(err)), 6).as("mae"),
+          round(avg(err), 6).as("bias"),
+          round(max(abs(err)), 6).as("max_abs_err"))
+        .select(col("n_pairs"), col("n_true"),
+          floor(col("n_true") * lit(1000000L) / col("n_pairs"))
+            .cast("bigint").as("precision_ppm"),
+          col("mae"), col("bias"), col("max_abs_err"))
+        // own the gated-shingle cache (read by sz AND both arms of inter)
+        .localCheckpoint(true)
+    } finally shp.unpersist()
   }
 
   /** SimHash near-dup pairs: candidates share at least one of the 4 bytes of
@@ -342,19 +351,22 @@ object Dedup {
       maxHamming: Int = 3,
       hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
     val fp = simhash(docs, hash).persist() // one row/doc; read twice by the self-join
-    val bands = (0 until SimhashBytes).map { j =>
-      struct(lit(j).as("band"), shiftright(col("simhash"), 8 * j).bitwiseAND(lit(255L)).as("bv"))
-    }
-    val banded = fp.withColumn("b", explode(array(bands: _*)))
-      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    try {
+      val bands = (0 until SimhashBytes).map { j =>
+        struct(lit(j).as("band"), shiftright(col("simhash"), 8 * j).bitwiseAND(lit(255L)).as("bv"))
+      }
+      val banded = fp.withColumn("b", explode(array(bands: _*)))
+        .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+      val a = banded.as("a")
+      val b = banded.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+        .localCheckpoint(true) // own the fingerprint cache
+    } finally fp.unpersist()
   }
 
   /** Near-dup clustering: iterated min-label propagation over the candidate
@@ -381,19 +393,23 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id"))
-    for (_ <- 0 until iters) {
-      val nmin = edges
-        .join(labels.select(col("doc_id").as("nbr"), col("rep").as("nrep")),
-          col("dst") === col("nbr"))
-        .groupBy(col("src")).agg(min(col("nrep")).as("nmin"))
-      labels = labels
-        .join(nmin, labels("doc_id") === nmin("src"), "left")
-        .select(labels("doc_id"),
-          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
-    }
-    labels
+    try {
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("rep", col("doc_id"))
+      for (_ <- 0 until iters) {
+        val nmin = edges
+          .join(labels.select(col("doc_id").as("nbr"), col("rep").as("nrep")),
+            col("dst") === col("nbr"))
+          .groupBy(col("src")).agg(min(col("nrep")).as("nmin"))
+        labels = labels
+          .join(nmin, labels("doc_id") === nmin("src"), "left")
+          .select(labels("doc_id"),
+            least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+      }
+      // own the edge cache: materialize the result eagerly, release before
+      // returning (the minhashLshPairs convention)
+      labels.localCheckpoint(true)
+    } finally edges.unpersist()
   }
 
   /** EXACT connected components over the pair graph: min-label propagation
@@ -486,12 +502,15 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist() // read by both the rep1 aggregate and the 2-hop join
-    val r1 = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
-      .select(col("src").as("nbr"), least(col("src"), col("mn")).as("rep1"))
-    edges.join(r1, col("dst") === col("nbr"))
-      .groupBy(col("src")).agg(min(col("rep1")).as("m"))
-      .filter(col("m") < col("src"))
-      .select(col("src").as("doc_id"))
+    try {
+      val r1 = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("nbr"), least(col("src"), col("mn")).as("rep1"))
+      edges.join(r1, col("dst") === col("nbr"))
+        .groupBy(col("src")).agg(min(col("rep1")).as("m"))
+        .filter(col("m") < col("src"))
+        .select(col("src").as("doc_id"))
+        .localCheckpoint(true) // own the edge cache
+    } finally edges.unpersist()
   }
 
   /** Exact Jaccard over winnowed fingerprint sets (TextOps.fingerprints):
@@ -532,16 +551,20 @@ object Dedup {
       minContainment: Double = 0.8,
       hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
     val fp = TextOps.fingerprints(docs, hash).persist()
-    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = fp.as("a").join(fp.as("b"),
-        col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_in"), col("b.doc_id").as("doc_host"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("sa"), col("doc_in") === col("sa.doc_id"))
-      .select(col("doc_in"), col("doc_host"),
-        round(col("i").cast("double") / col("sa.n").cast("double"), 6).as("containment"))
-      .filter(col("containment") >= minContainment)
+    try {
+      val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = fp.as("a").join(fp.as("b"),
+          col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_in"), col("b.doc_id").as("doc_host"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.as("sa"), col("doc_in") === col("sa.doc_id"))
+        .select(col("doc_in"), col("doc_host"),
+          round(col("i").cast("double") / col("sa.n").cast("double"), 6).as("containment"))
+        .filter(col("containment") >= minContainment)
+        // own the fingerprint cache (read by sizes and both join arms)
+        .localCheckpoint(true)
+    } finally fp.unpersist()
   }
 
   def fingerprintJaccardPairs(
@@ -549,18 +572,21 @@ object Dedup {
       minJaccard: Double = 0.3,
       hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
     val fp = TextOps.fingerprints(docs, hash).persist() // read 3× below
-    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = fp.as("a").join(fp.as("b"),
-        col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")).cast("double"), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+    try {
+      val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = fp.as("a").join(fp.as("b"),
+          col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")).cast("double"), 6)
+            .as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
+        .localCheckpoint(true) // own the fingerprint cache
+    } finally fp.unpersist()
   }
 
   /** Retention-policy comparison for near-dup cluster survivorship: the
@@ -637,12 +663,12 @@ object Dedup {
     * singletons — never a corpus-wide sort.
     */
   def bestQualitySurvivorsCommunities(docs: DataFrame): DataFrame =
-    // persisted: the label table feeds both the keeper window and the
-    // singleton anti-join — unpersisted, the LPA rounds would run twice
+    // eager LPA: the label table feeds both the keeper window and the
+    // singleton anti-join; the Eager variant materializes it once and
+    // releases its own edge cache (nothing left pinned after the call)
     bestQualitySurvivorsCommunitiesFrom(docs,
-      graft.ops.Graph.labelPropagationWeighted(
-          minhashLshPairs(docs).withColumnRenamed("est_jaccard", "weight"))
-        .persist())
+      graft.ops.Graph.labelPropagationWeightedEager(
+        minhashLshPairs(docs).withColumnRenamed("est_jaccard", "weight")))
 
   /** Community-granularity survivorship from a PREBUILT label table
     * (node, community) — the DedupIndex artifact path: no LSH, no LPA
@@ -682,9 +708,11 @@ object Dedup {
     * label pass plus one window over the PAIRED docs.
     */
   def dedupGranularityReport(docs: DataFrame): DataFrame = {
-    val pairs = minhashLshPairs(docs).persist()
+    // minhashLshPairs returns an eagerly checkpointed frame, so both
+    // downstream passes read materialized blocks — no extra pin needed
+    val pairs = minhashLshPairs(docs)
     dedupGranularityReportFrom(docs,
-      graft.ops.Graph.labelPropagationWeighted(
+      graft.ops.Graph.labelPropagationWeightedEager(
         pairs.withColumnRenamed("est_jaccard", "weight")),
       nearDupComponentsExact(pairs))
   }
@@ -747,11 +775,17 @@ object Dedup {
     * pair graph, one LPA pass, one modularity audit, one CC fixpoint.
     */
   private def gatedRanked(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val pairs = minhashLshPairs(docs).persist()
+    // pairs arrive checkpointed (minhashLshPairs owns its cache); edges +
+    // labels are this function's own caches, released after the three
+    // result frames are materialized off them
+    val pairs = minhashLshPairs(docs)
     val wp = pairs.withColumnRenamed("est_jaccard", "weight")
     val edges = graft.ops.Graph.symmetrizedWeighted(wp).persist()
     val labels = graft.ops.Graph.lpaWeightedLoop(edges, graft.ops.Graph.LpIters).persist()
-    gatedRankedFrom(docs, edges, labels, nearDupComponentsExact(pairs))
+    try {
+      val (a, b, c) = gatedRankedFrom(docs, edges, labels, nearDupComponentsExact(pairs))
+      (a.localCheckpoint(true), b.localCheckpoint(true), c.localCheckpoint(true))
+    } finally { labels.unpersist(); edges.unpersist() }
   }
 
   /** The gated grouping from PREBUILT artifact frames: symmetrized

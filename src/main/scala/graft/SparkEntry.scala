@@ -789,6 +789,12 @@ object SparkEntry {
     "theilsen_trend" -> ((s, dir) =>
       graft.ops.TimeSeries.theilSenDaily(Tables.events(s, dir))),
 
+    // Weekly seasonal decomposition (STL-lite, period 7): centered-window
+    // detrending kept integer-exact (7c − sum7), one division per
+    // (type, dow) — the weekday-activity audit.
+    "seasonal_dow" -> ((s, dir) =>
+      graft.ops.TimeSeries.seasonalDow(Tables.events(s, dir))),
+
     // Markov next-event transition matrix — see TimeSeries.transitions
     // (no user shares a microsecond in this data, so the (ts, event_id)
     // order is identical across engines).
@@ -2334,6 +2340,7 @@ object SparkEntry {
     "hourly_trend" -> DuckDbOracles.hourlyTrend,
     "ewma_hourly" -> DuckDbOracles.ewmaHourly(),
     "theilsen_trend" -> DuckDbOracles.theilSenDaily,
+    "seasonal_dow" -> DuckDbOracles.seasonalDow,
     "ks_drift" -> DuckDbOracles.ksDrift(),
 
     "event_transitions" ->

@@ -179,6 +179,53 @@ object TimeSeries {
       .join(nd, Seq("event_type"))
   }
 
+  /** Weekly SEASONAL decomposition over the gap-filled daily count grid
+    * (STL-lite, the classical-decomposition special case for period 7):
+    * trend at day d = the centered 7-day window; the detrended value is
+    * kept as the EXACT integer 7·c_d − Σ_{|j|≤3} c_{d+j} (scaling by 7
+    * instead of dividing keeps the subtraction integer-exact), and the
+    * seasonal component per (event_type, day-of-week) is
+    * Σ detrended_scaled / (7 · n_dow) — ONE IEEE division of exact
+    * integers, so no accumulation order exists for the engines to
+    * disagree on. Days without a full centered window (the 3-day edges)
+    * are excluded, as in classical decomposition. Day-of-week = epoch-day
+    * mod 7 — calendar-free, timezone-free, shared with the oracle.
+    *
+    * Reading: a constant series decomposes to seasonal ≡ 0; a pure
+    * period-7 pattern yields seasonal = c_dow − weekly_mean exactly
+    * (spec-pinned). The weekday-activity signal a training-data mix
+    * audit reads before trusting per-day quotas.
+    *
+    * Scale: one hash agg to the daily grid (calendar-bounded), one per-key
+    * window pass, one |types|×7-row rollup — never corpus-sized state.
+    */
+  def seasonalDow(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dc = events
+      .select(col("event_type"),
+        floor(unix_millis(col("ts")) / lit(86400000L)).cast("bigint").as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("c"))
+    val bounds = dc.groupBy(col("event_type"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val grid = bounds
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("d"))
+      .join(dc, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"), coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-3, 3)
+    grid
+      .select(col("event_type"), col("d"), col("c"),
+        sum(col("c")).over(w).as("sum7"), count(lit(1)).over(w).as("n7"))
+      .filter(col("n7") === 7)
+      .select(col("event_type"), (col("d") % 7).as("dow"),
+        (col("c") * 7 - col("sum7")).as("ds"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("ds")).as("ds_sum"))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        round(col("ds_sum").cast("double") / (col("n_days") * 7).cast("double"), 6)
+          .as("seasonal"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov drift per key: the EXACT
     * D = max_v |F_ref(v) − F_cur(v)| over the pooled distinct values —
     * the binning-free companion to `psiDrift` (PSI needs a declared bin

@@ -417,6 +417,26 @@ object DuckDbOracles {
        |FROM l""".stripMargin
   }
 
+  /** Twin of TimeSeries.seasonalDow: same gap-filled daily grid, same
+    * exact-integer 7·c − sum7 detrending, one division per (type, dow).
+    */
+  val seasonalDow: String =
+    s"""WITH dcte AS (SELECT event_type, epoch_ms(ts) // 86400000 AS d, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |db AS (SELECT event_type, min(d) AS d0, max(d) AS d1 FROM dcte GROUP BY 1),
+       |dgrid AS (SELECT event_type, unnest(generate_series(d0, d1)) AS d FROM db),
+       |dg AS (SELECT g.event_type, g.d, CAST(coalesce(dcte.c, 0) AS BIGINT) AS c
+       |  FROM dgrid g LEFT JOIN dcte ON g.event_type = dcte.event_type AND g.d = dcte.d),
+       |t AS (SELECT event_type, d, c,
+       |    CAST(sum(c) OVER win AS BIGINT) AS sum7,
+       |    count(*) OVER win AS n7
+       |  FROM dg WINDOW win AS (PARTITION BY event_type ORDER BY d
+       |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+       |SELECT event_type, d % 7 AS dow, count(*) AS n_days,
+       |  round(CAST(sum(c * 7 - sum7) AS DOUBLE) / CAST(count(*) * 7 AS DOUBLE), 6)
+       |    AS seasonal
+       |FROM t WHERE n7 = 7 GROUP BY 1, 2""".stripMargin
+
   /** Twin of TimeSeries.theilSenDaily: same gap-filled daily grid, same
     * exact-IEEE pairwise slope ordering (no pre-rounding needed), same
     * integer lower-median pick.

@@ -326,4 +326,30 @@ class AnalyticsOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWra
       r.getAs[Double]("peak_up") shouldBe 18.0
     }
   }
+
+  describe("TimeSeries.seasonalDow") {
+    def dayEvents(rows: Seq[(String, Long, Int)]) = // (type, epoch day, count)
+      rows.flatMap { case (t, d, n) => (0 until n).map(i => (t, d * 86400000L + i)) }
+        .toDF("event_type", "ms")
+        .select(col("event_type"), timestamp_millis(col("ms")).as("ts"))
+
+    it("recovers a pure period-7 pattern exactly: seasonal = c_dow - weekly_mean") {
+      // 4 weeks from an epoch day divisible by 7: dow k carries k+1 events
+      val d0 = 19600L // 19600 % 7 == 0
+      val ev = dayEvents((0 until 28).map(i => ("w", d0 + i, (i % 7) + 1)))
+      val got = TimeSeries.seasonalDow(ev).collect()
+        .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+      // weekly total 28, mean 4/day: seasonal(dow k) = (k+1) - 4 exactly
+      (0L to 6L).foreach(k => got(k) shouldBe (k + 1 - 4).toDouble)
+    }
+
+    it("a constant series decomposes to seasonal identically zero; edges excluded") {
+      val d0 = 19600L
+      val ev = dayEvents((0 until 21).map(i => ("c", d0 + i, 2)))
+      val rows = TimeSeries.seasonalDow(ev).collect()
+      rows.foreach(_.getDouble(3) shouldBe 0.0)
+      // 21 days minus 3-day edges = 15 full-window days
+      rows.map(_.getLong(2)).sum shouldBe 15L
+    }
+  }
 }

@@ -199,12 +199,27 @@ object TimeSeries {
     * Scale: one hash agg to the daily grid (calendar-bounded), one per-key
     * window pass, one |types|×7-row rollup — never corpus-sized state.
     */
-  def seasonalDow(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dc = events
+  def seasonalDow(events: DataFrame): DataFrame =
+    seasonalDowFromDaily(events
       .select(col("event_type"),
         floor(unix_millis(col("ts")) / lit(86400000L)).cast("bigint").as("d"))
-      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("c")))
+
+  /** `seasonalDow` served from a maintained HOURLY count table — the
+    * StreamingEwma state: hours roll up to epoch days exactly
+    * (d = h div 24, both floors of the same millis), so the decomposition
+    * over the folded state equals the batch operator over every event
+    * ever streamed (spec-pinned). The drift triad's seasonal lens joins
+    * the maintained-state family for free.
+    */
+  def seasonalDowFromHourly(hc: DataFrame): DataFrame =
+    seasonalDowFromDaily(
+      hc.groupBy(col("event_type"), expr("h div 24").as("d"))
+        .agg(sum(col("c")).as("c")))
+
+  /** The decomposition over a prebuilt (event_type, d, c) daily table. */
+  def seasonalDowFromDaily(dc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bounds = dc.groupBy(col("event_type"))
       .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
     val grid = bounds

@@ -54,6 +54,22 @@ class StreamingEwmaSpec extends AnyFunSpec with Matchers with SparkSessionTestWr
       } finally q.stop()
     }
 
+    it("seasonal decomposition served from the maintained hourly counts == batch") {
+      // span 3 weeks of daily structure so full centered windows exist
+      val b0 = (0 until 10).flatMap(day =>
+        Seq.fill((day % 7) + 1)(("click", day * 24)))
+      val b1 = (10 until 21).flatMap(day =>
+        Seq.fill((day % 7) + 1)(("click", day * 24)))
+      val dir = java.nio.file.Files.createTempDirectory("graft-sewma-sd").toString
+      val stateDir = s"$dir/state"
+      StreamingEwma.processBatch(events(b0), 0L, stateDir)
+      StreamingEwma.processBatch(events(b1), 1L, stateDir)
+      val served = TimeSeries.seasonalDowFromHourly(
+        StreamingEwma.readCounts(spark, stateDir, Long.MaxValue))
+      series(served) shouldBe series(TimeSeries.seasonalDow(events(b0 ++ b1)))
+      served.count() should be > 0L
+    }
+
     it("a replayed batch is exactly-once: counts not double-folded") {
       val dir = java.nio.file.Files.createTempDirectory("graft-sewma-retry").toString
       val stateDir = s"$dir/state"

@@ -418,6 +418,14 @@ object SparkEntry {
         Tables.events(s, dir), tsCol = "ts", keyCol = "event_type",
         valueCol = "value", splitTs = graft.ops.TimeSeries.PsiSplitTs)),
 
+    // Jensen-Shannon drift: the symmetric, [0, ln 2]-bounded companion —
+    // the comparable-across-keys drift score (PSI is unbounded, KS sees
+    // only the max gap).
+    "jsd_drift" -> ((s, dir) =>
+      graft.ops.TimeSeries.jsDrift(
+        Tables.events(s, dir), tsCol = "ts", keyCol = "event_type",
+        valueCol = "value", splitTs = graft.ops.TimeSeries.PsiSplitTs)),
+
     // Z-order (Morton) key for 2-D storage clustering — the layout that
     // makes a (user, value) box predicate prune row groups on BOTH columns
     // (skipping measured live in ParquetLayoutSpec).
@@ -2188,6 +2196,7 @@ object SparkEntry {
          FROM events GROUP BY 1""",
 
     "psi_drift" -> DuckDbOracles.psiDrift(),
+    "jsd_drift" -> DuckDbOracles.jsDrift(),
 
     "windowed_distinct_users" ->
       """SELECT event_type,

@@ -95,6 +95,49 @@ object TimeSeries {
     psiOfCounts(filled, keyCol, nBins)
   }
 
+  /** Jensen-Shannon drift per key — the third lens of the drift panel:
+    * PSI saturates on within-bin shifts and is unbounded; KS sees any
+    * shift but only its MAXIMUM; JSD = ½KL(p‖m) + ½KL(q‖m) with
+    * m = (p+q)/2 is symmetric, BOUNDED in [0, ln 2], and weighs the whole
+    * distribution — the comparable-across-keys drift score mix monitors
+    * alert on. Same fixed-width-bin + Laplace-smoothing geometry as
+    * `psiDrift` (shared histogram CTEs in the oracle), ln terms summed
+    * and 6dp-rounded under the module's PSI convention.
+    */
+  def jsDrift(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      splitTs: String,
+      binWidth: Double = PsiBinWidth,
+      nBins: Int = PsiBins): DataFrame = {
+    val bucket = least(lit(nBins - 1), floor(col(valueCol) / binWidth)).cast("int")
+    val sided = df.select(col(keyCol), bucket.as("b"),
+      (col(tsCol) < lit(splitTs).cast("timestamp")).as("is_ref"))
+    val counts = sided.groupBy(col(keyCol), col("b"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+    val spine = df.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(sequence(lit(0), lit(nBins - 1))).as("b0"))
+      .select(col(keyCol), col("b0").cast("int").as("b"))
+    val filled = spine.join(counts, Seq(keyCol, "b"), "left")
+      .select(col(keyCol), col("b"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val tot = filled.groupBy(col(keyCol))
+      .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+    filled.join(broadcast(tot), Seq(keyCol))
+      .select(col(keyCol), col("n_ref"), col("n_cur"),
+        ((col("c_ref") + 1).cast("double") / (col("n_ref") + nBins).cast("double")).as("pr"),
+        ((col("c_cur") + 1).cast("double") / (col("n_cur") + nBins).cast("double")).as("pc"))
+      .withColumn("m", (col("pr") + col("pc")) / 2)
+      .groupBy(col(keyCol))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        round(sum(col("pr") * log(col("pr") / col("m")) / 2 +
+          col("pc") * log(col("pc") / col("m")) / 2), 6).as("jsd"))
+  }
+
   /** Per-key OLS trend of the hourly count series over the gap-filled
     * grid: slope (events/hour), intercept, and r² — the volume-growth
     * probe beside `hourlyAcf`'s seasonality probe. t is re-based to the

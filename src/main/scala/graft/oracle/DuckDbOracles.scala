@@ -1158,6 +1158,39 @@ object DuckDbOracles {
        |  round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
        |FROM terms GROUP BY 1""".stripMargin
 
+  /** Twin of TimeSeries.jsDrift: the psiDrift histogram chain with the
+    * bounded symmetric divergence terms.
+    */
+  def jsDrift(
+      splitTs: String = graft.ops.TimeSeries.PsiSplitTs,
+      binWidth: Double = graft.ops.TimeSeries.PsiBinWidth,
+      nBins: Int = graft.ops.TimeSeries.PsiBins): String =
+    s"""WITH sided AS (SELECT event_type,
+       |    CAST(least(${nBins - 1}, CAST(floor(value / $binWidth) AS BIGINT)) AS INT) AS b,
+       |    (ts < TIMESTAMP '$splitTs') AS is_ref
+       |  FROM events),
+       |counts AS (SELECT event_type, b,
+       |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+       |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+       |  FROM sided GROUP BY 1, 2),
+       |bins AS (SELECT CAST(unnest(range(0, $nBins)) AS INT) AS b),
+       |spine AS (SELECT event_type, b
+       |  FROM (SELECT DISTINCT event_type FROM events) CROSS JOIN bins),
+       |filled AS (SELECT s.event_type, s.b,
+       |    coalesce(c.c_ref, 0) AS c_ref, coalesce(c.c_cur, 0) AS c_cur
+       |  FROM spine s LEFT JOIN counts c USING (event_type, b)),
+       |tot AS (SELECT event_type, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+       |    CAST(sum(c_cur) AS BIGINT) AS n_cur
+       |  FROM filled GROUP BY 1),
+       |terms AS (SELECT f.event_type, t.n_ref, t.n_cur,
+       |    CAST(f.c_ref + 1 AS DOUBLE) / CAST(t.n_ref + $nBins AS DOUBLE) AS pr,
+       |    CAST(f.c_cur + 1 AS DOUBLE) / CAST(t.n_cur + $nBins AS DOUBLE) AS pc
+       |  FROM filled f JOIN tot t USING (event_type))
+       |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+       |  round(sum(pr * ln(pr / ((pr + pc) / 2)) / 2
+       |    + pc * ln(pc / ((pr + pc) / 2)) / 2), 6) AS jsd
+       |FROM terms GROUP BY 1""".stripMargin
+
   /** Twin of Sampling.cappedPerSource: the bounded-heap aggregator path
     * must be row-identical to a ranking window over the same (hash,
     * doc_id) priority order.

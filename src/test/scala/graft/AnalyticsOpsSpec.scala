@@ -186,6 +186,33 @@ class AnalyticsOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWra
     }
   }
 
+  describe("TimeSeries.jsDrift") {
+    val Split = "2024-01-16"
+
+    def df(rows: Seq[(String, String, Double)]) =
+      rows.toDF("event_type", "d", "value")
+        .select(col("event_type"), col("d").cast("timestamp").as("ts"), col("value"))
+
+    it("identical histograms give exactly 0; disjoint ones approach ln 2; symmetric") {
+      val same = (1 to 20).flatMap(i => Seq(
+        ("same", "2024-01-10", (i % 5) * 30.0), ("same", "2024-01-20", (i % 5) * 30.0)))
+      // 300/side so Laplace smoothing (+1 per bin over 17 bins) no longer
+      // blunts the disjointness
+      val far = (1 to 300).flatMap(i => Seq(
+        ("far", "2024-01-10", 0.0), ("far", "2024-01-20", 400.0)))
+      val m = TimeSeries.jsDrift(df(same ++ far), "ts", "event_type", "value", Split)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      m("same") shouldBe 0.0 // pr == pc bin for bin -> every term exactly 0
+      m("far") should be > 0.6 // near the ln 2 = 0.693 bound
+      m("far") should be <= math.log(2.0)
+      // symmetry: swapping ref and cur leaves the divergence unchanged
+      val swapped = (1 to 300).flatMap(i => Seq(
+        ("far", "2024-01-20", 0.0), ("far", "2024-01-10", 400.0)))
+      TimeSeries.jsDrift(df(swapped), "ts", "event_type", "value", Split)
+        .collect().head.getDouble(3) shouldBe m("far")
+    }
+  }
+
   describe("Profile.keySkew") {
     it("computes integer-exact top share and the max/mean ratio") {
       // group g: key k1 ×6, k2 ×1, k3 ×1 → 8 rows, 3 keys

@@ -426,6 +426,16 @@ object SparkEntry {
         Tables.events(s, dir), tsCol = "ts", keyCol = "event_type",
         valueCol = "value", splitTs = graft.ops.TimeSeries.PsiSplitTs)),
 
+    // Daily active/new/returning users (first-seen derived once, never a
+    // day-by-day scan) — the growth/retention axis.
+    "daily_active_new" -> ((s, dir) =>
+      graft.ops.TimeSeries.dailyActiveNew(Tables.events(s, dir))),
+
+    // Time-to-convert: first signup → first strictly-later purchase,
+    // exact interpolated latency percentiles + integer-ppm rate.
+    "conversion_latency" -> ((s, dir) =>
+      graft.ops.TimeSeries.conversionLatency(Tables.events(s, dir))),
+
     // Z-order (Morton) key for 2-D storage clustering — the layout that
     // makes a (user, value) box predicate prune row groups on BOTH columns
     // (skipping measured live in ParquetLayoutSpec).
@@ -2197,6 +2207,32 @@ object SparkEntry {
 
     "psi_drift" -> DuckDbOracles.psiDrift(),
     "jsd_drift" -> DuckDbOracles.jsDrift(),
+
+    "daily_active_new" ->
+      """WITH de AS (SELECT epoch_ms(ts) // 86400000 AS d, user_id FROM events),
+         fs AS (SELECT user_id, min(d) AS d0 FROM de GROUP BY 1),
+         daily AS (SELECT d, count(*) AS n_events,
+             count(DISTINCT user_id) AS n_active
+           FROM de GROUP BY 1),
+         nw AS (SELECT d0 AS d, count(*) AS n_new FROM fs GROUP BY 1)
+         SELECT daily.d, n_events, n_active,
+           coalesce(n_new, 0) AS n_new,
+           n_active - coalesce(n_new, 0) AS n_returning
+         FROM daily LEFT JOIN nw USING (d)""",
+
+    "conversion_latency" ->
+      """WITH s AS (SELECT user_id, min(ts) AS ts_from FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         p AS (SELECT user_id, ts AS ts_to FROM events WHERE event_type = 'purchase'),
+         cu AS (SELECT s.user_id, s.ts_from,
+             min(CASE WHEN p.ts_to > s.ts_from THEN p.ts_to END) AS ts_to
+           FROM s LEFT JOIN p USING (user_id) GROUP BY 1, 2),
+         dts AS (SELECT epoch_ms(ts_to) - epoch_ms(ts_from) AS dt FROM cu)
+         SELECT count(*) AS n_from, count(dt) AS n_converted,
+           round(quantile_cont(dt, 0.5), 6) AS p50_ms,
+           round(quantile_cont(dt, 0.9), 6) AS p90_ms,
+           CAST((count(dt) * 1000000) // count(*) AS BIGINT) AS convert_ppm
+         FROM dts""",
 
     "windowed_distinct_users" ->
       """SELECT event_type,

@@ -95,6 +95,62 @@ object TimeSeries {
     psiOfCounts(filled, keyCol, nBins)
   }
 
+  /** Daily active/new/returning-user growth report — the retention axis
+    * every activity pipeline publishes: per epoch day, event volume,
+    * distinct active users, users seen for the FIRST time ever that day,
+    * and the returning remainder. First-seen derives from one per-user
+    * min-day aggregate, so the report is two user-keyed hash aggs + one
+    * calendar-sized left join — never a corpus-sized window or a
+    * day-by-day scan (at 100 TB the first-seen table is the thing you
+    * maintain incrementally: new = not in yesterday's table, a
+    * StreamingIvm-shape fold).
+    */
+  def dailyActiveNew(events: DataFrame): DataFrame = {
+    val de = events.select(
+      floor(unix_millis(col("ts")) / lit(86400000L)).cast("bigint").as("d"),
+      col("user_id"))
+    val firstSeen = de.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    val daily = de.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_active"))
+    val news = firstSeen.groupBy(col("d0").as("d")).agg(count(lit(1)).as("n_new"))
+    daily.join(news, Seq("d"), "left")
+      .select(col("d"), col("n_events"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (col("n_active") - coalesce(col("n_new"), lit(0L))).as("n_returning"))
+  }
+
+  /** Conversion latency from a user's FIRST `fromType` event to their
+    * first `toType` event strictly after it — the time-to-convert report
+    * behind the ordered funnel: converts counted exactly, latency p50/p90
+    * as exact interpolated percentiles of millisecond deltas (the
+    * value_percentiles convention), conversion rate in integer ppm.
+    * Earlier `toType` events don't count (the strictly-after guard rides
+    * the aggregate, so a user whose purchases all precede signup still
+    * reports as unconverted instead of vanishing).
+    *
+    * Scale: two type-filtered scans, one user-keyed join + aggregate
+    * (users × their toType events, the funnel shape), one global rollup.
+    */
+  def conversionLatency(
+      events: DataFrame,
+      fromType: String = "signup",
+      toType: String = "purchase"): DataFrame = {
+    val s = events.filter(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts_from"))
+    val p = events.filter(col("event_type") === toType)
+      .select(col("user_id"), col("ts").as("ts_to"))
+    s.join(p, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("ts_from"))
+      .agg(min(when(col("ts_to") > col("ts_from"), col("ts_to"))).as("ts_to"))
+      .select((unix_millis(col("ts_to")) - unix_millis(col("ts_from"))).as("dt"))
+      .agg(count(lit(1)).as("n_from"),
+        count(col("dt")).as("n_converted"),
+        round(expr("percentile(dt, 0.5)"), 6).as("p50_ms"),
+        round(expr("percentile(dt, 0.9)"), 6).as("p90_ms"))
+      .select(col("n_from"), col("n_converted"), col("p50_ms"), col("p90_ms"),
+        expr("CAST((n_converted * 1000000) div n_from AS BIGINT)").as("convert_ppm"))
+  }
+
   /** Jensen-Shannon drift per key — the third lens of the drift panel:
     * PSI saturates on within-bin shifts and is unbounded; KS sees any
     * shift but only its MAXIMUM; JSD = ½KL(p‖m) + ½KL(q‖m) with

@@ -213,6 +213,41 @@ class AnalyticsOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWra
     }
   }
 
+  describe("TimeSeries.dailyActiveNew") {
+    it("splits actives into first-ever-seen and returning, per epoch day") {
+      val d0 = 19600L
+      def ev(day: Long, u: Long) =
+        (u, new java.sql.Timestamp(day * 86400000L))
+      // day 0: u1, u2 (both new); day 1: u1 (returning), u3 (new), u3 again
+      val df = Seq(ev(d0, 1), ev(d0, 2), ev(d0 + 1, 1), ev(d0 + 1, 3), ev(d0 + 1, 3))
+        .toDF("user_id", "ts")
+      val got = TimeSeries.dailyActiveNew(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      got(d0) shouldBe ((2L, 2L, 2L, 0L))
+      got(d0 + 1) shouldBe ((3L, 2L, 1L, 1L))
+    }
+  }
+
+  describe("TimeSeries.conversionLatency") {
+    def ev(u: Long, t: String, ms: Long) =
+      (u, t, new java.sql.Timestamp(1700000000000L + ms))
+
+    it("measures first-signup -> first-later-purchase; earlier purchases never count") {
+      val df = Seq(
+        ev(1, "signup", 0), ev(1, "purchase", 5000), ev(1, "purchase", 2000),
+        ev(2, "signup", 0), ev(2, "purchase", 1000),
+        ev(3, "signup", 1000), ev(3, "purchase", 500), // only-earlier: unconverted
+        ev(4, "signup", 0)) // never purchases
+        .toDF("user_id", "event_type", "ts")
+      val r = TimeSeries.conversionLatency(df).collect().head
+      r.getLong(0) shouldBe 4L // signers
+      r.getLong(1) shouldBe 2L // converts (u1 at 2000ms, u2 at 1000ms)
+      r.getDouble(2) shouldBe 1500.0 // p50 of {1000, 2000}
+      r.getLong(4) shouldBe 500000L // 2/4 in ppm
+    }
+  }
+
   describe("Profile.keySkew") {
     it("computes integer-exact top share and the max/mean ratio") {
       // group g: key k1 ×6, k2 ×1, k3 ×1 → 8 rows, 3 keys

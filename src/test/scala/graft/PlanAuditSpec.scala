@@ -199,6 +199,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "pivot_event_counts" -> Set("codegen-fallback"), // pivotfirst
     "unpivot_event_counts" -> Set("codegen-fallback"), // same pivotfirst input
     "value_percentiles" -> Set("codegen-fallback"),  // exact percentile agg
+    "conversion_latency" -> Set("codegen-fallback"), // exact percentile agg (one-row rollup)
     "approx_distinct_users" -> Set("codegen-fallback"), // HLL++ agg
     "windowed_distinct_users" -> Set("codegen-fallback"), // HLL++ agg
     "approx_percentiles" -> Set("codegen-fallback"), // GK sketch + exact percentile aggs

@@ -105,13 +105,29 @@ object TimeSeries {
     * maintain incrementally: new = not in yesterday's table, a
     * StreamingIvm-shape fold).
     */
-  def dailyActiveNew(events: DataFrame): DataFrame = {
-    val de = events.select(
-      floor(unix_millis(col("ts")) / lit(86400000L)).cast("bigint").as("d"),
-      col("user_id"))
-    val firstSeen = de.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
-    val daily = de.groupBy(col("d"))
-      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_active"))
+  def dailyActiveNew(events: DataFrame): DataFrame =
+    dailyActiveNewFromCensus(dailyCensus(events))
+
+  /** The (day, user, count) census the growth report rolls up from —
+    * exactly what the streaming fold maintains ADDITIVELY (integer
+    * counts, so merge is exact addition and late events land in their
+    * true day; StreamingDailyActive).
+    */
+  private[graft] def dailyCensus(events: DataFrame): DataFrame =
+    events.select(
+        floor(unix_millis(col("ts")) / lit(86400000L)).cast("bigint").as("d"),
+        col("user_id"))
+      .groupBy(col("d"), col("user_id")).agg(count(lit(1)).as("c"))
+
+  /** The growth report from a prebuilt census: every derived table
+    * (daily volume/actives, per-user first-seen day) is a rollup of the
+    * census itself, so serving from the maintained state equals the
+    * batch operator exactly.
+    */
+  def dailyActiveNewFromCensus(census: DataFrame): DataFrame = {
+    val firstSeen = census.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    val daily = census.groupBy(col("d"))
+      .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_active"))
     val news = firstSeen.groupBy(col("d0").as("d")).agg(count(lit(1)).as("n_new"))
     daily.join(news, Seq("d"), "left")
       .select(col("d"), col("n_events"), col("n_active"),

@@ -1074,7 +1074,7 @@ object SparkEntry {
     // near-dup pair straddles train and validation.
     "leakage_safe_split" -> ((s, dir) =>
       Sampling.leakageSafeSplit(Tables.documents(s, dir),
-        Dedup.nearDupComponents(dedupIndexOf(s, dir).pairs))),
+        dedupIndexOf(s, dir).components3)),
     // Benchmark decontamination: flag docs sharing a 3-shingle with the
     // (corpus-derived, oracle-replayable) benchmark set.
     "decontaminate" -> ((s, dir) => {
@@ -1230,8 +1230,10 @@ object SparkEntry {
     // Transitive near-dup clustering: bounded min-label propagation over
     // the LSH pair graph — one representative per connected component
     // (pairwise keep-lowest would over-keep on chains A~B~C).
-    "dedup_components" -> ((s, dir) =>
-      Dedup.nearDupComponents(dedupIndexOf(s, dir).pairs)),
+    // Served DIRECTLY from the artifact's bounded-hop table (the
+    // 3-iteration chain ran once at build; the oracle still replays the
+    // full inline derivation, proving the stored table IS that result).
+    "dedup_components" -> ((s, dir) => dedupIndexOf(s, dir).components3),
 
     // EXACT connected components — served DIRECTLY from the artifact's
     // component table (the fixpoint ran once at build; the oracle still
@@ -1352,7 +1354,7 @@ object SparkEntry {
     // graph — the sanity panel read before applying a drop policy (one
     // giant component = a boilerplate artifact, not real duplication).
     "dedup_cluster_stats" -> ((s, dir) => {
-      val comp = Dedup.nearDupComponents(dedupIndexOf(s, dir).pairs)
+      val comp = dedupIndexOf(s, dir).components3
       comp.groupBy(col("rep")).agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_components"),
           sum(col("sz")).as("n_nodes"),

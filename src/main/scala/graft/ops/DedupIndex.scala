@@ -18,6 +18,9 @@ import graft.functions.PortableHash
   *                over the pair graph (Graph.labelPropagationWeighted)
   *   components/  (doc_id, rep)                — EXACT connected components
   *                (Dedup.nearDupComponentsExact fixpoint)
+  *   components3/ (doc_id, rep)                — BOUNDED-HOP components
+  *                (Dedup.nearDupComponents, 3 iterations — the documented
+  *                approximation contract several reports serve under)
   *
   * Why an artifact: at 100 TB the pair graph is derived once per corpus
   * version (or maintained incrementally — StreamingComponents already
@@ -42,8 +45,16 @@ import graft.functions.PortableHash
   */
 object DedupIndex {
 
-  /** The three artifact frames, as read back from a built index. */
-  final case class Frames(pairs: DataFrame, labels: DataFrame, components: DataFrame)
+  /** The four artifact frames, as read back from a built index.
+    * `components3` is the bounded-hop (3-iteration) component table — the
+    * serving twin of `components` for every report whose contract is the
+    * bounded approximation (dedup_components, dedup_cluster_stats,
+    * leakage_safe_split): before it existed those queries re-ran the
+    * 3-iteration join chain from `pairs` on every serve, the direct cause
+    * of the round-9 dedup-family bench regression.
+    */
+  final case class Frames(pairs: DataFrame, labels: DataFrame,
+      components: DataFrame, components3: DataFrame)
 
   private val pairsSchema = StructType(Seq(
     StructField("doc_a", LongType),
@@ -82,6 +93,8 @@ object DedupIndex {
           .write.mode("overwrite").parquet(s"$dir/labels")
         Dedup.nearDupComponentsExact(pairs)
           .write.mode("overwrite").parquet(s"$dir/components")
+        Dedup.nearDupComponents(pairs)
+          .write.mode("overwrite").parquet(s"$dir/components3")
       } finally pairs.unpersist()
     } finally sig.unpersist()
   }
@@ -100,7 +113,8 @@ object DedupIndex {
   def read(spark: SparkSession, dir: String): Frames = Frames(
     pairs = readOr(spark, s"$dir/pairs", pairsSchema),
     labels = readOr(spark, s"$dir/labels", labelsSchema),
-    components = readOr(spark, s"$dir/components", componentsSchema))
+    components = readOr(spark, s"$dir/components", componentsSchema),
+    components3 = readOr(spark, s"$dir/components3", componentsSchema))
 
   /** Build then read back — the one-call form local pipelines use. */
   def buildAndRead(
@@ -174,6 +188,7 @@ object DedupIndex {
           Graph.labelPropagationWeighted(pairs.withColumnRenamed("est_jaccard", "weight")),
           "labels", "node")
         writeBucketed(Dedup.nearDupComponentsExact(pairs), "components", "doc_id")
+        writeBucketed(Dedup.nearDupComponents(pairs), "components3", "doc_id")
       } finally pairs.unpersist()
     } finally sig.unpersist()
   }
@@ -220,7 +235,8 @@ object DedupIndex {
     Frames(
       pairs = tableOr("pairs", pairsSchema),
       labels = tableOr("labels", labelsSchema),
-      components = tableOr("components", componentsSchema))
+      components = tableOr("components", componentsSchema),
+      components3 = tableOr("components3", componentsSchema))
   }
 
   /** The serving artifact: exactly the latest COMMITTED version's

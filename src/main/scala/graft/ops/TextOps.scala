@@ -848,22 +848,30 @@ object TextOps {
         s"1/(k+1) = ${1000000L / (k + 1)} ppm, or the sketch may drop a qualifying bigram")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // the exploded+windowed instance frame is consumed by BOTH passes —
+    // persist it so posexplode + the per-doc lead() window run once, and
+    // own the cache (eager result, release before return)
     val inst = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("tok"), lead(col("tok"), 1).over(w).as("tok1"))
       .filter(col("tok1").isNotNull)
       .select(concat_ws(" ", col("tok"), col("tok1")).as("bigram"))
-    val mg = udaf(new graft.functions.FreqItemsAggregator(k),
-      org.apache.spark.sql.Encoders.STRING)
-    val cand = inst.agg(mg(col("bigram")).as("sk"))
-      .select(explode(map_keys(col("sk"))).as("bigram"))
-    val tot = inst.agg(count(lit(1)).as("n"))
-    inst.join(broadcast(cand), Seq("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(tot))
-      .filter(col("cnt") * lit(1000000L) >= col("n") * lit(minPpm))
-      .select(col("bigram"), col("cnt"),
-        round(col("cnt").cast("double") / col("n").cast("double"), 6).as("frac"))
+      .persist()
+    try {
+      val mg = udaf(new graft.functions.FreqItemsAggregator(k),
+        org.apache.spark.sql.Encoders.STRING)
+      // one pass yields the candidate set AND the instance total (each
+      // ≤ k-row candidate carries n, so no separate count scan or cross
+      // join is needed)
+      val cand = inst.agg(mg(col("bigram")).as("sk"), count(lit(1)).as("n"))
+        .select(explode(map_keys(col("sk"))).as("bigram"), col("n"))
+      inst.join(broadcast(cand), Seq("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"), first(col("n")).as("n"))
+        .filter(col("cnt") * lit(1000000L) >= col("n") * lit(minPpm))
+        .select(col("bigram"), col("cnt"),
+          round(col("cnt").cast("double") / col("n").cast("double"), 6).as("frac"))
+        .localCheckpoint(true)
+    } finally inst.unpersist()
   }
 
   /** PMI collocation floor: pairs below this exact count are too rare for

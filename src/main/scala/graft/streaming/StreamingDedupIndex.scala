@@ -69,6 +69,11 @@ object StreamingDedupIndex {
     StructField("community", LongType),
     StructField(VersionCol, LongType)))
 
+  private val comp3Schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("rep", LongType),
+    StructField(VersionCol, LongType)))
+
   private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame =
     try spark.read.schema(schema).parquet(path)
     catch {
@@ -95,6 +100,19 @@ object StreamingDedupIndex {
     else all.filter(col(VersionCol) === maxV.getLong(0)).drop(VersionCol)
   }
 
+  /** Latest committed bounded-hop component table strictly below
+    * `beforeVersion` — maintained by the same touched-component recompute
+    * as labels (bounded-hop labels, like LPA labels, depend only on the
+    * node's own connected component's edge set, so splice ≡ batch).
+    */
+  def readComponents3(spark: SparkSession, indexDir: String, beforeVersion: Long): DataFrame = {
+    val all = readOr(spark, s"$indexDir/components3", comp3Schema)
+      .filter(col(VersionCol) < beforeVersion)
+    val maxV = all.agg(max(col(VersionCol))).head()
+    if (maxV.isNullAt(0)) all.limit(0).drop(VersionCol)
+    else all.filter(col(VersionCol) === maxV.getLong(0)).drop(VersionCol)
+  }
+
   /** The maintained artifact in `DedupIndex.Frames` shape, so every
     * `*From` report reads the streamed index exactly as it reads a batch
     * build.
@@ -104,7 +122,8 @@ object StreamingDedupIndex {
       pairs = readPairs(spark, indexDir, Long.MaxValue),
       labels = readLabels(spark, indexDir, Long.MaxValue),
       components = StreamingComponents.readComponents(
-        spark, s"$indexDir/components", Long.MaxValue))
+        spark, s"$indexDir/components", Long.MaxValue),
+      components3 = readComponents3(spark, indexDir, Long.MaxValue))
 
   /** One micro-batch of the maintenance loop, idempotent in `batchId`.
     * Expects document rows (doc_id, text, ...).
@@ -145,16 +164,29 @@ object StreamingDedupIndex {
         val members = comps.join(touchedReps, Seq("rep"), "left_semi")
           .select(col("doc_id"))
         // every pair is intra-component, so filtering on doc_a alone
-        // selects exactly the touched components' edge sets
+        // selects exactly the touched components' edge sets (persisted:
+        // both the LPA and bounded-hop recomputes read this slice)
         val subPairs = readPairs(spark, indexDir, batchId)
           .join(members.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
-        val recomputed = Graph.labelPropagationWeightedEager(
-          subPairs.withColumnRenamed("est_jaccard", "weight"))
-        val untouched = priorLabels
-          .join(members.withColumnRenamed("doc_id", "node"), Seq("node"), "left_anti")
-        untouched.unionByName(recomputed)
-          .withColumn(VersionCol, lit(batchId))
-          .overwritePartitions(s"$indexDir/labels", VersionCol)
+          .persist()
+        try {
+          val recomputed = Graph.labelPropagationWeightedEager(
+            subPairs.withColumnRenamed("est_jaccard", "weight"))
+          val untouched = priorLabels
+            .join(members.withColumnRenamed("doc_id", "node"), Seq("node"), "left_anti")
+          untouched.unionByName(recomputed)
+            .withColumn(VersionCol, lit(batchId))
+            .overwritePartitions(s"$indexDir/labels", VersionCol)
+          // 5. bounded-hop components: same touched-component recompute —
+          // the 3-iteration labels of a node depend only on its own
+          // component's edges, so recompute-over-touched + splice is
+          // EXACTLY the batch nearDupComponents over the full graph
+          val priorC3 = readComponents3(spark, indexDir, batchId)
+          priorC3.join(members, Seq("doc_id"), "left_anti")
+            .unionByName(Dedup.nearDupComponents(subPairs))
+            .withColumn(VersionCol, lit(batchId))
+            .overwritePartitions(s"$indexDir/components3", VersionCol)
+        } finally subPairs.unpersist()
       } finally newPairs.unpersist()
     } finally newSig.unpersist()
   }
@@ -253,6 +285,14 @@ object StreamingDedupIndex {
               .unionByName(recomputed)
               .withColumn(VersionCol, lit(batchId))
               .overwritePartitions(s"$indexDir/labels", VersionCol)
+            // bounded-hop components over the same surviving edge set:
+            // touched members (incl. every tombstoned doc) leave the prior
+            // table; survivors with edges re-enter via the recompute
+            readComponents3(spark, indexDir, batchId)
+              .join(members, Seq("doc_id"), "left_anti")
+              .unionByName(Dedup.nearDupComponents(edges))
+              .withColumn(VersionCol, lit(batchId))
+              .overwritePartitions(s"$indexDir/components3", VersionCol)
           } finally edges.unpersist()
         } finally newPairs.unpersist()
       } finally newSig.unpersist()

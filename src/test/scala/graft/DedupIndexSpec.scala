@@ -48,6 +48,7 @@ class DedupIndexSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapp
         Graph.labelPropagationWeighted(
           inlinePairs.withColumnRenamed("est_jaccard", "weight")))
       rowsOf(f.components) shouldBe rowsOf(Dedup.nearDupComponentsExact(inlinePairs))
+      rowsOf(f.components3) shouldBe rowsOf(Dedup.nearDupComponents(inlinePairs))
       f.pairs.count() should be > 0L
 
       // reports served FROM the artifact ≡ inline reports
@@ -90,6 +91,7 @@ class DedupIndexSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapp
       f.pairs.count() shouldBe 0L
       f.labels.count() shouldBe 0L
       f.components.count() shouldBe 0L
+      f.components3.count() shouldBe 0L
     }
   }
 
@@ -114,6 +116,8 @@ class DedupIndexSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapp
       rowsOf(v1.pairs) shouldBe rowsOf(Dedup.minhashLshPairs(docs))
       rowsOf(v1.components) shouldBe
         rowsOf(Dedup.nearDupComponentsExact(Dedup.minhashLshPairs(docs)))
+      rowsOf(v1.components3) shouldBe
+        rowsOf(Dedup.nearDupComponents(Dedup.minhashLshPairs(docs)))
 
       // v2 builds while v1 keeps serving — the reader sees entirely-old
       // until the one-row commit lands, entirely-new after

@@ -54,6 +54,7 @@ class StreamingDedupIndexSpec extends AnyFunSpec with Matchers with SparkSession
     rowSet(streamed.pairs) shouldBe rowSet(ref.pairs)
     rowSet(streamed.labels) shouldBe rowSet(ref.labels)
     rowSet(streamed.components) shouldBe rowSet(ref.components)
+    rowSet(streamed.components3) shouldBe rowSet(ref.components3)
   }
 
   describe("StreamingDedupIndex") {

@@ -2233,7 +2233,8 @@ object SparkEntry {
          SELECT count(*) AS n_from, count(dt) AS n_converted,
            round(quantile_cont(dt, 0.5), 6) AS p50_ms,
            round(quantile_cont(dt, 0.9), 6) AS p90_ms,
-           CAST((count(dt) * 1000000) // count(*) AS BIGINT) AS convert_ppm
+           CAST(CASE WHEN count(*) = 0 THEN 0
+             ELSE (count(dt) * 1000000) // count(*) END AS BIGINT) AS convert_ppm
          FROM dts""",
 
     "windowed_distinct_users" ->

@@ -97,6 +97,17 @@ object Dedup {
     // path repeatedly (chunk pairs, leakage splits) never accumulates
     // pinned corpus-sized signature caches. The checkpointed pair blocks
     // themselves are GC-managed (ContextCleaner frees them with the frame).
+    //
+    // LOCAL-MODE TRADE-OFF (module-wide, every eager localCheckpoint here):
+    // checkpoint blocks are executor-local and NOT fault-tolerant — on a
+    // real cluster an executor loss makes the returned frame unrecoverable
+    // (job failure instead of lineage recompute), and the call fully
+    // materializes the pair set even if the caller consumes a fraction.
+    // That is the right trade for this single-JVM bench/driver (no executor
+    // loss; the callers consume their frames whole) — cluster deployments
+    // wanting recomputability should set a reliable checkpoint dir
+    // (spark.sparkContext.setCheckpointDir + .checkpoint()) or serve from
+    // the persisted DedupIndex artifact, which is the production path.
     val sig = minhashSignatures(docs, hash).persist()
     try minhashLshPairsFromSignatures(sig, hash).localCheckpoint(true)
     finally sig.unpersist()

@@ -215,9 +215,8 @@ object Graph {
     */
   def labelPropagationWeightedEager(pairs: DataFrame, iters: Int = LpIters): DataFrame = {
     val edges = symmetrizedWeighted(pairs).persist()
-    val out = lpaWeightedLoop(edges, iters).localCheckpoint(true)
-    edges.unpersist()
-    out
+    try lpaWeightedLoop(edges, iters).localCheckpoint(true)
+    finally edges.unpersist()
   }
 
   /** Integer micro-unit symmetrized weighted edge list — shared by the

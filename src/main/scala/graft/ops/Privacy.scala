@@ -265,6 +265,14 @@ object Privacy {
       cu = cu.join(far, Seq("event_type", "day", "vb"), "left_anti")
         .localCheckpoint(true)
     }
+    // fixpoint guard: the scaladoc promises the output's own audit passes;
+    // if a cascade needs more than `rounds` suppression rounds, fail loudly
+    // (one domain-sized scalar count) instead of returning a table that
+    // silently under-suppresses — a privacy remediation must not lie.
+    val residual = perClassTvd(cu).filter(col("tvd_ppm") > tPpm).count()
+    require(residual == 0L,
+      s"tClosenessApply: $residual class(es) still above $tPpm ppm after " +
+        s"$rounds suppression rounds — raise `rounds` (cascade unconverged)")
     val kept = cu.select(col("event_type"), col("day"), col("vb")).distinct()
     events
       .withColumn("day", to_date(col("ts")))

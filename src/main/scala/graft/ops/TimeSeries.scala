@@ -164,7 +164,11 @@ object TimeSeries {
         round(expr("percentile(dt, 0.5)"), 6).as("p50_ms"),
         round(expr("percentile(dt, 0.9)"), 6).as("p90_ms"))
       .select(col("n_from"), col("n_converted"), col("p50_ms"), col("p90_ms"),
-        expr("CAST((n_converted * 1000000) div n_from AS BIGINT)").as("convert_ppm"))
+        // empty-funnel guard: n_from = 0 emits rate 0 (not NULL), and the
+        // oracle carries the same CASE so neither engine divides by zero
+        expr("CAST(CASE WHEN n_from = 0 THEN 0" +
+          " ELSE (n_converted * 1000000) div n_from END AS BIGINT)")
+          .as("convert_ppm"))
   }
 
   /** Jensen-Shannon drift per key — the third lens of the drift panel:

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{abs, array_max, broadcast, col, lit, round, slice, sqrt, transform}
+import org.apache.spark.sql.functions.{abs, array_max, broadcast, col, lit, max, round, slice, sqrt, transform}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
@@ -143,31 +143,53 @@ object StreamingAnnIngest {
       .withColumn(BatchCol, lit(batchId))
       .overwritePartitions(s"$indexDir/$DeletesSub", BatchCol)
 
-  /** The accumulated delete vector (empty before any logical delete). */
+  /** The accumulated delete vector (empty before any logical delete),
+    * one row per tombstoned vec_id. `del_batch` = the LATEST batch whose
+    * delete named the id: a delete covers only index rows ingested at or
+    * before it (`batch_id <= del_batch`), the Iceberg/Delta DV scoping —
+    * without it, a vec_id re-ingested AFTER its logical delete would be
+    * hidden by the live view and physically lost at compaction.
+    */
   def readDeletes(spark: SparkSession, indexDir: String): DataFrame =
     (try spark.read.schema(deleteSchema).parquet(s"$indexDir/$DeletesSub")
     catch {
       case _: AnalysisException =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], deleteSchema)
-    }).select(col("vec_id")).distinct()
+    }).groupBy(col("vec_id")).agg(max(col(BatchCol)).as("del_batch"))
 
   /** The LIVE index view: physical rows minus the delete vector — what
     * every serving tier should read between compactions. The anti-join is
     * broadcast (tombstones are tiny next to the corpus), so the read adds
-    * no shuffle.
+    * no shuffle; the `batch_id <= del_batch` bound keeps rows re-ingested
+    * after their delete alive.
     */
-  def readIndexLive(spark: SparkSession, indexDir: String): DataFrame =
-    readIndex(spark, indexDir)
-      .join(broadcast(readDeletes(spark, indexDir)), Seq("vec_id"), "left_anti")
+  def readIndexLive(spark: SparkSession, indexDir: String): DataFrame = {
+    val idx = readIndex(spark, indexDir)
+    val dels = readDeletes(spark, indexDir)
+    idx.join(broadcast(dels),
+      idx("vec_id") === dels("vec_id") && idx(BatchCol) <= dels("del_batch"),
+      "left_anti")
+  }
 
   /** Fold the delete vector into the physical files (the copy-on-write
     * scrub) and truncate it. Exactly-once under crash-retry: the scrub is
     * idempotent, and a retry that finds rows already scrubbed simply drops
     * the remaining vector directory; between the two steps the anti-join
-    * view stays correct (removing absent keys is a no-op).
+    * view stays correct (removing absent keys is a no-op). The scrub
+    * removes exactly the (vec_id, batch_id <= del_batch) rows the live
+    * view hides, so compaction never eats a post-delete re-insert.
     */
   def compactDeletes(spark: SparkSession, indexDir: String): Unit = {
-    processDeletes(readDeletes(spark, indexDir), indexDir)
+    val idx = readIndex(spark, indexDir)
+    val dels = readDeletes(spark, indexDir)
+    // resolve the <= bound into exact composite keys (delete-vector-sized:
+    // only rows that actually exist and are covered), then scrub on them
+    val scoped = idx.join(broadcast(dels),
+        idx("vec_id") === dels("vec_id") && idx(BatchCol) <= dels("del_batch"),
+        "left_semi")
+      .select(col("vec_id"), col(BatchCol)).distinct()
+    IndexTombstones.scrub(
+      idx, scoped, Seq("vec_id", BatchCol), indexDir, Seq("cell", BatchCol))
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$DeletesSub"), true): Unit

@@ -88,7 +88,9 @@ class IndexTombstoneSpec extends AnyFunSpec with Matchers with SparkSessionTestW
       StreamingAnnIngest.processBatch(embDf(batch1), 1L, quantizer, indexDir)
 
       // LOGICAL delete of vec 3 and 10: O(batch) append, no index rewrite
-      StreamingAnnIngest.appendDeletes(Seq(3L, 10L).toDF("vec_id"), 0L, indexDir)
+      // (the takedown batch follows the ingests it covers, so its id
+      // bounds them: a delete covers rows with batch_id <= del_batch)
+      StreamingAnnIngest.appendDeletes(Seq(3L, 10L).toDF("vec_id"), 2L, indexDir)
       val survivors = (batch0 ++ batch1).filterNot(r => Set(3L, 10L)(r._1))
       // live view reflects the delete immediately...
       StreamingAnnIngest.readIndexLive(spark, indexDir)
@@ -106,7 +108,7 @@ class IndexTombstoneSpec extends AnyFunSpec with Matchers with SparkSessionTestW
         ranked3(VectorOps.ivfTopKFromIndex(batchIdx, queries, quantizer, k = 2))
 
       // a replayed logical-delete batch is exactly-once (partition overwrite)
-      StreamingAnnIngest.appendDeletes(Seq(3L, 10L).toDF("vec_id"), 0L, indexDir)
+      StreamingAnnIngest.appendDeletes(Seq(3L, 10L).toDF("vec_id"), 2L, indexDir)
       StreamingAnnIngest.readDeletes(spark, indexDir).count() shouldBe 2L
 
       // COMPACTION folds the vector into the files and truncates it
@@ -123,6 +125,31 @@ class IndexTombstoneSpec extends AnyFunSpec with Matchers with SparkSessionTestW
       // compaction replay: idempotent
       StreamingAnnIngest.compactDeletes(spark, indexDir)
       StreamingAnnIngest.readIndex(spark, indexDir).count() shouldBe 4L
+    }
+
+    it("deletion-vector tier: a vec_id re-ingested AFTER its logical delete stays live through compaction") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-tomb-dv-re").toString
+      val indexDir = s"$dir/index"
+      StreamingAnnIngest.processBatch(embDf(batch0), 0L, quantizer, indexDir)
+      // logical delete of vec 3 at takedown batch 1...
+      StreamingAnnIngest.appendDeletes(Seq(3L).toDF("vec_id"), 1L, indexDir)
+      StreamingAnnIngest.readIndexLive(spark, indexDir)
+        .filter(col("vec_id") === 3L).count() shouldBe 0L
+      // ...then vec 3 re-ingested at batch 2 (new content, same key): the
+      // delete is scoped to batch_id <= 1, so the re-insert is LIVE
+      StreamingAnnIngest.processBatch(
+        embDf(Seq((3L, vec(0, 0.04f), 0))), 2L, quantizer, indexDir)
+      StreamingAnnIngest.readIndexLive(spark, indexDir)
+        .filter(col("vec_id") === 3L).count() shouldBe 1L
+      // compaction scrubs ONLY the covered row (batch 0), not the re-insert
+      StreamingAnnIngest.compactDeletes(spark, indexDir)
+      val after = StreamingAnnIngest.readIndex(spark, indexDir)
+        .filter(col("vec_id") === 3L)
+        .select("vec_id", "batch_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      after.toSeq shouldBe Seq((3L, 2L))
+      // and the live view agrees post-compaction (vector truncated)
+      StreamingAnnIngest.readIndexLive(spark, indexDir)
+        .filter(col("vec_id") === 3L).count() shouldBe 1L
     }
 
     it("a mixed CDC batch folds deletes + upserts deterministically, exactly-once on retry") {

@@ -164,13 +164,17 @@ object DedupIndex {
     * Idempotent in `v` — a crashed build's retry overwrites its own
     * tables.
     */
-  def buildVersioned(
-      docs: DataFrame,
-      root: String,
-      v: Long,
-      tablePrefix: String = "graft_dedup",
-      hash: (String, Column) => Column = PortableHash.h31): Unit = {
-    val spark = docs.sparkSession
+  /** Write already-derived artifact frames as version `v`'s BUCKETED
+    * catalog tables (external, pathed into the version dir). Does NOT
+    * publish — `commit(v)` is the cutover. Idempotent in `v`: a retry
+    * overwrites its own tables. This is the write half `buildVersioned`
+    * and the STREAMING publisher share: the batch path derives the frames
+    * from a corpus scan, the streaming path hands in the incrementally
+    * maintained tables — either way the on-disk layout is identical.
+    */
+  def writeVersionTables(frames: Frames, root: String, v: Long,
+      tablePrefix: String = "graft_dedup"): Unit = {
+    val spark = frames.pairs.sparkSession
     def writeBucketed(df: DataFrame, table: String, key: String): Unit = {
       val name = tableName(tablePrefix, table, v)
       spark.sql(s"DROP TABLE IF EXISTS $name")
@@ -179,16 +183,28 @@ object DedupIndex {
         .option("path", s"${versionDir(root, v)}/$table")
         .saveAsTable(name)
     }
+    writeBucketed(frames.pairs, "pairs", "doc_a")
+    writeBucketed(frames.labels, "labels", "node")
+    writeBucketed(frames.components, "components", "doc_id")
+    writeBucketed(frames.components3, "components3", "doc_id")
+  }
+
+  def buildVersioned(
+      docs: DataFrame,
+      root: String,
+      v: Long,
+      tablePrefix: String = "graft_dedup",
+      hash: (String, Column) => Column = PortableHash.h31): Unit = {
     val sig = Dedup.minhashSignatures(docs, hash).persist()
     try {
       val pairs = Dedup.minhashLshPairsFromSignatures(sig, hash).persist()
       try {
-        writeBucketed(pairs, "pairs", "doc_a")
-        writeBucketed(
-          Graph.labelPropagationWeighted(pairs.withColumnRenamed("est_jaccard", "weight")),
-          "labels", "node")
-        writeBucketed(Dedup.nearDupComponentsExact(pairs), "components", "doc_id")
-        writeBucketed(Dedup.nearDupComponents(pairs), "components3", "doc_id")
+        writeVersionTables(Frames(
+          pairs = pairs,
+          labels = Graph.labelPropagationWeighted(
+            pairs.withColumnRenamed("est_jaccard", "weight")),
+          components = Dedup.nearDupComponentsExact(pairs),
+          components3 = Dedup.nearDupComponents(pairs)), root, v, tablePrefix)
       } finally pairs.unpersist()
     } finally sig.unpersist()
   }

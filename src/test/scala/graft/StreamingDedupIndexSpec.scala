@@ -154,6 +154,53 @@ class StreamingDedupIndexSpec extends AnyFunSpec with Matchers with SparkSession
       assertEqualsBatch(idxDir, (b0 ++ b2) :+ (11L -> mut(baseA, 1)))
     }
 
+    it("versioned publish: stream-maintained bucketed artifact == batch build at every commit point, atomic cutover, exactly-once replay") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val dir = java.nio.file.Files.createTempDirectory("graft-sdix-vp").toString
+      val (idxDir, ckpt, root) = (s"$dir/idx", s"$dir/ckpt", s"$dir/serve")
+      val prefix = "graft_sdixvp"
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingDedupIndex.startVersioned(
+        mem.toDS().toDF("doc_id", "text"), idxDir, ckpt, root, prefix)
+      try {
+        var seen = Seq.empty[(Long, String)]
+        Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+          mem.addData(b: _*)
+          q.processAllAvailable()
+          seen = seen ++ b
+          // commit point i: the ACTIVE version is this batch, and its
+          // content equals the batch DedupIndex build over full history
+          DedupIndex.activeVersion(spark, root) shouldBe Some(i.toLong)
+          val served = DedupIndex.readActive(spark, root, prefix)
+          val ref = batchFrames(seen)
+          rowSet(served.pairs) shouldBe rowSet(ref.pairs)
+          rowSet(served.labels) shouldBe rowSet(ref.labels)
+          rowSet(served.components) shouldBe rowSet(ref.components)
+          rowSet(served.components3) shouldBe rowSet(ref.components3)
+        }
+      } finally q.stop()
+
+      // the published layout really is bucketed: the survivorship-report
+      // join shape ships no Exchange on either artifact side
+      val f = DedupIndex.readActive(spark, root, prefix)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = f.pairs.join(
+          f.components3.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+        val plan = joined.queryExecution.executedPlan.toString
+        plan should include("SortMergeJoin")
+        plan should not include "Exchange"
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+      // a replayed publish of the same version is exactly-once: same
+      // active version, same content
+      val before = rowSet(DedupIndex.readActive(spark, root, prefix).pairs)
+      StreamingDedupIndex.publishVersion(spark, idxDir, root, 2L, prefix)
+      DedupIndex.activeVersion(spark, root) shouldBe Some(2L)
+      rowSet(DedupIndex.readActive(spark, root, prefix).pairs) shouldBe before
+    }
+
     it("a report served from the streamed index matches the inline derivation") {
       val dir = java.nio.file.Files.createTempDirectory("graft-sdix-serve").toString
       val idxDir = s"$dir/idx"

@@ -1665,17 +1665,19 @@ object SparkEntry {
         Multimodal.withPlantedMediaDups(Tables.documents(s, dir))))),
     // Perceptual media near-dup pairs: banded 16-bit-word candidates +
     // exact Hamming verify; planted near-identical twins must pair.
-    "media_neardup_pairs" -> ((s, dir) =>
-      Multimodal.mediaNearDupPairs(Multimodal.mediaTable(
-        Multimodal.withPlantedMediaDups(Tables.documents(s, dir))))),
-    // The APPLY path: exact CC over the perceptual pair graph, one min-id
-    // keeper per component, singletons pass through — the media twin of
-    // dedup_apply_components.
+    // Served FROM the StreamingMediaDedup-maintained index (built once per
+    // application — the dedupIndexOf pattern for the media tier); the
+    // oracle replays the inline derivation, so hash-green certifies
+    // from-index == inline.
+    "media_neardup_pairs" -> ((s, dir) => mediaPairsOf(s, dir)),
+    // The APPLY path: exact CC over the perceptual pair graph (read from
+    // the same maintained index), one min-id keeper per component,
+    // singletons pass through — the media twin of dedup_apply_components.
     "media_dedup_apply" -> ((s, dir) => {
       val media = Multimodal.mediaTable(
         Multimodal.withPlantedMediaDups(Tables.documents(s, dir)))
       val comps = graft.ops.Dedup.nearDupComponentsExact(
-        Multimodal.mediaNearDupPairs(media)
+        mediaPairsOf(s, dir)
           .withColumnRenamed("media_a", "doc_a")
           .withColumnRenamed("media_b", "doc_b"))
       media.select(col("media_id")).join(
@@ -1751,6 +1753,22 @@ object SparkEntry {
     graft.ops.DedupIndex.read(s,
       artifactDirOf("dedup-index", s, dir) { tmp =>
         graft.ops.DedupIndex.build(Tables.documents(s, dir), tmp)
+      })
+
+  /** The perceptual media near-dup pair graph, built once per
+    * (application, sf dir) by ONE StreamingMediaDedup fold over the
+    * planted media table — the serve-side cache for `media_neardup_pairs`
+    * and `media_dedup_apply`, and the from-index proof: the registered
+    * queries keep their inline-derived oracle SQL, so a hash-green round
+    * certifies the maintained index reproduces the inline derivation.
+    */
+  private[graft] def mediaPairsOf(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.streaming.StreamingMediaDedup.readPairs(s,
+      artifactDirOf("media-dedup", s, dir) { tmp =>
+        graft.streaming.StreamingMediaDedup.processBatch(
+          Multimodal.mediaTable(
+            Multimodal.withPlantedMediaDups(Tables.documents(s, dir))), 0L, tmp)
       })
 
   /** The TextRank co-occurrence table, built once per (application, sf

@@ -256,6 +256,66 @@ object Multimodal {
     spark.createDataFrame(rdd, phashSchema)
   }
 
+  /** (media_id, pb0..pb3, band, bw) banding of a fingerprint table — the
+    * equi-join key frame the batch self-join and the incremental probe
+    * share.
+    */
+  private def bandedPhash(ph: DataFrame): DataFrame = {
+    val bandStructs = (0 until PhashBands).map(j =>
+      struct(lit(j).as("band"), col(s"pb$j").as("bw")))
+    ph.withColumn("b", explode(array(bandStructs: _*)))
+      .select(col("media_id") +: (0 until PhashBands).map(i => col(s"pb$i")) :+
+        col("b.band").as("band") :+ col("b.bw").as("bw"): _*)
+  }
+
+  /** Exact Hamming distance between the two sides of a banded self-join. */
+  private def bandedHamming =
+    (0 until PhashBands).map(j =>
+        bit_count(col(s"a.pb$j").cast("long").bitwiseXOR(col(s"b.pb$j").cast("long"))))
+      .reduce(_ + _)
+
+  /** The banded self-join over a PREBUILT fingerprint table — the serving
+    * half of the perceptual pipeline (caller owns persistence of `ph`;
+    * a parquet-backed index needs none).
+    */
+  def mediaNearDupPairsFromPhash(ph: DataFrame, maxHam: Int = PhashMaxHam): DataFrame = {
+    val banded = bandedPhash(ph)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bw") === col("b.bw") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        bandedHamming.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHam)
+      .distinct()
+  }
+
+  /** Incremental banded probe: candidate pairs with AT LEAST one endpoint
+    * in `newPh`, canonicalized (media_a < media_b) — the
+    * minhashLshPairsIncremental shape for the perceptual tier. When media
+    * arrive in batches with unique media_ids, every pair is generated
+    * exactly once (in the batch of its later endpoint), so appending each
+    * batch's output reconstructs `mediaNearDupPairsFromPhash(allPh)`
+    * exactly (StreamingMediaDedupSpec pins the equivalence).
+    *
+    * Scale: one banded equi-join of |batch|·4 band rows against the
+    * accumulated fingerprint index — O(new collisions), never
+    * history × history; production buckets the index by (band, bw).
+    */
+  def mediaNearDupPairsIncremental(
+      newPh: DataFrame, allPh: DataFrame, maxHam: Int = PhashMaxHam): DataFrame = {
+    val a = bandedPhash(newPh).as("a")
+    val b = bandedPhash(allPh).as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bw") === col("b.bw") &&
+        col("a.media_id") =!= col("b.media_id"))
+      .select(
+        least(col("a.media_id"), col("b.media_id")).as("media_a"),
+        greatest(col("a.media_id"), col("b.media_id")).as("media_b"),
+        bandedHamming.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHam)
+      .distinct()
+  }
+
   /** Perceptual near-dup pairs over the media bytes: banded candidate
     * equi-join on any identical 16-bit fingerprint band, exact-Hamming
     * verify at ≤ `maxHam` of 64 bits (random pairs sit near 32). Output
@@ -264,25 +324,8 @@ object Multimodal {
     */
   def mediaNearDupPairs(media: DataFrame, maxHam: Int = PhashMaxHam): DataFrame = {
     val ph = perceptualHash(media).persist()
-    try {
-      val bandStructs = (0 until PhashBands).map(j =>
-        struct(lit(j).as("band"), col(s"pb$j").as("bw")))
-      val banded = ph.withColumn("b", explode(array(bandStructs: _*)))
-        .select(col("media_id") +: (0 until PhashBands).map(i => col(s"pb$i")) :+
-          col("b.band").as("band") :+ col("b.bw").as("bw"): _*)
-      val a = banded.as("a")
-      val b = banded.as("b")
-      val ham = (0 until PhashBands).map(j =>
-          bit_count(col(s"a.pb$j").cast("long").bitwiseXOR(col(s"b.pb$j").cast("long"))))
-        .reduce(_ + _)
-      a.join(b, col("a.band") === col("b.band") && col("a.bw") === col("b.bw") &&
-          col("a.media_id") < col("b.media_id"))
-        .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
-          ham.cast("long").as("hamming"))
-        .filter(col("hamming") <= maxHam)
-        .distinct()
-        .localCheckpoint(true)
-    } finally ph.unpersist()
+    try mediaNearDupPairsFromPhash(ph, maxHam).localCheckpoint(true)
+    finally ph.unpersist()
   }
 
   /** Deterministic near-identical media planting (the plantedCorpus /

@@ -1486,6 +1486,28 @@ object SparkEntry {
       VectorOps.spannRecallReport(Tables.embeddings(s, dir))),
     "spann_cell_stats" -> ((s, dir) =>
       VectorOps.spannCellStats(Tables.embeddings(s, dir))),
+    // Navigable-graph ANN (HNSW/DiskANN shape): bounded-degree proximity
+    // graph from probe-2 cell co-membership, IVF-seeded beam traversal —
+    // the serving tier whose per-query cost is O(rounds·beam·degree)
+    // distance evals instead of a cell fraction of the corpus. The final
+    // top-k dominates its IVF-nprobe=1 seeds by construction.
+    // Served FROM the memoized artifact (edges + cell index + centroids);
+    // the oracle replays the full inline build+search, so hash-green
+    // certifies from-artifact == inline.
+    "ann_graph_topk" -> ((s, dir) => {
+      val (edges, index, coarse) = annGraphOf(s, dir)
+      VectorOps.graphTopKFromIndex(edges, index,
+        VectorOps.querySet(Tables.embeddings(s, dir)), coarse)
+    }),
+    "ann_graph_recall_report" -> ((s, dir) => {
+      val (edges, index, coarse) = annGraphOf(s, dir)
+      VectorOps.graphRecallReportFrom(Tables.embeddings(s, dir),
+        VectorOps.graphTopKFromIndex(edges, index,
+          VectorOps.querySet(Tables.embeddings(s, dir)), coarse))
+    }),
+    // Build-side audit: is the graph actually bounded-degree?
+    "ann_graph_degree_stats" -> ((s, dir) =>
+      VectorOps.graphDegreeStatsFrom(annGraphOf(s, dir)._1)),
     "ann_ivf_topk_np2" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir), nprobe = 2)),
     // Filtered ANN (hybrid search): candidates restricted by a metadata
     // predicate applied before cell assignment; quantizer stays corpus-wide.
@@ -1754,6 +1776,38 @@ object SparkEntry {
       artifactDirOf("dedup-index", s, dir) { tmp =>
         graft.ops.DedupIndex.build(Tables.documents(s, dir), tmp)
       })
+
+  /** The navigable-graph ANN artifact, built once per (application, sf
+    * dir): proximity edges + assigned cell index + coarse centroids —
+    * the three tables `graphTopKFromIndex` serves from (in production the
+    * cell index is exactly what StreamingAnnIngest maintains, edges are
+    * rebuilt per corpus version like the DedupIndex artifact). Oracles
+    * replay the full inline derivation, so hash-green certifies
+    * from-artifact == inline.
+    */
+  private[graft] def annGraphOf(s: org.apache.spark.sql.SparkSession, dir: String): (
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val d = artifactDirOf("ann-graph", s, dir) { tmp =>
+      val emb = Tables.embeddings(s, dir)
+      val coarse = VectorOps.centroids(emb)
+        .select(col("label").as("cell"), col("centroid"))
+      coarse.write.mode("overwrite").parquet(s"$tmp/cents")
+      VectorOps.graphEdges(emb, coarse = Some(coarse))
+        .write.mode("overwrite").parquet(s"$tmp/edges")
+      val centArr = coarse.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      VectorOps.assignCells(emb, centArr)
+        .select(col("vec_id"), col("cell"), col("v").as("cv"),
+          graft.functions.ArrayDotProduct.dot(col("v"), col("v")).as("sq"))
+        .select(col("vec_id"), col("cell"), col("cv"), sqrt(col("sq")).as("cn"))
+        .write.mode("overwrite").parquet(s"$tmp/index")
+    }
+    (s.read.schema("src bigint, dst bigint, cos double").parquet(s"$d/edges"),
+      s.read.schema("vec_id bigint, cell int, cv array<double>, cn double")
+        .parquet(s"$d/index"),
+      s.read.schema("cell int, centroid array<double>").parquet(s"$d/cents"))
+  }
 
   /** The perceptual media near-dup pair graph, built once per
     * (application, sf dir) by ONE StreamingMediaDedup fold over the
@@ -2696,6 +2750,9 @@ object SparkEntry {
     "spann_from_index_topk" -> DuckDbOracles.annSpannTopK(),
     "spann_recall_report" -> DuckDbOracles.spannRecallReport(),
     "spann_cell_stats" -> DuckDbOracles.spannCellStats(),
+    "ann_graph_topk" -> DuckDbOracles.annGraphTopK(),
+    "ann_graph_recall_report" -> DuckDbOracles.annGraphRecallReport(),
+    "ann_graph_degree_stats" -> DuckDbOracles.annGraphDegreeStats(),
     "ann_ivf_topk_np2" -> DuckDbOracles.annIvfTopK(nprobe = 2),
     "ann_ivf_filtered_topk" ->
       DuckDbOracles.annIvfTopK(nprobe = 2, corpusFilter = "label % 2 = 0"),

@@ -1935,4 +1935,184 @@ object VectorOps {
       round(dot(v, array(rpSigns(j).map(lit(_)): _*)) / lit(scale), 6).as(s"r$j")
     }: _*)
   }
+
+  // ---- navigable-graph ANN tier (HNSW/DiskANN shape) ----------------------
+  //
+  // The third serving leg next to the compression panel (int8/PQ/OPQ/BQ/MRL)
+  // and the partition panel (IVF/SPANN): a bounded-degree proximity GRAPH +
+  // greedy beam traversal (Malkov & Yashunin 2018 "HNSW"; Subramanya et al.
+  // 2019 "DiskANN"). Everything is DETERMINISTIC so the DuckDB oracle can
+  // replay it round-for-round:
+  //
+  //   BUILD — each node is posted to its `GraphProbe` nearest label-mean
+  //   cells (the SPANN closure idea applied to graph construction: probe-2
+  //   postings make candidate pairs CROSS Voronoi boundaries, which is what
+  //   lets traversal escape the seed cell later); candidates = cell
+  //   co-members; keep the top-`GraphDegree` by (rounded cosine DESC, id
+  //   ASC) per node; symmetrize (union reversed edges — degree ≤ 2M, the
+  //   NSW undirected form).
+  //
+  //   SEARCH — seed the beam with the query's nprobe=1 IVF candidates
+  //   (DiskANN starts at a medoid; IVF-seeded entry is the equi-join form
+  //   of the same idea — no cartesian seed scoring), then `GraphRounds`
+  //   rounds of: expand the beam's out-edges, union the beam, score
+  //   exact rounded cosine, keep the top-`GraphBeam`. Top-k of the final
+  //   beam is the answer. Monotone: pool_r ⊇ beam_{r-1}, so the final
+  //   top-k dominates the IVF-nprobe=1 seed ranking by construction
+  //   (spec-pinned) — the traversal can only ADD cross-boundary neighbors
+  //   IVF missed.
+  //
+  // Scale: the build is |cell-pair candidates| (banded, never all-pairs) +
+  // one per-src top-M; the graph is ≤ 2M·N edges — at 100 TB it lives
+  // bucketed by src so each traversal round's expansion is a co-located
+  // equi-join; a round's frontier is |Q|·beam·(1+2M) rows, independent of
+  // corpus size, and rounds are a fixed small constant (the whole point of
+  // navigable graphs: O(rounds·beam·degree) distance evaluations per query
+  // against IVF's O(cell fraction · N)).
+  val GraphDegree = 8
+  val GraphProbe = 2
+  val GraphBeam = 16
+  val GraphRounds = 3
+
+  /** The bounded-degree proximity graph: (src, dst, cos), symmetrized,
+    * out-degree ≤ 2·`degree`. Candidates come from co-membership in the
+    * `probe` nearest label-mean cells per node — probe ≥ 2 gives the graph
+    * its cross-boundary edges.
+    */
+  def graphEdges(
+      emb: DataFrame, degree: Int = GraphDegree, probe: Int = GraphProbe,
+      coarse: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = coarse.getOrElse(
+      centroids(emb).select(col("label").as("cell"), col("centroid")))
+    val centArr: Array[(Int, Seq[Double])] = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val probed = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("vn"))
+      .select(col("vec_id"), col("v"), col("vn"),
+        probeCellsCol(centArr, col("v"), col("vn"), probe).as("p"))
+      .select(col("vec_id"), (-col("p.negCell")).as("cell"), col("v"), col("vn"))
+    val a = probed.as("a")
+    val b = probed.as("b")
+    // distinct BEFORE ranking: a pair sharing both probe cells would
+    // otherwise occupy two of src's `degree` slots
+    val cand = a.join(b,
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")), 6).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
+    val directed = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= degree)
+      .select(col("src"), col("dst"), col("cos"))
+    directed
+      .unionByName(directed.select(
+        col("dst").as("src"), col("src").as("dst"), col("cos")))
+      .distinct()
+  }
+
+  /** Beam search over the proximity graph: IVF-nprobe=1 seeds, `rounds`
+    * expand-score-prune rounds at beam width `beam`, then the final
+    * beam's top-k as (q_id, rank, neighbor_id, cos).
+    */
+  def graphTopK(
+      emb: DataFrame, k: Int = 10, beam: Int = GraphBeam,
+      rounds: Int = GraphRounds, degree: Int = GraphDegree,
+      probe: Int = GraphProbe): DataFrame = {
+    val coarse = centroids(emb).select(col("label").as("cell"), col("centroid"))
+    val centArr: Array[(Int, Seq[Double])] = coarse.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val index = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+      .select(col("vec_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
+      .select(col("vec_id"), nearestCellExpr(centArr, col("cv"), col("cn")).as("cell"),
+        col("cv"), col("cn"))
+    val edges = graphEdges(emb, degree, probe, coarse = Some(coarse))
+    graphTopKFromIndex(edges, index, querySet(emb), coarse, k, beam, rounds)
+  }
+
+  /** Beam search over PREBUILT artifacts — the serving path: `edges` =
+    * the proximity graph (src, dst), `index` = the assigned cell index
+    * (vec_id, cell, cv, cn — the StreamingAnnIngest layout), `coarse` =
+    * (cell, centroid). Per query the work is one probe-cell seed join +
+    * `rounds` bounded expand-score-prune rounds, independent of corpus
+    * size — the graph tier's whole point.
+    */
+  def graphTopKFromIndex(
+      edges0: DataFrame, index: DataFrame, queries0: DataFrame, coarse: DataFrame,
+      k: Int = 10, beam: Int = GraphBeam, rounds: Int = GraphRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(beam >= k, s"graphTopK: beam $beam must be >= k $k")
+    val centArr: Array[(Int, Seq[Double])] = coarse.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val edges = edges0.select(col("src"), col("dst")).persist()
+    try {
+      val cand = index.select(col("vec_id").as("nid"), col("cv"), col("cn"))
+      val queries = queries0
+        .select(col("q_id"), col("q_emb").cast("array<double>").as("qv"))
+        .select(col("q_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("qn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nid").asc)
+      def topBeam(scored: DataFrame): DataFrame =
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= beam)
+          .select(col("q_id"), col("nid"), col("cos"))
+          // each round references the previous beam TWICE (carry + expand):
+          // eager truncation keeps the lineage one round deep instead of
+          // 2^rounds re-evaluations (the CC-loop convention)
+          .localCheckpoint(true)
+      var beamDf = topBeam(
+        scoreProbes(index, queries0, centArr, nprobe = 1)
+          .withColumnRenamed("neighbor_id", "nid"))
+      for (_ <- 0 until rounds) {
+        val pool = beamDf.select(col("q_id"), col("nid"))
+          .unionByName(beamDf
+            .join(edges, beamDf("nid") === edges("src"))
+            .select(col("q_id"), col("dst").as("nid"))
+            .filter(col("q_id") =!= col("nid")))
+          .distinct()
+        val scored = pool
+          .join(cand, Seq("nid"))
+          .join(broadcast(queries), Seq("q_id"))
+          .select(col("q_id"), col("nid"),
+            round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+        beamDf = topBeam(scored)
+      }
+      beamDf.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
+        .localCheckpoint(true)
+    } finally edges.unpersist()
+  }
+
+  /** `graphRecallReport` with a PRESCORED approximate ranking (the
+    * from-artifact serving path).
+    */
+  def graphRecallReportFrom(emb: DataFrame, approx: DataFrame, k: Int = 10): DataFrame =
+    recallReport(emb, approx, k)
+
+  /** Recall@k + MRR of the graph traversal against brute-force truth —
+    * the audit that says whether degree/beam/rounds are sized for THIS
+    * corpus before the graph serves.
+    */
+  def graphRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
+    recallReport(emb, graphTopK(emb, k), k)
+
+  /** Build-side audit of the proximity graph: node/edge counts and the
+    * out-degree distribution (min/avg/max) — the "is the graph actually
+    * bounded-degree and connected enough to traverse" panel.
+    */
+  def graphDegreeStats(emb: DataFrame, degree: Int = GraphDegree,
+      probe: Int = GraphProbe): DataFrame =
+    graphDegreeStatsFrom(graphEdges(emb, degree, probe))
+
+  /** `graphDegreeStats` over a PREBUILT edge table. */
+  def graphDegreeStatsFrom(edges: DataFrame): DataFrame =
+    edges
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg")).as("n_edges"),
+        min(col("deg")).as("min_degree"),
+        round(avg(col("deg")), 6).as("avg_degree"),
+        max(col("deg")).as("max_degree"))
 }

@@ -2189,6 +2189,97 @@ object DuckDbOracles {
     * brute truth LEFT JOIN the given approximate ranking subquery —
     * metrics from integer hits/ranks only.
     */
+  /** Shared CTEs of the navigable-graph tier (VectorOps.graphEdges): the
+    * annIvfTopK label-mean quantizer, per-node top-`probe` cell postings,
+    * cell-co-member candidates, per-src top-`degree` pruning, symmetrized
+    * edge set. `gcand`/`edges` are MATERIALIZED — the beam rounds reference
+    * `edges` once per round and DuckDB's CTE inlining would otherwise
+    * re-expand the candidate join per reference (the k-core gotcha).
+    */
+  private def graphCtes(degree: Int, probe: Int): String =
+    s"""dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
+       |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
+       |cent AS (SELECT label AS cell, list(round(m, 6) ORDER BY pos) AS centroid
+       |  FROM comp GROUP BY label),
+       |cscore AS (SELECT e.vec_id, e.v, cent.cell,
+       |    round(${cosSql("e.v", "centroid")}, 6) AS ccos
+       |  FROM e CROSS JOIN cent),
+       |ranked_cells AS (SELECT vec_id, v, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
+       |  FROM cscore),
+       |nposted AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r <= $probe),
+       |gcand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+       |    round(${cosSql("a.v", "b.v")}, 6) AS cos
+       |  FROM nposted a JOIN nposted b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |directed AS (SELECT src, dst, cos FROM (
+       |    SELECT src, dst, cos,
+       |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+       |    FROM gcand) WHERE rn <= $degree),
+       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM directed
+       |    UNION ALL SELECT dst AS src, src AS dst FROM directed))""".stripMargin
+
+  /** Twin of VectorOps.graphTopK: IVF-nprobe=1 seed beam, `rounds`
+    * unrolled expand-score-prune rounds (each beam MATERIALIZED — the next
+    * round references it twice), top-k of the final beam.
+    */
+  def annGraphTopK(
+      k: Int = 10,
+      degree: Int = VectorOps.GraphDegree,
+      probe: Int = VectorOps.GraphProbe,
+      beam: Int = VectorOps.GraphBeam,
+      rounds: Int = VectorOps.GraphRounds): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"beam${r - 1}"
+      s"""pool$r AS (SELECT DISTINCT q_id, nid FROM (
+         |    SELECT q_id, nid FROM $prev
+         |    UNION ALL
+         |    SELECT b.q_id, ed.dst AS nid FROM $prev b JOIN edges ed ON b.nid = ed.src
+         |    WHERE ed.dst <> b.q_id)),
+         |score$r AS (SELECT p.q_id, p.nid, round(${cosSql("q.qv", "e.v")}, 6) AS cos
+         |  FROM pool$r p JOIN q ON p.q_id = q.q_id JOIN e ON p.nid = e.vec_id),
+         |beam$r AS MATERIALIZED (SELECT q_id, nid, cos FROM (
+         |    SELECT q_id, nid, cos,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
+         |    FROM score$r) WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embCte,
+       |${graphCtes(degree, probe)},
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |qasg AS (SELECT vec_id AS q_id, v AS qv, cell FROM ranked_cells
+       |  WHERE r = 1 AND vec_id % 100 = 0),
+       |asg AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r = 1),
+       |seedscore AS (SELECT qa.q_id, ca.vec_id AS nid,
+       |    round(${cosSql("qa.qv", "ca.v")}, 6) AS cos
+       |  FROM qasg qa JOIN asg ca ON qa.cell = ca.cell AND qa.q_id <> ca.vec_id),
+       |beam0 AS MATERIALIZED (SELECT q_id, nid, cos FROM (
+       |    SELECT q_id, nid, cos,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
+       |    FROM seedscore) WHERE rn <= $beam),
+       |$roundCtes
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, cos FROM (
+       |  SELECT q_id, nid, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
+       |  FROM beam$rounds) WHERE rn <= $k""".stripMargin
+  }
+
+  def annGraphRecallReport(k: Int = 10): String =
+    recallReportSql(annGraphTopK(k), k)
+
+  /** Twin of VectorOps.graphDegreeStats. */
+  def annGraphDegreeStats(
+      degree: Int = VectorOps.GraphDegree,
+      probe: Int = VectorOps.GraphProbe): String =
+    s"""WITH $embCte,
+       |${graphCtes(degree, probe)},
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+       |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(deg) AS BIGINT) AS n_edges,
+       |  CAST(min(deg) AS BIGINT) AS min_degree,
+       |  round(avg(deg), 6) AS avg_degree,
+       |  CAST(max(deg) AS BIGINT) AS max_degree
+       |FROM deg""".stripMargin
+
   private def recallReportSql(approxSql: String, k: Int): String =
     s"""WITH t AS (SELECT q_id, neighbor_id, rank AS t_rank FROM (
        |${annBruteTopK(k)})),

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.ops.VectorOps
+
+/** The navigable-graph ANN tier's contracts: bounded degree, symmetric
+  * edges, and the beam-search dominance guarantee — the final top-k can
+  * only IMPROVE on its IVF-nprobe=1 seeds (pool_r ⊇ beam_{r-1}), which is
+  * the whole reason to pay for the traversal: it recovers cross-boundary
+  * neighbors single-probe IVF systematically misses.
+  */
+class GraphAnnSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
+
+  private def embDf(rows: Seq[(Long, Seq[Float], Int)]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  // angular chain on the unit circle: query (id 0) heads cluster 0; a
+  // bridge chain (ids 4, 5 — labeled 1) walks toward cluster 1 so the
+  // query's TRUE top-6 straddles the 0/1 Voronoi edge. Cell assignment
+  // splits the bridge (4 lands in cell 0, 5 in cell 1), so IVF-nprobe=1
+  // provably misses the far half — the failure shape the graph traversal
+  // exists to fix, reachable only by walking edge 4→5→6.
+  private def vec(theta: Double): Seq[Float] =
+    Seq(math.cos(theta).toFloat, math.sin(theta).toFloat)
+  private val corpus: Seq[(Long, Seq[Float], Int)] =
+    // cluster 0: θ = 0, 0.05, 0.10, 0.15 (query = id 0)
+    (0 until 4).map(i => (i.toLong, vec(0.05 * i), 0)) ++
+      // bridge chain toward cluster 1
+      Seq((4L, vec(0.25), 1), (5L, vec(0.35), 1)) ++
+      // cluster 1: θ = 0.45 .. 0.80
+      (6 until 14).map(i => (i.toLong, vec(0.45 + 0.05 * (i - 6)), 1)) ++
+      // far cluster 2 around 2.5 rad
+      (14 until 22).map(i => (i.toLong, vec(2.5 + 0.02 * (i - 14)), 2))
+
+  describe("graphEdges") {
+    it("is symmetric with out-degree bounded by 2x the degree knob") {
+      val edges = VectorOps.graphEdges(embDf(corpus), degree = 3)
+      val es = edges.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      es.foreach { case (s, d) => es should contain((d, s)) }
+      val maxDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .agg(max(col("d"))).head().getLong(0)
+      maxDeg should be <= 6L
+      // and degree stats agree with the edge table
+      val stats = VectorOps.graphDegreeStats(embDf(corpus), degree = 3).head()
+      stats.getLong(1) shouldBe es.size.toLong
+      stats.getLong(4) shouldBe maxDeg
+    }
+
+    it("probe-2 postings create cross-boundary edges (some edge spans labels)") {
+      val byLabel = corpus.map(r => r._1 -> r._3).toMap
+      val edges = VectorOps.graphEdges(embDf(corpus), degree = 3)
+        .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.exists { case (s, d) => byLabel(s) != byLabel(d) } shouldBe true
+    }
+  }
+
+  describe("graphTopK") {
+    it("dominates its IVF-nprobe=1 seeds rank-for-rank and recovers cross-boundary neighbors") {
+      val emb = embDf(corpus)
+      val k = 6
+      val graph = VectorOps.graphTopK(emb, k = k, beam = 8, rounds = 3, degree = 3)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1)
+      val ivf = VectorOps.ivfTopK(emb, k = k, nprobe = 1)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1)
+      // rank-for-rank: the traversal's i-th cosine never drops below the
+      // seed ranking's i-th cosine (monotone pool growth)
+      graph.zip(ivf).foreach { case ((_, _, gc), (_, _, ic)) =>
+        gc should be >= ic
+      }
+      // and it matches the brute-force truth on this corpus: the beam
+      // walked across the Voronoi edge to the boundary/cluster-1 points
+      val truth = VectorOps.bruteForceTopK(emb, k = k)
+        .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+      graph.map(g => (g._1, g._2)).toSeq shouldBe truth.toSeq
+      // while nprobe=1 IVF provably missed at least one of them
+      ivf.map(_._2).toSet should not be truth.map(_._2).toSet
+    }
+
+    it("is deterministic (two runs, identical rows)") {
+      val emb = embDf(corpus)
+      val a = VectorOps.graphTopK(emb, k = 5, beam = 8, degree = 3)
+        .collect().map(_.toString).sorted
+      val b = VectorOps.graphTopK(emb, k = 5, beam = 8, degree = 3)
+        .collect().map(_.toString).sorted
+      a.toSeq shouldBe b.toSeq
+    }
+  }
+}

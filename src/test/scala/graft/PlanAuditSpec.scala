@@ -56,6 +56,13 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "spann_from_index_topk" -> Set("codegen-fallback"), // same stages over the posting frame
     "spann_cell_stats" -> Set("codegen-fallback"),
     "spann_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
+    // navigable-graph tier: per-node probe-cell ranking is the same
+    // interpreted sort/slice over C=10 constant-size structs as SPANN
+    // (build-side, not per-query); the recall report adds the labeled
+    // brute-truth join. ann_graph_topk itself serves from an eagerly
+    // materialized result (localCheckpoint), so its plan is already flat.
+    "ann_graph_degree_stats" -> Set("codegen-fallback"),
+    "ann_graph_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     // composes the labeled all-pairs semantic baseline (0.35 is below any
     // LSH-able threshold; at a real >=0.85 threshold the LSH path applies)
     "dedup_crossmodal" -> Set("nested-loop-join"),

@@ -1982,35 +1982,67 @@ object VectorOps {
   def graphEdges(
       emb: DataFrame, degree: Int = GraphDegree, probe: Int = GraphProbe,
       coarse: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = coarse.getOrElse(
       centroids(emb).select(col("label").as("cell"), col("centroid")))
     val centArr: Array[(Int, Seq[Double])] = cents.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    val probed = emb
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("vn"))
-      .select(col("vec_id"), col("v"), col("vn"),
-        probeCellsCol(centArr, col("v"), col("vn"), probe).as("p"))
-      .select(col("vec_id"), (-col("p.negCell")).as("cell"), col("v"), col("vn"))
-    val a = probed.as("a")
-    val b = probed.as("b")
-    // distinct BEFORE ranking: a pair sharing both probe cells would
-    // otherwise occupy two of src's `degree` slots
+    graphSymmetrize(
+      graphDirectedFromPostings(probePostings(emb, centArr, probe), degree))
+  }
+
+  /** Probe-rank postings: each vector posted to its `probe` nearest
+    * cells — (vec_id, pr ∈ 1..probe, cell, cv, cn). A pure literal
+    * projection (the probeCellsCol machinery with the rank kept), and the
+    * state table the STREAMING graph maintainer accumulates: a node's
+    * directed neighbor list depends only on its probe cells' co-member
+    * sets, so these postings are the exact dependency footprint.
+    */
+  def probePostings(
+      emb: DataFrame, centArr: Seq[(Int, Seq[Double])],
+      probe: Int = GraphProbe): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+      .select(col("vec_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
+      .select(col("vec_id"), col("cv"), col("cn"),
+        posexplode(slice(rankedCellStructs(centArr, col("cv"), col("cn")), 1, probe))
+          .as(Seq("i", "p")))
+      .select(col("vec_id"), (col("i") + 1).cast("int").as("pr"),
+        (-col("p.negCell")).cast("int").as("cell"), col("cv"), col("cn"))
+
+  /** Per-src directed top-`degree` neighbor lists from a postings frame
+    * (the build half of `graphEdges`, reusable over an ACCUMULATED
+    * posting index): candidates = probe-cell co-members, distinct before
+    * ranking (a pair sharing both probe cells must not occupy two
+    * slots), (cos DESC, dst ASC) pruning.
+    */
+  def graphDirectedFromPostings(
+      postings: DataFrame, degree: Int = GraphDegree,
+      dstPostings: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // dstPostings: candidate side when the src side is a SUBSET being
+    // rebuilt (the streaming maintainer's touched-partition recompute) —
+    // candidates must still come from the FULL posting index
+    val a = postings.as("a")
+    val b = dstPostings.getOrElse(postings).as("b")
     val cand = a.join(b,
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")), 6).as("cos"))
+        round(dot(col("a.cv"), col("b.cv")) / (col("a.cn") * col("b.cn")), 6).as("cos"))
       .distinct()
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
-    val directed = cand.withColumn("rn", row_number().over(w))
+    cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= degree)
       .select(col("src"), col("dst"), col("cos"))
+  }
+
+  /** NSW symmetrization: union the reversed directed edges (out-degree
+    * ≤ 2·degree).
+    */
+  def graphSymmetrize(directed: DataFrame): DataFrame =
     directed
       .unionByName(directed.select(
         col("dst").as("src"), col("src").as("dst"), col("cos")))
       .distinct()
-  }
 
   /** Beam search over the proximity graph: IVF-nprobe=1 seeds, `rounds`
     * expand-score-prune rounds at beam width `beam`, then the final

@@ -1,0 +1,201 @@
+package graft.streaming
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.ops.VectorOps
+import graft.streaming.StreamingWrites.GuardedWrites
+
+/** Structured-Streaming maintenance of the NAVIGABLE-GRAPH ANN tier —
+  * the ingest + forget story for the proximity graph, completing the
+  * family pattern (every served index here has one: ANN cells, text
+  * postings, SPANN replicas, dedup graph, chunk signatures, media
+  * fingerprints). The HNSW literature builds its graph incrementally by
+  * construction; this maintainer does it DETERMINISTICALLY so the
+  * streamed graph equals the batch `VectorOps.graphEdges` over everything
+  * ingested, at every batch (spec-pinned) — not merely an
+  * insertion-order-dependent approximation of it.
+  *
+  * The key invariant making exact incrementality possible: a node's
+  * directed neighbor list depends ONLY on the membership of its `probe`
+  * nearest cells (candidates are probe-cell co-members; the quantizer is
+  * fixed — the StreamingAnnIngest serving contract). So per micro-batch:
+  *
+  *   1. POSTINGS — the batch's probe-rank postings (vec_id, pr, cell,
+  *      cv, cn) append under (cell, batch_id) partitions; history is
+  *      never re-assigned.
+  *   2. TOUCHED — cells the batch posted to. Exactly the srcs with a
+  *      posting in a touched cell can have changed lists (their
+  *      candidate sets gained members); everyone else's list is
+  *      byte-identical by the invariant.
+  *   3. REBUILD TOUCHED — recompute directed top-M lists for every src
+  *      in the touched srcs' PRIMARY-cell partitions (partition rewrite
+  *      must carry partition-mates whose lists didn't change — their
+  *      recompute is identical, so the rewrite is still ≡ batch), via
+  *      one banded join of those srcs' postings against the accumulated
+  *      posting index. Dynamic partition overwrite on `pcell`; primary
+  *      cell partitions whose every src lost its last candidate are
+  *      dropped at the filesystem (the IndexTombstones convention).
+  *
+  * Forget: `processDeletes` scrubs the tombstoned nodes' postings
+  * (copy-on-write) and rebuilds the touched primary-cell partitions from
+  * the surviving postings — a deleted node vanishes as src (no posting)
+  * and as dst (recomputed lists can't see it), after which the graph
+  * equals a batch rebuild over survivors (spec-pinned), and serving via
+  * `graphTopKFromIndex` can never walk to a forgotten vector.
+  *
+  * Delivery: EXACTLY-ONCE across crash retries by the family mechanism —
+  * postings overwrite their own (cell, batch_id) partitions; the list
+  * rebuild is deterministic in (postings state, touched set), and a
+  * retry recomputes identical partitions over identical state (reads
+  * exclude nothing because the first attempt's posting write is itself
+  * replaced identically before the rebuild reads it).
+  *
+  * Scale: per batch the work is |batch|·probe posting rows + one banded
+  * equi-join of the touched cells' postings against the posting index —
+  * bounded by touched-cell membership, never corpus-sized; the graph
+  * lives partitioned by primary cell so the rewrite touches only
+  * affected directories and the serving read prunes per probe.
+  */
+object StreamingGraphAnn {
+
+  private val BatchCol = "batch_id"
+  private val PCellCol = "pcell"
+
+  private val postSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("pr", IntegerType),
+    StructField("cell", IntegerType),
+    StructField("cv", ArrayType(DoubleType)),
+    StructField("cn", DoubleType),
+    StructField(BatchCol, LongType)))
+
+  private val dlistSchema = StructType(Seq(
+    StructField("src", LongType),
+    StructField("dst", LongType),
+    StructField("cos", DoubleType),
+    StructField(PCellCol, IntegerType)))
+
+  private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    try spark.read.schema(schema).parquet(path)
+    catch {
+      case _: AnalysisException =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+
+  /** The accumulated probe-rank posting index. */
+  def readPostings(spark: SparkSession, graphDir: String): DataFrame =
+    readOr(spark, s"$graphDir/postings", postSchema).drop(BatchCol)
+
+  /** The maintained graph in `graphEdges` shape: symmetrized
+    * (src, dst, cos) — what `VectorOps.graphTopKFromIndex` traverses.
+    */
+  def readEdges(spark: SparkSession, graphDir: String): DataFrame =
+    VectorOps.graphSymmetrize(
+      readOr(spark, s"$graphDir/dlists", dlistSchema).drop(PCellCol))
+
+  /** Rebuild the directed lists of every src whose PRIMARY cell is in
+    * `touchedCells`' affected set, from the full accumulated postings:
+    * affected srcs = srcs posted to a touched cell; rewritten partitions
+    * = those srcs' primary cells (carrying partition-mates, whose
+    * recompute is identical by the cell-membership invariant).
+    */
+  private def rebuildTouched(
+      spark: SparkSession, graphDir: String, touchedCells: DataFrame,
+      degree: Int): Unit = {
+    val allPost = readPostings(spark, graphDir).persist()
+    try {
+      val affectedSrcs = allPost
+        .join(broadcast(touchedCells), Seq("cell"), "left_semi")
+        .select(col("vec_id")).distinct()
+      val primary = allPost.filter(col("pr") === 1)
+        .select(col("vec_id"), col("cell").as(PCellCol))
+      // the partitions to rewrite: primary cells of affected srcs
+      // (driver-side collect of PARTITION KEYS only — bounded by the
+      // quantizer size, the IndexTombstones budget)
+      val pcells = primary.join(affectedSrcs, Seq("vec_id"), "left_semi")
+        .select(col(PCellCol)).distinct()
+      val pcellKeys = pcells.collect().map(_.getInt(0))
+      if (pcellKeys.isEmpty) return
+      // every src living in those partitions gets its list recomputed
+      // from the full posting index (candidates = its probe cells'
+      // co-members — one banded equi-join, never corpus x corpus)
+      val srcsToBuild = primary.join(broadcast(pcells), Seq(PCellCol), "left_semi")
+      val subPost = allPost
+        .join(srcsToBuild.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      val directed = VectorOps.graphDirectedFromPostings(
+        // src side restricted to rebuilt srcs; dst side the full index
+        subPost, degree = degree, dstPostings = Some(allPost))
+      val dlists = directed
+        .join(srcsToBuild.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .localCheckpoint(true)
+      if (!dlists.isEmpty) dlists.overwritePartitions(s"$graphDir/dlists", PCellCol)
+      // primary-cell partitions whose every src lost its last candidate
+      // must vanish from disk, or stale lists would keep serving
+      val survived = dlists.select(col(PCellCol)).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(graphDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      pcellKeys.filterNot(survived).foreach { c =>
+        fs.delete(
+          new org.apache.hadoop.fs.Path(s"$graphDir/dlists/$PCellCol=$c"), true): Unit
+      }
+      spark.catalog.refreshByPath(s"$graphDir/dlists")
+    } finally allPost.unpersist()
+  }
+
+  /** One micro-batch of NEW vectors (vec_id, embedding). Idempotent in
+    * `batchId`. `cents` = the FIXED coarse quantizer (cell, centroid).
+    */
+  def processBatch(
+      batch: DataFrame, batchId: Long, cents: DataFrame, graphDir: String,
+      degree: Int = VectorOps.GraphDegree,
+      probe: Int = VectorOps.GraphProbe): Unit = {
+    val spark = batch.sparkSession
+    val centArr = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val newPost = VectorOps.probePostings(batch, centArr, probe).persist()
+    try {
+      newPost.withColumn(BatchCol, lit(batchId))
+        .overwritePartitions(s"$graphDir/postings", "cell", BatchCol)
+      rebuildTouched(spark, graphDir,
+        newPost.select(col("cell")).distinct().localCheckpoint(true), degree)
+    } finally newPost.unpersist()
+  }
+
+  /** TOMBSTONE propagation: scrub the nodes' postings, then rebuild the
+    * touched primary-cell partitions over the survivors. Idempotent —
+    * a replay scrubs nothing and rebuilds identical partitions.
+    */
+  def processDeletes(
+      tombs: DataFrame, cents: DataFrame, graphDir: String,
+      degree: Int = VectorOps.GraphDegree): Unit = {
+    val spark = tombs.sparkSession
+    val dels = tombs.select(col("vec_id")).distinct().persist()
+    try {
+      val touched = readOr(spark, s"$graphDir/postings", postSchema)
+        .join(dels, Seq("vec_id"), "left_semi")
+        .select(col("cell")).distinct().localCheckpoint(true)
+      IndexTombstones.scrub(
+        readOr(spark, s"$graphDir/postings", postSchema),
+        dels, Seq("vec_id"), s"$graphDir/postings", Seq("cell", BatchCol))
+      // the deleted nodes' own primary partitions are inside `touched`'s
+      // affected set, so the rebuild drops their rows (no posting -> not
+      // a src) and no recomputed list can name them as dst
+      rebuildTouched(spark, graphDir, touched, degree)
+    } finally dels.unpersist()
+  }
+
+  def start(
+      vecStream: DataFrame, cents: DataFrame, graphDir: String,
+      checkpointDir: String): StreamingQuery =
+    vecStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, cents, graphDir)
+      }
+      .start()
+}

@@ -120,10 +120,18 @@ object Classify {
     * (nats, 6dp), correct (0/1). Argmax over the exact integer scores,
     * ties broken by class name ascending — fully deterministic.
     */
-  def nbLangClassify(docs: DataFrame): DataFrame = {
+  def nbLangClassify(docs: DataFrame): DataFrame =
+    nbLangClassifyFrom(nbLangScores(docs))
+
+  /** `nbLangClassify` over a PREBUILT score table (the serve-side
+    * artifact: all three NB reports are projections/rollups of the same
+    * per-(doc, class) fixed-point scores, so the hashed token scan and
+    * the C-fanout scoring run once per corpus, not once per report).
+    */
+  def nbLangClassifyFrom(scores: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_fp").desc, col("cls").asc)
-    nbLangScores(docs)
+    scores
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("cls").as("pred_lang"),
@@ -136,7 +144,11 @@ object Classify {
     * curation pipeline dashboards to sanity-check label/feature coherence.)
     */
   def nbLangConfusion(docs: DataFrame): DataFrame =
-    nbLangClassify(docs)
+    nbLangConfusionFrom(nbLangScores(docs))
+
+  /** `nbLangConfusion` over a prebuilt score table. */
+  def nbLangConfusionFrom(scores: DataFrame): DataFrame =
+    nbLangClassifyFrom(scores)
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
 
@@ -156,13 +168,17 @@ object Classify {
     * exactly. Scale: one size-C window per doc (shared with classify) +
     * one ≤10-bucket hash agg.
     */
-  def nbMarginCalibration(docs: DataFrame): DataFrame = {
+  def nbMarginCalibration(docs: DataFrame): DataFrame =
+    nbMarginCalibrationFrom(nbLangScores(docs))
+
+  /** `nbMarginCalibration` over a prebuilt score table. */
+  def nbMarginCalibrationFrom(scores: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_fp").desc, col("cls").asc)
     // one window pass: the winner row carries the runner-up score via
     // lead() — no string-pivot aggregate (max(string) would fall back to
     // SortAggregate), no second join
-    val top2 = nbLangScores(docs)
+    val top2 = scores
       .withColumn("rn", row_number().over(w))
       .withColumn("s2", lead(col("score_fp"), 1).over(w))
       .filter(col("rn") === 1)

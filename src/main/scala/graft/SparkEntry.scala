@@ -1530,19 +1530,19 @@ object SparkEntry {
     // 64) — the artifact a production pipeline persists beside the
     // compressed index.
     "pq_codebooks" -> ((s, dir) =>
-      VectorOps.pqCodebooksDf(Tables.embeddings(s, dir))),
+      VectorOps.pqCodebooksDf(Tables.embeddings(s, dir),
+        Some(pqCbsOf(s, dir, "plain")))),
     // The encoded corpus itself (vec_id, 6dp norm, m codes) — the
     // compressed artifact a pipeline persists; its contract is checked
     // directly, not only through the ADC ranking built on it.
-    "pq_encode" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      VectorOps.pqEncode(emb, VectorOps.pqCodebooks(emb))
-    }),
+    "pq_encode" -> ((s, dir) =>
+      VectorOps.pqEncode(Tables.embeddings(s, dir), pqCbsOf(s, dir, "plain"))),
     // PQ asymmetric-distance top-k: byte codes + stored norm per vector,
     // literal-lookup dequantization, exact-query cosine — the
     // RAM-resident 100 TB ANN path.
     "pq_adc_topk" -> ((s, dir) =>
-      VectorOps.pqAdcTopK(Tables.embeddings(s, dir))),
+      VectorOps.pqAdcTopK(Tables.embeddings(s, dir),
+        prebuilt = Some(pqCbsOf(s, dir, "plain")))),
     // Matryoshka funnel: prefix-dim shortlist (scan-bandwidth tier) +
     // exact full-dim re-rank of the shortlist only.
     "mrl_topk" -> ((s, dir) => VectorOps.mrlTopK(Tables.embeddings(s, dir))),
@@ -1599,7 +1599,8 @@ object SparkEntry {
     // PQ quality audit: ADC recall@k + MRR vs brute truth — the
     // is-the-codebook-fine-enough gate for the compressed index.
     "pq_recall_report" -> ((s, dir) =>
-      VectorOps.pqRecallReport(Tables.embeddings(s, dir))),
+      VectorOps.pqRecallReport(Tables.embeddings(s, dir),
+        prebuilt = Some(pqCbsOf(s, dir, "plain")))),
     // Binary quantization (1 bit/dim, 32× vs f32 — the byte-traffic
     // floor of the compression family): sign-word Hamming shortlist via
     // one xor+popcount per candidate, exact-cosine re-rank on top.
@@ -1618,9 +1619,11 @@ object SparkEntry {
     // ADC pipeline in rotated space — equalizes per-subspace energy at
     // zero stored-matrix cost; recall pair (pq vs pq_rot) quantifies it.
     "pq_rot_adc_topk" -> ((s, dir) =>
-      VectorOps.pqRotAdcTopK(Tables.embeddings(s, dir))),
+      VectorOps.pqRotAdcTopK(Tables.embeddings(s, dir),
+        prebuilt = Some(pqCbsOf(s, dir, "rot")))),
     "pq_rot_recall_report" -> ((s, dir) =>
-      VectorOps.pqRotRecallReport(Tables.embeddings(s, dir))),
+      VectorOps.pqRotRecallReport(Tables.embeddings(s, dir),
+        prebuilt = Some(pqCbsOf(s, dir, "rot")))),
     // OPQ-lite DATA-OPTIMIZED pretransform: variance-balanced snake
     // allocation of dimensions to subspaces (the parametric-OPQ move a
     // SQL oracle can replay — rank + snake windows over integer
@@ -1628,35 +1631,44 @@ object SparkEntry {
     // space; the data-driven counterpart the static Hadamard rotation
     // caveat points at.
     "pq_opq_topk" -> ((s, dir) =>
-      VectorOps.pqOpqAdcTopK(Tables.embeddings(s, dir))),
+      VectorOps.pqOpqAdcTopK(Tables.embeddings(s, dir),
+        prebuilt = Some(pqCbsOf(s, dir, "opq")))),
     "pq_opq_recall_report" -> ((s, dir) =>
-      VectorOps.pqOpqRecallReport(Tables.embeddings(s, dir))),
+      VectorOps.pqOpqRecallReport(Tables.embeddings(s, dir),
+        prebuilt = Some(pqCbsOf(s, dir, "opq")))),
     // IVF × PQ (classic IVFPQ serving): coarse cells prune WHICH rows are
     // scanned, PQ codes compress WHAT each row costs — ADC over probed
     // cells only; completes the tier matrix with mrl_ivf's bandwidth axis.
     "ivf_pq_topk" -> ((s, dir) =>
-      VectorOps.ivfPqTopK(Tables.embeddings(s, dir))),
+      VectorOps.ivfPqTopK(Tables.embeddings(s, dir),
+        prebuilt = Some(pqCbsOf(s, dir, "plain")))),
     "ivf_pq_recall_report" -> ((s, dir) =>
-      VectorOps.ivfPqRecallReport(Tables.embeddings(s, dir))),
+      VectorOps.ivfPqRecallReport(Tables.embeddings(s, dir),
+        prebuilt = Some(pqCbsOf(s, dir, "plain")))),
     // Filtered ANN over the compressed index: metadata predicate prunes
     // candidates before any per-row work; quantizers stay corpus-wide.
     "ivf_pq_filtered_topk" -> ((s, dir) => VectorOps.ivfPqTopK(
       Tables.embeddings(s, dir),
-      corpusPred = Some(pmod(col("label"), lit(2)) === 0))),
+      corpusPred = Some(pmod(col("label"), lit(2)) === 0),
+      prebuilt = Some(pqCbsOf(s, dir, "plain")))),
     // Residual IVFPQ (the Jégou formulation): codes quantize v - centroid;
     // same code budget, tighter distribution — the recall report pair
     // (ivf_pq vs ivf_rpq) quantifies what residual encoding buys.
     "ivf_rpq_topk" -> ((s, dir) =>
-      VectorOps.ivfRpqTopK(Tables.embeddings(s, dir))),
+      VectorOps.ivfRpqTopK(Tables.embeddings(s, dir),
+        prebuilt = Some(pqCbsOf(s, dir, "rpq")))),
     "ivf_rpq_recall_report" -> ((s, dir) =>
-      VectorOps.ivfRpqRecallReport(Tables.embeddings(s, dir))),
+      VectorOps.ivfRpqRecallReport(Tables.embeddings(s, dir),
+        prebuilt = Some(pqCbsOf(s, dir, "rpq")))),
     // IVFPQ,refine (FAISS composition): ADC shortlist at rerankK, exact
     // full-precision re-rank of the shortlist only — the codes tier's
     // counterpart of ivf_rerank_topk's int8 two-stage serving.
     "ivf_pq_refine_topk" -> ((s, dir) =>
-      VectorOps.ivfPqRefineTopK(Tables.embeddings(s, dir))),
+      VectorOps.ivfPqRefineTopK(Tables.embeddings(s, dir),
+        prebuilt = Some(pqCbsOf(s, dir, "plain")))),
     "ivf_pq_refine_recall_report" -> ((s, dir) =>
-      VectorOps.ivfPqRefineRecallReport(Tables.embeddings(s, dir))),
+      VectorOps.ivfPqRefineRecallReport(Tables.embeddings(s, dir),
+        prebuilt = Some(pqCbsOf(s, dir, "plain")))),
 
     // Hard-negative mining (contrastive training prep): per query the most
     // similar corpus vectors BELOW the positive ceiling — the IVF scored
@@ -1814,6 +1826,32 @@ object SparkEntry {
       s.read.schema("cell int, centroid array<double>").parquet(s"$d/cents"))
   }
 
+  /** Trained PQ codebooks memoized per (application, sf dir, variant) —
+    * driver-side state of m·k·subdim doubles (tiny), the production
+    * "codebooks trained once offline" contract the from-index PQ tier
+    * already serves under: every PQ query used to re-run the Lloyd loop
+    * (3 driver-collect rounds) per serve. Oracles replay training inline,
+    * so hash-green certifies memo ≡ inline. Cleared alongside the
+    * artifact-dir memo by `invalidateDedupIndex`.
+    */
+  private val pqCbsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, VectorOps.PqCbs]
+
+  private[graft] def pqCbsOf(
+      s: org.apache.spark.sql.SparkSession, dir: String, variant: String): VectorOps.PqCbs =
+    pqCbsMemo.synchronized {
+      pqCbsMemo.getOrElseUpdate(s"$variant|${s.sparkContext.applicationId}|$dir", {
+        val emb = Tables.embeddings(s, dir)
+        variant match {
+          case "plain" => VectorOps.pqCodebooks(emb)
+          case "rot" => VectorOps.pqCodebooks(VectorOps.rotatedEmbeddings(emb))
+          case "opq" => VectorOps.pqCodebooks(VectorOps.opqEmbeddings(emb))
+          case "rpq" => VectorOps.ivfRpqCodebooks(emb)
+          case v => throw new IllegalArgumentException(s"pqCbsOf: unknown variant $v")
+        }
+      })
+    }
+
   /** The per-(doc, class) fixed-point NB score table, built once per
     * (application, sf dir) — classify/confusion/margin are all rollups of
     * it (each used to re-run the hashed token scan + C-fanout scoring).
@@ -1870,7 +1908,8 @@ object SparkEntry {
       s: org.apache.spark.sql.SparkSession, dir: String): Unit =
     artifactDirs.synchronized {
       val suffix = s"|${s.sparkContext.applicationId}|$dir"
-      artifactDirs.keys.filter(_.endsWith(suffix)).foreach(artifactDirs.remove): Unit
+      artifactDirs.keys.filter(_.endsWith(suffix)).foreach(artifactDirs.remove)
+      pqCbsMemo.keys.filter(_.endsWith(suffix)).foreach(pqCbsMemo.remove): Unit
     }
 
   private def invertedIndexOf(

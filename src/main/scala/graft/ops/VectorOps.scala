@@ -524,6 +524,13 @@ object VectorOps {
   val PqK = 16
   val PqIters = 2
 
+  /** Driver-side trained codebooks: (subspace, sorted (cell, centroid)
+    * rows) — m·k·subdim doubles, the artifact a serving path reuses
+    * instead of re-running the Lloyd loop per query (every consumer below
+    * takes an optional prebuilt `cbs`; SparkEntry memoizes per corpus).
+    */
+  type PqCbs = Seq[(Int, Array[(Int, Seq[Double])])]
+
   /** Per-subspace PQ codebooks: the SAME deterministic Lloyd recipe as
     * `kmeansCentroids` (hashed-id init, 6dp-rounded cosine argmax, 6dp
     * centroid rounding per iteration) applied to each sliced sub-vector —
@@ -585,10 +592,10 @@ object VectorOps {
     * one row per centroid component (the hash-comparable flattening; the
     * persisted production artifact would keep the array form).
     */
-  def pqCodebooksDf(emb: DataFrame): DataFrame = {
+  def pqCodebooksDf(emb: DataFrame, prebuilt: Option[PqCbs] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    pqCodebooks(emb)
+    prebuilt.getOrElse(pqCodebooks(emb))
       .flatMap { case (s, arr) => arr.flatMap { case (c, cen) =>
         cen.zipWithIndex.map { case (x, i) => (s, c, (i + 1).toLong, x) } } }
       .toDF("subspace", "cell", "pos", "m")
@@ -631,8 +638,9 @@ object VectorOps {
     * norm). One corpus pass, zero corpus shuffle before the per-query
     * top-k — and at 100 TB the scan reads 12 bytes/vector instead of 256.
     */
-  def pqAdcTopK(emb: DataFrame, k: Int = 10): DataFrame = {
-    val cbs = pqCodebooks(emb)
+  def pqAdcTopK(
+      emb: DataFrame, k: Int = 10, prebuilt: Option[PqCbs] = None): DataFrame = {
+    val cbs = prebuilt.getOrElse(pqCodebooks(emb))
     val book = graft.functions.PqBook(cbs, PqSubDim)
     // dequantize in the scan projection via the codegen'd PqReconstruct
     // kernel over the reference-object codebook — zero joins, zero
@@ -676,11 +684,12 @@ object VectorOps {
     */
   def ivfPqTopK(
       emb: DataFrame, k: Int = 10, nprobe: Int = 2,
-      corpusPred: Option[Column] = None): DataFrame = {
+      corpusPred: Option[Column] = None,
+      prebuilt: Option[PqCbs] = None): DataFrame = {
     val cents = centroids(emb).select(col("label").as("cell"), col("centroid"))
     val centArr: Array[(Int, Seq[Double])] = cents.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    val cbs = pqCodebooks(emb)
+    val cbs = prebuilt.getOrElse(pqCodebooks(emb))
     val book = graft.functions.PqBook(cbs, PqSubDim)
     // index build (one corpus pass at write time): coarse cell + PQ codes
     // + stored 6dp norm; serving dequantizes in the scan projection.
@@ -717,8 +726,9 @@ object VectorOps {
     * against the brute truth: the cell-pruning loss ON TOP of the
     * quantization loss (`pqRecallReport` isolates the latter).
     */
-  def ivfPqRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
-    recallReport(emb, ivfPqTopK(emb, k), k)
+  def ivfPqRecallReport(
+      emb: DataFrame, k: Int = 10, prebuilt: Option[PqCbs] = None): DataFrame =
+    recallReport(emb, ivfPqTopK(emb, k, prebuilt = prebuilt), k)
 
   /** RESIDUAL IVFPQ (Jégou et al.'s actual formulation): each vector's PQ
     * codes quantize `v − centroid[cell]` rather than `v`. Residuals
@@ -735,7 +745,23 @@ object VectorOps {
     * ONE reconstructed dot. Same serving scale shape as `ivfPqTopK`
     * (cell equi-join over (m+8)-byte payloads, codes-only exchange).
     */
-  def ivfRpqTopK(emb: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame = {
+  /** The residual-trained codebooks alone — the memoizable training half
+    * of `ivfRpqTopK` (residuals derive from the same label-mean
+    * assignment the serving path uses).
+    */
+  def ivfRpqCodebooks(emb: DataFrame): PqCbs = {
+    import graft.functions.ArraySubtract.sub
+    val cents = centroids(emb).select(col("label").as("cell"), col("centroid"))
+    val centArr: Array[(Int, Seq[Double])] = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val centLit = array(centArr.map { case (_, m) => array(m.map(lit(_)): _*) }: _*)
+    val assigned = assignCells(emb, cents)
+    pqCodebooks(assigned.select(col("vec_id"),
+      sub(col("v"), element_at(centLit, col("cell") + 1)).as("embedding")))
+  }
+
+  def ivfRpqTopK(emb: DataFrame, k: Int = 10, nprobe: Int = 2,
+      prebuilt: Option[PqCbs] = None): DataFrame = {
     import graft.functions.ArraySubtract.sub
     val cents = centroids(emb).select(col("label").as("cell"), col("centroid"))
     val centArr: Array[(Int, Seq[Double])] = cents.collect()
@@ -751,9 +777,8 @@ object VectorOps {
     // so cache it (cache lifetime stays with the caller, the documented
     // Bench/Verify clearCache-per-query convention).
     val assigned = assignCells(emb, cents).persist() // vec_id, cell, v, vn
-    val residuals = assigned.select(col("vec_id"),
-      sub(col("v"), element_at(centLit, col("cell") + 1)).as("embedding"))
-    val cbs = pqCodebooks(residuals)
+    val cbs = prebuilt.getOrElse(pqCodebooks(assigned.select(col("vec_id"),
+      sub(col("v"), element_at(centLit, col("cell") + 1)).as("embedding"))))
     val book = graft.functions.PqBook(cbs, PqSubDim)
     val corpus = assigned
       .select(col("vec_id"), col("cell"), round(col("vn"), 6).as("vnorm"),
@@ -783,8 +808,9 @@ object VectorOps {
     * beside `ivfPqRecallReport` to see what residual encoding buys at the
     * same code budget.
     */
-  def ivfRpqRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
-    recallReport(emb, ivfRpqTopK(emb, k), k)
+  def ivfRpqRecallReport(emb: DataFrame, k: Int = 10,
+      prebuilt: Option[PqCbs] = None): DataFrame =
+    recallReport(emb, ivfRpqTopK(emb, k, prebuilt = prebuilt), k)
 
   /** Hadamard-rotated corpus view: every vector through the normalized
     * Walsh–Hadamard rotation (graft.functions.HadamardRotate — O(d log d)
@@ -810,16 +836,18 @@ object VectorOps {
     * win in the PQ playbook. Scale shape identical to `pqAdcTopK`: the
     * rotation rides the same single corpus pass that encodes.
     */
-  def pqRotAdcTopK(emb: DataFrame, k: Int = 10): DataFrame =
-    pqAdcTopK(rotatedEmbeddings(emb), k)
+  def pqRotAdcTopK(
+      emb: DataFrame, k: Int = 10, prebuilt: Option[PqCbs] = None): DataFrame =
+    pqAdcTopK(rotatedEmbeddings(emb), k, prebuilt)
 
   /** Rotated-PQ quality audit — recall@k + MRR vs the RAW-corpus brute
     * truth (rotation invariance makes the truth set identical), read
     * beside `pqRecallReport` to isolate what the rotation buys at the
     * same code budget.
     */
-  def pqRotRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
-    recallReport(emb, pqRotAdcTopK(emb, k), k)
+  def pqRotRecallReport(
+      emb: DataFrame, k: Int = 10, prebuilt: Option[PqCbs] = None): DataFrame =
+    recallReport(emb, pqRotAdcTopK(emb, k, prebuilt), k)
 
   /** Per-dimension corpus variance in integer MICRO-UNITS: both moments
     * 6dp-rounded (the meanVector convention the k-means oracles already
@@ -893,16 +921,18 @@ object VectorOps {
     * closing the gap the `pqRotAdcTopK` caveat documents. Scale shape
     * identical to `pqAdcTopK` plus one 2d-column moment aggregate.
     */
-  def pqOpqAdcTopK(emb: DataFrame, k: Int = 10): DataFrame =
-    pqAdcTopK(opqEmbeddings(emb), k)
+  def pqOpqAdcTopK(
+      emb: DataFrame, k: Int = 10, prebuilt: Option[PqCbs] = None): DataFrame =
+    pqAdcTopK(opqEmbeddings(emb), k, prebuilt)
 
   /** OPQ-PQ quality audit — recall@k + MRR vs the RAW-corpus brute truth
     * (permutation invariance keeps the truth set identical), read beside
     * `pqRecallReport` and `pqRotRecallReport` to compare the three
     * pretransforms at the same code budget.
     */
-  def pqOpqRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
-    recallReport(emb, pqOpqAdcTopK(emb, k), k)
+  def pqOpqRecallReport(
+      emb: DataFrame, k: Int = 10, prebuilt: Option[PqCbs] = None): DataFrame =
+    recallReport(emb, pqOpqAdcTopK(emb, k, prebuilt), k)
 
   /** IVFPQ with exact refine (the FAISS `IVFPQ,refine` composition):
     * stage 1 is `ivfPqTopK`'s compressed serving widened to a `rerankK`
@@ -924,8 +954,9 @@ object VectorOps {
     */
   def ivfPqRefineTopK(
       emb: DataFrame, k: Int = 10,
-      rerankK: Int = RerankShortlist, nprobe: Int = 2): DataFrame = {
-    val shortlist = ivfPqTopK(emb, rerankK, nprobe)
+      rerankK: Int = RerankShortlist, nprobe: Int = 2,
+      prebuilt: Option[PqCbs] = None): DataFrame = {
+    val shortlist = ivfPqTopK(emb, rerankK, nprobe, prebuilt = prebuilt)
       .select(col("q_id"), col("neighbor_id"))
     val full = withNorm(emb, "neighbor_id", "cv", "cn")
     val qFull = withNorm(emb.filter(col("vec_id") % 100 === 0), "q_id", "qv2", "qn2")
@@ -941,8 +972,9 @@ object VectorOps {
     * beside `ivfPqRecallReport` to see what the exact refine stage buys
     * over serving final rankings straight from reconstructions.
     */
-  def ivfPqRefineRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
-    recallReport(emb, ivfPqRefineTopK(emb, k), k)
+  def ivfPqRefineRecallReport(
+      emb: DataFrame, k: Int = 10, prebuilt: Option[PqCbs] = None): DataFrame =
+    recallReport(emb, ivfPqRefineTopK(emb, k, prebuilt = prebuilt), k)
 
   /** IVF top-k: assign every corpus vector to its nearest coarse centroid
     * (broadcast join against the tiny centroid table); each query probes its
@@ -1030,8 +1062,9 @@ object VectorOps {
     * number that says whether 8×16 codebooks are quantizing THIS corpus
     * finely enough before anyone serves from the compressed index.
     */
-  def pqRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
-    recallReport(emb, pqAdcTopK(emb, k), k)
+  def pqRecallReport(
+      emb: DataFrame, k: Int = 10, prebuilt: Option[PqCbs] = None): DataFrame =
+    recallReport(emb, pqAdcTopK(emb, k, prebuilt), k)
 
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKAggregator(k),

@@ -1522,10 +1522,8 @@ object SparkEntry {
     // Lloyd-iterated quantizer; oracle unrolls the fixed iteration count
     // into chained CTEs (per-iteration 6dp rounding stops ulp compounding).
     // Recall vs label-centroids measured in VectorOpsSpec.
-    "ann_ivf_kmeans_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      VectorOps.ivfTopK(emb, coarse = Some(VectorOps.kmeansCentroids(emb, k = 10, iters = 3)))
-    }),
+    "ann_ivf_kmeans_topk" -> ((s, dir) =>
+      VectorOps.ivfTopK(Tables.embeddings(s, dir), coarse = Some(kmCentsOf(s, dir)))),
     // Product quantization: per-subspace Lloyd codebooks (4×16 over dim
     // 64) — the artifact a production pipeline persists beside the
     // compressed index.
@@ -1588,7 +1586,8 @@ object SparkEntry {
     }),
     // SemDeDup: k-means clusters bound the near-dup comparison to
     // within-cluster pairs; higher vec_id of each pair at cos >= 0.35 drops.
-    "semantic_dedup" -> ((s, dir) => VectorOps.semanticDedup(Tables.embeddings(s, dir))),
+    "semantic_dedup" -> ((s, dir) => VectorOps.semanticDedup(
+      Tables.embeddings(s, dir), coarse = Some(kmCentsOf(s, dir)))),
     // Cluster-cohesion audit: per assigned cell, member count, label
     // agreement, and mean cosine to the assigned centroid.
     "cluster_cohesion" -> ((s, dir) => VectorOps.clusterCohesion(Tables.embeddings(s, dir))),
@@ -1837,6 +1836,24 @@ object SparkEntry {
   private val pqCbsMemo =
     scala.collection.concurrent.TrieMap.empty[String, VectorOps.PqCbs]
 
+  /** Lloyd-quantizer centroids memoized per (application, sf dir) — the
+    * same trained-once contract as the PQ codebooks (k×dim doubles).
+    */
+  private val kmCentsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
+
+  private[graft] def kmCentsOf(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val arr = kmCentsMemo.synchronized {
+      kmCentsMemo.getOrElseUpdate(s"km|${s.sparkContext.applicationId}|$dir", {
+        VectorOps.kmeansCentroids(Tables.embeddings(s, dir), k = 10, iters = 3)
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      })
+    }
+    import s.implicits._
+    arr.toDF("cell", "centroid")
+  }
+
   private[graft] def pqCbsOf(
       s: org.apache.spark.sql.SparkSession, dir: String, variant: String): VectorOps.PqCbs =
     pqCbsMemo.synchronized {
@@ -1909,7 +1926,8 @@ object SparkEntry {
     artifactDirs.synchronized {
       val suffix = s"|${s.sparkContext.applicationId}|$dir"
       artifactDirs.keys.filter(_.endsWith(suffix)).foreach(artifactDirs.remove)
-      pqCbsMemo.keys.filter(_.endsWith(suffix)).foreach(pqCbsMemo.remove): Unit
+      pqCbsMemo.keys.filter(_.endsWith(suffix)).foreach(pqCbsMemo.remove)
+      kmCentsMemo.keys.filter(_.endsWith(suffix)).foreach(kmCentsMemo.remove): Unit
     }
 
   private def invertedIndexOf(

@@ -1918,8 +1918,9 @@ object VectorOps {
       emb: DataFrame,
       k: Int = 10,
       iters: Int = 3,
-      threshold: Double = 0.35): DataFrame = {
-    val asg = assignCells(emb, kmeansCentroids(emb, k, iters))
+      threshold: Double = 0.35,
+      coarse: Option[DataFrame] = None): DataFrame = {
+    val asg = assignCells(emb, coarse.getOrElse(kmeansCentroids(emb, k, iters)))
     val a = asg.select(col("cell"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("vn").as("na"))
     val b = asg.select(col("cell"), col("vec_id").as("vec_b"),

@@ -1167,7 +1167,14 @@ object SparkEntry {
       val retained = TextOps.retentionReport(docs)
         .filter(col("retained")).select(col("doc_id"))
       val kept = docs.join(retained, Seq("doc_id"))
-      val dupes = Dedup.minhashLshPairs(kept).select(col("doc_b")).distinct()
+      // LSH pairs over the retained subset == the artifact's full-corpus
+      // pairs with BOTH endpoints retained (signatures and banding are
+      // per-doc), so the dedup stage serves from the DedupIndex artifact
+      // instead of re-running the signature pipeline on the subset
+      val dupes = dedupIndexOf(s, dir).pairs
+        .join(retained.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(retained.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+        .select(col("doc_b")).distinct()
       val surv = kept.join(dupes, kept("doc_id") === dupes("doc_b"), "left_anti")
       Sampling.stratifiedSample(surv)
     }),

@@ -188,6 +188,43 @@ object StreamingGraphAnn {
     } finally dels.unpersist()
   }
 
+  /** One micro-batch of a MIXED change feed — vector rows plus a boolean
+    * `deleteCol`: scrub the tombstoned nodes' postings out of PRIOR
+    * partitions, ingest the upserts under this batch's partition, then
+    * ONE combined touched-cell rebuild (deleted nodes' prior cells ∪ the
+    * upserts' cells). Idempotent in `batchId` — the scrub excludes this
+    * batch's own partitions, so a crash-retry cannot eat its first
+    * attempt's upserts; within one batch delete+insert of the same
+    * vec_id resolves insert-wins.
+    */
+  def processCdcBatch(
+      batch: DataFrame, batchId: Long, cents: DataFrame, graphDir: String,
+      deleteCol: String = "is_delete",
+      degree: Int = VectorOps.GraphDegree,
+      probe: Int = VectorOps.GraphProbe): Unit = {
+    val spark = batch.sparkSession
+    val dels = batch.filter(col(deleteCol)).select(col("vec_id")).distinct().persist()
+    val adds = batch.filter(!col(deleteCol)).drop(deleteCol)
+    try {
+      val prior = readOr(spark, s"$graphDir/postings", postSchema)
+        .filter(col(BatchCol) =!= batchId)
+      val delCells = prior.join(dels, Seq("vec_id"), "left_semi")
+        .select(col("cell")).distinct().localCheckpoint(true)
+      IndexTombstones.scrub(
+        prior, dels, Seq("vec_id"), s"$graphDir/postings", Seq("cell", BatchCol))
+      val centArr = cents.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      val newPost = VectorOps.probePostings(adds, centArr, probe).persist()
+      try {
+        newPost.withColumn(BatchCol, lit(batchId))
+          .overwritePartitions(s"$graphDir/postings", "cell", BatchCol)
+        rebuildTouched(spark, graphDir,
+          delCells.unionByName(newPost.select(col("cell")).distinct()).distinct(),
+          degree)
+      } finally newPost.unpersist()
+    } finally dels.unpersist()
+  }
+
   def start(
       vecStream: DataFrame, cents: DataFrame, graphDir: String,
       checkpointDir: String): StreamingQuery =
@@ -196,6 +233,18 @@ object StreamingGraphAnn {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, cents, graphDir)
+      }
+      .start()
+
+  /** The change-feed twin of `start`: rows carry `deleteCol`. */
+  def startCdc(
+      cdcStream: DataFrame, cents: DataFrame, graphDir: String,
+      checkpointDir: String, deleteCol: String = "is_delete"): StreamingQuery =
+    cdcStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processCdcBatch(batch, batchId, cents, graphDir, deleteCol)
       }
       .start()
 }

@@ -109,6 +109,20 @@ class StreamingGraphAnnSpec extends AnyFunSpec with Matchers with SparkSessionTe
       assertEqualsBatch(graphDir, survivors)
     }
 
+    it("a mixed CDC batch (takedown + upsert in one micro-batch) == batch build over the merged corpus, exactly-once on retry") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sga-cdc").toString
+      val graphDir = s"$dir/graph"
+      Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+        StreamingGraphAnn.processBatch(embDf(b), i.toLong, cents, graphDir)
+      }
+      // one batch: forget bridge 4, ingest the cluster-1 block
+      val cdc = embDf(b2).withColumn("is_delete", lit(false))
+        .unionByName(embDf(Seq((4L, vec(0.25), 1))).withColumn("is_delete", lit(true)))
+      StreamingGraphAnn.processCdcBatch(cdc, 2L, cents, graphDir)
+      StreamingGraphAnn.processCdcBatch(cdc, 2L, cents, graphDir) // crash-retry
+      assertEqualsBatch(graphDir, (b0 ++ b1 ++ b2).filterNot(_._1 == 4L))
+    }
+
     it("serving from the streamed graph + streamed cell index == the batch traversal") {
       val dir = java.nio.file.Files.createTempDirectory("graft-sga-serve").toString
       val (graphDir, idxDir) = (s"$dir/graph", s"$dir/idx")

@@ -101,10 +101,19 @@ object StreamingGraphAnn {
     * affected srcs = srcs posted to a touched cell; rewritten partitions
     * = those srcs' primary cells (carrying partition-mates, whose
     * recompute is identical by the cell-membership invariant).
+    *
+    * `forcedPcells` (single `pcell` column) names dlists partitions that
+    * must be rewritten-or-dropped even when no surviving affected src is
+    * primary there — the forget path derives it from dlists rows that
+    * still NAME a tombstoned id, so (a) a deleted node that was the sole
+    * primary member of its cell has its partition fs-dropped rather than
+    * silently kept, and (b) a crash-retry after the posting scrub (when
+    * the postings no longer witness the tombstone) still finds and
+    * rebuilds the stale partitions.
     */
   private def rebuildTouched(
       spark: SparkSession, graphDir: String, touchedCells: DataFrame,
-      degree: Int): Unit = {
+      degree: Int, forcedPcells: Option[DataFrame] = None): Unit = {
     val allPost = readPostings(spark, graphDir).persist()
     try {
       val affectedSrcs = allPost
@@ -112,11 +121,15 @@ object StreamingGraphAnn {
         .select(col("vec_id")).distinct()
       val primary = allPost.filter(col("pr") === 1)
         .select(col("vec_id"), col("cell").as(PCellCol))
-      // the partitions to rewrite: primary cells of affected srcs
-      // (driver-side collect of PARTITION KEYS only — bounded by the
-      // quantizer size, the IndexTombstones budget)
-      val pcells = primary.join(affectedSrcs, Seq("vec_id"), "left_semi")
-        .select(col(PCellCol)).distinct()
+      // the partitions to rewrite: primary cells of affected srcs, plus
+      // any caller-forced partitions (driver-side collect of PARTITION
+      // KEYS only — bounded by the quantizer size, the IndexTombstones
+      // budget)
+      val affectedPcells = primary.join(affectedSrcs, Seq("vec_id"), "left_semi")
+        .select(col(PCellCol))
+      val pcells = forcedPcells
+        .fold(affectedPcells)(f => affectedPcells.unionByName(f))
+        .distinct()
       val pcellKeys = pcells.collect().map(_.getInt(0))
       if (pcellKeys.isEmpty) return
       // every src living in those partitions gets its list recomputed
@@ -165,9 +178,29 @@ object StreamingGraphAnn {
     } finally newPost.unpersist()
   }
 
+  /** dlists partitions that still NAME any of `dels` as src or dst —
+    * computed from state the posting scrub does NOT destroy, so a forget
+    * retried after a crash between the scrub and the rebuild re-finds
+    * exactly the partitions the first attempt left stale. Also the only
+    * witness of a deleted node that was the SOLE primary member of its
+    * cell (no surviving affected src is primary there, so the
+    * postings-derived set cannot reach its partition).
+    */
+  private def stalePcells(spark: SparkSession, graphDir: String, dels: DataFrame): DataFrame = {
+    val dl = readOr(spark, s"$graphDir/dlists", dlistSchema)
+    dl.join(dels.withColumnRenamed("vec_id", "src"), Seq("src"), "left_semi")
+      .select(col(PCellCol))
+      .unionByName(
+        dl.join(dels.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
+          .select(col(PCellCol)))
+      .distinct().localCheckpoint(true)
+  }
+
   /** TOMBSTONE propagation: scrub the nodes' postings, then rebuild the
     * touched primary-cell partitions over the survivors. Idempotent —
-    * a replay scrubs nothing and rebuilds identical partitions.
+    * a replay scrubs nothing, re-derives the stale partitions from the
+    * dlists rows still naming the tombstoned ids, and rebuilds them
+    * identically (so a crash between scrub and rebuild is recovered).
     */
   def processDeletes(
       tombs: DataFrame, cents: DataFrame, graphDir: String,
@@ -178,13 +211,15 @@ object StreamingGraphAnn {
       val touched = readOr(spark, s"$graphDir/postings", postSchema)
         .join(dels, Seq("vec_id"), "left_semi")
         .select(col("cell")).distinct().localCheckpoint(true)
+      val forced = stalePcells(spark, graphDir, dels)
       IndexTombstones.scrub(
         readOr(spark, s"$graphDir/postings", postSchema),
         dels, Seq("vec_id"), s"$graphDir/postings", Seq("cell", BatchCol))
-      // the deleted nodes' own primary partitions are inside `touched`'s
-      // affected set, so the rebuild drops their rows (no posting -> not
-      // a src) and no recomputed list can name them as dst
-      rebuildTouched(spark, graphDir, touched, degree)
+      // survivors referencing a deleted node share one of its probe cells,
+      // so `touched` reaches their partitions; `forced` reaches the
+      // deleted nodes' OWN partitions (sole-primary case) and makes the
+      // whole forget crash-retry-derivable
+      rebuildTouched(spark, graphDir, touched, degree, Some(forced))
     } finally dels.unpersist()
   }
 
@@ -210,6 +245,7 @@ object StreamingGraphAnn {
         .filter(col(BatchCol) =!= batchId)
       val delCells = prior.join(dels, Seq("vec_id"), "left_semi")
         .select(col("cell")).distinct().localCheckpoint(true)
+      val forced = stalePcells(spark, graphDir, dels)
       IndexTombstones.scrub(
         prior, dels, Seq("vec_id"), s"$graphDir/postings", Seq("cell", BatchCol))
       val centArr = cents.collect()
@@ -220,7 +256,7 @@ object StreamingGraphAnn {
           .overwritePartitions(s"$graphDir/postings", "cell", BatchCol)
         rebuildTouched(spark, graphDir,
           delCells.unionByName(newPost.select(col("cell")).distinct()).distinct(),
-          degree)
+          degree, Some(forced))
       } finally newPost.unpersist()
     } finally dels.unpersist()
   }

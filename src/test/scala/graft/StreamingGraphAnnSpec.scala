@@ -109,6 +109,66 @@ class StreamingGraphAnnSpec extends AnyFunSpec with Matchers with SparkSessionTe
       assertEqualsBatch(graphDir, survivors)
     }
 
+    it("forgetting the SOLE primary member of a cell drops its dlists partition (edges via its secondary cell don't survive)") {
+      // node 5 (theta 0.35) is the only node whose PRIMARY cell is 1 in
+      // the b0+5 corpus; its edges come via its probe-2 SECONDARY cell 0.
+      // After the takedown no survivor has primary cell 1, so the
+      // postings-derived affected set alone can never reach the dlists
+      // pcell=1 partition — the forced-pcells path must drop it.
+      val dir = java.nio.file.Files.createTempDirectory("graft-sga-sole").toString
+      val graphDir = s"$dir/graph"
+      val corpus = b0 :+ ((5L, vec(0.35), 1))
+      StreamingGraphAnn.processBatch(embDf(b0), 0L, cents, graphDir)
+      StreamingGraphAnn.processBatch(embDf(Seq((5L, vec(0.35), 1))), 1L, cents, graphDir)
+      // precondition of the regression: node 5 really is sole-primary in
+      // its cell, and it has edges in both directions
+      val primOf5 = spark.read.parquet(s"$graphDir/postings")
+        .filter(col("vec_id") === 5L && col("pr") === 1)
+        .select(col("cell")).collect().map(_.getInt(0)).toSeq
+      primOf5 should have size 1
+      spark.read.parquet(s"$graphDir/postings")
+        .filter(col("pr") === 1 && col("cell") === primOf5.head && col("vec_id") =!= 5L)
+        .count() shouldBe 0L
+      StreamingGraphAnn.readEdges(spark, graphDir)
+        .filter(col("src") === 5L).count() should be > 0L
+      StreamingGraphAnn.processDeletes(Seq(5L).toDF("vec_id"), cents, graphDir)
+      StreamingGraphAnn.readEdges(spark, graphDir)
+        .filter(col("src") === 5L || col("dst") === 5L).count() shouldBe 0L
+      assertEqualsBatch(graphDir, b0)
+      // the partition is physically gone, not just filtered at read
+      spark.read.parquet(s"$graphDir/dlists")
+        .filter(col("pcell") === primOf5.head).count() shouldBe 0L
+    }
+
+    it("a forget crashed between the posting scrub and the rebuild is recovered by the retry") {
+      // first attempt scrubs node 4's postings then dies; the retry can
+      // no longer derive the touched cells from postings (already
+      // scrubbed) — it must re-find the stale partitions from the dlists
+      // rows still naming the tombstoned id.
+      val dir = java.nio.file.Files.createTempDirectory("graft-sga-crash").toString
+      val graphDir = s"$dir/graph"
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        StreamingGraphAnn.processBatch(embDf(b), i.toLong, cents, graphDir)
+      }
+      StreamingGraphAnn.readEdges(spark, graphDir)
+        .filter(col("dst") === 4L).count() should be > 0L
+      val dels = Seq(4L).toDF("vec_id")
+      // simulate the crash: exactly processDeletes' scrub, then nothing
+      graft.streaming.IndexTombstones.scrub(
+        spark.read.parquet(s"$graphDir/postings"),
+        dels, Seq("vec_id"), s"$graphDir/postings", Seq("cell", "batch_id"))
+      spark.read.parquet(s"$graphDir/postings")
+        .filter(col("vec_id") === 4L).count() shouldBe 0L
+      // the crash left survivors' lists still naming node 4
+      StreamingGraphAnn.readEdges(spark, graphDir)
+        .filter(col("dst") === 4L).count() should be > 0L
+      StreamingGraphAnn.processDeletes(dels, cents, graphDir) // retry
+      val survivors = all.filterNot(_._1 == 4L)
+      assertEqualsBatch(graphDir, survivors)
+      StreamingGraphAnn.readEdges(spark, graphDir)
+        .filter(col("src") === 4L || col("dst") === 4L).count() shouldBe 0L
+    }
+
     it("a mixed CDC batch (takedown + upsert in one micro-batch) == batch build over the merged corpus, exactly-once on retry") {
       val dir = java.nio.file.Files.createTempDirectory("graft-sga-cdc").toString
       val graphDir = s"$dir/graph"

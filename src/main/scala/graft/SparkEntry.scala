@@ -1730,6 +1730,35 @@ object SparkEntry {
           .select(col("doc_id").as("media_id")),
         Seq("media_id"), "left_anti")
     }),
+    // THE composed media pipeline (the curation_pipeline twin for the
+    // media tier): decode-quality gates over the Arrow-batch features →
+    // perceptual near-dup survivorship among the gated media (exact CC,
+    // min-id keeper) → per-source capped sample. The dedup stage serves
+    // from the StreamingMediaDedup-maintained artifact — pairs over the
+    // gated subset equal the artifact's full-corpus pairs with BOTH
+    // endpoints gated (fingerprints and banding are per-media), the same
+    // argument curation_pipeline uses for the DedupIndex artifact; the
+    // oracle replays everything inline, so hash-green certifies the
+    // composition AND the from-artifact serve each round.
+    "media_curation_pipeline" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(
+        Multimodal.withPlantedMediaDups(Tables.documents(s, dir)))
+      val gated = Multimodal.mediaQualityGate(
+        Multimodal.decodeFeaturesArrow(media)).select(col("media_id"))
+      val pairs = mediaPairsOf(s, dir)
+        .join(gated.withColumnRenamed("media_id", "media_a"), Seq("media_a"), "left_semi")
+        .join(gated.withColumnRenamed("media_id", "media_b"), Seq("media_b"), "left_semi")
+      val comps = graft.ops.Dedup.nearDupComponentsExact(
+        pairs.withColumnRenamed("media_a", "doc_a")
+          .withColumnRenamed("media_b", "doc_b"))
+      val surv = media.join(gated, Seq("media_id"), "left_semi")
+        .join(comps.filter(col("doc_id") =!= col("rep"))
+            .select(col("doc_id").as("media_id")),
+          Seq("media_id"), "left_anti")
+      Sampling.cappedPerSource(
+          surv.select(col("meta.source").as("source"), col("media_id").as("doc_id")))
+        .withColumnRenamed("doc_id", "media_id")
+    }),
   )
 
   /** The inverted-index pair (postings, doclens) exactly as
@@ -2883,5 +2912,6 @@ object SparkEntry {
     "media_phash" -> DuckDbOracles.mediaPhash,
     "media_neardup_pairs" -> DuckDbOracles.mediaNearDupPairs(),
     "media_dedup_apply" -> DuckDbOracles.mediaDedupApply(),
+    "media_curation_pipeline" -> DuckDbOracles.mediaCurationPipeline(),
   )
 }

@@ -177,6 +177,29 @@ object Multimodal {
       .select(Seq(col("media_id"), col("media_type"), col("n_bytes")) ++ scalars: _*)
   }
 
+  // ======= DECODE-QUALITY GATES (the media retention stage) =======
+
+  /** Gate thresholds over the stub-decoded byte moments: minimum payload
+    * size, a ceiling on the mean byte (saturated/clipped payloads), and a
+    * floor on byte variance (near-constant payloads a real decoder would
+    * flag as degenerate). Chosen to have bite on the planted corpus at
+    * every SF; a production deployment tunes them per modality.
+    */
+  val MinMediaBytes = 64
+  val MaxMeanByte = 98.0
+  val MinByteVar = 800.0
+
+  /** Decode-quality gate over a `decodeFeatures`/`decodeFeaturesArrow`
+    * frame: keeps media whose payload is big enough and whose byte
+    * moments (the 6-dp ROUNDED f1/f2, so both engines gate on identical
+    * doubles) sit inside the plausible-content envelope. Projection +
+    * filter, no shuffle.
+    */
+  def mediaQualityGate(feats: DataFrame): DataFrame =
+    feats.filter(col("n_bytes") >= MinMediaBytes &&
+        col("f1") <= MaxMeanByte && col("f2") >= MinByteVar)
+      .select(col("media_id"), col("media_type"))
+
   // ======= PERCEPTUAL MEDIA DEDUP (byte-level blockhash tier) =======
   //
   // The multimodal × dedup composition: a PERCEPTUAL fingerprint over the

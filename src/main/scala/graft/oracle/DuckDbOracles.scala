@@ -2993,17 +2993,17 @@ object DuckDbOracles {
       (graft.ops.Multimodal.PhashBlocks, graft.ops.Multimodal.PhashBandBits)
     val bands = graft.ops.Multimodal.PhashBands
     s"""pd AS (
-       |  SELECT doc_id, text FROM documents
+       |  SELECT doc_id, text, source FROM documents
        |  UNION ALL
        |  SELECT doc_id + ${graft.ops.Multimodal.PlantOffset},
-       |    substr(text, 1, 9) || 'zzz' || substr(text, 13)
+       |    substr(text, 1, 9) || 'zzz' || substr(text, 13), source
        |  FROM documents
        |  WHERE doc_id % ${graft.ops.Multimodal.PlantEvery} = 0 AND length(text) >= 64),
        |m AS (SELECT doc_id AS media_id,
        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
        |         WHEN doc_id % 3 = 1 THEN 'audio'
        |         ELSE 'video' END AS media_type,
-       |    text, length(text) AS n FROM pd),
+       |    text, length(text) AS n, source FROM pd),
        |u AS (SELECT media_id, text, n, unnest(range(0, n)) AS i FROM m),
        |bs AS MATERIALIZED (SELECT media_id, n, (i * $blocks) // n AS blk,
        |    CAST(sum(ord(substr(text, CAST(i + 1 AS INT), 1))) AS BIGINT) AS s,
@@ -3074,6 +3074,52 @@ object DuckDbOracles {
        |SELECT m.media_id FROM m
        |WHERE m.media_id NOT IN (SELECT doc_id FROM mcomp WHERE doc_id <> rep)"""
       .stripMargin
+
+  /** Twin of the composed `media_curation_pipeline` query, built from the
+    * SAME fragments the individual media oracles use (byte-moment gates →
+    * perceptual near-dup exact-CC survivorship AMONG the gated media →
+    * per-source capped sample), so the composition cannot drift from its
+    * parts. The dedup stage filters the full-corpus pair table to
+    * both-endpoints-gated — identical to pairing the gated subset, since
+    * fingerprints and banding are per-media.
+    */
+  def mediaCurationPipeline(
+      maxHam: Int = graft.ops.Multimodal.PhashMaxHam,
+      cap: Int = Sampling.SourceCap): String = {
+    val (minB, maxMean, minVar) = (graft.ops.Multimodal.MinMediaBytes,
+      graft.ops.Multimodal.MaxMeanByte, graft.ops.Multimodal.MinByteVar)
+    s"""WITH RECURSIVE $mediaPhashCtes,
+       |$mediaPairCtes,
+       |fo AS (SELECT media_id, n,
+       |    ord(substr(text, CAST(i + 1 AS INT), 1)) AS o FROM u),
+       |fagg AS (SELECT media_id, max(n) AS n,
+       |    CAST(sum(o) AS BIGINT) AS s, CAST(sum(o * o) AS BIGINT) AS s2
+       |  FROM fo GROUP BY 1),
+       |gate AS MATERIALIZED (SELECT media_id FROM fagg
+       |  WHERE n >= $minB
+       |    AND round(CAST(s AS DOUBLE) / n, 6) <= $maxMean
+       |    AND round(CAST(s2 AS DOUBLE) / n
+       |      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 6) >= $minVar),
+       |gpairs AS MATERIALIZED (SELECT ma, mb FROM hams
+       |  WHERE hamming <= $maxHam
+       |    AND ma IN (SELECT media_id FROM gate)
+       |    AND mb IN (SELECT media_id FROM gate)),
+       |gedges AS (SELECT ma AS src, mb AS dst FROM gpairs
+       |  UNION ALL SELECT mb AS src, ma AS dst FROM gpairs),
+       |gnodes AS (SELECT DISTINCT src AS node FROM gedges),
+       |greach(node, r) AS (
+       |  SELECT node, node FROM gnodes
+       |  UNION
+       |  SELECT e.src, rch.r FROM gedges e JOIN greach rch ON e.dst = rch.node),
+       |gcomp AS (SELECT node AS media_id, min(r) AS rep FROM greach GROUP BY 1),
+       |sel AS (SELECT m.source, m.media_id FROM m JOIN gate USING (media_id)
+       |  WHERE m.media_id NOT IN (SELECT media_id FROM gcomp WHERE media_id <> rep))
+       |SELECT source, rank, media_id FROM (
+       |  SELECT source, media_id, CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY ${h("cap", "CAST(media_id AS VARCHAR)")} ASC, media_id ASC) AS INT) AS rank
+       |  FROM sel)
+       |WHERE rank <= $cap""".stripMargin
+  }
 
   /** Twin of Multimodal.resizePlan over the image subset of mediaMeta. */
   def mediaResize(boxW: Int = 256, boxH: Int = 256): String = {

@@ -146,6 +146,45 @@ class MultimodalSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapp
       nCand.toDouble should be < (n * (n - 1) / 2).toDouble * 0.05
     }
 
+    it("quality gate has bite, and full-corpus pairs ∩ gated² == pairs over the gated subset (the artifact-serve argument)") {
+      // corpus mixing: a too-short payload (length gate), a near-constant
+      // payload (variance gate), and BIMODAL-char fillers (uniform
+      // printable ASCII has byte variance ~736 < MinByteVar; two gapped
+      // clusters push it past the gate, like real text's spaces do) + one
+      // twin pair
+      def bimodalChars(n: Int, seed: Long): String =
+        (0 until n).map { p =>
+          val h = (p * 2654435761L + seed * 40503L) >>> 7
+          (if (h % 2 == 0) 33 + (h / 2 % 23).toInt else 104 + (h / 2 % 23).toInt).toChar
+        }.mkString
+      val fillers = (100L until 130L).map(i => (i, bimodalChars(300, i), "en", s"s${i % 3}"))
+      val docs = docsDf(Seq(
+        (1L, hashChars(40, 1), "en", "s1"),          // n < MinMediaBytes
+        (2L, "m" * 200, "en", "s1"),                  // variance ~0
+        (3L, structured, "en", "s1"),
+        (4L, oneBlockOff, "en", "s1")) ++ fillers)
+      val media = Multimodal.mediaTable(docs)
+      val gated = Multimodal.mediaQualityGate(Multimodal.decodeFeatures(media))
+      val gatedIds = gated.collect().map(_.getLong(0)).toSet
+      gatedIds should not contain 1L
+      gatedIds should not contain 2L
+      gatedIds.size should be > 20
+      // the media_curation_pipeline serve-from-artifact argument:
+      // restricting the FULL pair table to both-endpoints-gated equals
+      // recomputing pairs over only the gated media
+      import org.apache.spark.sql.functions._
+      val gdf = gated.select(col("media_id"))
+      val fromFull = Multimodal.mediaNearDupPairs(media)
+        .join(gdf.withColumnRenamed("media_id", "media_a"), Seq("media_a"), "left_semi")
+        .join(gdf.withColumnRenamed("media_id", "media_b"), Seq("media_b"), "left_semi")
+        .select("media_a", "media_b", "hamming")
+      val fromSubset = Multimodal.mediaNearDupPairs(
+        media.join(gdf, Seq("media_id"), "left_semi"))
+        .select("media_a", "media_b", "hamming")
+      fromFull.collect().map(_.mkString("|")).toSet shouldBe
+        fromSubset.collect().map(_.mkString("|")).toSet
+    }
+
     it("withPlantedMediaDups twins pair through the full operator at small Hamming") {
       // real-ish base docs (hash-char payloads), one divisible by 97
       val base = Seq(0L, 97L, 101L, 202L).map(i => (i, hashChars(300, i + 7), "en", "s1"))

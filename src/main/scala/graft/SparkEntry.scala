@@ -1730,6 +1730,16 @@ object SparkEntry {
           .select(col("doc_id").as("media_id")),
         Seq("media_id"), "left_anti")
     }),
+    // Cross-source media contamination matrix over the perceptual pair
+    // graph (served from the StreamingMediaDedup artifact) — the
+    // image-reposting twin of source_contamination: the planted twins
+    // land in the synthetic 'mirror' aggregator source, so the
+    // off-diagonal rows this audit exists for are guaranteed present.
+    "media_source_contamination" -> ((s, dir) =>
+      Multimodal.mediaSourceContaminationFrom(
+        mediaPairsOf(s, dir),
+        Multimodal.mediaTable(
+          Multimodal.withPlantedMediaDups(Tables.documents(s, dir))))),
     // THE composed media pipeline (the curation_pipeline twin for the
     // media tier): decode-quality gates over the Arrow-batch features →
     // perceptual near-dup survivorship among the gated media (exact CC,
@@ -2913,5 +2923,6 @@ object SparkEntry {
     "media_neardup_pairs" -> DuckDbOracles.mediaNearDupPairs(),
     "media_dedup_apply" -> DuckDbOracles.mediaDedupApply(),
     "media_curation_pipeline" -> DuckDbOracles.mediaCurationPipeline(),
+    "media_source_contamination" -> DuckDbOracles.mediaSourceContamination(),
   )
 }

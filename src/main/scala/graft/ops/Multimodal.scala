@@ -354,11 +354,15 @@ object Multimodal {
   /** Deterministic near-identical media planting (the plantedCorpus /
     * withPlantedBoilerplate convention): every `PlantEvery`-th doc gains a
     * twin whose bytes 10-12 are overwritten — a small LOCAL edit the
-    * perceptual tier must still pair. Both engines apply the identical
+    * perceptual tier must still pair. The twin lands in the synthetic
+    * `RepostSource` aggregator source (a scraper site reposting content
+    * from everywhere), so the planted graph carries CROSS-SOURCE edges the
+    * contamination audit must surface. Both engines apply the identical
     * string surgery, so the planted corpus is oracle-replayable.
     */
   val PlantEvery = 97
   val PlantOffset = 9000000L
+  val RepostSource = "mirror"
 
   def withPlantedMediaDups(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
@@ -367,8 +371,28 @@ object Multimodal {
       .select((col("doc_id") + PlantOffset).as("doc_id"),
         concat(substring(col("text"), 1, 9), lit("zzz"),
           expr("substring(text, 13)")).as("text"),
-        col("lang"), col("source"))
+        col("lang"), lit(RepostSource).as("source"))
     base.unionByName(twins)
+  }
+
+  /** Cross-source media contamination matrix over a PREBUILT perceptual
+    * pair graph (the image-reposting twin of `sourceContaminationFrom`):
+    * which sources host perceptually near-identical payloads of which —
+    * the audit behind per-source mix weights for media corpora. Unordered
+    * source pair canonicalized via least/greatest; off-diagonal rows are
+    * the reposts. Two media-id equi-joins + one hash agg over the
+    * ≤|sources|² matrix — the corpus is only read by the fingerprint
+    * build.
+    */
+  def mediaSourceContaminationFrom(pairs: DataFrame, media: DataFrame): DataFrame = {
+    val src = media.select(col("media_id"), col("meta.source").as("source"))
+    pairs
+      .join(src.select(col("media_id").as("media_a"), col("source").as("sa")), Seq("media_a"))
+      .join(src.select(col("media_id").as("media_b"), col("source").as("sb")), Seq("media_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("hamming"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("hamming")), 6).as("mean_hamming"))
   }
 
   // ======= ARROW-BATCH DECODE (the 100 TB production codec contract) =======

@@ -2996,7 +2996,8 @@ object DuckDbOracles {
        |  SELECT doc_id, text, source FROM documents
        |  UNION ALL
        |  SELECT doc_id + ${graft.ops.Multimodal.PlantOffset},
-       |    substr(text, 1, 9) || 'zzz' || substr(text, 13), source
+       |    substr(text, 1, 9) || 'zzz' || substr(text, 13),
+       |    '${graft.ops.Multimodal.RepostSource}'
        |  FROM documents
        |  WHERE doc_id % ${graft.ops.Multimodal.PlantEvery} = 0 AND length(text) >= 64),
        |m AS (SELECT doc_id AS media_id,
@@ -3074,6 +3075,23 @@ object DuckDbOracles {
        |SELECT m.media_id FROM m
        |WHERE m.media_id NOT IN (SELECT doc_id FROM mcomp WHERE doc_id <> rep)"""
       .stripMargin
+
+  /** Twin of Multimodal.mediaSourceContaminationFrom over the planted
+    * (reposted) media corpus: the verified perceptual pairs joined onto
+    * both endpoints' sources, canonicalized unordered, aggregated to the
+    * which-sources-repost-from-which matrix.
+    */
+  def mediaSourceContamination(
+      maxHam: Int = graft.ops.Multimodal.PhashMaxHam): String =
+    s"""WITH $mediaPhashCtes,
+       |$mediaPairCtes,
+       |p AS (SELECT ma, mb, hamming FROM hams WHERE hamming <= $maxHam)
+       |SELECT least(a.source, b.source) AS source_a,
+       |  greatest(a.source, b.source) AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  round(avg(hamming), 6) AS mean_hamming
+       |FROM p JOIN m a ON p.ma = a.media_id JOIN m b ON p.mb = b.media_id
+       |GROUP BY 1, 2""".stripMargin
 
   /** Twin of the composed `media_curation_pipeline` query, built from the
     * SAME fragments the individual media oracles use (byte-moment gates →

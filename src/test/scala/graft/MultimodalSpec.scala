@@ -195,5 +195,24 @@ class MultimodalSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapp
       pairs should contain(0L -> (0L + Multimodal.PlantOffset))
       pairs should contain(97L -> (97L + Multimodal.PlantOffset))
     }
+
+    it("planted reposts land in the mirror source and surface as off-diagonal contamination rows") {
+      val base = Seq(0L, 97L, 101L, 202L).map(i => (i, hashChars(300, i + 7), "en", s"src${i % 2}"))
+      val planted = Multimodal.withPlantedMediaDups(docsDf(base))
+      val media = Multimodal.mediaTable(planted)
+      // the twins really did change source
+      import org.apache.spark.sql.functions._
+      media.filter(col("media_id") >= Multimodal.PlantOffset)
+        .select(col("meta.source")).collect().map(_.getString(0)).toSet shouldBe
+        Set(Multimodal.RepostSource)
+      val mat = Multimodal.mediaSourceContaminationFrom(
+          Multimodal.mediaNearDupPairs(media), media)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // doc 0 (src0) and doc 97 (src1) were each reposted into 'mirror':
+      // both cross-source cells must appear
+      val cells = mat.map(t => (t._1, t._2))
+      cells should contain(Multimodal.RepostSource -> "src0")
+      cells should contain(Multimodal.RepostSource -> "src1")
+    }
   }
 }

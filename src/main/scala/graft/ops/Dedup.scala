@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Materialize.EagerOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
@@ -98,18 +99,20 @@ object Dedup {
     // pinned corpus-sized signature caches. The checkpointed pair blocks
     // themselves are GC-managed (ContextCleaner frees them with the frame).
     //
-    // LOCAL-MODE TRADE-OFF (module-wide, every eager localCheckpoint here):
-    // checkpoint blocks are executor-local and NOT fault-tolerant — on a
-    // real cluster an executor loss makes the returned frame unrecoverable
-    // (job failure instead of lineage recompute), and the call fully
-    // materializes the pair set even if the caller consumes a fraction.
-    // That is the right trade for this single-JVM bench/driver (no executor
-    // loss; the callers consume their frames whole) — cluster deployments
-    // wanting recomputability should set a reliable checkpoint dir
-    // (spark.sparkContext.setCheckpointDir + .checkpoint()) or serve from
-    // the persisted DedupIndex artifact, which is the production path.
+    // LOCAL-MODE TRADE-OFF (module-wide, every eagerCkpt here): by default
+    // the seam is localCheckpoint — executor-local blocks, NOT
+    // fault-tolerant: on a real cluster an executor loss makes the
+    // returned frame unrecoverable (job failure instead of lineage
+    // recompute), and the call fully materializes the pair set even if
+    // the caller consumes a fraction. That is the right trade for this
+    // single-JVM bench/driver (no executor loss; the callers consume
+    // their frames whole). Cluster deployments set
+    // spark.graft.checkpointDir and EVERY materialization in the library
+    // switches to reliable checkpoint(eager) (Materialize.scala,
+    // MaterializeSpec pins both paths) — or serve from the persisted
+    // DedupIndex artifact, which is the production path.
     val sig = minhashSignatures(docs, hash).persist()
-    try minhashLshPairsFromSignatures(sig, hash).localCheckpoint(true)
+    try minhashLshPairsFromSignatures(sig, hash).eagerCkpt
     finally sig.unpersist()
   }
 
@@ -262,7 +265,7 @@ object Dedup {
       // own the band cache: a streaming caller runs this per micro-batch,
       // so an unreleased persist would pin one batch-sized cache per batch
       // for the life of the stream
-      newDocs.join(dropIds, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      newDocs.join(dropIds, Seq("doc_id"), "left_anti").eagerCkpt
     } finally newBands.unpersist()
   }
 
@@ -348,7 +351,7 @@ object Dedup {
             .cast("bigint").as("precision_ppm"),
           col("mae"), col("bias"), col("max_abs_err"))
         // own the gated-shingle cache (read by sz AND both arms of inter)
-        .localCheckpoint(true)
+        .eagerCkpt
     } finally shp.unpersist()
   }
 
@@ -376,7 +379,7 @@ object Dedup {
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
         .filter(col("hamming") <= maxHamming)
         .distinct()
-        .localCheckpoint(true) // own the fingerprint cache
+        .eagerCkpt // own the fingerprint cache
     } finally fp.unpersist()
   }
 
@@ -419,7 +422,7 @@ object Dedup {
       }
       // own the edge cache: materialize the result eagerly, release before
       // returning (the minhashLshPairs convention)
-      labels.localCheckpoint(true)
+      labels.eagerCkpt
     } finally edges.unpersist()
   }
 
@@ -474,7 +477,7 @@ object Dedup {
         .select(hopped("doc_id"),
           least(hopped("rep"), coalesce(col("p_rep"), hopped("rep"))).as("rep"),
           col("prev"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val changed = next.filter(col("rep") =!= col("prev")).count()
       labels.unpersist()
       labels = next.drop("prev")
@@ -520,7 +523,7 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("rep1")).as("m"))
         .filter(col("m") < col("src"))
         .select(col("src").as("doc_id"))
-        .localCheckpoint(true) // own the edge cache
+        .eagerCkpt // own the edge cache
     } finally edges.unpersist()
   }
 
@@ -574,7 +577,7 @@ object Dedup {
           round(col("i").cast("double") / col("sa.n").cast("double"), 6).as("containment"))
         .filter(col("containment") >= minContainment)
         // own the fingerprint cache (read by sizes and both join arms)
-        .localCheckpoint(true)
+        .eagerCkpt
     } finally fp.unpersist()
   }
 
@@ -596,7 +599,7 @@ object Dedup {
           round(col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")).cast("double"), 6)
             .as("jaccard"))
         .filter(col("jaccard") >= minJaccard)
-        .localCheckpoint(true) // own the fingerprint cache
+        .eagerCkpt // own the fingerprint cache
     } finally fp.unpersist()
   }
 
@@ -795,7 +798,7 @@ object Dedup {
     val labels = graft.ops.Graph.lpaWeightedLoop(edges, graft.ops.Graph.LpIters).persist()
     try {
       val (a, b, c) = gatedRankedFrom(docs, edges, labels, nearDupComponentsExact(pairs))
-      (a.localCheckpoint(true), b.localCheckpoint(true), c.localCheckpoint(true))
+      (a.eagerCkpt, b.eagerCkpt, c.eagerCkpt)
     } finally { labels.unpersist(); edges.unpersist() }
   }
 

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Materialize.EagerOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -215,7 +216,7 @@ object Graph {
     */
   def labelPropagationWeightedEager(pairs: DataFrame, iters: Int = LpIters): DataFrame = {
     val edges = symmetrizedWeighted(pairs).persist()
-    try lpaWeightedLoop(edges, iters).localCheckpoint(true)
+    try lpaWeightedLoop(edges, iters).eagerCkpt
     finally edges.unpersist()
   }
 
@@ -375,7 +376,7 @@ object Graph {
     // frame; the result is localCheckpoint-materialized before the
     // release so it no longer references the cache
     try {
-      var alive = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
+      var alive = edges.select(col("src").as("node")).distinct().eagerCkpt
       var aliveCount = alive.count()
       var converged = false
       var it = 0
@@ -385,7 +386,7 @@ object Graph {
           .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
           .groupBy(col("src").as("node")).agg(count(lit(1)).as("c"))
           .filter(col("c") >= k).select(col("node"))
-          .localCheckpoint(true)
+          .eagerCkpt
         val nextCount = next.count()
         converged = nextCount == aliveCount
         alive = next
@@ -400,7 +401,7 @@ object Graph {
         .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
-        .localCheckpoint(true)
+        .eagerCkpt
     } finally edges.unpersist()
   }
 }

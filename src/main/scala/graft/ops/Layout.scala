@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Materialize.EagerOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -110,7 +111,7 @@ object Layout {
     // reading (and the folded source partitions are deleted right after)
     val merged = compact(archive.unionByName(old).drop("batch_id"), targetRowsPerFile, orderBy)
       .withColumn("batch_id", lit(-1L))
-      .localCheckpoint(true)
+      .eagerCkpt
     // swap: dynamic overwrite replaces ONLY the batch_id=-1 partition; the
     // folded-in source partitions are removed after the write commits
     merged.write.mode("overwrite")

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Module-wide EAGER MATERIALIZATION convention — every iterative loop
+  * (CC fixpoint, LPA/PageRank/k-core rounds, beam search) and every
+  * own-the-cache helper truncates lineage through this one seam instead
+  * of calling `localCheckpoint(true)` directly.
+  *
+  * Default (no config): `localCheckpoint(true)` — executor-local blocks,
+  * zero I/O beyond memory/disk spill, the right trade for the single-JVM
+  * bench/driver contract. NOT fault-tolerant: on a real cluster an
+  * executor loss makes the frame unrecoverable (job failure instead of
+  * lineage recompute).
+  *
+  * Cluster callers set `spark.graft.checkpointDir` (a reliable
+  * filesystem path — HDFS/S3A in production) and every materialization
+  * in the library switches to RELIABLE `checkpoint(eager = true)`:
+  * blocks live in the checkpoint dir, survive executor loss, and the
+  * fixpoints become restartable mid-iteration. The session's Spark-level
+  * checkpoint dir is set lazily from the conf on first use (and never
+  * overridden if the caller already set one).
+  *
+  * The conf is read per call — it is a runtime (`spark.conf.set`)
+  * switch, so one session can run the bench path and a
+  * cluster-semantics spec side by side.
+  */
+object Materialize {
+
+  /** Runtime conf key naming the reliable checkpoint directory. */
+  val CheckpointDirKey = "spark.graft.checkpointDir"
+
+  implicit class EagerOps(private val df: DataFrame) extends AnyVal {
+
+    /** Eagerly materialize `df` and truncate its lineage: reliable
+      * `checkpoint` when `spark.graft.checkpointDir` is set, else
+      * `localCheckpoint`. Drop-in for `localCheckpoint(true)`.
+      */
+    def eagerCkpt: DataFrame = {
+      val spark = df.sparkSession
+      spark.conf.getOption(CheckpointDirKey) match {
+        case Some(dir) if dir.nonEmpty =>
+          val sc = spark.sparkContext
+          if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+          df.checkpoint(eager = true)
+        case _ => df.localCheckpoint(eager = true)
+      }
+    }
+  }
+}

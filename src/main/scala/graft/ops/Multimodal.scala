@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Materialize.EagerOps
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -347,7 +348,7 @@ object Multimodal {
     */
   def mediaNearDupPairs(media: DataFrame, maxHam: Int = PhashMaxHam): DataFrame = {
     val ph = perceptualHash(media).persist()
-    try mediaNearDupPairsFromPhash(ph, maxHam).localCheckpoint(true)
+    try mediaNearDupPairsFromPhash(ph, maxHam).eagerCkpt
     finally ph.unpersist()
   }
 

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Materialize.EagerOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -258,12 +259,12 @@ object Privacy {
       events: DataFrame,
       tPpm: Long = TCloseApplyTPpm,
       rounds: Int = TCloseApplyRounds): DataFrame = {
-    var cu = classUserCounts(events).localCheckpoint(true)
+    var cu = classUserCounts(events).eagerCkpt
     for (_ <- 0 until rounds) {
       val far = perClassTvd(cu).filter(col("tvd_ppm") > tPpm)
         .select(col("event_type"), col("day"), col("vb"))
       cu = cu.join(far, Seq("event_type", "day", "vb"), "left_anti")
-        .localCheckpoint(true)
+        .eagerCkpt
     }
     // fixpoint guard: the scaladoc promises the output's own audit passes;
     // if a cascade needs more than `rounds` suppression rounds, fail loudly

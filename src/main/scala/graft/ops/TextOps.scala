@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Materialize.EagerOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
@@ -870,7 +871,7 @@ object TextOps {
         .filter(col("cnt") * lit(1000000L) >= col("n") * lit(minPpm))
         .select(col("bigram"), col("cnt"),
           round(col("cnt").cast("double") / col("n").cast("double"), 6).as("frac"))
-        .localCheckpoint(true)
+        .eagerCkpt
     } finally inst.unpersist()
   }
 

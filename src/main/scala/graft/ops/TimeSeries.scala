@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Materialize.EagerOps
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
 
@@ -460,7 +461,7 @@ object TimeSeries {
     // eagerly so the cache can be released before returning instead of
     // pinning a users×segments frame per call in a long-lived driver
     val z = saxZ(events, start).persist()
-    try saxSimilarPairsFromZ(z, threshold).localCheckpoint(true)
+    try saxSimilarPairsFromZ(z, threshold).eagerCkpt
     finally z.unpersist()
   }
 

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Materialize.EagerOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.ArrayDotProduct.dot
@@ -2126,7 +2127,7 @@ object VectorOps {
           // each round references the previous beam TWICE (carry + expand):
           // eager truncation keeps the lineage one round deep instead of
           // 2^rounds re-evaluations (the CC-loop convention)
-          .localCheckpoint(true)
+          .eagerCkpt
       var beamDf = topBeam(
         scoreProbes(index, queries0, centArr, nprobe = 1)
           .withColumnRenamed("neighbor_id", "nid"))
@@ -2147,7 +2148,7 @@ object VectorOps {
       beamDf.withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= k)
         .select(col("q_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
-        .localCheckpoint(true)
+        .eagerCkpt
     } finally edges.unpersist()
   }
 

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.ops.Materialize.EagerOps
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
@@ -66,7 +67,7 @@ object IndexTombstones {
     val survivors = index.join(affectedDf, partCols, "left_semi")
       .join(tombs, keyCols, "left_anti")
       .drop(auxCols: _*)
-      .localCheckpoint(true)
+      .eagerCkpt
     if (!survivors.isEmpty) survivors.overwritePartitions(dir, partCols: _*)
     val survived = survivors
       .select(partCols.map(col): _*).distinct()

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.ops.Materialize.EagerOps
 import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -143,7 +144,7 @@ object StreamingGraphAnn {
         subPost, degree = degree, dstPostings = Some(allPost))
       val dlists = directed
         .join(srcsToBuild.withColumnRenamed("vec_id", "src"), Seq("src"))
-        .localCheckpoint(true)
+        .eagerCkpt
       if (!dlists.isEmpty) dlists.overwritePartitions(s"$graphDir/dlists", PCellCol)
       // primary-cell partitions whose every src lost its last candidate
       // must vanish from disk, or stale lists would keep serving
@@ -174,7 +175,7 @@ object StreamingGraphAnn {
       newPost.withColumn(BatchCol, lit(batchId))
         .overwritePartitions(s"$graphDir/postings", "cell", BatchCol)
       rebuildTouched(spark, graphDir,
-        newPost.select(col("cell")).distinct().localCheckpoint(true), degree)
+        newPost.select(col("cell")).distinct().eagerCkpt, degree)
     } finally newPost.unpersist()
   }
 
@@ -193,7 +194,7 @@ object StreamingGraphAnn {
       .unionByName(
         dl.join(dels.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
           .select(col(PCellCol)))
-      .distinct().localCheckpoint(true)
+      .distinct().eagerCkpt
   }
 
   /** TOMBSTONE propagation: scrub the nodes' postings, then rebuild the
@@ -210,7 +211,7 @@ object StreamingGraphAnn {
     try {
       val touched = readOr(spark, s"$graphDir/postings", postSchema)
         .join(dels, Seq("vec_id"), "left_semi")
-        .select(col("cell")).distinct().localCheckpoint(true)
+        .select(col("cell")).distinct().eagerCkpt
       val forced = stalePcells(spark, graphDir, dels)
       IndexTombstones.scrub(
         readOr(spark, s"$graphDir/postings", postSchema),
@@ -244,7 +245,7 @@ object StreamingGraphAnn {
       val prior = readOr(spark, s"$graphDir/postings", postSchema)
         .filter(col(BatchCol) =!= batchId)
       val delCells = prior.join(dels, Seq("vec_id"), "left_semi")
-        .select(col("cell")).distinct().localCheckpoint(true)
+        .select(col("cell")).distinct().eagerCkpt
       val forced = stalePcells(spark, graphDir, dels)
       IndexTombstones.scrub(
         prior, dels, Seq("vec_id"), s"$graphDir/postings", Seq("cell", BatchCol))

@@ -1520,6 +1520,23 @@ object SparkEntry {
     // Build-side audit: is the graph actually bounded-degree?
     "ann_graph_degree_stats" -> ((s, dir) =>
       VectorOps.graphDegreeStatsFrom(annGraphOf(s, dir)._1)),
+    // HIERARCHICAL entry (HNSW upper layer): a hash-sampled layer-1
+    // graph walked first with a narrow beam; its final beam unions with
+    // the IVF seeds for the layer-0 traversal — the layer-0 seed pool is
+    // a superset of the flat one, so at equal beam the entry can only
+    // improve (recall ≥ flat spec-pinned on the Voronoi-bridge
+    // geometry). Both layers served from the same memoized artifact.
+    "ann_graph2_topk" -> ((s, dir) => {
+      val (edges, index, coarse) = annGraphOf(s, dir)
+      VectorOps.graph2TopKFromIndex(edges, annGraphLayer1Of(s, dir), index,
+        VectorOps.querySet(Tables.embeddings(s, dir)), coarse)
+    }),
+    "ann_graph2_recall_report" -> ((s, dir) => {
+      val (edges, index, coarse) = annGraphOf(s, dir)
+      VectorOps.graphRecallReportFrom(Tables.embeddings(s, dir),
+        VectorOps.graph2TopKFromIndex(edges, annGraphLayer1Of(s, dir), index,
+          VectorOps.querySet(Tables.embeddings(s, dir)), coarse))
+    }),
     "ann_ivf_topk_np2" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir), nprobe = 2)),
     // Filtered ANN (hybrid search): candidates restricted by a metadata
     // predicate applied before cell assignment; quantizer stays corpus-wide.
@@ -1857,6 +1874,9 @@ object SparkEntry {
       coarse.write.mode("overwrite").parquet(s"$tmp/cents")
       VectorOps.graphEdges(emb, coarse = Some(coarse))
         .write.mode("overwrite").parquet(s"$tmp/edges")
+      // the HNSW upper layer: same build over the hash-sampled subset
+      VectorOps.graph2Layer1Edges(emb, coarse = Some(coarse))
+        .write.mode("overwrite").parquet(s"$tmp/edges1")
       val centArr = coarse.collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
       VectorOps.assignCells(emb, centArr)
@@ -1869,6 +1889,14 @@ object SparkEntry {
       s.read.schema("vec_id bigint, cell int, cv array<double>, cn double")
         .parquet(s"$d/index"),
       s.read.schema("cell int, centroid array<double>").parquet(s"$d/cents"))
+  }
+
+  /** The layer-1 (upper) graph of the same memoized artifact. */
+  private[graft] def annGraphLayer1Of(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    annGraphOf(s, dir) // ensure the artifact exists
+    val d = artifactDirOf("ann-graph", s, dir)(_ => ())
+    s.read.schema("src bigint, dst bigint, cos double").parquet(s"$d/edges1")
   }
 
   /** Trained PQ codebooks memoized per (application, sf dir, variant) —
@@ -2875,6 +2903,8 @@ object SparkEntry {
     "ann_graph_topk" -> DuckDbOracles.annGraphTopK(),
     "ann_graph_recall_report" -> DuckDbOracles.annGraphRecallReport(),
     "ann_graph_degree_stats" -> DuckDbOracles.annGraphDegreeStats(),
+    "ann_graph2_topk" -> DuckDbOracles.annGraph2TopK(),
+    "ann_graph2_recall_report" -> DuckDbOracles.annGraph2RecallReport(),
     "ann_ivf_topk_np2" -> DuckDbOracles.annIvfTopK(nprobe = 2),
     "ann_ivf_filtered_topk" ->
       DuckDbOracles.annIvfTopK(nprobe = 2, corpusFilter = "label % 2 = 0"),

@@ -2115,41 +2115,150 @@ object VectorOps {
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
     val edges = edges0.select(col("src"), col("dst")).persist()
     try {
-      val cand = index.select(col("vec_id").as("nid"), col("cv"), col("cn"))
-      val queries = queries0
-        .select(col("q_id"), col("q_emb").cast("array<double>").as("qv"))
-        .select(col("q_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("qn"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nid").asc)
-      def topBeam(scored: DataFrame): DataFrame =
-        scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= beam)
-          .select(col("q_id"), col("nid"), col("cos"))
-          // each round references the previous beam TWICE (carry + expand):
-          // eager truncation keeps the lineage one round deep instead of
-          // 2^rounds re-evaluations (the CC-loop convention)
-          .eagerCkpt
-      var beamDf = topBeam(
+      val beamDf = beamLoop(edges, index, normQueries(queries0),
         scoreProbes(index, queries0, centArr, nprobe = 1)
-          .withColumnRenamed("neighbor_id", "nid"))
-      for (_ <- 0 until rounds) {
-        val pool = beamDf.select(col("q_id"), col("nid"))
-          .unionByName(beamDf
-            .join(edges, beamDf("nid") === edges("src"))
-            .select(col("q_id"), col("dst").as("nid"))
-            .filter(col("q_id") =!= col("nid")))
-          .distinct()
-        val scored = pool
-          .join(cand, Seq("nid"))
-          .join(broadcast(queries), Seq("q_id"))
-          .select(col("q_id"), col("nid"),
-            round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
-        beamDf = topBeam(scored)
-      }
+          .withColumnRenamed("neighbor_id", "nid"),
+        beam, rounds)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nid").asc)
       beamDf.withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= k)
         .select(col("q_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
         .eagerCkpt
     } finally edges.unpersist()
+  }
+
+  /** (q_id, qv, qn) normalization of a query frame. */
+  private def normQueries(queries0: DataFrame): DataFrame =
+    queries0
+      .select(col("q_id"), col("q_emb").cast("array<double>").as("qv"))
+      .select(col("q_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("qn"))
+
+  /** The expand-score-prune beam loop shared by the flat and hierarchical
+    * traversals: `seedScored` = (q_id, nid, cos) seed pool; each of
+    * `rounds` rounds expands the beam's out-edges over `edges`, scores
+    * exact rounded cosine against `index`, keeps top-`beam` per query.
+    */
+  private def beamLoop(
+      edges: DataFrame, index: DataFrame, queries: DataFrame,
+      seedScored: DataFrame, beam: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = index.select(col("vec_id").as("nid"), col("cv"), col("cn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nid").asc)
+    def topBeam(scored: DataFrame): DataFrame =
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select(col("q_id"), col("nid"), col("cos"))
+        // each round references the previous beam TWICE (carry + expand):
+        // eager truncation keeps the lineage one round deep instead of
+        // 2^rounds re-evaluations (the CC-loop convention)
+        .eagerCkpt
+    var beamDf = topBeam(seedScored)
+    for (_ <- 0 until rounds) {
+      val pool = beamDf.select(col("q_id"), col("nid"))
+        .unionByName(beamDf
+          .join(edges, beamDf("nid") === edges("src"))
+          .select(col("q_id"), col("dst").as("nid"))
+          .filter(col("q_id") =!= col("nid")))
+        .distinct()
+      val scored = pool
+        .join(cand, Seq("nid"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select(col("q_id"), col("nid"),
+          round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+      beamDf = topBeam(scored)
+    }
+    beamDf
+  }
+
+  // ---- HIERARCHICAL ENTRY: the HNSW upper layer -------------------------
+  //
+  // A deterministic hash sample of nodes forms LAYER 1 with its own
+  // bounded-degree proximity graph over the SAME coarse quantizer (HNSW's
+  // exponentially-sampled upper layers, truncated to one — Malkov &
+  // Yashunin 2018 §4: long-range hops live on the sparse layer). Search
+  // walks layer 1 first (narrow beam, few rounds) and its final beam
+  // UNIONS with the IVF seeds to start the layer-0 traversal — the
+  // layer-0 seed pool is a superset of the flat traversal's, so at equal
+  // layer-0 beam the hierarchical entry can only improve the entry
+  // quality (spec-pinned ≥ recall on the planted Voronoi-bridge
+  // geometry). Build cost: one more graphEdges over |N|/Layer1Every
+  // nodes; query cost: + rounds1·beam1·degree evaluations — both
+  // corpus-fraction-sized, never corpus-sized.
+  val Layer1Every = 8
+  val Layer1Beam = 8
+  val Layer1Rounds = 2
+
+  /** The deterministic upper-layer membership predicate. */
+  def layer1Member: Column =
+    graft.functions.PortableHash.h31("lyr", col("vec_id").cast("string")) % Layer1Every === 0
+
+  /** The layer-1 proximity graph: `graphEdges` over the hash-sampled
+    * node subset, same quantizer.
+    */
+  def graph2Layer1Edges(
+      emb: DataFrame, degree: Int = GraphDegree, probe: Int = GraphProbe,
+      coarse: Option[DataFrame] = None): DataFrame = {
+    val cents = coarse.getOrElse(
+      centroids(emb).select(col("label").as("cell"), col("centroid")))
+    graphEdges(emb.filter(layer1Member), degree, probe, coarse = Some(cents))
+  }
+
+  /** Hierarchical beam search over PREBUILT artifacts: `edges1` = the
+    * layer-1 graph over the sampled subset, everything else as
+    * `graphTopKFromIndex`. Layer-1 seeds = IVF-nprobe=1 candidates among
+    * layer-1 members; its final beam + the layer-0 IVF seeds start the
+    * layer-0 loop.
+    */
+  def graph2TopKFromIndex(
+      edges0: DataFrame, edges1: DataFrame, index: DataFrame, queries0: DataFrame,
+      coarse: DataFrame, k: Int = 10, beam: Int = GraphBeam,
+      rounds: Int = GraphRounds, beam1: Int = Layer1Beam,
+      rounds1: Int = Layer1Rounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(beam >= k, s"graph2TopK: beam $beam must be >= k $k")
+    val centArr: Array[(Int, Seq[Double])] = coarse.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val e1 = edges1.select(col("src"), col("dst")).persist()
+    val e0 = edges0.select(col("src"), col("dst")).persist()
+    try {
+      val queries = normQueries(queries0)
+      val index1 = index.filter(layer1Member)
+      val upper = beamLoop(e1, index1, queries,
+        scoreProbes(index1, queries0, centArr, nprobe = 1)
+          .withColumnRenamed("neighbor_id", "nid"),
+        beam1, rounds1)
+      val seeds = scoreProbes(index, queries0, centArr, nprobe = 1)
+        .withColumnRenamed("neighbor_id", "nid")
+        .unionByName(upper)
+        .groupBy(col("q_id"), col("nid")).agg(max(col("cos")).as("cos"))
+      val beamDf = beamLoop(e0, index, queries, seeds, beam, rounds)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nid").asc)
+      beamDf.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
+        .eagerCkpt
+    } finally { e1.unpersist(); e0.unpersist(): Unit }
+  }
+
+  /** Hierarchical traversal end-to-end over raw embeddings (builds both
+    * layers' graphs + the cell index, then serves).
+    */
+  def graph2TopK(
+      emb: DataFrame, k: Int = 10, beam: Int = GraphBeam,
+      rounds: Int = GraphRounds, degree: Int = GraphDegree,
+      probe: Int = GraphProbe): DataFrame = {
+    val coarse = centroids(emb).select(col("label").as("cell"), col("centroid"))
+    val centArr: Array[(Int, Seq[Double])] = coarse.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val index = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+      .select(col("vec_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
+      .select(col("vec_id"), nearestCellExpr(centArr, col("cv"), col("cn")).as("cell"),
+        col("cv"), col("cn"))
+    graph2TopKFromIndex(
+      graphEdges(emb, degree, probe, coarse = Some(coarse)),
+      graph2Layer1Edges(emb, degree, probe, coarse = Some(coarse)),
+      index, querySet(emb), coarse, k, beam, rounds)
   }
 
   /** `graphRecallReport` with a PRESCORED approximate ranking (the

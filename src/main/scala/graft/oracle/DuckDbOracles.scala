@@ -2266,6 +2266,96 @@ object DuckDbOracles {
   def annGraphRecallReport(k: Int = 10): String =
     recallReportSql(annGraphTopK(k), k)
 
+  /** Twin of VectorOps.graph2TopK — the HIERARCHICAL (HNSW upper-layer)
+    * traversal: the flat graphCtes plus a layer-1 graph over the
+    * hash-sampled node subset (same quantizer), an unrolled narrow beam
+    * on layer 1, then the layer-0 beam seeded by (IVF seeds ∪ the
+    * layer-1 final beam) and the flat unrolled rounds.
+    */
+  def annGraph2TopK(
+      k: Int = 10,
+      degree: Int = VectorOps.GraphDegree,
+      probe: Int = VectorOps.GraphProbe,
+      beam: Int = VectorOps.GraphBeam,
+      rounds: Int = VectorOps.GraphRounds,
+      beam1: Int = VectorOps.Layer1Beam,
+      rounds1: Int = VectorOps.Layer1Rounds): String = {
+    val member = s"${h("lyr", "CAST(vec_id AS VARCHAR)")} % ${VectorOps.Layer1Every} = 0"
+    val upperRounds = (1 to rounds1).map { r =>
+      val prev = s"ubeam${r - 1}"
+      s"""upool$r AS (SELECT DISTINCT q_id, nid FROM (
+         |    SELECT q_id, nid FROM $prev
+         |    UNION ALL
+         |    SELECT b.q_id, ed.dst AS nid FROM $prev b JOIN edges1 ed ON b.nid = ed.src
+         |    WHERE ed.dst <> b.q_id)),
+         |uscore$r AS (SELECT p.q_id, p.nid, round(${cosSql("q.qv", "e.v")}, 6) AS cos
+         |  FROM upool$r p JOIN q ON p.q_id = q.q_id JOIN e ON p.nid = e.vec_id),
+         |ubeam$r AS MATERIALIZED (SELECT q_id, nid, cos FROM (
+         |    SELECT q_id, nid, cos,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
+         |    FROM uscore$r) WHERE rn <= $beam1)""".stripMargin
+    }.mkString(",\n")
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"beam${r - 1}"
+      s"""pool$r AS (SELECT DISTINCT q_id, nid FROM (
+         |    SELECT q_id, nid FROM $prev
+         |    UNION ALL
+         |    SELECT b.q_id, ed.dst AS nid FROM $prev b JOIN edges ed ON b.nid = ed.src
+         |    WHERE ed.dst <> b.q_id)),
+         |score$r AS (SELECT p.q_id, p.nid, round(${cosSql("q.qv", "e.v")}, 6) AS cos
+         |  FROM pool$r p JOIN q ON p.q_id = q.q_id JOIN e ON p.nid = e.vec_id),
+         |beam$r AS MATERIALIZED (SELECT q_id, nid, cos FROM (
+         |    SELECT q_id, nid, cos,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
+         |    FROM score$r) WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embCte,
+       |${graphCtes(degree, probe)},
+       |nposted1 AS (SELECT vec_id, v, cell FROM nposted WHERE $member),
+       |gcand1 AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+       |    round(${cosSql("a.v", "b.v")}, 6) AS cos
+       |  FROM nposted1 a JOIN nposted1 b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |directed1 AS (SELECT src, dst, cos FROM (
+       |    SELECT src, dst, cos,
+       |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+       |    FROM gcand1) WHERE rn <= $degree),
+       |edges1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM directed1
+       |    UNION ALL SELECT dst AS src, src AS dst FROM directed1)),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |qasg AS (SELECT vec_id AS q_id, v AS qv, cell FROM ranked_cells
+       |  WHERE r = 1 AND vec_id % 100 = 0),
+       |asg AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r = 1),
+       |asg1 AS (SELECT vec_id, v, cell FROM asg WHERE $member),
+       |useedscore AS (SELECT qa.q_id, ca.vec_id AS nid,
+       |    round(${cosSql("qa.qv", "ca.v")}, 6) AS cos
+       |  FROM qasg qa JOIN asg1 ca ON qa.cell = ca.cell AND qa.q_id <> ca.vec_id),
+       |ubeam0 AS MATERIALIZED (SELECT q_id, nid, cos FROM (
+       |    SELECT q_id, nid, cos,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
+       |    FROM useedscore) WHERE rn <= $beam1),
+       |$upperRounds,
+       |seedscore AS (SELECT qa.q_id, ca.vec_id AS nid,
+       |    round(${cosSql("qa.qv", "ca.v")}, 6) AS cos
+       |  FROM qasg qa JOIN asg ca ON qa.cell = ca.cell AND qa.q_id <> ca.vec_id),
+       |seedpool AS (SELECT q_id, nid, max(cos) AS cos FROM (
+       |    SELECT q_id, nid, cos FROM seedscore
+       |    UNION ALL SELECT q_id, nid, cos FROM ubeam$rounds1)
+       |  GROUP BY 1, 2),
+       |beam0 AS MATERIALIZED (SELECT q_id, nid, cos FROM (
+       |    SELECT q_id, nid, cos,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
+       |    FROM seedpool) WHERE rn <= $beam),
+       |$roundCtes
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, cos FROM (
+       |  SELECT q_id, nid, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
+       |  FROM beam$rounds) WHERE rn <= $k""".stripMargin
+  }
+
+  def annGraph2RecallReport(k: Int = 10): String =
+    recallReportSql(annGraph2TopK(k), k)
+
   /** Twin of VectorOps.graphDegreeStats. */
   def annGraphDegreeStats(
       degree: Int = VectorOps.GraphDegree,

@@ -93,4 +93,47 @@ class GraphAnnSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper
       a.toSeq shouldBe b.toSeq
     }
   }
+
+  describe("graph2TopK (hierarchical HNSW entry)") {
+    it("at equal layer-0 beam: rank-for-rank cosine dominance over the flat traversal and recall >= flat") {
+      val emb = embDf(corpus)
+      val k = 6
+      // the upper layer is non-empty on this corpus — the comparison is
+      // not vacuous
+      emb.filter(VectorOps.layer1Member).count() should be > 0L
+      val flat = VectorOps.graphTopK(emb, k = k, beam = 8, rounds = 3, degree = 3)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+      val hier = VectorOps.graph2TopK(emb, k = k, beam = 8, rounds = 3, degree = 3)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+      // the hierarchical seed pool is a superset of the flat one, so the
+      // final ranking can only improve score-wise at every rank
+      hier.zip(flat).foreach { case ((_, _, hc), (_, _, fc)) =>
+        hc should be >= fc
+      }
+      // recall vs brute truth: hierarchical >= flat
+      val truth = VectorOps.bruteForceTopK(emb, k = k)
+        .collect().map(r => r.getLong(2)).toSet
+      val hHits = hier.map(_._2).count(truth)
+      val fHits = flat.map(_._2).count(truth)
+      hHits should be >= fHits
+      hHits shouldBe k // and on this geometry the traversal is exact
+    }
+
+    it("is deterministic and its layer-1 graph only contains sampled members") {
+      val emb = embDf(corpus)
+      val members = emb.filter(VectorOps.layer1Member)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val e1 = VectorOps.graph2Layer1Edges(emb, degree = 3)
+        .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+      e1.foreach { case (s, d) =>
+        members should contain(s)
+        members should contain(d)
+      }
+      val a = VectorOps.graph2TopK(emb, k = 5, beam = 8, degree = 3)
+        .collect().map(_.toString).sorted
+      val b = VectorOps.graph2TopK(emb, k = 5, beam = 8, degree = 3)
+        .collect().map(_.toString).sorted
+      a.toSeq shouldBe b.toSeq
+    }
+  }
 }

@@ -63,6 +63,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // materialized result (localCheckpoint), so its plan is already flat.
     "ann_graph_degree_stats" -> Set("codegen-fallback"),
     "ann_graph_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
+    "ann_graph2_recall_report" -> Set("nested-loop-join", "codegen-fallback"), // same brute-truth join
     // composes the labeled all-pairs semantic baseline (0.35 is below any
     // LSH-able threshold; at a real >=0.85 threshold the LSH path applies)
     "dedup_crossmodal" -> Set("nested-loop-join"),

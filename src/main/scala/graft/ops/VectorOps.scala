@@ -2188,19 +2188,21 @@ object VectorOps {
   val Layer1Beam = 8
   val Layer1Rounds = 2
 
-  /** The deterministic upper-layer membership predicate. */
-  def layer1Member: Column =
-    graft.functions.PortableHash.h31("lyr", col("vec_id").cast("string")) % Layer1Every === 0
+  /** The deterministic upper-layer membership predicate (`every` = the
+    * sampling modulus; specs shrink it to exercise a dense upper layer).
+    */
+  def layer1Member(every: Int = Layer1Every): Column =
+    graft.functions.PortableHash.h31("lyr", col("vec_id").cast("string")) % every === 0
 
   /** The layer-1 proximity graph: `graphEdges` over the hash-sampled
     * node subset, same quantizer.
     */
   def graph2Layer1Edges(
       emb: DataFrame, degree: Int = GraphDegree, probe: Int = GraphProbe,
-      coarse: Option[DataFrame] = None): DataFrame = {
+      coarse: Option[DataFrame] = None, every: Int = Layer1Every): DataFrame = {
     val cents = coarse.getOrElse(
       centroids(emb).select(col("label").as("cell"), col("centroid")))
-    graphEdges(emb.filter(layer1Member), degree, probe, coarse = Some(cents))
+    graphEdges(emb.filter(layer1Member(every)), degree, probe, coarse = Some(cents))
   }
 
   /** Hierarchical beam search over PREBUILT artifacts: `edges1` = the
@@ -2213,7 +2215,7 @@ object VectorOps {
       edges0: DataFrame, edges1: DataFrame, index: DataFrame, queries0: DataFrame,
       coarse: DataFrame, k: Int = 10, beam: Int = GraphBeam,
       rounds: Int = GraphRounds, beam1: Int = Layer1Beam,
-      rounds1: Int = Layer1Rounds): DataFrame = {
+      rounds1: Int = Layer1Rounds, every: Int = Layer1Every): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(beam >= k, s"graph2TopK: beam $beam must be >= k $k")
     val centArr: Array[(Int, Seq[Double])] = coarse.collect()
@@ -2222,7 +2224,7 @@ object VectorOps {
     val e0 = edges0.select(col("src"), col("dst")).persist()
     try {
       val queries = normQueries(queries0)
-      val index1 = index.filter(layer1Member)
+      val index1 = index.filter(layer1Member(every))
       val upper = beamLoop(e1, index1, queries,
         scoreProbes(index1, queries0, centArr, nprobe = 1)
           .withColumnRenamed("neighbor_id", "nid"),
@@ -2246,7 +2248,7 @@ object VectorOps {
   def graph2TopK(
       emb: DataFrame, k: Int = 10, beam: Int = GraphBeam,
       rounds: Int = GraphRounds, degree: Int = GraphDegree,
-      probe: Int = GraphProbe): DataFrame = {
+      probe: Int = GraphProbe, every: Int = Layer1Every): DataFrame = {
     val coarse = centroids(emb).select(col("label").as("cell"), col("centroid"))
     val centArr: Array[(Int, Seq[Double])] = coarse.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
@@ -2257,8 +2259,8 @@ object VectorOps {
         col("cv"), col("cn"))
     graph2TopKFromIndex(
       graphEdges(emb, degree, probe, coarse = Some(coarse)),
-      graph2Layer1Edges(emb, degree, probe, coarse = Some(coarse)),
-      index, querySet(emb), coarse, k, beam, rounds)
+      graph2Layer1Edges(emb, degree, probe, coarse = Some(coarse), every = every),
+      index, querySet(emb), coarse, k, beam, rounds, every = every)
   }
 
   /** `graphRecallReport` with a PRESCORED approximate ranking (the

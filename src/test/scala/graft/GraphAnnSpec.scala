@@ -98,12 +98,13 @@ class GraphAnnSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper
     it("at equal layer-0 beam: rank-for-rank cosine dominance over the flat traversal and recall >= flat") {
       val emb = embDf(corpus)
       val k = 6
-      // the upper layer is non-empty on this corpus — the comparison is
-      // not vacuous
-      emb.filter(VectorOps.layer1Member).count() should be > 0L
+      // every=2 gives a DENSE upper layer on this 22-node corpus — the
+      // comparison is not vacuous
+      emb.filter(VectorOps.layer1Member(2)).count() should be > 2L
       val flat = VectorOps.graphTopK(emb, k = k, beam = 8, rounds = 3, degree = 3)
         .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
-      val hier = VectorOps.graph2TopK(emb, k = k, beam = 8, rounds = 3, degree = 3)
+      val hier = VectorOps.graph2TopK(emb, k = k, beam = 8, rounds = 3, degree = 3,
+          every = 2)
         .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
       // the hierarchical seed pool is a superset of the flat one, so the
       // final ranking can only improve score-wise at every rank
@@ -119,19 +120,42 @@ class GraphAnnSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper
       hHits shouldBe k // and on this geometry the traversal is exact
     }
 
+    it("under a starved round budget the upper-layer entry strictly beats the flat traversal") {
+      // rounds=1 starves the flat walk: its seeds sit in the query's cell
+      // and one expansion cannot reach the far half of the true top-k
+      // across the Voronoi edge. The dense upper layer's long-range hops
+      // get there within its own walk, and its beam seeds layer 0 past
+      // the boundary — the exact seed-sensitivity HNSW's hierarchy cuts.
+      val emb = embDf(corpus)
+      val k = 6
+      val truth = VectorOps.bruteForceTopK(emb, k = k)
+        .collect().map(r => r.getLong(2)).toSet
+      // every=3 samples members on BOTH sides of the boundary including
+      // the query's own cell (every=2 happens to sample none there — the
+      // upper walk needs an in-cell entry member)
+      val flat = VectorOps.graphTopK(emb, k = k, beam = 8, rounds = 1, degree = 3)
+        .collect().map(r => r.getLong(2))
+      val hier = VectorOps.graph2TopK(emb, k = k, beam = 8, rounds = 1, degree = 3,
+          every = 3)
+        .collect().map(r => r.getLong(2))
+      val (fHits, hHits) = (flat.count(truth), hier.count(truth))
+      hHits should be > fHits
+    }
+
     it("is deterministic and its layer-1 graph only contains sampled members") {
       val emb = embDf(corpus)
-      val members = emb.filter(VectorOps.layer1Member)
+      val members = emb.filter(VectorOps.layer1Member(2))
         .select("vec_id").collect().map(_.getLong(0)).toSet
-      val e1 = VectorOps.graph2Layer1Edges(emb, degree = 3)
+      val e1 = VectorOps.graph2Layer1Edges(emb, degree = 3, every = 2)
         .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+      e1 should not be empty
       e1.foreach { case (s, d) =>
         members should contain(s)
         members should contain(d)
       }
-      val a = VectorOps.graph2TopK(emb, k = 5, beam = 8, degree = 3)
+      val a = VectorOps.graph2TopK(emb, k = 5, beam = 8, degree = 3, every = 2)
         .collect().map(_.toString).sorted
-      val b = VectorOps.graph2TopK(emb, k = 5, beam = 8, degree = 3)
+      val b = VectorOps.graph2TopK(emb, k = 5, beam = 8, degree = 3, every = 2)
         .collect().map(_.toString).sorted
       a.toSeq shouldBe b.toSeq
     }

@@ -183,6 +183,23 @@ class StreamingGraphAnnSpec extends AnyFunSpec with Matchers with SparkSessionTe
       assertEqualsBatch(graphDir, (b0 ++ b1 ++ b2).filterNot(_._1 == 4L))
     }
 
+    it("the HNSW upper layer is maintained by the SAME machinery: streamed graph over the layer-1 substream == graph2Layer1Edges") {
+      // layer 1 is graphEdges over the hash-sampled subset with the same
+      // quantizer — so a second StreamingGraphAnn instance fed the
+      // layer-1-filtered stream maintains it incrementally, ingest,
+      // forget and all; no new maintainer code.
+      val dir = java.nio.file.Files.createTempDirectory("graft-sga-l1").toString
+      val graphDir = s"$dir/graph1"
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        val sub = embDf(b).filter(VectorOps.layer1Member(2))
+        StreamingGraphAnn.processBatch(sub, i.toLong, cents, graphDir)
+      }
+      val streamed = rowSet(StreamingGraphAnn.readEdges(spark, graphDir))
+      streamed should not be empty // every=2: the upper layer has real edges
+      streamed shouldBe
+        rowSet(VectorOps.graph2Layer1Edges(embDf(all), coarse = Some(cents), every = 2))
+    }
+
     it("serving from the streamed graph + streamed cell index == the batch traversal") {
       val dir = java.nio.file.Files.createTempDirectory("graft-sga-serve").toString
       val (graphDir, idxDir) = (s"$dir/graph", s"$dir/idx")

@@ -2140,18 +2140,23 @@ object VectorOps {
     */
   private def beamLoop(
       edges: DataFrame, index: DataFrame, queries: DataFrame,
-      seedScored: DataFrame, beam: Int, rounds: Int): DataFrame = {
+      seedScored: DataFrame, beam: Int, rounds: Int,
+      ckptRounds: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cand = index.select(col("vec_id").as("nid"), col("cv"), col("cn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nid").asc)
-    def topBeam(scored: DataFrame): DataFrame =
-      scored.withColumn("rn", row_number().over(w))
+    def topBeam(scored: DataFrame): DataFrame = {
+      val pruned = scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= beam)
         .select(col("q_id"), col("nid"), col("cos"))
-        // each round references the previous beam TWICE (carry + expand):
-        // eager truncation keeps the lineage one round deep instead of
-        // 2^rounds re-evaluations (the CC-loop convention)
-        .eagerCkpt
+      // each round references the previous beam TWICE (carry + expand):
+      // eager truncation keeps the lineage one round deep instead of
+      // 2^rounds re-evaluations (the CC-loop convention). ckptRounds=false
+      // skips it for SHALLOW loops (the 2-round upper-layer walk), where
+      // exchange reuse across the duplicated subtree is cheaper than the
+      // per-round materialization jobs.
+      if (ckptRounds) pruned.eagerCkpt else pruned
+    }
     var beamDf = topBeam(seedScored)
     for (_ <- 0 until rounds) {
       val pool = beamDf.select(col("q_id"), col("nid"))
@@ -2228,7 +2233,7 @@ object VectorOps {
       val upper = beamLoop(e1, index1, queries,
         scoreProbes(index1, queries0, centArr, nprobe = 1)
           .withColumnRenamed("neighbor_id", "nid"),
-        beam1, rounds1)
+        beam1, rounds1, ckptRounds = rounds1 > 2)
       val seeds = scoreProbes(index, queries0, centArr, nprobe = 1)
         .withColumnRenamed("neighbor_id", "nid")
         .unionByName(upper)

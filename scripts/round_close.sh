@@ -21,10 +21,15 @@ done
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 scripts/run.sh graft.Bench 2>/dev/null | tail -1
 
 # track everything the driver/judge reads at round close
-git add -A bench_out.json bench_budget.json 2>/dev/null || true
+# one file per add: a multi-pathspec `git add` is all-or-nothing (one
+# unmatched spec aborts the whole add); COPYCHECK.json is gitignored and
+# deliberately not tracked
+for f in bench_out.json bench_budget.json; do
+  [ -f "$f" ] && git add -- "$f" || true
+done
 if [ -n "$ROUND" ]; then
-  for f in "BENCH_r${ROUND}.json" "CORRECTNESS_r${ROUND}.json" LEAKCHECK.json COPYCHECK.json; do
-    [ -f "$f" ] && git add "$f"
+  for f in "BENCH_r${ROUND}.json" "CORRECTNESS_r${ROUND}.json" LEAKCHECK.json; do
+    [ -f "$f" ] && git add -- "$f" || true
   done
 fi
 if ! git diff --cached --quiet; then

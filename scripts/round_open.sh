@@ -5,12 +5,19 @@
 # cannot track them. Running this as the FIRST action of a round commits
 # whatever the previous round's driver left behind, closing the loop.
 #
+# Files are added one at a time: `git add` with MULTIPLE pathspecs is
+# all-or-nothing (one unmatched glob aborts the whole add with exit 128),
+# which would silently skip the commit in exactly the fresh-round state
+# this script exists for.
+#
 # Usage: scripts/round_open.sh
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-git add -A BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json COPYCHECK.json \
-  bench_out.json VERDICT.md ADVICE.md 2>/dev/null || true
+for f in BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json bench_out.json \
+    VERDICT.md ADVICE.md; do
+  [ -f "$f" ] && git add -- "$f" || true
+done
 if ! git diff --cached --quiet; then
   git commit -m "Round open: track previous round's driver artifacts"
 fi

@@ -1522,10 +1522,11 @@ object SparkEntry {
       VectorOps.graphDegreeStatsFrom(annGraphOf(s, dir)._1)),
     // HIERARCHICAL entry (HNSW upper layer): a hash-sampled layer-1
     // graph walked first with a narrow beam; its final beam unions with
-    // the IVF seeds for the layer-0 traversal — the layer-0 seed pool is
-    // a superset of the flat one, so at equal beam the entry can only
-    // improve (recall ≥ flat spec-pinned on the Voronoi-bridge
-    // geometry). Both layers served from the same memoized artifact.
+    // the IVF seeds for the layer-0 traversal — a seed-pool superset of
+    // the flat walk, biasing entry quality upward (recall ≥ flat is
+    // geometry-dependent, not a theorem; spec-pinned on the planted
+    // Voronoi-bridge corpus). Both layers served from the same memoized
+    // artifact.
     "ann_graph2_topk" -> ((s, dir) => {
       val (edges, index, coarse) = annGraphOf(s, dir)
       VectorOps.graph2TopKFromIndex(edges, annGraphLayer1Of(s, dir), index,

@@ -19,7 +19,19 @@ import org.apache.spark.sql.DataFrame
   * blocks live in the checkpoint dir, survive executor loss, and the
   * fixpoints become restartable mid-iteration. The session's Spark-level
   * checkpoint dir is set lazily from the conf on first use (and never
-  * overridden if the caller already set one).
+  * overridden if the caller already set one). The frame is persisted
+  * around the checkpoint so the write job reads the just-computed
+  * blocks instead of re-running the lineage (RDD reliable checkpointing
+  * otherwise recomputes in its second job).
+  *
+  * FILE LIFECYCLE on the reliable path: Spark only deletes reliable
+  * checkpoint files at ContextCleaner GC time when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+  * SparkContext-construction-time setting, default false) — cluster
+  * callers enable it, or point `spark.graft.checkpointDir` at a
+  * per-run directory they delete on exit. Unlike localCheckpoint
+  * blocks (always ContextCleaner-managed), leaked reliable files
+  * otherwise accumulate one directory per materialization.
   *
   * The conf is read per call — it is a runtime (`spark.conf.set`)
   * switch, so one session can run the bench path and a
@@ -42,7 +54,9 @@ object Materialize {
         case Some(dir) if dir.nonEmpty =>
           val sc = spark.sparkContext
           if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-          df.checkpoint(eager = true)
+          df.persist()
+          try df.checkpoint(eager = true)
+          finally { df.unpersist(): Unit }
         case _ => df.localCheckpoint(eager = true)
       }
     }

@@ -2183,10 +2183,14 @@ object VectorOps {
   // Yashunin 2018 §4: long-range hops live on the sparse layer). Search
   // walks layer 1 first (narrow beam, few rounds) and its final beam
   // UNIONS with the IVF seeds to start the layer-0 traversal — the
-  // layer-0 seed pool is a superset of the flat traversal's, so at equal
-  // layer-0 beam the hierarchical entry can only improve the entry
-  // quality (spec-pinned ≥ recall on the planted Voronoi-bridge
-  // geometry). Build cost: one more graphEdges over |N|/Layer1Every
+  // layer-0 seed pool is a superset of the flat traversal's, biasing
+  // entry quality upward. NOT a theorem: beam pruning is non-monotone
+  // in the seed set (a higher-cosine upper seed can evict a flat seed
+  // whose neighborhood held the truth), so ≥-flat recall is a
+  // geometry-dependent outcome — spec-pinned on the fixed planted
+  // Voronoi-bridge corpus, where the hierarchy also strictly wins under
+  // a starved round budget. Build cost: one more graphEdges over
+  // |N|/Layer1Every
   // nodes; query cost: + rounds1·beam1·degree evaluations — both
   // corpus-fraction-sized, never corpus-sized.
   val Layer1Every = 8

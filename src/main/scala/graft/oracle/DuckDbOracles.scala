@@ -2196,6 +2196,22 @@ object DuckDbOracles {
     * `edges` once per round and DuckDB's CTE inlining would otherwise
     * re-expand the candidate join per reference (the k-core gotcha).
     */
+  /** Candidate → directed-top-degree → symmetrized edge CTE chain from a
+    * postings CTE — shared by the layer-0 and layer-1 graph builds
+    * (`suffix` distinguishes the CTE names).
+    */
+  private def graphEdgePruneCtes(posted: String, suffix: String, degree: Int): String =
+    s"""gcand$suffix AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+       |    round(${cosSql("a.v", "b.v")}, 6) AS cos
+       |  FROM $posted a JOIN $posted b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |directed$suffix AS (SELECT src, dst, cos FROM (
+       |    SELECT src, dst, cos,
+       |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+       |    FROM gcand$suffix) WHERE rn <= $degree),
+       |edges$suffix AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM directed$suffix
+       |    UNION ALL SELECT dst AS src, src AS dst FROM directed$suffix))""".stripMargin
+
   private def graphCtes(degree: Int, probe: Int): String =
     s"""dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
        |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
@@ -2208,16 +2224,53 @@ object DuckDbOracles {
        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
        |  FROM cscore),
        |nposted AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r <= $probe),
-       |gcand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
-       |    round(${cosSql("a.v", "b.v")}, 6) AS cos
-       |  FROM nposted a JOIN nposted b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-       |directed AS (SELECT src, dst, cos FROM (
-       |    SELECT src, dst, cos,
-       |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
-       |    FROM gcand) WHERE rn <= $degree),
-       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-       |    SELECT src, dst FROM directed
-       |    UNION ALL SELECT dst AS src, src AS dst FROM directed))""".stripMargin
+       |${graphEdgePruneCtes("nposted", "", degree)}""".stripMargin
+
+  /** One top-`beam` prune CTE over a scored (q_id, nid, cos) subquery. */
+  private def beamPruneCte(name: String, from: String, beam: Int): String =
+    s"""$name AS MATERIALIZED (SELECT q_id, nid, cos FROM (
+       |    SELECT q_id, nid, cos,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
+       |    FROM $from) WHERE rn <= $beam)""".stripMargin
+
+  /** The unrolled expand-score-prune rounds over `edges` starting at
+    * `${p}beam0` — shared by the flat walk (p="") and the upper-layer
+    * walk (p="u"), so a fix to one can never desynchronize the other.
+    */
+  private def beamRoundCtes(p: String, edges: String, rounds: Int, beam: Int): String =
+    (1 to rounds).map { r =>
+      val prev = s"${p}beam${r - 1}"
+      s"""${p}pool$r AS (SELECT DISTINCT q_id, nid FROM (
+         |    SELECT q_id, nid FROM $prev
+         |    UNION ALL
+         |    SELECT b.q_id, ed.dst AS nid FROM $prev b JOIN $edges ed ON b.nid = ed.src
+         |    WHERE ed.dst <> b.q_id)),
+         |${p}score$r AS (SELECT p.q_id, p.nid, round(${cosSql("q.qv", "e.v")}, 6) AS cos
+         |  FROM ${p}pool$r p JOIN q ON p.q_id = q.q_id JOIN e ON p.nid = e.vec_id),
+         |${beamPruneCte(s"${p}beam$r", s"${p}score$r", beam)}""".stripMargin
+    }.mkString(",\n")
+
+  /** Query/assignment/seed CTEs shared by the graph walks: `q` (the query
+    * set), `qasg` (query → nearest cell), `asg` (corpus r=1 assignment),
+    * and a cell-co-member seed scoring against `asgName`.
+    */
+  private def graphSeedCtes: String =
+    s"""q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |qasg AS (SELECT vec_id AS q_id, v AS qv, cell FROM ranked_cells
+       |  WHERE r = 1 AND vec_id % 100 = 0),
+       |asg AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r = 1)""".stripMargin
+
+  private def seedScoreCte(name: String, asgName: String): String =
+    s"""$name AS (SELECT qa.q_id, ca.vec_id AS nid,
+       |    round(${cosSql("qa.qv", "ca.v")}, 6) AS cos
+       |  FROM qasg qa JOIN $asgName ca ON qa.cell = ca.cell AND qa.q_id <> ca.vec_id)"""
+      .stripMargin
+
+  private def beamFinalSelect(finalBeam: String, k: Int): String =
+    s"""SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, cos FROM (
+       |  SELECT q_id, nid, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
+       |  FROM $finalBeam) WHERE rn <= $k""".stripMargin
 
   /** Twin of VectorOps.graphTopK: IVF-nprobe=1 seed beam, `rounds`
     * unrolled expand-score-prune rounds (each beam MATERIALIZED — the next
@@ -2228,40 +2281,14 @@ object DuckDbOracles {
       degree: Int = VectorOps.GraphDegree,
       probe: Int = VectorOps.GraphProbe,
       beam: Int = VectorOps.GraphBeam,
-      rounds: Int = VectorOps.GraphRounds): String = {
-    val roundCtes = (1 to rounds).map { r =>
-      val prev = s"beam${r - 1}"
-      s"""pool$r AS (SELECT DISTINCT q_id, nid FROM (
-         |    SELECT q_id, nid FROM $prev
-         |    UNION ALL
-         |    SELECT b.q_id, ed.dst AS nid FROM $prev b JOIN edges ed ON b.nid = ed.src
-         |    WHERE ed.dst <> b.q_id)),
-         |score$r AS (SELECT p.q_id, p.nid, round(${cosSql("q.qv", "e.v")}, 6) AS cos
-         |  FROM pool$r p JOIN q ON p.q_id = q.q_id JOIN e ON p.nid = e.vec_id),
-         |beam$r AS MATERIALIZED (SELECT q_id, nid, cos FROM (
-         |    SELECT q_id, nid, cos,
-         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
-         |    FROM score$r) WHERE rn <= $beam)""".stripMargin
-    }.mkString(",\n")
+      rounds: Int = VectorOps.GraphRounds): String =
     s"""WITH $embCte,
        |${graphCtes(degree, probe)},
-       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
-       |qasg AS (SELECT vec_id AS q_id, v AS qv, cell FROM ranked_cells
-       |  WHERE r = 1 AND vec_id % 100 = 0),
-       |asg AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r = 1),
-       |seedscore AS (SELECT qa.q_id, ca.vec_id AS nid,
-       |    round(${cosSql("qa.qv", "ca.v")}, 6) AS cos
-       |  FROM qasg qa JOIN asg ca ON qa.cell = ca.cell AND qa.q_id <> ca.vec_id),
-       |beam0 AS MATERIALIZED (SELECT q_id, nid, cos FROM (
-       |    SELECT q_id, nid, cos,
-       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
-       |    FROM seedscore) WHERE rn <= $beam),
-       |$roundCtes
-       |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, cos FROM (
-       |  SELECT q_id, nid, cos,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
-       |  FROM beam$rounds) WHERE rn <= $k""".stripMargin
-  }
+       |$graphSeedCtes,
+       |${seedScoreCte("seedscore", "asg")},
+       |${beamPruneCte("beam0", "seedscore", beam)},
+       |${beamRoundCtes("", "edges", rounds, beam)}
+       |${beamFinalSelect(s"beam$rounds", k)}""".stripMargin
 
   def annGraphRecallReport(k: Int = 10): String =
     recallReportSql(annGraphTopK(k), k)
@@ -2281,76 +2308,23 @@ object DuckDbOracles {
       beam1: Int = VectorOps.Layer1Beam,
       rounds1: Int = VectorOps.Layer1Rounds): String = {
     val member = s"${h("lyr", "CAST(vec_id AS VARCHAR)")} % ${VectorOps.Layer1Every} = 0"
-    val upperRounds = (1 to rounds1).map { r =>
-      val prev = s"ubeam${r - 1}"
-      s"""upool$r AS (SELECT DISTINCT q_id, nid FROM (
-         |    SELECT q_id, nid FROM $prev
-         |    UNION ALL
-         |    SELECT b.q_id, ed.dst AS nid FROM $prev b JOIN edges1 ed ON b.nid = ed.src
-         |    WHERE ed.dst <> b.q_id)),
-         |uscore$r AS (SELECT p.q_id, p.nid, round(${cosSql("q.qv", "e.v")}, 6) AS cos
-         |  FROM upool$r p JOIN q ON p.q_id = q.q_id JOIN e ON p.nid = e.vec_id),
-         |ubeam$r AS MATERIALIZED (SELECT q_id, nid, cos FROM (
-         |    SELECT q_id, nid, cos,
-         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
-         |    FROM uscore$r) WHERE rn <= $beam1)""".stripMargin
-    }.mkString(",\n")
-    val roundCtes = (1 to rounds).map { r =>
-      val prev = s"beam${r - 1}"
-      s"""pool$r AS (SELECT DISTINCT q_id, nid FROM (
-         |    SELECT q_id, nid FROM $prev
-         |    UNION ALL
-         |    SELECT b.q_id, ed.dst AS nid FROM $prev b JOIN edges ed ON b.nid = ed.src
-         |    WHERE ed.dst <> b.q_id)),
-         |score$r AS (SELECT p.q_id, p.nid, round(${cosSql("q.qv", "e.v")}, 6) AS cos
-         |  FROM pool$r p JOIN q ON p.q_id = q.q_id JOIN e ON p.nid = e.vec_id),
-         |beam$r AS MATERIALIZED (SELECT q_id, nid, cos FROM (
-         |    SELECT q_id, nid, cos,
-         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
-         |    FROM score$r) WHERE rn <= $beam)""".stripMargin
-    }.mkString(",\n")
     s"""WITH $embCte,
        |${graphCtes(degree, probe)},
        |nposted1 AS (SELECT vec_id, v, cell FROM nposted WHERE $member),
-       |gcand1 AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
-       |    round(${cosSql("a.v", "b.v")}, 6) AS cos
-       |  FROM nposted1 a JOIN nposted1 b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-       |directed1 AS (SELECT src, dst, cos FROM (
-       |    SELECT src, dst, cos,
-       |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
-       |    FROM gcand1) WHERE rn <= $degree),
-       |edges1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-       |    SELECT src, dst FROM directed1
-       |    UNION ALL SELECT dst AS src, src AS dst FROM directed1)),
-       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
-       |qasg AS (SELECT vec_id AS q_id, v AS qv, cell FROM ranked_cells
-       |  WHERE r = 1 AND vec_id % 100 = 0),
-       |asg AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r = 1),
+       |${graphEdgePruneCtes("nposted1", "1", degree)},
+       |$graphSeedCtes,
        |asg1 AS (SELECT vec_id, v, cell FROM asg WHERE $member),
-       |useedscore AS (SELECT qa.q_id, ca.vec_id AS nid,
-       |    round(${cosSql("qa.qv", "ca.v")}, 6) AS cos
-       |  FROM qasg qa JOIN asg1 ca ON qa.cell = ca.cell AND qa.q_id <> ca.vec_id),
-       |ubeam0 AS MATERIALIZED (SELECT q_id, nid, cos FROM (
-       |    SELECT q_id, nid, cos,
-       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
-       |    FROM useedscore) WHERE rn <= $beam1),
-       |$upperRounds,
-       |seedscore AS (SELECT qa.q_id, ca.vec_id AS nid,
-       |    round(${cosSql("qa.qv", "ca.v")}, 6) AS cos
-       |  FROM qasg qa JOIN asg ca ON qa.cell = ca.cell AND qa.q_id <> ca.vec_id),
+       |${seedScoreCte("useedscore", "asg1")},
+       |${beamPruneCte("ubeam0", "useedscore", beam1)},
+       |${beamRoundCtes("u", "edges1", rounds1, beam1)},
+       |${seedScoreCte("seedscore", "asg")},
        |seedpool AS (SELECT q_id, nid, max(cos) AS cos FROM (
        |    SELECT q_id, nid, cos FROM seedscore
        |    UNION ALL SELECT q_id, nid, cos FROM ubeam$rounds1)
        |  GROUP BY 1, 2),
-       |beam0 AS MATERIALIZED (SELECT q_id, nid, cos FROM (
-       |    SELECT q_id, nid, cos,
-       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
-       |    FROM seedpool) WHERE rn <= $beam),
-       |$roundCtes
-       |SELECT q_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id, cos FROM (
-       |  SELECT q_id, nid, cos,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rn
-       |  FROM beam$rounds) WHERE rn <= $k""".stripMargin
+       |${beamPruneCte("beam0", "seedpool", beam)},
+       |${beamRoundCtes("", "edges", rounds, beam)}
+       |${beamFinalSelect(s"beam$rounds", k)}""".stripMargin
   }
 
   def annGraph2RecallReport(k: Int = 10): String =

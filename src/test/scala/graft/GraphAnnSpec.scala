@@ -106,8 +106,10 @@ class GraphAnnSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper
       val hier = VectorOps.graph2TopK(emb, k = k, beam = 8, rounds = 3, degree = 3,
           every = 2)
         .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
-      // the hierarchical seed pool is a superset of the flat one, so the
-      // final ranking can only improve score-wise at every rank
+      // the hierarchical seed pool is a superset of the flat one; on THIS
+      // fixed geometry the final ranking improves score-wise at every
+      // rank (not a general theorem — beam pruning is non-monotone in the
+      // seed set, so this is a pinned outcome of the planted corpus)
       hier.zip(flat).foreach { case ((_, _, hc), (_, _, fc)) =>
         hc should be >= fc
       }

@@ -117,7 +117,6 @@ class StreamingGraphAnnSpec extends AnyFunSpec with Matchers with SparkSessionTe
       // pcell=1 partition — the forced-pcells path must drop it.
       val dir = java.nio.file.Files.createTempDirectory("graft-sga-sole").toString
       val graphDir = s"$dir/graph"
-      val corpus = b0 :+ ((5L, vec(0.35), 1))
       StreamingGraphAnn.processBatch(embDf(b0), 0L, cents, graphDir)
       StreamingGraphAnn.processBatch(embDf(Seq((5L, vec(0.35), 1))), 1L, cents, graphDir)
       // precondition of the regression: node 5 really is sole-primary in

@@ -466,6 +466,12 @@ object SparkEntry {
     "entity_resolution_pairs" -> ((s, dir) =>
       graft.ops.Entity.resolvePairs(
         graft.ops.Entity.withPlantedDirty(Tables.customer(s, dir)))),
+    // The survivorship stage completing the record-linkage chain: exact
+    // CC over the matched pairs (typo chains fold transitively), min-key
+    // golden record per entity with keeper-name + max-balance merge.
+    "entity_golden_records" -> ((s, dir) =>
+      graft.ops.Entity.goldenRecords(
+        graft.ops.Entity.withPlantedDirty(Tables.customer(s, dir)))),
 
     // CDC snapshot maintenance (MERGE INTO shape): the event stream as a
     // keyed change feed (user_id, version (ts, event_id), error = tombstone);
@@ -2359,6 +2365,7 @@ object SparkEntry {
     "zorder_events" -> DuckDbOracles.zorderEvents,
 
     "entity_resolution_pairs" -> DuckDbOracles.entityResolutionPairs(),
+    "entity_golden_records" -> DuckDbOracles.entityGoldenRecords(),
 
     "ts_similarity_pairs" -> DuckDbOracles.saxSimilarPairs(),
 

@@ -72,4 +72,33 @@ object Entity {
         levenshtein(col("name_a"), col("name_b")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** GOLDEN RECORDS — the survivorship stage completing the
+    * record-linkage chain: exact connected components over the matched
+    * pair graph (a typo chain A~B~C folds into ONE entity even when A
+    * and C are more than `maxDist` apart — the transitive-closure
+    * semantics resolvePairs alone can't express), min-key representative
+    * per entity, members merged by survivorship rules (the keeper's
+    * name, MAX balance as the "latest update wins" proxy). Singletons
+    * pass through as their own entity.
+    *
+    * Scale: the CC fixpoint is pair-graph-sized (pointer jumping, O(log
+    * diameter) rounds); the merge is one hash aggregation keyed by
+    * entity plus one keeper equi-join — the corpus is scanned once.
+    * Output (entity_id, n_members, name, max_acctbal).
+    */
+  def goldenRecords(records: DataFrame, maxDist: Int = MaxEditDist): DataFrame = {
+    val matched = resolvePairs(records, maxDist)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val comps = Dedup.nearDupComponentsExact(matched)
+    val withEntity = records
+      .join(comps.withColumnRenamed("doc_id", "c_custkey"), Seq("c_custkey"), "left")
+      .select(coalesce(col("rep"), col("c_custkey")).as("entity_id"), col("c_acctbal"))
+    val agg = withEntity.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        round(max(col("c_acctbal")), 2).as("max_acctbal"))
+    agg.join(records.select(col("c_custkey").as("entity_id"),
+        col("c_name").as("name")), Seq("entity_id"))
+      .select(col("entity_id"), col("n_members"), col("name"), col("max_acctbal"))
+  }
 }

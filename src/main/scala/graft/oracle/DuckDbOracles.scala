@@ -840,22 +840,58 @@ object DuckDbOracles {
     * substring is 1-based), same (nationkey, exact-decimal-balance) block,
     * same levenshtein verification bound.
     */
+  /** Planted-dirty customer CTE shared by the entity-resolution oracles
+    * (carries both the DECIMAL blocking balance and the raw double for
+    * the survivorship merge).
+    */
+  private def entityC2Cte(every: Int, idOffset: Long): String =
+    s"""c2 AS (
+       |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,
+       |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal, c_acctbal AS abal FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey + $idOffset,
+       |    substring(c_name, 1, CAST(c_custkey % 8 AS INT)) || 'x' ||
+       |      substring(c_name, CAST(c_custkey % 8 AS INT) + 2, 1000),
+       |    c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)), c_acctbal
+       |  FROM customer WHERE c_custkey % $every = 0)""".stripMargin
+
   def entityResolutionPairs(
       every: Int = graft.ops.Entity.PlantEvery,
       maxDist: Int = graft.ops.Entity.MaxEditDist,
       idOffset: Long = 1000000L): String =
-    s"""WITH c2 AS (
-       |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nk,
-       |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer
-       |  UNION ALL
-       |  SELECT c_custkey + $idOffset,
-       |    substring(c_name, 1, CAST(c_custkey % 8 AS INT)) || 'x'
-       |      || substring(c_name, CAST(c_custkey % 8 AS INT) + 2, 1000),
-       |    c_nationkey, CAST(c_acctbal AS DECIMAL(18,2))
-       |  FROM customer WHERE c_custkey % $every = 0)
+    s"""WITH ${entityC2Cte(every, idOffset)}
        |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.name, b.name) AS dist
        |FROM c2 a JOIN c2 b ON a.nk = b.nk AND a.bal = b.bal AND a.id < b.id
        |WHERE levenshtein(a.name, b.name) <= $maxDist""".stripMargin
+
+  /** Twin of Entity.goldenRecords: the same blocked matches, exact CC
+    * via the recursive reachability CTE (the dedupComponentsExact
+    * pattern), min-id representative, keeper-name + max-balance merge,
+    * singletons as their own entity.
+    */
+  def entityGoldenRecords(
+      every: Int = graft.ops.Entity.PlantEvery,
+      maxDist: Int = graft.ops.Entity.MaxEditDist,
+      idOffset: Long = 1000000L): String =
+    s"""WITH RECURSIVE ${entityC2Cte(every, idOffset)},
+       |mp AS MATERIALIZED (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM c2 a JOIN c2 b ON a.nk = b.nk AND a.bal = b.bal AND a.id < b.id
+       |  WHERE levenshtein(a.name, b.name) <= $maxDist),
+       |medges AS (SELECT id_a AS src, id_b AS dst FROM mp
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mp),
+       |mnodes AS (SELECT DISTINCT src AS node FROM medges),
+       |mreach(node, r) AS (
+       |  SELECT node, node FROM mnodes
+       |  UNION
+       |  SELECT e.src, rch.r FROM medges e JOIN mreach rch ON e.dst = rch.node),
+       |mcomp AS (SELECT node AS id, min(r) AS rep FROM mreach GROUP BY 1),
+       |ent AS (SELECT coalesce(m.rep, c.id) AS entity_id, c.abal
+       |  FROM c2 c LEFT JOIN mcomp m ON c.id = m.id),
+       |agg AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+       |    round(max(abal), 2) AS max_acctbal
+       |  FROM ent GROUP BY 1)
+       |SELECT a.entity_id, a.n_members, c.name, a.max_acctbal
+       |FROM agg a JOIN c2 c ON a.entity_id = c.id""".stripMargin
 
   /** Twin of TextOps.frequentBigrams over withPlantedBoilerplate. The
     * sketch has no SQL twin and needs none: the operator's contract is

@@ -27,6 +27,48 @@ class EntitySpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     pairs.filter(r => found(r.getLong(0))).foreach(_.getInt(2) shouldBe 1)
   }
 
+  it("golden records fold each twin into its base entity with keeper-name + max-balance survivorship") {
+    val cust = Tables.customer(spark, sfDir)
+    val planted = Entity.withPlantedDirty(cust)
+    val golden = Entity.goldenRecords(planted)
+    val byEntity = golden.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3)))).toMap
+    // every record lands in exactly one entity
+    byEntity.values.map(_._1).sum shouldBe planted.count()
+    // twins vanish as entity ids (min-key rep = the base)
+    byEntity.keys.count(_ >= 1000000L) shouldBe 0
+    // a planted base is a 2-member entity carrying ITS name (the keeper's,
+    // not the corrupted twin's) and the shared balance
+    val base = cust.filter(col("c_custkey") % Entity.PlantEvery === 0)
+      .select("c_custkey", "c_name", "c_acctbal").collect()
+    base.foreach { r =>
+      val (n, name, bal) = byEntity(r.getLong(0))
+      n should be >= 2L
+      name shouldBe r.getString(1)
+      bal shouldBe (math.round(r.getDouble(2) * 100) / 100.0) +- 1e-9
+    }
+  }
+
+  it("golden records fold a typo CHAIN transitively even when the endpoints exceed the match bound") {
+    import spark.implicits._
+    // A~B at dist 1, B~C at dist 2, but dist(A,C)=3 > MaxEditDist:
+    // pairwise matching alone never links A-C; the CC stage must. All
+    // four rows share one block (same nation + balance — the block key
+    // here IS the balance); the far name must still stay separate.
+    val blockRows = Seq(
+      (1L, "Customer#000000abc", 7, 10.0, "SEG"),
+      (2L, "Customer#000000abX", 7, 10.0, "SEG"),
+      (3L, "Customer#000000aYZ", 7, 10.0, "SEG"),
+      (9L, "Customer#unrelated", 7, 10.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val golden = Entity.goldenRecords(blockRows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    golden.keySet shouldBe Set(1L, 9L)
+    golden(1L)._1 shouldBe 3L // A, B, C folded transitively
+    golden(1L)._2 shouldBe "Customer#000000abc" // keeper = min key
+    golden(9L)._1 shouldBe 1L // the far name stays its own entity
+  }
+
   it("the block join prunes candidates far below the name cross-product") {
     val planted = Entity.withPlantedDirty(Tables.customer(spark, sfDir))
     val n = planted.count()

@@ -87,8 +87,40 @@ object Entity {
     * entity plus one keeper equi-join — the corpus is scanned once.
     * Output (entity_id, n_members, name, max_acctbal).
     */
-  def goldenRecords(records: DataFrame, maxDist: Int = MaxEditDist): DataFrame = {
-    val matched = resolvePairs(records, maxDist)
+  def goldenRecords(records: DataFrame, maxDist: Int = MaxEditDist): DataFrame =
+    goldenRecordsFrom(records, resolvePairs(records, maxDist))
+
+  /** Incremental blocked probe: matched pairs with AT LEAST one endpoint
+    * in `newRecords`, canonicalized (id_a < id_b) — the
+    * mediaNearDupPairsIncremental shape for the record tier. With unique
+    * keys per batch every pair is generated exactly once (in the batch
+    * of its later endpoint), so appending each batch's output
+    * reconstructs `resolvePairs` over everything ingested
+    * (StreamingEntityResSpec pins the equivalence). One equi-join of the
+    * batch against the accumulated record index on the block key — never
+    * history × history.
+    */
+  def resolvePairsIncremental(
+      newRecords: DataFrame, allRecords: DataFrame,
+      maxDist: Int = MaxEditDist): DataFrame = {
+    def prep(df: DataFrame, suffix: String): DataFrame = df.select(
+      col("c_custkey").as(s"id$suffix"), col("c_name").as(s"name$suffix"),
+      col("c_nationkey").as("nk"), col("c_acctbal").cast("decimal(18,2)").as("bal"))
+    prep(newRecords, "_a").join(prep(allRecords, "_b"), Seq("nk", "bal"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
+  /** `goldenRecords` served from a PREBUILT matched-pair table
+    * (id_a, id_b) — the survivorship body without the blocking pass,
+    * shared by the batch path and the StreamingEntityRes serve.
+    */
+  def goldenRecordsFrom(records: DataFrame, matchedPairs: DataFrame): DataFrame = {
+    val matched = matchedPairs
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val comps = Dedup.nearDupComponentsExact(matched)
     val withEntity = records

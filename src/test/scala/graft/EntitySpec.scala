@@ -56,16 +56,16 @@ class EntitySpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     // four rows share one block (same nation + balance — the block key
     // here IS the balance); the far name must still stay separate.
     val blockRows = Seq(
-      (1L, "Customer#000000abc", 7, 10.0, "SEG"),
-      (2L, "Customer#000000abX", 7, 10.0, "SEG"),
-      (3L, "Customer#000000aYZ", 7, 10.0, "SEG"),
+      (1L, "Customer#0000vwxyz", 7, 10.0, "SEG"),
+      (2L, "Customer#0000vwxyQ", 7, 10.0, "SEG"),
+      (3L, "Customer#0000RSxyQ", 7, 10.0, "SEG"),
       (9L, "Customer#unrelated", 7, 10.0, "SEG"))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     val golden = Entity.goldenRecords(blockRows).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
     golden.keySet shouldBe Set(1L, 9L)
     golden(1L)._1 shouldBe 3L // A, B, C folded transitively
-    golden(1L)._2 shouldBe "Customer#000000abc" // keeper = min key
+    golden(1L)._2 shouldBe "Customer#0000vwxyz" // keeper = min key
     golden(9L)._1 shouldBe 1L // the far name stays its own entity
   }
 

@@ -1536,6 +1536,12 @@ object SparkEntry {
     // geometry-dependent, not a theorem; spec-pinned on the planted
     // Voronoi-bridge corpus). Both layers served from the same memoized
     // artifact.
+    // Quantizer staleness audit: per-cell occupancy + assignment-cosine
+    // drift between parity cohorts — the report that decides when the
+    // streaming-ANN family's fixed coarse quantizer must be retrained
+    // and cut over (QuantizerRefresh).
+    "quantizer_drift_report" -> ((s, dir) =>
+      VectorOps.quantizerDriftReport(Tables.embeddings(s, dir))),
     "ann_graph2_topk" -> ((s, dir) => {
       val (edges, index, coarse) = annGraphOf(s, dir)
       VectorOps.graph2TopKFromIndex(edges, annGraphLayer1Of(s, dir), index,
@@ -2929,6 +2935,7 @@ object SparkEntry {
     "ann_graph_recall_report" -> DuckDbOracles.annGraphRecallReport(),
     "ann_graph_degree_stats" -> DuckDbOracles.annGraphDegreeStats(),
     "ann_graph2_topk" -> DuckDbOracles.annGraph2TopK(),
+    "quantizer_drift_report" -> DuckDbOracles.quantizerDriftReport,
     "ann_graph2_recall_report" -> DuckDbOracles.annGraph2RecallReport(),
     "ann_ivf_topk_np2" -> DuckDbOracles.annIvfTopK(nprobe = 2),
     "ann_ivf_filtered_topk" ->

@@ -2285,6 +2285,45 @@ object VectorOps {
   def graphRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
     recallReport(emb, graphTopK(emb, k), k)
 
+  /** QUANTIZER STALENESS audit — the report that decides when
+    * `QuantizerRefresh` must retrain and cut over a served ANN index:
+    * per cell, occupancy and assignment-tightness drift between the
+    * reference and current cohorts (interleaved by vec_id parity here;
+    * a production feed splits by ingest time). Shrinking mean assignment
+    * cosine or skewing occupancy means the FIXED coarse quantizer the
+    * whole streaming-ANN family serves under no longer fits the arriving
+    * distribution. `occ_drift_ppm` is an exact integer quotient;
+    * per-cohort mean cosines average the 6dp-rounded per-row assignment
+    * cosine (the engine-stable float convention).
+    *
+    * Scale: one corpus scan against the k×dim broadcast quantizer + one
+    * k-row hash agg — no shuffle beyond the agg.
+    */
+  def quantizerDriftReport(emb: DataFrame): DataFrame = {
+    val cents = centroids(emb)
+    val centArr: Array[(Int, Seq[Double])] = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val asg = assignCells(emb, centArr)
+      .select(col("vec_id"), col("cell"), col("v"),
+        sqrt(dot(col("v"), col("v"))).as("vn"))
+    val cf = cents.select(col("label").as("cell"), col("centroid"),
+      sqrt(dot(col("centroid"), col("centroid"))).as("cn"))
+    asg.join(broadcast(cf), Seq("cell"))
+      .select(col("cell"), (col("vec_id") % 2).as("cohort"),
+        round(dot(col("v"), col("centroid")) / (col("vn") * col("cn")), 6).as("cosr"))
+      .groupBy(col("cell"))
+      .agg(
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_cur"),
+        round(avg(when(col("cohort") === 0, col("cosr"))), 6).as("mean_cos_ref"),
+        round(avg(when(col("cohort") === 1, col("cosr"))), 6).as("mean_cos_cur"))
+      .select(col("cell"), col("n_ref"), col("n_cur"),
+        floor(abs(col("n_ref") - col("n_cur")) * 1000000L /
+          (col("n_ref") + col("n_cur"))).cast("bigint").as("occ_drift_ppm"),
+        col("mean_cos_ref"), col("mean_cos_cur"),
+        round(col("mean_cos_cur") - col("mean_cos_ref"), 6).as("cos_drift"))
+  }
+
   /** Build-side audit of the proximity graph: node/edge counts and the
     * out-degree distribution (min/avg/max) — the "is the graph actually
     * bounded-degree and connected enough to traverse" panel.

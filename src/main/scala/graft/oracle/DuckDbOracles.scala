@@ -2366,6 +2366,36 @@ object DuckDbOracles {
   def annGraph2RecallReport(k: Int = 10): String =
     recallReportSql(annGraph2TopK(k), k)
 
+  /** Twin of VectorOps.quantizerDriftReport: label-mean quantizer,
+    * nearest-cell assignment with the 6dp per-row cosine, parity
+    * cohorts, per-cell occupancy (exact integer-quotient ppm) and
+    * mean-cosine drift.
+    */
+  val quantizerDriftReport: String =
+    s"""WITH $embCte,
+       |dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
+       |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
+       |cent AS (SELECT label AS cell, list(round(m, 6) ORDER BY pos) AS centroid
+       |  FROM comp GROUP BY label),
+       |cscore AS (SELECT e.vec_id, e.v, cent.cell,
+       |    round(${cosSql("e.v", "centroid")}, 6) AS ccos
+       |  FROM e CROSS JOIN cent),
+       |asgc AS (SELECT vec_id, cell, ccos FROM (
+       |    SELECT vec_id, cell, ccos,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
+       |    FROM cscore) WHERE r = 1),
+       |agg AS (SELECT cell,
+       |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+       |    round(avg(CASE WHEN vec_id % 2 = 0 THEN ccos END), 6) AS mean_cos_ref,
+       |    round(avg(CASE WHEN vec_id % 2 = 1 THEN ccos END), 6) AS mean_cos_cur
+       |  FROM asgc GROUP BY 1)
+       |SELECT cell, n_ref, n_cur,
+       |  CAST(floor(abs(n_ref - n_cur) * 1000000 / (n_ref + n_cur)) AS BIGINT) AS occ_drift_ppm,
+       |  mean_cos_ref, mean_cos_cur,
+       |  round(mean_cos_cur - mean_cos_ref, 6) AS cos_drift
+       |FROM agg""".stripMargin
+
   /** Twin of VectorOps.graphDegreeStats. */
   def annGraphDegreeStats(
       degree: Int = VectorOps.GraphDegree,

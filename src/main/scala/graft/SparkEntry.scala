@@ -1628,6 +1628,14 @@ object SparkEntry {
     // within-cluster pairs; higher vec_id of each pair at cos >= 0.35 drops.
     "semantic_dedup" -> ((s, dir) => VectorOps.semanticDedup(
       Tables.embeddings(s, dir), coarse = Some(kmCentsOf(s, dir)))),
+    // THE composed embedding pipeline (the third modality's curation
+    // chain): assignment-tightness gate under the memoized Lloyd
+    // quantizer -> SemDeDup survivorship among the gated vectors ->
+    // per-cell hash-priority capped sample. One quantizer, three stages,
+    // one composed oracle.
+    "embedding_curation_pipeline" -> ((s, dir) =>
+      VectorOps.embeddingCurationPipeline(
+        Tables.embeddings(s, dir), kmCentsOf(s, dir))),
     // Cluster-cohesion audit: per assigned cell, member count, label
     // agreement, and mean cosine to the assigned centroid.
     "cluster_cohesion" -> ((s, dir) => VectorOps.clusterCohesion(Tables.embeddings(s, dir))),
@@ -2960,6 +2968,7 @@ object SparkEntry {
     "ivf_pq_refine_topk" -> DuckDbOracles.ivfPqRefineTopK(),
     "ivf_pq_refine_recall_report" -> DuckDbOracles.ivfPqRefineRecallReport(),
     "semantic_dedup" -> DuckDbOracles.semanticDedup(),
+    "embedding_curation_pipeline" -> DuckDbOracles.embeddingCurationPipeline(),
     "cluster_cohesion" -> DuckDbOracles.clusterCohesion(),
     "cluster_balanced_sample" -> DuckDbOracles.clusterBalancedSample(),
     "hard_negatives" -> DuckDbOracles.annIvfTopK(

@@ -2285,6 +2285,63 @@ object VectorOps {
   def graphRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
     recallReport(emb, graphTopK(emb, k), k)
 
+  /** Assignment-tightness floor for the embedding curation gate: vectors
+    * whose best Lloyd-cell cosine sits below this are junk/outlier
+    * embeddings (nowhere near any cluster) that real pipelines drop
+    * before semantic dedup — SemDeDup's own outlier discipline.
+    */
+  val GateMinCos = 0.13
+
+  /** THE composed embedding pipeline — the third modality's curation
+    * chain next to `curation_pipeline` (text) and
+    * `media_curation_pipeline` (media): assignment-tightness gate under
+    * the FIXED Lloyd quantizer → SemDeDup within-cell near-dup
+    * survivorship among the gated vectors → per-cell hash-priority
+    * capped sample (semantic-diversity balancing). One quantizer
+    * threads all three stages. Output (cell, rank, vec_id).
+    *
+    * Scale: one corpus scan against the k×dim broadcast quantizer; the
+    * dedup stage is Σ|cell∩gated|² within-cell pairs (the SemDeDup
+    * bound, never corpus²); the cap is the bounded-heap aggregator —
+    * ≤ cap rows per (cell, partition) map-side, no per-cell sort.
+    */
+  def embeddingCurationPipeline(
+      emb: DataFrame,
+      coarse: DataFrame,
+      gateMinCos: Double = GateMinCos,
+      threshold: Double = 0.35,
+      cap: Int = CellCap,
+      hash: (String, Column) => Column = graft.functions.PortableHash.h31): DataFrame = {
+    val asg = assignCells(emb, coarse)
+    val cf = coarse.select(col("cell"), col("centroid"),
+      sqrt(dot(col("centroid"), col("centroid"))).as("cn"))
+    val gated = asg.join(broadcast(cf), Seq("cell"))
+      .filter(round(dot(col("v"), col("centroid")) / (col("vn") * col("cn")), 6)
+        >= gateMinCos)
+      .select(col("cell"), col("vec_id"), col("v"), col("vn"))
+    val a = gated.select(col("cell"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = gated.select(col("cell"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("vn").as("nb"))
+    val drops = a.join(b, "cell")
+      .filter(col("vec_a") < col("vec_b") &&
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    val surv = gated.select(col("cell"), col("vec_id"))
+      .join(drops, Seq("vec_id"), "left_anti")
+    val topk = udaf(new graft.functions.TopKAggregator(cap),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    surv
+      .select(col("cell"), col("vec_id"),
+        hash("ecp", col("vec_id").cast("string")).as("h"))
+      .groupBy(col("cell"))
+      .agg(topk((-col("h")).cast("double"), col("vec_id")).as("topk"))
+      .select(col("cell"), posexplode(col("topk")).as(Seq("i", "t")))
+      .select(col("cell"), (col("i") + 1).cast("int").as("rank"),
+        col("t._2").as("vec_id"))
+  }
+
   /** QUANTIZER STALENESS audit — the report that decides when
     * `QuantizerRefresh` must retrain and cut over a served ANN index:
     * per cell, occupancy and assignment-tightness drift between the

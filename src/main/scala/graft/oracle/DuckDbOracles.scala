@@ -3050,6 +3050,33 @@ object DuckDbOracles {
        |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
        |FROM asg a LEFT JOIN drops d ON a.vec_id = d.vec_id""".stripMargin
 
+  /** Twin of the composed `embedding_curation_pipeline` query, built from
+    * the same fragments the individual oracles use (unrolled-Lloyd
+    * assignment → tightness gate → SemDeDup drops among the gated →
+    * per-cell hash-priority cap), so the composition cannot drift from
+    * its parts.
+    */
+  def embeddingCurationPipeline(
+      kmK: Int = 10, iters: Int = 3,
+      gateMinCos: Double = VectorOps.GateMinCos,
+      threshold: Double = 0.35,
+      cap: Int = VectorOps.CellCap): String =
+    s"""WITH $embCte,
+       |${kmeansAsgCtes(kmK, iters)},
+       |cc AS MATERIALIZED (SELECT a.vec_id, a.cell, a.v
+       |  FROM asg a JOIN it$iters c ON a.cell = c.cell
+       |  WHERE round(${cosSql("a.v", "c.centroid")}, 6) >= $gateMinCos),
+       |drops AS (SELECT DISTINCT b.vec_id FROM cc a JOIN cc b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(${cosSql("a.v", "b.v")}, 6) >= $threshold),
+       |surv AS (SELECT vec_id, cell FROM cc
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM drops)),
+       |rk AS (SELECT cell, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY cell
+       |      ORDER BY ${h("ecp", "CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS INT) AS rank
+       |  FROM surv)
+       |SELECT cell, rank, vec_id FROM rk WHERE rank <= $cap""".stripMargin
+
   /** Twin of VectorOps.randomProjection: the Rademacher rows render from
     * VectorOps.rpSigns verbatim, so both engines project with the same
     * matrix by construction.

@@ -242,6 +242,7 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "zipf_fit" -> Set("codegen-fallback"), // bounded-heap vocabulary head
     "capped_per_source" -> Set("codegen-fallback"), // same bounded-heap UDAF
     "media_curation_pipeline" -> Set("codegen-fallback"), // same bounded-heap UDAF (capped sample stage)
+    "embedding_curation_pipeline" -> Set("codegen-fallback"), // same bounded-heap UDAF (capped sample stage)
     // bounded-heap UDAF over the literal-argmax cell assignment; the
     // k-row centroid aggregate is the same interpreted collect_list path
     // as the IVF family

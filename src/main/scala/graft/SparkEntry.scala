@@ -1203,6 +1203,11 @@ object SparkEntry {
     "minhash_quality_report" -> ((s, dir) =>
       Dedup.minhashQualityReportFrom(
         dedupIndexOf(s, dir).pairs, Tables.documents(s, dir))),
+    // Parameter-tuning sweep: the ACTUAL banded join at every usable
+    // (bands, rows) factorization of k=12 — measured candidate volume vs
+    // estimate quality, the trade read before picking (b, r) at 100 TB.
+    "lsh_tuning_report" -> ((s, dir) =>
+      Dedup.lshTuningReport(Tables.documents(s, dir))),
     "simhash_docs" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) => Dedup.fingerprintJaccardPairs(Tables.documents(s, dir))),
@@ -1552,6 +1557,33 @@ object SparkEntry {
       VectorOps.graphRecallReportFrom(Tables.embeddings(s, dir),
         VectorOps.graph2TopKFromIndex(edges, annGraphLayer1Of(s, dir), index,
           VectorOps.querySet(Tables.embeddings(s, dir)), coarse))
+    }),
+    // The upper layer's own bounded-degree audit.
+    "ann_graph2_degree_stats" -> ((s, dir) =>
+      VectorOps.graphDegreeStatsFrom(annGraphLayer1Of(s, dir))),
+    // FILTERED graph traversal (the ACORN / filtered-DiskANN shape):
+    // metadata predicate passes half the corpus; the beam keeps passing
+    // nodes only while each round's expansion looks TWO hops out along
+    // the unfiltered graph, so non-passing bridge nodes are stepped
+    // through, never kept. Same memoized artifact; the oracle replays
+    // the inline build + filtered walk.
+    "ann_graph_filtered_topk" -> ((s, dir) => {
+      val (edges, index, coarse) = annGraphOf(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.graphTopKFilteredFromIndex(edges, index,
+        VectorOps.querySet(emb), coarse,
+        emb.filter(pmod(col("label"), lit(2)) === 0).select(col("vec_id")))
+    }),
+    // Recall vs the brute-force truth RESTRICTED to passing candidates —
+    // the selectivity audit run before the filtered path serves.
+    "ann_graph_filtered_recall_report" -> ((s, dir) => {
+      val (edges, index, coarse) = annGraphOf(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val pred = pmod(col("label"), lit(2)) === 0
+      VectorOps.graphFilteredRecallReport(emb,
+        VectorOps.graphTopKFilteredFromIndex(edges, index,
+          VectorOps.querySet(emb), coarse,
+          emb.filter(pred).select(col("vec_id"))), pred)
     }),
     "ann_ivf_topk_np2" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir), nprobe = 2)),
     // Filtered ANN (hybrid search): candidates restricted by a metadata
@@ -2923,6 +2955,7 @@ object SparkEntry {
     "minhash_lsh_pairs" -> DuckDbOracles.minhashLshPairs,
     "source_contamination" -> DuckDbOracles.sourceContamination,
     "minhash_quality_report" -> DuckDbOracles.minhashQualityReport(),
+    "lsh_tuning_report" -> DuckDbOracles.lshTuningReport,
     "dedup_apply_minhash" -> DuckDbOracles.dedupApplyMinhash,
     "embedding_norms" -> DuckDbOracles.embeddingNorms,
     "embedding_standardize" -> DuckDbOracles.embeddingStandardize(),
@@ -2945,6 +2978,10 @@ object SparkEntry {
     "ann_graph2_topk" -> DuckDbOracles.annGraph2TopK(),
     "quantizer_drift_report" -> DuckDbOracles.quantizerDriftReport,
     "ann_graph2_recall_report" -> DuckDbOracles.annGraph2RecallReport(),
+    "ann_graph2_degree_stats" -> DuckDbOracles.annGraph2DegreeStats(),
+    "ann_graph_filtered_topk" -> DuckDbOracles.annGraphFilteredTopK(),
+    "ann_graph_filtered_recall_report" ->
+      DuckDbOracles.annGraphFilteredRecallReport(),
     "ann_ivf_topk_np2" -> DuckDbOracles.annIvfTopK(nprobe = 2),
     "ann_ivf_filtered_topk" ->
       DuckDbOracles.annIvfTopK(nprobe = 2, corpusFilter = "label % 2 = 0"),

@@ -142,9 +142,21 @@ object Dedup {
     * (`minhashLshPairsIncremental`).
     */
   private def bandedSignatures(
-      sig: DataFrame, hash: (String, Column) => Column): DataFrame = {
-    val bandStructs = (0 until MinhashBands).map { j =>
-      val cols = (j * MinhashRows until (j + 1) * MinhashRows)
+      sig: DataFrame, hash: (String, Column) => Column): DataFrame =
+    bandedSignaturesWith(sig, hash, MinhashBands, MinhashRows)
+
+  /** The banding projection under an ARBITRARY (bands, rows) split of the
+    * k signature columns — the production (4, 3) path above and the
+    * tuning sweep below share this one definition, so the sweep measures
+    * exactly what the pipeline would run.
+    */
+  private def bandedSignaturesWith(
+      sig: DataFrame, hash: (String, Column) => Column,
+      bands: Int, rows: Int): DataFrame = {
+    require(bands * rows == MinhashK,
+      s"banding: $bands x $rows != $MinhashK signature columns")
+    val bandStructs = (0 until bands).map { j =>
+      val cols = (j * rows until (j + 1) * rows)
         .map(i => col(s"mh$i").cast("string"))
       struct(lit(j).as("band"), hash(s"band$j", concat_ws(",", cols: _*)).as("bh"))
     }
@@ -353,6 +365,55 @@ object Dedup {
         // own the gated-shingle cache (read by sz AND both arms of inter)
         .eagerCkpt
     } finally shp.unpersist()
+  }
+
+  /** The (bands, rows) splits of the k=12 signature the tuning sweep
+    * measures — every factorization except the degenerate rows=1 (a
+    * single-hash band collides on ANY shared min-shingle: its S-curve
+    * P(cand|s) = 1-(1-s)^12 admits nearly everything, and on a templated
+    * corpus the band buckets go quadratic — the sweep exists to show a
+    * curator the usable region, not to execute the pathological point).
+    */
+  val LshTuningConfigs: Seq[(Int, Int)] =
+    Seq((1, MinhashK), (2, 6), (3, 4), (4, 3), (6, 2))
+
+  /** LSH parameter-tuning sweep: for each (bands, rows) factorization of
+    * the k-hash signature, run the ACTUAL banded candidate join on THIS
+    * corpus and report the exact candidate-pair count and the mean
+    * signature-agreement estimate over those candidates — the measured
+    * S-curve trade a curator reads to pick (b, r) before a 100 TB run
+    * (more bands / fewer rows = recall up, candidate volume up; the
+    * degenerate rows=1 point is excluded, see LshTuningConfigs). Because
+    * bands of r2 rows align inside bands of r1 = m·r2 rows, candidate
+    * sets are NESTED along (1,12) ⊆ (2,6) ⊆ (4,3) ⊆ (6,2) — the report's
+    * n_candidate_pairs is monotone in that chain (spec-pinned), which is
+    * the sanity check that the sweep measured the same signatures.
+    *
+    * Scale: one signature pass (persisted), then one banded equi-join
+    * per config — each the standard LSH join, bucket-sized quadratic at
+    * worst, never corpus². Output is |configs| rows.
+    */
+  def lshTuningReport(
+      docs: DataFrame,
+      hash: (String, Column) => Column = PortableHash.h31): DataFrame = {
+    val sig = minhashSignatures(docs, hash).persist()
+    try {
+      LshTuningConfigs.map { case (b, r) =>
+        val banded = bandedSignaturesWith(sig, hash, b, r)
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            sigAgreementEst.as("est_jaccard"))
+          .distinct()
+          .agg(count(lit(1)).as("n_candidate_pairs"),
+            coalesce(round(avg(col("est_jaccard")), 6), lit(0.0))
+              .as("mean_est_jaccard"))
+          .select(lit(b).as("n_bands"), lit(r).as("n_rows"),
+            col("n_candidate_pairs"), col("mean_est_jaccard"))
+      }.reduce(_ unionByName _)
+        .eagerCkpt // own the signature cache across all config joins
+    } finally sig.unpersist()
   }
 
   /** SimHash near-dup pairs: candidates share at least one of the 4 bytes of

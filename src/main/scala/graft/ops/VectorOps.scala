@@ -302,12 +302,15 @@ object VectorOps {
 
   /** Brute-force cosine top-k per query (the exact-ANN baseline):
     * broadcast the query set, rank with a window over rounded similarity
-    * with vec_id tie-break (fully deterministic ordering).
+    * with vec_id tie-break (fully deterministic ordering). `corpusPred`
+    * restricts CANDIDATE rows only (the filtered-ANN ground truth) — the
+    * query set stays unrestricted.
     */
-  def bruteForceTopK(emb: DataFrame, k: Int = 10): DataFrame = {
+  def bruteForceTopK(
+      emb: DataFrame, k: Int = 10, corpusPred: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = withNorm(emb.filter(col("vec_id") % 100 === 0), "q_id", "qv", "qn")
-    val c = withNorm(emb, "neighbor_id", "cv", "cn")
+    val c = withNorm(corpusPred.fold(emb)(emb.filter), "neighbor_id", "cv", "cn")
     val scored = broadcast(q).join(c, col("q_id") =!= col("neighbor_id"))
       .select(col("q_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
@@ -1042,8 +1045,14 @@ object VectorOps {
     * nearest neighbor — metrics from integer hits/ranks only, so the
     * report is engine-exact whatever the underlying scorer did.
     */
-  private def recallReport(emb: DataFrame, approx0: DataFrame, k: Int): DataFrame = {
-    val truth = bruteForceTopK(emb, k)
+  private def recallReport(emb: DataFrame, approx0: DataFrame, k: Int): DataFrame =
+    recallReportVs(bruteForceTopK(emb, k), approx0, k)
+
+  /** The report body over an EXPLICIT truth ranking (the filtered-ANN
+    * audits pass a candidate-restricted brute force).
+    */
+  private def recallReportVs(truth0: DataFrame, approx0: DataFrame, k: Int): DataFrame = {
+    val truth = truth0
       .select(col("q_id"), col("neighbor_id"), col("rank").as("t_rank"))
     val approx = approx0
       .select(col("q_id"), col("neighbor_id"), col("rank").as("a_rank"))
@@ -2284,6 +2293,119 @@ object VectorOps {
     */
   def graphRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
     recallReport(emb, graphTopK(emb, k), k)
+
+  // ---- FILTERED graph traversal (hybrid search on the graph tier) --------
+  //
+  // The filtered-ANN problem on a proximity graph (ACORN, Patel et al.
+  // SIGMOD'24; Filtered-DiskANN, Gollapudi et al. WWW'23): a metadata
+  // predicate passes only part of the corpus, but the graph was built
+  // UNFILTERED — restricting traversal to passing nodes shatters
+  // connectivity (a passing region reachable only through non-passing
+  // bridge nodes becomes an island), while post-filtering a full top-k
+  // starves recall when the selectivity is low. The ACORN answer: walk
+  // the unfiltered graph, keep only PASSING nodes in the beam, but let
+  // each round's expansion look `hops` (=2) steps out, so a non-passing
+  // bridge is stepped THROUGH in one round even though it never enters
+  // the beam. Per-round candidate volume rises to |Q|·beam·degree^hops —
+  // still corpus-size-independent, the graph tier's invariant. Seeds:
+  // the query's IVF-nprobe=1 cell co-members restricted to passing nodes.
+
+  /** Filtered beam search over PREBUILT artifacts: `passingIds` = the
+    * (vec_id) relation the metadata predicate admits (in production one
+    * more column on the StreamingAnnIngest index — the semi-join below
+    * stands in for that projection, and at scale ships the filter, never
+    * the corpus). Output rows all pass; ranking is exact rounded cosine
+    * among reached passing nodes.
+    */
+  def graphTopKFilteredFromIndex(
+      edges0: DataFrame, index: DataFrame, queries0: DataFrame,
+      coarse: DataFrame, passingIds: DataFrame, k: Int = 10,
+      beam: Int = GraphBeam, rounds: Int = GraphRounds,
+      hops: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(beam >= k, s"graphFilteredTopK: beam $beam must be >= k $k")
+    require(hops == 1 || hops == 2, s"graphFilteredTopK: hops must be 1 or 2, got $hops")
+    val centArr: Array[(Int, Seq[Double])] = coarse.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val fIndex = index.join(
+      passingIds.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val edges = edges0.select(col("src"), col("dst")).persist()
+    try {
+      val queries = normQueries(queries0)
+      val seeds = scoreProbes(fIndex, queries0, centArr, nprobe = 1)
+        .withColumnRenamed("neighbor_id", "nid")
+      val cand = fIndex.select(col("vec_id").as("nid"), col("cv"), col("cn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nid").asc)
+      def topBeam(scored: DataFrame): DataFrame =
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= beam)
+          .select(col("q_id"), col("nid"), col("cos"))
+          .eagerCkpt
+      var beamDf = topBeam(seeds)
+      for (_ <- 0 until rounds) {
+        // hop 1: the beam's out-neighbors — NOT filtered by the predicate
+        // (they are stepping stones); hop 2 expands from them so a
+        // non-passing bridge is crossed within one round. The predicate
+        // bites at scoring: the inner join against the passing index
+        // drops non-passing pool rows before they can enter the beam.
+        val hop1 = beamDf.join(edges, beamDf("nid") === edges("src"))
+          .select(col("q_id"), col("dst").as("nid"))
+          .filter(col("q_id") =!= col("nid"))
+          .distinct()
+        val expand =
+          if (hops == 1) hop1
+          else hop1.unionByName(
+            hop1.join(edges, hop1("nid") === edges("src"))
+              .select(col("q_id"), col("dst").as("nid"))
+              .filter(col("q_id") =!= col("nid")))
+        val pool = beamDf.select(col("q_id"), col("nid"))
+          .unionByName(expand)
+          .distinct()
+        val scored = pool
+          .join(cand, Seq("nid"))
+          .join(broadcast(queries), Seq("q_id"))
+          .select(col("q_id"), col("nid"),
+            round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+        beamDf = topBeam(scored)
+      }
+      beamDf.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
+        .eagerCkpt
+    } finally edges.unpersist()
+  }
+
+  /** Recall@k + MRR of a filtered ranking against the brute-force truth
+    * RESTRICTED to passing candidates (queries stay unrestricted — a
+    * query need not satisfy its own filter). The audit that says whether
+    * hops/beam/rounds survive THIS corpus's selectivity before the
+    * filtered path serves.
+    */
+  def graphFilteredRecallReport(
+      emb: DataFrame, approx: DataFrame, pred: Column, k: Int = 10): DataFrame =
+    recallReportVs(bruteForceTopK(emb, k, corpusPred = Some(pred)), approx, k)
+
+  /** Filtered traversal end-to-end over raw embeddings (builds the graph
+    * + cell index, then runs the filtered walk) — the inline twin the
+    * specs exercise.
+    */
+  def graphTopKFiltered(
+      emb: DataFrame, pred: Column, k: Int = 10, beam: Int = GraphBeam,
+      rounds: Int = GraphRounds, degree: Int = GraphDegree,
+      probe: Int = GraphProbe, hops: Int = 2): DataFrame = {
+    val coarse = centroids(emb).select(col("label").as("cell"), col("centroid"))
+    val centArr: Array[(Int, Seq[Double])] = coarse.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val index = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+      .select(col("vec_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
+      .select(col("vec_id"), nearestCellExpr(centArr, col("cv"), col("cn")).as("cell"),
+        col("cv"), col("cn"))
+    graphTopKFilteredFromIndex(
+      graphEdges(emb, degree, probe, coarse = Some(coarse)), index,
+      querySet(emb), coarse, emb.filter(pred).select(col("vec_id")),
+      k, beam, rounds, hops)
+  }
 
   /** Assignment-tightness floor for the embedding curation gate: vectors
     * whose best Lloyd-cell cosine sits below this are junk/outlier

@@ -1781,6 +1781,35 @@ object DuckDbOracles {
        |)
        |$pairsFromBands""".stripMargin
 
+  /** Twin of Dedup.lshTuningReport: one banded self-join per (bands,
+    * rows) factorization over the SAME materialized signature table,
+    * each config's distinct candidate pairs rolled to (count, mean
+    * estimate), UNION ALL across configs.
+    */
+  def lshTuningReport: String = {
+    val mhCols = (0 until Dedup.MinhashK).map(i => s"mh$i").mkString(", ")
+    val est = (0 until Dedup.MinhashK)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    val per = Dedup.LshTuningConfigs.map { case (b, r) =>
+      val bandBody = (0 until b).map { j =>
+        val catExpr = (j * r until (j + 1) * r)
+          .map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || ',' || ")
+        s"SELECT doc_id, $mhCols, $j AS band, ${h(s"band$j", catExpr)} AS bh FROM sigm"
+      }.mkString("\n    UNION ALL ")
+      s"""SELECT $b AS n_bands, $r AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+         |  coalesce(round(avg(est_jaccard), 6), 0.0) AS mean_est_jaccard
+         |FROM (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    round(CAST(($est) AS DOUBLE) / ${Dedup.MinhashK}.0, 6) AS est_jaccard
+         |  FROM ($bandBody) a JOIN ($bandBody) b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id) zz""".stripMargin
+    }
+    s"""WITH $tokCte, $shCte, $sigCte,
+       |sigm AS MATERIALIZED (SELECT * FROM sig)
+       |${per.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Twin of the chunk_neardup_pairs composition: chunks as pseudo-docs
     * (id = doc_id·ChunkIdFactor + chunk_idx — the shared constant the
     * streamed chunk index also writes) through the shared LSH pipeline,
@@ -2366,6 +2395,80 @@ object DuckDbOracles {
   def annGraph2RecallReport(k: Int = 10): String =
     recallReportSql(annGraph2TopK(k), k)
 
+  private def layer1MemberSql: String =
+    s"${h("lyr", "CAST(vec_id AS VARCHAR)")} % ${VectorOps.Layer1Every} = 0"
+
+  /** Twin of VectorOps.graphDegreeStatsFrom over the LAYER-1 edge table:
+    * the same build CTEs restricted to the hash-sampled upper-layer
+    * membership, then the degree rollup.
+    */
+  def annGraph2DegreeStats(
+      degree: Int = VectorOps.GraphDegree,
+      probe: Int = VectorOps.GraphProbe): String =
+    s"""WITH $embCte,
+       |${graphCtes(degree, probe)},
+       |nposted1 AS (SELECT vec_id, v, cell FROM nposted WHERE $layer1MemberSql),
+       |${graphEdgePruneCtes("nposted1", "1", degree)},
+       |deg AS (SELECT src, count(*) AS deg FROM edges1 GROUP BY src)
+       |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(deg) AS BIGINT) AS n_edges,
+       |  CAST(min(deg) AS BIGINT) AS min_degree,
+       |  round(avg(deg), 6) AS avg_degree,
+       |  CAST(max(deg) AS BIGINT) AS max_degree
+       |FROM deg""".stripMargin
+
+  /** The FILTERED expand-score-prune rounds (twin of the Spark 2-hop
+    * loop): each round's pool looks two hops out along the UNFILTERED
+    * edges (a non-passing bridge is stepped through, never kept), and
+    * scoring joins `scoreSrc` — the passing-only assignment — so only
+    * passing nodes can enter the beam.
+    */
+  private def beamRoundCtesFiltered(
+      p: String, edges: String, rounds: Int, beam: Int,
+      scoreSrc: String): String =
+    (1 to rounds).map { r =>
+      val prev = s"${p}beam${r - 1}"
+      s"""${p}hop$r AS (SELECT DISTINCT b.q_id, ed.dst AS nid
+         |  FROM $prev b JOIN $edges ed ON b.nid = ed.src
+         |  WHERE ed.dst <> b.q_id),
+         |${p}pool$r AS (SELECT DISTINCT q_id, nid FROM (
+         |    SELECT q_id, nid FROM $prev
+         |    UNION ALL SELECT q_id, nid FROM ${p}hop$r
+         |    UNION ALL SELECT hh.q_id, ed.dst AS nid
+         |      FROM ${p}hop$r hh JOIN $edges ed ON hh.nid = ed.src
+         |      WHERE ed.dst <> hh.q_id)),
+         |${p}score$r AS (SELECT p.q_id, p.nid, round(${cosSql("q.qv", "sx.v")}, 6) AS cos
+         |  FROM ${p}pool$r p JOIN q ON p.q_id = q.q_id
+         |  JOIN $scoreSrc sx ON p.nid = sx.vec_id),
+         |${beamPruneCte(s"${p}beam$r", s"${p}score$r", beam)}""".stripMargin
+    }.mkString(",\n")
+
+  /** Twin of VectorOps.graphTopKFilteredFromIndex: the unfiltered graph
+    * build CTEs, a passing-only assignment (`corpusFilter` over `e`
+    * columns), passing-only IVF seeds, and the 2-hop filtered rounds.
+    */
+  def annGraphFilteredTopK(
+      k: Int = 10,
+      degree: Int = VectorOps.GraphDegree,
+      probe: Int = VectorOps.GraphProbe,
+      beam: Int = VectorOps.GraphBeam,
+      rounds: Int = VectorOps.GraphRounds,
+      corpusFilter: String = "label % 2 = 0"): String =
+    s"""WITH $embCte,
+       |${graphCtes(degree, probe)},
+       |$graphSeedCtes,
+       |fasg AS (SELECT a.vec_id, a.v, a.cell FROM asg a
+       |  JOIN e ON a.vec_id = e.vec_id WHERE ($corpusFilter)),
+       |${seedScoreCte("fseedscore", "fasg")},
+       |${beamPruneCte("fbeam0", "fseedscore", beam)},
+       |${beamRoundCtesFiltered("f", "edges", rounds, beam, "fasg")}
+       |${beamFinalSelect(s"fbeam$rounds", k)}""".stripMargin
+
+  def annGraphFilteredRecallReport(
+      k: Int = 10, corpusFilter: String = "label % 2 = 0"): String =
+    recallReportSql(annGraphFilteredTopK(k, corpusFilter = corpusFilter), k,
+      truthSql = Some(annBruteTopK(k, corpusFilter = corpusFilter)))
+
   /** Twin of VectorOps.quantizerDriftReport: label-mean quantizer,
     * nearest-cell assignment with the 6dp per-row cosine, parity
     * cohorts, per-cell occupancy (exact integer-quotient ppm) and
@@ -2410,9 +2513,10 @@ object DuckDbOracles {
        |  CAST(max(deg) AS BIGINT) AS max_degree
        |FROM deg""".stripMargin
 
-  private def recallReportSql(approxSql: String, k: Int): String =
+  private def recallReportSql(
+      approxSql: String, k: Int, truthSql: Option[String] = None): String =
     s"""WITH t AS (SELECT q_id, neighbor_id, rank AS t_rank FROM (
-       |${annBruteTopK(k)})),
+       |${truthSql.getOrElse(annBruteTopK(k))})),
        |a AS (SELECT q_id, neighbor_id, rank AS a_rank FROM (
        |$approxSql))
        |SELECT t.q_id,
@@ -2424,12 +2528,15 @@ object DuckDbOracles {
        |FROM t LEFT JOIN a ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
        |GROUP BY 1""".stripMargin
 
-  def annBruteTopK(k: Int = 10): String =
+  /** `corpusFilter` (over `e` columns): restricts CANDIDATE rows only —
+    * the filtered-ANN ground truth; the query set stays unrestricted.
+    */
+  def annBruteTopK(k: Int = 10, corpusFilter: String = "TRUE"): String =
     s"""WITH $embCte,
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
        |scored AS (SELECT q_id, vec_id AS neighbor_id,
        |    round(${cosSql("qv", "v")}, 6) AS cos
-       |  FROM q JOIN e ON q_id <> vec_id),
+       |  FROM q JOIN e ON q_id <> vec_id WHERE ($corpusFilter)),
        |ranked AS (SELECT q_id, neighbor_id, cos,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
        |  FROM scored)

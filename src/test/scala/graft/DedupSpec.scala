@@ -38,6 +38,31 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
     }
   }
 
+  describe("lshTuningReport") {
+    it("measures every usable factorization, nested along aligned-band chains") {
+      val docs = docsDf(Seq(
+        1L -> base, 2L -> base, // exact dup: collides under EVERY config
+        3L -> nearDup, 4L -> unrelated,
+        5L -> (1 to 60).map(i => s"third$i").mkString(" ")))
+      val rows = Dedup.lshTuningReport(docs).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(3)))).toMap
+      rows.keySet shouldBe Dedup.LshTuningConfigs.toSet
+      rows.keys.foreach { case (b, r) => b * r shouldBe Dedup.MinhashK }
+      // the exact duplicate collides everywhere
+      rows.values.foreach { case (n, _) => n should be >= 1L }
+      // bands of r2 rows align inside bands of r1 = m*r2 rows, so the
+      // candidate sets nest: counts are monotone along both chains
+      def n(b: Int, r: Int): Long = rows((b, r))._1
+      n(1, 12) should be <= n(2, 6)
+      n(2, 6) should be <= n(4, 3)
+      n(4, 3) should be <= n(6, 2)
+      n(2, 6) should be <= n(3, 4)
+      n(3, 4) should be <= n(6, 2)
+      // the (4, 3) row measures exactly the production banding
+      n(4, 3) shouldBe Dedup.minhashLshPairs(docs).count()
+    }
+  }
+
   describe("sourceContamination") {
     it("folds cross-source near-dup pairs into canonical matrix cells") {
       import spark.implicits._

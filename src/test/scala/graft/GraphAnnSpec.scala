@@ -161,5 +161,63 @@ class GraphAnnSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper
         .collect().map(_.toString).sorted
       a.toSeq shouldBe b.toSeq
     }
+
+    it("layer-1 degree stats are bounded like the flat graph's") {
+      val emb = embDf(corpus)
+      val stats = VectorOps.graphDegreeStatsFrom(
+        VectorOps.graph2Layer1Edges(emb, degree = 3, every = 2)).head()
+      val members = emb.filter(VectorOps.layer1Member(2)).count()
+      stats.getLong(0) should be <= members // n_nodes
+      stats.getLong(4) should be <= 6L // max_degree <= 2x degree knob
+    }
+  }
+
+  describe("graphTopKFiltered (predicate-constrained traversal)") {
+    // filter = even vec_id: along the angular chain every second node is
+    // non-passing, so reaching the far passing neighbors REQUIRES
+    // stepping through non-passing stepping stones — the exact
+    // connectivity problem the 2-hop (ACORN-style) expansion solves and
+    // a beam restricted to passing nodes' own edges cannot.
+    val pred = col("vec_id") % 2 === 0
+
+    it("returns only passing neighbors and matches the filtered brute-force truth at hops=2") {
+      val emb = embDf(corpus)
+      val k = 6
+      val got = VectorOps.graphTopKFiltered(emb, pred, k = k, beam = 8,
+          rounds = 3, degree = 3)
+        .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+      got.foreach { case (_, id) => id % 2 shouldBe 0L }
+      val truth = VectorOps.bruteForceTopK(emb, k = k, corpusPred = Some(pred))
+        .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+      got.toSeq shouldBe truth.toSeq
+    }
+
+    it("hops=1 (beam-only expansion) provably strands on non-passing stepping stones") {
+      val emb = embDf(corpus)
+      val k = 6
+      val hop2 = VectorOps.graphTopKFiltered(emb, pred, k = k, beam = 8,
+          rounds = 3, degree = 3, hops = 2)
+        .collect().map(r => r.getLong(2)).toSet
+      val hop1 = VectorOps.graphTopKFiltered(emb, pred, k = k, beam = 8,
+          rounds = 3, degree = 3, hops = 1)
+        .collect().map(r => r.getLong(2)).toSet
+      // the 1-hop walk reaches strictly fewer passing nodes: its every
+      // frontier edge lands on an odd (non-passing) node that never
+      // enters the beam, so the passing region past it stays unreachable
+      hop1.subsetOf(hop2) shouldBe true
+      hop1.size should be < hop2.size
+    }
+
+    it("the filtered recall report reads 1.0 at hops=2 and below it at hops=1") {
+      val emb = embDf(corpus)
+      val k = 6
+      def recallOf(hops: Int): Double =
+        VectorOps.graphFilteredRecallReport(emb,
+            VectorOps.graphTopKFiltered(emb, pred, k = k, beam = 8,
+              rounds = 3, degree = 3, hops = hops), pred, k = k)
+          .collect().map(r => r.getDouble(2)).head
+      recallOf(2) shouldBe 1.0
+      recallOf(1) should be < 1.0
+    }
   }
 }

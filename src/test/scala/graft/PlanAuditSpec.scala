@@ -64,6 +64,10 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "ann_graph_degree_stats" -> Set("codegen-fallback"),
     "ann_graph_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     "ann_graph2_recall_report" -> Set("nested-loop-join", "codegen-fallback"), // same brute-truth join
+    "ann_graph2_degree_stats" -> Set("codegen-fallback"),
+    // filtered walk: same brute-truth join (candidate-restricted) in the
+    // report; the topk itself serves from a materialized result
+    "ann_graph_filtered_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     // composes the labeled all-pairs semantic baseline (0.35 is below any
     // LSH-able threshold; at a real >=0.85 threshold the LSH path applies)
     "dedup_crossmodal" -> Set("nested-loop-join"),

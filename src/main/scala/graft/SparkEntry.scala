@@ -1788,6 +1788,17 @@ object SparkEntry {
     // oracle replays the inline derivation, so hash-green certifies
     // from-index == inline.
     "media_neardup_pairs" -> ((s, dir) => mediaPairsOf(s, dir)),
+    // Perceptual retrieval: top-k banded candidates per query medium
+    // ranked by exact Hamming — media similarity SEARCH served from the
+    // StreamingMediaDedup-maintained fingerprint index; the oracle
+    // replays the inline fingerprint + rank, so hash-green certifies
+    // from-index == inline.
+    "media_phash_topk" -> ((s, dir) => {
+      mediaPairsOf(s, dir) // ensure the artifact exists
+      Multimodal.mediaPhashTopKFromPhash(
+        graft.streaming.StreamingMediaDedup.readPhash(s,
+          artifactDirOf("media-dedup", s, dir)(_ => ()), Long.MaxValue))
+    }),
     // The APPLY path: exact CC over the perceptual pair graph (read from
     // the same maintained index), one min-id keeper per component,
     // singletons pass through — the media twin of dedup_apply_components.
@@ -3029,6 +3040,7 @@ object SparkEntry {
     "media_features" -> DuckDbOracles.mediaFeatures,
     "media_phash" -> DuckDbOracles.mediaPhash,
     "media_neardup_pairs" -> DuckDbOracles.mediaNearDupPairs(),
+    "media_phash_topk" -> DuckDbOracles.mediaPhashTopK(),
     "media_dedup_apply" -> DuckDbOracles.mediaDedupApply(),
     "media_curation_pipeline" -> DuckDbOracles.mediaCurationPipeline(),
     "media_source_contamination" -> DuckDbOracles.mediaSourceContamination(),

@@ -340,6 +340,49 @@ object Multimodal {
       .distinct()
   }
 
+  /** Perceptual RETRIEVAL over a PREBUILT fingerprint table (the
+    * StreamingMediaDedup phash index): for every query medium
+    * (media_id % 100 = 0 — the deterministic querySet convention), the
+    * top-`k` banded candidates ranked by exact 64-bit Hamming distance
+    * (ASC, media_id tiebreak). This is media similarity SEARCH — "find
+    * the k most visually similar items" — next to the pair/dedup tier's
+    * thresholded "find everything within 8 bits": near-dup reposts rank
+    * first, looser variants (re-encodes, crops under the stub codec's
+    * block granularity) follow without needing a threshold picked in
+    * advance.
+    *
+    * Scale: candidates come ONLY from the banded equi-join (any
+    * identical 16-bit band word) — never all-pairs; per query the rank
+    * is over its collision set, and on a (band, bw)-bucketed index the
+    * probe ships no history-side exchange.
+    */
+  def mediaPhashTopKFromPhash(ph: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = bandedPhash(ph)
+    val a = banded.filter(col("media_id") % 100 === 0).as("a")
+    val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bw") === col("b.bw") &&
+          col("a.media_id") =!= col("b.media_id"))
+      .select(col("a.media_id").as("q_id"), col("b.media_id").as("media_id"),
+        bandedHamming.cast("long").as("hamming"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("media_id").asc)
+    cand.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("media_id"), col("hamming"))
+  }
+
+  /** `mediaPhashTopK` end-to-end over media bytes (fingerprint + rank) —
+    * the inline twin of the from-index serve.
+    */
+  def mediaPhashTopK(media: DataFrame, k: Int = 5): DataFrame = {
+    val ph = perceptualHash(media).persist()
+    try mediaPhashTopKFromPhash(ph, k).eagerCkpt
+    finally ph.unpersist()
+  }
+
   /** Perceptual near-dup pairs over the media bytes: banded candidate
     * equi-join on any identical 16-bit fingerprint band, exact-Hamming
     * verify at ≤ `maxHam` of 64 bits (random pairs sit near 32). Output

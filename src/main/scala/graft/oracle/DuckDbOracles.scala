@@ -3320,6 +3320,28 @@ object DuckDbOracles {
        |SELECT ma AS media_a, mb AS media_b, hamming
        |FROM hams WHERE hamming <= $maxHam""".stripMargin
 
+  /** Twin of Multimodal.mediaPhashTopK: banded candidates per query
+    * medium (media_id % 100 = 0), exact-Hamming rank, top-k.
+    */
+  def mediaPhashTopK(k: Int = 5): String =
+    s"""WITH $mediaPhashCtes,
+       |qcand AS (SELECT a.media_id AS q_id, b.media_id AS media_id
+       |  FROM phx a JOIN phx b
+       |    ON a.band = b.band AND a.bw = b.bw AND a.media_id <> b.media_id
+       |  WHERE a.media_id % 100 = 0
+       |  GROUP BY 1, 2),
+       |qham AS (SELECT c.q_id, c.media_id,
+       |    CAST(sum(bit_count(xor(CAST(pa.bw AS BIGINT), CAST(pb.bw AS BIGINT)))) AS BIGINT)
+       |      AS hamming
+       |  FROM qcand c
+       |  JOIN phx pa ON pa.media_id = c.q_id
+       |  JOIN phx pb ON pb.media_id = c.media_id AND pb.band = pa.band
+       |  GROUP BY 1, 2)
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, media_id, hamming FROM (
+       |  SELECT q_id, media_id, hamming,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY hamming ASC, media_id ASC) AS rn
+       |  FROM qham) WHERE rn <= $k""".stripMargin
+
   /** Twin of the media survivorship query: exact connected components over
     * the perceptual pair graph (the dedupComponentsExact recursive CTE on
     * a different pair subquery), min-id keeper per component, everything

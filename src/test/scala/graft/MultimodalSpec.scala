@@ -146,6 +146,28 @@ class MultimodalSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapp
       nCand.toDouble should be < (n * (n - 1) / 2).toDouble * 0.05
     }
 
+    it("phash top-k ranks the close twin first, the looser edit second, and never surfaces a non-colliding item") {
+      // query id ≡ 0 (mod 100) per the querySet convention; twins at
+      // Hamming 1 and 2 share 3 of 4 bands with it, the inverted payload
+      // shares none (0xAAAA vs 0x5555 per word) so it can never be a
+      // banded candidate however small k makes the beam
+      val twoBlocksOff =
+        highBlk + structured.substring(8, 16) + highBlk + structured.substring(24)
+      val fillers = (300L until 320L).map(i => (i, hashChars(512, i), "en", "s1"))
+      val docs = docsDf(Seq(
+        (100L, structured, "en", "s1"),
+        (101L, oneBlockOff, "en", "s1"),
+        (102L, twoBlocksOff, "en", "s1"),
+        (103L, inverted, "en", "s1")) ++ fillers)
+      val got = Multimodal.mediaPhashTopK(Multimodal.mediaTable(docs), k = 5)
+        .filter(org.apache.spark.sql.functions.col("q_id") === 100L)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      got.take(2).toSeq shouldBe Seq((1, 101L, 1L), (2, 102L, 2L))
+      got.map(_._2) should not contain 103L
+      // ranks are contiguous from 1
+      got.map(_._1).toSeq shouldBe (1 to got.length)
+    }
+
     it("quality gate has bite, and full-corpus pairs ∩ gated² == pairs over the gated subset (the artifact-serve argument)") {
       // corpus mixing: a too-short payload (length gate), a near-constant
       // payload (variance gate), and BIMODAL-char fillers (uniform

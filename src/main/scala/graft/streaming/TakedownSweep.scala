@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** RIGHT-TO-BE-FORGOTTEN sweep: one takedown request fanned across EVERY
+  * maintained serving artifact, plus the absence audit that proves it
+  * landed.
+  *
+  * Each streaming maintainer already owns an idempotent, crash-retry-safe
+  * forget path for its own artifact (the per-family specs pin
+  * post-forget ≡ batch-rebuild-over-survivors). What a 100 TB platform
+  * additionally needs is the COMPOSITION: a data subject's takedown names
+  * ids in several modalities at once (their documents, media payloads,
+  * embedding vectors, customer record), and compliance is a property of
+  * the whole serving surface — forgetting the ANN index while the
+  * near-dup pair graph still names the vector is a violation. `sweep`
+  * fans one request across every registered artifact in one call;
+  * `absenceAudit` then scans every LIVE reader of every registered
+  * artifact for the tombstoned ids and returns the rows that still name
+  * one — an empty result IS the compliance proof, and the audit a real
+  * pipeline would persist next to the takedown ticket.
+  *
+  * Scale: each forget is the maintainer's own touched-partition
+  * copy-on-write (never a full rewrite); the audit is one broadcast
+  * semi-join per (artifact table, key column) — a handful of corpus
+  * scans, embarrassingly parallel across tables, no shuffle beyond the
+  * tombstone broadcast. Replaying `sweep` with the same request is
+  * exactly-once because every underlying forget is idempotent.
+  */
+object TakedownSweep {
+
+  /** The graph-ANN artifact needs its coarse quantizer to rebuild touched
+    * neighbor-list partitions.
+    */
+  final case class GraphAnnHandle(graphDir: String, cents: DataFrame)
+
+  /** Which maintained artifacts participate — `None` entries are skipped
+    * (not every deployment runs every tier).
+    */
+  final case class Artifacts(
+      dedupIndexDir: Option[String] = None,
+      textIndexDir: Option[String] = None,
+      chunkIndexDir: Option[String] = None,
+      annIndexDir: Option[String] = None,
+      graphAnn: Option[GraphAnnHandle] = None,
+      mediaIndexDir: Option[String] = None,
+      entityIndexDir: Option[String] = None)
+
+  /** The subject's ids per modality: single-column frames (`doc_id`,
+    * `media_id`, `vec_id`, `c_custkey`). `None` = nothing to forget in
+    * that modality.
+    */
+  final case class Request(
+      docIds: Option[DataFrame] = None,
+      mediaIds: Option[DataFrame] = None,
+      vecIds: Option[DataFrame] = None,
+      custIds: Option[DataFrame] = None)
+
+  /** Fan the takedown across every registered artifact. Idempotent —
+    * a crash-retry of the whole sweep re-runs only idempotent forgets.
+    */
+  def sweep(req: Request, arts: Artifacts, batchId: Long): Unit = {
+    req.docIds.foreach { ids =>
+      arts.dedupIndexDir.foreach(d =>
+        StreamingDedupIndex.processDeletes(ids, batchId, d))
+      arts.textIndexDir.foreach(d => StreamingTextIngest.processDeletes(ids, d))
+      arts.chunkIndexDir.foreach(d => StreamingChunkDedup.processDeletes(ids, d))
+    }
+    req.vecIds.foreach { ids =>
+      arts.annIndexDir.foreach(d => StreamingAnnIngest.processDeletes(ids, d))
+      arts.graphAnn.foreach(g =>
+        StreamingGraphAnn.processDeletes(ids, g.cents, g.graphDir))
+    }
+    req.mediaIds.foreach { ids =>
+      arts.mediaIndexDir.foreach(d => StreamingMediaDedup.processDeletes(ids, d))
+    }
+    req.custIds.foreach { ids =>
+      arts.entityIndexDir.foreach(d => StreamingEntityRes.processDeletes(ids, d))
+    }
+  }
+
+  /** Rows still naming a tombstoned id, per (artifact table, key
+    * column): EMPTY means the subject is gone from every registered
+    * serving surface. Reads go through each maintainer's LIVE reader
+    * (deletion-vector tiers audit what serving would actually see, not
+    * raw storage).
+    */
+  def absenceAudit(spark: SparkSession, req: Request, arts: Artifacts): DataFrame = {
+    def hits(name: String, table: DataFrame, keyCol: String,
+        ids: DataFrame, idCol: String): DataFrame =
+      table.join(
+          broadcast(ids.select(col(idCol).as("graft_tomb_id")).distinct()),
+          col(keyCol) === col("graft_tomb_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("artifact_table"), col("n_hits"))
+
+    val checks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    req.docIds.foreach { ids =>
+      arts.dedupIndexDir.foreach { d =>
+        checks += hits("dedup_index.signatures",
+          StreamingDedupIndex.readSignatures(spark, d, Long.MaxValue),
+          "doc_id", ids, "doc_id")
+        val pairs = StreamingDedupIndex.readPairs(spark, d, Long.MaxValue)
+        checks += hits("dedup_index.pairs.a", pairs, "doc_a", ids, "doc_id")
+        checks += hits("dedup_index.pairs.b", pairs, "doc_b", ids, "doc_id")
+      }
+      arts.textIndexDir.foreach { d =>
+        checks += hits("text_index.postings",
+          StreamingTextIngest.readPostings(spark, d), "doc_id", ids, "doc_id")
+        checks += hits("text_index.doclens",
+          StreamingTextIngest.readDoclens(spark, d), "doc_id", ids, "doc_id")
+        checks += hits("text_index.positions",
+          StreamingTextIngest.readPositions(spark, d), "doc_id", ids, "doc_id")
+      }
+      arts.chunkIndexDir.foreach { d =>
+        checks += hits("chunk_index.signatures",
+          StreamingChunkDedup.readSignatures(spark, d)
+            .withColumn("graft_parent",
+              expr(s"doc_id DIV ${StreamingChunkDedup.ChunkIdFactor}")),
+          "graft_parent", ids, "doc_id")
+      }
+    }
+    req.vecIds.foreach { ids =>
+      arts.annIndexDir.foreach { d =>
+        checks += hits("ann_index.live",
+          StreamingAnnIngest.readIndexLive(spark, d), "vec_id", ids, "vec_id")
+      }
+      arts.graphAnn.foreach { g =>
+        checks += hits("graph_ann.postings",
+          StreamingGraphAnn.readPostings(spark, g.graphDir), "vec_id", ids, "vec_id")
+        val edges = StreamingGraphAnn.readEdges(spark, g.graphDir)
+        checks += hits("graph_ann.edges.src", edges, "src", ids, "vec_id")
+        checks += hits("graph_ann.edges.dst", edges, "dst", ids, "vec_id")
+      }
+    }
+    req.mediaIds.foreach { ids =>
+      arts.mediaIndexDir.foreach { d =>
+        checks += hits("media_index.phash",
+          StreamingMediaDedup.readPhash(spark, d, Long.MaxValue),
+          "media_id", ids, "media_id")
+        val pairs = StreamingMediaDedup.readPairs(spark, d)
+        checks += hits("media_index.pairs.a", pairs, "media_a", ids, "media_id")
+        checks += hits("media_index.pairs.b", pairs, "media_b", ids, "media_id")
+      }
+    }
+    req.custIds.foreach { ids =>
+      arts.entityIndexDir.foreach { d =>
+        checks += hits("entity_index.records",
+          StreamingEntityRes.readRecords(spark, d), "c_custkey", ids, "c_custkey")
+        val pairs = StreamingEntityRes.readPairs(spark, d)
+        checks += hits("entity_index.pairs.a", pairs, "id_a", ids, "c_custkey")
+        checks += hits("entity_index.pairs.b", pairs, "id_b", ids, "c_custkey")
+      }
+    }
+    require(checks.nonEmpty,
+      "absenceAudit: no registered artifact matches any requested modality")
+    checks.reduce(_ unionByName _).filter(col("n_hits") > 0)
+  }
+}

@@ -425,6 +425,13 @@ object SparkEntry {
       graft.ops.TimeSeries.jsDrift(
         Tables.events(s, dir), tsCol = "ts", keyCol = "event_type",
         valueCol = "value", splitTs = graft.ops.TimeSeries.PsiSplitTs)),
+    // TEXT-side drift: per-source unigram JSD between doc-parity cohorts
+    // — "did the new crawl shift this source's language?" — plus the
+    // per-token attribution a curator reads when the score alerts.
+    "corpus_token_drift" -> ((s, dir) =>
+      TextOps.corpusTokenDrift(Tables.documents(s, dir))),
+    "token_drift_top" -> ((s, dir) =>
+      TextOps.tokenDriftTop(Tables.documents(s, dir))),
 
     // Daily active/new/returning users (first-seen derived once, never a
     // day-by-day scan) — the growth/retention axis.
@@ -2513,6 +2520,8 @@ object SparkEntry {
 
     "psi_drift" -> DuckDbOracles.psiDrift(),
     "jsd_drift" -> DuckDbOracles.jsDrift(),
+    "corpus_token_drift" -> DuckDbOracles.corpusTokenDrift,
+    "token_drift_top" -> DuckDbOracles.tokenDriftTop(),
 
     "daily_active_new" ->
       """WITH de AS (SELECT epoch_ms(ts) // 86400000 AS d, user_id FROM events),

@@ -59,6 +59,75 @@ object TextOps {
       round(size(array_distinct(t)).cast("double") / size(t).cast("double"), 6).as("ttr"))
   }
 
+  /** Per-(source, cohort) smoothed unigram distributions — the shared
+    * frame behind `corpusTokenDrift` (the rollup) and `tokenDriftTop`
+    * (the per-token attribution). Cohorts = doc-id parity (the
+    * quantizer_drift convention: a deterministic stand-in for
+    * crawl-version cohorts); add-one smoothing over each source's union
+    * vocabulary so a token seen in only one cohort still contributes
+    * finite mass.
+    */
+  private def tokenCohortDists(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("source"), (col("doc_id") % 2 === 0).as("is_ref"),
+        explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = tok.groupBy(col("source"), col("tok"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+    val tots = counts.groupBy(col("source"))
+      .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"),
+        count(lit(1)).as("v"))
+    counts.join(broadcast(tots), Seq("source"))
+      .select(col("source"), col("tok"), col("n_ref"), col("n_cur"), col("v"),
+        ((col("c_ref") + 1).cast("double") / (col("n_ref") + col("v")).cast("double"))
+          .as("pr"),
+        ((col("c_cur") + 1).cast("double") / (col("n_cur") + col("v")).cast("double"))
+          .as("pc"))
+  }
+
+  /** TEXT-side distribution drift: per source, the Jensen-Shannon
+    * divergence between the two doc-parity cohorts' unigram
+    * distributions — the "did the new crawl shift this source's
+    * language?" audit, the corpus twin of the events-side
+    * psi/ks/jsd panel (whose bins are value buckets; here the support is
+    * the source's vocabulary). Identical cohorts give EXACTLY 0 (pr = pc
+    * termwise); disjoint vocabularies approach ln 2.
+    *
+    * Scale: one exploded-token aggregation per (source, token) — the
+    * same single shuffle every retrieval statistic here pays — then a
+    * source-sized rollup; no all-pairs anywhere.
+    */
+  def corpusTokenDrift(docs: DataFrame): DataFrame = {
+    val m = (col("pr") + col("pc")) / 2
+    tokenCohortDists(docs)
+      .groupBy(col("source"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        max(col("v")).as("vocab"),
+        round(sum(col("pr") * log(col("pr") / m) / 2 +
+          col("pc") * log(col("pc") / m) / 2), 6).as("jsd"))
+  }
+
+  /** The attribution half of `corpusTokenDrift`: per source, the
+    * top-`k` tokens by JSD contribution — WHICH words moved, the line a
+    * curator actually reads when a source's drift score alerts. Ranked
+    * on the 6dp-ROUNDED contribution with a token tie-break, so
+    * sub-rounding float noise can never reorder rows across engines.
+    */
+  def tokenDriftTop(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = (col("pr") + col("pc")) / 2
+    val contrib = tokenCohortDists(docs)
+      .select(col("source"), col("tok"),
+        round(col("pr") * log(col("pr") / m) / 2 +
+          col("pc") * log(col("pc") / m) / 2, 6).as("contrib"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("contrib").desc, col("tok").asc)
+    contrib.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("tok"), col("contrib"))
+  }
+
   /** Stopword list shared with the oracle SQL (English function words; the
     * synthetic corpus contains `the`/`a`/`of` etc.).
     */

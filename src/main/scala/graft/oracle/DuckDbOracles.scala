@@ -1194,6 +1194,49 @@ object DuckDbOracles {
        |  round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
        |FROM terms GROUP BY 1""".stripMargin
 
+  /** Shared CTE chain for the TEXT-side drift pair: per-(source, token)
+    * cohort counts (doc-id parity), add-one smoothing over each source's
+    * union vocabulary.
+    */
+  private val tokenDriftDistCtes: String =
+    s"""tkd AS (SELECT source, doc_id % 2 = 0 AS is_ref,
+       |    unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tkf AS (SELECT * FROM tkd WHERE length(tok) > 0),
+       |tcounts AS (SELECT source, tok,
+       |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+       |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+       |  FROM tkf GROUP BY 1, 2),
+       |ttots AS (SELECT source, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+       |    CAST(sum(c_cur) AS BIGINT) AS n_cur, CAST(count(*) AS BIGINT) AS v
+       |  FROM tcounts GROUP BY 1),
+       |tdist AS (SELECT c.source, c.tok, t.n_ref, t.n_cur, t.v,
+       |    (c.c_ref + 1) / CAST(t.n_ref + t.v AS DOUBLE) AS pr,
+       |    (c.c_cur + 1) / CAST(t.n_cur + t.v AS DOUBLE) AS pc
+       |  FROM tcounts c JOIN ttots t USING (source))""".stripMargin
+
+  /** Twin of TextOps.corpusTokenDrift. */
+  val corpusTokenDrift: String =
+    s"""WITH $tokenDriftDistCtes
+       |SELECT source, CAST(max(n_ref) AS BIGINT) AS n_ref,
+       |  CAST(max(n_cur) AS BIGINT) AS n_cur, CAST(max(v) AS BIGINT) AS vocab,
+       |  round(sum(pr * ln(pr / ((pr + pc) / 2)) / 2
+       |    + pc * ln(pc / ((pr + pc) / 2)) / 2), 6) AS jsd
+       |FROM tdist GROUP BY 1""".stripMargin
+
+  /** Twin of TextOps.tokenDriftTop: rank on the 6dp-ROUNDED contribution
+    * (token tie-break) so sub-rounding float noise cannot reorder rows.
+    */
+  def tokenDriftTop(k: Int = 5): String =
+    s"""WITH $tokenDriftDistCtes,
+       |tc AS (SELECT source, tok,
+       |    round(pr * ln(pr / ((pr + pc) / 2)) / 2
+       |      + pc * ln(pc / ((pr + pc) / 2)) / 2, 6) AS contrib
+       |  FROM tdist)
+       |SELECT source, CAST(rn AS INTEGER) AS rank, tok, contrib FROM (
+       |  SELECT source, tok, contrib,
+       |    row_number() OVER (PARTITION BY source ORDER BY contrib DESC, tok ASC) AS rn
+       |  FROM tc) WHERE rn <= $k""".stripMargin
+
   /** Twin of TimeSeries.jsDrift: the psiDrift histogram chain with the
     * bounded symmetric divergence terms.
     */

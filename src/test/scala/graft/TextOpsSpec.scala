@@ -19,6 +19,40 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper 
     }
   }
 
+  describe("corpusTokenDrift / tokenDriftTop") {
+    it("identical cohorts score exactly zero; disjoint vocabularies drift toward ln 2, attributed to the moved tokens") {
+      import spark.implicits._
+      val docs = Seq(
+        // 'same': even and odd docs speak identically -> pr == pc termwise
+        (0L, "x x y z", "en", "same"), (1L, "x x y z", "en", "same"),
+        (2L, "x x y z", "en", "same"), (3L, "x x y z", "en", "same"),
+        // 'shift': the two cohorts share NO vocabulary
+        (10L, "aa bb cc dd aa bb", "en", "shift"),
+        (12L, "aa bb cc dd aa bb", "en", "shift"),
+        (11L, "ee ff gg hh ee ff", "en", "shift"),
+        (13L, "ee ff gg hh ee ff", "en", "shift"))
+        .toDF("doc_id", "text", "lang", "source")
+      val drift = TextOps.corpusTokenDrift(docs).collect()
+        .map(r => r.getString(0) -> r.getDouble(4)).toMap
+      drift("same") shouldBe 0.0
+      // well off zero (add-one smoothing over the tiny 8-token vocab
+      // flattens both cohorts — the unsmoothed disjoint limit is ln 2)
+      drift("shift") should be > 0.15
+      drift("shift") should be < math.log(2)
+      val top = TextOps.tokenDriftTop(docs, k = 3)
+        .filter(org.apache.spark.sql.functions.col("source") === "shift")
+        .collect().map(r => (r.getInt(1), r.getString(2), r.getDouble(3)))
+        .sortBy(_._1)
+      top.map(_._1).toSeq shouldBe Seq(1, 2, 3)
+      // the heaviest movers are the high-count disjoint tokens, and every
+      // contribution is positive (JSD terms are nonnegative)
+      top.foreach { case (_, tok, c) =>
+        Set("aa", "bb", "ee", "ff") should contain(tok)
+        c should be > 0.0
+      }
+    }
+  }
+
   describe("qualityScore") {
     it("computes stopword ratio and mean token length") {
       val r = TextOps.qualityScore(docsDf(Seq(1L -> "the cat sat"))).collect()(0)

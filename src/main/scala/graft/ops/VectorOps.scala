@@ -2251,6 +2251,10 @@ object VectorOps {
         .withColumnRenamed("neighbor_id", "nid")
         .unionByName(upper)
         .groupBy(col("q_id"), col("nid")).agg(max(col("cos")).as("cos"))
+        // the layer-0 loop's round-0 beam references this twice AND its
+        // own lineage carries the whole upper walk — truncate once here
+        // so the layer-0 rounds re-plan from a materialized seed pool
+        .eagerCkpt
       val beamDf = beamLoop(e0, index, queries, seeds, beam, rounds)
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nid").asc)
       beamDf.withColumn("rank", row_number().over(w).cast("int"))

@@ -61,6 +61,29 @@ class DedupSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       // the (4, 3) row measures exactly the production banding
       n(4, 3) shouldBe Dedup.minhashLshPairs(docs).count()
     }
+
+    it("the nesting chains hold on random corpora (seeded trials)") {
+      // aligned-band nesting is a THEOREM (an agreeing r1-block contains
+      // an aligned r2-block whenever r2 | r1 positions align), so it must
+      // hold on any corpus, not just the crafted one
+      val rng = new scala.util.Random(2024)
+      for (_ <- 1 to 4) {
+        val nDocs = 6 + rng.nextInt(10)
+        val vocab = 1 + rng.nextInt(4) // small vocab => plenty of collisions
+        val docs = docsDf((0 until nDocs).map { i =>
+          (i.toLong,
+            (1 to 40).map(_ => s"w${rng.nextInt(vocab * 10)}").mkString(" "))
+        })
+        val rows = Dedup.lshTuningReport(docs).collect()
+          .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+        def n(b: Int, r: Int): Long = rows((b, r))
+        n(1, 12) should be <= n(2, 6)
+        n(2, 6) should be <= n(4, 3)
+        n(4, 3) should be <= n(6, 2)
+        n(2, 6) should be <= n(3, 4)
+        n(3, 4) should be <= n(6, 2)
+      }
+    }
   }
 
   describe("sourceContamination") {

@@ -87,9 +87,43 @@ object Bench {
         (name, fn, r2.err.isEmpty && (hi / math.max(lo, 1e-9) > 1.5 || lo > 5.0))
       }
     }.collect { case (name, fn, true) => name -> time1(fn) }.toMap
-    val reps = qlist.map { case (name, _) =>
+    val reps0 = qlist.map { case (name, _) =>
       name -> (Vector(pass1(name)) ++ pass2.get(name) ++ pass3.get(name))
     }
+    // Committed per-query pins, needed here for the pin-retry pass below.
+    val budgetPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "bench_budget.json"))
+    val budgets: Map[String, Double] =
+      if (java.nio.file.Files.exists(budgetPath)) {
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(budgetPath))
+          node.fields().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] unreadable $budgetPath: $e"); Map.empty }
+      } else Map.empty
+    // PIN-RETRY passes: a contention episode lasting minutes spans BOTH
+    // interleaved passes of one query — its reps come back slow but
+    // CONSISTENT (the >1.5x pass-3 trigger never fires, the noise marker
+    // stays silent) and the pin flags a regression that is not there
+    // (observed: six consecutive runs at 203-226s suite total vs the
+    // 184-189s quiet baseline, each flagging a DIFFERENT 1-4 queries
+    // whose isolated floors were unchanged). Automate the documented
+    // "re-run before believing a regression" discipline: up to two more
+    // interleaved passes over only the still-over-pin queries, temporally
+    // distant from the originals. A genuine regression stays slow on
+    // every retry and still lands in over_budget; an episode clears, and
+    // `raw` keeps every rep (retried queries show 3-5 entries) so the
+    // call is auditable from the artifact alone.
+    val fnOf = qlist.toMap
+    val repsM = scala.collection.mutable.LinkedHashMap(reps0: _*)
+    for (_ <- 1 to 2) {
+      val flagged = repsM.collect { case (n, rs)
+        if rs.forall(_.err.isEmpty) &&
+          budgets.get(n).exists(p => rs.map(_.sec).min > p) => n }.toSeq
+      flagged.foreach { n => repsM(n) = repsM(n) :+ time1(fnOf(n)) }
+    }
+    val reps = repsM.toSeq
     val errors = reps.collect { case (n, rs) if rs.exists(_.err.isDefined) =>
       n -> rs.flatMap(_.err).head }
     val best = reps.map { case (n, rs) => n -> rs.map(_.sec).min }
@@ -113,29 +147,20 @@ object Bench {
         secs.max / math.max(secs.min, 1e-9) > 3.0 && heaps.max / heaps.min < 1.3
       } => jstr(n) }
     val total = best.map(_._2).sum
-    // Per-query regression budgets: bench_budget.json (committed) pins each
-    // query at its last recorded best ×2, turning the round-over-round "no
-    // query regressed >2×" judgment into an artifact the bench itself
-    // emits — `over_budget` lists queries whose MIN-of-reps (already
-    // noise-filtered) still exceeds the pin. Warn-only: a host-noise
-    // episode spanning every rep of one query must not fail the gate.
-    val budgetPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "bench_budget.json"))
-    val budgets: Map[String, Double] =
-      if (java.nio.file.Files.exists(budgetPath)) {
-        try {
-          val node = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(java.nio.file.Files.readString(budgetPath))
-          node.fields().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] unreadable $budgetPath: $e"); Map.empty }
-      } else Map.empty
+    // Per-query regression budgets: bench_budget.json (committed) pins
+    // each query, turning the round-over-round "no query regressed"
+    // judgment into an artifact the bench itself emits — `over_budget`
+    // lists queries whose MIN across all reps (two interleaved passes,
+    // the targeted disagreement rep, and the pin-retry passes above)
+    // still exceeds the pin. Warn-only: the gate reads the list, the
+    // process exit code only reflects hard errors.
     val bestMap = best.toMap
     val overBudget = best.collect {
       case (n, s) if budgets.get(n).exists(s > _) => n }.toSeq.sorted
     if (overBudget.nonEmpty) System.err.println(
-      s"[bench] OVER BUDGET (best-of-reps > pinned 2x): " + overBudget.map(n =>
-        f"$n (${bestMap(n)}%.2f s > ${budgets(n)}%.2f s)").mkString(", "))
+      s"[bench] OVER BUDGET (min of all reps incl. retries > pin): " +
+        overBudget.map(n =>
+          f"$n (${bestMap(n)}%.2f s > ${budgets(n)}%.2f s)").mkString(", "))
     val obJson = overBudget.map(jstr).mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"heap_mb":$heap,"gc_ms":$gc,"errors":$errJson,"noise_queries":${noise.mkString("[", ",", "]")},"over_budget":$obJson,"sf":${jstr(sfDir)}}"""
     println(line)

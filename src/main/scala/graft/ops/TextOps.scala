@@ -1629,13 +1629,29 @@ object TextOps {
     */
   val BpeMergeCount = 24
 
+  /** Training-vocabulary cap for BPE: only the top-K words by corpus
+    * frequency (ties broken on the word, ascending — a total order both
+    * engines share) participate in merge training. At web-corpus scale
+    * the distinct-"word" table (typos, ids, junk) is far beyond driver
+    * memory, and the tail's singleton words contribute almost nothing to
+    * pair counts; the cap turns the one driver-side collect into a
+    * TakeOrdered whose size is a compile-time constant. 65536 is a no-op
+    * on every test SF (the synthetic corpora have far fewer distinct
+    * words) so the committed oracle hashes are unaffected; encoding is
+    * never capped — every document word is tokenized under the learned
+    * table regardless.
+    */
+  val BpeMaxVocab = 65536
+
   /** Greedy-merge BPE training (Sennrich et al. ACL'16, word-frequency
     * formulation): ONE corpus aggregation produces the (word, freq)
     * table — the only distributed step, a single partial-agg shuffle whose
-    * result is vocabulary-sized, not corpus-sized (at 100 TB you cap it to
-    * the top-K words by frequency; the tail's singleton words contribute
-    * almost nothing to pair counts) — then the merge loop runs driver-side
-    * over that tiny table. Deterministic: pair counts weight every
+    * result is capped at `maxVocab` rows ([[BpeMaxVocab]]: a TakeOrdered
+    * keeps only the top-K words by frequency, so the driver-side table is
+    * bounded even over a web-scale corpus whose distinct-"word" tail of
+    * typos/ids/junk would otherwise exceed driver memory) — then the merge
+    * loop runs driver-side over that tiny table. Deterministic: pair
+    * counts weight every
     * adjacent symbol occurrence by word frequency; ties break on the
     * lexicographically smallest parenthesized pair string (the exact
     * ORDER BY the oracle's unrolled iterations use); merges apply
@@ -1643,10 +1659,13 @@ object TextOps {
     * `replace` scan order).
     */
   def bpeTrainMerges(
-      docs: DataFrame, numMerges: Int = BpeMergeCount): Seq[(String, String)] = {
+      docs: DataFrame, numMerges: Int = BpeMergeCount,
+      maxVocab: Int = BpeMaxVocab): Seq[(String, String)] = {
     val wf: Array[(Array[String], Long)] = docs
       .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxVocab) // TakeOrdered: the collect is now ≤ maxVocab rows
       .collect()
       .map(r => (r.getString(0).toCharArray.map(String.valueOf(_)), r.getLong(1)))
     var words = wf

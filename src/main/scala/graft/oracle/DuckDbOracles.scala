@@ -638,7 +638,8 @@ object DuckDbOracles {
     }.mkString(",\n")
     s"""wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-       |  FROM documents) GROUP BY w),
+       |  FROM documents) GROUP BY w
+       |  ORDER BY n DESC, w ASC LIMIT ${TextOps.BpeMaxVocab}),
        |m0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS s, n FROM wf),
        |$iters""".stripMargin
   }

@@ -68,6 +68,26 @@ class BpeSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       // 'zz' x3 outweighs the unique word's pairs
       TextOps.bpeTrainMerges(docs("zz zz zz qrs"), numMerges = 1) shouldBe Seq(("z", "z"))
     }
+    it("the vocab cap is a no-op on the test corpus (hash-stability of the oracle)") {
+      // BpeMaxVocab (64k) far exceeds the synthetic corpus's distinct-word
+      // count at every SF, so the default-capped training must equal the
+      // uncapped run bit-for-bit — the committed oracle hashes depend on it
+      val corpus = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      TextOps.bpeTrainMerges(corpus) shouldBe
+        TextOps.bpeTrainMerges(corpus, maxVocab = Int.MaxValue)
+    }
+    it("the vocab cap is load-bearing on a planted long-tail corpus") {
+      // head word 'ab' (freq 5) vs a 10-word singleton tail each carrying
+      // one (z,z) pair: uncapped, the tail's 10 occurrences win the argmax;
+      // capped to the top-1 word by (freq DESC, word ASC) only 'ab'
+      // trains and (a,b) wins — the cap provably drops the junk tail
+      val corpus = docs("ab ab ab ab ab",
+        "zza zzb zzc zzd zze zzf zzg zzh zzi zzj")
+      TextOps.bpeTrainMerges(corpus, numMerges = 1,
+        maxVocab = Int.MaxValue).head shouldBe ("z", "z")
+      TextOps.bpeTrainMerges(corpus, numMerges = 1,
+        maxVocab = 1) shouldBe Seq(("a", "b"))
+    }
     it("replays the classic low/lower/newest corpus deterministically") {
       val corpus = docs("low low low low low lower lower newest newest",
         "newest newest newest newest")

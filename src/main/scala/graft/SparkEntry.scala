@@ -1592,6 +1592,26 @@ object SparkEntry {
           VectorOps.querySet(emb), coarse,
           emb.filter(pred).select(col("vec_id"))), pred)
     }),
+    // HIERARCHICAL + FILTERED composition (the production hybrid-search
+    // shape): the upper layer routes UNFILTERED, its final beam expands
+    // two hops out along layer 0 so non-passing entry nodes act as
+    // stepping stones, then the passing-only filtered rounds serve.
+    "ann_graph2_filtered_topk" -> ((s, dir) => {
+      val (edges, index, coarse) = annGraphOf(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.graph2TopKFilteredFromIndex(edges, annGraphLayer1Of(s, dir),
+        index, VectorOps.querySet(emb), coarse,
+        emb.filter(pmod(col("label"), lit(2)) === 0).select(col("vec_id")))
+    }),
+    "ann_graph2_filtered_recall_report" -> ((s, dir) => {
+      val (edges, index, coarse) = annGraphOf(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val pred = pmod(col("label"), lit(2)) === 0
+      VectorOps.graphFilteredRecallReport(emb,
+        VectorOps.graph2TopKFilteredFromIndex(edges, annGraphLayer1Of(s, dir),
+          index, VectorOps.querySet(emb), coarse,
+          emb.filter(pred).select(col("vec_id"))), pred)
+    }),
     "ann_ivf_topk_np2" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir), nprobe = 2)),
     // Filtered ANN (hybrid search): candidates restricted by a metadata
     // predicate applied before cell assignment; quantizer stays corpus-wide.
@@ -3000,6 +3020,9 @@ object SparkEntry {
     "ann_graph2_recall_report" -> DuckDbOracles.annGraph2RecallReport(),
     "ann_graph2_degree_stats" -> DuckDbOracles.annGraph2DegreeStats(),
     "ann_graph_filtered_topk" -> DuckDbOracles.annGraphFilteredTopK(),
+    "ann_graph2_filtered_topk" -> DuckDbOracles.annGraph2FilteredTopK(),
+    "ann_graph2_filtered_recall_report" ->
+      DuckDbOracles.annGraph2FilteredRecallReport(),
     "ann_graph_filtered_recall_report" ->
       DuckDbOracles.annGraphFilteredRecallReport(),
     "ann_ivf_topk_np2" -> DuckDbOracles.annIvfTopK(nprobe = 2),

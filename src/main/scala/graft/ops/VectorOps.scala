@@ -2338,45 +2338,156 @@ object VectorOps {
       val queries = normQueries(queries0)
       val seeds = scoreProbes(fIndex, queries0, centArr, nprobe = 1)
         .withColumnRenamed("neighbor_id", "nid")
-      val cand = fIndex.select(col("vec_id").as("nid"), col("cv"), col("cn"))
+      val beamDf = filteredBeamLoop(edges, fIndex, queries, seeds, beam, rounds, hops)
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nid").asc)
-      def topBeam(scored: DataFrame): DataFrame =
-        scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= beam)
-          .select(col("q_id"), col("nid"), col("cos"))
-          .eagerCkpt
-      var beamDf = topBeam(seeds)
-      for (_ <- 0 until rounds) {
-        // hop 1: the beam's out-neighbors — NOT filtered by the predicate
-        // (they are stepping stones); hop 2 expands from them so a
-        // non-passing bridge is crossed within one round. The predicate
-        // bites at scoring: the inner join against the passing index
-        // drops non-passing pool rows before they can enter the beam.
-        val hop1 = beamDf.join(edges, beamDf("nid") === edges("src"))
-          .select(col("q_id"), col("dst").as("nid"))
-          .filter(col("q_id") =!= col("nid"))
-          .distinct()
-        val expand =
-          if (hops == 1) hop1
-          else hop1.unionByName(
-            hop1.join(edges, hop1("nid") === edges("src"))
-              .select(col("q_id"), col("dst").as("nid"))
-              .filter(col("q_id") =!= col("nid")))
-        val pool = beamDf.select(col("q_id"), col("nid"))
-          .unionByName(expand)
-          .distinct()
-        val scored = pool
-          .join(cand, Seq("nid"))
-          .join(broadcast(queries), Seq("q_id"))
-          .select(col("q_id"), col("nid"),
-            round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
-        beamDf = topBeam(scored)
-      }
       beamDf.withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= k)
         .select(col("q_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
         .eagerCkpt
     } finally edges.unpersist()
+  }
+
+  /** The FILTERED expand-score-prune rounds shared by the flat and
+    * hierarchical filtered traversals: `seedScored` = (q_id, nid, cos)
+    * round-0 beam input already restricted to passing nodes. Each round's
+    * expansion looks `hops` steps out along the UNFILTERED edges — a
+    * non-passing bridge is stepped THROUGH, never kept — and the
+    * predicate bites at scoring: the inner join against the passing
+    * index drops non-passing pool rows before they can enter the beam.
+    */
+  private def filteredBeamLoop(
+      edges: DataFrame, fIndex: DataFrame, queries: DataFrame,
+      seedScored: DataFrame, beam: Int, rounds: Int, hops: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = fIndex.select(col("vec_id").as("nid"), col("cv"), col("cn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nid").asc)
+    def topBeam(scored: DataFrame): DataFrame =
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select(col("q_id"), col("nid"), col("cos"))
+        .eagerCkpt
+    var beamDf = topBeam(seedScored)
+    for (_ <- 0 until rounds) {
+      val hop1 = beamDf.join(edges, beamDf("nid") === edges("src"))
+        .select(col("q_id"), col("dst").as("nid"))
+        .filter(col("q_id") =!= col("nid"))
+        .distinct()
+      val expand =
+        if (hops == 1) hop1
+        else hop1.unionByName(
+          hop1.join(edges, hop1("nid") === edges("src"))
+            .select(col("q_id"), col("dst").as("nid"))
+            .filter(col("q_id") =!= col("nid")))
+      val pool = beamDf.select(col("q_id"), col("nid"))
+        .unionByName(expand)
+        .distinct()
+      val scored = pool
+        .join(cand, Seq("nid"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select(col("q_id"), col("nid"),
+          round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+      beamDf = topBeam(scored)
+    }
+    beamDf
+  }
+
+  /** FILTERED traversal seeded through the HIERARCHICAL upper layer — the
+    * production composition of `graph2TopKFromIndex` (routing) and
+    * `graphTopKFilteredFromIndex` (predicate-aware serving). The layer-1
+    * walk stays UNFILTERED: it is pure navigation, and restricting the
+    * sparse router to passing nodes would shatter exactly the long-range
+    * connectivity it exists to provide. Its final beam nodes may not pass
+    * the predicate, so they are treated as stepping stones: the layer-0
+    * entry pool is the upper beam PLUS its `hops`-step layer-0
+    * out-neighborhood (the same bridge-crossing shape as the per-round
+    * expansion) PLUS the passing-only IVF seeds, all scored against the
+    * passing index — non-passing entries drop at scoring and never enter
+    * the beam. Per-query cost adds rounds1·beam1·degree (router) +
+    * beam1·degree^hops (entry expansion) to the flat filtered walk —
+    * still corpus-size-independent, the graph tier's invariant.
+    */
+  def graph2TopKFilteredFromIndex(
+      edges0: DataFrame, edges1: DataFrame, index: DataFrame,
+      queries0: DataFrame, coarse: DataFrame, passingIds: DataFrame,
+      k: Int = 10, beam: Int = GraphBeam, rounds: Int = GraphRounds,
+      beam1: Int = Layer1Beam, rounds1: Int = Layer1Rounds,
+      every: Int = Layer1Every, hops: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(beam >= k, s"graph2FilteredTopK: beam $beam must be >= k $k")
+    require(hops == 1 || hops == 2, s"graph2FilteredTopK: hops must be 1 or 2, got $hops")
+    val centArr: Array[(Int, Seq[Double])] = coarse.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val fIndex = index.join(
+      passingIds.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val e1 = edges1.select(col("src"), col("dst")).persist()
+    val e0 = edges0.select(col("src"), col("dst")).persist()
+    try {
+      val queries = normQueries(queries0)
+      val index1 = index.filter(layer1Member(every))
+      val upper = beamLoop(e1, index1, queries,
+        scoreProbes(index1, queries0, centArr, nprobe = 1)
+          .withColumnRenamed("neighbor_id", "nid"),
+        beam1, rounds1, ckptRounds = rounds1 > 2)
+      // the entry expansion references the upper beam FOUR times (carry +
+      // hop-1 + twice in hop-2) — truncate the whole upper-walk lineage
+      // once here so each reference reads a materialized beam1-sized frame
+      val entry = upper.select(col("q_id"), col("nid")).eagerCkpt
+      val ehop1 = entry.join(e0, entry("nid") === e0("src"))
+        .select(col("q_id"), col("dst").as("nid"))
+        .filter(col("q_id") =!= col("nid"))
+        .distinct()
+      val eexp =
+        if (hops == 1) ehop1
+        else ehop1.unionByName(
+          ehop1.join(e0, ehop1("nid") === e0("src"))
+            .select(col("q_id"), col("dst").as("nid"))
+            .filter(col("q_id") =!= col("nid")))
+      // the round-0 scoring references this pool once but its lineage
+      // carries the whole upper walk + two expansion joins — truncate so
+      // the filtered rounds re-plan from a materialized entry pool
+      val pool0 = entry
+        .unionByName(eexp)
+        .unionByName(scoreProbes(fIndex, queries0, centArr, nprobe = 1)
+          .select(col("q_id"), col("neighbor_id").as("nid")))
+        .distinct()
+        .eagerCkpt
+      val cand = fIndex.select(col("vec_id").as("nid"), col("cv"), col("cn"))
+      val seedScored = pool0
+        .join(cand, Seq("nid"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select(col("q_id"), col("nid"),
+          round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+      val beamDf = filteredBeamLoop(e0, fIndex, queries, seedScored, beam, rounds, hops)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nid").asc)
+      beamDf.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
+        .eagerCkpt
+    } finally { e1.unpersist(); e0.unpersist(): Unit }
+  }
+
+  /** Hierarchical filtered traversal end-to-end over raw embeddings
+    * (builds both layers' graphs + the cell index, then serves) — the
+    * inline twin the specs exercise.
+    */
+  def graph2TopKFiltered(
+      emb: DataFrame, pred: Column, k: Int = 10, beam: Int = GraphBeam,
+      rounds: Int = GraphRounds, degree: Int = GraphDegree,
+      probe: Int = GraphProbe, every: Int = Layer1Every,
+      hops: Int = 2): DataFrame = {
+    val coarse = centroids(emb).select(col("label").as("cell"), col("centroid"))
+    val centArr: Array[(Int, Seq[Double])] = coarse.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val index = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+      .select(col("vec_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
+      .select(col("vec_id"), nearestCellExpr(centArr, col("cv"), col("cn")).as("cell"),
+        col("cv"), col("cn"))
+    graph2TopKFilteredFromIndex(
+      graphEdges(emb, degree, probe, coarse = Some(coarse)),
+      graph2Layer1Edges(emb, degree, probe, coarse = Some(coarse), every = every),
+      index, querySet(emb), coarse, emb.filter(pred).select(col("vec_id")),
+      k, beam, rounds, every = every, hops = hops)
   }
 
   /** Recall@k + MRR of a filtered ranking against the brute-force truth

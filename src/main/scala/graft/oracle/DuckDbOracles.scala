@@ -2513,6 +2513,55 @@ object DuckDbOracles {
     recallReportSql(annGraphFilteredTopK(k, corpusFilter = corpusFilter), k,
       truthSql = Some(annBruteTopK(k, corpusFilter = corpusFilter)))
 
+  /** Twin of VectorOps.graph2TopKFilteredFromIndex — the hierarchical
+    * router composed with the filtered walk: the unrolled UNFILTERED
+    * layer-1 beam (pure navigation), its final beam expanded two hops out
+    * along the layer-0 edges (bridge-crossing entry), unioned with the
+    * passing-only IVF seeds, scored against the passing assignment, then
+    * the standard 2-hop filtered rounds.
+    */
+  def annGraph2FilteredTopK(
+      k: Int = 10,
+      degree: Int = VectorOps.GraphDegree,
+      probe: Int = VectorOps.GraphProbe,
+      beam: Int = VectorOps.GraphBeam,
+      rounds: Int = VectorOps.GraphRounds,
+      beam1: Int = VectorOps.Layer1Beam,
+      rounds1: Int = VectorOps.Layer1Rounds,
+      corpusFilter: String = "label % 2 = 0"): String =
+    s"""WITH $embCte,
+       |${graphCtes(degree, probe)},
+       |nposted1 AS (SELECT vec_id, v, cell FROM nposted WHERE $layer1MemberSql),
+       |${graphEdgePruneCtes("nposted1", "1", degree)},
+       |$graphSeedCtes,
+       |asg1 AS (SELECT vec_id, v, cell FROM asg WHERE $layer1MemberSql),
+       |${seedScoreCte("useedscore", "asg1")},
+       |${beamPruneCte("ubeam0", "useedscore", beam1)},
+       |${beamRoundCtes("u", "edges1", rounds1, beam1)},
+       |fasg AS (SELECT a.vec_id, a.v, a.cell FROM asg a
+       |  JOIN e ON a.vec_id = e.vec_id WHERE ($corpusFilter)),
+       |${seedScoreCte("fseedscore", "fasg")},
+       |ehop1 AS (SELECT DISTINCT b.q_id, ed.dst AS nid
+       |  FROM ubeam$rounds1 b JOIN edges ed ON b.nid = ed.src
+       |  WHERE ed.dst <> b.q_id),
+       |epool AS (SELECT DISTINCT q_id, nid FROM (
+       |    SELECT q_id, nid FROM ubeam$rounds1
+       |    UNION ALL SELECT q_id, nid FROM ehop1
+       |    UNION ALL SELECT hh.q_id, ed.dst AS nid
+       |      FROM ehop1 hh JOIN edges ed ON hh.nid = ed.src
+       |      WHERE ed.dst <> hh.q_id
+       |    UNION ALL SELECT q_id, nid FROM fseedscore)),
+       |f2score0 AS (SELECT p.q_id, p.nid, round(${cosSql("q.qv", "sx.v")}, 6) AS cos
+       |  FROM epool p JOIN q ON p.q_id = q.q_id JOIN fasg sx ON p.nid = sx.vec_id),
+       |${beamPruneCte("f2beam0", "f2score0", beam)},
+       |${beamRoundCtesFiltered("f2", "edges", rounds, beam, "fasg")}
+       |${beamFinalSelect(s"f2beam$rounds", k)}""".stripMargin
+
+  def annGraph2FilteredRecallReport(
+      k: Int = 10, corpusFilter: String = "label % 2 = 0"): String =
+    recallReportSql(annGraph2FilteredTopK(k, corpusFilter = corpusFilter), k,
+      truthSql = Some(annBruteTopK(k, corpusFilter = corpusFilter)))
+
   /** Twin of VectorOps.quantizerDriftReport: label-mean quantizer,
     * nearest-cell assignment with the 6dp per-row cosine, parity
     * cohorts, per-cell occupancy (exact integer-quotient ppm) and

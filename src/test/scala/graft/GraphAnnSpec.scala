@@ -220,4 +220,67 @@ class GraphAnnSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper
       recallOf(1) should be < 1.0
     }
   }
+
+  describe("graph2TopKFiltered (hierarchical entry composed with the filtered walk)") {
+    // same stranding geometry as the flat filtered block: even vec_ids
+    // pass, so the angular chain alternates passing / stepping-stone
+    val pred = col("vec_id") % 2 === 0
+
+    it("returns only passing neighbors and matches the filtered brute truth at hops=2") {
+      val emb = embDf(corpus)
+      val k = 6
+      val got = VectorOps.graph2TopKFiltered(emb, pred, k = k, beam = 8,
+          rounds = 3, degree = 3, every = 2)
+        .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+      got.foreach { case (_, id) => id % 2 shouldBe 0L }
+      val truth = VectorOps.bruteForceTopK(emb, k = k, corpusPred = Some(pred))
+        .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+      got.toSeq shouldBe truth.toSeq
+      // and the composed recall report confirms it
+      VectorOps.graphFilteredRecallReport(emb,
+          VectorOps.graph2TopKFiltered(emb, pred, k = k, beam = 8,
+            rounds = 3, degree = 3, every = 2), pred, k = k)
+        .collect().map(r => r.getDouble(2)).head shouldBe 1.0
+    }
+
+    it("under a starved round budget the upper-layer entry strictly beats the flat filtered walk") {
+      // rounds=1 starves the flat filtered walk exactly as in the
+      // unfiltered contrast: its passing seeds sit in the query's cell
+      // and one 2-hop round cannot cross to the far passing half. The
+      // upper layer routes there unfiltered and the bridge-crossing
+      // entry expansion lands passing seeds past the boundary.
+      val emb = embDf(corpus)
+      val k = 6
+      val truth = VectorOps.bruteForceTopK(emb, k = k, corpusPred = Some(pred))
+        .collect().map(r => r.getLong(2)).toSet
+      val flat = VectorOps.graphTopKFiltered(emb, pred, k = k, beam = 8,
+          rounds = 1, degree = 3)
+        .collect().map(r => r.getLong(2))
+      val hier = VectorOps.graph2TopKFiltered(emb, pred, k = k, beam = 8,
+          rounds = 1, degree = 3, every = 3)
+        .collect().map(r => r.getLong(2))
+      val (fHits, hHits) = (flat.count(truth), hier.count(truth))
+      hHits should be > fHits
+    }
+
+    it("non-passing upper-beam nodes never leak into the result, only into the entry pool") {
+      // every=2 samples odd (non-passing) nodes into layer 1; the walk
+      // must still emit passing rows only, at every hops setting
+      val emb = embDf(corpus)
+      for (hops <- Seq(1, 2)) {
+        VectorOps.graph2TopKFiltered(emb, pred, k = 6, beam = 8,
+            rounds = 2, degree = 3, every = 2, hops = hops)
+          .collect().foreach(r => r.getLong(2) % 2 shouldBe 0L)
+      }
+    }
+
+    it("is deterministic (two runs, identical rows)") {
+      val emb = embDf(corpus)
+      val a = VectorOps.graph2TopKFiltered(emb, pred, k = 5, beam = 8,
+          degree = 3, every = 2).collect().map(_.toString).sorted
+      val b = VectorOps.graph2TopKFiltered(emb, pred, k = 5, beam = 8,
+          degree = 3, every = 2).collect().map(_.toString).sorted
+      a.toSeq shouldBe b.toSeq
+    }
+  }
 }

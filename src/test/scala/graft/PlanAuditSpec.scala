@@ -68,6 +68,10 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // filtered walk: same brute-truth join (candidate-restricted) in the
     // report; the topk itself serves from a materialized result
     "ann_graph_filtered_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
+    // hierarchical + filtered composition: same candidate-restricted
+    // brute-truth join in the report; the topk serves from a
+    // materialized result
+    "ann_graph2_filtered_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     // composes the labeled all-pairs semantic baseline (0.35 is below any
     // LSH-able threshold; at a real >=0.85 threshold the LSH path applies)
     "dedup_crossmodal" -> Set("nested-loop-join"),

@@ -145,4 +145,79 @@ object QuantizerRefresh {
     rebuild(spark, root, newQv, cents, book, prefixDim)
     commit(spark, root, newQv)
   }
+
+  // ---- GRAPH-TIER CLOSURE -------------------------------------------------
+  //
+  // StreamingGraphAnn's edges depend on the SAME fixed quantizer as the
+  // cell index (candidates are probe-cell co-members), so a drift-
+  // triggered refresh that rebuilt only the cell index would leave the
+  // graph routing through stale cells. The graph joins the versioned
+  // cutover: `graphRoot/qv=N/{postings,dlists}` holds one full graph per
+  // quantizer version, rebuilt from the ACTIVE index's own full-precision
+  // vectors (the cell index is the system of record; no source-corpus
+  // re-read), and BOTH tiers resolve their active version from the ONE
+  // commit log at the index root — the single commit row flips the cell
+  // index and the graph together, so a reader can never probe new cells
+  // while walking old edges or vice versa.
+
+  def graphVersionDir(graphRoot: String, qv: Long): String = s"$graphRoot/qv=$qv"
+
+  /** Re-derive the full proximity graph against refreshed centroids into
+    * `graphRoot/qv=newQv`, from the active cell index's (vec_id, cv).
+    * One whole-corpus batch through the streaming maintainer's own
+    * processBatch, whose streamed-equals-batch invariant makes the result
+    * ≡ `VectorOps.graphEdges` over the new centroids (spec-pinned). Does
+    * NOT swap serving — the old graph version stays active until the
+    * shared `commit`. Idempotent in `newQv` (partition overwrite under an
+    * uncommitted, hence invisible, directory).
+    */
+  def rebuildGraph(
+      spark: SparkSession,
+      indexRoot: String,
+      graphRoot: String,
+      newQv: Long,
+      cents: DataFrame,
+      degree: Int = VectorOps.GraphDegree,
+      probe: Int = VectorOps.GraphProbe): Unit = {
+    val src = readActiveIndex(spark, indexRoot)
+      .select(col("vec_id"), col("cv").as("embedding"))
+    StreamingGraphAnn.processBatch(
+      src, batchId = 0L, cents, graphVersionDir(graphRoot, newQv), degree, probe)
+  }
+
+  /** The serving graph: edges of the version the INDEX commit log names
+    * active — same single-directory-read argument as `readActiveIndex`,
+    * and the same log, so the two tiers cannot disagree on the version.
+    */
+  def readActiveGraphEdges(
+      spark: SparkSession, indexRoot: String, graphRoot: String): DataFrame =
+    StreamingGraphAnn.readEdges(spark,
+      graphVersionDir(graphRoot, activeVersion(spark, indexRoot).getOrElse(-1L)))
+
+  /** The active version's posting index (the graph walk's scoring side). */
+  def readActiveGraphPostings(
+      spark: SparkSession, indexRoot: String, graphRoot: String): DataFrame =
+    StreamingGraphAnn.readPostings(spark,
+      graphVersionDir(graphRoot, activeVersion(spark, indexRoot).getOrElse(-1L)))
+
+  /** Atomic two-tier refresh: rebuild the cell index AND the graph
+    * against the refreshed centroids, then publish both with the single
+    * commit row. A crash anywhere before the commit leaves both tiers
+    * serving the old version in full; a retry rewrites both uncommitted
+    * directories identically.
+    */
+  def cutoverWithGraph(
+      spark: SparkSession,
+      indexRoot: String,
+      graphRoot: String,
+      newQv: Long,
+      cents: DataFrame,
+      book: Option[graft.functions.PqBook] = None,
+      prefixDim: Int = VectorOps.MrlPrefixDim,
+      degree: Int = VectorOps.GraphDegree,
+      probe: Int = VectorOps.GraphProbe): Unit = {
+    rebuildGraph(spark, indexRoot, graphRoot, newQv, cents, degree, probe)
+    rebuild(spark, indexRoot, newQv, cents, book, prefixDim)
+    commit(spark, indexRoot, newQv)
+  }
 }

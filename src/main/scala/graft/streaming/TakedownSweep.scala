@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Materialize.EagerOps
+
 /** RIGHT-TO-BE-FORGOTTEN sweep: one takedown request fanned across EVERY
   * maintained serving artifact, plus the absence audit that proves it
   * landed.
@@ -43,6 +45,7 @@ object TakedownSweep {
       textIndexDir: Option[String] = None,
       chunkIndexDir: Option[String] = None,
       annIndexDir: Option[String] = None,
+      spannIndexDir: Option[String] = None,
       graphAnn: Option[GraphAnnHandle] = None,
       mediaIndexDir: Option[String] = None,
       entityIndexDir: Option[String] = None)
@@ -59,25 +62,107 @@ object TakedownSweep {
 
   /** Fan the takedown across every registered artifact. Idempotent —
     * a crash-retry of the whole sweep re-runs only idempotent forgets.
+    *
+    * `batchId` scopes the dedup-index CDC delete record (its forget path
+    * is itself a logged CDC event); `excludeBatch` is the
+    * combined-upsert+delete determinism knob threaded to EVERY maintainer
+    * that supports batch-scoped merge-on-read (a sweep running inside the
+    * same micro-batch as an upsert passes its own batch id so a crash
+    * between the two replays deterministically). StreamingGraphAnn is the
+    * one maintainer without the knob by design: its forget is a
+    * scrub-then-rebuild that re-derives touched neighbor lists from
+    * surviving postings, so there is no partial batch-scoped write for a
+    * retry to observe.
     */
-  def sweep(req: Request, arts: Artifacts, batchId: Long): Unit = {
+  def sweep(
+      req: Request, arts: Artifacts, batchId: Long,
+      excludeBatch: Option[Long] = None): Unit = {
     req.docIds.foreach { ids =>
       arts.dedupIndexDir.foreach(d =>
         StreamingDedupIndex.processDeletes(ids, batchId, d))
-      arts.textIndexDir.foreach(d => StreamingTextIngest.processDeletes(ids, d))
-      arts.chunkIndexDir.foreach(d => StreamingChunkDedup.processDeletes(ids, d))
+      arts.textIndexDir.foreach(d =>
+        StreamingTextIngest.processDeletes(ids, d, excludeBatch))
+      arts.chunkIndexDir.foreach(d =>
+        StreamingChunkDedup.processDeletes(ids, d, excludeBatch))
     }
     req.vecIds.foreach { ids =>
-      arts.annIndexDir.foreach(d => StreamingAnnIngest.processDeletes(ids, d))
+      arts.annIndexDir.foreach(d =>
+        StreamingAnnIngest.processDeletes(ids, d, excludeBatch))
+      arts.spannIndexDir.foreach(d =>
+        StreamingSpannIngest.processDeletes(ids, d, excludeBatch))
       arts.graphAnn.foreach(g =>
         StreamingGraphAnn.processDeletes(ids, g.cents, g.graphDir))
     }
     req.mediaIds.foreach { ids =>
-      arts.mediaIndexDir.foreach(d => StreamingMediaDedup.processDeletes(ids, d))
+      arts.mediaIndexDir.foreach(d =>
+        StreamingMediaDedup.processDeletes(ids, d, excludeBatch))
     }
     req.custIds.foreach { ids =>
-      arts.entityIndexDir.foreach(d => StreamingEntityRes.processDeletes(ids, d))
+      arts.entityIndexDir.foreach(d =>
+        StreamingEntityRes.processDeletes(ids, d, excludeBatch))
     }
+  }
+
+  /** N takedown requests folded into ONE sweep: per modality, the union
+    * of every request's ids scrubs each artifact in a single
+    * touched-partition pass instead of N passes — at production takedown
+    * volumes the per-request fixed cost (a read + copy-on-write rewrite
+    * of touched partitions per artifact) dominates, and the fold pays it
+    * once per artifact per batch. Semantically ≡ the N sequential sweeps
+    * (every forget is a set-difference, and set-difference folds over
+    * union), spec-pinned; idempotent for the same reason the single
+    * sweep is.
+    */
+  def sweepBatch(
+      reqs: Seq[Request], arts: Artifacts, batchId: Long,
+      excludeBatch: Option[Long] = None): Unit =
+    if (reqs.nonEmpty) sweep(combine(reqs), arts, batchId, excludeBatch)
+
+  /** The modality-wise union of N requests — one Request whose id frames
+    * are the distinct unions of the inputs'.
+    */
+  def combine(reqs: Seq[Request]): Request = {
+    def merged(frames: Seq[DataFrame]): Option[DataFrame] =
+      frames match {
+        case Seq() => None
+        case fs => Some(fs.reduce(_ unionByName _).distinct())
+      }
+    Request(
+      docIds = merged(reqs.flatMap(_.docIds)),
+      mediaIds = merged(reqs.flatMap(_.mediaIds)),
+      vecIds = merged(reqs.flatMap(_.vecIds)),
+      custIds = merged(reqs.flatMap(_.custIds)))
+  }
+
+  /** Per-request × per-artifact scrub accounting for a BATCHED sweep: for
+    * each request, the absence audit's hit counts BEFORE the sweep (= the
+    * rows the sweep will scrub on behalf of that request) and AFTER (the
+    * compliance residue — all zeros on success). The frame a platform
+    * persists next to the takedown tickets: every ticket gets its own
+    * per-surface proof even though the scrub itself ran once for the
+    * whole batch. Runs the audits, then ONE folded sweep, then the
+    * post-audits.
+    */
+  def sweepBatchReport(
+      spark: SparkSession, reqs: Seq[Request], arts: Artifacts,
+      batchId: Long, excludeBatch: Option[Long] = None): DataFrame = {
+    require(reqs.nonEmpty, "sweepBatchReport: empty request batch")
+    def auditAll(suffix: String): DataFrame =
+      reqs.zipWithIndex.map { case (r, i) =>
+        absenceAudit(spark, r, arts, keepZeros = true)
+          .select(lit(i).as("request_id"), col("artifact_table"),
+            col("n_hits").as(s"n_hits_$suffix"))
+      }.reduce(_ unionByName _)
+    // the before-audit must be FORCED before the sweep mutates the very
+    // artifacts it reads — a lazy plan evaluated after sweepBatch would
+    // read post-scrub state and report zero rows scrubbed
+    val before = auditAll("before").eagerCkpt
+    sweepBatch(reqs, arts, batchId, excludeBatch)
+    val after = auditAll("after")
+    before.join(after, Seq("request_id", "artifact_table"))
+      .select(col("request_id"), col("artifact_table"),
+        col("n_hits_before").as("rows_scrubbed"),
+        col("n_hits_after").as("rows_remaining"))
   }
 
   /** Rows still naming a tombstoned id, per (artifact table, key
@@ -86,7 +171,9 @@ object TakedownSweep {
     * (deletion-vector tiers audit what serving would actually see, not
     * raw storage).
     */
-  def absenceAudit(spark: SparkSession, req: Request, arts: Artifacts): DataFrame = {
+  def absenceAudit(
+      spark: SparkSession, req: Request, arts: Artifacts,
+      keepZeros: Boolean = false): DataFrame = {
     def hits(name: String, table: DataFrame, keyCol: String,
         ids: DataFrame, idCol: String): DataFrame =
       table.join(
@@ -126,6 +213,13 @@ object TakedownSweep {
         checks += hits("ann_index.live",
           StreamingAnnIngest.readIndexLive(spark, d), "vec_id", ids, "vec_id")
       }
+      arts.spannIndexDir.foreach { d =>
+        // closure replication means one vector owns postings in several
+        // cells — the live reader sees them all, so zero hits proves the
+        // multi-cell scrub landed everywhere
+        checks += hits("spann_index.postings",
+          StreamingSpannIngest.readIndex(spark, d), "vec_id", ids, "vec_id")
+      }
       arts.graphAnn.foreach { g =>
         checks += hits("graph_ann.postings",
           StreamingGraphAnn.readPostings(spark, g.graphDir), "vec_id", ids, "vec_id")
@@ -155,6 +249,7 @@ object TakedownSweep {
     }
     require(checks.nonEmpty,
       "absenceAudit: no registered artifact matches any requested modality")
-    checks.reduce(_ unionByName _).filter(col("n_hits") > 0)
+    val all = checks.reduce(_ unionByName _)
+    if (keepZeros) all else all.filter(col("n_hits") > 0)
   }
 }

@@ -185,6 +185,65 @@ class QuantizerRefreshSpec extends AnyFunSpec with Matchers with SparkSessionTes
     batchDirs(1L, 1) shouldBe 1
   }
 
+  it("the graph tier joins the cutover: one commit flips cells AND edges together") {
+    import graft.streaming.StreamingGraphAnn
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-qgraph").toString
+    val (root, graphRoot) = (s"$dir/index", s"$dir/graph")
+    val corpus = initial ++ (0 until 4).flatMap(driftBatch)
+
+    // probe=1 makes candidacy = cell co-membership, so the refreshed
+    // quantizer's new cell visibly rewires the drifted cluster's edges
+    // (at probe=2 over 2-3 cells every node posts nearly everywhere and
+    // the edge set can coincide across quantizers)
+    val probe = 1
+
+    // bootstrap: cell index AND graph under qv=0, ONE commit for both
+    StreamingAnnIngest.processBatch(
+      embDf(corpus), 0L, quantizer0, QuantizerRefresh.versionDir(root, 0L))
+    StreamingGraphAnn.processBatch(
+      embDf(corpus), 0L, quantizer0, QuantizerRefresh.graphVersionDir(graphRoot, 0L),
+      probe = probe)
+    QuantizerRefresh.commit(spark, root, 0L)
+
+    def edgeSet(df: DataFrame): Set[(Long, Long, Double)] =
+      df.select("src", "dst", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def batchEdges(cents: DataFrame): Set[(Long, Long, Double)] =
+      edgeSet(VectorOps.graphEdges(embDf(corpus), probe = probe, coarse = Some(cents)))
+
+    val edges0 = edgeSet(QuantizerRefresh.readActiveGraphEdges(spark, root, graphRoot))
+    edges0 shouldBe batchEdges(quantizer0)
+
+    // the refreshed quantizer gains a cell on the drifted cluster —
+    // probe postings, hence candidate sets, hence edges, must change
+    val cents1 = Seq(
+      (0, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2, unit(45.0))).toDF("cell", "centroid")
+
+    // both tiers rebuilt, NOTHING committed: serving unmoved on both
+    QuantizerRefresh.rebuildGraph(spark, root, graphRoot, 1L, cents1, probe = probe)
+    QuantizerRefresh.rebuild(spark, root, 1L, cents1)
+    QuantizerRefresh.activeVersion(spark, root) shouldBe Some(0L)
+    edgeSet(QuantizerRefresh.readActiveGraphEdges(spark, root, graphRoot)) shouldBe edges0
+
+    // ONE commit row flips both tiers at once
+    QuantizerRefresh.commit(spark, root, 1L)
+    val edges1 = edgeSet(QuantizerRefresh.readActiveGraphEdges(spark, root, graphRoot))
+    edges1 shouldBe batchEdges(cents1) // ≡ batch graphEdges over the NEW centroids
+    edges1 should not equal edges0 // and the refresh genuinely rerouted
+    // cells flipped in the same commit — no reader can mix tiers/versions
+    QuantizerRefresh.readActiveIndex(spark, root)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap shouldBe
+      VectorOps.assignCells(embDf(corpus), cents1)
+        .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // crash-retry of the whole atomic handoff is exactly-once
+    QuantizerRefresh.cutoverWithGraph(spark, root, graphRoot, 1L, cents1, probe = probe)
+    edgeSet(QuantizerRefresh.readActiveGraphEdges(spark, root, graphRoot)) shouldBe edges1
+  }
+
   it("serves nothing before the first commit, even if version files exist") {
     val dir = java.nio.file.Files.createTempDirectory("graft-qrefresh-boot").toString
     val root = s"$dir/index"

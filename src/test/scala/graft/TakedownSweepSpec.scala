@@ -65,6 +65,7 @@ class TakedownSweepSpec extends AnyFunSpec with Matchers with SparkSessionTestWr
         textIndexDir = Some(s"$tmp/text"),
         chunkIndexDir = Some(s"$tmp/chunk"),
         annIndexDir = Some(s"$tmp/ann"),
+        spannIndexDir = Some(s"$tmp/spann"),
         graphAnn = Some(TakedownSweep.GraphAnnHandle(s"$tmp/graph", cents)),
         mediaIndexDir = Some(s"$tmp/media"),
         entityIndexDir = Some(s"$tmp/entity"))
@@ -74,6 +75,7 @@ class TakedownSweepSpec extends AnyFunSpec with Matchers with SparkSessionTestWr
       StreamingTextIngest.processBatch(docs, 0L, s"$tmp/text")
       StreamingChunkDedup.processBatch(docs, 0L, s"$tmp/chunk")
       StreamingAnnIngest.processBatch(embDf, 0L, cents, s"$tmp/ann")
+      StreamingSpannIngest.processBatch(embDf, 0L, cents, s"$tmp/spann")
       StreamingGraphAnn.processBatch(embDf, 0L, cents, s"$tmp/graph")
       StreamingMediaDedup.processBatch(Multimodal.mediaTable(mediaDocs), 0L, s"$tmp/media")
       StreamingEntityRes.processBatch(custDf, 0L, s"$tmp/entity")
@@ -90,7 +92,8 @@ class TakedownSweepSpec extends AnyFunSpec with Matchers with SparkSessionTestWr
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       before.keySet should contain allOf ("dedup_index.signatures",
         "text_index.postings", "chunk_index.signatures", "ann_index.live",
-        "graph_ann.postings", "media_index.phash", "entity_index.records")
+        "spann_index.postings", "graph_ann.postings", "media_index.phash",
+        "entity_index.records")
       before("dedup_index.pairs.a") should be >= 1L // the 1-2 near-dup pair
       before("media_index.pairs.a") should be >= 1L // the 10-11 twin pair
 
@@ -114,6 +117,92 @@ class TakedownSweepSpec extends AnyFunSpec with Matchers with SparkSessionTestWr
         .filter(col("vec_id") === 5L).count() should be > 0L
       StreamingEntityRes.readRecords(spark, s"$tmp/entity")
         .filter(col("c_custkey") === 3L).count() shouldBe 1L
+      StreamingSpannIngest.readIndex(spark, s"$tmp/spann")
+        .filter(col("vec_id") === 5L).count() should be >= 1L
+    }
+
+    it("a batched sweep equals N sequential sweeps, reports per-ticket scrub counts, and replays exactly-once") {
+      def mkArts(tmp: String): TakedownSweep.Artifacts = {
+        StreamingDedupIndex.processBatch(docs, 0L, s"$tmp/dedup")
+        StreamingTextIngest.processBatch(docs, 0L, s"$tmp/text")
+        StreamingChunkDedup.processBatch(docs, 0L, s"$tmp/chunk")
+        StreamingAnnIngest.processBatch(embDf, 0L, cents, s"$tmp/ann")
+        StreamingSpannIngest.processBatch(embDf, 0L, cents, s"$tmp/spann")
+        StreamingGraphAnn.processBatch(embDf, 0L, cents, s"$tmp/graph")
+        StreamingMediaDedup.processBatch(Multimodal.mediaTable(mediaDocs), 0L, s"$tmp/media")
+        StreamingEntityRes.processBatch(custDf, 0L, s"$tmp/entity")
+        TakedownSweep.Artifacts(
+          dedupIndexDir = Some(s"$tmp/dedup"),
+          textIndexDir = Some(s"$tmp/text"),
+          chunkIndexDir = Some(s"$tmp/chunk"),
+          annIndexDir = Some(s"$tmp/ann"),
+          spannIndexDir = Some(s"$tmp/spann"),
+          graphAnn = Some(TakedownSweep.GraphAnnHandle(s"$tmp/graph", cents)),
+          mediaIndexDir = Some(s"$tmp/media"),
+          entityIndexDir = Some(s"$tmp/entity"))
+      }
+      def serving(tmp: String): Seq[(String, DataFrame)] = Seq(
+        "dedup.sig" -> StreamingDedupIndex.readSignatures(spark, s"$tmp/dedup", Long.MaxValue),
+        "dedup.pairs" -> StreamingDedupIndex.readPairs(spark, s"$tmp/dedup", Long.MaxValue),
+        "text.postings" -> StreamingTextIngest.readPostings(spark, s"$tmp/text"),
+        "text.doclens" -> StreamingTextIngest.readDoclens(spark, s"$tmp/text"),
+        "chunk.sig" -> StreamingChunkDedup.readSignatures(spark, s"$tmp/chunk"),
+        "ann.live" -> StreamingAnnIngest.readIndexLive(spark, s"$tmp/ann"),
+        "spann.idx" -> StreamingSpannIngest.readIndex(spark, s"$tmp/spann"),
+        "graph.post" -> StreamingGraphAnn.readPostings(spark, s"$tmp/graph"),
+        "graph.edges" -> StreamingGraphAnn.readEdges(spark, s"$tmp/graph"),
+        "media.phash" -> StreamingMediaDedup.readPhash(spark, s"$tmp/media", Long.MaxValue),
+        "media.pairs" -> StreamingMediaDedup.readPairs(spark, s"$tmp/media"),
+        "entity.rec" -> StreamingEntityRes.readRecords(spark, s"$tmp/entity"),
+        "entity.pairs" -> StreamingEntityRes.readPairs(spark, s"$tmp/entity"))
+      def snapshot(tmp: String): Map[String, Seq[String]] =
+        serving(tmp).map { case (n, df) =>
+          n -> df.collect().map(_.toString).sorted.toSeq
+        }.toMap
+
+      val tmpA = java.nio.file.Files.createTempDirectory("graft-takedown-seq").toString
+      val tmpB = java.nio.file.Files.createTempDirectory("graft-takedown-bat").toString
+      val artsA = mkArts(tmpA)
+      val artsB = mkArts(tmpB)
+      val req1 = TakedownSweep.Request(
+        docIds = Some(Seq(1L).toDF("doc_id")),
+        vecIds = Some(Seq(4L).toDF("vec_id")))
+      val req2 = TakedownSweep.Request(
+        docIds = Some(Seq(2L).toDF("doc_id")),
+        mediaIds = Some(Seq(10L).toDF("media_id")),
+        custIds = Some(Seq(2L).toDF("c_custkey")))
+
+      // N sequential sweeps on A
+      TakedownSweep.sweep(req1, artsA, batchId = 1L)
+      TakedownSweep.sweep(req2, artsA, batchId = 2L)
+      // ONE batched sweep on B, with the per-ticket accounting
+      val report = TakedownSweep.sweepBatchReport(
+          spark, Seq(req1, req2), artsB, batchId = 1L)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+
+      // batched ≡ sequential on every serving surface
+      snapshot(tmpB) shouldBe snapshot(tmpA)
+
+      // per-ticket accounting: every surface fully scrubbed, and each
+      // ticket's own rows attributed to it
+      report.values.foreach { case (_, remaining) => remaining shouldBe 0L }
+      report((0, "dedup_index.signatures"))._1 should be >= 1L
+      report((0, "ann_index.live"))._1 shouldBe 1L
+      report((0, "spann_index.postings"))._1 should be >= 1L
+      report((1, "media_index.phash"))._1 shouldBe 1L
+      report((1, "entity_index.records"))._1 shouldBe 1L
+      // ticket 1 names no vec, so it must report zero against the vec tiers
+      report.get((1, "ann_index.live")) shouldBe None
+
+      // exactly-once: replaying the whole batched compliance job changes
+      // nothing
+      val pre = snapshot(tmpB)
+      TakedownSweep.sweepBatch(Seq(req1, req2), artsB, batchId = 1L)
+      snapshot(tmpB) shouldBe pre
+      TakedownSweep.absenceAudit(spark,
+        TakedownSweep.combine(Seq(req1, req2)), artsB).collect() shouldBe empty
     }
   }
 }

@@ -482,6 +482,16 @@ object SparkEntry {
     // served from the same maintained index.
     "entity_golden_records" -> ((s, dir) =>
       graft.streaming.StreamingEntityRes.serveGoldenRecords(s, entityIndexOf(s, dir))),
+    // The right-to-be-forgotten COMPLIANCE LEDGER end to end: build all
+    // eight serving artifacts fresh (the sweep mutates them, so every
+    // invocation gets its own temp root), fan a BATCH of two takedown
+    // tickets across them in ONE folded sweep, and report per-ticket ×
+    // per-surface rows-scrubbed + rows-remaining. The oracle recomputes
+    // every scrubbed count from each artifact's inline derivation and
+    // pins rows_remaining to zero — a scrub bug on ANY tier breaks the
+    // hash, so this one query transitively certifies the whole
+    // governance fan-out every round.
+    "takedown_batch_report" -> ((s, dir) => takedownBatchReportOf(s, dir)),
 
     // CDC snapshot maintenance (MERGE INTO shape): the event stream as a
     // keyed change feed (user_id, version (ts, event_id), error = tombstone);
@@ -1992,6 +2002,60 @@ object SparkEntry {
     * queries keep their inline-derived oracle SQL, so a hash-green round
     * certifies the maintained index reproduces the inline derivation.
     */
+  /** Fresh-artifact batched-takedown accounting (see the
+    * `takedown_batch_report` registration). Requests: ticket 0 names
+    * docs/vecs ≡ 7 (mod 100); ticket 1 names docs ≡ 23 (mod 100), the
+    * planted-repost media sources (media_id ≡ 0 mod 97, raw side), and
+    * customers ≡ 0 (mod 100) — every one of which owns a planted dirty
+    * twin (100 ≡ 0 mod 25), so the entity pair graph provably scrubs.
+    */
+  private[graft] def takedownBatchReportOf(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming._
+    // fixed caps (shared with the oracle) keep the eight fresh artifact
+    // builds SF-independent — the query certifies the MECHANISM
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") < TakedownSweep.ReportDocCap)
+    val emb = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < TakedownSweep.ReportVecCap)
+    val media = Multimodal.mediaTable(Multimodal.withPlantedMediaDups(docs))
+    val cust = graft.ops.Entity.withPlantedDirty(Tables.customer(s, dir)
+      .filter(col("c_custkey") <= TakedownSweep.ReportCustCap))
+    val cents = VectorOps.centroids(emb)
+      .select(col("label").as("cell"), col("centroid"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-takedown-q").toString
+    StreamingDedupIndex.processBatchCore(docs, 0L, s"$tmp/dedup")
+    StreamingTextIngest.processBatch(docs, 0L, s"$tmp/text")
+    StreamingChunkDedup.processBatch(docs, 0L, s"$tmp/chunk")
+    StreamingAnnIngest.processBatch(emb, 0L, cents, s"$tmp/ann")
+    StreamingSpannIngest.processBatch(emb, 0L, cents, s"$tmp/spann")
+    StreamingGraphAnn.processBatch(emb, 0L, cents, s"$tmp/graph")
+    StreamingMediaDedup.processBatch(media, 0L, s"$tmp/media")
+    StreamingEntityRes.processBatch(cust, 0L, s"$tmp/entity")
+    val arts = TakedownSweep.Artifacts(
+      dedupIndexDir = Some(s"$tmp/dedup"),
+      textIndexDir = Some(s"$tmp/text"),
+      chunkIndexDir = Some(s"$tmp/chunk"),
+      annIndexDir = Some(s"$tmp/ann"),
+      spannIndexDir = Some(s"$tmp/spann"),
+      graphAnn = Some(TakedownSweep.GraphAnnHandle(s"$tmp/graph", cents)),
+      mediaIndexDir = Some(s"$tmp/media"),
+      entityIndexDir = Some(s"$tmp/entity"))
+    val req0 = TakedownSweep.Request(
+      docIds = Some(docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+        .select(col("doc_id"))),
+      vecIds = Some(emb.filter(pmod(col("vec_id"), lit(100)) === 7)
+        .select(col("vec_id"))))
+    val req1 = TakedownSweep.Request(
+      docIds = Some(docs.filter(pmod(col("doc_id"), lit(100)) === 23)
+        .select(col("doc_id"))),
+      mediaIds = Some(media.filter(pmod(col("media_id"), lit(97)) === 0 &&
+        col("media_id") < Multimodal.PlantOffset).select(col("media_id"))),
+      custIds = Some(cust.filter(pmod(col("c_custkey"), lit(100)) === 0)
+        .select(col("c_custkey"))))
+    TakedownSweep.sweepBatchReport(s, Seq(req0, req1), arts, batchId = 1L)
+  }
+
   private[graft] def entityIndexOf(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     artifactDirOf("entity-res", s, dir) { tmp =>
@@ -2466,6 +2530,7 @@ object SparkEntry {
     "zorder_events" -> DuckDbOracles.zorderEvents,
 
     "entity_resolution_pairs" -> DuckDbOracles.entityResolutionPairs(),
+    "takedown_batch_report" -> DuckDbOracles.takedownBatchReport(),
     "entity_golden_records" -> DuckDbOracles.entityGoldenRecords(),
 
     "ts_similarity_pairs" -> DuckDbOracles.saxSimilarPairs(),

@@ -856,6 +856,89 @@ object DuckDbOracles {
        |    c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)), c_acctbal
        |  FROM customer WHERE c_custkey % $every = 0)""".stripMargin
 
+  /** Twin of SparkEntry's `takedown_batch_report`: per-request ×
+    * per-artifact rows-scrubbed/rows-remaining for a BATCHED takedown
+    * over freshly built serving artifacts. Every `rows_scrubbed` count is
+    * an independent scalar subquery over the artifact's own inline
+    * derivation (each with its private WITH chain, so the CTE namespaces
+    * of the eight tiers can never collide), filtered to the request's
+    * planted id predicate — the same semi-join count the Spark absence
+    * audit takes BEFORE the sweep. `rows_remaining` is the constant 0 the
+    * post-sweep audit must reproduce: a scrub bug on ANY of the eight
+    * tiers breaks the hash here.
+    */
+  def takedownBatchReport(): String = {
+    val f = graft.streaming.StreamingChunkDedup.ChunkIdFactor
+    // mirror the Spark side's fixed corpus caps by rewriting every base-
+    // table read inside the reused derivation SQL to a sliced subquery
+    // (the reused strings reference the tables verbatim; every base read
+    // in THIS query must be sliced, so the blanket rewrite is exact)
+    def sliced(sql: String): String = sql
+      .replace("FROM documents",
+        s"FROM (SELECT * FROM documents WHERE doc_id < ${graft.streaming.TakedownSweep.ReportDocCap}) gd")
+      .replace("FROM embeddings",
+        s"FROM (SELECT * FROM embeddings WHERE vec_id < ${graft.streaming.TakedownSweep.ReportVecCap}) ge")
+      .replace("FROM customer",
+        s"FROM (SELECT * FROM customer WHERE c_custkey <= ${graft.streaming.TakedownSweep.ReportCustCap}) gc")
+    def cnt(inner: String, pred: String): String =
+      s"(SELECT CAST(count(*) AS BIGINT) FROM ($inner) zz WHERE $pred)"
+    val chunkSigSql = {
+      val src = s"SELECT doc_id * $f + chunk_idx AS doc_id, chunk_text AS text " +
+        s"FROM (${chunkDocuments()}) c"
+      s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t
+         |  FROM ($src) zz2), $shCte, $sigCte
+         |SELECT doc_id FROM sig""".stripMargin
+    }
+    val graphSql = s"WITH $embCte, ${graphCtes(VectorOps.GraphDegree, VectorOps.GraphProbe)}"
+    // one (artifact_table, count-subquery) list per request modality
+    def docChecks(p: String): Seq[(String, String)] = Seq(
+      "dedup_index.signatures" -> cnt(minhashSignatures, s"doc_id $p"),
+      "dedup_index.pairs.a" -> cnt(minhashLshPairs, s"doc_a $p"),
+      "dedup_index.pairs.b" -> cnt(minhashLshPairs, s"doc_b $p"),
+      "text_index.postings" ->
+        s"""(SELECT CAST(coalesce(sum(len(list_distinct(string_split(text, ' ')))), 0) AS BIGINT)
+           | FROM documents WHERE doc_id $p)""".stripMargin,
+      "text_index.doclens" ->
+        s"(SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id $p)",
+      "text_index.positions" ->
+        s"""(SELECT CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+           | FROM documents WHERE doc_id $p)""".stripMargin,
+      "chunk_index.signatures" -> cnt(chunkSigSql, s"doc_id // $f $p"))
+    def vecChecks(p: String): Seq[(String, String)] = Seq(
+      "ann_index.live" ->
+        s"(SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id $p)",
+      "spann_index.postings" -> cnt(
+        s"WITH ${spannCtes(VectorOps.SpannEps, VectorOps.SpannMaxReplicas)} " +
+          "SELECT vec_id FROM posted", s"vec_id $p"),
+      "graph_ann.postings" -> cnt(s"$graphSql SELECT vec_id FROM nposted", s"vec_id $p"),
+      "graph_ann.edges.src" -> cnt(s"$graphSql SELECT src FROM edges", s"src $p"),
+      "graph_ann.edges.dst" -> cnt(s"$graphSql SELECT dst FROM edges", s"dst $p"))
+    def mediaChecks(pred: String => String): Seq[(String, String)] = Seq(
+      "media_index.phash" -> cnt(
+        s"WITH $mediaPhashCtes SELECT DISTINCT media_id FROM phx", pred("media_id")),
+      "media_index.pairs.a" -> cnt(mediaNearDupPairs(), pred("media_a")),
+      "media_index.pairs.b" -> cnt(mediaNearDupPairs(), pred("media_b")))
+    def custChecks(p: String): Seq[(String, String)] = Seq(
+      "entity_index.records" -> cnt(
+        s"WITH ${entityC2Cte(graft.ops.Entity.PlantEvery, 1000000L)} SELECT id FROM c2",
+        s"id $p"),
+      "entity_index.pairs.a" -> cnt(entityResolutionPairs(), s"id_a $p"),
+      "entity_index.pairs.b" -> cnt(entityResolutionPairs(), s"id_b $p"))
+    // request 0: docs % 100 = 7, vecs % 100 = 7
+    // request 1: docs % 100 = 23, planted-source media (% 97 = 0, raw),
+    //            customers % 100 = 0 (every one has a planted dirty twin)
+    val rows =
+      (docChecks("% 100 = 7") ++ vecChecks("% 100 = 7")).map(0 -> _) ++
+        (docChecks("% 100 = 23") ++
+          mediaChecks(c =>
+            s"$c % 97 = 0 AND $c < ${graft.ops.Multimodal.PlantOffset}") ++
+          custChecks("% 100 = 0")).map(1 -> _)
+    sliced(rows.map { case (rid, (table, sub)) =>
+      s"""SELECT CAST($rid AS INTEGER) AS request_id, '$table' AS artifact_table,
+         |  $sub AS rows_scrubbed, CAST(0 AS BIGINT) AS rows_remaining""".stripMargin
+    }.mkString("\nUNION ALL\n"))
+  }
+
   def entityResolutionPairs(
       every: Int = graft.ops.Entity.PlantEvery,
       maxDist: Int = graft.ops.Entity.MaxEditDist,

@@ -81,6 +81,16 @@ object StreamingDedupIndex {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
 
+  /** Whether any derived table (components/labels/components3) was ever
+    * built — absent for `processBatchCore` deployments, whose forget path
+    * then skips the derived recompute.
+    */
+  private def derivedTablesExist(spark: SparkSession, indexDir: String): Boolean =
+    Seq("components", "labels", "components3").exists { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
+      p.getFileSystem(spark.sessionState.newHadoopConf).exists(p)
+    }
+
   /** Accumulated signature index strictly below `beforeBatch`. */
   def readSignatures(spark: SparkSession, indexDir: String, beforeBatch: Long): DataFrame =
     readOr(spark, s"$indexDir/signatures", sigSchema)
@@ -128,6 +138,29 @@ object StreamingDedupIndex {
   /** One micro-batch of the maintenance loop, idempotent in `batchId`.
     * Expects document rows (doc_id, text, ...).
     */
+  /** PRIMARY-TABLES-ONLY fold: signatures + incremental pairs, no derived
+    * communities/components. The deployment shape that serves the pair
+    * graph alone (near-dup lookup, takedown compliance) pays only the
+    * signature/probe cost per micro-batch — the derived fixpoints
+    * (exact-CC, LPA, bounded-hop) are by far the fold's job-count hogs
+    * and are pure overhead when nothing reads their tables. The forget
+    * path detects the missing derived directories and skips their
+    * recompute, so `processDeletes` against a core-built index costs only
+    * the copy-on-write scrub.
+    */
+  def processBatchCore(batch: DataFrame, batchId: Long, indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    val newSig = Dedup.minhashSignatures(batch).persist()
+    try {
+      newSig.withColumn(BatchCol, lit(batchId))
+        .overwritePartitions(s"$indexDir/signatures", BatchCol)
+      val history = readSignatures(spark, indexDir, batchId)
+      Dedup.minhashLshPairsIncremental(newSig, history.unionByName(newSig))
+        .withColumn(BatchCol, lit(batchId))
+        .overwritePartitions(s"$indexDir/pairs", BatchCol)
+    } finally newSig.unpersist()
+  }
+
   def processBatch(batch: DataFrame, batchId: Long, indexDir: String): Unit = {
     val spark = batch.sparkSession
     // 1. signatures: computed once, used by the write AND the probe
@@ -243,21 +276,30 @@ object StreamingDedupIndex {
           dels.withColumnRenamed("doc_id", end), Seq(end),
           s"$indexDir/pairs", Seq(BatchCol))
       }
-      // 2. ingest the upserts (the insert fold's steps 1-2 verbatim)
+      // 2. ingest the upserts (the insert fold's steps 1-2 verbatim).
+      // A delete-only batch (the takedown path) skips the empty ingest —
+      // writing empty signature/pair partitions is pure job overhead.
+      val hasAdds = !adds.isEmpty
       val newSig = Dedup.minhashSignatures(adds).persist()
       try {
-        newSig.withColumn(BatchCol, lit(batchId))
+        if (hasAdds) newSig.withColumn(BatchCol, lit(batchId))
           .overwritePartitions(s"$indexDir/signatures", BatchCol)
         val history = readSignatures(spark, indexDir, batchId)
-        val newPairs = Dedup
-          .minhashLshPairsIncremental(newSig, history.unionByName(newSig))
-          .persist()
+        val newPairs = (if (hasAdds)
+          Dedup.minhashLshPairsIncremental(newSig, history.unionByName(newSig))
+        else history.limit(0)
+          .select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+            lit(0.0).as("est_jaccard"))).persist()
         try {
-          newPairs.withColumn(BatchCol, lit(batchId))
+          if (hasAdds) newPairs.withColumn(BatchCol, lit(batchId))
             .overwritePartitions(s"$indexDir/pairs", BatchCol)
           // 3. one exact rebuild over the touched components' surviving
           // edges ∪ the new pairs (disjoint by exactly-once generation,
-          // so no weighted edge is double-counted)
+          // so no weighted edge is double-counted). SKIPPED entirely when
+          // the derived tables were never built (processBatchCore
+          // deployments): recomputing communities nobody serves would
+          // dominate the forget's cost for nothing.
+          if (!derivedTablesExist(spark, indexDir)) return
           val prior = StreamingComponents.readComponents(
             spark, s"$indexDir/components", batchId)
           val priorLabels = readLabels(spark, indexDir, batchId)

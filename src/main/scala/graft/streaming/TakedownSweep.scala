@@ -32,6 +32,17 @@ import graft.ops.Materialize.EagerOps
   */
 object TakedownSweep {
 
+  /** Corpus caps for the oracle-checked `takedown_batch_report` query —
+    * the fan-out exercises eight REAL artifact builds + the sweep per
+    * invocation (it must: the sweep mutates what it audits, so nothing is
+    * memoizable), and the point of the query is the mechanism, not the
+    * corpus size. Fixed caps keep the build cost SF-independent; both the
+    * Spark side and the DuckDB oracle slice through these constants.
+    */
+  val ReportDocCap = 600L
+  val ReportVecCap = 600L
+  val ReportCustCap = 300L
+
   /** The graph-ANN artifact needs its coarse quantizer to rebuild touched
     * neighbor-list partitions.
     */

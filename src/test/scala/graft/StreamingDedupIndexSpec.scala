@@ -140,6 +140,39 @@ class StreamingDedupIndexSpec extends AnyFunSpec with Matchers with SparkSession
       assertEqualsBatch(idxDir, b0.filterNot(_._1 == 3L))
     }
 
+    it("primary-tables-only fold: core build == full build's signatures/pairs, forget skips absent derived tables") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sdix-core").toString
+      val (coreDir, fullDir) = (s"$dir/core", s"$dir/full")
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        StreamingDedupIndex.processBatchCore(b.toDF("doc_id", "text"), i.toLong, coreDir)
+        StreamingDedupIndex.processBatch(b.toDF("doc_id", "text"), i.toLong, fullDir)
+      }
+      // the primary tables are bit-identical to the full fold's
+      rowSet(StreamingDedupIndex.readSignatures(spark, coreDir, Long.MaxValue)) shouldBe
+        rowSet(StreamingDedupIndex.readSignatures(spark, fullDir, Long.MaxValue))
+      rowSet(StreamingDedupIndex.readPairs(spark, coreDir, Long.MaxValue)) shouldBe
+        rowSet(StreamingDedupIndex.readPairs(spark, fullDir, Long.MaxValue))
+      // and no derived table was ever created
+      Seq("components", "labels", "components3").foreach { sub =>
+        new java.io.File(s"$coreDir/$sub").exists() shouldBe false
+      }
+      // forget on the core index scrubs primary tables and must NOT
+      // conjure derived directories into existence
+      StreamingDedupIndex.processDeletes(Seq(9L, 10L).toDF("doc_id"), 3L, coreDir)
+      StreamingDedupIndex.readSignatures(spark, coreDir, Long.MaxValue)
+        .filter($"doc_id".isin(9L, 10L)).count() shouldBe 0L
+      StreamingDedupIndex.readPairs(spark, coreDir, Long.MaxValue)
+        .filter($"doc_a".isin(9L, 10L) || $"doc_b".isin(9L, 10L))
+        .count() shouldBe 0L
+      Seq("components", "labels", "components3").foreach { sub =>
+        new java.io.File(s"$coreDir/$sub").exists() shouldBe false
+      }
+      // the scrubbed core pairs equal the full fold's post-forget pairs
+      StreamingDedupIndex.processDeletes(Seq(9L, 10L).toDF("doc_id"), 3L, fullDir)
+      rowSet(StreamingDedupIndex.readPairs(spark, coreDir, Long.MaxValue)) shouldBe
+        rowSet(StreamingDedupIndex.readPairs(spark, fullDir, Long.MaxValue))
+    }
+
     it("a mixed CDC batch (takedown + upsert in one micro-batch) == batch build over the merged corpus") {
       val dir = java.nio.file.Files.createTempDirectory("graft-sdix-cdc").toString
       val idxDir = s"$dir/idx"

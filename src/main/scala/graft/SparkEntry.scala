@@ -453,6 +453,11 @@ object SparkEntry {
     // series cross-product); exact z-Euclidean verifies.
     "ts_similarity_pairs" -> ((s, dir) =>
       graft.ops.TimeSeries.saxSimilarPairs(Tables.events(s, dir))),
+    // Bounded-output similarity SERVING (SCALING.md §2: the all-pairs
+    // contract's output is quadratic in SAX-bucket occupancy; top-k
+    // emission is |users| x k regardless of saturation).
+    "ts_similar_topk" -> ((s, dir) =>
+      graft.ops.TimeSeries.saxSimilarTopK(Tables.events(s, dir))),
 
     // Rolling z-score anomaly detection: each value vs its user's trailing
     // window (current row excluded), 6dp-rounded moments before the flag
@@ -1697,6 +1702,16 @@ object SparkEntry {
     // within-cluster pairs; higher vec_id of each pair at cos >= 0.35 drops.
     "semantic_dedup" -> ((s, dir) => VectorOps.semanticDedup(
       Tables.embeddings(s, dir), coarse = Some(kmCentsOf(s, dir)))),
+    // OCCUPANCY-CAPPED SemDeDup (SCALING.md §5's linear-work fix for the
+    // N^1.5 within-cell law): cells deterministically chunk into
+    // <= cap-member subcells ranked by centroid cosine; pair work
+    // <= N x cap. The companion report quantifies per cell what the cap
+    // saves (pair volume) and what it trades (drops missed vs the
+    // uncapped scan) — the audited-cap discipline.
+    "semantic_dedup_capped" -> ((s, dir) => VectorOps.semanticDedupCapped(
+      Tables.embeddings(s, dir), coarse = Some(kmCentsOf(s, dir)))),
+    "semantic_dedup_cap_report" -> ((s, dir) => VectorOps.semanticDedupCapReport(
+      Tables.embeddings(s, dir), coarse = Some(kmCentsOf(s, dir)))),
     // THE composed embedding pipeline (the third modality's curation
     // chain): assignment-tightness gate under the memoized Lloyd
     // quantizer -> SemDeDup survivorship among the gated vectors ->
@@ -2534,6 +2549,7 @@ object SparkEntry {
     "entity_golden_records" -> DuckDbOracles.entityGoldenRecords(),
 
     "ts_similarity_pairs" -> DuckDbOracles.saxSimilarPairs(),
+    "ts_similar_topk" -> DuckDbOracles.saxSimilarTopK(),
 
     "cusum_changepoints" -> DuckDbOracles.cusumChangepoints,
     "rolling_zscore_anomalies" ->
@@ -3113,6 +3129,8 @@ object SparkEntry {
     "ivf_pq_refine_topk" -> DuckDbOracles.ivfPqRefineTopK(),
     "ivf_pq_refine_recall_report" -> DuckDbOracles.ivfPqRefineRecallReport(),
     "semantic_dedup" -> DuckDbOracles.semanticDedup(),
+    "semantic_dedup_capped" -> DuckDbOracles.semanticDedupCapped(),
+    "semantic_dedup_cap_report" -> DuckDbOracles.semanticDedupCapReport(),
     "embedding_curation_pipeline" -> DuckDbOracles.embeddingCurationPipeline(),
     "cluster_cohesion" -> DuckDbOracles.clusterCohesion(),
     "cluster_balanced_sample" -> DuckDbOracles.clusterBalancedSample(),

@@ -465,8 +465,43 @@ object TimeSeries {
     finally z.unpersist()
   }
 
+  /** Bounded-output similarity SERVING: per user, the k nearest banded
+    * candidates by exact z-normalized distance — the production shape at
+    * scale, because the all-pairs contract's output is itself quadratic
+    * in SAX-word bucket occupancy (SCALING.md §2) while top-k output is
+    * |users|·k no matter how the buckets saturate. Candidate generation
+    * is the same banded equi-join; only the emission is capped, by a
+    * per-user window rank (partitioned by user — never a global sort).
+    */
+  def saxSimilarTopK(
+      events: DataFrame,
+      start: String = SaxStart,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val z = saxZ(events, start).persist()
+    try {
+      val dist = saxCandDist(z)
+      val symd = dist
+        .select(col("ua").as("user_id"), col("ub").as("neighbor_id"), col("dist"))
+        .unionByName(dist
+          .select(col("ub").as("user_id"), col("ua").as("neighbor_id"), col("dist")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("dist").asc, col("neighbor_id").asc)
+      symd.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+        .select(col("user_id"), col("rank"), col("neighbor_id"), col("dist"))
+        .eagerCkpt
+    } finally z.unpersist()
+  }
+
   private def saxSimilarPairsFromZ(
-      z: DataFrame, threshold: Double): DataFrame = {
+      z: DataFrame, threshold: Double): DataFrame =
+    saxCandDist(z).filter(col("dist") <= threshold)
+
+  /** Banded candidates with their exact verify distance (ua < ub, no
+    * threshold) — shared by the all-pairs and top-k emissions.
+    */
+  private def saxCandDist(z: DataFrame): DataFrame = {
     val sym = z.select(col("user_id"), col("seg"),
       when(col("zv") < -SaxBreak, "a")
         .when(col("zv") < 0, "b")
@@ -490,7 +525,6 @@ object TimeSeries {
       .join(z.select(col("user_id").as("ub"), col("seg"), col("zv").as("zb")), Seq("ub", "seg"))
       .groupBy(col("ua"), col("ub"))
       .agg(round(sqrt(sum(pow(col("za") - col("zb"), 2))), 6).as("dist"))
-      .filter(col("dist") <= threshold)
   }
 
   /** Rolling z-score anomaly detection: each event's value against the

@@ -1945,6 +1945,129 @@ object VectorOps {
         coalesce(col("dropped"), lit(false)).unary_!.as("kept"))
   }
 
+  /** Occupancy cap for the capped SemDeDup variant: the largest member
+    * count a (cell, subcell) pair scan may see. Sized so the test corpora
+    * exercise BOTH regimes (sf0.1's ~200-member k-means cells split into
+    * 3-4 subcells; sf0.001's ~50-member cells stay whole).
+    */
+  val SemDedupCellCap = 64
+
+  /** OCCUPANCY-CAPPED SemDeDup — the linear-work fix for the N^1.5 law
+    * SCALING.md §5 measured: `semanticDedup`'s within-cell pair scan
+    * costs Σ|cell|² = N²/k, which is N^1.5 even under the k ≈ √N rule.
+    * Here every cell is deterministically chunked into subcells of at
+    * most `cap` members — ranked by cosine-to-centroid (a ring ordering,
+    * so a subcell groups members at similar centroid distance) with
+    * vec_id tie-break — and the pair scan runs within (cell, subcell)
+    * only: total pair work ≤ N·cap, linear in N at a FIXED cap no matter
+    * the corpus or quantizer size. The trade is documented recall loss
+    * (near-dups split across subcells are missed — hamming/cosine
+    * closeness does not respect chunk boundaries), which
+    * `semanticDedupCapReport` quantifies per cell against the uncapped
+    * scan so a curator reads the loss before trusting the cap — the
+    * audited-cap discipline SCALING.md prescribes for every saturating
+    * bucket join.
+    */
+  def semanticDedupCapped(
+      emb: DataFrame,
+      k: Int = 10,
+      iters: Int = 3,
+      threshold: Double = 0.35,
+      cap: Int = SemDedupCellCap,
+      coarse: Option[DataFrame] = None): DataFrame = {
+    val sub = subcellAssign(emb, k, iters, cap, coarse)
+    val a = sub.select(col("cell"), col("subcell"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = sub.select(col("cell"), col("subcell"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("vn").as("nb"))
+    val drops = a.join(b, Seq("cell", "subcell"))
+      .filter(col("vec_a") < col("vec_b") &&
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    sub.select(col("vec_id"), col("cell"), col("subcell"))
+      .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("subcell"),
+        coalesce(col("dropped"), lit(false)).unary_!.as("kept"))
+  }
+
+  /** The deterministic subcell chunking shared by the capped dedup and
+    * its audit: assignment with the winning centroid cosine kept, then
+    * subcell = ⌊(rank-1)/cap⌋ under (ccos DESC, vec_id ASC) within the
+    * cell.
+    */
+  private def subcellAssign(
+      emb: DataFrame, k: Int, iters: Int, cap: Int,
+      coarse: Option[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = coarse.getOrElse(kmeansCentroids(emb, k, iters))
+    val centArr: Array[(Int, Seq[Double])] = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("ccos").desc, col("vec_id").asc)
+    // the winning ccos is the MAX of the rounded per-cell cosines —
+    // `greatest` keeps the corpus-wide projection inside whole-stage
+    // codegen (the struct-array argmax would fall back to interpreted
+    // higher-order ops, fine for per-query probes but not for a scan)
+    def ccosOf(v: Column, vn: Column): Column = greatest(centArr.map { case (_, m) =>
+      val cn = math.sqrt(m.foldLeft(0.0)((s, x) => s + x * x))
+      round(dot(v, array(m.map(lit(_)): _*)) / (vn * lit(cn)), 6)
+    }: _*)
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("vn"))
+      .select(col("vec_id"), col("v"), col("vn"),
+        nearestCellExpr(centArr, col("v"), col("vn")).as("cell"),
+        ccosOf(col("v"), col("vn")).as("ccos"))
+      .withColumn("subcell",
+        ((row_number().over(w) - 1) / cap).cast("int"))
+  }
+
+  /** Per-cell audit of what the occupancy cap costs: pair-scan volume
+    * capped vs uncapped (the work the cap saves) and drop counts capped
+    * vs uncapped (the recall it trades). The uncapped side IS the
+    * audit's price — a labeled within-cell full scan, run on a sample or
+    * a quiet corpus slice at 100 TB, exactly like the recall reports'
+    * brute-force truth.
+    */
+  def semanticDedupCapReport(
+      emb: DataFrame,
+      k: Int = 10,
+      iters: Int = 3,
+      threshold: Double = 0.35,
+      cap: Int = SemDedupCellCap,
+      coarse: Option[DataFrame] = None): DataFrame = {
+    val sub = subcellAssign(emb, k, iters, cap, coarse)
+    def dropsOf(keys: Seq[String]): DataFrame = {
+      val a = sub.select((col("vec_id").as("vec_a") +: col("v").as("va") +:
+        col("vn").as("na") +: keys.map(col)): _*)
+      val b = sub.select((col("vec_id").as("vec_b") +: col("v").as("vb") +:
+        col("vn").as("nb") +: keys.map(col)): _*)
+      a.join(b, keys)
+        .filter(col("vec_a") < col("vec_b") &&
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= threshold)
+        .select(col("cell"), col("vec_b")).distinct()
+    }
+    val occ = sub.groupBy(col("cell")).agg(
+      count(lit(1)).as("occupancy"),
+      countDistinct(col("subcell")).as("n_subcells"))
+    val subSizes = sub.groupBy(col("cell"), col("subcell"))
+      .agg(count(lit(1)).as("m"))
+    val pairsCapped = subSizes.groupBy(col("cell"))
+      .agg(sum(col("m") * (col("m") - 1) / 2).cast("long").as("pairs_capped"))
+    val dupsCap = dropsOf(Seq("cell", "subcell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_drops_capped"))
+    val dupsFull = dropsOf(Seq("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_drops_uncapped"))
+    occ.join(pairsCapped, Seq("cell"))
+      .withColumn("pairs_uncapped",
+        (col("occupancy") * (col("occupancy") - 1) / 2).cast("long"))
+      .join(dupsCap, Seq("cell"), "left")
+      .join(dupsFull, Seq("cell"), "left")
+      .select(col("cell"), col("occupancy"), col("n_subcells"),
+        col("pairs_capped"), col("pairs_uncapped"),
+        coalesce(col("n_drops_capped"), lit(0L)).as("n_drops_capped"),
+        coalesce(col("n_drops_uncapped"), lit(0L)).as("n_drops_uncapped"))
+  }
+
   /** Output dimensionality of the random projection (8 = a 8× compression
     * of the 64-dim embeddings; JL-style sketches for clustering/retrieval
     * pre-passes).

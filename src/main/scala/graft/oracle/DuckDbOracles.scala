@@ -250,9 +250,30 @@ object DuckDbOracles {
     */
   def saxSimilarPairs(
       start: String = graft.ops.TimeSeries.SaxStart,
-      threshold: Double = graft.ops.TimeSeries.SaxDistThreshold): String = {
+      threshold: Double = graft.ops.TimeSeries.SaxDistThreshold): String =
+    s"""WITH ${saxDistCtes(start)}
+       |SELECT ua, ub, dist FROM dist WHERE dist <= $threshold""".stripMargin
+
+  /** Twin of TimeSeries.saxSimilarTopK — the same banded candidates +
+    * exact verify, symmetric emission, per-user rank capped at k.
+    */
+  def saxSimilarTopK(
+      start: String = graft.ops.TimeSeries.SaxStart, k: Int = 5): String =
+    s"""WITH ${saxDistCtes(start)},
+       |sym2 AS (SELECT ua AS user_id, ub AS neighbor_id, dist FROM dist
+       |  UNION ALL SELECT ub, ua, dist FROM dist),
+       |ranked AS (SELECT user_id, neighbor_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY user_id
+       |      ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM sym2)
+       |SELECT user_id, rank, neighbor_id, dist FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** SAX word/banding/verify CTE chain through `dist` (ua < ub, no
+    * threshold) — shared by the all-pairs and top-k twins.
+    */
+  private def saxDistCtes(start: String): String = {
     val ts = graft.ops.TimeSeries
-    s"""WITH ev AS (SELECT user_id,
+    s"""ev AS (SELECT user_id,
        |    CAST(date_diff('day', TIMESTAMP '$start', ts) AS INT) AS d, value
        |  FROM events),
        |seg AS (SELECT user_id, d // ${ts.SaxSegWidth} AS seg,
@@ -281,8 +302,7 @@ object DuckDbOracles {
        |dist AS (SELECT ua, ub, round(sqrt(sum((za.zv - zb.zv)^2)), 6) AS dist
        |  FROM cand JOIN z za ON ua = za.user_id
        |    JOIN z zb ON ub = zb.user_id AND za.seg = zb.seg
-       |  GROUP BY 1, 2)
-       |SELECT ua, ub, dist FROM dist WHERE dist <= $threshold""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
   }
 
   /** Twin of Profile.profile over the events table: one UNION ALL branch
@@ -3332,6 +3352,64 @@ object DuckDbOracles {
        |  WHERE round(${cosSql("a.v", "b.v")}, 6) >= $threshold)
        |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
        |FROM asg a LEFT JOIN drops d ON a.vec_id = d.vec_id""".stripMargin
+
+  /** Subcell CTE chain shared by the capped-SemDeDup twins: the final
+    * Lloyd assignment re-joined to its centroids for the winning cosine,
+    * then subcell = ⌊(rank-1)/cap⌋ under (ccos DESC, vec_id ASC).
+    */
+  private def subcellCtes(kmK: Int, iters: Int, cap: Int): String =
+    s"""${kmeansAsgCtes(kmK, iters)},
+       |asgx AS (SELECT a.vec_id, a.v, a.cell,
+       |    round(${cosSql("a.v", "c.centroid")}, 6) AS ccos
+       |  FROM asg a JOIN it$iters c ON a.cell = c.cell),
+       |subc AS (SELECT vec_id, v, cell,
+       |    CAST((row_number() OVER (PARTITION BY cell
+       |      ORDER BY ccos DESC, vec_id ASC) - 1) // $cap AS INT) AS subcell
+       |  FROM asgx)""".stripMargin
+
+  /** Twin of VectorOps.semanticDedupCapped: the unrolled-Lloyd
+    * assignment, deterministic subcell chunking, and within-(cell,
+    * subcell) drops.
+    */
+  def semanticDedupCapped(
+      kmK: Int = 10, iters: Int = 3, threshold: Double = 0.35,
+      cap: Int = VectorOps.SemDedupCellCap): String =
+    s"""WITH $embCte,
+       |${subcellCtes(kmK, iters, cap)},
+       |drops AS (SELECT DISTINCT b.vec_id FROM subc a JOIN subc b
+       |    ON a.cell = b.cell AND a.subcell = b.subcell AND a.vec_id < b.vec_id
+       |  WHERE round(${cosSql("a.v", "b.v")}, 6) >= $threshold)
+       |SELECT s.vec_id, s.cell, s.subcell, (d.vec_id IS NULL) AS kept
+       |FROM subc s LEFT JOIN drops d ON s.vec_id = d.vec_id""".stripMargin
+
+  /** Twin of VectorOps.semanticDedupCapReport — per-cell cap accounting:
+    * pair-scan volume and drop counts, capped vs uncapped.
+    */
+  def semanticDedupCapReport(
+      kmK: Int = 10, iters: Int = 3, threshold: Double = 0.35,
+      cap: Int = VectorOps.SemDedupCellCap): String =
+    s"""WITH $embCte,
+       |${subcellCtes(kmK, iters, cap)},
+       |occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS occupancy,
+       |    CAST(count(DISTINCT subcell) AS BIGINT) AS n_subcells
+       |  FROM subc GROUP BY 1),
+       |ssz AS (SELECT cell, subcell, count(*) AS m FROM subc GROUP BY 1, 2),
+       |pc AS (SELECT cell, CAST(sum(m * (m - 1) // 2) AS BIGINT) AS pairs_capped
+       |  FROM ssz GROUP BY 1),
+       |dcap AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_drops_capped FROM (
+       |    SELECT DISTINCT a.cell, b.vec_id FROM subc a JOIN subc b
+       |      ON a.cell = b.cell AND a.subcell = b.subcell AND a.vec_id < b.vec_id
+       |    WHERE round(${cosSql("a.v", "b.v")}, 6) >= $threshold) GROUP BY 1),
+       |dfull AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_drops_uncapped FROM (
+       |    SELECT DISTINCT a.cell, b.vec_id FROM subc a JOIN subc b
+       |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |    WHERE round(${cosSql("a.v", "b.v")}, 6) >= $threshold) GROUP BY 1)
+       |SELECT o.cell, o.occupancy, o.n_subcells, pc.pairs_capped,
+       |  CAST(o.occupancy * (o.occupancy - 1) // 2 AS BIGINT) AS pairs_uncapped,
+       |  coalesce(dcap.n_drops_capped, 0) AS n_drops_capped,
+       |  coalesce(dfull.n_drops_uncapped, 0) AS n_drops_uncapped
+       |FROM occ o JOIN pc USING (cell)
+       |LEFT JOIN dcap USING (cell) LEFT JOIN dfull USING (cell)""".stripMargin
 
   /** Twin of the composed `embedding_curation_pipeline` query, built from
     * the same fragments the individual oracles use (unrolled-Lloyd

@@ -326,6 +326,45 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     }
   }
 
+  describe("semanticDedupCapped (occupancy-capped subcells)") {
+    it("a cap above every cell's occupancy reproduces the uncapped verdicts exactly") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val full = VectorOps.semanticDedup(emb).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      val capped = VectorOps.semanticDedupCapped(emb, cap = Int.MaxValue).collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getBoolean(3)))
+      capped.foreach { case (_, sub, _) => sub shouldBe 0 } // one subcell/cell
+      capped.map(t => t._1 -> t._3).toMap shouldBe full
+    }
+
+    it("capped drops are a subset of uncapped drops, every subcell respects the cap, and the report's accounting is exact") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val cap = 16 // well below the ~50-member sf0.01 cells: the cap bites
+      val capped = VectorOps.semanticDedupCapped(emb, cap = cap).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+      // work bound: no (cell, subcell) exceeds the cap
+      capped.groupBy(t => (t._2, t._3)).values.foreach(_.size should be <= cap)
+      val droppedCapped = capped.filter(!_._4).map(_._1).toSet
+      val droppedFull = VectorOps.semanticDedup(emb).collect()
+        .filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+      droppedCapped.subsetOf(droppedFull) shouldBe true // only recall traded
+      droppedCapped.size should be < droppedFull.size // and the cap DID bite
+      val rep = VectorOps.semanticDedupCapReport(emb, cap = cap).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+      rep.map(_._2).sum shouldBe emb.count() // occupancies partition the corpus
+      rep.foreach { case (_, occ, nsub, pc, pu, dc, du) =>
+        nsub shouldBe (occ + cap - 1) / cap // ceil(occ / cap) subcells
+        pc should be <= pu // the saved pair volume is the cap's point
+        dc should be <= du // and so is the explicit recall trade
+      }
+      rep.map(_._6).sum shouldBe droppedCapped.size.toLong
+      rep.map(_._7).sum shouldBe droppedFull.size.toLong
+      // linear-work bound the SCALING.md fix claims: Σ pairs ≤ N·cap
+      rep.map(_._4).sum should be <= emb.count() * cap
+    }
+  }
+
   describe("randomProjection") {
     it("projects a basis vector to exactly its matrix column over sqrt(RpDim)") {
       // v = e_5 → r_j = rpSigns(j)(5) / √8 for every output dim j

@@ -83,6 +83,42 @@ class WindowPropertySpec extends AnyFunSpec with Matchers with SparkSessionTestW
       pairs.map(p => (p._1, p._2)) should not contain (1L -> 3L)
       pairs.map(p => (p._1, p._2)) should not contain (2L -> 3L)
     }
+
+    it("saxSimilarTopK emits at most k symmetric neighbors per user, nearest-first") {
+      import spark.implicits._
+      def mk(uid: Long, pattern: Int => Double) =
+        (0 until 30).flatMap { d =>
+          val n = math.max(1, pattern(d).toInt)
+          (0 until n).map(i =>
+            (uid * 1000 + d * 10 + i, uid,
+              new java.sql.Timestamp(
+                java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+                  d * 86400000L + i * 1000L),
+              pattern(d)))
+        }
+      // three same-shape users (pairwise z-distance 0 -> all candidates of
+      // each other) + the anti-phase outsider, so k=1 provably truncates
+      val front = (d: Int) => if (d < 10) 9.0 else 1.0
+      val front2x = (d: Int) => if (d < 10) 18.0 else 2.0
+      val front3x = (d: Int) => if (d < 10) 27.0 else 3.0
+      val back = (d: Int) => if (d < 20) 1.0 else 9.0
+      val ev = (mk(1L, front) ++ mk(2L, front2x) ++ mk(3L, front3x) ++ mk(9L, back))
+        .toDF("event_id", "user_id", "ts", "value")
+      val top = graft.ops.TimeSeries.saxSimilarTopK(ev, k = 2).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      // symmetric emission: each of 1/2/3 sees BOTH same-shape peers
+      Seq(1L, 2L, 3L).foreach { u =>
+        val mine = top.filter(_._1 == u).sortBy(_._2)
+        mine.map(_._3).toSet shouldBe (Set(1L, 2L, 3L) - u)
+        mine.foreach(_._4 shouldBe 0.0) // z-norm collapses the scalings
+        mine.map(_._2).toSeq shouldBe Seq(1, 2) // dense ranks from 1
+      }
+      top.filter(_._1 == 9L) shouldBe empty // the outsider has no candidates
+      // and the cap truncates deterministically: k=1 keeps the lower id
+      val top1 = graft.ops.TimeSeries.saxSimilarTopK(ev, k = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      top1.toSet shouldBe Set((1L, 2L), (2L, 1L), (3L, 1L))
+    }
   }
 
   describe("rollingZscore") {

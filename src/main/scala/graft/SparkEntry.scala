@@ -1840,6 +1840,17 @@ object SparkEntry {
     // oracle replays the inline derivation, so hash-green certifies
     // from-index == inline.
     "media_neardup_pairs" -> ((s, dir) => mediaPairsOf(s, dir)),
+    // Per-band saturation audit (SCALING.md §1): bucket counts, max
+    // occupancy, candidate volume, and what an occupancy cap would skip —
+    // the linear-cost report a curator reads before trusting the banded
+    // join at a new corpus.
+    "media_band_stats" -> ((s, dir) => Multimodal.mediaBandStats(
+      Multimodal.mediaTable(Multimodal.withPlantedMediaDups(Tables.documents(s, dir))))),
+    // OCCUPANCY-CAPPED perceptual pairs: buckets above the cap are
+    // skipped, bounding candidate volume by |media| x bands x cap —
+    // the audited-cap discipline applied to the media tier.
+    "media_neardup_pairs_capped" -> ((s, dir) => Multimodal.mediaNearDupPairsCapped(
+      Multimodal.mediaTable(Multimodal.withPlantedMediaDups(Tables.documents(s, dir))))),
     // Perceptual retrieval: top-k banded candidates per query medium
     // ranked by exact Hamming — media similarity SEARCH served from the
     // StreamingMediaDedup-maintained fingerprint index; the oracle
@@ -3155,6 +3166,8 @@ object SparkEntry {
     "media_features" -> DuckDbOracles.mediaFeatures,
     "media_phash" -> DuckDbOracles.mediaPhash,
     "media_neardup_pairs" -> DuckDbOracles.mediaNearDupPairs(),
+    "media_band_stats" -> DuckDbOracles.mediaBandStats(),
+    "media_neardup_pairs_capped" -> DuckDbOracles.mediaNearDupPairsCapped(),
     "media_phash_topk" -> DuckDbOracles.mediaPhashTopK(),
     "media_dedup_apply" -> DuckDbOracles.mediaDedupApply(),
     "media_curation_pipeline" -> DuckDbOracles.mediaCurationPipeline(),

@@ -395,6 +395,71 @@ object Multimodal {
     finally ph.unpersist()
   }
 
+  /** Bucket-occupancy cap for the capped perceptual pair variant — the
+    * saturation guard SCALING.md §1 prescribes: on low-entropy corpora
+    * the 16-bit band words concentrate, buckets grow ∝ corpus, and the
+    * banded join's candidate volume goes quadratic.
+    */
+  val MediaBucketCap = 32
+
+  /** Per-band saturation audit of the perceptual banding: bucket counts,
+    * the largest bucket, total candidate volume Σ C(m,2), and — against
+    * `cap` — how many buckets and candidates the capped variant would
+    * skip. THE report a curator reads before trusting either pair
+    * variant at a new corpus: candidate_pairs exploding while
+    * max_occupancy grows linearly is the §1 signature, and
+    * candidates_over_cap is exactly the work (and recall) the cap
+    * trades. Cost: one groupBy over the 4·|media| band rows — linear,
+    * safe to run at any scale, unlike the join it audits.
+    */
+  def mediaBandStats(media: DataFrame, cap: Int = MediaBucketCap): DataFrame = {
+    val ph = perceptualHash(media).persist()
+    try {
+      bandedPhash(ph).groupBy(col("band"), col("bw"))
+        .agg(count(lit(1)).as("m"))
+        .groupBy(col("band"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          max(col("m")).as("max_occupancy"),
+          sum(col("m") * (col("m") - 1) / 2).cast("long").as("candidate_pairs"),
+          sum(when(col("m") > cap, 1L).otherwise(0L)).as("n_buckets_over_cap"),
+          sum(when(col("m") > cap, col("m") * (col("m") - 1) / 2)
+            .otherwise(lit(0.0))).cast("long").as("candidates_over_cap"))
+        .eagerCkpt
+    } finally ph.unpersist()
+  }
+
+  /** OCCUPANCY-CAPPED perceptual pairs: the banded join skips buckets
+    * above `cap`, bounding candidate volume by |media|·4·cap — linear no
+    * matter how the banding saturates (the semanticDedupCapped
+    * discipline applied to the media tier). Pairs whose EVERY shared
+    * band bucket is oversized are missed — the documented recall trade,
+    * quantified bucket-by-bucket by `mediaBandStats`; a pair sharing any
+    * small bucket still surfaces, so planted near-identical twins
+    * survive unless they sit inside a saturated crowd in all four bands.
+    */
+  def mediaNearDupPairsCapped(
+      media: DataFrame, maxHam: Int = PhashMaxHam,
+      cap: Int = MediaBucketCap): DataFrame = {
+    val ph = perceptualHash(media).persist()
+    try {
+      val banded = bandedPhash(ph)
+      val small = banded.join(
+        banded.groupBy(col("band"), col("bw")).agg(count(lit(1)).as("m"))
+          .filter(col("m") <= cap).select(col("band"), col("bw")),
+        Seq("band", "bw"), "left_semi")
+      val a = small.as("a")
+      val b = small.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bw") === col("b.bw") &&
+          col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+          bandedHamming.cast("long").as("hamming"))
+        .filter(col("hamming") <= maxHam)
+        .distinct()
+        .eagerCkpt
+    } finally ph.unpersist()
+  }
+
   /** Deterministic near-identical media planting (the plantedCorpus /
     * withPlantedBoilerplate convention): every `PlantEvery`-th doc gains a
     * twin whose bytes 10-12 are overwritten — a small LOCAL edit the

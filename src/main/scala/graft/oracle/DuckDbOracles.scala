@@ -3574,6 +3574,45 @@ object DuckDbOracles {
        |SELECT ma AS media_a, mb AS media_b, hamming
        |FROM hams WHERE hamming <= $maxHam""".stripMargin
 
+  /** Twin of Multimodal.mediaBandStats — the per-band saturation audit. */
+  def mediaBandStats(cap: Int = graft.ops.Multimodal.MediaBucketCap): String =
+    s"""WITH $mediaPhashCtes,
+       |occ AS (SELECT band, bw, count(*) AS m FROM phx GROUP BY 1, 2)
+       |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(max(m) AS BIGINT) AS max_occupancy,
+       |  CAST(sum(m * (m - 1) // 2) AS BIGINT) AS candidate_pairs,
+       |  CAST(sum(CASE WHEN m > $cap THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_buckets_over_cap,
+       |  CAST(sum(CASE WHEN m > $cap THEN m * (m - 1) // 2 ELSE 0 END) AS BIGINT)
+       |    AS candidates_over_cap
+       |FROM occ GROUP BY band""".stripMargin
+
+  /** Twin of Multimodal.mediaNearDupPairsCapped: candidates restricted to
+    * buckets at-or-under the cap; the exact-Hamming verify still reads
+    * every band word of the surviving pairs.
+    */
+  def mediaNearDupPairsCapped(
+      maxHam: Int = graft.ops.Multimodal.PhashMaxHam,
+      cap: Int = graft.ops.Multimodal.MediaBucketCap): String =
+    s"""WITH $mediaPhashCtes,
+       |occ AS (SELECT band, bw, count(*) AS m FROM phx GROUP BY 1, 2),
+       |phs AS (SELECT phx.* FROM phx
+       |  JOIN occ ON phx.band = occ.band AND phx.bw = occ.bw
+       |  WHERE occ.m <= $cap),
+       |cand AS (SELECT a.media_id AS ma, b.media_id AS mb
+       |  FROM phs a JOIN phs b
+       |    ON a.band = b.band AND a.bw = b.bw AND a.media_id < b.media_id
+       |  GROUP BY 1, 2),
+       |hams AS MATERIALIZED (SELECT c.ma, c.mb,
+       |    CAST(sum(bit_count(xor(CAST(pa.bw AS BIGINT), CAST(pb.bw AS BIGINT)))) AS BIGINT)
+       |      AS hamming
+       |  FROM cand c
+       |  JOIN phx pa ON pa.media_id = c.ma
+       |  JOIN phx pb ON pb.media_id = c.mb AND pb.band = pa.band
+       |  GROUP BY 1, 2)
+       |SELECT ma AS media_a, mb AS media_b, hamming
+       |FROM hams WHERE hamming <= $maxHam""".stripMargin
+
   /** Twin of Multimodal.mediaPhashTopK: banded candidates per query
     * medium (media_id % 100 = 0), exact-Hamming rank, top-k.
     */

@@ -146,6 +146,41 @@ class MultimodalSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapp
       nCand.toDouble should be < (n * (n - 1) / 2).toDouble * 0.05
     }
 
+    it("the occupancy cap skips saturated buckets, keeps everything else, and the band stats account for exactly what it skipped") {
+      // a SATURATED crowd: 40 byte-identical payloads share one bucket in
+      // every band (occupancy 40+), while the structured twins (1, 2) and
+      // ten distinct fillers stay in small buckets
+      val crowd = (200L until 240L).map(i => (i, structured, "en", "s2"))
+      val fillers = (100L until 110L).map(i => (i, hashChars(512, i), "en", "s1"))
+      val docs = docsDf(Seq(
+        (1L, inverted, "en", "s1"),
+        (2L, highBlk + inverted.substring(8), "en", "s1")) ++ fillers ++ crowd)
+      val media = Multimodal.mediaTable(docs)
+      def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = pairSet(Multimodal.mediaNearDupPairs(media))
+      // cap above every occupancy: identical output (42 is the crowd+2)
+      pairSet(Multimodal.mediaNearDupPairsCapped(media, cap = 100)) shouldBe full
+      // cap below the crowd: its quadratic pair core vanishes, the
+      // small-bucket twin pair survives, and nothing new appears
+      val capped = pairSet(Multimodal.mediaNearDupPairsCapped(media, cap = 16))
+      capped should contain((1L, 2L))
+      capped.subsetOf(full) shouldBe true
+      full.count { case (a, b) => a >= 200 && b >= 200 } shouldBe (40 * 39) / 2
+      capped.count { case (a, b) => a >= 200 && b >= 200 } shouldBe 0
+      // the audit accounts for exactly the skipped volume, band by band
+      val stats = Multimodal.mediaBandStats(media, cap = 16).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+      stats.keySet shouldBe Set(0, 1, 2, 3)
+      stats.values.foreach { case (_, maxOcc, candAll, nOver, candOver) =>
+        maxOcc should be >= 40L // the crowd saturates every band
+        nOver should be >= 1L
+        candOver should be >= (40L * 39) / 2
+        candAll should be >= candOver
+      }
+    }
+
     it("phash top-k ranks the close twin first, the looser edit second, and never surfaces a non-colliding item") {
       // query id ≡ 0 (mod 100) per the querySet convention; twins at
       // Hamming 1 and 2 share 3 of 4 bands with it, the inverted payload

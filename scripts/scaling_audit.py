@@ -38,16 +38,30 @@ FAMILIES = {
     "SAX similar pairs (user-quadratic band join)": ("ts_similarity_pairs", "events"),
 }
 
-ROWS = {  # corpus rows per scale dir (ScaleGen invocations)
-    "x1": {"docs": 5000, "vecs": 2000, "events": 100000, "mult": 1},
-    "x3": {"docs": 15000, "vecs": 6000, "events": 300000, "mult": 3},
-    "x10": {"docs": 50000, "vecs": 20000, "events": 1000000, "mult": 10},
-    "x30": {"docs": 150000, "vecs": 60000, "events": 3000000, "mult": 30},
+TABLE_FILES = {  # rows column -> parquet file whose count scales the family
+    "docs": "documents.parquet",
+    "vecs": "embeddings.parquet",
+    "events": "events.parquet",
 }
+
+
+def rows_of(base, scale):
+    """Actual corpus row counts read from the parquet footers — a hard-coded
+    table would silently fit exponents on wrong x-values if the corpora under
+    --base were generated with different ScaleGen counts."""
+    import pyarrow.parquet as pq
+    d = os.path.join(base, scale)
+    return {tbl: pq.read_metadata(os.path.join(d, f)).num_rows
+            for tbl, f in TABLE_FILES.items()}
 
 
 def run_scale(base, scale, queries, repo):
     out = os.path.join(base, f"bench_{scale}.json")
+    # a stale bench_<scale>.json from an earlier invocation must never be
+    # parsed as this run's result: remove it first, and treat rc != 0 or a
+    # missing output as a failed scale (skipped, not silently refitted)
+    if os.path.exists(out):
+        os.remove(out)
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=os.path.join(base, scale),
                SPARK_GRAFT_BENCH_OUT=out,
@@ -57,7 +71,12 @@ def run_scale(base, scale, queries, repo):
     r = subprocess.run(cmd, env=env, cwd=repo,
                        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
     if r.returncode != 0:
-        print(f"[scaling] {scale}: bench rc={r.returncode}", file=sys.stderr)
+        print(f"[scaling] {scale}: bench rc={r.returncode} — scale skipped",
+              file=sys.stderr)
+        # fall through only if the bench still wrote its artifact (Bench
+        # exits non-zero when ANY query errors but the JSON has the rest)
+    if not os.path.exists(out):
+        return None
     with open(out) as f:
         return json.loads(f.read())
 
@@ -86,22 +105,30 @@ def main():
     args = ap.parse_args()
     scales = args.scales.split(",")
 
-    bench = {}
+    bench, rows = {}, {}
     for s in scales:
         queries = [q for q, _ in FAMILIES.values()]
         if s == "x30" and not args.sax_x30:
             queries = [q for q in queries if q != "ts_similarity_pairs"]
-        bench[s] = run_scale(args.base, s, queries, args.repo)
+        rows[s] = rows_of(args.base, s)
+        b = run_scale(args.base, s, queries, args.repo)
+        if b is None:
+            print(f"[scaling] {s}: no bench output — dropped from the fit",
+                  file=sys.stderr)
+            continue
+        bench[s] = b
 
     results = {}
     for fam, (q, tbl) in FAMILIES.items():
         pts, times = [], {}
         for s in scales:
+            if s not in bench:
+                continue
             t = bench[s]["queries"].get(q)
             if t is None:
                 continue
             times[s] = t
-            pts.append((ROWS[s][tbl], t))
+            pts.append((rows[s][tbl], t))
         results[fam] = {
             "query": q, "rows_table": tbl, "times": times,
             "exponent_all": fit_exponent(pts),
@@ -110,7 +137,7 @@ def main():
             "exponent_tail": fit_exponent(pts[-2:]) if len(pts) >= 2 else None,
         }
     with open(args.out, "w") as f:
-        json.dump({"rows": ROWS, "families": results}, f, indent=2)
+        json.dump({"rows": rows, "families": results}, f, indent=2)
     for fam, r in sorted(results.items(), key=lambda kv: -(kv[1]["exponent_tail"] or 0)):
         ts = " ".join(f"{s}={r['times'][s]:.2f}s" for s in r["times"])
         print(f"{fam:55s} tail-exp={r['exponent_tail']:.2f} all={r['exponent_all']:.2f}  {ts}"

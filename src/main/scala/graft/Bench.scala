@@ -133,9 +133,12 @@ object Bench {
     // wrong reason). It stays in `raw`/`heap`/`gc` for auditability.
     val errors = reps.collect { case (n, rs) if rs.forall(_.err.isDefined) =>
       n -> rs.flatMap(_.err).head }
-    val best = reps.map { case (n, rs) =>
-      val ok = rs.filter(_.err.isEmpty)
-      n -> (if (ok.nonEmpty) ok.map(_.sec).min else rs.map(_.sec).min) }
+    // All-errored queries are OMITTED from `queries`/`total_sec` (they are
+    // reported in `errors` and keep their raw/heap/gc rows): publishing
+    // their fast-fail wall time would make a broken query read as a fast
+    // one unless the reader cross-checks `errors`.
+    val best = reps.collect { case (n, rs) if rs.exists(_.err.isEmpty) =>
+      n -> rs.filter(_.err.isEmpty).map(_.sec).min }
     val qs = best.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val raw = reps.map { case (k, rs) =>
       jstr(k) + ":" + rs.map(_.sec).mkString("[", ",", "]") }.mkString("{", ",", "}")

@@ -1949,17 +1949,34 @@ object SparkEntry {
     * can invalidate this memo explicitly via `invalidateDedupIndex`.
     */
   private val artifactDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  // un-memoized temp roots (the per-invocation takedown artifact builds)
+  // that the exit sweep must also vacuum — under Bench's best-of-reps +
+  // retry passes a leak here is several artifact trees per round
+  private val tempRoots = new java.util.concurrent.ConcurrentLinkedQueue[String]
   // one-time JVM-exit sweep of the temp artifact dirs: bench/driver
   // processes on a shared machine must not accumulate pair/label/
   // component parquet under /tmp across invocations
   private lazy val artifactCleanupHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      artifactDirs.values.foreach { d =>
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      (artifactDirs.values ++ tempRoots.asScala).foreach { d =>
         def rec(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(): Unit
         }
         rec(new java.io.File(d))
-      }))
+      }
+    }))
+
+  /** A fresh temp root registered with the JVM-exit sweep (for artifact
+    * builds that must NOT be memoized, e.g. the takedown report whose
+    * sweep mutates what it builds).
+    */
+  private[graft] def sweptTempDir(prefix: String): String = {
+    artifactCleanupHook
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempRoots.add(tmp)
+    tmp
+  }
   /** Build-once memo for derived serve-side artifacts (the dedup graph,
     * the TextRank co-occurrence table), keyed (kind, application, sf dir).
     * synchronized: TrieMap.getOrElseUpdate does NOT guarantee a single
@@ -2049,7 +2066,7 @@ object SparkEntry {
       .filter(col("c_custkey") <= TakedownSweep.ReportCustCap))
     val cents = VectorOps.centroids(emb)
       .select(col("label").as("cell"), col("centroid"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-takedown-q").toString
+    val tmp = sweptTempDir("graft-takedown-q")
     StreamingDedupIndex.processBatchCore(docs, 0L, s"$tmp/dedup")
     StreamingTextIngest.processBatch(docs, 0L, s"$tmp/text")
     StreamingChunkDedup.processBatch(docs, 0L, s"$tmp/chunk")

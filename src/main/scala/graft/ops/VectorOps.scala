@@ -2008,10 +2008,15 @@ object VectorOps {
     // `greatest` keeps the corpus-wide projection inside whole-stage
     // codegen (the struct-array argmax would fall back to interpreted
     // higher-order ops, fine for per-query probes but not for a scan)
-    def ccosOf(v: Column, vn: Column): Column = greatest(centArr.map { case (_, m) =>
-      val cn = math.sqrt(m.foldLeft(0.0)((s, x) => s + x * x))
-      round(dot(v, array(m.map(lit(_)): _*)) / (vn * lit(cn)), 6)
-    }: _*)
+    def ccosOf(v: Column, vn: Column): Column = {
+      val per = centArr.map { case (_, m) =>
+        val cn = math.sqrt(m.foldLeft(0.0)((s, x) => s + x * x))
+        round(dot(v, array(m.map(lit(_)): _*)) / (vn * lit(cn)), 6)
+      }
+      // greatest() is a 2+-arg function at analysis time; a 1-centroid
+      // quantizer (k=1 or a 1-row coarse) degrades to the single cosine
+      if (per.sizeIs == 1) per.head else greatest(per: _*)
+    }
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("vn"))
       .select(col("vec_id"), col("v"), col("vn"),

@@ -35,6 +35,12 @@ object TdProf {
       Tables.customer(spark, dir).filter(col("c_custkey") <= 300L))
     val cents = VectorOps.centroids(emb).select(col("label").as("cell"), col("centroid"))
     val tmp = java.nio.file.Files.createTempDirectory("tdprof").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(): Unit
+      }
+      rec(new java.io.File(tmp))
+    }))
     t("dedup")(StreamingDedupIndex.processBatchCore(docs, 0L, s"$tmp/dedup"))
     t("text")(StreamingTextIngest.processBatch(docs, 0L, s"$tmp/text"))
     t("chunk")(StreamingChunkDedup.processBatch(docs, 0L, s"$tmp/chunk"))

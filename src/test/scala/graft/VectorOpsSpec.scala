@@ -363,6 +363,13 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
       // linear-work bound the SCALING.md fix claims: Σ pairs ≤ N·cap
       rep.map(_._4).sum should be <= emb.count() * cap
     }
+
+    it("degrades gracefully under a 1-centroid quantizer (greatest needs 2+ args)") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val out = VectorOps.semanticDedupCapped(emb, k = 1, cap = 16).collect()
+      out.length.toLong shouldBe emb.count()
+      out.map(_.getInt(1)).toSet shouldBe Set(0) // everything in the one cell
+    }
   }
 
   describe("randomProjection") {

@@ -1714,9 +1714,11 @@ object SparkEntry {
       Tables.embeddings(s, dir), coarse = Some(kmCentsOf(s, dir)))),
     // THE composed embedding pipeline (the third modality's curation
     // chain): assignment-tightness gate under the memoized Lloyd
-    // quantizer -> SemDeDup survivorship among the gated vectors ->
-    // per-cell hash-priority capped sample. One quantizer, three stages,
-    // one composed oracle.
+    // quantizer -> OCCUPANCY-CAPPED SemDeDup survivorship among the gated
+    // vectors (SCALING.md §5's fix threaded in as the default: pair work
+    // <= |gated| x SemDedupCellCap, linear; `semantic_dedup` stays the
+    // labeled all-pairs baseline) -> per-cell hash-priority capped
+    // sample. One quantizer, three stages, one composed oracle.
     "embedding_curation_pipeline" -> ((s, dir) =>
       VectorOps.embeddingCurationPipeline(
         Tables.embeddings(s, dir), kmCentsOf(s, dir))),
@@ -1891,18 +1893,25 @@ object SparkEntry {
     // media tier): decode-quality gates over the Arrow-batch features →
     // perceptual near-dup survivorship among the gated media (exact CC,
     // min-id keeper) → per-source capped sample. The dedup stage serves
-    // from the StreamingMediaDedup-maintained artifact — pairs over the
-    // gated subset equal the artifact's full-corpus pairs with BOTH
-    // endpoints gated (fingerprints and banding are per-media), the same
-    // argument curation_pipeline uses for the DedupIndex artifact; the
-    // oracle replays everything inline, so hash-green certifies the
-    // composition AND the from-artifact serve each round.
+    // the OCCUPANCY-CAPPED pair derivation (SCALING.md §1's saturation
+    // fix: candidate volume ≤ |media|·4·bucketCap, linear on any corpus;
+    // `media_neardup_pairs` remains the labeled all-pairs baseline) from
+    // the StreamingMediaDedup-maintained FINGERPRINT artifact — bucket
+    // occupancy is judged corpus-wide, so pairs over the gated subset
+    // equal the artifact-derived pairs with BOTH endpoints gated
+    // (fingerprints, banding and occupancy are per-media / corpus-wide),
+    // the same argument curation_pipeline uses for the DedupIndex
+    // artifact; the oracle replays everything inline, so hash-green
+    // certifies the composition AND the from-artifact serve each round.
     "media_curation_pipeline" -> ((s, dir) => {
       val media = Multimodal.mediaTable(
         Multimodal.withPlantedMediaDups(Tables.documents(s, dir)))
       val gated = Multimodal.mediaQualityGate(
         Multimodal.decodeFeaturesArrow(media)).select(col("media_id"))
-      val pairs = mediaPairsOf(s, dir)
+      mediaPairsOf(s, dir) // ensure the fingerprint artifact exists
+      val pairs = Multimodal.mediaNearDupPairsCappedFromPhash(
+          graft.streaming.StreamingMediaDedup.readPhash(s,
+            artifactDirOf("media-dedup", s, dir)(_ => ()), Long.MaxValue))
         .join(gated.withColumnRenamed("media_id", "media_a"), Seq("media_a"), "left_semi")
         .join(gated.withColumnRenamed("media_id", "media_b"), Seq("media_b"), "left_semi")
       val comps = graft.ops.Dedup.nearDupComponentsExact(

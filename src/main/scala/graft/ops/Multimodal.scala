@@ -442,22 +442,35 @@ object Multimodal {
       media: DataFrame, maxHam: Int = PhashMaxHam,
       cap: Int = MediaBucketCap): DataFrame = {
     val ph = perceptualHash(media).persist()
-    try {
-      val banded = bandedPhash(ph)
-      val small = banded.join(
-        banded.groupBy(col("band"), col("bw")).agg(count(lit(1)).as("m"))
-          .filter(col("m") <= cap).select(col("band"), col("bw")),
-        Seq("band", "bw"), "left_semi")
-      val a = small.as("a")
-      val b = small.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.bw") === col("b.bw") &&
-          col("a.media_id") < col("b.media_id"))
-        .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
-          bandedHamming.cast("long").as("hamming"))
-        .filter(col("hamming") <= maxHam)
-        .distinct()
-        .eagerCkpt
-    } finally ph.unpersist()
+    try mediaNearDupPairsCappedFromPhash(ph, maxHam, cap).eagerCkpt
+    finally ph.unpersist()
+  }
+
+  /** The capped banded self-join over a PREBUILT fingerprint table — the
+    * serving half of the capped variant (the mediaNearDupPairsFromPhash
+    * convention: caller owns persistence of `ph`; a parquet-backed index
+    * needs none). This is what the composed media pipeline consumes: the
+    * maintained artifact is the FINGERPRINT index, and both pair variants
+    * are serve-time derivations of it, so the saturation cap is applied
+    * against full-corpus bucket occupancy no matter which subset a
+    * downstream gate selects.
+    */
+  def mediaNearDupPairsCappedFromPhash(
+      ph: DataFrame, maxHam: Int = PhashMaxHam,
+      cap: Int = MediaBucketCap): DataFrame = {
+    val banded = bandedPhash(ph)
+    val small = banded.join(
+      banded.groupBy(col("band"), col("bw")).agg(count(lit(1)).as("m"))
+        .filter(col("m") <= cap).select(col("band"), col("bw")),
+      Seq("band", "bw"), "left_semi")
+    val a = small.as("a")
+    val b = small.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bw") === col("b.bw") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        bandedHamming.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHam)
+      .distinct()
   }
 
   /** Deterministic near-identical media planting (the plantedCorpus /

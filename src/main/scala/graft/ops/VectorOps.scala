@@ -2666,9 +2666,14 @@ object VectorOps {
     * threads all three stages. Output (cell, rank, vec_id).
     *
     * Scale: one corpus scan against the k×dim broadcast quantizer; the
-    * dedup stage is Σ|cell∩gated|² within-cell pairs (the SemDeDup
-    * bound, never corpus²); the cap is the bounded-heap aggregator —
-    * ≤ cap rows per (cell, partition) map-side, no per-cell sort.
+    * dedup stage runs OCCUPANCY-CAPPED by default (SCALING.md §5: the
+    * uncapped Σ|cell∩gated|² within-cell scan is N²/k = N^1.5 even under
+    * the √N-cell rule; chunked subcells bound pair work by
+    * |gated|·dedupCap — linear, with `semanticDedupCapReport` pricing the
+    * recall trade; dedupCap = Int.MaxValue recovers the all-pairs
+    * baseline bit-exactly); the sample cap is the bounded-heap
+    * aggregator — ≤ cap rows per (cell, partition) map-side, no per-cell
+    * sort.
     */
   def embeddingCurationPipeline(
       emb: DataFrame,
@@ -2676,19 +2681,33 @@ object VectorOps {
       gateMinCos: Double = GateMinCos,
       threshold: Double = 0.35,
       cap: Int = CellCap,
+      dedupCap: Int = SemDedupCellCap,
       hash: (String, Column) => Column = graft.functions.PortableHash.h31): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val asg = assignCells(emb, coarse)
     val cf = coarse.select(col("cell"), col("centroid"),
       sqrt(dot(col("centroid"), col("centroid"))).as("cn"))
-    val gated = asg.join(broadcast(cf), Seq("cell"))
-      .filter(round(dot(col("v"), col("centroid")) / (col("vn") * col("cn")), 6)
-        >= gateMinCos)
-      .select(col("cell"), col("vec_id"), col("v"), col("vn"))
-    val a = gated.select(col("cell"), col("vec_id").as("vec_a"),
+    // the gate keeps the winning assignment cosine: it doubles as the
+    // subcell ring-ordering key, so the chunk boundaries are deterministic
+    // over exactly the cohort the pair scan will see
+    val gated0 = asg.join(broadcast(cf), Seq("cell"))
+      .select(col("cell"), col("vec_id"), col("v"), col("vn"),
+        round(dot(col("v"), col("centroid")) / (col("vn") * col("cn")), 6).as("ccos"))
+      .filter(col("ccos") >= gateMinCos)
+    // SCALING.md §5: the uncapped within-cell scan is the N^1.5 law — the
+    // pipeline runs the OCCUPANCY-CAPPED form by default (pair work ≤
+    // |gated|·dedupCap, linear), chunking GATED members into ≤ dedupCap
+    // subcells under (ccos DESC, vec_id ASC); semanticDedupCapReport
+    // quantifies the recall trade per cell. dedupCap = Int.MaxValue
+    // recovers the all-pairs baseline exactly (one subcell per cell).
+    val w = Window.partitionBy(col("cell")).orderBy(col("ccos").desc, col("vec_id").asc)
+    val gated = gated0.withColumn("subcell",
+      ((row_number().over(w) - 1) / dedupCap).cast("int"))
+    val a = gated.select(col("cell"), col("subcell"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("vn").as("na"))
-    val b = gated.select(col("cell"), col("vec_id").as("vec_b"),
+    val b = gated.select(col("cell"), col("subcell"), col("vec_id").as("vec_b"),
       col("v").as("vb"), col("vn").as("nb"))
-    val drops = a.join(b, "cell")
+    val drops = a.join(b, Seq("cell", "subcell"))
       .filter(col("vec_a") < col("vec_b") &&
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= threshold)
       .select(col("vec_b").as("vec_id")).distinct()

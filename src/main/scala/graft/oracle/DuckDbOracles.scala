@@ -3421,14 +3421,20 @@ object DuckDbOracles {
       kmK: Int = 10, iters: Int = 3,
       gateMinCos: Double = VectorOps.GateMinCos,
       threshold: Double = 0.35,
-      cap: Int = VectorOps.CellCap): String =
+      cap: Int = VectorOps.CellCap,
+      dedupCap: Int = VectorOps.SemDedupCellCap): String =
     s"""WITH $embCte,
        |${kmeansAsgCtes(kmK, iters)},
-       |cc AS MATERIALIZED (SELECT a.vec_id, a.cell, a.v
+       |cc AS MATERIALIZED (SELECT a.vec_id, a.cell, a.v,
+       |    round(${cosSql("a.v", "c.centroid")}, 6) AS ccos
        |  FROM asg a JOIN it$iters c ON a.cell = c.cell
        |  WHERE round(${cosSql("a.v", "c.centroid")}, 6) >= $gateMinCos),
-       |drops AS (SELECT DISTINCT b.vec_id FROM cc a JOIN cc b
-       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |ccs AS (SELECT vec_id, cell, v,
+       |    CAST((row_number() OVER (PARTITION BY cell
+       |      ORDER BY ccos DESC, vec_id ASC) - 1) // $dedupCap AS INT) AS subcell
+       |  FROM cc),
+       |drops AS (SELECT DISTINCT b.vec_id FROM ccs a JOIN ccs b
+       |    ON a.cell = b.cell AND a.subcell = b.subcell AND a.vec_id < b.vec_id
        |  WHERE round(${cosSql("a.v", "b.v")}, 6) >= $threshold),
        |surv AS (SELECT vec_id, cell FROM cc
        |  WHERE vec_id NOT IN (SELECT vec_id FROM drops)),
@@ -3587,15 +3593,14 @@ object DuckDbOracles {
        |    AS candidates_over_cap
        |FROM occ GROUP BY band""".stripMargin
 
-  /** Twin of Multimodal.mediaNearDupPairsCapped: candidates restricted to
-    * buckets at-or-under the cap; the exact-Hamming verify still reads
-    * every band word of the surviving pairs.
+  /** Capped twin of `mediaPairCtes` (same terminal `hams` name so pipeline
+    * consumers can swap pair variants without touching their downstream
+    * CTEs): candidates restricted to buckets at-or-under the cap; the
+    * exact-Hamming verify still reads every band word of the surviving
+    * pairs.
     */
-  def mediaNearDupPairsCapped(
-      maxHam: Int = graft.ops.Multimodal.PhashMaxHam,
-      cap: Int = graft.ops.Multimodal.MediaBucketCap): String =
-    s"""WITH $mediaPhashCtes,
-       |occ AS (SELECT band, bw, count(*) AS m FROM phx GROUP BY 1, 2),
+  private def mediaPairCappedCtes(cap: Int): String =
+    s"""occ AS (SELECT band, bw, count(*) AS m FROM phx GROUP BY 1, 2),
        |phs AS (SELECT phx.* FROM phx
        |  JOIN occ ON phx.band = occ.band AND phx.bw = occ.bw
        |  WHERE occ.m <= $cap),
@@ -3609,7 +3614,14 @@ object DuckDbOracles {
        |  FROM cand c
        |  JOIN phx pa ON pa.media_id = c.ma
        |  JOIN phx pb ON pb.media_id = c.mb AND pb.band = pa.band
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Twin of Multimodal.mediaNearDupPairsCapped. */
+  def mediaNearDupPairsCapped(
+      maxHam: Int = graft.ops.Multimodal.PhashMaxHam,
+      cap: Int = graft.ops.Multimodal.MediaBucketCap): String =
+    s"""WITH $mediaPhashCtes,
+       |${mediaPairCappedCtes(cap)}
        |SELECT ma AS media_a, mb AS media_b, hamming
        |FROM hams WHERE hamming <= $maxHam""".stripMargin
 
@@ -3676,17 +3688,21 @@ object DuckDbOracles {
     * SAME fragments the individual media oracles use (byte-moment gates →
     * perceptual near-dup exact-CC survivorship AMONG the gated media →
     * per-source capped sample), so the composition cannot drift from its
-    * parts. The dedup stage filters the full-corpus pair table to
-    * both-endpoints-gated — identical to pairing the gated subset, since
-    * fingerprints and banding are per-media.
+    * parts. The dedup stage consumes the OCCUPANCY-CAPPED pair table
+    * (SCALING.md §1: the uncapped banded join saturates quadratically on
+    * low-entropy corpora; `media_neardup_pairs` stays the labeled
+    * all-pairs baseline), filtered to both-endpoints-gated — identical to
+    * pairing the gated subset, since fingerprints, banding and bucket
+    * occupancy are derived corpus-wide per media.
     */
   def mediaCurationPipeline(
       maxHam: Int = graft.ops.Multimodal.PhashMaxHam,
-      cap: Int = Sampling.SourceCap): String = {
+      cap: Int = Sampling.SourceCap,
+      bucketCap: Int = graft.ops.Multimodal.MediaBucketCap): String = {
     val (minB, maxMean, minVar) = (graft.ops.Multimodal.MinMediaBytes,
       graft.ops.Multimodal.MaxMeanByte, graft.ops.Multimodal.MinByteVar)
     s"""WITH RECURSIVE $mediaPhashCtes,
-       |$mediaPairCtes,
+       |${mediaPairCappedCtes(bucketCap)},
        |fo AS (SELECT media_id, n,
        |    ord(substr(text, CAST(i + 1 AS INT), 1)) AS o FROM u),
        |fagg AS (SELECT media_id, max(n) AS n,

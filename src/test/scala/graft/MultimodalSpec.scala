@@ -181,6 +181,30 @@ class MultimodalSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapp
       }
     }
 
+    it("capped-pair survivorship refines the uncapped survivorship: capped CC drops ⊆ uncapped CC drops") {
+      // the media_curation_pipeline monotonicity argument: capped pairs
+      // are a subgraph, so capped components refine uncapped ones, and a
+      // node that was min of its uncapped component is min of its capped
+      // sub-component too — survivors can only GROW under the cap
+      val crowd = (200L until 240L).map(i => (i, structured, "en", "s2"))
+      val fillers = (100L until 110L).map(i => (i, hashChars(512, i), "en", "s1"))
+      val docs = docsDf(Seq(
+        (1L, inverted, "en", "s1"),
+        (2L, highBlk + inverted.substring(8), "en", "s1")) ++ fillers ++ crowd)
+      val media = Multimodal.mediaTable(docs)
+      import org.apache.spark.sql.functions.col
+      def droppedOf(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+        graft.ops.Dedup.nearDupComponentsExact(
+            pairs.withColumnRenamed("media_a", "doc_a")
+              .withColumnRenamed("media_b", "doc_b"))
+          .filter(col("doc_id") =!= col("rep"))
+          .collect().map(_.getLong(0)).toSet
+      val dFull = droppedOf(Multimodal.mediaNearDupPairs(media))
+      val dCap = droppedOf(Multimodal.mediaNearDupPairsCapped(media, cap = 16))
+      dCap.subsetOf(dFull) shouldBe true
+      dCap.size should be < dFull.size // the cap DID bite on the crowd
+    }
+
     it("phash top-k ranks the close twin first, the looser edit second, and never surfaces a non-colliding item") {
       // query id ≡ 0 (mod 100) per the querySet convention; twins at
       // Hamming 1 and 2 share 3 of 4 bands with it, the inverted payload

@@ -372,6 +372,42 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     }
   }
 
+  describe("embeddingCurationPipeline (capped dedup stage is the default)") {
+    it("dedupCap = MaxValue recovers the all-pairs baseline; the default cap only grows the survivor set") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val cents = VectorOps.kmeansCentroids(emb, 10, 3)
+      // sample cap maxed out → the output IS the survivor set
+      def survivors(dedupCap: Int): Set[Long] =
+        VectorOps.embeddingCurationPipeline(emb, cents,
+            cap = Int.MaxValue, dedupCap = dedupCap)
+          .collect().map(_.getLong(2)).toSet
+      val uncapped = survivors(Int.MaxValue)
+      val capped = survivors(16) // well below sf0.01's ~50-member cells
+      // capped pairs ⊆ uncapped pairs → capped drops ⊆ uncapped drops
+      uncapped.subsetOf(capped) shouldBe true
+      capped.size should be > uncapped.size // and the cap DID bite
+      // the MaxValue form matches an independent uncapped recomputation:
+      // gate by winning cosine, drop higher ids of within-cell pairs ≥ τ
+      val asg = VectorOps.assignCells(emb, cents)
+        .select(col("vec_id"), col("cell"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      val centArr = cents.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val gated = asg.filter { case (_, c, v) => cos(v, centArr(c)) >= VectorOps.GateMinCos }
+      val dropped = (for {
+        (ia, ca, va) <- gated; (ib, cb, vb) <- gated
+        if ca == cb && ia < ib && cos(va, vb) >= 0.35
+      } yield ib).toSet
+      uncapped shouldBe gated.map(_._1).toSet.diff(dropped)
+    }
+  }
+
   describe("randomProjection") {
     it("projects a basis vector to exactly its matrix column over sqrt(RpDim)") {
       // v = e_5 → r_j = rpSigns(j)(5) / √8 for every output dim j

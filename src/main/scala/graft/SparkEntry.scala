@@ -1638,6 +1638,31 @@ object SparkEntry {
     // Recall vs label-centroids measured in VectorOpsSpec.
     "ann_ivf_kmeans_topk" -> ((s, dir) =>
       VectorOps.ivfTopK(Tables.embeddings(s, dir), coarse = Some(kmCentsOf(s, dir)))),
+    // THE scale-path IVF default (round 13): the OCCUPANCY-SIZED quantizer
+    // (k = ceil(N/64), memoized) bounds probed-cell size by a constant, so
+    // per-query work stays O(nprobe·occ) as the corpus grows — the fix for
+    // the measured 1.46 serving exponent of the fixed-k baseline
+    // (ann_ivf_topk, kept as the labeled pedagogical form). The oracle
+    // derives k from the same count/occupancy, so it is hash-green at any SF.
+    "ann_ivf_auto_topk" -> ((s, dir) => VectorOps.ivfTopK(
+      Tables.embeddings(s, dir), nprobe = 2, coarse = Some(kmCentsAutoOf(s, dir)))),
+    "ann_ivf_auto_recall_report" -> ((s, dir) => VectorOps.annRecallReport(
+      Tables.embeddings(s, dir), coarse = Some(kmCentsAutoOf(s, dir)))),
+    // The occupancy audit of that quantizer: derived k + per-cell
+    // occupancy spread — max_occupancy staying O(target) is the bound
+    // every downstream within-cell join rides on.
+    "quantizer_auto_report" -> ((s, dir) => {
+      val occ = VectorOps.assignCells(
+          Tables.embeddings(s, dir), kmCentsAutoOf(s, dir))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      occ.agg(
+        lit(VectorOps.QuantizerTargetOccupancy).cast("long").as("target_occupancy"),
+        count(lit(1)).cast("long").as("k_cells"),
+        sum(col("n")).cast("long").as("n_vectors"),
+        min(col("n")).cast("long").as("min_occupancy"),
+        max(col("n")).cast("long").as("max_occupancy"),
+        round(avg(col("n")), 6).as("avg_occupancy"))
+    }),
     // Product quantization: per-subspace Lloyd codebooks (4×16 over dim
     // 64) — the artifact a production pipeline persists beside the
     // compressed index.
@@ -2025,8 +2050,12 @@ object SparkEntry {
       org.apache.spark.sql.DataFrame) = {
     val d = artifactDirOf("ann-graph", s, dir) { tmp =>
       val emb = Tables.embeddings(s, dir)
-      val coarse = VectorOps.centroids(emb)
-        .select(col("label").as("cell"), col("centroid"))
+      // OCCUPANCY-SIZED quantizer (round 13, SCALING.md §4): the graph
+      // build's within-cell candidate join is quadratic in cell occupancy,
+      // and the fixed 10-cell label quantizer OOMed the x30 audit corpus;
+      // cells = ceil(N/64) bounds candidate volume linearly no matter the
+      // corpus. Resizes in production ride QuantizerRefresh.cutoverWithGraph.
+      val coarse = kmCentsAutoOf(s, dir)
       coarse.write.mode("overwrite").parquet(s"$tmp/cents")
       VectorOps.graphEdges(emb, coarse = Some(coarse))
         .write.mode("overwrite").parquet(s"$tmp/edges")
@@ -2145,6 +2174,22 @@ object SparkEntry {
     val arr = kmCentsMemo.synchronized {
       kmCentsMemo.getOrElseUpdate(s"km|${s.sparkContext.applicationId}|$dir", {
         VectorOps.kmeansCentroids(Tables.embeddings(s, dir), k = 10, iters = 3)
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      })
+    }
+    import s.implicits._
+    arr.toDF("cell", "centroid")
+  }
+
+  /** The OCCUPANCY-SIZED Lloyd quantizer (k = ceil(N/64), SCALING.md
+    * §3/§4's scale knob), memoized like kmCentsOf — the production
+    * quantizer the graph artifact and the auto-IVF tier serve under.
+    */
+  private[graft] def kmCentsAutoOf(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val arr = kmCentsMemo.synchronized {
+      kmCentsMemo.getOrElseUpdate(s"kmauto|${s.sparkContext.applicationId}|$dir", {
+        VectorOps.kmeansCentroidsAuto(Tables.embeddings(s, dir))
           .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
       })
     }
@@ -3147,6 +3192,9 @@ object SparkEntry {
     "ann_ivf_filtered_topk" ->
       DuckDbOracles.annIvfTopK(nprobe = 2, corpusFilter = "label % 2 = 0"),
     "ann_ivf_kmeans_topk" -> DuckDbOracles.annIvfKmeansTopK(),
+    "ann_ivf_auto_topk" -> DuckDbOracles.annIvfAutoTopK(),
+    "ann_ivf_auto_recall_report" -> DuckDbOracles.annIvfAutoRecallReport(),
+    "quantizer_auto_report" -> DuckDbOracles.quantizerAutoReport(),
     "pq_codebooks" -> DuckDbOracles.pqCodebooks,
     "pq_encode" -> DuckDbOracles.pqEncode,
     "pq_adc_topk" -> DuckDbOracles.pqAdcTopK(),

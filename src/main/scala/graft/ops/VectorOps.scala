@@ -517,6 +517,71 @@ object VectorOps {
     spark.createDataFrame(cents.toSeq.map { case (c, m) => (c, m) }).toDF("cell", "centroid")
   }
 
+  /** Target per-cell occupancy of the OCCUPANCY-SIZED coarse quantizer —
+    * the scale knob SCALING.md §3/§4 prescribe (the HNSW/DiskANN norm).
+    * A FIXED cell count makes per-cell membership grow ∝ N, so every
+    * within-cell candidate join is quadratic (the measured x30 graph-build
+    * OOM and the 1.46 IVF-serving exponent); cells = ⌈N / occupancy⌉
+    * bounds expected occupancy by a constant, making candidate volume
+    * linear in N (≤ 4·occ per posting for the probe-2 graph build, ≤
+    * nprobe·occ per query for IVF). 64 keeps the derived k inside
+    * `nearestCellExpr`'s literal bounds (k·dim ≤ 65536 and k < 1024)
+    * through the x30 audit corpus (60 k vectors → k = 938); past ~65 k
+    * vectors the assignment must switch to `assignCellsBcast` (the
+    * broadcast-join argmax, cells < 2²⁰).
+    */
+  val QuantizerTargetOccupancy = 64
+
+  /** ⌈n / targetOccupancy⌉, floored at 1 — shared verbatim (as
+    * ceil(count/occ)) with the generated dynamic-k oracle SQL, so both
+    * engines derive the same k from the same corpus.
+    */
+  def autoCellCount(n: Long, targetOccupancy: Int = QuantizerTargetOccupancy): Int =
+    math.max(1L, (n + targetOccupancy - 1) / targetOccupancy).toInt
+
+  /** Occupancy-sized Lloyd quantizer: one count job derives
+    * k = ⌈N/occupancy⌉, then the standard deterministic `kmeansCentroids`
+    * recipe (hashed-id init, 6dp-rounded cosine argmax, 6dp-rounded means
+    * per iteration). THE production default for every tier whose candidate
+    * generation is within-cell or probed-cell work — resizing as the
+    * corpus grows goes through `QuantizerRefresh.cutoverWithGraph` (the
+    * versioned commit-log handoff; a resize is just a cutover whose new
+    * centroid frame has a different k).
+    */
+  def kmeansCentroidsAuto(
+      emb: DataFrame,
+      targetOccupancy: Int = QuantizerTargetOccupancy,
+      iters: Int = 3): DataFrame =
+    kmeansCentroids(emb, autoCellCount(emb.count(), targetOccupancy), iters)
+
+  /** Broadcast-join cell assignment — the big-k twin of `assignCells` for
+    * quantizers past the literal-folding bound (the 100 TB regime, where
+    * cells ∝ N/occupancy outgrows `nearestCellExpr`'s k·dim ≤ 65536):
+    * corpus × broadcast (cell, centroid) rows, with the (ccos DESC, cell
+    * ASC) argmax packed into one long — enc = round(ccos,6)·10⁶·2²⁰ +
+    * (2²⁰−1−cell), exact in a Long for cells < 2²⁰ ≈ 1M — and folded
+    * MAP-SIDE by a plain max aggregation: the exchange carries one
+    * partial row per (vec_id, partition), never the N×k joined rows, and
+    * no corpus-wide window appears. Centroid norms are computed by the
+    * same left-to-right fold as the literal path's driver-side constants,
+    * so the rounded cosine — hence the argmax cell — is bit-identical to
+    * `assignCells` (spec-pinned). Output (vec_id, v, vn, cell).
+    */
+  def assignCellsBcast(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val c = broadcast(cents.select(col("cell"), col("centroid"),
+      sqrt(dot(col("centroid"), col("centroid"))).as("ccn")))
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("vn"))
+    val kcos = round(round(dot(col("v"), col("centroid")) / (col("vn") * col("ccn")), 6)
+      * lit(1000000.0), 0).cast("long")
+    val enc = kcos * lit(1048576L) + (lit(1048575L) - col("cell"))
+    v.join(c)
+      .groupBy(col("vec_id"), col("v"), col("vn"))
+      .agg(max(enc).as("enc"))
+      .select(col("vec_id"), col("v"), col("vn"),
+        (lit(1048575L) - pmod(col("enc"), lit(1048576L))).cast("int").as("cell"))
+  }
+
   /** Product-quantization geometry: m subspaces × k codewords. 4×16 over
     * dim 64 compresses each vector to 4 codes + one stored norm — the
     * memory path that makes a 100 TB ANN corpus RAM-resident (4 bytes +
@@ -1036,8 +1101,10 @@ object VectorOps {
     * pays); the comparison itself is an equi-join on (q_id, neighbor_id)
     * plus one per-query aggregate.
     */
-  def annRecallReport(emb: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame =
-    recallReport(emb, ivfTopK(emb, k, nprobe), k)
+  def annRecallReport(
+      emb: DataFrame, k: Int = 10, nprobe: Int = 2,
+      coarse: Option[DataFrame] = None): DataFrame =
+    recallReport(emb, ivfTopK(emb, k, nprobe, coarse), k)
 
   /** Shared recall@k + MRR skeleton every *RecallReport audit uses: brute
     * truth LEFT JOIN an approximate (q_id, rank, neighbor_id, …) ranking,

@@ -909,7 +909,7 @@ object DuckDbOracles {
          |  FROM ($src) zz2), $shCte, $sigCte
          |SELECT doc_id FROM sig""".stripMargin
     }
-    val graphSql = s"WITH $embCte, ${graphCtes(VectorOps.GraphDegree, VectorOps.GraphProbe)}"
+    val graphSql = s"WITH $embCte, ${graphCtesLabelMean(VectorOps.GraphDegree, VectorOps.GraphProbe)}"
     // one (artifact_table, count-subquery) list per request modality
     def docChecks(p: String): Seq[(String, String)] = Seq(
       "dedup_index.signatures" -> cnt(minhashSignatures, s"doc_id $p"),
@@ -2402,11 +2402,13 @@ object DuckDbOracles {
     * metrics from integer hits/ranks only.
     */
   /** Shared CTEs of the navigable-graph tier (VectorOps.graphEdges): the
-    * annIvfTopK label-mean quantizer, per-node top-`probe` cell postings,
-    * cell-co-member candidates, per-src top-`degree` pruning, symmetrized
-    * edge set. `gcand`/`edges` are MATERIALIZED — the beam rounds reference
-    * `edges` once per round and DuckDB's CTE inlining would otherwise
-    * re-expand the candidate join per reference (the k-core gotcha).
+    * OCCUPANCY-SIZED Lloyd quantizer (dynamic k = ceil(N/occupancy), the
+    * kmCentsAutoOf twin — round 13's SCALING.md §4 fix), per-node
+    * top-`probe` cell postings, cell-co-member candidates, per-src
+    * top-`degree` pruning, symmetrized edge set. `gcand`/`edges` are
+    * MATERIALIZED — the beam rounds reference `edges` once per round and
+    * DuckDB's CTE inlining would otherwise re-expand the candidate join
+    * per reference (the k-core gotcha).
     */
   /** Candidate → directed-top-degree → symmetrized edge CTE chain from a
     * postings CTE — shared by the layer-0 and layer-1 graph builds
@@ -2425,6 +2427,17 @@ object DuckDbOracles {
        |    UNION ALL SELECT dst AS src, src AS dst FROM directed$suffix))""".stripMargin
 
   private def graphCtes(degree: Int, probe: Int): String =
+    s"""${kmeansRankedCtes(autoKSql(), 3)},
+       |nposted AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r <= $probe),
+       |${graphEdgePruneCtes("nposted", "", degree)}""".stripMargin
+
+  /** The pre-round-13 LABEL-MEAN graph head, kept for the takedown
+    * report's graph tier (its Spark side builds the governance artifacts
+    * against VectorOps.centroids — the quantizer choice is irrelevant to
+    * the scrub mechanism the query certifies, and label means keep the
+    * oracle independent of the serving tier's occupancy knob).
+    */
+  private def graphCtesLabelMean(degree: Int, probe: Int): String =
     s"""dims AS (SELECT unnest(range(1, ${VectorOps.EmbeddingDim + 1})) AS pos),
        |comp AS (SELECT label, pos, avg(v[pos]) AS m FROM e, dims GROUP BY 1, 2),
        |cent AS (SELECT label AS cell, list(round(m, 6) ORDER BY pos) AS centroid
@@ -2923,12 +2936,24 @@ object DuckDbOracles {
     * loop unrollable; per-iteration 6dp rounding on BOTH engines stops
     * accumulation-order ulps compounding across iterations.
     */
-  private def kmeansAsgCtes(kmK: Int, iters: Int): String = {
+  private def kmeansAsgCtes(kmK: Int, iters: Int): String =
+    s"""${kmeansRankedCtes(kmK.toString, iters)},
+       |asg AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r = 1)""".stripMargin
+
+  /** The chain without the final `asg` CTE (dims, it0..itN, ranked_cells)
+    * for consumers that define their own assignment CTEs (the graph
+    * family's graphSeedCtes also emits an `asg`). `kmKSql` is any scalar
+    * SQL expression — an integer literal, or the DYNAMIC-K subquery
+    * `autoKSql` that derives k = ceil(count/occupancy) from the corpus
+    * itself, keeping the oracle hash-green at every SF without a
+    * hard-coded cell count.
+    */
+  private def kmeansRankedCtes(kmKSql: String, iters: Int): String = {
     val init =
       s"""it0 AS (SELECT CAST(rn - 1 AS INT) AS cell, v AS centroid FROM (
          |  SELECT v, row_number() OVER (
          |    ORDER BY (vec_id * 2654435761) % 2147483647, vec_id) AS rn FROM e)
-         |  WHERE rn <= $kmK)""".stripMargin
+         |  WHERE rn <= ($kmKSql))""".stripMargin
     val iterCtes = (1 to iters).map { n =>
       s"""it${n}_asg AS (SELECT vec_id, v, cell FROM (
          |  SELECT e.vec_id, e.v, c.cell,
@@ -2946,9 +2971,16 @@ object DuckDbOracles {
        |ranked_cells AS (SELECT e.vec_id, e.v, c.cell,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY round(${cosSql("e.v", "c.centroid")}, 6) DESC, c.cell ASC) AS r
-       |  FROM e CROSS JOIN it$iters c),
-       |asg AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r = 1)""".stripMargin
+       |  FROM e CROSS JOIN it$iters c)""".stripMargin
   }
+
+  /** The dynamic-k scalar subquery: k = ⌈count(e)/occupancy⌉, the SQL twin
+    * of VectorOps.autoCellCount — both engines derive the same k from the
+    * same corpus and the same occupancy constant.
+    */
+  private def autoKSql(
+      occ: Int = VectorOps.QuantizerTargetOccupancy): String =
+    s"SELECT greatest(1, CAST(ceil(count(*) / $occ.0) AS INT)) FROM e"
 
   /** Twin of VectorOps.kmeansCentroids + ivfTopK(coarse = kmeans). */
   def annIvfKmeansTopK(k: Int = 10, kmK: Int = 10, iters: Int = 3): String = {
@@ -2965,6 +2997,52 @@ object DuckDbOracles {
        |  FROM scored)
        |SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k""".stripMargin
   }
+
+  /** Twin of ivfTopK over the OCCUPANCY-SIZED quantizer (kmCentsAutoOf):
+    * the dynamic-k Lloyd chain + the annIvfKmeansTopK serving shape with
+    * r ≤ nprobe query probes. Hash-green at any SF because k derives from
+    * the corpus count on both engines.
+    */
+  def annIvfAutoTopK(
+      k: Int = 10, nprobe: Int = 2,
+      occ: Int = VectorOps.QuantizerTargetOccupancy, iters: Int = 3): String =
+    s"""WITH $embCte,
+       |${kmeansRankedCtes(autoKSql(occ), iters)},
+       |asg AS (SELECT vec_id, v, cell FROM ranked_cells WHERE r = 1),
+       |qasg AS (SELECT vec_id, v, cell FROM ranked_cells
+       |  WHERE r <= $nprobe AND vec_id % 100 = 0),
+       |scored AS (SELECT qa.vec_id AS q_id, ca.vec_id AS neighbor_id,
+       |    round(${cosSql("qa.v", "ca.v")}, 6) AS cos
+       |  FROM qasg qa JOIN asg ca
+       |    ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id),
+       |ranked AS (SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** recall@k + MRR of the auto-quantizer IVF path vs brute truth. */
+  def annIvfAutoRecallReport(k: Int = 10, nprobe: Int = 2): String =
+    recallReportSql(annIvfAutoTopK(k, nprobe), k)
+
+  /** Twin of the `quantizer_auto_report` query: the derived cell count and
+    * the per-cell occupancy distribution of the occupancy-sized quantizer —
+    * the one-row audit proving the cells ∝ N/occupancy discipline holds on
+    * the corpus at hand (max_occupancy staying O(target) is what bounds
+    * every within-cell join downstream).
+    */
+  def quantizerAutoReport(
+      occ: Int = VectorOps.QuantizerTargetOccupancy, iters: Int = 3): String =
+    s"""WITH $embCte,
+       |${kmeansRankedCtes(autoKSql(occ), iters)},
+       |asg AS (SELECT vec_id, cell FROM ranked_cells WHERE r = 1),
+       |occ AS (SELECT cell, count(*) AS n FROM asg GROUP BY 1)
+       |SELECT CAST($occ AS BIGINT) AS target_occupancy,
+       |  CAST(count(*) AS BIGINT) AS k_cells,
+       |  CAST(sum(n) AS BIGINT) AS n_vectors,
+       |  CAST(min(n) AS BIGINT) AS min_occupancy,
+       |  CAST(max(n) AS BIGINT) AS max_occupancy,
+       |  round(avg(n), 6) AS avg_occupancy
+       |FROM occ""".stripMargin
 
   /** Per-subspace PQ CTE chain (prefix p$s): sliced sub-vectors, the same
     * unrolled-Lloyd shape as kmeansAsgCtes (hashed-id init, 6dp-rounded

@@ -201,6 +201,12 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     "ivf_pq_refine_topk" -> Set("codegen-fallback"),
     "ivf_pq_refine_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     "ann_ivf_kmeans_topk" -> Set("nested-loop-join", "codegen-fallback"),
+    // the occupancy-sized scale default: pure cell equi-join (no BNLJ) —
+    // only the family's labeled fallbacks (interpreted k-row centroid
+    // ranking, bounded-heap top-k UDAF); its recall report adds the
+    // labeled all-pairs brute-TRUTH join like every other recall report
+    "ann_ivf_auto_topk" -> Set("codegen-fallback"),
+    "ann_ivf_auto_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     // planted near-dup copies use transform() on the every-20th slice —
     // interpreted on 5% of rows by design (exact ±1/64 double nudges)
     "embedding_lsh_pairs" -> Set("codegen-fallback"),

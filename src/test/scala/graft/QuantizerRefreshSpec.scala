@@ -244,6 +244,57 @@ class QuantizerRefreshSpec extends AnyFunSpec with Matchers with SparkSessionTes
     edgeSet(QuantizerRefresh.readActiveGraphEdges(spark, root, graphRoot)) shouldBe edges1
   }
 
+  it("a RESIZE is just a cutover whose quantizer has a different k: occupancy growth re-derives k and one commit flips cells AND edges") {
+    import graft.streaming.StreamingGraphAnn
+    val dir = java.nio.file.Files.createTempDirectory("graft-qresize").toString
+    val (root, graphRoot) = (s"$dir/index", s"$dir/graph")
+    val probe = 1
+
+    // qv=0: occupancy-sized quantizer over the INITIAL corpus
+    val corpus0 = initial ++ (0 until 2).flatMap(driftBatch)
+    val occ = 8
+    val cents0 = VectorOps.kmeansCentroidsAuto(embDf(corpus0), occ)
+    val k0 = cents0.count()
+    k0 shouldBe VectorOps.autoCellCount(corpus0.size.toLong, occ).toLong
+    StreamingAnnIngest.processBatch(
+      embDf(corpus0), 0L, cents0, QuantizerRefresh.versionDir(root, 0L))
+    StreamingGraphAnn.processBatch(
+      embDf(corpus0), 0L, cents0,
+      QuantizerRefresh.graphVersionDir(graphRoot, 0L), probe = probe)
+    QuantizerRefresh.commit(spark, root, 0L)
+
+    // the corpus grows past the occupancy budget of k0 cells; retraining
+    // under the same occupancy target derives a LARGER k — the resize
+    val corpus1 = corpus0 ++ (2 until 4).flatMap(driftBatch) ++
+      (0 until 16).map(i => (200L + i, unit(10.0 + i)))
+    StreamingAnnIngest.processBatch(
+      embDf(corpus1.diff(corpus0)), 1L, cents0, QuantizerRefresh.versionDir(root, 0L))
+    val cents1 = VectorOps.kmeansCentroidsAuto(embDf(corpus1), occ)
+    val k1 = cents1.count()
+    k1 shouldBe VectorOps.autoCellCount(corpus1.size.toLong, occ).toLong
+    k1 should be > k0 // the knob actually resized
+
+    // the sanctioned path: both tiers rebuilt against the k1 quantizer,
+    // published by ONE commit row
+    QuantizerRefresh.cutoverWithGraph(spark, root, graphRoot, 1L, cents1, probe = probe)
+    QuantizerRefresh.activeVersion(spark, root) shouldBe Some(1L)
+    val idx1 = QuantizerRefresh.readActiveIndex(spark, root)
+    idx1.count() shouldBe corpus1.size.toLong
+    idx1.select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap shouldBe
+      VectorOps.assignCells(embDf(corpus1), cents1)
+        .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // served cells now span the RESIZED quantizer's range
+    idx1.select("cell").distinct().count() should be > k0
+    // and the graph was re-derived under the same k1 cells, atomically
+    val edges1 = QuantizerRefresh.readActiveGraphEdges(spark, root, graphRoot)
+      .select("src", "dst", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    edges1 shouldBe VectorOps.graphEdges(
+        embDf(corpus1), probe = probe, coarse = Some(cents1))
+      .select("src", "dst", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
   it("serves nothing before the first commit, even if version files exist") {
     val dir = java.nio.file.Files.createTempDirectory("graft-qrefresh-boot").toString
     val root = s"$dir/index"

@@ -372,6 +372,49 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     }
   }
 
+  describe("occupancy-sized quantizer (autoCellCount / kmeansCentroidsAuto / assignCellsBcast)") {
+    it("autoCellCount is ceil(n/occ) floored at 1, matching the oracle's ceil(count/occ)") {
+      VectorOps.autoCellCount(500, 64) shouldBe 8
+      VectorOps.autoCellCount(2000, 64) shouldBe 32
+      VectorOps.autoCellCount(512, 64) shouldBe 8
+      VectorOps.autoCellCount(513, 64) shouldBe 9
+      VectorOps.autoCellCount(1, 64) shouldBe 1
+      VectorOps.autoCellCount(0, 64) shouldBe 1
+      VectorOps.autoCellCount(60000, 64) shouldBe 938 // the x30 audit corpus
+    }
+
+    it("kmeansCentroidsAuto derives k from the corpus and bounds realized occupancy near the target") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val cents = VectorOps.kmeansCentroidsAuto(emb)
+      val k = cents.count()
+      k should be <= VectorOps.autoCellCount(emb.count()).toLong
+      k should be >= 2L
+      val occ = VectorOps.assignCells(emb, cents)
+        .groupBy(col("cell")).count().collect().map(_.getLong(1))
+      occ.sum shouldBe emb.count()
+      // Lloyd balances but does not cap; the discipline's claim is the
+      // EXPECTED occupancy ≈ target, with skew bounded well under N
+      (occ.sum / occ.length) should be <= VectorOps.QuantizerTargetOccupancy.toLong
+    }
+
+    it("assignCellsBcast is bit-identical to the literal-folding assignCells") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val cents = VectorOps.kmeansCentroidsAuto(emb)
+      val centArr = cents.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      def asMap(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val lit = asMap(VectorOps.assignCells(emb, centArr))
+      val bc = asMap(VectorOps.assignCellsBcast(emb, cents))
+      bc shouldBe lit
+      // and the broadcast form's plan has no window / no corpus-wide sort
+      val plan = VectorOps.assignCellsBcast(emb, cents)
+        .queryExecution.executedPlan.toString
+      plan should not include "Window"
+    }
+  }
+
   describe("embeddingCurationPipeline (capped dedup stage is the default)") {
     it("dedupCap = MaxValue recovers the all-pairs baseline; the default cap only grows the survivor set") {
       val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")

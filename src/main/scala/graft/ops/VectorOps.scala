@@ -403,11 +403,53 @@ object VectorOps {
     * for streaming quantizer maintenance. Input needs (vec_id, embedding);
     * output carries (vec_id, v, cell).
     */
-  def assignCells(emb: DataFrame, centArr: Seq[(Int, Seq[Double])]): DataFrame =
-    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  def assignCells(emb: DataFrame, centArr: Seq[(Int, Seq[Double])]): DataFrame = {
+    val vn = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("vn"))
-      .select(col("vec_id"), col("v"),
-        nearestCellExpr(centArr, col("v"), col("vn")).as("cell"))
+    if (overLiteralBound(centArr))
+      bcastArgmax(vn, centArr).select(col("vec_id"), col("v"), col("cell"))
+    else vn.select(col("vec_id"), col("v"),
+      nearestCellExpr(centArr, col("v"), col("vn")).as("cell"))
+  }
+
+  /** Doubles budget above which cell assignment switches from the
+    * literal-folded argmax projection to the broadcast-join packed-long
+    * max (`bcastArgmax`): past ~k=64 cells at dim 64, the literal
+    * expression tree outgrows what Janino compiles into one whole-stage
+    * method and the scan drops to interpreted evaluation — the
+    * broadcast-join form stays codegen'd at ANY k (and is the only form
+    * once cells ∝ N/occupancy exceeds the 1024-cell packing bound).
+    * Both forms produce bit-identical assignments (spec-pinned), so the
+    * switch is purely a physical-plan choice.
+    */
+  val LiteralAssignBound = 4096
+
+  private def overLiteralBound(centArr: Seq[(Int, Seq[Double])]): Boolean =
+    centArr.size * centArr.headOption.map(_._2.size).getOrElse(0) > LiteralAssignBound
+
+  /** (vec_id, v, vn, cell) argmax assignment via broadcast join + map-side
+    * packed-long max over a (vec_id, v, vn) frame — see `assignCellsBcast`
+    * for the encoding contract (cells < 2²⁰; enc exact in a Long).
+    * Grouping keys carry v/vn so the broadcast join's co-located rows
+    * collapse to one partial row per vector map-side — the exchange moves
+    * N rows, never the N×k joined rows, and no re-join is needed.
+    */
+  private def bcastArgmax(
+      vn: DataFrame, centArr: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = vn.sparkSession
+    val cents = broadcast(
+      spark.createDataFrame(centArr.map { case (c, m) => (c, m) }).toDF("cell", "centroid")
+        .select(col("cell"), col("centroid"),
+          sqrt(dot(col("centroid"), col("centroid"))).as("ccn")))
+    val kcos = round(round(dot(col("v"), col("centroid")) / (col("vn") * col("ccn")), 6)
+      * lit(1000000.0), 0).cast("long")
+    val enc = kcos * lit(1048576L) + (lit(1048575L) - col("cell"))
+    vn.join(cents)
+      .groupBy(col("vec_id"), col("v"), col("vn"))
+      .agg(max(enc).as("enc"))
+      .select(col("vec_id"), col("v"), col("vn"),
+        (lit(1048575L) - pmod(col("enc"), lit(1048576L))).cast("int").as("cell"))
+  }
 
   /** Per-cell member count + 6dp-rounded mean vector over an assigned
     * frame — one hash agg with a k×dim-sized result (the driver-collect
@@ -506,9 +548,15 @@ object VectorOps {
     for (_ <- 0 until iters) {
       // assignment is a PURE PROJECTION over the corpus: the k centroids are
       // driver-side literals, so the nearest-cell argmax needs no ×k join
-      // fan-out, no exchange, no window (same shape as ivfTopK's corpus side)
-      val assigned = vn.select(col("vec_id"), col("v"),
-        nearestCellExpr(cents, col("v"), col("vn")).as("cell"))
+      // fan-out, no exchange, no window (same shape as ivfTopK's corpus
+      // side). Past the literal bound (occupancy-sized quantizers on large
+      // corpora) the broadcast-join packed-long max takes over — identical
+      // assignments, codegen'd at any k.
+      val assigned =
+        if (overLiteralBound(cents.toSeq))
+          bcastArgmax(vn, cents.toSeq).select(col("vec_id"), col("v"), col("cell"))
+        else vn.select(col("vec_id"), col("v"),
+          nearestCellExpr(cents, col("v"), col("vn")).as("cell"))
       val means = meanVector(assigned, "cell", "v",
         cents.headOption.map(_._2.size).getOrElse(EmbeddingDim))
       // k×dim doubles — empty cells drop out (standard Lloyd behavior)
@@ -568,18 +616,12 @@ object VectorOps {
     * `assignCells` (spec-pinned). Output (vec_id, v, vn, cell).
     */
   def assignCellsBcast(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val c = broadcast(cents.select(col("cell"), col("centroid"),
-      sqrt(dot(col("centroid"), col("centroid"))).as("ccn")))
-    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("vn"))
-    val kcos = round(round(dot(col("v"), col("centroid")) / (col("vn") * col("ccn")), 6)
-      * lit(1000000.0), 0).cast("long")
-    val enc = kcos * lit(1048576L) + (lit(1048575L) - col("cell"))
-    v.join(c)
-      .groupBy(col("vec_id"), col("v"), col("vn"))
-      .agg(max(enc).as("enc"))
-      .select(col("vec_id"), col("v"), col("vn"),
-        (lit(1048575L) - pmod(col("enc"), lit(1048576L))).cast("int").as("cell"))
+    val centArr: Array[(Int, Seq[Double])] = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    bcastArgmax(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("vn")),
+      centArr)
   }
 
   /** Product-quantization geometry: m subspaces × k codewords. 4×16 over
@@ -1187,11 +1229,19 @@ object VectorOps {
 
     // cast + norm in a child projection so the literal argmax does C+1 dots
     // per row (the norm feeds both the assignment and the final scoring);
-    // the metadata predicate filters FIRST, so excluded rows pay nothing
-    val corpus = corpusPred.fold(emb)(emb.filter(_))
+    // the metadata predicate filters FIRST, so excluded rows pay nothing.
+    // Past the literal bound the broadcast-join argmax takes over
+    // (identical assignment, codegen'd at any k — the occupancy-sized
+    // quantizer's serving shape).
+    val vn = corpusPred.fold(emb)(emb.filter(_))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
       .select(col("vec_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
-      .select(col("vec_id"), nearestCellExpr(centArr, col("cv"), col("cn")).as("cell"),
+    val corpus =
+      if (overLiteralBound(centArr))
+        bcastArgmax(vn.withColumnRenamed("cv", "v").withColumnRenamed("cn", "vn"), centArr)
+          .select(col("vec_id"), col("cell"), col("v").as("cv"), col("vn").as("cn"))
+      else vn.select(col("vec_id"),
+        nearestCellExpr(centArr, col("cv"), col("cn")).as("cell"),
         col("cv"), col("cn"))
 
     scoreProbes(corpus, querySet(emb), centArr, nprobe)
@@ -1427,10 +1477,12 @@ object VectorOps {
   def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
     val centArr: Array[(Int, Seq[Double])] = cents.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val vn = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("vn"))
-      .select(col("vec_id"), nearestCellExpr(centArr, col("v"), col("vn")).as("cell"),
-        col("v"), col("vn"))
+    if (overLiteralBound(centArr))
+      bcastArgmax(vn, centArr).select(col("vec_id"), col("cell"), col("v"), col("vn"))
+    else vn.select(col("vec_id"), nearestCellExpr(centArr, col("v"), col("vn")).as("cell"),
+      col("v"), col("vn"))
   }
 
   /** Shortlist size of the quantized first stage before exact re-rank. */
@@ -2238,15 +2290,41 @@ object VectorOps {
     */
   def probePostings(
       emb: DataFrame, centArr: Seq[(Int, Seq[Double])],
-      probe: Int = GraphProbe): DataFrame =
-    emb
+      probe: Int = GraphProbe): DataFrame = {
+    val base = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
       .select(col("vec_id"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
+    if (overLiteralBound(centArr)) {
+      // big-k path (occupancy-sized quantizers): broadcast join + the
+      // bounded-heap top-`probe` aggregator over the packed-long ranking —
+      // identical (ccos DESC, cell ASC) probe order (enc is unique per
+      // cell, exact in a Double below 2^53), map-side ≤probe partials
+      val spark = base.sparkSession
+      val cents = broadcast(
+        spark.createDataFrame(centArr.map { case (c, m) => (c, m) })
+          .toDF("cell", "centroid")
+          .select(col("cell"), col("centroid"),
+            sqrt(dot(col("centroid"), col("centroid"))).as("ccn")))
+      val kcos = round(round(dot(col("cv"), col("centroid")) / (col("cn") * col("ccn")), 6)
+        * lit(1000000.0), 0).cast("long")
+      val enc = kcos * lit(1048576L) + (lit(1048575L) - col("cell"))
+      val topk = udaf(new graft.functions.TopKAggregator(probe),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+      base.join(cents)
+        .groupBy(col("vec_id"), col("cv"), col("cn"))
+        .agg(topk(enc.cast("double"), col("cell").cast("long")).as("topk"))
+        .select(col("vec_id"), col("cv"), col("cn"),
+          posexplode(col("topk")).as(Seq("i", "t")))
+        .select(col("vec_id"), (col("i") + 1).cast("int").as("pr"),
+          col("t._2").cast("int").as("cell"), col("cv"), col("cn"))
+    } else base
       .select(col("vec_id"), col("cv"), col("cn"),
         posexplode(slice(rankedCellStructs(centArr, col("cv"), col("cn")), 1, probe))
           .as(Seq("i", "p")))
       .select(col("vec_id"), (col("i") + 1).cast("int").as("pr"),
         (-col("p.negCell")).cast("int").as("cell"), col("cv"), col("cn"))
+  }
 
   /** Per-src directed top-`degree` neighbor lists from a postings frame
     * (the build half of `graphEdges`, reusable over an ACCUMULATED

@@ -241,17 +241,19 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
   }
 
   describe("literal-expression plan-size guard") {
-    it("rejects a quantizer that would fold more than MaxLiteralDoubles into the plan") {
+    it("a quantizer past MaxLiteralDoubles routes through the broadcast-join assignment instead of throwing") {
       import spark.implicits._
       val emb = embDf(Seq((0L, Seq.fill(64)(0.1f), 0), (100L, Seq.fill(64)(0.2f), 0)))
-      // 1025 centroids x 64 dims = 65600 literal doubles > 65536
-      val huge = Seq.tabulate(1025)(i => (i, Seq.fill(64)(0.001 * i)))
+      // 1025 centroids x 64 dims = 65600 literal doubles > 65536 — the
+      // pre-round-13 literal path refused this; the dual-path assignment
+      // now serves it via bcastArgmax (nearestCellExpr is never built)
+      val huge = Seq.tabulate(1025)(i => (i, Seq.fill(64)(0.001 * (i + 1))))
         .toDF("cell", "centroid")
-      val ex = intercept[IllegalArgumentException] {
-        VectorOps.ivfTopK(emb, coarse = Some(huge))
-      }
-      ex.getMessage should include("MaxLiteralDoubles")
-      ex.getMessage should include("broadcast")
+      val got = VectorOps.ivfTopK(emb, k = 1, nprobe = 1025, coarse = Some(huge))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      // both corpus vectors are queries (id % 100 = 0); with every cell
+      // probed each finds the other — parallel vectors, cos = 1
+      got shouldBe Set((0L, 100L), (100L, 0L))
     }
 
     it("ivfTopK output is ranked exactly like the row_number form") {
@@ -395,6 +397,39 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
       // Lloyd balances but does not cap; the discipline's claim is the
       // EXPECTED occupancy ≈ target, with skew bounded well under N
       (occ.sum / occ.length) should be <= VectorOps.QuantizerTargetOccupancy.toLong
+    }
+
+    it("past the literal bound, assignment and probe postings switch to the broadcast-join path and stay exact") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      // k=80 × dim 64 = 5120 doubles > LiteralAssignBound → the big-k path
+      val cents = VectorOps.kmeansCentroids(emb, k = 80, iters = 2)
+      val centArr = cents.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      (centArr.length * 64) should be > VectorOps.LiteralAssignBound
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      // brute (ccos DESC, cell ASC) ranking per vector
+      def ranked(v: Array[Double]): Seq[Int] = centArr
+        .map { case (c, m) => (c, cos(v, m)) }
+        .sortBy { case (c, cc) => (-cc, c) }.map(_._1).toSeq
+      val gotAsg = VectorOps.assignCells(emb, cents)
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      gotAsg shouldBe vecs.map { case (id, v) => id -> ranked(v).head }
+      val gotPost = VectorOps.probePostings(emb,
+          centArr.map { case (c, m) => (c, m.toSeq) }.toSeq, probe = 2)
+        .select(col("vec_id"), col("pr"), col("cell")).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+      val expPost = vecs.flatMap { case (id, v) =>
+        ranked(v).take(2).zipWithIndex.map { case (c, i) => (id, i + 1) -> c }
+      }
+      gotPost shouldBe expPost
     }
 
     it("assignCellsBcast is bit-identical to the literal-folding assignCells") {

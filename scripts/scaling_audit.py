@@ -36,6 +36,12 @@ FAMILIES = {
     "embedding curation pipeline": ("embedding_curation_pipeline", "vecs"),
     "media curation pipeline": ("media_curation_pipeline", "docs"),
     "SAX similar pairs (user-quadratic band join)": ("ts_similarity_pairs", "events"),
+    # round-13 additions: the occupancy-sized quantizer tier and the
+    # bounded-output / capped serving twins of the quadratic families
+    "IVF serving (occupancy-sized quantizer)": ("ann_ivf_auto_topk", "vecs"),
+    "quantizer occupancy audit": ("quantizer_auto_report", "vecs"),
+    "SAX top-k similar per user (bounded output)": ("ts_similar_topk", "events"),
+    "media near-dup pairs (occupancy-capped)": ("media_neardup_pairs_capped", "docs"),
 }
 
 TABLE_FILES = {  # rows column -> parquet file whose count scales the family
@@ -49,9 +55,11 @@ def rows_of(base, scale):
     """Actual corpus row counts read from the parquet footers — a hard-coded
     table would silently fit exponents on wrong x-values if the corpora under
     --base were generated with different ScaleGen counts."""
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pds
     d = os.path.join(base, scale)
-    return {tbl: pq.read_metadata(os.path.join(d, f)).num_rows
+    # the corpora are Spark-written parquet DIRECTORIES; count_rows reads
+    # only footer metadata
+    return {tbl: pds.dataset(os.path.join(d, f), format="parquet").count_rows()
             for tbl, f in TABLE_FILES.items()}
 
 

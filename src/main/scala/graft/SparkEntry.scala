@@ -1878,6 +1878,17 @@ object SparkEntry {
     // the audited-cap discipline applied to the media tier.
     "media_neardup_pairs_capped" -> ((s, dir) => Multimodal.mediaNearDupPairsCapped(
       Multimodal.mediaTable(Multimodal.withPlantedMediaDups(Tables.documents(s, dir))))),
+    // ENTROPY-AWARE banding (SCALING.md §1, mitigation #1 — the OPQ trick
+    // applied to banding): bits ranked by measured balance and dealt
+    // round-robin into the bands, so correlated adjacent blocks split
+    // across bands and buckets stop concentrating on low-entropy corpora.
+    // The stats query is the side-by-side saturation audit vs the fixed
+    // banding; the pairs query composes the trained banding with the
+    // occupancy cap (both defenses on the serving path).
+    "media_entropy_band_stats" -> ((s, dir) => Multimodal.mediaEntropyBandStats(
+      Multimodal.mediaTable(Multimodal.withPlantedMediaDups(Tables.documents(s, dir))))),
+    "media_neardup_pairs_entropy" -> ((s, dir) => Multimodal.mediaNearDupPairsEntropy(
+      Multimodal.mediaTable(Multimodal.withPlantedMediaDups(Tables.documents(s, dir))))),
     // Perceptual retrieval: top-k banded candidates per query medium
     // ranked by exact Hamming — media similarity SEARCH served from the
     // StreamingMediaDedup-maintained fingerprint index; the oracle
@@ -3242,6 +3253,8 @@ object SparkEntry {
     "media_neardup_pairs" -> DuckDbOracles.mediaNearDupPairs(),
     "media_band_stats" -> DuckDbOracles.mediaBandStats(),
     "media_neardup_pairs_capped" -> DuckDbOracles.mediaNearDupPairsCapped(),
+    "media_entropy_band_stats" -> DuckDbOracles.mediaEntropyBandStats(),
+    "media_neardup_pairs_entropy" -> DuckDbOracles.mediaNearDupPairsEntropy(),
     "media_phash_topk" -> DuckDbOracles.mediaPhashTopK(),
     "media_dedup_apply" -> DuckDbOracles.mediaDedupApply(),
     "media_curation_pipeline" -> DuckDbOracles.mediaCurationPipeline(),

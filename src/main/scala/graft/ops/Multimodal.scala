@@ -473,6 +473,129 @@ object Multimodal {
       .distinct()
   }
 
+  // ======= ENTROPY-AWARE BANDING (SCALING.md §1, mitigation #1) =======
+  //
+  // The fixed banding slices the 64 blockhash bits into 4 CONSECUTIVE
+  // 16-bit words — on low-entropy corpora adjacent blocks correlate and
+  // whole band words concentrate on few values, so buckets grow ∝ corpus
+  // and the banded join's candidate volume goes quadratic (the measured
+  // 98× growth, SCALING.md §1). The OPQ trick applied to banding: MEASURE
+  // per-bit balance over a cohort, rank bits by |p(set) − 0.5| (most
+  // informative first, index tie-break), and deal them ROUND-ROBIN into
+  // the 4 bands — every band mixes high- and low-entropy bits and
+  // adjacent (correlated) blocks land in different bands. The assignment
+  // is a trained 64-int artifact exactly like a quantizer's centroids:
+  // train on a cohort, version it, cut it over with the QuantizerRefresh
+  // train/commit discipline (data-dependent, but stable under a version).
+
+  /** Per-bit set fraction over a fingerprint cohort — 64 driver-side
+    * doubles (the training statistic; exact integer counts divided once,
+    * so both engines derive identical doubles). Empty cohort → 0.5
+    * everywhere (identity-equivalent assignment).
+    */
+  def trainBitFractions(ph: DataFrame): Array[Double] = {
+    val aggs = count(lit(1)).cast("long").as("n") +:
+      (0 until PhashBlocks).map { b =>
+        sum(shiftright(col(s"pb${b / PhashBandBits}"), b % PhashBandBits)
+          .bitwiseAND(lit(1))).cast("long").as(s"b$b")
+      }
+    val row = ph.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    (0 until PhashBlocks).map { b =>
+      if (n == 0L) 0.5 else row.getLong(b + 1).toDouble / n
+    }.toArray
+  }
+
+  /** Deterministic band assignment from trained bit fractions: bits
+    * ranked by (|p − 0.5| ASC, bit ASC), rank r → band r mod 4 at word
+    * position r div 4. Returns bands(band)(pos) = source bit index — a
+    * permutation of 0..63 (spec-pinned).
+    */
+  def entropyBandAssignment(fracs: Array[Double]): Array[Array[Int]] = {
+    require(fracs.length == PhashBlocks, s"expected $PhashBlocks bit fractions")
+    val ranked = (0 until PhashBlocks).sortBy(b => (math.abs(fracs(b) - 0.5), b))
+    val bands = Array.fill(PhashBands)(new Array[Int](PhashBandBits))
+    ranked.zipWithIndex.foreach { case (bit, r) =>
+      bands(r % PhashBands)(r / PhashBands) = bit
+    }
+    bands
+  }
+
+  /** The entropy-banded word for one band: gather the band's assigned
+    * source bits into a fresh 16-bit word (pure codegen'd integer
+    * arithmetic over the stored pb words).
+    */
+  private def ebwCol(bits: Array[Int]): Column =
+    bits.zipWithIndex.map { case (bit, pos) =>
+      shiftleft(shiftright(col(s"pb${bit / PhashBandBits}"), bit % PhashBandBits)
+        .bitwiseAND(lit(1)), pos)
+    }.reduce(_ bitwiseOR _)
+
+  /** (media_id, pb0..pb3, band, bw) banding under a trained assignment —
+    * the entropy twin of `bandedPhash` (same downstream join shapes).
+    */
+  private def entropyBandedPhash(ph: DataFrame, asg: Array[Array[Int]]): DataFrame = {
+    val bandStructs = (0 until PhashBands).map(j =>
+      struct(lit(j).as("band"), ebwCol(asg(j)).cast("int").as("bw")))
+    ph.withColumn("b", explode(array(bandStructs: _*)))
+      .select(col("media_id") +: (0 until PhashBands).map(i => col(s"pb$i")) :+
+        col("b.band").as("band") :+ col("b.bw").as("bw"): _*)
+  }
+
+  /** The §1 saturation audit under ENTROPY-SELECTED bands — same columns
+    * as `mediaBandStats`, so a curator reads the two reports side by side
+    * and sees exactly what the trained banding buys (candidate_pairs and
+    * max_occupancy dropping on a low-entropy corpus; ≈unchanged on a
+    * high-entropy one). Training + audit are two linear passes.
+    */
+  def mediaEntropyBandStats(media: DataFrame, cap: Int = MediaBucketCap): DataFrame = {
+    val ph = perceptualHash(media).persist()
+    try {
+      val asg = entropyBandAssignment(trainBitFractions(ph))
+      entropyBandedPhash(ph, asg).groupBy(col("band"), col("bw"))
+        .agg(count(lit(1)).as("m"))
+        .groupBy(col("band"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          max(col("m")).as("max_occupancy"),
+          sum(col("m") * (col("m") - 1) / 2).cast("long").as("candidate_pairs"),
+          sum(when(col("m") > cap, 1L).otherwise(0L)).as("n_buckets_over_cap"),
+          sum(when(col("m") > cap, col("m") * (col("m") - 1) / 2)
+            .otherwise(lit(0.0))).cast("long").as("candidates_over_cap"))
+        .eagerCkpt
+    } finally ph.unpersist()
+  }
+
+  /** Perceptual near-dup pairs under the trained entropy banding, with
+    * the occupancy cap composed on top (both §1 defenses): candidates
+    * from any shared entropy-band bucket at-or-under `cap`, exact-Hamming
+    * verify over the ORIGINAL 64-bit fingerprint (banding never changes
+    * the distance, only candidate generation). Same output contract as
+    * the other pair variants.
+    */
+  def mediaNearDupPairsEntropy(
+      media: DataFrame, maxHam: Int = PhashMaxHam,
+      cap: Int = MediaBucketCap): DataFrame = {
+    val ph = perceptualHash(media).persist()
+    try {
+      val asg = entropyBandAssignment(trainBitFractions(ph))
+      val banded = entropyBandedPhash(ph, asg)
+      val small = banded.join(
+        banded.groupBy(col("band"), col("bw")).agg(count(lit(1)).as("m"))
+          .filter(col("m") <= cap).select(col("band"), col("bw")),
+        Seq("band", "bw"), "left_semi")
+      val a = small.as("a")
+      val b = small.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bw") === col("b.bw") &&
+          col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+          bandedHamming.cast("long").as("hamming"))
+        .filter(col("hamming") <= maxHam)
+        .distinct()
+        .eagerCkpt
+    } finally ph.unpersist()
+  }
+
   /** Deterministic near-identical media planting (the plantedCorpus /
     * withPlantedBoilerplate convention): every `PlantEvery`-th doc gains a
     * twin whose bytes 10-12 are overwritten — a small LOCAL edit the

@@ -3694,6 +3694,73 @@ object DuckDbOracles {
        |  JOIN phx pb ON pb.media_id = c.mb AND pb.band = pa.band
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** Entropy-banding CTE chain (twin of Multimodal.trainBitFractions /
+    * entropyBandAssignment / entropyBandedPhash): per-bit set fractions
+    * over the cohort, (|p−0.5| ASC, bit ASC) ranking, round-robin deal of
+    * rank r to band r mod 4 / position r div 4, and the re-gathered
+    * entropy band words `ephx` (same shape as phx). The division is one
+    * double over exact integer counts, so the ranking — hence the
+    * assignment — is engine-identical.
+    */
+  private def mediaEntropyCtes: String = {
+    val (bands, bits) =
+      (graft.ops.Multimodal.PhashBands, graft.ops.Multimodal.PhashBandBits)
+    s"""ebits AS MATERIALIZED (SELECT phx.media_id, phx.band * $bits + i.i AS bit,
+       |    (phx.bw >> i.i) & 1 AS v
+       |  FROM phx, (SELECT CAST(unnest(range(0, $bits)) AS INT) AS i) i),
+       |efrac AS (SELECT bit, CAST(sum(v) AS DOUBLE) / (SELECT count(*) FROM m) AS p
+       |  FROM ebits GROUP BY 1),
+       |erank AS (SELECT bit,
+       |    row_number() OVER (ORDER BY abs(p - 0.5) ASC, bit ASC) - 1 AS r
+       |  FROM efrac),
+       |ephx AS MATERIALIZED (SELECT eb.media_id, CAST(rk.r % $bands AS INT) AS band,
+       |    CAST(sum(eb.v << CAST(rk.r // $bands AS INT)) AS INT) AS bw
+       |  FROM ebits eb JOIN erank rk USING (bit) GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Twin of Multimodal.mediaEntropyBandStats — the §1 saturation audit
+    * under the trained banding, same columns as mediaBandStats.
+    */
+  def mediaEntropyBandStats(cap: Int = graft.ops.Multimodal.MediaBucketCap): String =
+    s"""WITH $mediaPhashCtes,
+       |$mediaEntropyCtes,
+       |occ AS (SELECT band, bw, count(*) AS m FROM ephx GROUP BY 1, 2)
+       |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(max(m) AS BIGINT) AS max_occupancy,
+       |  CAST(sum(m * (m - 1) // 2) AS BIGINT) AS candidate_pairs,
+       |  CAST(sum(CASE WHEN m > $cap THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_buckets_over_cap,
+       |  CAST(sum(CASE WHEN m > $cap THEN m * (m - 1) // 2 ELSE 0 END) AS BIGINT)
+       |    AS candidates_over_cap
+       |FROM occ GROUP BY band""".stripMargin
+
+  /** Twin of Multimodal.mediaNearDupPairsEntropy: entropy-banded capped
+    * candidates; the exact-Hamming verify still reads the ORIGINAL band
+    * words.
+    */
+  def mediaNearDupPairsEntropy(
+      maxHam: Int = graft.ops.Multimodal.PhashMaxHam,
+      cap: Int = graft.ops.Multimodal.MediaBucketCap): String =
+    s"""WITH $mediaPhashCtes,
+       |$mediaEntropyCtes,
+       |occ AS (SELECT band, bw, count(*) AS m FROM ephx GROUP BY 1, 2),
+       |phs AS (SELECT ephx.* FROM ephx
+       |  JOIN occ ON ephx.band = occ.band AND ephx.bw = occ.bw
+       |  WHERE occ.m <= $cap),
+       |cand AS (SELECT a.media_id AS ma, b.media_id AS mb
+       |  FROM phs a JOIN phs b
+       |    ON a.band = b.band AND a.bw = b.bw AND a.media_id < b.media_id
+       |  GROUP BY 1, 2),
+       |hams AS MATERIALIZED (SELECT c.ma, c.mb,
+       |    CAST(sum(bit_count(xor(CAST(pa.bw AS BIGINT), CAST(pb.bw AS BIGINT)))) AS BIGINT)
+       |      AS hamming
+       |  FROM cand c
+       |  JOIN phx pa ON pa.media_id = c.ma
+       |  JOIN phx pb ON pb.media_id = c.mb AND pb.band = pa.band
+       |  GROUP BY 1, 2)
+       |SELECT ma AS media_a, mb AS media_b, hamming
+       |FROM hams WHERE hamming <= $maxHam""".stripMargin
+
   /** Twin of Multimodal.mediaNearDupPairsCapped. */
   def mediaNearDupPairsCapped(
       maxHam: Int = graft.ops.Multimodal.PhashMaxHam,

@@ -181,6 +181,47 @@ class MultimodalSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapp
       }
     }
 
+    it("entropy-selected bands spread a low-entropy corpus and still pair the planted twin") {
+      // LOW-ENTROPY corpus: blocks 0-47 are a constant alternation shared
+      // by every payload (48 dead bits), blocks 48-63 vary per doc — the
+      // FIXED banding puts the 48 dead bits in bands 0-2 (three
+      // corpus-sized buckets, quadratic candidates); the trained banding
+      // deals the 16 live bits across all four bands
+      def payload(seed: Long): String =
+        (0 until 48).map(b => if (b % 2 == 0) lowBlk else highBlk).mkString +
+          hashChars(128, seed)
+      val twinA = payload(7)
+      val twinB = highBlk + twinA.substring(8) // one-block local edit
+      val fillers = (100L until 140L).map(i => (i, payload(i), "en", "s1"))
+      val docs = docsDf(Seq((1L, twinA, "en", "s1"), (2L, twinB, "en", "s1")) ++ fillers)
+      val media = Multimodal.mediaTable(docs)
+
+      // the trained assignment is a permutation of the 64 bits, 4 x 16,
+      // and training is deterministic
+      val ph = Multimodal.perceptualHash(media)
+      val fr = Multimodal.trainBitFractions(ph)
+      val asg = Multimodal.entropyBandAssignment(fr)
+      asg.length shouldBe 4
+      asg.foreach(_.length shouldBe 16)
+      asg.flatten.sorted.toSeq shouldBe (0 until 64)
+      Multimodal.entropyBandAssignment(Multimodal.trainBitFractions(ph))
+        .map(_.toSeq).toSeq shouldBe asg.map(_.toSeq).toSeq
+
+      def totals(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val rows = df.collect().map(r => (r.getLong(2), r.getLong(3)))
+        (rows.map(_._1).max, rows.map(_._2).sum) // (max occupancy, Σ candidates)
+      }
+      val (fixedMax, fixedCand) = totals(Multimodal.mediaBandStats(media))
+      val (entMax, entCand) = totals(Multimodal.mediaEntropyBandStats(media))
+      fixedMax shouldBe 42L // the dead bands hold the whole corpus
+      entMax should be < fixedMax
+      entCand should be < fixedCand / 4 // the spread has real bite
+      // and the serving twin still surfaces the planted local-edit pair
+      val pairs = Multimodal.mediaNearDupPairsEntropy(media).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs should contain((1L, 2L))
+    }
+
     it("capped-pair survivorship refines the uncapped survivorship: capped CC drops ⊆ uncapped CC drops") {
       // the media_curation_pipeline monotonicity argument: capped pairs
       // are a subgraph, so capped components refine uncapped ones, and a

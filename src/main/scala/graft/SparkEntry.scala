@@ -458,6 +458,12 @@ object SparkEntry {
     // emission is |users| x k regardless of saturation).
     "ts_similar_topk" -> ((s, dir) =>
       graft.ops.TimeSeries.saxSimilarTopK(Tables.events(s, dir))),
+    // Per-band SAX saturation audit (the mediaBandStats discipline): the
+    // 64-value band words saturate ∝ users with no entropy to
+    // redistribute, so the occupancy cap is the serving tier's only
+    // linear-work guarantee — this report prices what it skips.
+    "ts_band_stats" -> ((s, dir) =>
+      graft.ops.TimeSeries.saxBandStats(Tables.events(s, dir))),
 
     // Rolling z-score anomaly detection: each value vs its user's trailing
     // window (current row excluded), 6dp-rounded moments before the flag
@@ -2666,6 +2672,7 @@ object SparkEntry {
 
     "ts_similarity_pairs" -> DuckDbOracles.saxSimilarPairs(),
     "ts_similar_topk" -> DuckDbOracles.saxSimilarTopK(),
+    "ts_band_stats" -> DuckDbOracles.saxBandStats(),
 
     "cusum_changepoints" -> DuckDbOracles.cusumChangepoints,
     "rolling_zscore_anomalies" ->

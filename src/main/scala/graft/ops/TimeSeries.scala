@@ -465,22 +465,37 @@ object TimeSeries {
     finally z.unpersist()
   }
 
+  /** Bucket-occupancy cap for the SAX band join (the audited-cap
+    * discipline, round 13): the 3-symbol band words range over only 4³ =
+    * 64 values, so buckets grow ∝ users and the banded join's candidate
+    * volume is quadratic no matter how the output is bounded (the round-13
+    * re-measure caught `ts_similar_topk` growing 2.4× for 3× rows with the
+    * uncapped join). Unlike the media tier there is no entropy to
+    * redistribute — 64 possible words IS the sketch's capacity — so the
+    * cap is the only linear-work guarantee; `ts_band_stats` prices the
+    * recall trade per band.
+    */
+  val SaxBucketCap = 128
+
   /** Bounded-output similarity SERVING: per user, the k nearest banded
     * candidates by exact z-normalized distance — the production shape at
     * scale, because the all-pairs contract's output is itself quadratic
     * in SAX-word bucket occupancy (SCALING.md §2) while top-k output is
     * |users|·k no matter how the buckets saturate. Candidate generation
-    * is the same banded equi-join; only the emission is capped, by a
-    * per-user window rank (partitioned by user — never a global sort).
+    * is the banded equi-join under the occupancy cap (work ≤
+    * |users|·2·cap — linear; cap = Int.MaxValue recovers the uncapped
+    * join bit-exactly); emission is capped by a per-user window rank
+    * (partitioned by user — never a global sort).
     */
   def saxSimilarTopK(
       events: DataFrame,
       start: String = SaxStart,
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      cap: Int = SaxBucketCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val z = saxZ(events, start).persist()
     try {
-      val dist = saxCandDist(z)
+      val dist = saxCandDist(z, cap)
       val symd = dist
         .select(col("ua").as("user_id"), col("ub").as("neighbor_id"), col("dist"))
         .unionByName(dist
@@ -498,10 +513,10 @@ object TimeSeries {
       z: DataFrame, threshold: Double): DataFrame =
     saxCandDist(z).filter(col("dist") <= threshold)
 
-  /** Banded candidates with their exact verify distance (ua < ub, no
-    * threshold) — shared by the all-pairs and top-k emissions.
+  /** The per-band word table (user_id, band, h) behind the candidate
+    * join — shared by the pair/top-k paths and the saturation audit.
     */
-  private def saxCandDist(z: DataFrame): DataFrame = {
+  private def saxBands(z: DataFrame): DataFrame = {
     val sym = z.select(col("user_id"), col("seg"),
       when(col("zv") < -SaxBreak, "a")
         .when(col("zv") < 0, "b")
@@ -511,10 +526,24 @@ object TimeSeries {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("seg"), col("s")))), t => t("s")),
         "").as("w"))
-    val bands = word.select(col("user_id"), lit(0).as("band"),
+    word.select(col("user_id"), lit(0).as("band"),
         substring(col("w"), 1, SaxBandLen).as("h"))
       .union(word.select(col("user_id"), lit(1).as("band"),
         substring(col("w"), SaxBandLen + 1, SaxBandLen).as("h")))
+  }
+
+  /** Banded candidates with their exact verify distance (ua < ub, no
+    * threshold) — shared by the all-pairs and top-k emissions. Buckets
+    * above `cap` are skipped (Int.MaxValue = the uncapped baseline).
+    */
+  private def saxCandDist(z: DataFrame, cap: Int = Int.MaxValue): DataFrame = {
+    val bands0 = saxBands(z)
+    val bands =
+      if (cap == Int.MaxValue) bands0
+      else bands0.join(
+        bands0.groupBy(col("band"), col("h")).agg(count(lit(1)).as("m"))
+          .filter(col("m") <= cap).select(col("band"), col("h")),
+        Seq("band", "h"), "left_semi")
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.user_id") < col("b.user_id"))
@@ -525,6 +554,31 @@ object TimeSeries {
       .join(z.select(col("user_id").as("ub"), col("seg"), col("zv").as("zb")), Seq("ub", "seg"))
       .groupBy(col("ua"), col("ub"))
       .agg(round(sqrt(sum(pow(col("za") - col("zb"), 2))), 6).as("dist"))
+  }
+
+  /** Per-band saturation audit of the SAX banding (the mediaBandStats
+    * shape): bucket counts, the largest bucket, total candidate volume
+    * Σ C(m,2), and what the occupancy cap skips — the report a curator
+    * reads before trusting either SAX emission at a new corpus. One
+    * groupBy over 2·|users| band rows — linear, unlike the join it audits.
+    */
+  def saxBandStats(
+      events: DataFrame, start: String = SaxStart,
+      cap: Int = SaxBucketCap): DataFrame = {
+    val z = saxZ(events, start).persist()
+    try {
+      saxBands(z).groupBy(col("band"), col("h"))
+        .agg(count(lit(1)).as("m"))
+        .groupBy(col("band"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          max(col("m")).as("max_occupancy"),
+          sum(col("m") * (col("m") - 1) / 2).cast("long").as("candidate_pairs"),
+          sum(when(col("m") > cap, 1L).otherwise(0L)).as("n_buckets_over_cap"),
+          sum(when(col("m") > cap, col("m") * (col("m") - 1) / 2)
+            .otherwise(lit(0.0))).cast("long").as("candidates_over_cap"))
+        .eagerCkpt
+    } finally z.unpersist()
   }
 
   /** Rolling z-score anomaly detection: each event's value against the

@@ -254,12 +254,14 @@ object DuckDbOracles {
     s"""WITH ${saxDistCtes(start)}
        |SELECT ua, ub, dist FROM dist WHERE dist <= $threshold""".stripMargin
 
-  /** Twin of TimeSeries.saxSimilarTopK — the same banded candidates +
-    * exact verify, symmetric emission, per-user rank capped at k.
+  /** Twin of TimeSeries.saxSimilarTopK — the banded candidates under the
+    * occupancy cap + exact verify, symmetric emission, per-user rank
+    * capped at k.
     */
   def saxSimilarTopK(
-      start: String = graft.ops.TimeSeries.SaxStart, k: Int = 5): String =
-    s"""WITH ${saxDistCtes(start)},
+      start: String = graft.ops.TimeSeries.SaxStart, k: Int = 5,
+      cap: Int = graft.ops.TimeSeries.SaxBucketCap): String =
+    s"""WITH ${saxDistCtes(start, Some(cap))},
        |sym2 AS (SELECT ua AS user_id, ub AS neighbor_id, dist FROM dist
        |  UNION ALL SELECT ub, ua, dist FROM dist),
        |ranked AS (SELECT user_id, neighbor_id, dist,
@@ -268,10 +270,49 @@ object DuckDbOracles {
        |  FROM sym2)
        |SELECT user_id, rank, neighbor_id, dist FROM ranked WHERE rank <= $k""".stripMargin
 
-  /** SAX word/banding/verify CTE chain through `dist` (ua < ub, no
-    * threshold) — shared by the all-pairs and top-k twins.
+  /** Twin of TimeSeries.saxBandStats — the per-band saturation audit of
+    * the SAX banding (mediaBandStats shape).
     */
-  private def saxDistCtes(start: String): String = {
+  def saxBandStats(
+      start: String = graft.ops.TimeSeries.SaxStart,
+      cap: Int = graft.ops.TimeSeries.SaxBucketCap): String =
+    s"""WITH ${saxWordCtes(start)},
+       |occ AS (SELECT band, h, count(*) AS m FROM bands GROUP BY 1, 2)
+       |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(max(m) AS BIGINT) AS max_occupancy,
+       |  CAST(sum(m * (m - 1) // 2) AS BIGINT) AS candidate_pairs,
+       |  CAST(sum(CASE WHEN m > $cap THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_buckets_over_cap,
+       |  CAST(sum(CASE WHEN m > $cap THEN m * (m - 1) // 2 ELSE 0 END) AS BIGINT)
+       |    AS candidates_over_cap
+       |FROM occ GROUP BY band""".stripMargin
+
+  /** SAX word/banding/verify CTE chain through `dist` (ua < ub, no
+    * threshold) — shared by the all-pairs and top-k twins. `cap` =
+    * Some(n) restricts candidates to buckets of occupancy ≤ n (the
+    * serving path); None is the all-pairs baseline.
+    */
+  private def saxDistCtes(start: String, cap: Option[Int] = None): String = {
+    val candSrc = cap.fold("bands") { c =>
+      s"""(SELECT bands.* FROM bands
+         |    JOIN (SELECT band, h FROM (SELECT band, h, count(*) AS m
+         |      FROM bands GROUP BY 1, 2) WHERE m <= $c) sm
+         |    ON bands.band = sm.band AND bands.h = sm.h)""".stripMargin
+    }
+    s"""${saxWordCtes(start)},
+       |cand AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+       |  FROM $candSrc a JOIN $candSrc b
+       |    ON a.band = b.band AND a.h = b.h AND a.user_id < b.user_id),
+       |dist AS (SELECT ua, ub, round(sqrt(sum((za.zv - zb.zv)^2)), 6) AS dist
+       |  FROM cand JOIN z za ON ua = za.user_id
+       |    JOIN z zb ON ub = zb.user_id AND za.seg = zb.seg
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The SAX PAA/z-norm/word/banding chain through `z` and `bands` —
+    * shared by the pair/top-k twins and the saturation audit.
+    */
+  private def saxWordCtes(start: String): String = {
     val ts = graft.ops.TimeSeries
     s"""ev AS (SELECT user_id,
        |    CAST(date_diff('day', TIMESTAMP '$start', ts) AS INT) AS d, value
@@ -285,7 +326,7 @@ object DuckDbOracles {
        |  FROM grid g LEFT JOIN seg s ON g.user_id = s.user_id AND g.seg = s.seg),
        |stats AS (SELECT user_id, round(avg(segv), 6) AS mu,
        |    round(stddev_samp(segv), 6) AS sd FROM full_seg GROUP BY 1),
-       |z AS (SELECT f.user_id, f.seg,
+       |z AS MATERIALIZED (SELECT f.user_id, f.seg,
        |    CASE WHEN sd > 0 THEN round((segv - mu) / sd, 6) ELSE 0.0 END AS zv
        |  FROM full_seg f JOIN stats USING (user_id)),
        |sym AS (SELECT user_id, seg,
@@ -293,16 +334,10 @@ object DuckDbOracles {
        |         WHEN zv < ${ts.SaxBreak} THEN 'c' ELSE 'd' END AS s
        |  FROM z),
        |word AS (SELECT user_id, string_agg(s, '' ORDER BY seg) AS w FROM sym GROUP BY 1),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT user_id, 0 AS band, substring(w, 1, ${ts.SaxBandLen}) AS h FROM word
-       |  UNION ALL SELECT user_id, 1, substring(w, ${ts.SaxBandLen + 1}, ${ts.SaxBandLen}) FROM word),
-       |cand AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.h = b.h AND a.user_id < b.user_id),
-       |dist AS (SELECT ua, ub, round(sqrt(sum((za.zv - zb.zv)^2)), 6) AS dist
-       |  FROM cand JOIN z za ON ua = za.user_id
-       |    JOIN z zb ON ub = zb.user_id AND za.seg = zb.seg
-       |  GROUP BY 1, 2)""".stripMargin
+       |  UNION ALL SELECT user_id, 1, substring(w, ${ts.SaxBandLen + 1}, ${ts.SaxBandLen}) FROM word)"""
+      .stripMargin
   }
 
   /** Twin of Profile.profile over the events table: one UNION ALL branch

@@ -119,6 +119,48 @@ class WindowPropertySpec extends AnyFunSpec with Matchers with SparkSessionTestW
         .map(r => (r.getLong(0), r.getLong(2)))
       top1.toSet shouldBe Set((1L, 2L), (2L, 1L), (3L, 1L))
     }
+
+    it("the occupancy cap skips saturated SAX buckets, the stats account for exactly what it skipped, and cap=∞ reproduces the uncapped serve") {
+      import spark.implicits._
+      def mk(uid: Long, pattern: Int => Double) =
+        (0 until 30).flatMap { d =>
+          val n = math.max(1, pattern(d).toInt)
+          (0 until n).map(i =>
+            (uid * 1000 + d * 10 + i, uid,
+              new java.sql.Timestamp(
+                java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+                  d * 86400000L + i * 1000L),
+              pattern(d)))
+        }
+      // a 12-user CROWD of the identical front-loaded shape (one saturated
+      // word bucket) + a 2-user pair on a distinct shape (a small bucket)
+      val front = (d: Int) => if (d < 10) 9.0 else 1.0
+      val mid = (d: Int) => if (d >= 10 && d < 20) 9.0 else 1.0
+      val ev = ((1L to 12L).flatMap(u => mk(u, front)) ++
+        mk(20L, mid) ++ mk(21L, mid))
+        .toDF("event_id", "user_id", "ts", "value")
+      // cap below the crowd: the crowd emits nothing, the small-bucket
+      // pair still serves
+      val capped = graft.ops.TimeSeries.saxSimilarTopK(ev, k = 3, cap = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      capped shouldBe Set((20L, 21L), (21L, 20L))
+      // cap above every occupancy: identical to the uncapped serve
+      val unc = graft.ops.TimeSeries.saxSimilarTopK(ev, k = 3, cap = Int.MaxValue)
+        .collect().map(_.toSeq).toSet
+      graft.ops.TimeSeries.saxSimilarTopK(ev, k = 3, cap = 100)
+        .collect().map(_.toSeq).toSet shouldBe unc
+      // the audit accounts for exactly the skipped volume
+      val stats = graft.ops.TimeSeries.saxBandStats(ev, cap = 8).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+      stats.keySet shouldBe Set(0, 1)
+      stats.values.foreach { case (_, maxOcc, candAll, nOver, candOver) =>
+        maxOcc shouldBe 12L            // the crowd saturates both bands
+        nOver shouldBe 1L
+        candOver shouldBe (12L * 11) / 2
+        candAll shouldBe candOver + 1L // + the C(2,2)=1 small-bucket pair
+      }
+    }
   }
 
   describe("rollingZscore") {

@@ -39,6 +39,7 @@ FAMILIES = {
     # round-13 additions: the occupancy-sized quantizer tier and the
     # bounded-output / capped serving twins of the quadratic families
     "IVF serving (occupancy-sized quantizer)": ("ann_ivf_auto_topk", "vecs"),
+    "IVF serving (occupancy quantizer, from index)": ("ann_ivf_auto_from_index_topk", "vecs"),
     "quantizer occupancy audit": ("quantizer_auto_report", "vecs"),
     "SAX top-k similar per user (bounded output)": ("ts_similar_topk", "events"),
     "media near-dup pairs (occupancy-capped)": ("media_neardup_pairs_capped", "docs"),

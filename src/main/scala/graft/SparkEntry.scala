@@ -1654,6 +1654,20 @@ object SparkEntry {
       Tables.embeddings(s, dir), nprobe = 2, coarse = Some(kmCentsAutoOf(s, dir)))),
     "ann_ivf_auto_recall_report" -> ((s, dir) => VectorOps.annRecallReport(
       Tables.embeddings(s, dir), coarse = Some(kmCentsAutoOf(s, dir)))),
+    // Auto-IVF served FROM the maintained cell index (the ann-graph
+    // artifact's pre-assigned (vec_id, cell, cv, cn) table — in
+    // production, what StreamingAnnIngest accumulates): the inline form
+    // above re-assigns the whole corpus per invocation, which at
+    // k = N/occ cells is N·k = N²/occ work (the x30 audit measured it as
+    // a 1.32 serving exponent); paying assignment once at ingest leaves
+    // serving only query probing + the bounded cell equi-join. Same
+    // oracle as the inline query — assignment is deterministic, so
+    // hash-green certifies from-index ≡ inline.
+    "ann_ivf_auto_from_index_topk" -> ((s, dir) => {
+      val (_, index, coarse) = annGraphOf(s, dir)
+      VectorOps.ivfTopKFromIndex(index,
+        VectorOps.querySet(Tables.embeddings(s, dir)), coarse, nprobe = 2)
+    }),
     // The occupancy audit of that quantizer: derived k + per-cell
     // occupancy spread — max_occupancy staying O(target) is the bound
     // every downstream within-cell join rides on.
@@ -3234,6 +3248,7 @@ object SparkEntry {
       DuckDbOracles.annIvfTopK(nprobe = 2, corpusFilter = "label % 2 = 0"),
     "ann_ivf_kmeans_topk" -> DuckDbOracles.annIvfKmeansTopK(),
     "ann_ivf_auto_topk" -> DuckDbOracles.annIvfAutoTopK(),
+    "ann_ivf_auto_from_index_topk" -> DuckDbOracles.annIvfAutoTopK(),
     "ann_ivf_auto_recall_report" -> DuckDbOracles.annIvfAutoRecallReport(),
     "quantizer_auto_report" -> DuckDbOracles.quantizerAutoReport(),
     "pq_codebooks" -> DuckDbOracles.pqCodebooks,

@@ -206,6 +206,9 @@ class PlanAuditSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
     // ranking, bounded-heap top-k UDAF); its recall report adds the
     // labeled all-pairs brute-TRUTH join like every other recall report
     "ann_ivf_auto_topk" -> Set("codegen-fallback"),
+    // from-index twin: the same serving expressions over the pre-assigned
+    // artifact (assignment paid at ingest) — same labeled fallbacks
+    "ann_ivf_auto_from_index_topk" -> Set("codegen-fallback"),
     "ann_ivf_auto_recall_report" -> Set("nested-loop-join", "codegen-fallback"),
     // planted near-dup copies use transform() on the every-20th slice —
     // interpreted on 5% of rows by design (exact ±1/64 double nudges)

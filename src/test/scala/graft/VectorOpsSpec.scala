@@ -432,6 +432,24 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
       gotPost shouldBe expPost
     }
 
+    it("ivfTopKFromIndex over the pre-assigned corpus is row-identical to the inline auto-IVF serve") {
+      val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val cents = VectorOps.kmeansCentroidsAuto(emb)
+      val centArr = cents.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      // the index shape StreamingAnnIngest maintains / annGraphOf persists
+      val index = VectorOps.assignCells(emb, centArr)
+        .select(col("vec_id"), col("cell"), col("v").as("cv"),
+          sqrt(graft.functions.ArrayDotProduct.dot(col("v"), col("v"))).as("cn"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val fromIndex = rows(VectorOps.ivfTopKFromIndex(
+        index, VectorOps.querySet(emb), cents, nprobe = 2))
+      val inline = rows(VectorOps.ivfTopK(emb, nprobe = 2, coarse = Some(cents)))
+      fromIndex shouldBe inline
+      fromIndex should not be empty
+    }
+
     it("assignCellsBcast is bit-identical to the literal-folding assignCells") {
       val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
       val cents = VectorOps.kmeansCentroidsAuto(emb)

@@ -420,9 +420,14 @@ object VectorOps {
     * broadcast-join form stays codegen'd at ANY k (and is the only form
     * once cells ∝ N/occupancy exceeds the 1024-cell packing bound).
     * Both forms produce bit-identical assignments (spec-pinned), so the
-    * switch is purely a physical-plan choice.
+    * switch is purely a physical-plan choice. Measured crossover: even at
+    * k=32 (2048 doubles) the literal trees cost ~3-4 s of plan/codegen per
+    * serve while the broadcast form stays sub-second (scale-audit x1 vs x3
+    * on the auto quantizer), so the bound sits at 1024 — k ≤ 16 quantizers
+    * (the fixed-k pedagogical tier, sf0.01 auto) keep the fold-into-scan
+    * form, and anything larger rides the join.
     */
-  val LiteralAssignBound = 4096
+  val LiteralAssignBound = 1024
 
   private def overLiteralBound(centArr: Seq[(Int, Seq[Double])]): Boolean =
     centArr.size * centArr.headOption.map(_._2.size).getOrElse(0) > LiteralAssignBound
@@ -1285,12 +1290,42 @@ object VectorOps {
       queries0: DataFrame,
       centArr: Seq[(Int, Seq[Double])],
       nprobe: Int): DataFrame = {
-    val queries = queries0
+    val base = queries0
       .select(col("q_id"), col("q_emb").cast("array<double>").as("qv"))
       .select(col("q_id"), col("qv"), sqrt(dot(col("qv"), col("qv"))).as("qn"))
-      .select(col("q_id"), col("qv"), col("qn"),
-        probeCellsCol(centArr, col("qv"), col("qn"), nprobe).as("p"))
-      .select(col("q_id"), (-col("p.negCell")).as("cell"), col("qv"), col("qn"))
+    // Dual-path probe-cell selection, the query-side twin of the
+    // `assignCells`/`bcastArgmax` switch: past the literal bound the
+    // ranked-struct probe expression is a k·dim-literal Catalyst tree
+    // whose build/optimize/eval cost grows with k ∝ N/occupancy (the x30
+    // audit measured the from-index serve super-linear on exactly this),
+    // so big-k quantizers rank probes with a broadcast centroid join +
+    // the bounded-heap top-nprobe aggregator instead — same
+    // (ccos DESC, cell ASC) ranking (TopKAggregator's contract), same
+    // driver-side norm fold, so the probed cell SET is identical.
+    val queries =
+      if (overLiteralBound(centArr)) {
+        val spark = queries0.sparkSession
+        val cents = broadcast(
+          spark.createDataFrame(centArr.map { case (c, m) => (c, m) })
+            .toDF("cell", "centroid")
+            .select(col("cell"), col("centroid"),
+              sqrt(dot(col("centroid"), col("centroid"))).as("ccn")))
+        val topn = udaf(new graft.functions.TopKAggregator(nprobe),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaLong))
+        base.join(cents)
+          .groupBy(col("q_id"), col("qv"), col("qn"))
+          .agg(topn(
+            round(dot(col("qv"), col("centroid")) / (col("qn") * col("ccn")), 6),
+            col("cell").cast("long")).as("pc"))
+          .select(col("q_id"), col("qv"), col("qn"), explode(col("pc")).as("t"))
+          .select(col("q_id"), col("t._2").cast("int").as("cell"),
+            col("qv"), col("qn"))
+      } else base
+        .select(col("q_id"), col("qv"), col("qn"),
+          probeCellsCol(centArr, col("qv"), col("qn"), nprobe).as("p"))
+        .select(col("q_id"), (-col("p.negCell")).as("cell"), col("qv"), col("qn"))
 
     broadcast(queries).join(corpus,
         col("q_id") =!= col("vec_id") && queries("cell") === corpus("cell"))

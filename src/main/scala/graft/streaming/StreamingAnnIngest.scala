@@ -150,12 +150,19 @@ object StreamingAnnIngest {
     * without it, a vec_id re-ingested AFTER its logical delete would be
     * hidden by the live view and physically lost at compaction.
     */
-  def readDeletes(spark: SparkSession, indexDir: String): DataFrame =
-    (try spark.read.schema(deleteSchema).parquet(s"$indexDir/$DeletesSub")
-    catch {
-      case _: AnalysisException =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], deleteSchema)
-    }).groupBy(col("vec_id")).agg(max(col(BatchCol)).as("del_batch"))
+  def readDeletes(spark: SparkSession, indexDir: String): DataFrame = {
+    // probe existence explicitly: reading a missing path would throw the
+    // (caught) PATH_NOT_FOUND analysis error anyway, but only after
+    // FileStreamSink.hasMetadata log-warns a FileNotFoundException stack
+    // per call — an empty delete vector is the NORMAL state, not an error
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$DeletesSub")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (if (fs.exists(p))
+      spark.read.schema(deleteSchema).parquet(s"$indexDir/$DeletesSub")
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], deleteSchema)
+    ).groupBy(col("vec_id")).agg(max(col(BatchCol)).as("del_batch"))
+  }
 
   /** The LIVE index view: physical rows minus the delete vector — what
     * every serving tier should read between compactions. The anti-join is

@@ -430,6 +430,21 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkSessionTestWrappe
         ranked(v).take(2).zipWithIndex.map { case (c, i) => (id, i + 1) -> c }
       }
       gotPost shouldBe expPost
+      // and the QUERY-side probe ranking (scoreProbes' broadcast top-nprobe
+      // path, engaged at this k) serves the same top-k as a brute
+      // recomputation: probe the 2 nearest cells, score their members,
+      // rank (cos DESC, id ASC)
+      val gotServe = VectorOps.ivfTopK(emb, nprobe = 2, coarse = Some(cents))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val expServe = vecs.keys.filter(_ % 100 == 0).flatMap { q =>
+        val probes = ranked(vecs(q)).take(2).toSet
+        vecs.filter { case (id, v) => id != q && probes(ranked(v).head) }
+          .map { case (id, v) => (id, cos(vecs(q), v)) }.toSeq
+          .sortBy { case (id, c) => (-c, id) }.take(10).zipWithIndex
+          .map { case ((id, c), i) => (q, i + 1, id, c) }
+      }.toSet
+      gotServe shouldBe expServe
+      gotServe should not be empty
     }
 
     it("ivfTopKFromIndex over the pre-assigned corpus is row-identical to the inline auto-IVF serve") {

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
+import graft.functions.ArrayDotProduct.dot
 import graft.ops.VectorOps
 import graft.streaming.StreamingWrites.GuardedWrites
 
@@ -79,12 +80,20 @@ object StreamingGraphAnn {
     StructField("cos", DoubleType),
     StructField(PCellCol, IntegerType)))
 
-  private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    try spark.read.schema(schema).parquet(path)
+  private def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    // existence probe first: a missing tier is the normal pre-first-batch
+    // state, and the read path would log a FileNotFoundException stack
+    // (FileStreamSink metadata probe) before the catch below even fires
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else try spark.read.schema(schema).parquet(path)
     catch {
       case _: AnalysisException =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
+  }
 
   /** The accumulated probe-rank posting index. */
   def readPostings(spark: SparkSession, graphDir: String): DataFrame =
@@ -160,6 +169,96 @@ object StreamingGraphAnn {
     } finally allPost.unpersist()
   }
 
+  /** INSERT-ONLY list maintenance by TOP-M MERGE PATCHING (SCALING.md §6
+    * mitigation #1): under pure inserts an existing src's candidate set
+    * only GROWS, and a candidate once beaten out of a top-`degree` list
+    * can never re-enter — so top-M(C ∪ Δ) = top-M(storedTopM(C) ∪ Δ),
+    * and the batch's delta pairs are all the recompute needs. Work per
+    * batch = ONE scored join of the batch's postings against the
+    * accumulated index (new×all pairs, scored once and reused reversed
+    * for the existing-src side — the rounded cosine is direction-exact)
+    * instead of rebuildTouched's allPostings × allPostings within every
+    * touched cell: StreamScaleBench measured the full-rebuild path
+    * growing 2.65× late-over-early on uniformly random x10 ingest
+    * (random batches touch every cell, so "touched membership" is the
+    * whole index); the patch join is smaller by ~occupancy/(batch/cells).
+    * DELETE paths keep the full rebuild — a removal must let previously
+    * beaten candidates RE-ENTER, which stored lists cannot witness.
+    *
+    * Idempotent under crash-retry: the postings overwrite replaces its
+    * own partitions, the delta pairs recompute identically, and merging
+    * an already-merged delta is a no-op (union + distinct before the
+    * rank). Stream ≡ batch at every batch stays spec-pinned.
+    */
+  private def patchTouched(
+      spark: SparkSession, graphDir: String, newPost: DataFrame,
+      degree: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val allPost = readPostings(spark, graphDir).persist()
+    try {
+      val newIds = newPost.select(col("vec_id")).distinct()
+      // every pair involving a new node, scored ONCE (new side as src)
+      val a = newPost.select(col("vec_id"), col("cell"), col("cv"), col("cn")).as("a")
+      val b = allPost.as("b")
+      val newPairs = a.join(b,
+          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          round(dot(col("a.cv"), col("b.cv")) / (col("a.cn") * col("b.cn")), 6).as("cos"))
+        .distinct()
+        .persist()
+      val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
+      def topM(pairs: DataFrame): DataFrame = pairs
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= degree)
+        .select(col("src"), col("dst"), col("cos"))
+      // new srcs: full lists from their complete candidate sets
+      val newLists = topM(newPairs)
+      // existing srcs gaining a new co-member: merge the reversed delta
+      // into their STORED lists (dl rows are the inductive top-M)
+      val delta = newPairs
+        .join(newIds.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_anti")
+        .select(col("dst").as("src"), col("src").as("dst"), col("cos"))
+      val dl = readOr(spark, s"$graphDir/dlists", dlistSchema)
+      val affectedOld = delta.select(col("src")).distinct()
+      val patched = topM(
+        dl.join(affectedOld, Seq("src"), "left_semi")
+          .select(col("src"), col("dst"), col("cos"))
+          .unionByName(delta)
+          .distinct())
+      // partitions to rewrite = primary cells of changed srcs; mates with
+      // unchanged lists are carried verbatim (the rewrite-whole-partition
+      // convention rebuildTouched documents)
+      val primary = allPost.filter(col("pr") === 1)
+        .select(col("vec_id"), col("cell").as(PCellCol))
+      val changedSrcs = affectedOld.select(col("src").as("vec_id"))
+        .unionByName(newIds).distinct()
+      val pcells = primary
+        .join(changedSrcs, Seq("vec_id"), "left_semi")
+        .select(col(PCellCol)).distinct()
+      val pcellKeys = pcells.collect().map(_.getInt(0))
+      if (pcellKeys.isEmpty) return
+      val carried = dl
+        .join(broadcast(pcells), Seq(PCellCol), "left_semi")
+        .join(changedSrcs.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
+        .select(col("src"), col("dst"), col("cos"))
+      val dlists = newLists.unionByName(patched).unionByName(carried)
+        .join(primary.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .join(broadcast(pcells), Seq(PCellCol), "left_semi")
+        .eagerCkpt
+      if (!dlists.isEmpty) dlists.overwritePartitions(s"$graphDir/dlists", PCellCol)
+      val survived = dlists.select(col(PCellCol)).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(graphDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      pcellKeys.filterNot(survived).foreach { c =>
+        fs.delete(
+          new org.apache.hadoop.fs.Path(s"$graphDir/dlists/$PCellCol=$c"), true): Unit
+      }
+      spark.catalog.refreshByPath(s"$graphDir/dlists")
+      newPairs.unpersist(): Unit
+    } finally allPost.unpersist()
+  }
+
   /** One micro-batch of NEW vectors (vec_id, embedding). Idempotent in
     * `batchId`. `cents` = the FIXED coarse quantizer (cell, centroid).
     */
@@ -174,8 +273,7 @@ object StreamingGraphAnn {
     try {
       newPost.withColumn(BatchCol, lit(batchId))
         .overwritePartitions(s"$graphDir/postings", "cell", BatchCol)
-      rebuildTouched(spark, graphDir,
-        newPost.select(col("cell")).distinct().eagerCkpt, degree)
+      patchTouched(spark, graphDir, newPost, degree)
     } finally newPost.unpersist()
   }
 

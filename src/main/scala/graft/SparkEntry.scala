@@ -2156,14 +2156,17 @@ object SparkEntry {
     // This took the query from ~24 s/rep (8 rebuilt artifacts every rep)
     // to the sweep+audit cost alone.
     val pristine = artifactDirOf("takedown-pristine", s, dir) { tmp =>
-      StreamingDedupIndex.processBatchCore(docs, 0L, s"$tmp/dedup")
-      StreamingTextIngest.processBatch(docs, 0L, s"$tmp/text")
-      StreamingChunkDedup.processBatch(docs, 0L, s"$tmp/chunk")
-      StreamingAnnIngest.processBatch(emb, 0L, cents, s"$tmp/ann")
-      StreamingSpannIngest.processBatch(emb, 0L, cents, s"$tmp/spann")
-      StreamingGraphAnn.processBatch(emb, 0L, cents, s"$tmp/graph")
-      StreamingMediaDedup.processBatch(media, 0L, s"$tmp/media")
-      StreamingEntityRes.processBatch(cust, 0L, s"$tmp/entity")
+      // eight independent builds into disjoint subdirs — overlap them
+      // (guide §2.6) exactly like the sweep overlaps the forgets
+      TakedownSweep.runConcurrently(Seq(
+        () => StreamingDedupIndex.processBatchCore(docs, 0L, s"$tmp/dedup"),
+        () => StreamingTextIngest.processBatch(docs, 0L, s"$tmp/text"),
+        () => StreamingChunkDedup.processBatch(docs, 0L, s"$tmp/chunk"),
+        () => StreamingAnnIngest.processBatch(emb, 0L, cents, s"$tmp/ann"),
+        () => StreamingSpannIngest.processBatch(emb, 0L, cents, s"$tmp/spann"),
+        () => StreamingGraphAnn.processBatch(emb, 0L, cents, s"$tmp/graph"),
+        () => StreamingMediaDedup.processBatch(media, 0L, s"$tmp/media"),
+        () => StreamingEntityRes.processBatch(cust, 0L, s"$tmp/entity")))
     }
     val tmp = sweptTempDir("graft-takedown-q")
     copyTree(java.nio.file.Paths.get(pristine), java.nio.file.Paths.get(tmp))
@@ -2176,18 +2179,23 @@ object SparkEntry {
       graphAnn = Some(TakedownSweep.GraphAnnHandle(s"$tmp/graph", cents)),
       mediaIndexDir = Some(s"$tmp/media"),
       entityIndexDir = Some(s"$tmp/entity"))
+    // Each id frame is referenced by every audit branch (broadcast build)
+    // and by the folded sweep — materialize the handful of ids ONCE so
+    // the ~7 reads per frame stop re-scanning the base parquet (and, for
+    // media, re-deriving the planted-dup media table) per reference.
+    import graft.ops.Materialize.EagerOps
     val req0 = TakedownSweep.Request(
       docIds = Some(docs.filter(pmod(col("doc_id"), lit(100)) === 7)
-        .select(col("doc_id"))),
+        .select(col("doc_id")).eagerCkpt),
       vecIds = Some(emb.filter(pmod(col("vec_id"), lit(100)) === 7)
-        .select(col("vec_id"))))
+        .select(col("vec_id")).eagerCkpt))
     val req1 = TakedownSweep.Request(
       docIds = Some(docs.filter(pmod(col("doc_id"), lit(100)) === 23)
-        .select(col("doc_id"))),
+        .select(col("doc_id")).eagerCkpt),
       mediaIds = Some(media.filter(pmod(col("media_id"), lit(97)) === 0 &&
-        col("media_id") < Multimodal.PlantOffset).select(col("media_id"))),
+        col("media_id") < Multimodal.PlantOffset).select(col("media_id")).eagerCkpt),
       custIds = Some(cust.filter(pmod(col("c_custkey"), lit(100)) === 0)
-        .select(col("c_custkey"))))
+        .select(col("c_custkey")).eagerCkpt))
     TakedownSweep.sweepBatchReport(s, Seq(req0, req1), arts, batchId = 1L)
   }
 

@@ -7,8 +7,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * callers select/filter and Catalyst pushes into the parquet scan.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Parquet footer schema memoized per path — METADATA only, never data.
+    * `spark.read.parquet` with no schema runs a footer-inference Spark job
+    * on every call; with 280 registered queries × reps × several tables
+    * each, those one-task driver-side jobs are a measurable slice of the
+    * per-query floor (StageProbe: 40-60 ms of a trivial query's ~250 ms).
+    * In production the schema lives in the catalog and this job never
+    * runs — the memo reproduces that contract for the path-based tables.
+    * Keyed by absolute path; testdata files never change schema within a
+    * process (TablesContractSpec pins them), and specs that write their
+    * own temp tables get distinct paths.
+    */
+  private val schemaMemo =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaMemo.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   /** `events.parquet`'s `ts` physical type has drifted across testdata
     * generations: TIMESTAMP(NANOS) (which Spark reads only as long via the

@@ -88,31 +88,60 @@ object TakedownSweep {
   def sweep(
       req: Request, arts: Artifacts, batchId: Long,
       excludeBatch: Option[Long] = None): Unit = {
+    // Each forget targets its OWN artifact directory and none reads
+    // another's — eight independent job pipelines. Running them from a
+    // small thread pool (guide §2.6: overlap independent jobs) lets the
+    // scheduler back-fill cores that any single forget's driver-side
+    // orchestration (collects, commit renames) would leave idle; FIFO
+    // scheduling keeps per-forget behavior unchanged. Semantics are
+    // untouched: same per-artifact forgets, same idempotence, and the
+    // batched ≡ sequential spec pins still hold because the final state
+    // per artifact is identical regardless of interleaving.
+    val forgets = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     req.docIds.foreach { ids =>
-      arts.dedupIndexDir.foreach(d =>
-        StreamingDedupIndex.processDeletes(ids, batchId, d))
-      arts.textIndexDir.foreach(d =>
-        StreamingTextIngest.processDeletes(ids, d, excludeBatch))
-      arts.chunkIndexDir.foreach(d =>
-        StreamingChunkDedup.processDeletes(ids, d, excludeBatch))
+      arts.dedupIndexDir.foreach(d => forgets +=
+        (() => StreamingDedupIndex.processDeletes(ids, batchId, d)))
+      arts.textIndexDir.foreach(d => forgets +=
+        (() => StreamingTextIngest.processDeletes(ids, d, excludeBatch)))
+      arts.chunkIndexDir.foreach(d => forgets +=
+        (() => StreamingChunkDedup.processDeletes(ids, d, excludeBatch)))
     }
     req.vecIds.foreach { ids =>
-      arts.annIndexDir.foreach(d =>
-        StreamingAnnIngest.processDeletes(ids, d, excludeBatch))
-      arts.spannIndexDir.foreach(d =>
-        StreamingSpannIngest.processDeletes(ids, d, excludeBatch))
-      arts.graphAnn.foreach(g =>
-        StreamingGraphAnn.processDeletes(ids, g.cents, g.graphDir))
+      arts.annIndexDir.foreach(d => forgets +=
+        (() => StreamingAnnIngest.processDeletes(ids, d, excludeBatch)))
+      arts.spannIndexDir.foreach(d => forgets +=
+        (() => StreamingSpannIngest.processDeletes(ids, d, excludeBatch)))
+      arts.graphAnn.foreach(g => forgets +=
+        (() => StreamingGraphAnn.processDeletes(ids, g.cents, g.graphDir)))
     }
     req.mediaIds.foreach { ids =>
-      arts.mediaIndexDir.foreach(d =>
-        StreamingMediaDedup.processDeletes(ids, d, excludeBatch))
+      arts.mediaIndexDir.foreach(d => forgets +=
+        (() => StreamingMediaDedup.processDeletes(ids, d, excludeBatch)))
     }
     req.custIds.foreach { ids =>
-      arts.entityIndexDir.foreach(d =>
-        StreamingEntityRes.processDeletes(ids, d, excludeBatch))
+      arts.entityIndexDir.foreach(d => forgets +=
+        (() => StreamingEntityRes.processDeletes(ids, d, excludeBatch)))
     }
+    runConcurrently(forgets.toSeq)
   }
+
+  /** Run independent driver-side pipelines concurrently (bounded pool),
+    * propagating the first failure after all complete or fail.
+    */
+  private[graft] def runConcurrently(thunks: Seq[() => Unit]): Unit =
+    if (thunks.size <= 1) thunks.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(thunks.size, 8))
+      try {
+        import scala.jdk.CollectionConverters._
+        val futures = pool.invokeAll(
+          thunks.map(t => new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = t()
+          }).asJava)
+        futures.asScala.foreach(_.get()) // rethrows the first failure
+      } finally pool.shutdown()
+    }
 
   /** N takedown requests folded into ONE sweep: per modality, the union
     * of every request's ids scrubs each artifact in a single

@@ -42,6 +42,15 @@ object Materialize {
   /** Runtime conf key naming the reliable checkpoint directory. */
   val CheckpointDirKey = "spark.graft.checkpointDir"
 
+  /** DIAGNOSTIC-ONLY runtime switch: `true` makes eagerCkpt a pass-through
+    * so `explain` shows the complete declarative tree of an iterative
+    * query instead of a post-checkpoint RDD scan (PlanDump sets it from
+    * SPARK_GRAFT_NOCKPT). Never set it for real execution — loops rely on
+    * the truncation for both lineage depth and read-before-overwrite
+    * ordering.
+    */
+  val DisableCkptKey = "spark.graft.disableCkpt"
+
   implicit class EagerOps(private val df: DataFrame) extends AnyVal {
 
     /** Eagerly materialize `df` and truncate its lineage: reliable
@@ -50,6 +59,7 @@ object Materialize {
       */
     def eagerCkpt: DataFrame = {
       val spark = df.sparkSession
+      if (spark.conf.getOption(DisableCkptKey).contains("true")) return df
       spark.conf.getOption(CheckpointDirKey) match {
         case Some(dir) if dir.nonEmpty =>
           val sc = spark.sparkContext

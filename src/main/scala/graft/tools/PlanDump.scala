@@ -26,6 +26,11 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_NOCKPT=true makes eagerCkpt a pass-through so iterative
+    // queries dump their full declarative tree instead of a post-checkpoint
+    // RDD scan (diagnostic only — never set for real execution)
+    if (sys.env.get("SPARK_GRAFT_NOCKPT").exists(v => v == "true" || v == "1"))
+      spark.conf.set(graft.ops.Materialize.DisableCkptKey, "true")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only(name)) {
         try {

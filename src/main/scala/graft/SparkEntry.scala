@@ -1582,7 +1582,8 @@ object SparkEntry {
     // streaming-ANN family's fixed coarse quantizer must be retrained
     // and cut over (QuantizerRefresh).
     "quantizer_drift_report" -> ((s, dir) =>
-      VectorOps.quantizerDriftReport(Tables.embeddings(s, dir))),
+      VectorOps.quantizerDriftReport(Tables.embeddings(s, dir),
+        coarse = Some(labelCentsOf(s, dir)))),
     "ann_graph2_topk" -> ((s, dir) => {
       val (edges, index, coarse) = annGraphOf(s, dir)
       VectorOps.graph2TopKFromIndex(edges, annGraphLayer1Of(s, dir), index,
@@ -2014,8 +2015,16 @@ object SparkEntry {
     "media_curation_pipeline" -> ((s, dir) => {
       val media = Multimodal.mediaTable(
         Multimodal.withPlantedMediaDups(Tables.documents(s, dir)))
-      val gated = Multimodal.mediaQualityGate(
-        Multimodal.decodeFeaturesArrow(media)).select(col("media_id"))
+      // the gate's id list is consumed THREE times below (two pair-side
+      // semi-joins + the survivor semi-join); without materialization each
+      // consumer re-runs the mapPartitions feature decode over the media
+      // bytes — the pipeline's single most expensive pass — so checkpoint
+      // the (tiny) id frame once (round 14, guide §5)
+      val gated = {
+        import graft.ops.Materialize.EagerOps
+        Multimodal.mediaQualityGate(
+          Multimodal.decodeFeaturesArrow(media)).select(col("media_id")).eagerCkpt
+      }
       mediaPairsOf(s, dir) // ensure the fingerprint artifact exists
       val pairs = Multimodal.mediaNearDupPairsCappedFromPhash(
           graft.streaming.StreamingMediaDedup.readPhash(s,

@@ -537,7 +537,12 @@ object TimeSeries {
     * above `cap` are skipped (Int.MaxValue = the uncapped baseline).
     */
   private def saxCandDist(z: DataFrame, cap: Int = Int.MaxValue): DataFrame = {
-    val bands0 = saxBands(z)
+    // materialize the band table ONCE (round 14): it is consumed by both
+    // self-join sides AND (capped path) by the occupancy count + its
+    // semi-join left side — without the checkpoint the word-assembly
+    // aggregation (groupBy + collect_list + sort per user) re-ran up to
+    // ~8× per serve. 2 rows per user, the cheapest frame in the query.
+    val bands0 = saxBands(z).eagerCkpt
     val bands =
       if (cap == Int.MaxValue) bands0
       else bands0.join(

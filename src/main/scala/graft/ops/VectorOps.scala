@@ -3027,14 +3027,16 @@ object VectorOps {
     * Scale: one corpus scan against the k×dim broadcast quantizer + one
     * k-row hash agg — no shuffle beyond the agg.
     */
-  def quantizerDriftReport(emb: DataFrame): DataFrame = {
-    val cents = centroids(emb)
+  def quantizerDriftReport(
+      emb: DataFrame, coarse: Option[DataFrame] = None): DataFrame = {
+    val cents = coarse.getOrElse(
+      centroids(emb).select(col("label").as("cell"), col("centroid")))
     val centArr: Array[(Int, Seq[Double])] = cents.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
     val asg = assignCells(emb, centArr)
       .select(col("vec_id"), col("cell"), col("v"),
         sqrt(dot(col("v"), col("v"))).as("vn"))
-    val cf = cents.select(col("label").as("cell"), col("centroid"),
+    val cf = cents.select(col("cell"), col("centroid"),
       sqrt(dot(col("centroid"), col("centroid"))).as("cn"))
     asg.join(broadcast(cf), Seq("cell"))
       .select(col("cell"), (col("vec_id") % 2).as("cohort"),

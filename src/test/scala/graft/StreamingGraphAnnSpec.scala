@@ -218,5 +218,43 @@ class StreamingGraphAnnSpec extends AnyFunSpec with Matchers with SparkSessionTe
         queries, cents, k = 6, beam = 8)
       rowSet(served) shouldBe rowSet(batch)
     }
+
+    it("delete-witness fast path: a tombstone in no stored list as dst == batch rebuild over survivors") {
+      // degree=1 lists over the angular line: node 13 (theta 0.80, the
+      // cluster-1 endpoint) is NOBODY's single nearest neighbor (interior
+      // ties break to the smaller id), so no stored list names it as dst —
+      // the witness-triaged forget takes the scrub-only branch (no banded
+      // recompute) and must still equal the batch rebuild over survivors.
+      val dir = java.nio.file.Files.createTempDirectory("graft-sga-wit").toString
+      val graphDir = s"$dir/graph"
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        StreamingGraphAnn.processBatch(embDf(b), i.toLong, cents, graphDir, degree = 1)
+      }
+      // precondition: the branch predicate — 13 appears as src, never dst
+      val dl = spark.read.parquet(s"$graphDir/dlists")
+      dl.filter(col("dst") === 13L).count() shouldBe 0L
+      dl.filter(col("src") === 13L).count() should be > 0L
+      StreamingGraphAnn.processDeletes(Seq(13L).toDF("vec_id"), cents, graphDir, degree = 1)
+      val survivors = all.filterNot(_._1 == 13L)
+      rowSet(StreamingGraphAnn.readEdges(spark, graphDir)) shouldBe
+        rowSet(VectorOps.graphEdges(embDf(survivors), degree = 1, coarse = Some(cents)))
+      spark.read.parquet(s"$graphDir/postings")
+        .filter(col("vec_id") === 13L).count() shouldBe 0L
+      // replay: exactly-once (second pass finds no witness AND no src rows)
+      StreamingGraphAnn.processDeletes(Seq(13L).toDF("vec_id"), cents, graphDir, degree = 1)
+      rowSet(StreamingGraphAnn.readEdges(spark, graphDir)) shouldBe
+        rowSet(VectorOps.graphEdges(embDf(survivors), degree = 1, coarse = Some(cents)))
+    }
+
+    it("a no-op batch leaks no persisted frames (the empty-pcell early return)") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sga-noop").toString
+      val graphDir = s"$dir/graph"
+      StreamingGraphAnn.processBatch(embDf(b0), 0L, cents, graphDir)
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      StreamingGraphAnn.processBatch(
+        embDf(Seq.empty[(Long, Seq[Float], Int)]), 1L, cents, graphDir)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+      leaked shouldBe empty
+    }
   }
 }

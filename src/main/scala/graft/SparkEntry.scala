@@ -1137,8 +1137,11 @@ object SparkEntry {
     // derive from the index at query time, term selection is a pushdown
     // filter on the postings scan — result ≡ the inline build (same
     // oracle).
+    // Served from the MEMOIZED StreamingTextIngest artifact (round 14 —
+    // the inline invertedIndexOf lambda re-tokenized + re-aggregated the
+    // corpus per serve; tokenization is deterministic, same oracle).
     "bm25_from_index_topk" -> ((s, dir) => {
-      val (p, d) = SparkEntry.invertedIndexOf(Tables.documents(s, dir))
+      val (p, d) = textIndexOf(s, dir)
       TextOps.bm25TopKFromIndex(p, d)
     }),
     // Heaps'-law vocabulary-growth fit across sources — the
@@ -1150,11 +1153,11 @@ object SparkEntry {
     // QL and the full RRF hybrid stack served from the same inverted
     // index tables as bm25_from_index_topk (cf = sum tf per term).
     "ql_from_index_topk" -> ((s, dir) => {
-      val (p, d) = SparkEntry.invertedIndexOf(Tables.documents(s, dir))
+      val (p, d) = textIndexOf(s, dir)
       TextOps.qlTopKFromIndex(p, d)
     }),
     "rrf_from_index" -> ((s, dir) => {
-      val (p, d) = SparkEntry.invertedIndexOf(Tables.documents(s, dir))
+      val (p, d) = textIndexOf(s, dir)
       TextOps.rrfFusionFromIndex(p, d)
     }),
     // Content-addressable corpus manifest: per source, an
@@ -1174,9 +1177,11 @@ object SparkEntry {
     // Exact phrase search from the positional index: n-way positional
     // self-join at consecutive positions, exact per-doc occurrence
     // counts — the query class bag-of-words postings cannot answer.
+    // Served from the maintained positional index (round 14 — the inline
+    // form re-posexploded the corpus per serve; same split-on-space
+    // tokenization, 1-based positions, same oracle).
     "phrase_search" -> ((s, dir) =>
-      TextOps.phraseSearch(
-        TextOps.positionalIndexOf(Tables.documents(s, dir)))),
+      TextOps.phraseSearch(textPositionsOf(s, dir))),
     // Reciprocal-rank fusion of the BM25 and QL pools — hybrid retrieval's
     // calibration-free rank combiner.
     "rrf_fusion" -> ((s, dir) => TextOps.rrfFusion(Tables.documents(s, dir))),
@@ -2397,6 +2402,36 @@ object SparkEntry {
     graft.streaming.StreamingAnnIngest.readIndex(s, s"$d/index")
   }
 
+  /** The maintained inverted text index, built once per (application, sf
+    * dir) by ONE StreamingTextIngest fold over the corpus — the
+    * (postings, doclens) tables the `*_from_index` lexical rankers read
+    * instead of re-tokenizing + re-aggregating the corpus per serve
+    * (round 14 — the same from-index retirement as the vector tier;
+    * tokenization and tf/dl aggregation are deterministic, so hash-green
+    * certifies from-index ≡ inline).
+    */
+  private[graft] def textIndexOf(
+      s: org.apache.spark.sql.SparkSession, dir: String): (
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val d = artifactDirOf("text-index", s, dir) { tmp =>
+      graft.streaming.StreamingTextIngest.processBatch(
+        Tables.documents(s, dir), 0L, s"$tmp/index")
+    }
+    (graft.streaming.StreamingTextIngest.readPostings(s, s"$d/index"),
+      graft.streaming.StreamingTextIngest.readDoclens(s, s"$d/index"))
+  }
+
+  /** The positional table of the same maintained text index (1-based
+    * positions of the identical split-on-space tokenization) — what
+    * `phrase_search` answers from instead of re-posexploding the corpus.
+    */
+  private[graft] def textPositionsOf(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    textIndexOf(s, dir) // ensure the artifact exists
+    val d = artifactDirOf("text-index", s, dir)(_ => ())
+    graft.streaming.StreamingTextIngest.readPositions(s, s"$d/index")
+  }
+
   /** The maintained SPANN posting index under the same fixed quantizer,
     * built once per (application, sf dir) by ONE StreamingSpannIngest fold
     * — closure assignment is a deterministic projection, so serving from
@@ -2486,15 +2521,6 @@ object SparkEntry {
       pqCbsMemo.keys.filter(_.endsWith(suffix)).foreach(pqCbsMemo.remove)
       kmCentsMemo.keys.filter(_.endsWith(suffix)).foreach(kmCentsMemo.remove): Unit
     }
-
-  private def invertedIndexOf(
-      docs: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val toks = split(col("text"), " ")
-    val postings = docs.select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val doclens = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
-    (postings, doclens)
-  }
 
   def oracleSql: Map[String, String] = Map(
     "windowed_count" ->

@@ -1172,7 +1172,8 @@ object SparkEntry {
     // from existing operators.
     "prf_hybrid_rerank" -> ((s, dir) =>
       VectorOps.prfHybridRerank(
-        Tables.documents(s, dir), Tables.embeddings(s, dir))),
+        Tables.documents(s, dir), Tables.embeddings(s, dir),
+        textIndex = Some(textIndexOf(s, dir)))),
 
     // Exact phrase search from the positional index: n-way positional
     // self-join at consecutive positions, exact per-doc occurrence
@@ -1189,7 +1190,8 @@ object SparkEntry {
     // term-coverage qrels — the self-contained ranking-quality panel
     // (fixed-point DCG terms; see TextOps.retrievalNdcgReport).
     "retrieval_ndcg_report" -> ((s, dir) =>
-      TextOps.retrievalNdcgReport(Tables.documents(s, dir))),
+      TextOps.retrievalNdcgReport(Tables.documents(s, dir),
+        index = Some(textIndexOf(s, dir)))),
     // DSIR importance resampling: hashed-bigram target/raw log-ratio
     // weights + deterministic hash-Gumbel top-k selection.
     "dsir_resample" -> ((s, dir) => TextOps.dsirResample(Tables.documents(s, dir))),

@@ -1534,10 +1534,18 @@ object TextOps {
     * system's ranked list is ≤ |queries|·k rows. Nothing here touches
     * corpus-sized data beyond the posting scans the systems already do.
     */
+  /** `index` = the maintained (postings, doclens) tables (round 14): when
+    * present, all three rankers run their FromIndex twins and the qrels
+    * doc-term table reads the postings' (doc_id, tok) pairs — distinct by
+    * construction of the tf groupBy, so row-identical to the inline
+    * explode+distinct — and the report runs ZERO corpus scans. Results
+    * are bit-identical either way (same oracle).
+    */
   def retrievalNdcgReport(
       docs: DataFrame,
       queries: Seq[(Int, Seq[String])] = Bm25Queries,
-      k: Int = RrfK): DataFrame = {
+      k: Int = RrfK,
+      index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1553,7 +1561,11 @@ object TextOps {
       round(lit(1e6) * gainInt(rel).cast("double") /
         log2(rank.cast("double") + lit(1.0)), 0).cast("long")
 
-    val dt = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok")).distinct()
+    val dt = index match {
+      case Some((p, _)) => p.select(col("doc_id"), col("tok"))
+      case None =>
+        docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok")).distinct()
+    }
     val qrels = dt.join(broadcast(qterms), col("tok") === col("qtok"))
       .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("rel"))
 
@@ -1561,11 +1573,16 @@ object TextOps {
     val idcg = qrels.withColumn("rank", row_number().over(iw)).filter(col("rank") <= k)
       .groupBy(col("q_id")).agg(sum(termFp(col("rel"), col("rank"))).as("idcg_fp"))
 
-    val ranked = Seq(
-      "bm25" -> bm25TopK(docs, queries, k),
-      "ql" -> qlTopK(docs, queries, k),
-      "rrf" -> rrfFusion(docs, queries, RrfPoolK, k))
-      .map { case (m, df) =>
+    val ranked = (index match {
+      case Some((p, d)) => Seq(
+        "bm25" -> bm25TopKFromIndex(p, d, queries, k),
+        "ql" -> qlTopKFromIndex(p, d, queries, k),
+        "rrf" -> rrfFusionFromIndex(p, d, queries, RrfPoolK, k))
+      case None => Seq(
+        "bm25" -> bm25TopK(docs, queries, k),
+        "ql" -> qlTopK(docs, queries, k),
+        "rrf" -> rrfFusion(docs, queries, RrfPoolK, k))
+    }).map { case (m, df) =>
         df.select(lit(m).as("method"), col("q_id"), col("rank"), col("doc_id"))
       }.reduce(_.unionByName(_))
 

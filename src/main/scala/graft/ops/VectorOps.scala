@@ -511,18 +511,28 @@ object VectorOps {
       emb: DataFrame,
       queries: Seq[(Int, Seq[String])] = TextOps.Bm25Queries,
       expandK: Int = PrfExpandK,
-      k: Int = TextOps.RrfK): DataFrame = {
+      k: Int = TextOps.RrfK,
+      textIndex: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb.select(col("vec_id").as("doc_id"),
       col("embedding").cast("array<double>").as("v"))
-    val seed = TextOps.bm25TopK(docs, queries, expandK)
-      .select(col("q_id"), col("doc_id")).join(e, Seq("doc_id"))
+    // textIndex = the maintained (postings, doclens) tables (round 14):
+    // the lexical seed and pool rankers run their FromIndex twins —
+    // bit-identical rankings, zero corpus re-tokenization per serve
+    val seed0 = textIndex match {
+      case Some((p, d)) => TextOps.bm25TopKFromIndex(p, d, queries, expandK)
+      case None => TextOps.bm25TopK(docs, queries, expandK)
+    }
+    val seed = seed0.select(col("q_id"), col("doc_id")).join(e, Seq("doc_id"))
     val dim = emb.select(size(col("embedding")).as("d")).take(1)
       .headOption.map(_.getInt(0)).getOrElse(EmbeddingDim)
     val prf = meanVector(seed.select(col("q_id"), col("v")), "q_id", "v", dim)
       .select(col("key").as("q_id"), col("centroid").as("qv"))
-    val pool = TextOps.rrfFusion(docs, queries)
-      .select(col("q_id"), col("doc_id")).join(e, Seq("doc_id"))
+    val pool0 = textIndex match {
+      case Some((p, d)) => TextOps.rrfFusionFromIndex(p, d, queries)
+      case None => TextOps.rrfFusion(docs, queries)
+    }
+    val pool = pool0.select(col("q_id"), col("doc_id")).join(e, Seq("doc_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("doc_id").asc)
     pool.join(broadcast(prf), Seq("q_id"))
       .select(col("q_id"), col("doc_id"), round(cosine(col("qv"), col("v")), 6).as("cos"))
